@@ -1,0 +1,883 @@
+"""Relational probe surface Q01–Q37, Q40 (SURVEY.md §2.3).
+
+Each probe grounds a capability the reference either implements as a
+Perl dataflow sub or delegates to MySQL (citations in docstrings point
+into /root/reference). Spark side is pure DataFrame API so Catalyst owns
+the physical plan: scans get pushed filters + pruned columns, small dims
+broadcast, large joins sort-merge/shuffled-hash under AQE.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ensembl_database_loader_spark.catalog import table
+from ensembl_database_loader_spark.plans.registry import probe
+from ensembl_database_loader_spark.session import ensure_session_confs
+
+
+def _cnt(cond=None):
+    """COUNT(*) / conditional count that is BIGINT on both engines."""
+    return F.count(F.when(cond, F.lit(1))) if cond is not None else F.count(F.lit(1))
+
+
+# ---------------------------------------------------------------------------
+# Scans
+# ---------------------------------------------------------------------------
+
+
+@probe("q01_parquet_scan", oracle="SELECT COUNT(*) AS cnt FROM lineitem", tags=("scan",))
+def q01(spark: SparkSession, sf: str) -> DataFrame:
+    """Parquet scan + count. Reference scans are directory globs
+    (LoadFiles.pm:191-194); here the scan is a splittable parquet read."""
+    ensure_session_confs(spark)
+    return table(spark, sf, "lineitem").agg(_cnt().alias("cnt"))
+
+
+@probe(
+    "q02_tsv_roundtrip",
+    oracle="SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
+    tags=("scan", "tsv"),
+)
+def q02(spark: SparkSession, sf: str) -> DataFrame:
+    """TSV round-trip with MySQL-dump escape conventions: tab separator,
+    backslash escape, \\N nulls — the exact ``LOAD DATA LOCAL INFILE ...
+    FIELDS ESCAPED BY '\\\\'`` dialect (LoadFiles.pm:138-141)."""
+    import tempfile
+
+    ensure_session_confs(spark)
+    out = tempfile.mkdtemp(prefix="edl_tsv_") + "/region"
+    opts = {"sep": "\t", "escape": "\\", "nullValue": "\\N", "emptyValue": ""}
+    table(spark, sf, "region").coalesce(1).write.mode("overwrite").options(**opts).csv(out)
+    df = spark.read.options(**opts).schema("r_regionkey INT, r_name STRING").csv(out)
+    return df.orderBy("r_regionkey")
+
+
+# ---------------------------------------------------------------------------
+# Projection / filters
+# ---------------------------------------------------------------------------
+
+
+@probe(
+    "q03_projection",
+    oracle=(
+        "SELECT l_orderkey, l_linenumber FROM lineitem "
+        "ORDER BY l_orderkey, l_linenumber LIMIT 100"
+    ),
+)
+def q03(spark: SparkSession, sf: str) -> DataFrame:
+    """Column projection (pruned at the parquet scan). Reference analogue:
+    column_names selection, LoadDBs_conf.pm:114."""
+    ensure_session_confs(spark)
+    return (
+        table(spark, sf, "lineitem")
+        .select("l_orderkey", "l_linenumber")
+        .orderBy("l_orderkey", "l_linenumber")
+        .limit(100)
+    )
+
+
+@probe(
+    "q04_filter_predicate",
+    oracle=(
+        "SELECT COUNT(*) AS cnt FROM lineitem "
+        "WHERE l_discount > 0.05 AND l_quantity < 25"
+    ),
+)
+def q04(spark: SparkSession, sf: str) -> DataFrame:
+    """Comparison + boolean filter, pushed to the scan (reference mode
+    filter F1, DatabaseFactory.pm:110-121)."""
+    ensure_session_confs(spark)
+    li = table(spark, sf, "lineitem")
+    return li.filter((F.col("l_discount") > 0.05) & (F.col("l_quantity") < 25)).agg(
+        _cnt().alias("cnt")
+    )
+
+
+@probe(
+    "q05_filter_regex",
+    oracle=(
+        "SELECT COUNT(*) FILTER (WHERE p_name LIKE '%red%') AS like_cnt, "
+        "COUNT(*) FILTER (WHERE regexp_matches(p_type, 'Y$')) AS re_cnt FROM part"
+    ),
+)
+def q05(spark: SparkSession, sf: str) -> DataFrame:
+    """LIKE + regex predicates (reference: mart/_mart_ regex dispatch,
+    DatabaseFactory.pm:32-53; priority regexes Prioritise.pm:38-54)."""
+    ensure_session_confs(spark)
+    p = table(spark, sf, "part")
+    return p.agg(
+        _cnt(F.col("p_name").like("%red%")).alias("like_cnt"),
+        _cnt(F.col("p_type").rlike("Y$")).alias("re_cnt"),
+    )
+
+
+@probe(
+    "q06_filter_inlist",
+    oracle=(
+        "SELECT COUNT(*) FILTER (WHERE c_mktsegment IN ('BUILDING','AUTOMOBILE')) AS in_cnt, "
+        "COUNT(*) FILTER (WHERE c_mktsegment NOT IN ('MACHINERY')) AS anti_cnt FROM customer"
+    ),
+)
+def q06(spark: SparkSession, sf: str) -> DataFrame:
+    """IN-list membership / anti-membership (reference: explicit db list,
+    DatabaseFactory.pm:44-50)."""
+    ensure_session_confs(spark)
+    c = table(spark, sf, "customer")
+    return c.agg(
+        _cnt(F.col("c_mktsegment").isin("BUILDING", "AUTOMOBILE")).alias("in_cnt"),
+        _cnt(~F.col("c_mktsegment").isin("MACHINERY")).alias("anti_cnt"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins
+# ---------------------------------------------------------------------------
+
+
+@probe(
+    "q07_join_broadcast",
+    oracle=(
+        "SELECT r_name, COUNT(*) AS nations FROM nation JOIN region "
+        "ON n_regionkey = r_regionkey GROUP BY r_name ORDER BY r_name"
+    ),
+)
+def q07(spark: SparkSession, sf: str) -> DataFrame:
+    """Inner equi-join with an explicitly broadcast dimension — at 100 TB
+    the 5-row region side must never shuffle (checksum-compare join D3
+    shape, DownloadDatabase.pm:148-170)."""
+    ensure_session_confs(spark)
+    n, r = table(spark, sf, "nation"), table(spark, sf, "region")
+    return (
+        n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(_cnt().alias("nations"))
+        .orderBy("r_name")
+    )
+
+
+@probe(
+    "q08_join_shuffle",
+    oracle=(
+        "SELECT COUNT(*) AS cnt, ROUND(SUM(l_extendedprice), 2) AS sum_price "
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey"
+    ),
+)
+def q08(spark: SparkSession, sf: str) -> DataFrame:
+    """Fact-fact equi-join: both sides shuffle on the key; AQE picks
+    SMJ/shuffled-hash and handles skew (L1 load fan analogue)."""
+    ensure_session_confs(spark)
+    li, o = table(spark, sf, "lineitem"), table(spark, sf, "orders")
+    return li.join(o, li.l_orderkey == o.o_orderkey).agg(
+        _cnt().alias("cnt"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+    )
+
+
+@probe(
+    "q09_left_outer_join",
+    oracle=(
+        "SELECT COUNT(*) AS cnt FROM customer c LEFT JOIN "
+        "(SELECT * FROM orders WHERE o_orderstatus = 'F') o "
+        "ON c.c_custkey = o.o_custkey WHERE o.o_orderkey IS NULL"
+    ),
+)
+def q09(spark: SparkSession, sf: str) -> DataFrame:
+    """Left outer join + null probe (reference: missing-file side of the
+    checksum compare, DownloadDatabase.pm:157)."""
+    ensure_session_confs(spark)
+    c = table(spark, sf, "customer")
+    o = table(spark, sf, "orders").filter(F.col("o_orderstatus") == "F")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .filter(F.col("o_orderkey").isNull())
+        .agg(_cnt().alias("cnt"))
+    )
+
+
+@probe(
+    "q10_full_outer_join",
+    oracle=(
+        "SELECT COUNT(*) AS cnt, "
+        "COUNT(*) FILTER (WHERE s_suppkey IS NULL) AS nation_only, "
+        "COUNT(*) FILTER (WHERE n_nationkey IS NULL) AS supplier_only "
+        "FROM nation FULL OUTER JOIN supplier ON n_nationkey = s_nationkey"
+    ),
+)
+def q10(spark: SparkSession, sf: str) -> DataFrame:
+    """Full outer join — both-sides compare, exactly the reference's
+    expected-vs-actual checksum diff (DownloadDatabase.pm:155-163)."""
+    ensure_session_confs(spark)
+    n, s = table(spark, sf, "nation"), table(spark, sf, "supplier")
+    j = n.join(s, n.n_nationkey == s.s_nationkey, "full")
+    return j.agg(
+        _cnt().alias("cnt"),
+        _cnt(F.col("s_suppkey").isNull()).alias("nation_only"),
+        _cnt(F.col("n_nationkey").isNull()).alias("supplier_only"),
+    )
+
+
+@probe(
+    "q11_semi_join",
+    oracle=(
+        "SELECT COUNT(*) AS cnt FROM customer c WHERE EXISTS "
+        "(SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey "
+        "AND o.o_orderpriority = '1-URGENT')"
+    ),
+)
+def q11(spark: SparkSession, sf: str) -> DataFrame:
+    """Left semi join (reference: membership lookup against the
+    user-requested db list, DatabaseFactory.pm:44-50)."""
+    ensure_session_confs(spark)
+    c = table(spark, sf, "customer")
+    o = table(spark, sf, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").agg(_cnt().alias("cnt"))
+
+
+@probe(
+    "q12_anti_join",
+    oracle=(
+        "SELECT COUNT(*) AS cnt FROM customer c WHERE NOT EXISTS "
+        "(SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey "
+        "AND o.o_orderpriority = '1-URGENT')"
+    ),
+)
+def q12(spark: SparkSession, sf: str) -> DataFrame:
+    """Left anti join — the reference's coverage assertion 'which requested
+    dbs were never seen' (DatabaseFactory.pm:152-167)."""
+    ensure_session_confs(spark)
+    c = table(spark, sf, "customer")
+    o = table(spark, sf, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").agg(_cnt().alias("cnt"))
+
+
+@probe(
+    "q13_range_join",
+    oracle=(
+        "SELECT COUNT(*) AS cnt FROM orders o JOIN lineitem l "
+        "ON l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate"
+    ),
+)
+def q13(spark: SparkSession, sf: str) -> DataFrame:
+    """Equi-join with an extra range predicate — the theta part evaluates
+    post-join-key match, so it stays a hash/SMJ join, not a cartesian."""
+    ensure_session_confs(spark)
+    o, li = table(spark, sf, "orders"), table(spark, sf, "lineitem")
+    return o.join(
+        li, (li.l_orderkey == o.o_orderkey) & (li.l_shipdate > o.o_orderdate)
+    ).agg(_cnt().alias("cnt"))
+
+
+@probe("q14_cross_join", oracle="SELECT COUNT(*) AS cnt FROM region, nation")
+def q14(spark: SparkSession, sf: str) -> DataFrame:
+    """Explicit cartesian product (tiny dims only — guarded by Spark's
+    crossJoin opt-in)."""
+    ensure_session_confs(spark)
+    return (
+        table(spark, sf, "region")
+        .crossJoin(table(spark, sf, "nation"))
+        .agg(_cnt().alias("cnt"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Aggregation
+# ---------------------------------------------------------------------------
+
+
+@probe(
+    "q15_tpch_q1",
+    oracle=(
+        "SELECT l_returnflag, l_linestatus, "
+        "ROUND(SUM(l_quantity), 2) AS sum_qty, "
+        "ROUND(SUM(l_extendedprice), 2) AS sum_base_price, "
+        "ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price, "
+        "ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge, "
+        "ROUND(AVG(l_quantity), 2) AS avg_qty, "
+        "ROUND(AVG(l_extendedprice), 2) AS avg_price, "
+        "ROUND(AVG(l_discount), 2) AS avg_disc, "
+        "COUNT(*) AS count_order "
+        "FROM lineitem GROUP BY l_returnflag, l_linestatus "
+        "ORDER BY l_returnflag, l_linestatus"
+    ),
+)
+def q15(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q1-shaped multi-key hash aggregate (flagship; reference
+    analogue is the per-analysis distinct-db status rollup,
+    EmailSummary.pm:130-137). Partial aggregation happens map-side, so
+    the shuffle carries one row per (flag,status) per task — this is the
+    plan shape that survives 100 TB."""
+    ensure_session_confs(spark)
+    li = table(spark, sf, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(charge), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
+            F.round(F.avg("l_discount"), 2).alias("avg_disc"),
+            _cnt().alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@probe(
+    "q16_count_distinct",
+    oracle="SELECT COUNT(DISTINCT o_custkey) AS cnt FROM orders",
+)
+def q16(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact distinct count (reference: distinct-database success/fail
+    counting via Perl hash, EmailSummary.pm:130-131)."""
+    ensure_session_confs(spark)
+    return table(spark, sf, "orders").agg(F.countDistinct("o_custkey").alias("cnt"))
+
+
+@probe("q17_approx_count_distinct", oracle=None, tags=("approx",))
+def q17(spark: SparkSession, sf: str) -> DataFrame:
+    """HLL++ approximate distinct — the 100 TB substitute for q16 (no
+    oracle: approximation is engine-specific; driver checks rows-only).
+    Emits approx, exact, and a within-5%% flag so the row itself shows
+    the rtol contract holds."""
+    ensure_session_confs(spark)
+    o = table(spark, sf, "orders")
+    r = o.agg(
+        F.approx_count_distinct("o_custkey", 0.02).alias("approx_cnt"),
+        F.countDistinct("o_custkey").alias("exact_cnt"),
+    )
+    return r.select(
+        "approx_cnt",
+        "exact_cnt",
+        (F.abs(F.col("approx_cnt") - F.col("exact_cnt")) <= 0.05 * F.col("exact_cnt")).alias(
+            "within_5pct"
+        ),
+    )
+
+
+@probe(
+    "q18_conditional_agg",
+    oracle=(
+        "SELECT o_orderpriority, "
+        "COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS f_cnt, "
+        "COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS o_cnt, "
+        "COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS p_cnt, "
+        "COUNT(*) AS total FROM orders GROUP BY o_orderpriority "
+        "ORDER BY o_orderpriority"
+    ),
+)
+def q18(spark: SparkSession, sf: str) -> DataFrame:
+    """Conditional aggregation — DONE/FAILED-style status pivot
+    (EmailSummary.pm:130-137)."""
+    ensure_session_confs(spark)
+    o = table(spark, sf, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            _cnt(F.col("o_orderstatus") == "F").alias("f_cnt"),
+            _cnt(F.col("o_orderstatus") == "O").alias("o_cnt"),
+            _cnt(F.col("o_orderstatus") == "P").alias("p_cnt"),
+            _cnt().alias("total"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@probe(
+    "q19_rollup",
+    oracle=(
+        "SELECT COALESCE(l_returnflag, 'ALL') AS rflag, "
+        "COALESCE(l_linestatus, 'ALL') AS lstat, COUNT(*) AS cnt, "
+        "CAST(GROUPING(l_returnflag) AS INTEGER) AS g_rflag, "
+        "CAST(GROUPING(l_linestatus) AS INTEGER) AS g_lstat "
+        "FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus) "
+        "ORDER BY rflag, lstat"
+    ),
+)
+def q19(spark: SparkSession, sf: str) -> DataFrame:
+    """ROLLUP grouping sets with GROUPING() markers."""
+    ensure_session_confs(spark)
+    li = table(spark, sf, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            _cnt().alias("cnt"),
+            F.grouping("l_returnflag").cast("int").alias("g_rflag"),
+            F.grouping("l_linestatus").cast("int").alias("g_lstat"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("rflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("lstat"),
+            "cnt",
+            "g_rflag",
+            "g_lstat",
+        )
+        .orderBy("rflag", "lstat")
+    )
+
+
+@probe(
+    "q20_having",
+    oracle=(
+        "SELECT COUNT(*) AS cnt FROM (SELECT o_custkey FROM orders "
+        "GROUP BY o_custkey HAVING COUNT(*) > 10) t"
+    ),
+)
+def q20(spark: SparkSession, sf: str) -> DataFrame:
+    """Post-aggregation HAVING filter."""
+    ensure_session_confs(spark)
+    o = table(spark, sf, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(_cnt().alias("n"))
+        .filter(F.col("n") > 10)
+        .agg(_cnt().alias("cnt"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sort / limit / windows
+# ---------------------------------------------------------------------------
+
+
+@probe(
+    "q21_sort_multikey",
+    oracle=(
+        "SELECT o_orderkey, o_orderstatus, "
+        "COALESCE(NULLIF(o_orderpriority, '5-LOW'), '~none~') AS opri "
+        "FROM orders ORDER BY CASE WHEN o_orderstatus = 'F' THEN 0 ELSE 1 END, "
+        "NULLIF(o_orderpriority, '5-LOW') ASC NULLS FIRST, o_orderkey LIMIT 100"
+    ),
+)
+def q21(spark: SparkSession, sf: str) -> DataFrame:
+    """Multi-key sort with explicit null placement — failures-first
+    comparator shape (EmailSummary.pm:168-176)."""
+    ensure_session_confs(spark)
+    o = table(spark, sf, "orders")
+    pri = F.nullif(F.col("o_orderpriority"), F.lit("5-LOW"))
+    return (
+        o.select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.coalesce(pri, F.lit("~none~")).alias("opri"),
+            pri.alias("_pri"),
+        )
+        .orderBy(
+            F.when(F.col("o_orderstatus") == "F", 0).otherwise(1),
+            F.col("_pri").asc_nulls_first(),
+            "o_orderkey",
+        )
+        .limit(100)
+        .drop("_pri")
+    )
+
+
+@probe(
+    "q22_topk",
+    oracle=(
+        "SELECT o_orderkey, ROUND(o_totalprice, 2) AS price FROM orders "
+        "ORDER BY o_totalprice DESC, o_orderkey LIMIT 10"
+    ),
+)
+def q22(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-k: Spark plans TakeOrderedAndProject (per-partition heap + merge,
+    no global sort) — the plan that matters at 100 TB."""
+    ensure_session_confs(spark)
+    o = table(spark, sf, "orders")
+    return (
+        o.select("o_orderkey", F.round("o_totalprice", 2).alias("price"), "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(10)
+        .drop("o_totalprice")
+    )
+
+
+@probe(
+    "q23_window_rank",
+    oracle=(
+        "SELECT COUNT(*) AS cnt, ROUND(SUM(o_totalprice), 2) AS sum_price FROM "
+        "(SELECT o_totalprice, ROW_NUMBER() OVER (PARTITION BY o_custkey "
+        "ORDER BY o_totalprice DESC, o_orderkey) AS rn FROM orders) t WHERE rn <= 2"
+    ),
+)
+def q23(spark: SparkSession, sf: str) -> DataFrame:
+    """Ranking window: top-2 orders per customer. Single shuffle on the
+    partition key; rank filter is pushed into the window via Spark's
+    window-group-limit optimization."""
+    ensure_session_confs(spark)
+    o = table(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), "o_orderkey")
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 2)
+        .agg(_cnt().alias("cnt"), F.round(F.sum("o_totalprice"), 2).alias("sum_price"))
+    )
+
+
+@probe(
+    "q24_window_lag",
+    oracle=(
+        "SELECT ROUND(SUM(delta), 2) AS sum_delta, COUNT(delta) AS cnt_delta FROM "
+        "(SELECT value - LAG(value) OVER (PARTITION BY user_id "
+        "ORDER BY ts, event_id) AS delta FROM events) t"
+    ),
+)
+def q24(spark: SparkSession, sf: str) -> DataFrame:
+    """Analytic window (LAG): per-user event value delta."""
+    ensure_session_confs(spark)
+    e = table(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    delta = (F.col("value") - F.lag("value").over(w)).alias("delta")
+    return e.select(delta).agg(
+        F.round(F.sum("delta"), 2).alias("sum_delta"),
+        F.count("delta").alias("cnt_delta"),
+    )
+
+
+@probe(
+    "q25_window_frame",
+    oracle=(
+        "SELECT ROUND(SUM(mov), 2) AS sum_mov, COUNT(*) AS cnt FROM "
+        "(SELECT SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id "
+        "ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS mov FROM events) t"
+    ),
+)
+def q25(spark: SparkSession, sf: str) -> DataFrame:
+    """Explicit ROWS frame: 7-row moving sum per user."""
+    ensure_session_confs(spark)
+    e = table(spark, sf, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    return e.select(F.sum("value").over(w).alias("mov")).agg(
+        F.round(F.sum("mov"), 2).alias("sum_mov"), _cnt().alias("cnt")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set operations / subqueries
+# ---------------------------------------------------------------------------
+
+
+@probe(
+    "q26_union",
+    oracle=(
+        "SELECT (SELECT COUNT(*) FROM (SELECT c_nationkey AS nk FROM customer "
+        "UNION ALL SELECT s_nationkey FROM supplier) a) AS all_cnt, "
+        "(SELECT COUNT(*) FROM (SELECT c_nationkey AS nk FROM customer "
+        "UNION SELECT s_nationkey FROM supplier) d) AS uniq_cnt"
+    ),
+)
+def q26(spark: SparkSession, sf: str) -> DataFrame:
+    """UNION ALL vs UNION DISTINCT (reference: split-part concatenation
+    L4, LoadFiles.pm:151-168)."""
+    ensure_session_confs(spark)
+    cn = table(spark, sf, "customer").select(F.col("c_nationkey").alias("nk"))
+    sn = table(spark, sf, "supplier").select(F.col("s_nationkey").alias("nk"))
+    u = cn.unionByName(sn)
+    return u.agg(_cnt().alias("all_cnt")).crossJoin(
+        u.distinct().agg(_cnt().alias("uniq_cnt"))
+    )
+
+
+@probe(
+    "q27_intersect_except",
+    oracle=(
+        "SELECT (SELECT COUNT(*) FROM (SELECT c_nationkey AS nk FROM customer "
+        "INTERSECT SELECT s_nationkey FROM supplier) i) AS inter_cnt, "
+        "(SELECT COUNT(*) FROM (SELECT c_nationkey AS nk FROM customer "
+        "EXCEPT SELECT s_nationkey FROM supplier) e) AS except_cnt"
+    ),
+)
+def q27(spark: SparkSession, sf: str) -> DataFrame:
+    """INTERSECT / EXCEPT set semantics (reference: checksum set compare
+    D3)."""
+    ensure_session_confs(spark)
+    cn = table(spark, sf, "customer").select(F.col("c_nationkey").alias("nk"))
+    sn = table(spark, sf, "supplier").select(F.col("s_nationkey").alias("nk"))
+    return (
+        cn.intersect(sn)
+        .agg(_cnt().alias("inter_cnt"))
+        .crossJoin(cn.subtract(sn).agg(_cnt().alias("except_cnt")))
+    )
+
+
+@probe(
+    "q28_scalar_subquery",
+    oracle=(
+        "SELECT COUNT(*) AS cnt FROM orders WHERE o_totalprice > "
+        "(SELECT AVG(o_totalprice) FROM orders)"
+    ),
+)
+def q28(spark: SparkSession, sf: str) -> DataFrame:
+    """Scalar subquery: orders above global average price. Expressed as a
+    broadcast cross-join of a 1-row aggregate — the distributed plan
+    Catalyst produces for the SQL form as well."""
+    ensure_session_confs(spark)
+    o = table(spark, sf, "orders")
+    avg_df = o.agg(F.avg("o_totalprice").alias("_avg"))
+    return (
+        o.crossJoin(F.broadcast(avg_df))
+        .filter(F.col("o_totalprice") > F.col("_avg"))
+        .agg(_cnt().alias("cnt"))
+    )
+
+
+@probe(
+    "q29_exists_subquery",
+    oracle=(
+        "SELECT COUNT(*) AS cnt FROM customer c WHERE EXISTS "
+        "(SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey "
+        "AND o.o_totalprice > 400000)"
+    ),
+)
+def q29(spark: SparkSession, sf: str) -> DataFrame:
+    """Correlated EXISTS via Spark SQL so Catalyst decorrelates it into the
+    same semi-join q11 builds by hand."""
+    ensure_session_confs(spark)
+    table(spark, sf, "customer").createOrReplaceTempView("_q29_customer")
+    table(spark, sf, "orders").createOrReplaceTempView("_q29_orders")
+    return spark.sql(
+        "SELECT COUNT(*) AS cnt FROM _q29_customer c WHERE EXISTS "
+        "(SELECT 1 FROM _q29_orders o WHERE o.o_custkey = c.c_custkey "
+        "AND o.o_totalprice > 400000)"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scalar function families
+# ---------------------------------------------------------------------------
+
+
+@probe(
+    "q30_string_fns",
+    oracle=(
+        "SELECT p_partkey, concat_ws('|', upper(p_brand), trim(p_type), "
+        "substring(p_name, 1, 5), regexp_replace(p_name, '[aeiou]', '_', 'g'), "
+        "regexp_extract(p_name, '^([a-z]+)', 1), CAST(length(p_name) AS VARCHAR)) AS s "
+        "FROM part ORDER BY p_partkey LIMIT 100"
+    ),
+)
+def q30(spark: SparkSession, sf: str) -> DataFrame:
+    """String function family (reference: path construction S3
+    Base.pm:62-74; part-name regex L3 LoadFiles.pm:203)."""
+    ensure_session_confs(spark)
+    p = table(spark, sf, "part")
+    return (
+        p.select(
+            "p_partkey",
+            F.concat_ws(
+                "|",
+                F.upper("p_brand"),
+                F.trim(F.col("p_type")),
+                F.substring("p_name", 1, 5),
+                F.regexp_replace("p_name", "[aeiou]", "_"),
+                F.regexp_extract("p_name", "^([a-z]+)", 1),
+                F.length("p_name").cast("string"),
+            ).alias("s"),
+        )
+        .orderBy("p_partkey")
+        .limit(100)
+    )
+
+
+@probe(
+    "q31_date_fns",
+    oracle=(
+        "SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start, "
+        "COUNT(*) AS cnt, ROUND(SUM(o_totalprice), 2) AS sum_price, "
+        "COUNT(*) FILTER (WHERE EXTRACT(YEAR FROM o_orderdate) = 1996) AS y1996 "
+        "FROM orders GROUP BY 1 ORDER BY 1"
+    ),
+)
+def q31(spark: SparkSession, sf: str) -> DataFrame:
+    """Date/time functions: month truncation, formatting, year extraction.
+    Output is a formatted string so engine timestamp internals can't leak
+    into the hash."""
+    ensure_session_confs(spark)
+    o = table(spark, sf, "orders")
+    return (
+        o.groupBy(
+            F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd").alias(
+                "month_start"
+            )
+        )
+        .agg(
+            _cnt().alias("cnt"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+            _cnt(F.year("o_orderdate") == 1996).alias("y1996"),
+        )
+        .orderBy("month_start")
+    )
+
+
+@probe(
+    "q32_math_fns",
+    oracle=(
+        "SELECT ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS revenue, "
+        "CAST(SUM(CAST(FLOOR(l_quantity) AS BIGINT)) AS BIGINT) AS floor_qty, "
+        "CAST(SUM(CAST(CEIL(l_discount * 100) AS BIGINT)) AS BIGINT) AS ceil_disc, "
+        "ROUND(SUM(ABS(l_discount - 0.05)), 2) AS abs_dev, "
+        "ROUND(SUM(POWER(l_discount, 2)), 2) AS pow_sum, "
+        "COUNT(*) FILTER (WHERE l_linenumber % 3 = 1) AS mod_cnt FROM lineitem"
+    ),
+)
+def q32(spark: SparkSession, sf: str) -> DataFrame:
+    """Math/decimal function family over the TPC-H revenue expression."""
+    ensure_session_confs(spark)
+    li = table(spark, sf, "lineitem")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
+    return li.agg(
+        F.round(F.sum(revenue), 2).alias("revenue"),
+        F.sum(F.floor("l_quantity")).cast("bigint").alias("floor_qty"),
+        F.sum(F.ceil(F.col("l_discount") * 100)).cast("bigint").alias("ceil_disc"),
+        F.round(F.sum(F.abs(F.col("l_discount") - 0.05)), 2).alias("abs_dev"),
+        F.round(F.sum(F.pow("l_discount", F.lit(2))), 2).alias("pow_sum"),
+        _cnt(F.col("l_linenumber") % 3 == 1).alias("mod_cnt"),
+    )
+
+
+@probe(
+    "q33_case_null_fns",
+    oracle=(
+        "SELECT (CASE WHEN p_brand LIKE 'Brand#1%' THEN 1 ELSE 0 END) "
+        "+ (CASE WHEN p_type = 'ECONOMY' THEN 1 ELSE 0 END) "
+        "+ (CASE WHEN p_name LIKE '%widget%' AND p_brand LIKE 'Brand#2%' THEN 1 ELSE 0 END) "
+        "AS score, COALESCE(NULLIF(p_type, 'SMALL'), '(small)') AS type_flag, "
+        "COUNT(*) AS cnt FROM part GROUP BY score, type_flag "
+        "ORDER BY score, type_flag"
+    ),
+)
+def q33(spark: SparkSession, sf: str) -> DataFrame:
+    """CASE/WHEN + COALESCE/NULLIF — the reference's additive priority
+    scoring (Prioritise.pm:32-68: +1 species prefix, +1 group infix, +1
+    homo_sapiens variation bonus) re-expressed over part attributes."""
+    ensure_session_confs(spark)
+    p = table(spark, sf, "part")
+    score = (
+        F.when(F.col("p_brand").like("Brand#1%"), 1).otherwise(0)
+        + F.when(F.col("p_type") == "ECONOMY", 1).otherwise(0)
+        + F.when(
+            F.col("p_name").like("%widget%") & F.col("p_brand").like("Brand#2%"), 1
+        ).otherwise(0)
+    )
+    return (
+        p.select(
+            score.alias("score"),
+            F.coalesce(F.nullif(F.col("p_type"), F.lit("SMALL")), F.lit("(small)")).alias(
+                "type_flag"
+            ),
+        )
+        .groupBy("score", "type_flag")
+        .agg(_cnt().alias("cnt"))
+        .orderBy("score", "type_flag")
+    )
+
+
+@probe(
+    "q34_array_fns",
+    oracle=(
+        "SELECT word, COUNT(*) AS cnt FROM (SELECT unnest(string_split(p_name, ' ')) "
+        "AS word FROM part) t GROUP BY word ORDER BY cnt DESC, word LIMIT 20"
+    ),
+)
+def q34(spark: SparkSession, sf: str) -> DataFrame:
+    """Array functions: split + explode word histogram (top 20)."""
+    ensure_session_confs(spark)
+    p = table(spark, sf, "part")
+    return (
+        p.select(F.explode(F.split("p_name", " ")).alias("word"))
+        .groupBy("word")
+        .agg(_cnt().alias("cnt"))
+        .orderBy(F.desc("cnt"), "word")
+        .limit(20)
+    )
+
+
+@probe(
+    "q35_json_fns",
+    oracle=(
+        "SELECT CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) "
+        "AS k_sum, COUNT(*) FILTER (WHERE CAST(json_extract_string(props, '$.k') "
+        "AS BIGINT) > 50) AS hi_cnt FROM events"
+    ),
+)
+def q35(spark: SparkSession, sf: str) -> DataFrame:
+    """JSON extraction over the events.props column (reference analogue:
+    eHive's stringified input_id hashes destringified at
+    EmailSummary.pm:113)."""
+    ensure_session_confs(spark)
+    e = table(spark, sf, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return e.agg(
+        F.sum(k).cast("bigint").alias("k_sum"),
+        _cnt(k > 50).alias("hi_cnt"),
+    )
+
+
+@probe(
+    "q36_casts",
+    oracle=(
+        "SELECT CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_sum, "
+        "COUNT(DISTINCT CAST(CAST(l_shipdate AS DATE) AS VARCHAR)) AS ship_days, "
+        "ROUND(SUM(CAST(CAST(l_tax AS VARCHAR) AS DOUBLE)), 2) AS tax_roundtrip "
+        "FROM lineitem"
+    ),
+)
+def q36(spark: SparkSession, sf: str) -> DataFrame:
+    """Cast/coercion family: double->bigint (quantities are integral by
+    construction, so truncation vs rounding semantics agree), timestamp->
+    date->string, double->string->double round-trip (both engines print
+    shortest-repr doubles)."""
+    ensure_session_confs(spark)
+    li = table(spark, sf, "lineitem")
+    return li.agg(
+        F.sum(F.col("l_quantity").cast("bigint")).cast("bigint").alias("qty_sum"),
+        F.countDistinct(F.col("l_shipdate").cast("date").cast("string")).alias("ship_days"),
+        F.round(F.sum(F.col("l_tax").cast("string").cast("double")), 2).alias(
+            "tax_roundtrip"
+        ),
+    )
+
+
+@probe("q37_sampling", oracle=None, tags=("approx",))
+def q37(spark: SparkSession, sf: str) -> DataFrame:
+    """Seeded Bernoulli sample (reference: randomized job order,
+    LoadDBs_conf.pm:115). No oracle — sample membership is engine-
+    specific; the row carries rate bounds the driver can eyeball."""
+    ensure_session_confs(spark)
+    li = table(spark, sf, "lineitem")
+    total = li.count()
+    got = li.sample(fraction=0.1, seed=42).count()
+    lo, hi = int(total * 0.05), int(total * 0.15)
+    return spark.createDataFrame(
+        [(total, got, lo, hi, lo <= got <= hi)],
+        "total BIGINT, sampled BIGINT, lo BIGINT, hi BIGINT, within_bounds BOOLEAN",
+    )
+
+
+@probe(
+    "q40_posexplode",
+    oracle=(
+        "SELECT COUNT(*) AS cnt, CAST(SUM(i - 1) AS BIGINT) AS sum_pos, "
+        "ROUND(SUM(CAST(embedding[i] AS DOUBLE)), 2) AS sum_val "
+        "FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS t(i)"
+    ),
+)
+def q40(spark: SparkSession, sf: str) -> DataFrame:
+    """UDTF-style lateral expansion: posexplode over the embedding array."""
+    ensure_session_confs(spark)
+    e = table(spark, sf, "embeddings")
+    x = e.select(F.posexplode("embedding").alias("pos", "val"))
+    return x.agg(
+        _cnt().alias("cnt"),
+        F.sum("pos").cast("bigint").alias("sum_pos"),
+        F.round(F.sum(F.col("val").cast("double")), 2).alias("sum_val"),
+    )

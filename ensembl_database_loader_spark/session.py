@@ -1,0 +1,68 @@
+"""SparkSession builder tuned for the engine (SURVEY.md §7.1).
+
+Scale posture: AQE on (runtime coalescing + skew-join splitting), CBO on
+(ANALYZE-fed join reordering — the reference's post-load ``ANALYZE TABLE``
+at LoadFiles.pm:230-234 maps to Spark stats collection feeding this),
+UTC session time so timestamp semantics match the DuckDB oracle, Arrow
+for any pandas exchange.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+#: Runtime-settable confs every probe relies on. Applied both at build
+#: time and defensively at call time (``ensure_session_confs``) because
+#: the correctness driver may hand us a session we didn't build.
+RUNTIME_CONFS: dict[str, str] = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+}
+
+BUILD_CONFS: dict[str, str] = {
+    "spark.sql.cbo.enabled": "true",
+    "spark.sql.cbo.joinReorder.enabled": "true",
+    "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_SHUFFLE", "32"),
+    # 64 MiB broadcast threshold: at 100 TB fact scale the dimension
+    # tables (region/nation/part-like) stay broadcastable.
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    "spark.sql.parquet.filterPushdown": "true",
+    "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
+    "spark.scheduler.mode": "FAIR",
+}
+
+
+def get_spark(
+    app_name: str = "ensembl-database-loader-spark",
+    master: str | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or get) a SparkSession with the engine's default tuning."""
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+        master = f"local[{cpus}]"
+    builder = SparkSession.builder.appName(app_name).master(master)
+    for k, v in {**BUILD_CONFS, **RUNTIME_CONFS, **(extra_conf or {})}.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    ensure_session_confs(spark)
+    return spark
+
+
+def ensure_session_confs(spark: SparkSession) -> SparkSession:
+    """Apply determinism-critical runtime confs to an existing session.
+
+    Safe to call on any session (all keys are runtime-mutable). Probes
+    call this so results do not depend on who built the session.
+    """
+    for k, v in RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:  # conf may be static on some deployments
+            pass
+    return spark
