@@ -1,0 +1,148 @@
+"""Streaming probes WM1–WM6 (SURVEY.md §2.3), checked via their batch
+equivalents: Spark's window/session_window functions compute identically
+in batch and micro-batch mode, so the DuckDB oracle is the batch SQL.
+WM4 runs a REAL Structured Streaming query (readStream -> watermark ->
+window -> memory sink, availableNow trigger); the late-data-drop
+semantics that need multi-batch input live in tests/test_streaming.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ensembl_database_loader_spark.catalog import table
+from ensembl_database_loader_spark.plans.registry import probe
+from ensembl_database_loader_spark.session import ensure_session_confs
+from ensembl_database_loader_spark.streaming.windows import (
+    dedup_stream,
+    run_available_now,
+    session_agg,
+    sliding_agg,
+    stream_events,
+    stream_static_join,
+    tumbling_agg,
+    user_segments,
+)
+
+_TUMBLE_ORACLE = (
+    "SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS wstart, "
+    "event_type, COUNT(*) AS cnt, ROUND(SUM(value), 2) AS sum_value "
+    "FROM events GROUP BY 1, 2 ORDER BY 1, 2"
+)
+
+
+@probe("wm1_tumbling_window", oracle=_TUMBLE_ORACLE, tags=("streaming",))
+def wm1(spark: SparkSession, sf: str) -> DataFrame:
+    """Tumbling 1-hour event-time window, keyed by event_type."""
+    ensure_session_confs(spark)
+    e = table(spark, sf, "events")
+    return tumbling_agg(e).orderBy("wstart", "event_type")
+
+
+@probe(
+    "wm2_sliding_window",
+    oracle=(
+        "SELECT strftime(make_timestamp((CAST(floor(epoch(ts) / 900) AS BIGINT) * 900 "
+        "- k * 900) * 1000000), '%Y-%m-%d %H:%M:%S') AS wstart, COUNT(*) AS cnt "
+        "FROM events, UNNEST([0, 1, 2, 3]) AS t(k) GROUP BY 1 ORDER BY 1"
+    ),
+    tags=("streaming",),
+)
+def wm2(spark: SparkSession, sf: str) -> DataFrame:
+    """Sliding 1-hour window every 15 minutes: each event belongs to 4
+    windows (the oracle materializes the same 4 epoch-aligned starts)."""
+    ensure_session_confs(spark)
+    e = table(spark, sf, "events")
+    return sliding_agg(e).orderBy("wstart")
+
+
+@probe(
+    "wm3_session_window",
+    oracle=(
+        "WITH d AS (SELECT user_id, CASE WHEN LAG(ts) OVER w IS NULL "
+        "OR ts >= LAG(ts) OVER w + INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s "
+        "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)) "
+        "SELECT CAST(SUM(new_s) AS BIGINT) AS sessions, COUNT(*) AS total_events FROM d"
+    ),
+    tags=("streaming",),
+)
+def wm3(spark: SparkSession, sf: str) -> DataFrame:
+    """Session windows (30-min gap) per user. Oracle is the classic
+    LAG-based sessionization: a new session starts when the gap to the
+    previous event is >= the gap duration (session_window's interval-
+    merge semantics: [ts, ts+gap) windows merge iff they overlap)."""
+    ensure_session_confs(spark)
+    e = table(spark, sf, "events")
+    s = session_agg(e)
+    return s.agg(
+        F.count(F.lit(1)).alias("sessions"),
+        F.sum("cnt").cast("bigint").alias("total_events"),
+    )
+
+
+@probe(
+    "wm4_watermark_stream",
+    oracle=(
+        "SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS wstart, "
+        "event_type, COUNT(*) AS cnt FROM events GROUP BY 1, 2 ORDER BY 1, 2"
+    ),
+    tags=("streaming", "live-stream"),
+)
+def wm4(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL Structured Streaming run: readStream(parquet) -> watermark
+    10 min -> tumbling window -> memory sink (availableNow). Complete
+    output mode makes the single-batch result equal the batch query, so
+    it stays oracle-checkable; multi-batch late-data drop semantics are
+    asserted in tests/test_streaming.py."""
+    ensure_session_confs(spark)
+    s = stream_events(spark, sf)
+    agg = (
+        s.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("wstart"),
+            "event_type",
+            "cnt",
+        )
+    )
+    return run_available_now(agg, output_mode="complete").orderBy("wstart", "event_type")
+
+
+@probe(
+    "wm5_stateful_dedup",
+    oracle=(
+        "SELECT (SELECT COUNT(*) FROM (SELECT event_id FROM events "
+        "UNION ALL SELECT event_id FROM events) u) AS input_cnt, "
+        "COUNT(DISTINCT event_id) AS uniq_cnt FROM events"
+    ),
+    tags=("streaming",),
+)
+def wm5(spark: SparkSession, sf: str) -> DataFrame:
+    """Dedup on event_id over a doubled (replayed) input — the batch
+    equivalent of streaming dropDuplicatesWithinWatermark."""
+    ensure_session_confs(spark)
+    e = table(spark, sf, "events")
+    doubled = e.unionByName(e)
+    return doubled.agg(F.count(F.lit(1)).alias("input_cnt")).crossJoin(
+        dedup_stream(doubled).agg(F.count(F.lit(1)).alias("uniq_cnt"))
+    )
+
+
+@probe(
+    "wm6_stream_static_join",
+    oracle=(
+        "WITH dim AS (SELECT DISTINCT user_id, user_id % 5 AS segment FROM events) "
+        "SELECT segment, COUNT(*) AS cnt, ROUND(SUM(value), 2) AS sum_value "
+        "FROM events e JOIN dim d ON e.user_id = d.user_id "
+        "GROUP BY segment ORDER BY segment"
+    ),
+    tags=("streaming",),
+)
+def wm6(spark: SparkSession, sf: str) -> DataFrame:
+    """Stream-static join shape: events joined to a small derived user
+    dimension (broadcast side), aggregated per segment."""
+    ensure_session_confs(spark)
+    e = table(spark, sf, "events")
+    return stream_static_join(e, user_segments(e)).orderBy("segment")

@@ -1,0 +1,137 @@
+"""Structured Streaming builders (SURVEY.md §2.3 WM1–WM6).
+
+The reference's closest analogue is its incremental per-database job
+flow (one dataflow event per database, eHive branches); here the same
+shapes are first-class streaming operators: watermarked tumbling /
+sliding / session windows, stateful dedup, and stream-static joins.
+
+Every builder takes a DataFrame (streaming OR batch — the window
+functions are identical in both modes, which is what makes the
+batch-equivalence oracle checks honest) and returns a transformed
+DataFrame. ``run_available_now`` drains a streaming frame
+deterministically into an in-memory table for tests/probes.
+
+Scale notes: streaming aggs shuffle on the grouping key exactly like
+batch; watermarks bound state size (without one, 100 TB of event
+history accumulates in the state store); dedup state is likewise
+watermark-bounded.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_TS_FMT = "yyyy-MM-dd HH:mm:ss"
+
+
+def stream_events(spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None) -> DataFrame:
+    """File-source stream over the events fixture. Schema comes from a
+    batch peek (streams require an explicit schema); the nanosecond
+    timestamp handling matches catalog.table."""
+    import os
+    import tempfile
+
+    # The file streaming source monitors a DIRECTORY; the fixture is a
+    # single parquet file, so expose it through a symlinked temp dir.
+    src = os.path.join(sf_dir, "events.parquet")
+    d = tempfile.mkdtemp(prefix="edl_stream_events_")
+    link = os.path.join(d, "events.parquet")
+    try:
+        os.symlink(src, link)
+    except OSError:  # filesystems without symlink support
+        import shutil
+
+        shutil.copyfile(src, link)
+
+    reader = spark.readStream
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(src).schema
+    df = reader.schema(raw_schema).parquet(d)
+    if dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def tumbling_agg(events: DataFrame, width: str = "1 hour", watermark: str | None = "10 minutes") -> DataFrame:
+    """WM1: watermarked tumbling window — count + sum(value) per
+    (window, event_type)."""
+    e = events.withWatermark("ts", watermark) if watermark and events.isStreaming else events
+    return (
+        e.groupBy(F.window("ts", width).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.date_format("w.start", _TS_FMT).alias("wstart"),
+            "event_type",
+            "cnt",
+            "sum_value",
+        )
+    )
+
+
+def sliding_agg(events: DataFrame, width: str = "1 hour", slide: str = "15 minutes",
+                watermark: str | None = "10 minutes") -> DataFrame:
+    """WM2: sliding window counts (each event lands in width/slide
+    windows)."""
+    e = events.withWatermark("ts", watermark) if watermark and events.isStreaming else events
+    return (
+        e.groupBy(F.window("ts", width, slide).alias("w"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.date_format("w.start", _TS_FMT).alias("wstart"), "cnt")
+    )
+
+
+def session_agg(events: DataFrame, gap: str = "30 minutes",
+                watermark: str | None = "10 minutes") -> DataFrame:
+    """WM3: session windows per user (gap-merged event-time intervals)."""
+    e = events.withWatermark("ts", watermark) if watermark and events.isStreaming else events
+    return e.groupBy("user_id", F.session_window("ts", gap).alias("w")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+
+def dedup_stream(events: DataFrame, watermark: str | None = "10 minutes") -> DataFrame:
+    """WM5: stateful dedup on event_id. With a watermark the dedup state
+    is bounded (event_ids older than the watermark are forgotten) —
+    mandatory at 100 TB."""
+    if events.isStreaming and watermark:
+        return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["event_id"])
+    return events.dropDuplicates(["event_id"])
+
+
+def user_segments(events_batch: DataFrame) -> DataFrame:
+    """Static dimension derived from events: user -> segment. Small by
+    construction (distinct users), so Spark broadcasts it into the
+    stream side of WM6 — no shuffle on the unbounded side."""
+    return events_batch.select("user_id").distinct().withColumn(
+        "segment", F.col("user_id") % 5
+    )
+
+
+def stream_static_join(events: DataFrame, dim: DataFrame) -> DataFrame:
+    """WM6: stream–static equi-join then per-segment aggregate."""
+    return (
+        events.join(dim, "user_id")
+        .groupBy("segment")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.round(F.sum("value"), 2).alias("sum_value"))
+    )
+
+
+def run_available_now(df: DataFrame, output_mode: str = "complete") -> DataFrame:
+    """Drain a streaming DataFrame with the availableNow trigger into a
+    uniquely-named in-memory table; returns the resulting batch frame."""
+    name = f"edl_mem_{uuid.uuid4().hex[:12]}"
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    q.stop()
+    return df.sparkSession.table(name)

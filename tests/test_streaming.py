@@ -1,0 +1,91 @@
+"""Real Structured Streaming runs (availableNow) asserted equal to their
+batch equivalents, plus the WM4 late-data-drop semantics test that needs
+multi-batch input (SURVEY.md §5.2)."""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from ensembl_database_loader_spark.catalog import table
+from ensembl_database_loader_spark.streaming.windows import (
+    run_available_now,
+    stream_events,
+    tumbling_agg,
+)
+
+
+def _rows(df, *order):
+    return [tuple(r) for r in df.orderBy(*order).collect()]
+
+
+def test_stream_tumbling_equals_batch(spark, sf_dir):
+    batch = tumbling_agg(table(spark, sf_dir, "events"))
+    stream = tumbling_agg(stream_events(spark, sf_dir))
+    got = run_available_now(stream, output_mode="complete")
+    assert _rows(got, "wstart", "event_type") == _rows(batch, "wstart", "event_type")
+
+
+def test_stream_dedup_equals_batch(spark, sf_dir):
+    e = stream_events(spark, sf_dir)
+    dedup = e.withWatermark("ts", "10 minutes").dropDuplicatesWithinWatermark(["event_id"])
+    got = run_available_now(dedup, output_mode="append")
+    n_batch = table(spark, sf_dir, "events").dropDuplicates(["event_id"]).count()
+    assert got.count() == n_batch
+
+
+@pytest.mark.slow
+def test_watermark_drops_late_rows(spark, sf_dir):
+    """Two micro-batches (maxFilesPerTrigger=1): batch 1 advances the
+    watermark far past batch 2's late rows; append-mode aggregation must
+    exclude the late rows from emitted windows."""
+    # Watermark lifecycle (one file = one micro-batch, mtime-ordered):
+    #   batch0: 10:15            -> state {10:00: 1}
+    #   batch1: 12:50            -> watermark now 10:05 (from batch0)
+    #   batch2: 13:30            -> watermark 12:40 > 11:00: hour-10 window
+    #                               EMITTED (cnt=1) and state EVICTED
+    #   batch3: 10:30 (late)     -> state gone, row below watermark: DROPPED
+    schema = "event_id LONG, ts STRING, user_id LONG, event_type STRING, value DOUBLE, props STRING"
+    src = tempfile.mkdtemp(prefix="edl_stream_src_") + "/f1"
+    try:
+        batches = [
+            (1, "2024-03-01 10:15:00"),
+            (2, "2024-03-01 12:50:00"),
+            (3, "2024-03-01 13:30:00"),
+            (4, "2024-03-01 10:30:00"),  # late for hour 10
+        ]
+        seen: set[str] = set()
+        for i, (eid, ts) in enumerate(batches):
+            df = spark.createDataFrame(
+                [(eid, ts, 1, "click", 1.0, "{}")], schema
+            ).withColumn("ts", F.to_timestamp("ts"))
+            df.coalesce(1).write.mode("append").parquet(src)
+            new = {p for p in os.listdir(src) if p.endswith(".parquet")} - seen
+            assert len(new) == 1
+            f = os.path.join(src, next(iter(new)))
+            os.utime(f, (1_700_000_000 + i * 100,) * 2)
+            seen.add(next(iter(new)))
+
+        stream = (
+            spark.readStream.option("maxFilesPerTrigger", 1)
+            .schema(
+                spark.createDataFrame([], schema).withColumn("ts", F.to_timestamp("ts")).schema
+            )
+            .parquet(src)
+        )
+        agg = (
+            stream.withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "1 hour").alias("w"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .select(F.date_format("w.start", "yyyy-MM-dd HH:mm").alias("ws"), "cnt")
+        )
+        got = run_available_now(agg, output_mode="append")
+        out = {r["ws"]: r["cnt"] for r in got.collect()}
+        # the late event 4 must not have reached the finalized hour-10 window
+        assert out.get("2024-03-01 10:00") == 1, out
+    finally:
+        shutil.rmtree(os.path.dirname(src), ignore_errors=True)
