@@ -1,0 +1,75 @@
+"""Text-analysis column expressions (all JVM-side — built-in functions
+and higher-order lambdas, no Python UDFs in these hot paths).
+
+These are the primitives under the training-data operators: exact/near
+dedup, fingerprinting, language-ID heuristics, quality scoring. Each has
+a documented DuckDB-SQL twin (kept adjacent in plans/llm.py) so the
+whole family stays oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: Fold modulus for polynomial hashes — small enough that acc*31+255
+#: never overflows BIGINT (ANSI mode errors on overflow), large enough
+#: to spread 30 usable bits.
+HASH_MOD = 1_000_000_007
+
+
+def normalize_text(col: str | Column) -> Column:
+    """Dedup normalization: lowercase, trim, collapse whitespace runs."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
+
+
+def tokens(col: str | Column) -> Column:
+    """Whitespace tokens of normalized text."""
+    return F.split(normalize_text(col), " ")
+
+
+def word_shingles(tokens_col: Column, n: int = 3) -> Column:
+    """Distinct n-word shingles from a token array (empty when the doc is
+    shorter than n tokens — guarded because Spark's sequence() would
+    otherwise produce a descending range)."""
+    toks = tokens_col
+    ngram = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - n),
+        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(n)]),
+    )
+    return F.when(F.size(toks) >= n, F.array_distinct(ngram)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def poly_hash(col_sql: str) -> Column:
+    """Polynomial rolling hash over a string's characters:
+    fold(acc*31 + codepoint) mod 1e9+7 — identical to the DuckDB
+    list_reduce twin (see plans/llm.py). Used for document
+    fingerprinting and SimHash token hashing.
+
+    ``col_sql`` is a SQL expression string (column name or expression)
+    because Spark's Python lambda DSL can't index substring positions;
+    the expression form keeps the whole fold in codegen."""
+    return F.expr(
+        f"aggregate(transform(sequence(1, length({col_sql})), "
+        f"i -> CAST(ascii(substring({col_sql}, i, 1)) AS BIGINT)), "
+        f"CAST(0 AS BIGINT), (acc, b) -> (acc * 31 + b) % {HASH_MOD})"
+    )
+
+
+def stopword_ratio(tokens_col: Column, stopwords: tuple[str, ...]) -> Column:
+    """Fraction of tokens that are stopwords."""
+    sw = F.array(*[F.lit(s) for s in stopwords])
+    hits = F.size(F.filter(tokens_col, lambda t: F.array_contains(sw, t)))
+    return hits / F.greatest(F.size(tokens_col), F.lit(1))
+
+
+def mean_token_length(tokens_col: Column) -> Column:
+    total = F.aggregate(
+        F.transform(tokens_col, lambda t: F.length(t).cast("bigint")),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    return total / F.greatest(F.size(tokens_col), F.lit(1))

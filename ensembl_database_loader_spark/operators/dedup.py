@@ -1,0 +1,215 @@
+"""Deduplication operators for document corpora.
+
+Five strategies, all returning DataFrames (never collecting):
+
+- exact:       normalize -> sha2 -> dropDuplicates. One shuffle on the
+               hash; at 100 TB this is the cheap first pass.
+- ngram-jaccard: exact pairwise Jaccard over word shingles within a
+               blocking key. Quadratic within block — correctness
+               baseline and verifier for the LSH variants.
+- minhash-lsh: per-seed min of md5(seed|shingle) -> band keys ->
+               bucket join. The scale path: candidate generation is a
+               groupBy on band keys (linear + small-bucket joins), so
+               the 100 TB cost is bounded by bucket sizes, not n^2.
+- simhash:     30-bit sign-of-sums fingerprint over token hashes;
+               near-dup = small Hamming distance.
+- embedding:   cosine over dense vectors (see similarity.py for the
+               ANN-bucketed variant).
+
+Every hash primitive (md5 hex strings, polynomial char fold) was chosen
+to have an exact DuckDB twin so the whole family is oracle-checkable —
+see plans/llm.py for the SQL mirrors.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ensembl_database_loader_spark.functions.text import (
+    HASH_MOD,
+    normalize_text,
+    poly_hash,
+    tokens,
+    word_shingles,
+)
+
+SIMHASH_BITS = 30  # poly_hash yields < 2^30, so 30 informative bits
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact dedup on normalized text: keep one row per sha2(normalized).
+    (LL1; reference analogue: CHECKSUMS equality, DownloadDatabase.pm.)"""
+    h = F.sha2(normalize_text(text_col), 256).alias("_h")
+    return df.withColumn("_h", h).dropDuplicates(["_h"]).drop("_h")
+
+
+def with_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """Attach the distinct word-shingle array (the unit of Jaccard)."""
+    return df.select(
+        F.col(id_col), word_shingles(tokens(text_col), n).alias("shingles")
+    )
+
+
+def _jaccard(a: Column, b: Column) -> Column:
+    inter = F.size(F.array_intersect(a, b)).cast("double")
+    union = (F.size(a) + F.size(b)).cast("double") - inter
+    return inter / union
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact near-dup pairs: Jaccard(shingle sets) >= threshold among
+    rows sharing block_col. Returns (id1, id2, jaccard). The block key
+    bounds the quadratic blow-up (at scale: block on language + length
+    bucket, or feed candidates from minhash_lsh_candidates instead)."""
+    s = df.select(
+        F.col(id_col).alias("id"),
+        F.col(block_col).alias("blk"),
+        word_shingles(tokens(text_col), n).alias("sh"),
+    )
+    a = s.alias("a")
+    b = s.alias("b")
+    j = _jaccard(F.col("a.sh"), F.col("b.sh"))
+    return (
+        a.join(b, (F.col("a.blk") == F.col("b.blk")) & (F.col("a.id") < F.col("b.id")))
+        .select(
+            F.col("a.id").alias("id1"),
+            F.col("b.id").alias("id2"),
+            j.alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, num_hashes: int = 8, n: int = 3
+) -> DataFrame:
+    """(id, seed, minhash): per-seed minimum of md5('<seed>|' || shingle).
+
+    md5 hex strings compare lexicographically == numerically on the
+    128-bit value, and both engines print identical lowercase hex, so
+    MIN() agrees exactly with the DuckDB twin."""
+    sh = df.select(
+        F.col(id_col).alias("id"), word_shingles(tokens(text_col), n).alias("sh")
+    ).select("id", F.explode("sh").alias("g"))
+    seeds = df.sparkSession.range(num_hashes).select(F.col("id").alias("seed"))
+    return (
+        sh.crossJoin(F.broadcast(seeds))
+        .groupBy("id", "seed")
+        .agg(F.min(F.md5(F.concat(F.col("seed").cast("string"), F.lit("|"), F.col("g")))).alias("mh"))
+    )
+
+
+def minhash_band_keys(signatures: DataFrame, rows_per_band: int = 2) -> DataFrame:
+    """(id, band, key): concatenate rows_per_band consecutive minhashes.
+    Docs sharing any (band, key) are LSH candidates."""
+    band = (F.col("seed") / rows_per_band).cast("bigint").alias("band")
+    parts = [
+        F.max(F.when(F.col("seed") % rows_per_band == r, F.col("mh"))).alias(f"_p{r}")
+        for r in range(rows_per_band)
+    ]
+    g = signatures.groupBy("id", band).agg(*parts)
+    return g.select(
+        "id", "band", F.concat(*[F.col(f"_p{r}") for r in range(rows_per_band)]).alias("key")
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 8,
+    rows_per_band: int = 2,
+    n: int = 3,
+) -> DataFrame:
+    """Distinct candidate pairs (id1 < id2) sharing at least one LSH band
+    bucket. The join is per-bucket (groupBy band key), so cost scales
+    with bucket sizes — the property that makes this viable at 100 TB."""
+    bands = minhash_band_keys(
+        minhash_signatures(df, id_col, text_col, num_hashes, n), rows_per_band
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
+        .distinct()
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.8,
+    num_hashes: int = 8,
+    rows_per_band: int = 2,
+    n: int = 3,
+) -> DataFrame:
+    """LSH candidates verified by exact Jaccard: (id1, id2, jaccard)."""
+    cand = minhash_lsh_candidates(df, id_col, text_col, num_hashes, rows_per_band, n)
+    sh = with_shingles(df, id_col, text_col, n)
+    j = _jaccard(F.col("s1.shingles"), F.col("s2.shingles"))
+    return (
+        cand.join(sh.alias("s1"), cand.id1 == F.col(f"s1.{id_col}"))
+        .join(sh.alias("s2"), cand.id2 == F.col(f"s2.{id_col}"))
+        .select("id1", "id2", j.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, simhash): 30-bit SimHash — for each bit j, sign of
+    sum(+1/-1) over distinct token hashes' bit j (ties count as +)."""
+    t = df.select(
+        F.col(id_col).alias("id"), F.explode(F.array_distinct(tokens(text_col))).alias("tok")
+    ).withColumn("h", poly_hash("tok"))
+    votes = [
+        F.sum(
+            F.when((F.col("h") / (2**j)).cast("bigint") % 2 == 1, 1).otherwise(-1)
+        ).alias(f"_v{j}")
+        for j in range(SIMHASH_BITS)
+    ]
+    g = t.groupBy("id").agg(*votes)
+    fp = None
+    for j in range(SIMHASH_BITS):
+        bit = F.when(F.col(f"_v{j}") >= 0, F.lit(2**j)).otherwise(F.lit(0))
+        fp = bit if fp is None else fp + bit
+    return g.select("id", fp.cast("bigint").alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_col: str,
+    max_hamming: int = 4,
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance within a block.
+    (At scale: block on simhash prefix bands instead of a column to
+    avoid the quadratic join — same rotate-band trick as MinHash.)"""
+    s = simhash(df, id_col, text_col)
+    blk = df.select(F.col(id_col).alias("id"), F.col(block_col).alias("blk"))
+    s = s.join(blk, "id")
+    a, b = s.alias("a"), s.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(b, (F.col("a.blk") == F.col("b.blk")) & (F.col("a.id") < F.col("b.id")))
+        .select(
+            F.col("a.id").alias("id1"),
+            F.col("b.id").alias("id2"),
+            ham.cast("int").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,86 @@
+"""Text-analysis operators: language-ID heuristic, quality scoring,
+token statistics, document fingerprinting. All JVM-side expressions
+(built-ins + higher-order folds), designed to run in a single pass over
+a 100 TB documents table (no shuffle until the final aggregate).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ensembl_database_loader_spark.functions.text import (
+    mean_token_length,
+    normalize_text,
+    poly_hash,
+    stopword_ratio,
+    tokens,
+)
+
+#: Tiny per-language stopword lists for the n-gram/stopword heuristic.
+#: Deliberately minimal + deterministic (this is a heuristic operator;
+#: swap in real profiles for production corpora).
+STOPWORDS = {
+    "en": ("the", "a", "of", "and", "to"),
+    "es": ("el", "la", "de", "y", "que"),
+    "fr": ("le", "la", "et", "de", "un"),
+    "de": ("der", "die", "und", "das", "ein"),
+}
+
+
+def with_token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """n_tokens, n_distinct_tokens, mean token length per document."""
+    toks = tokens(text_col)
+    return df.withColumns(
+        {
+            "n_tokens": F.size(toks).cast("bigint"),
+            "n_distinct_tokens": F.size(F.array_distinct(toks)).cast("bigint"),
+            "mean_tok_len": mean_token_length(toks),
+        }
+    )
+
+
+def with_quality_score(
+    df: DataFrame,
+    text_col: str = "text",
+    min_chars: int = 100,
+    max_chars: int = 400,
+) -> DataFrame:
+    """Heuristic quality score in [0, 3]: length-in-bounds + lexical
+    diversity + sane mean word length. (LL5 family — the kind of filter
+    a pretraining pipeline stacks before dedup.)"""
+    toks = tokens(text_col)
+    n = F.length(F.col(text_col))
+    diversity = F.size(F.array_distinct(toks)) / F.greatest(F.size(toks), F.lit(1))
+    mtl = mean_token_length(toks)
+    score = (
+        F.when((n >= min_chars) & (n <= max_chars), 1).otherwise(0)
+        + F.when(diversity >= 0.5, 1).otherwise(0)
+        + F.when((mtl >= 3.0) & (mtl <= 10.0), 1).otherwise(0)
+    )
+    return df.withColumn("quality_score", score.cast("int"))
+
+
+def with_lang_guess(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stopword-profile language guess: the language whose stopword
+    ratio is highest, if above 2%; else 'und'. Ties break by language
+    code order (deterministic)."""
+    toks = tokens(text_col)
+    ratios = [
+        (lang, stopword_ratio(toks, sws)) for lang, sws in sorted(STOPWORDS.items())
+    ]
+    best_lang, best_ratio = F.lit("und"), F.lit(0.0)
+    for lang, r in ratios:  # left-to-right: first max wins (sorted order)
+        take = r > best_ratio
+        best_lang = F.when(take, F.lit(lang)).otherwise(best_lang)
+        best_ratio = F.when(take, r).otherwise(best_ratio)
+    guess = F.when(best_ratio >= 0.02, best_lang).otherwise(F.lit("und"))
+    return df.withColumn("lang_guess", guess)
+
+
+def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Deterministic document fingerprint: polynomial rolling hash of
+    the normalized text (mod 1e9+7). Exact-dedup key cheaper than sha2
+    when an oracle-replicable integer is wanted."""
+    norm_sql = f"regexp_replace(lower(trim({text_col})), '\\\\s+', ' ')"
+    return df.withColumn("fingerprint", poly_hash(norm_sql))

@@ -1,0 +1,465 @@
+"""Training-data-pipeline probes (SURVEY.md §2.3 LL1–LL5 + the dedup /
+similarity / text-analysis / multimodal extensions).
+
+Near-dup probes run on a corpus of documents UNION mutated variants
+(first token dropped, id + 100000) so the operators have real work to
+find; both engines build the corpus identically.
+
+Every hash primitive was picked for exact cross-engine replicability:
+md5 lowercase-hex (MinHash), polynomial char fold mod 1e9+7 (SimHash /
+fingerprints), sequential double folds (cosine).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ensembl_database_loader_spark.catalog import table
+from ensembl_database_loader_spark.functions.text import normalize_text
+from ensembl_database_loader_spark.multimodal.binaryops import (
+    decode_media_stats,
+    with_binary_payload,
+)
+from ensembl_database_loader_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_candidates,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from ensembl_database_loader_spark.operators.similarity import (
+    cosine_topk,
+    embedding_neardup_pairs,
+    lsh_bucket_topk,
+)
+from ensembl_database_loader_spark.operators.textstats import (
+    with_fingerprint,
+    with_lang_guess,
+    with_quality_score,
+    with_token_stats,
+)
+from ensembl_database_loader_spark.plans.registry import probe
+from ensembl_database_loader_spark.session import ensure_session_confs
+
+
+def _cnt(cond=None):
+    return F.count(F.when(cond, F.lit(1))) if cond is not None else F.count(F.lit(1))
+
+
+# --- shared Spark corpus (documents + near-dup variants) -------------------
+
+
+def _corpus(spark: SparkSession, sf: str) -> DataFrame:
+    d = table(spark, sf, "documents").select("doc_id", "lang", "text")
+    variants = d.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        "lang",
+        F.regexp_replace("text", "^[^ ]+ ", "").alias("text"),
+    )
+    return d.unionByName(variants)
+
+
+# --- shared DuckDB SQL fragments (exact mirrors of the Spark helpers) ------
+
+_CORPUS = (
+    "(SELECT doc_id AS id, lang, text FROM documents "
+    "UNION ALL SELECT doc_id + 100000, lang, regexp_replace(text, '^[^ ]+ ', '') "
+    "FROM documents)"
+)
+
+
+def _norm(col: str) -> str:
+    return f"regexp_replace(lower(trim({col})), '\\s+', ' ', 'g')"
+
+
+def _toks(col: str) -> str:
+    return f"string_split({_norm(col)}, ' ')"
+
+
+#: distinct 3-word shingles of a token-list SQL expression
+def _shingles(toks: str) -> str:
+    return (
+        f"CASE WHEN len({toks}) >= 3 THEN list_distinct(list_transform("
+        f"generate_series(1, len({toks}) - 2), "
+        f"i -> {toks}[i] || ' ' || {toks}[i+1] || ' ' || {toks}[i+2])) "
+        f"ELSE CAST([] AS VARCHAR[]) END"
+    )
+
+
+_POLY_HASH = (
+    "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+    "list_transform(generate_series(1, length({s})), "
+    "i -> CAST(unicode(substr({s}, i, 1)) AS BIGINT))), "
+    "(acc, b) -> (acc * 31 + b) % 1000000007)"
+)
+
+_JACCARD = (
+    "CAST(len(list_intersect({a}, {b})) AS DOUBLE) / "
+    "(len({a}) + len({b}) - len(list_intersect({a}, {b})))"
+)
+
+_COS = (
+    "list_dot_product({a}, {b}) / "
+    "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
+)
+
+
+# ---------------------------------------------------------------------------
+# LL1–LL5
+# ---------------------------------------------------------------------------
+
+
+@probe(
+    "ll1_exact_dedup",
+    oracle=(
+        "WITH c AS (SELECT text FROM documents UNION ALL SELECT text FROM documents) "
+        f"SELECT COUNT(*) AS input_cnt, COUNT(DISTINCT {_norm('text')}) AS uniq_cnt FROM c"
+    ),
+    tags=("llm", "dedup"),
+)
+def ll1(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact dedup (normalize -> sha2 -> dropDuplicates) over a corpus
+    with every document duplicated once."""
+    ensure_session_confs(spark)
+    d = table(spark, sf, "documents").select("doc_id", "text")
+    doubled = d.unionByName(d.select((F.col("doc_id") + 100000).alias("doc_id"), "text"))
+    return doubled.agg(_cnt().alias("input_cnt")).crossJoin(
+        exact_dedup(doubled, "text").agg(_cnt().alias("uniq_cnt"))
+    )
+
+
+@probe(
+    "ll2_ngram_jaccard",
+    oracle=(
+        f"WITH c AS (SELECT * FROM {_CORPUS} t), "
+        f"s AS (SELECT id, lang, {_shingles(_toks('text'))} AS sh FROM c), "
+        "p AS (SELECT " + _JACCARD.format(a="a.sh", b="b.sh") + " AS j "
+        "FROM s a JOIN s b ON a.lang = b.lang AND a.id < b.id) "
+        "SELECT COUNT(*) AS pair_cnt, ROUND(SUM(j), 2) AS sum_jaccard "
+        "FROM p WHERE j >= 0.8"
+    ),
+    tags=("llm", "dedup"),
+)
+def ll2(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact 3-gram Jaccard near-dup pairs (>= 0.8) blocked by lang,
+    over the variant corpus."""
+    ensure_session_confs(spark)
+    pairs = ngram_jaccard_pairs(
+        _corpus(spark, sf), "doc_id", "text", "lang", n=3, threshold=0.8
+    )
+    return pairs.agg(
+        _cnt().alias("pair_cnt"), F.round(F.sum("jaccard"), 2).alias("sum_jaccard")
+    )
+
+
+@probe(
+    "ll3_cosine_topk",
+    oracle=(
+        "WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) "
+        "AS v FROM embeddings), q AS (SELECT v AS qv FROM e WHERE vec_id = 0), "
+        "s AS (SELECT vec_id, " + _COS.format(a="v", b="qv") + " AS c "
+        "FROM e, q WHERE vec_id <> 0) "
+        "SELECT vec_id, ROUND(c, 2) AS cos FROM s ORDER BY c DESC, vec_id LIMIT 5"
+    ),
+    tags=("llm", "similarity"),
+)
+def ll3(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact cosine top-5 neighbours of vec_id=0 (brute force, JVM-side
+    higher-order fold)."""
+    ensure_session_confs(spark)
+    e = table(spark, sf, "embeddings")
+    top = cosine_topk(e, "vec_id", "embedding", query_id=0, k=5)
+    return top.select("vec_id", F.round("cos", 2).alias("cos"))
+
+
+@probe(
+    "ll4_token_stats",
+    oracle=(
+        f"WITH t AS (SELECT lang, unnest({_toks('text')}) AS token FROM documents), "
+        "g AS (SELECT lang, token, COUNT(*) AS cnt FROM t GROUP BY lang, token) "
+        "SELECT lang, token, cnt FROM g "
+        "QUALIFY ROW_NUMBER() OVER (PARTITION BY lang ORDER BY cnt DESC, token) <= 10 "
+        "ORDER BY lang, cnt DESC, token"
+    ),
+    tags=("llm", "text"),
+)
+def ll4(spark: SparkSession, sf: str) -> DataFrame:
+    """Token histogram: top-10 tokens per language."""
+    from pyspark.sql import Window
+
+    ensure_session_confs(spark)
+    d = table(spark, sf, "documents")
+    t = d.select("lang", F.explode(F.split(normalize_text("text"), " ")).alias("token"))
+    g = t.groupBy("lang", "token").agg(_cnt().alias("cnt"))
+    w = Window.partitionBy("lang").orderBy(F.desc("cnt"), "token")
+    return (
+        g.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .drop("rn")
+        .orderBy("lang", F.desc("cnt"), "token")
+    )
+
+
+@probe(
+    "ll5_quality_filter",
+    oracle=(
+        f"WITH q AS (SELECT source, {_toks('text')} AS toks, length(text) AS n FROM documents), "
+        "s AS (SELECT source, "
+        "(CASE WHEN n BETWEEN 100 AND 400 THEN 1 ELSE 0 END) "
+        "+ (CASE WHEN CAST(len(list_distinct(toks)) AS DOUBLE) / greatest(len(toks), 1) >= 0.5 "
+        "THEN 1 ELSE 0 END) "
+        "+ (CASE WHEN CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        "list_transform(toks, t -> CAST(length(t) AS BIGINT))), (a, b) -> a + b) AS DOUBLE) "
+        "/ greatest(len(toks), 1) BETWEEN 3.0 AND 10.0 THEN 1 ELSE 0 END) AS quality_score "
+        "FROM q) "
+        "SELECT source, quality_score, COUNT(*) AS cnt FROM s "
+        "GROUP BY source, quality_score ORDER BY source, quality_score"
+    ),
+    tags=("llm", "text"),
+)
+def ll5(spark: SparkSession, sf: str) -> DataFrame:
+    """Heuristic quality scoring (length bounds + lexical diversity +
+    mean token length), counted per source."""
+    ensure_session_confs(spark)
+    d = with_quality_score(table(spark, sf, "documents"), "text")
+    return (
+        d.groupBy("source", "quality_score")
+        .agg(_cnt().alias("cnt"))
+        .orderBy("source", "quality_score")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dedup extensions: MinHash-LSH, SimHash, embedding near-dup
+# ---------------------------------------------------------------------------
+
+
+_MINHASH_ORACLE = (
+    f"WITH c AS (SELECT * FROM {_CORPUS} t0), "
+    f"t AS (SELECT id, {_shingles(_toks('text'))} AS sh FROM c), "
+    "g AS (SELECT id, unnest(sh) AS g FROM t), "
+    "h AS (SELECT id, s.seed, MIN(md5(CAST(s.seed AS VARCHAR) || '|' || g)) AS mh "
+    "FROM g CROSS JOIN (SELECT unnest([0,1,2,3,4,5,6,7]) AS seed) s GROUP BY id, s.seed), "
+    "bands AS (SELECT id, seed // 2 AS band, "
+    "MAX(CASE WHEN seed % 2 = 0 THEN mh END) || MAX(CASE WHEN seed % 2 = 1 THEN mh END) AS key "
+    "FROM h GROUP BY id, seed // 2), "
+    "cand AS (SELECT DISTINCT a.id AS id1, b.id AS id2 FROM bands a "
+    "JOIN bands b ON a.band = b.band AND a.key = b.key AND a.id < b.id), "
+    "ver AS (SELECT id1, id2 FROM cand JOIN t t1 ON cand.id1 = t1.id "
+    "JOIN t t2 ON cand.id2 = t2.id "
+    "WHERE " + _JACCARD.format(a="t1.sh", b="t2.sh") + " >= 0.8) "
+    "SELECT (SELECT COUNT(*) FROM cand) AS cand_cnt, "
+    "(SELECT COUNT(*) FROM ver) AS verified_cnt"
+)
+
+
+@probe("dd_minhash_lsh", oracle=_MINHASH_ORACLE, tags=("llm", "dedup"))
+def dd_minhash(spark: SparkSession, sf: str) -> DataFrame:
+    """MinHash(8 hashes)+LSH(4 bands x 2 rows) candidate generation with
+    exact-Jaccard verification (>= 0.8) on the variant corpus. The scale
+    path for near-dup at 100 TB: bucket-join instead of all-pairs."""
+    ensure_session_confs(spark)
+    c = _corpus(spark, sf)
+    cand = minhash_lsh_candidates(c, "doc_id", "text", num_hashes=8, rows_per_band=2)
+    ver = minhash_lsh_pairs(c, "doc_id", "text", threshold=0.8)
+    return cand.agg(_cnt().alias("cand_cnt")).crossJoin(
+        ver.agg(_cnt().alias("verified_cnt"))
+    )
+
+
+_SIMHASH_ORACLE = (
+    f"WITH c AS (SELECT * FROM {_CORPUS} t0), "
+    f"tk AS (SELECT id, lang, unnest(list_distinct({_toks('text')})) AS tok FROM c), "
+    "th AS (SELECT id, lang, " + _POLY_HASH.format(s="tok") + " AS h FROM tk), "
+    "bits AS (SELECT id, lang, j, SUM(CASE WHEN ((h >> j) & 1) = 1 THEN 1 ELSE -1 END) AS v "
+    "FROM th CROSS JOIN (SELECT unnest(generate_series(0, 29)) AS j) jj GROUP BY id, lang, j), "
+    "fp AS (SELECT id, lang, CAST(SUM(CASE WHEN v >= 0 THEN (CAST(1 AS BIGINT) << j) "
+    "ELSE 0 END) AS BIGINT) AS f FROM bits GROUP BY id, lang), "
+    "p AS (SELECT bit_count(xor(a.f, b.f)) AS ham FROM fp a "
+    "JOIN fp b ON a.lang = b.lang AND a.id < b.id) "
+    "SELECT COUNT(*) FILTER (WHERE ham <= 4) AS pair_cnt, "
+    "COUNT(*) FILTER (WHERE ham = 0) AS zero_ham_cnt FROM p"
+)
+
+
+@probe("dd_simhash", oracle=_SIMHASH_ORACLE, tags=("llm", "dedup"))
+def dd_simhash(spark: SparkSession, sf: str) -> DataFrame:
+    """SimHash (30-bit, polynomial token hash) near-dup pairs with
+    Hamming distance <= 4, blocked by lang, on the variant corpus."""
+    ensure_session_confs(spark)
+    pairs = simhash_pairs(_corpus(spark, sf), "doc_id", "text", "lang", max_hamming=30)
+    return pairs.agg(
+        _cnt(F.col("hamming") <= 4).alias("pair_cnt"),
+        _cnt(F.col("hamming") == 0).alias("zero_ham_cnt"),
+    )
+
+
+@probe(
+    "dd_embedding_neardup",
+    oracle=(
+        "WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) "
+        "AS v FROM embeddings), "
+        "p AS (SELECT ROUND(" + _COS.format(a="a.v", b="b.v") + ", 6) AS c "
+        "FROM e a JOIN e b ON a.vec_id < b.vec_id) "
+        "SELECT COUNT(*) FILTER (WHERE c >= 0.5) AS near_cnt, "
+        "COUNT(*) FILTER (WHERE c >= 0.9) AS dup_cnt, "
+        "ROUND(MAX(c), 2) AS max_cos FROM p"
+    ),
+    tags=("llm", "dedup"),
+)
+def dd_embedding(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding-cosine near-dup: all-pairs stats (counts at 0.5/0.9
+    thresholds + max). Quadratic baseline; the LSH-bucketed variant is
+    ss_ann_lsh."""
+    ensure_session_confs(spark)
+    e = table(spark, sf, "embeddings")
+    pairs = embedding_neardup_pairs(e, "vec_id", "embedding", threshold=-1.0)
+    return pairs.agg(
+        _cnt(F.col("cos") >= 0.5).alias("near_cnt"),
+        _cnt(F.col("cos") >= 0.9).alias("dup_cnt"),
+        F.round(F.max("cos"), 2).alias("max_cos"),
+    )
+
+
+@probe("ss_ann_lsh", oracle=None, tags=("llm", "similarity", "approx"))
+def ss_ann(spark: SparkSession, sf: str) -> DataFrame:
+    """Approximate NN: random-hyperplane LSH bucket + exact re-rank,
+    reported against the exact top-5 (recall column). No oracle —
+    approximation is engine-specific (rows-only check), the recall
+    column is the self-assertion."""
+    ensure_session_confs(spark)
+    e = table(spark, sf, "embeddings")
+    exact = cosine_topk(e, "vec_id", "embedding", query_id=0, k=5)
+    approx = lsh_bucket_topk(e, "vec_id", "embedding", query_id=0, k=5)
+    inter = exact.select("vec_id").intersect(approx.select("vec_id")).count()
+    got = approx.count()
+    return spark.createDataFrame(
+        [(got, inter, float(inter) / 5.0)],
+        "ann_results BIGINT, overlap_with_exact BIGINT, recall_at_5 DOUBLE",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis extensions
+# ---------------------------------------------------------------------------
+
+_RATIO = (
+    "CAST(len(list_filter({toks}, t -> list_contains({sws}, t))) AS DOUBLE) "
+    "/ greatest(len({toks}), 1)"
+)
+
+_LANGID_ORACLE = (
+    f"WITH t AS (SELECT lang, {_toks('text')} AS toks FROM documents), "
+    "r AS (SELECT lang, "
+    + _RATIO.format(toks="toks", sws="['der','die','und','das','ein']") + " AS r_de, "
+    + _RATIO.format(toks="toks", sws="['the','a','of','and','to']") + " AS r_en, "
+    + _RATIO.format(toks="toks", sws="['el','la','de','y','que']") + " AS r_es, "
+    + _RATIO.format(toks="toks", sws="['le','la','et','de','un']") + " AS r_fr FROM t), "
+    "g AS (SELECT lang, CASE WHEN greatest(r_de, r_en, r_es, r_fr) < 0.02 THEN 'und' "
+    "WHEN r_de >= greatest(r_en, r_es, r_fr) THEN 'de' "
+    "WHEN r_en >= greatest(r_es, r_fr) THEN 'en' "
+    "WHEN r_es >= r_fr THEN 'es' ELSE 'fr' END AS lang_guess FROM r) "
+    "SELECT lang, lang_guess, COUNT(*) AS cnt FROM g "
+    "GROUP BY lang, lang_guess ORDER BY lang, lang_guess"
+)
+
+
+@probe("tx_langid", oracle=_LANGID_ORACLE, tags=("llm", "text"))
+def tx_langid(spark: SparkSession, sf: str) -> DataFrame:
+    """Stopword-profile language-ID heuristic vs the labeled lang
+    (confusion counts). First-in-sorted-order wins ties, matching the
+    oracle's >=-chain."""
+    ensure_session_confs(spark)
+    d = with_lang_guess(table(spark, sf, "documents"), "text")
+    return (
+        d.groupBy("lang", "lang_guess")
+        .agg(_cnt().alias("cnt"))
+        .orderBy("lang", "lang_guess")
+    )
+
+
+@probe(
+    "tx_token_counts",
+    oracle=(
+        f"WITH t AS (SELECT lang, {_toks('text')} AS toks FROM documents) "
+        "SELECT lang, CAST(SUM(len(toks)) AS BIGINT) AS total_tokens, "
+        "CAST(SUM(len(list_distinct(toks))) AS BIGINT) AS total_distinct_tokens, "
+        "ROUND(AVG(CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        "list_transform(toks, x -> CAST(length(x) AS BIGINT))), (a, b) -> a + b) AS DOUBLE) "
+        "/ greatest(len(toks), 1)), 2) AS avg_tok_len "
+        "FROM t GROUP BY lang ORDER BY lang"
+    ),
+    tags=("llm", "text"),
+)
+def tx_tokens(spark: SparkSession, sf: str) -> DataFrame:
+    """Token counting per language (whitespace tokenizer): totals +
+    mean token length."""
+    ensure_session_confs(spark)
+    d = with_token_stats(table(spark, sf, "documents"), "text")
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+            F.sum("n_distinct_tokens").cast("bigint").alias("total_distinct_tokens"),
+            F.round(F.avg("mean_tok_len"), 2).alias("avg_tok_len"),
+        )
+        .orderBy("lang")
+    )
+
+
+@probe(
+    "tx_fingerprint",
+    oracle=(
+        f"WITH f AS (SELECT {_POLY_HASH.format(s=_norm('text'))} AS fp FROM documents) "
+        "SELECT COUNT(DISTINCT fp) AS distinct_fp, CAST(MIN(fp) AS BIGINT) AS min_fp, "
+        "CAST(MAX(fp) AS BIGINT) AS max_fp FROM f"
+    ),
+    tags=("llm", "text"),
+)
+def tx_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
+    """Document fingerprinting: polynomial rolling hash of normalized
+    text (mod 1e9+7), replicated bit-for-bit by the oracle's
+    list_reduce fold."""
+    ensure_session_confs(spark)
+    d = with_fingerprint(table(spark, sf, "documents"), "text")
+    return d.agg(
+        F.countDistinct("fingerprint").alias("distinct_fp"),
+        F.min("fingerprint").cast("bigint").alias("min_fp"),
+        F.max("fingerprint").cast("bigint").alias("max_fp"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing
+# ---------------------------------------------------------------------------
+
+
+@probe(
+    "mm_decode_stats",
+    oracle=(
+        "WITH b AS (SELECT octet_length(encode(text)) AS olen, "
+        "unicode(substr(text, 1, 1)) AS fb FROM documents) "
+        "SELECT COUNT(*) AS cnt, CAST(SUM(16 + olen % 64) AS BIGINT) AS sum_width, "
+        "CAST(SUM(16 + (olen * 7 + fb) % 64) AS BIGINT) AS sum_height, "
+        "CAST(SUM(1 + olen % 8) AS BIGINT) AS sum_frames, "
+        "CAST(SUM(olen) AS BIGINT) AS sum_bytes FROM b"
+    ),
+    tags=("llm", "multimodal"),
+)
+def mm_decode(spark: SparkSession, sf: str) -> DataFrame:
+    """Multimodal decode plumbing: binary payload column + typed
+    metadata through an Arrow-batched mapInPandas decode stage (the
+    decoder is the documented deterministic stub — real media libs are
+    not in this container; the Spark-side schema/batching is real)."""
+    ensure_session_confs(spark)
+    d = table(spark, sf, "documents")
+    payload = with_binary_payload(d, "doc_id", "text", modality="image")
+    stats = decode_media_stats(payload)
+    return stats.agg(
+        _cnt().alias("cnt"),
+        F.sum("width").cast("bigint").alias("sum_width"),
+        F.sum("height").cast("bigint").alias("sum_height"),
+        F.sum("n_frames").cast("bigint").alias("sum_frames"),
+        F.sum("n_bytes").cast("bigint").alias("sum_bytes"),
+    )

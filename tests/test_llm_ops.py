@@ -1,0 +1,115 @@
+"""Unit tests for the training-data operators beyond oracle parity:
+semantic properties (LSH recall vs exact, dedup idempotence, decode
+plumbing) that hash-matching alone doesn't cover."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ensembl_database_loader_spark.catalog import table
+from ensembl_database_loader_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from ensembl_database_loader_spark.operators.similarity import (
+    cosine_topk,
+    lsh_bucket_topk,
+)
+from ensembl_database_loader_spark.multimodal.binaryops import (
+    decode_media_stats,
+    decode_image,
+    with_binary_payload,
+)
+
+
+def _variant_corpus(spark, sf_dir):
+    d = table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    v = d.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        "lang",
+        F.regexp_replace("text", "^[^ ]+ ", "").alias("text"),
+    )
+    return d.unionByName(v)
+
+
+def test_exact_dedup_idempotent(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    once = exact_dedup(d, "text")
+    twice = exact_dedup(once, "text")
+    assert once.count() == twice.count() == d.select("text").distinct().count()
+
+
+def test_minhash_lsh_finds_planted_neardups(spark, sf_dir):
+    """Every planted (doc, variant) pair with high true Jaccard should be
+    recovered by LSH candidates; verified pairs must be a subset of the
+    exact pairwise result."""
+    c = _variant_corpus(spark, sf_dir).withColumn("_all", F.lit(1))
+    exact = {
+        (r.id1, r.id2)
+        for r in ngram_jaccard_pairs(c, "doc_id", "text", "_all", threshold=0.8).collect()
+    }
+    lsh = {
+        (r.id1, r.id2)
+        for r in minhash_lsh_pairs(c, "doc_id", "text", threshold=0.8).collect()
+    }
+    assert lsh <= exact  # verification step guarantees precision
+    if exact:
+        recall = len(lsh & exact) / len(exact)
+        assert recall >= 0.5, f"LSH recall too low: {recall:.2f} ({len(lsh)}/{len(exact)})"
+
+
+def test_simhash_identical_docs_zero_hamming(spark, sf_dir):
+    d = table(spark, sf_dir, "documents").select("doc_id", "text").limit(20)
+    s1 = simhash(d, "doc_id", "text").withColumnRenamed("simhash", "h1")
+    s2 = simhash(d.withColumn("text", F.upper("text")), "doc_id", "text").withColumnRenamed(
+        "simhash", "h2"
+    )
+    j = s1.join(s2, "id")
+    # normalization lowercases, so upper-cased copies hash identically
+    assert j.filter(F.col("h1") != F.col("h2")).count() == 0
+
+
+def test_ann_lsh_subset_quality(spark, sf_dir):
+    e = table(spark, sf_dir, "embeddings")
+    exact = [r.vec_id for r in cosine_topk(e, "vec_id", "embedding", 0, k=5).collect()]
+    approx = [r.vec_id for r in lsh_bucket_topk(e, "vec_id", "embedding", 0, k=5).collect()]
+    assert len(approx) <= 5
+    # bucketing shrinks the candidate set; results must still be real ids
+    all_ids = {r.vec_id for r in e.select("vec_id").collect()}
+    assert set(approx) <= all_ids and 0 not in approx
+    assert len(exact) == 5
+
+
+def test_ann_lsh_finds_planted_neardup(spark, sf_dir):
+    """The property multi-table sign-LSH must deliver: a true near-dup
+    (cosine ~0.99+) of the query shares a bucket in >=1 of 8 tables with
+    probability ~1, so it must appear in the approximate top-k."""
+    e = table(spark, sf_dir, "embeddings")
+    planted = (
+        e.filter(F.col("vec_id") == 0)
+        .select(
+            F.lit(999999).cast("bigint").alias("vec_id"),
+            F.transform("embedding", lambda x: (x * 1.0001).cast("float")).alias(
+                "embedding"
+            ),
+            F.col("label"),
+        )
+    )
+    corpus = e.unionByName(planted)
+    top = [r.vec_id for r in lsh_bucket_topk(corpus, "vec_id", "embedding", 0, k=5).collect()]
+    assert 999999 in top, top
+
+
+def test_multimodal_decode_stub_and_schema(spark, sf_dir):
+    d = table(spark, sf_dir, "documents").limit(10)
+    payload = with_binary_payload(d, "doc_id", "text", modality="image")
+    assert dict(payload.dtypes)["bytes"] == "binary"
+    out = decode_media_stats(payload)
+    rows = out.collect()
+    assert len(rows) == 10
+    assert all(16 <= r.width < 80 and r.n_bytes > 0 for r in rows)
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG")
