@@ -43,6 +43,35 @@ def word_shingles(tokens_col: Column, n: int = 3) -> Column:
     )
 
 
+def shingle_udf(n: int = 3):
+    """Arrow-batched pandas UDF: text -> distinct n-word shingles.
+
+    Semantically identical to ``word_shingles(tokens(col), n)`` but
+    ~50x faster: the JVM higher-order transform/element_at chain is
+    interpreted (outside whole-stage codegen), while this runs a tight
+    Python loop per Arrow batch. Normalization replicates the JVM twin
+    exactly: trim strips ASCII spaces only, whitespace class is Java's
+    ASCII-only ``\\s`` (NOT Python's Unicode \\s), lowercase after trim.
+    Shingle order differs from the JVM version (first-occurrence vs
+    positional) — irrelevant, shingle arrays are sets under Jaccard/
+    MinHash."""
+    import re
+
+    ws = re.compile(r"[ \t\n\x0b\f\r]+")
+
+    @F.pandas_udf("array<string>")
+    def _sh(s):  # type: ignore[no-untyped-def]  # (pd.Series -> pd.Series)
+        def h(x: str) -> list[str]:
+            t = ws.sub(" ", x.strip(" ").lower()).split(" ")
+            if len(t) < n:
+                return []
+            return list(dict.fromkeys(" ".join(t[i : i + n]) for i in range(len(t) - n + 1)))
+
+        return s.map(h)
+
+    return _sh
+
+
 def poly_hash(col_sql: str) -> Column:
     """Polynomial rolling hash over a string's characters:
     fold(acc*31 + codepoint) mod 1e9+7 — identical to the DuckDB

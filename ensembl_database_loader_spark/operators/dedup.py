@@ -30,6 +30,7 @@ from ensembl_database_loader_spark.functions.text import (
     HASH_MOD,
     normalize_text,
     poly_hash,
+    shingle_udf,
     tokens,
     word_shingles,
 )
@@ -47,7 +48,7 @@ def exact_dedup(df: DataFrame, text_col: str = "text") -> DataFrame:
 def with_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
     """Attach the distinct word-shingle array (the unit of Jaccard)."""
     return df.select(
-        F.col(id_col), word_shingles(tokens(text_col), n).alias("shingles")
+        F.col(id_col), shingle_udf(n)(F.col(text_col)).alias("shingles")
     )
 
 
@@ -66,24 +67,50 @@ def ngram_jaccard_pairs(
     threshold: float = 0.8,
 ) -> DataFrame:
     """Exact near-dup pairs: Jaccard(shingle sets) >= threshold among
-    rows sharing block_col. Returns (id1, id2, jaccard). The block key
-    bounds the quadratic blow-up (at scale: block on language + length
-    bucket, or feed candidates from minhash_lsh_candidates instead)."""
+    rows sharing block_col. Returns (id1, id2, jaccard).
+
+    Inverted-index plan (requires threshold > 0): explode shingles,
+    self-join on (shingle, block), count shared shingles per pair, then
+    Jaccard = inter / (sz1 + sz2 - inter). Only pairs that SHARE at
+    least one shingle are ever materialized — with threshold > 0 a
+    zero-overlap pair can never qualify, so this is exactly equivalent
+    to the all-pairs plan while costing sum-over-shingles(freq^2)
+    instead of n^2 per block. A size-ratio prune (J >= t implies
+    t <= sz1/sz2 <= 1/t) is applied inside the join condition so
+    hopeless pairs never reach the aggregate. At 100 TB add prefix
+    filtering (index only each doc's rarest ceil((1-t)*sz)+1 shingles)
+    to bound hot-shingle freq^2 blowup."""
+    if threshold <= 0:
+        raise ValueError("inverted-index Jaccard requires threshold > 0")
     s = df.select(
         F.col(id_col).alias("id"),
         F.col(block_col).alias("blk"),
-        word_shingles(tokens(text_col), n).alias("sh"),
-    )
-    a = s.alias("a")
-    b = s.alias("b")
-    j = _jaccard(F.col("a.sh"), F.col("b.sh"))
-    return (
-        a.join(b, (F.col("a.blk") == F.col("b.blk")) & (F.col("a.id") < F.col("b.id")))
-        .select(
+        shingle_udf(n)(F.col(text_col)).alias("sh"),
+    ).withColumn("sz", F.size("sh").cast("bigint"))
+    ex = s.select("id", "blk", "sz", F.explode("sh").alias("g"))
+    a, b = ex.alias("a"), ex.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.g") == F.col("b.g"))
+            & (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.id") < F.col("b.id"))
+            & (F.col("a.sz").cast("double") >= threshold * F.col("b.sz"))
+            & (F.col("b.sz").cast("double") >= threshold * F.col("a.sz")),
+        )
+        .groupBy(
             F.col("a.id").alias("id1"),
             F.col("b.id").alias("id2"),
-            j.alias("jaccard"),
+            F.col("a.sz").alias("sz1"),
+            F.col("b.sz").alias("sz2"),
         )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    j = F.col("inter").cast("double") / (
+        (F.col("sz1") + F.col("sz2") - F.col("inter")).cast("double")
+    )
+    return (
+        inter.select("id1", "id2", j.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
 
@@ -97,7 +124,7 @@ def minhash_signatures(
     128-bit value, and both engines print identical lowercase hex, so
     MIN() agrees exactly with the DuckDB twin."""
     sh = df.select(
-        F.col(id_col).alias("id"), word_shingles(tokens(text_col), n).alias("sh")
+        F.col(id_col).alias("id"), shingle_udf(n)(F.col(text_col)).alias("sh")
     ).select("id", F.explode("sh").alias("g"))
     seeds = df.sparkSession.range(num_hashes).select(F.col("id").alias("seed"))
     return (
@@ -152,21 +179,30 @@ def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
     text_col: str,
-    threshold: float = 0.8,
+    threshold: float | None = 0.8,
     num_hashes: int = 8,
     rows_per_band: int = 2,
     n: int = 3,
+    candidates: DataFrame | None = None,
 ) -> DataFrame:
-    """LSH candidates verified by exact Jaccard: (id1, id2, jaccard)."""
-    cand = minhash_lsh_candidates(df, id_col, text_col, num_hashes, rows_per_band, n)
+    """LSH candidates verified by exact Jaccard: (id1, id2, jaccard).
+
+    Pass precomputed ``candidates`` (e.g. from minhash_lsh_candidates)
+    to avoid re-deriving signatures; ``threshold=None`` keeps every
+    candidate with its Jaccard (caller filters/aggregates in one pass)."""
+    cand = (
+        candidates
+        if candidates is not None
+        else minhash_lsh_candidates(df, id_col, text_col, num_hashes, rows_per_band, n)
+    )
     sh = with_shingles(df, id_col, text_col, n)
     j = _jaccard(F.col("s1.shingles"), F.col("s2.shingles"))
-    return (
+    out = (
         cand.join(sh.alias("s1"), cand.id1 == F.col(f"s1.{id_col}"))
         .join(sh.alias("s2"), cand.id2 == F.col(f"s2.{id_col}"))
         .select("id1", "id2", j.alias("jaccard"))
-        .filter(F.col("jaccard") >= threshold)
     )
+    return out if threshold is None else out.filter(F.col("jaccard") >= threshold)
 
 
 def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:

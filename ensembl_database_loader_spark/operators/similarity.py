@@ -114,16 +114,71 @@ def lsh_bucket_topk(
 
 
 def embedding_neardup_pairs(
-    df: DataFrame, id_col: str, vec_col: str, threshold: float = 0.5
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.5,
+    num_blocks: int = 32,
 ) -> DataFrame:
-    """All-pairs cosine >= threshold: (id1, id2, cos). Quadratic —
-    at scale feed it LSH-bucketed candidates (join on _bucket) instead
-    of the raw cross join."""
-    a = df.select(F.col(id_col).alias("id1"), F.col(vec_col).alias("v1"))
-    b = df.select(F.col(id_col).alias("id2"), F.col(vec_col).alias("v2"))
-    c = cosine(F.col("v1"), F.col("v2"))
-    return (
-        a.join(b, F.col("id1") < F.col("id2"))
-        .select("id1", "id2", F.round(c, 6).alias("cos"))
-        .filter(F.col("cos") >= threshold)
+    """All-pairs cosine >= threshold: (id1, id2, cos), via blocked
+    matrix multiply. Rows are hashed into ``num_blocks`` blocks, each
+    block packed into one row (collect_list), block pairs (bi <= bj)
+    joined, and each block-pair's cosines computed as one numpy GEMM
+    inside an Arrow-batched mapInPandas — ~1000x fewer rows than a
+    pairwise self-join and BLAS instead of interpreted per-pair folds.
+    At scale, size num_blocks so a block (rows/num_blocks * dim * 8 B)
+    fits comfortably in an executor's Arrow batch (a few MB).
+
+    Cosines are rounded half-away-from-zero to 6 decimals, matching
+    Spark/DuckDB ROUND. Zero-norm vectors yield NaN and never pass the
+    threshold (same as the SQL twin's NULL)."""
+    import numpy as np
+    import pandas as pd
+
+    packed = (
+        df.select(
+            F.col(id_col).cast("bigint").alias("id"),
+            F.col(vec_col).cast("array<double>").alias("v"),
+        )
+        .withColumn("bid", F.pmod(F.xxhash64("id"), F.lit(num_blocks)))
+        .groupBy("bid")
+        .agg(F.collect_list(F.struct("id", "v")).alias("rows"))
     )
+    block_pairs = (
+        packed.alias("x")
+        .join(packed.alias("y"), F.col("x.bid") <= F.col("y.bid"))
+        .select(
+            F.col("x.bid").alias("bid1"),
+            F.col("x.rows").alias("rows1"),
+            F.col("y.bid").alias("bid2"),
+            F.col("y.rows").alias("rows2"),
+        )
+    )
+
+    def gemm(batches):
+        for pdf in batches:
+            for _, row in pdf.iterrows():
+                ids1 = np.array([r["id"] for r in row["rows1"]], dtype=np.int64)
+                ids2 = np.array([r["id"] for r in row["rows2"]], dtype=np.int64)
+                x = np.array([r["v"] for r in row["rows1"]], dtype=np.float64)
+                y = np.array([r["v"] for r in row["rows2"]], dtype=np.float64)
+                xn = x / np.linalg.norm(x, axis=1, keepdims=True)
+                yn = y / np.linalg.norm(y, axis=1, keepdims=True)
+                g = xn @ yn.T
+                # round half away from zero to 6 dp (SQL ROUND semantics)
+                g = np.sign(g) * np.floor(np.abs(g) * 1e6 + 0.5) / 1e6
+                if row["bid1"] == row["bid2"]:
+                    # same block: upper triangle by id avoids dup/self pairs
+                    mask = (ids1[:, None] < ids2[None, :]) & (g >= threshold)
+                    i, j = np.nonzero(mask)
+                    lo, hi = ids1[i], ids2[j]
+                else:
+                    # distinct blocks: every cross pair appears exactly once
+                    # in this block-pair; ids are NOT ordered by block (hash
+                    # assignment), so emit each pair as (min, max)
+                    i, j = np.nonzero(g >= threshold)
+                    a_, b_ = ids1[i], ids2[j]
+                    lo, hi = np.minimum(a_, b_), np.maximum(a_, b_)
+                yield pd.DataFrame({"id1": lo, "id2": hi, "cos": g[i, j]})
+
+    return block_pairs.mapInPandas(gemm, schema="id1 bigint, id2 bigint, cos double")

@@ -262,9 +262,13 @@ def dd_minhash(spark: SparkSession, sf: str) -> DataFrame:
     ensure_session_confs(spark)
     c = _corpus(spark, sf)
     cand = minhash_lsh_candidates(c, "doc_id", "text", num_hashes=8, rows_per_band=2)
-    ver = minhash_lsh_pairs(c, "doc_id", "text", threshold=0.8)
-    return cand.agg(_cnt().alias("cand_cnt")).crossJoin(
-        ver.agg(_cnt().alias("verified_cnt"))
+    # Verify candidates in the SAME plan: every candidate joins its two
+    # shingle sets exactly once, so cand_cnt and verified_cnt come from
+    # one pass over one candidate subtree (no recomputed signatures).
+    ver = minhash_lsh_pairs(c, "doc_id", "text", threshold=None, candidates=cand)
+    return ver.agg(
+        _cnt().alias("cand_cnt"),
+        _cnt(F.col("jaccard") >= 0.8).alias("verified_cnt"),
     )
 
 
