@@ -1,0 +1,110 @@
+"""Sinks: JDBC bulk write to a MySQL target + parquet mirror for the
+Spark-internal catalog.
+
+The reference's sink is `LOAD DATA LOCAL INFILE` bracketed by
+DISABLE/ENABLE KEYS with a post-load ANALYZE (LoadFiles.pm:120-149,
+218-234) and GRANT DDL (Grant.pm:76-104). Spark-native:
+
+- ``write_jdbc``: ``df.write.format('jdbc')`` with the MySQL throughput
+  options that approximate LOAD DATA (rewriteBatchedStatements turns
+  row-at-a-time INSERTs into multi-row packets), sized by
+  ``num_partitions`` — the reference's bounded sink concurrency
+  (-hive_capacity 4, LoadDBs_conf.pm:154) becomes the number of
+  concurrent JDBC connections.
+- DISABLE KEYS / LOAD DATA / ANALYZE / GRANT are emitted as statement
+  lists for the caller to run over a raw connection — this container
+  has no MySQL server or JDBC driver jar, so execution is the caller's
+  (tested: statement text; gated: execution).
+- ``write_parquet_mirror``: the internal mirror target — parquet +
+  Spark catalog registration + ``ANALYZE TABLE COMPUTE STATISTICS``
+  (the reference's post-load ANALYZE feeding the optimizer; here it
+  feeds Catalyst CBO).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+DEFAULT_GRANT_USERS = ("anonymous", "ensro")  # Grant.pm:64-66
+
+
+def write_jdbc(
+    df: DataFrame,
+    url: str,
+    table: str,
+    user: str,
+    password: str,
+    mode: str = "append",
+    batch_size: int = 10_000,
+    num_partitions: int = 4,
+    isolation_level: str = "NONE",
+) -> None:
+    """Batched JDBC write. ``num_partitions`` bounds concurrent
+    connections (coalesce, not repartition — no shuffle just to write);
+    isolation NONE skips transactional overhead for bulk loads, matching
+    the reference's DISABLE KEYS posture."""
+    sep = "&" if "?" in url else "?"
+    tuned_url = f"{url}{sep}rewriteBatchedStatements=true&useSSL=false"
+    (
+        df.coalesce(num_partitions)
+        .write.format("jdbc")
+        .option("url", tuned_url)
+        .option("dbtable", table)
+        .option("user", user)
+        .option("password", password)
+        .option("batchsize", batch_size)
+        .option("isolationLevel", isolation_level)
+        .option("truncate", "true")
+        .mode(mode)
+        .save()
+    )
+
+
+def bulk_load_statements(table: str, local_file: str) -> list[str]:
+    """The reference's exact bulk-load bracket for a MySQL target
+    (LoadFiles.pm:136-144, 218-234), for passthrough execution."""
+    return [
+        f"ALTER TABLE `{table}` DISABLE KEYS",
+        (
+            f"LOAD DATA LOCAL INFILE '{local_file}' INTO TABLE `{table}` "
+            "FIELDS ESCAPED BY '\\\\'"
+        ),
+        f"ALTER TABLE `{table}` ENABLE KEYS",
+        f"ANALYZE TABLE `{table}`",
+    ]
+
+
+def grant_statements(
+    database: str, users: tuple[str, ...] = DEFAULT_GRANT_USERS
+) -> list[str]:
+    """G1 grant DDL (template Grant.pm:79-80; flush Grant.pm:101).
+    No Spark equivalent exists for internal tables — MySQL targets only."""
+    stmts = [
+        f"GRANT SELECT, EXECUTE ON `{database}`.* TO '{user}'@'%'" for user in users
+    ]
+    stmts.append("FLUSH PRIVILEGES")
+    return stmts
+
+
+def write_parquet_mirror(
+    spark: SparkSession,
+    df: DataFrame,
+    database: str,
+    table: str,
+    base_path: str,
+    analyze: bool = True,
+) -> None:
+    """Internal mirror sink: parquet + catalog registration + stats.
+
+    ``ANALYZE TABLE ... COMPUTE STATISTICS`` is the Spark twin of the
+    reference's post-load ANALYZE (LoadFiles.pm:230-234) — it feeds
+    Catalyst's CBO join reordering instead of MySQL's planner."""
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS `{database}`")
+    path = f"{base_path}/{database}/{table}"
+    df.write.mode("overwrite").parquet(path)
+    spark.sql(f"DROP TABLE IF EXISTS `{database}`.`{table}`")
+    spark.sql(
+        f"CREATE TABLE `{database}`.`{table}` USING PARQUET LOCATION '{path}'"
+    )
+    if analyze:
+        spark.sql(f"ANALYZE TABLE `{database}`.`{table}` COMPUTE STATISTICS")

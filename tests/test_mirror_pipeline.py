@@ -1,0 +1,176 @@
+"""Mirror pipeline tests: mode filter/validation, coverage anti-join,
+priority scoring/routing, end-to-end mirror with failure containment and
+retry semantics, and the A1 summary aggregation."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from ensembl_database_loader_spark.pipeline import (
+    CoverageError,
+    ModeError,
+    assert_coverage,
+    mirror,
+    mode_filter,
+    priority_branch,
+    priority_score,
+    summarize,
+)
+from ensembl_database_loader_spark.pipeline.mirror import failed_jobs, validate_mode
+from tests.test_mysql_dump import build_dump
+
+
+def _dbs(spark, names):
+    return spark.createDataFrame([(n,) for n in names], "database string")
+
+
+DBS = [
+    "homo_sapiens_core_110_38",
+    "homo_sapiens_variation_110_38",
+    "mus_musculus_core_110_39",
+    "ontology_mart_110",
+    "gene_mart_110",
+]
+
+
+def test_mode_filter_dispatch(spark):
+    found = _dbs(spark, DBS)
+    mart = {r.database for r in mode_filter(found, "mart").collect()}
+    assert mart == {"ontology_mart_110", "gene_mart_110"}
+    ens = {r.database for r in mode_filter(found, "ensembl").collect()}
+    assert ens == set(DBS) - mart
+    picked = {
+        r.database
+        for r in mode_filter(found, "all", ["gene_mart_110"]).collect()
+    }
+    assert picked == {"gene_mart_110"}
+    assert mode_filter(found, "all", None).count() == len(DBS)
+
+
+def test_mode_validation():
+    with pytest.raises(ModeError):
+        validate_mode("nonsense", None)
+    with pytest.raises(ModeError):
+        validate_mode("mart", ["explicit_db"])  # DatabaseFactory.pm:83-89
+
+
+def test_coverage_anti_join(spark):
+    accepted = _dbs(spark, DBS[:2])
+    assert_coverage(accepted, DBS[:2])  # all present: no raise
+    with pytest.raises(CoverageError) as ei:
+        assert_coverage(accepted, [DBS[0], "missing_db_1", "missing_db_2"])
+    assert ei.value.missing == ["missing_db_1", "missing_db_2"]
+
+
+def test_priority_scoring_and_routing(spark):
+    scored = (
+        _dbs(spark, DBS)
+        .select(
+            "database",
+            priority_score(
+                "database",
+                priority_species=("homo_sapiens", "mus_musculus"),
+                priority_groups=("variation",),
+            ),
+        )
+        .select("database", "priority", priority_branch("priority"))
+    )
+    got = {r.database: (r.priority, r.branch) for r in scored.collect()}
+    # homo_sapiens_variation: species(+1) + group(+1) + hs-variation bonus(+1) = 3
+    assert got["homo_sapiens_variation_110_38"] == (3, 5)
+    assert got["homo_sapiens_core_110_38"] == (1, 3)
+    assert got["mus_musculus_core_110_39"] == (1, 3)
+    assert got["ontology_mart_110"] == (0, 2)
+
+
+def test_mirror_end_to_end(spark, tmp_path):
+    work = tmp_path / "work"
+    target = tmp_path / "target"
+    os.makedirs(work)
+    build_dump(str(work), "alpha_core_1_1")
+    build_dump(str(work), "beta_mart_1", gz_manifest=True)
+    report = mirror(
+        spark,
+        str(work),
+        str(target),
+        priority_species=("alpha",),
+        max_concurrent=2,
+    )
+    assert report.failed_databases == []
+    # both dbs fully mirrored: parquet rows match fixture
+    orders = spark.read.parquet(str(target / "alpha_core_1_1" / "orders"))
+    assert orders.count() == 3
+    region = spark.read.parquet(str(target / "beta_mart_1" / "region"))
+    assert region.count() == 3
+    summary = {
+        r.analysis: (r.successful_dbs, r.failed_dbs)
+        for r in summarize(report.to_df(spark)).collect()
+    }
+    assert summary == {"verify": (2, 0), "load": (2, 0)}
+
+
+def test_mirror_failure_containment_and_summary(spark, tmp_path):
+    work = tmp_path / "work"
+    target = tmp_path / "target"
+    os.makedirs(work)
+    build_dump(str(work), "good_core_1_1")
+    bad = build_dump(str(work), "bad_core_1_1")
+    with open(os.path.join(bad, "region.txt.gz"), "ab") as f:
+        f.write(b"corrupt")
+    report = mirror(
+        spark, str(work), str(target), failed_tolerance=0.5, max_retry=0
+    )
+    assert report.failed_databases == ["bad_core_1_1"]
+    failed = failed_jobs(report.to_df(spark)).collect()
+    assert failed[0].database == "bad_core_1_1" and failed[0].analysis == "verify"
+    # good db still mirrored (containment, LoadDBs_conf.pm failed_job_tolerance)
+    assert os.path.isdir(str(target / "good_core_1_1" / "region"))
+    # tolerance exceeded when everything fails
+    with pytest.raises(RuntimeError, match="tolerance"):
+        mirror(spark, str(work), str(tmp_path / "t2"), failed_tolerance=0.2, max_retry=0)
+
+
+def test_mirror_preexisting_target_retry_semantics(spark, tmp_path):
+    work = tmp_path / "work"
+    target = tmp_path / "target"
+    os.makedirs(work)
+    build_dump(str(work), "gamma_core_1_1")
+    os.makedirs(target / "gamma_core_1_1")  # pre-existing target dir
+    # max_retry=0: first-attempt collision is a FAILURE (LoadFiles.pm:56-64)
+    r0 = mirror(
+        spark, str(work), str(target), max_retry=0, failed_tolerance=1.0
+    )
+    assert r0.failed_databases == ["gamma_core_1_1"]
+    # max_retry=1: retry drops the stale target and reloads
+    r1 = mirror(spark, str(work), str(target), max_retry=1, failed_tolerance=1.0)
+    assert r1.failed_databases == []
+    assert spark.read.parquet(str(target / "gamma_core_1_1" / "region")).count() == 3
+
+
+def test_sink_statement_builders():
+    from ensembl_database_loader_spark.sinks import bulk_load_statements, grant_statements
+
+    stmts = bulk_load_statements("orders", "/tmp/orders.txt")
+    assert stmts[0] == "ALTER TABLE `orders` DISABLE KEYS"
+    assert "LOAD DATA LOCAL INFILE '/tmp/orders.txt'" in stmts[1]
+    assert "FIELDS ESCAPED BY '\\\\'" in stmts[1]
+    assert stmts[2] == "ALTER TABLE `orders` ENABLE KEYS"
+    assert stmts[3] == "ANALYZE TABLE `orders`"
+    g = grant_statements("homo_sapiens_core_110_38")
+    assert g[0] == "GRANT SELECT, EXECUTE ON `homo_sapiens_core_110_38`.* TO 'anonymous'@'%'"
+    assert g[-1] == "FLUSH PRIVILEGES"
+
+
+def test_parquet_mirror_sink_registers_and_analyzes(spark, tmp_path):
+    from ensembl_database_loader_spark.sinks import write_parquet_mirror
+
+    df = spark.range(10).select(F.col("id").alias("k"))
+    write_parquet_mirror(spark, df, "mirror_db_test", "t1", str(tmp_path / "cat"))
+    assert spark.sql("SELECT COUNT(*) c FROM mirror_db_test.t1").first().c == 10
+    stats = spark.sql("DESCRIBE EXTENDED mirror_db_test.t1").collect()
+    assert any("Statistics" in str(r) for r in stats)  # ANALYZE ran
+    spark.sql("DROP TABLE mirror_db_test.t1")
+    spark.sql("DROP DATABASE mirror_db_test")
