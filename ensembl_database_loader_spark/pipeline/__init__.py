@@ -8,5 +8,6 @@ from ensembl_database_loader_spark.pipeline.mirror import (  # noqa: F401
     mode_filter,
     priority_branch,
     priority_score,
+    render_report,
     summarize,
 )

@@ -184,6 +184,25 @@ def summarize(report_df: DataFrame) -> DataFrame:
     )
 
 
+def render_report(report_df: DataFrame) -> str:
+    """A4: the email summary body (EmailSummary.pm:88-103) rendered from
+    the report DataFrame — success/fail pairs per analysis plus the
+    failed-job listing (A2 format: database / analysis / error). The
+    sink is the caller's (log, file, notifier) — no sendmail."""
+    lines = ["Mirror pipeline summary", "======================="]
+    for r in summarize(report_df).collect():
+        lines.append(
+            f"{r.analysis}: {r.successful_dbs} succeeded, {r.failed_dbs} failed"
+        )
+    failures = failed_jobs(report_df).collect()
+    if failures:
+        lines.append("")
+        lines.append("Failed jobs:")
+        for r in failures:
+            lines.append(f"  {r.database} / {r.analysis}: {r.error}")
+    return "\n".join(lines)
+
+
 def failed_jobs(report_df: DataFrame) -> DataFrame:
     """A2/A3: FAILED rows, failures-first multi-key order
     (EmailSummary.pm:142-176)."""

@@ -47,7 +47,11 @@ def get_spark(
         cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
         master = f"local[{cpus}]"
     builder = SparkSession.builder.appName(app_name).master(master)
-    for k, v in {**BUILD_CONFS, **RUNTIME_CONFS, **(extra_conf or {})}.items():
+    pools = os.path.join(os.path.dirname(os.path.abspath(__file__)), "fairscheduler.xml")
+    confs = {**BUILD_CONFS, **RUNTIME_CONFS, **(extra_conf or {})}
+    if os.path.exists(pools):  # priority-class pools for the mirror pipeline
+        confs.setdefault("spark.scheduler.allocation.file", pools)
+    for k, v in confs.items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     ensure_session_confs(spark)
