@@ -1,0 +1,92 @@
+"""Physical-plan quality gates (the 100 TB posture, SURVEY.md §4.2).
+
+These tests read ``explain('formatted')`` output and pin the plan
+properties that matter at scale: filters reaching the parquet scan,
+column pruning in ReadSchema, broadcast joins for dimension tables,
+partial (map-side) aggregation before the shuffle, and whole-stage
+codegen in the hot paths. A correctness-green probe with a bad plan
+fails here instead of failing at 100x the data.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+from ensembl_database_loader_spark.plans import all_probes
+
+SF = "/root/testdata/sf0.001"
+PROBES = all_probes()
+
+
+def plan_of(spark, name: str, executed: bool = False) -> str:
+    """formatted explain; ``executed=True`` collects first so the AQE
+    final plan (with codegen spans) is what gets printed."""
+    df = PROBES[name].spark_fn(spark, SF)
+    if executed:
+        df.collect()
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_filter_pushdown_reaches_parquet_scan(spark):
+    plan = plan_of(spark, "q04_filter_predicate")
+    assert "PushedFilters" in plan
+    # both predicates should be pushed to the scan, not post-filtered only
+    assert "GreaterThan(l_discount" in plan
+    assert "LessThan(l_quantity" in plan
+
+
+def test_projection_prunes_scan_schema(spark):
+    plan = plan_of(spark, "q03_projection")
+    scan = plan[plan.index("ReadSchema") :].splitlines()[0]
+    assert "l_orderkey" in scan and "l_linenumber" in scan
+    # a 16-column lineitem scan for a 2-column projection is wrong
+    assert "l_extendedprice" not in scan and "l_comment" not in scan
+
+
+def test_dimension_join_broadcasts(spark):
+    plan = plan_of(spark, "q07_join_broadcast")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_fact_fact_join_is_shuffle_or_broadcast_not_nested_loop(spark):
+    plan = plan_of(spark, "q08_join_shuffle")
+    assert "NestedLoop" not in plan  # equi-join must hash
+    assert ("SortMergeJoin" in plan) or ("BroadcastHashJoin" in plan) or (
+        "ShuffledHashJoin" in plan
+    )
+
+
+def test_aggregate_is_partial_before_shuffle(spark):
+    plan = plan_of(spark, "q15_tpch_q1")
+    # two HashAggregates (partial + final) around one exchange:
+    assert plan.count("HashAggregate") >= 2
+    assert "Exchange" in plan
+
+
+def test_hot_paths_are_codegen(spark):
+    for name in ("q15_tpch_q1", "q04_filter_predicate", "q32_math_fns"):
+        plan = plan_of(spark, name, executed=True)
+        # formatted mode marks codegen'd operators with [codegen id : N]
+        assert "codegen id" in plan, f"{name} fell out of codegen"
+
+
+def test_topk_is_take_ordered_not_global_sort(spark):
+    plan = plan_of(spark, "q22_topk")
+    assert "TakeOrderedAndProject" in plan  # top-k never globally sorts
+
+
+def test_semi_anti_joins_stay_semi_anti(spark):
+    assert "LeftSemi" in plan_of(spark, "q11_semi_join")
+    assert "LeftAnti" in plan_of(spark, "q12_anti_join")
+
+
+def test_exists_subquery_decorrelates_to_join(spark):
+    plan = plan_of(spark, "q29_exists_subquery")
+    assert "LeftSemi" in plan  # Catalyst decorrelated, no per-row subquery
