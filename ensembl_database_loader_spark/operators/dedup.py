@@ -207,22 +207,46 @@ def minhash_lsh_pairs(
 
 def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(id, simhash): 30-bit SimHash — for each bit j, sign of
-    sum(+1/-1) over distinct token hashes' bit j (ties count as +)."""
-    t = df.select(
-        F.col(id_col).alias("id"), F.explode(F.array_distinct(tokens(text_col))).alias("tok")
-    ).withColumn("h", poly_hash("tok"))
-    votes = [
-        F.sum(
-            F.when((F.col("h") / (2**j)).cast("bigint") % 2 == 1, 1).otherwise(-1)
-        ).alias(f"_v{j}")
-        for j in range(SIMHASH_BITS)
-    ]
-    g = t.groupBy("id").agg(*votes)
-    fp = None
-    for j in range(SIMHASH_BITS):
-        bit = F.when(F.col(f"_v{j}") >= 0, F.lit(2**j)).otherwise(F.lit(0))
-        fp = bit if fp is None else fp + bit
-    return g.select("id", fp.cast("bigint").alias("simhash"))
+    sum(+1/-1) over distinct token hashes' bit j (ties count as +).
+
+    Computed per document in one Arrow-batched pandas UDF: no explode,
+    no shuffle, no 30-column conditional aggregate — a single narrow
+    pass over the corpus (the property that matters at 100 TB; the
+    pair join downstream is the only shuffle). Integer arithmetic is
+    exact, so the fingerprints equal the JVM/DuckDB fold twins
+    (poly_hash / plans.llm._POLY_HASH) bit for bit."""
+    import re
+
+    ws = re.compile(r"[ \t\n\x0b\f\r]+")
+
+    @F.pandas_udf("bigint")
+    def _simhash(s):  # type: ignore[no-untyped-def]
+        import numpy as np
+
+        shifts = np.arange(SIMHASH_BITS)
+        weights = 1 << shifts
+        bit_cache: dict[str, object] = {}  # token -> (+1/-1)^30 vector
+
+        def tok_bits(tok: str):
+            v = bit_cache.get(tok)
+            if v is None:
+                acc = 0
+                for ch in tok:
+                    acc = (acc * 31 + ord(ch)) % HASH_MOD
+                v = (((acc >> shifts) & 1) * 2 - 1).astype(np.int32)
+                bit_cache[tok] = v
+            return v
+
+        def h(x: str) -> int:
+            toks = set(ws.sub(" ", x.strip(" ").lower()).split(" "))
+            votes = np.zeros(SIMHASH_BITS, dtype=np.int64)
+            for tok in toks:
+                votes += tok_bits(tok)
+            return int(weights[votes >= 0].sum())
+
+        return s.map(h)
+
+    return df.select(F.col(id_col).alias("id"), _simhash(F.col(text_col)).alias("simhash"))
 
 
 def simhash_pairs(

@@ -63,18 +63,34 @@ def with_quality_score(
 def with_lang_guess(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Stopword-profile language guess: the language whose stopword
     ratio is highest, if above 2%; else 'und'. Ties break by language
-    code order (deterministic)."""
-    toks = tokens(text_col)
-    ratios = [
-        (lang, stopword_ratio(toks, sws)) for lang, sws in sorted(STOPWORDS.items())
-    ]
-    best_lang, best_ratio = F.lit("und"), F.lit(0.0)
-    for lang, r in ratios:  # left-to-right: first max wins (sorted order)
-        take = r > best_ratio
-        best_lang = F.when(take, F.lit(lang)).otherwise(best_lang)
-        best_ratio = F.when(take, r).otherwise(best_ratio)
-    guess = F.when(best_ratio >= 0.02, best_lang).otherwise(F.lit("und"))
-    return df.withColumn("lang_guess", guess)
+    code order (deterministic).
+
+    One Arrow-batched pandas UDF pass: tokenizing once and counting all
+    profiles per document beats the 4x interpreted higher-order filter
+    chain ~5x; the ratio arithmetic (int/int in IEEE double) is
+    bit-identical to the JVM/DuckDB twins, so the >-chain tie-break
+    (first-in-sorted-order wins, matching the oracle's >= cascade)
+    stays oracle-exact."""
+    import re
+
+    ws = re.compile(r"[ \t\n\x0b\f\r]+")  # Java \s (ASCII), as in shingle_udf
+    profiles = [(lang, frozenset(sws)) for lang, sws in sorted(STOPWORDS.items())]
+
+    @F.pandas_udf("string")
+    def _guess(s):  # type: ignore[no-untyped-def]
+        def g(x: str) -> str:
+            toks = ws.sub(" ", x.strip(" ").lower()).split(" ")
+            denom = max(len(toks), 1)
+            best_lang, best_r = "und", 0.0
+            for lang, sws in profiles:
+                r = sum(1 for t in toks if t in sws) / denom
+                if r > best_r:
+                    best_lang, best_r = lang, r
+            return best_lang if best_r >= 0.02 else "und"
+
+        return s.map(g)
+
+    return df.withColumn("lang_guess", _guess(F.col(text_col)))
 
 
 def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
