@@ -88,6 +88,27 @@ def poly_hash(col_sql: str) -> Column:
     )
 
 
+def filter_map_lines(
+    df,
+    line_col: str,
+    keep_rlike: str | None = None,
+    alter_pattern: str | None = None,
+    alter_replacement: str = "",
+):
+    """V1 (vestigial in the reference, LoadFiles.pm:170-185): keep lines
+    matching a predicate, optionally rewriting them — the reference's
+    file-line filter+alter expressed as rlike + regexp_replace so it
+    stays inside codegen instead of a per-line Python callback."""
+    out = df
+    if keep_rlike is not None:
+        out = out.filter(F.col(line_col).rlike(keep_rlike))
+    if alter_pattern is not None:
+        out = out.withColumn(
+            line_col, F.regexp_replace(F.col(line_col), alter_pattern, alter_replacement)
+        )
+    return out
+
+
 def stopword_ratio(tokens_col: Column, stopwords: tuple[str, ...]) -> Column:
     """Fraction of tokens that are stopwords."""
     sw = F.array(*[F.lit(s) for s in stopwords])

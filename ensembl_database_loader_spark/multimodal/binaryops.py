@@ -78,3 +78,66 @@ def decode_media_stats(df: DataFrame, use_real_decoder: bool = False) -> DataFra
             )
 
     return df.mapInPandas(decode_batches, schema=DECODED_SCHEMA)
+
+
+RESIZED_SCHEMA = "id BIGINT, modality STRING, width INT, height INT, bytes BINARY"
+
+
+def resize_images(
+    df: DataFrame, target_w: int, target_h: int, use_real_decoder: bool = False
+) -> DataFrame:
+    """Resize stage over (id, modality, bytes, meta): emits the target
+    geometry plus the (stub-)resized payload. The real implementation
+    decodes, resamples, and re-encodes inside the Arrow batch; the
+    deterministic stub truncates/pads bytes to w*h so batch shapes and
+    schema are exercised end to end."""
+
+    def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        size = target_w * target_h
+        for pdf in batches:
+            if use_real_decoder:
+                decode_image(b"")  # explicit NotImplementedError seam
+            out_bytes = [
+                bytes(b[:size]).ljust(size, b"\0") for b in pdf["bytes"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"],
+                    "modality": pdf["modality"],
+                    "width": target_w,
+                    "height": target_h,
+                    "bytes": out_bytes,
+                }
+            )
+
+    return df.mapInPandas(resize_batches, schema=RESIZED_SCHEMA)
+
+
+FRAME_SCHEMA = "id BIGINT, frame_idx INT, frame_bytes BINARY"
+
+
+def sample_frames(
+    df: DataFrame, every_nth: int = 2, use_real_decoder: bool = False
+) -> DataFrame:
+    """Frame-sampling stage (video modality): one input row fans out to
+    ceil(n_frames / every_nth) frame rows — a mapInPandas UDTF shape.
+    Frame count/splitting uses the deterministic fake decoder (real
+    seam: a video lib container parser); the fan-out, schema, and
+    Arrow batching are the real plumbing."""
+
+    def frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, chunks = [], [], []
+            for i, b in zip(pdf["id"], pdf["bytes"]):
+                data = bytes(b)
+                if use_real_decoder:
+                    decode_image(data)
+                _, _, n_frames = _fake_decode(data)
+                step = max(1, len(data) // max(n_frames, 1))
+                for j in range(0, n_frames, every_nth):
+                    ids.append(i)
+                    idxs.append(j)
+                    chunks.append(data[j * step : (j + 1) * step])
+            yield pd.DataFrame({"id": ids, "frame_idx": idxs, "frame_bytes": chunks})
+
+    return df.mapInPandas(frames, schema=FRAME_SCHEMA)

@@ -19,6 +19,7 @@ from ensembl_database_loader_spark.catalog import table
 from ensembl_database_loader_spark.functions.text import normalize_text
 from ensembl_database_loader_spark.multimodal.binaryops import (
     decode_media_stats,
+    sample_frames,
     with_binary_payload,
 )
 from ensembl_database_loader_spark.operators.dedup import (
@@ -437,6 +438,33 @@ def tx_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Multimodal plumbing
 # ---------------------------------------------------------------------------
+
+
+@probe(
+    "mm_frame_sample",
+    oracle=(
+        "WITH b AS (SELECT octet_length(encode(text)) AS olen FROM documents), "
+        "f AS (SELECT olen, 1 + olen % 8 AS n, (1 + olen % 8 + 1) // 2 AS k FROM b) "
+        "SELECT CAST(SUM(k) AS BIGINT) AS frame_cnt, "
+        "CAST(SUM(k * (k - 1)) AS BIGINT) AS sum_frame_idx, "
+        "CAST(SUM(k * (olen // n)) AS BIGINT) AS sum_frame_bytes FROM f"
+    ),
+    tags=("llm", "multimodal"),
+)
+def mm_frames(spark: SparkSession, sf: str) -> DataFrame:
+    """Video frame-sampling plumbing: one row fans out to every 2nd
+    frame (mapInPandas UDTF shape over binary payloads); the oracle
+    closed-forms the fan-out (k frames of olen//n bytes each, frame
+    indices 0,2,..,2(k-1))."""
+    ensure_session_confs(spark)
+    d = table(spark, sf, "documents")
+    payload = with_binary_payload(d, "doc_id", "text", modality="video")
+    frames = sample_frames(payload, every_nth=2)
+    return frames.agg(
+        _cnt().alias("frame_cnt"),
+        F.sum("frame_idx").cast("bigint").alias("sum_frame_idx"),
+        F.sum(F.octet_length("frame_bytes")).cast("bigint").alias("sum_frame_bytes"),
+    )
 
 
 @probe(

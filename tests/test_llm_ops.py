@@ -113,3 +113,54 @@ def test_multimodal_decode_stub_and_schema(spark, sf_dir):
     assert all(16 <= r.width < 80 and r.n_bytes > 0 for r in rows)
     with pytest.raises(NotImplementedError):
         decode_image(b"\x89PNG")
+
+
+def test_resize_images_plumbing(spark):
+    from ensembl_database_loader_spark.multimodal.binaryops import (
+        resize_images,
+        with_binary_payload,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "short"), (2, "x" * 100)], "id bigint, text string"
+    )
+    payload = with_binary_payload(df, "id", "text", modality="image")
+    out = resize_images(payload, 8, 4).collect()
+    assert {(r.id, r.width, r.height, len(r.bytes)) for r in out} == {
+        (1, 8, 4, 32),
+        (2, 8, 4, 32),
+    }
+    # stub truncates/pads: short payload zero-padded, long truncated
+    by_id = {r.id: bytes(r.bytes) for r in out}
+    assert by_id[1].startswith(b"short") and by_id[1].endswith(b"\0")
+    assert by_id[2] == b"x" * 32
+
+
+def test_sample_frames_fanout(spark):
+    from ensembl_database_loader_spark.multimodal.binaryops import (
+        _fake_decode,
+        sample_frames,
+        with_binary_payload,
+    )
+
+    text = "a" * 37  # n_frames = 1 + 37 % 8 = 6 -> sampled frames 0,2,4
+    df = spark.createDataFrame([(7, text)], "id bigint, text string")
+    out = sample_frames(
+        with_binary_payload(df, "id", "text", modality="video"), every_nth=2
+    ).collect()
+    n = _fake_decode(text.encode())[2]
+    assert n == 6
+    assert sorted(r.frame_idx for r in out) == [0, 2, 4]
+    step = len(text) // n
+    assert all(len(r.frame_bytes) == step for r in out)
+
+
+def test_filter_map_lines_v1(spark):
+    from ensembl_database_loader_spark.functions.text import filter_map_lines
+
+    df = spark.createDataFrame(
+        [("keep this",), ("drop that",), ("keep me too",)], "line string"
+    )
+    out = filter_map_lines(df, "line", keep_rlike="^keep", alter_pattern="keep",
+                           alter_replacement="KEPT")
+    assert sorted(r.line for r in out.collect()) == ["KEPT me too", "KEPT this"]
