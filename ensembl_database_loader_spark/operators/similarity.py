@@ -75,6 +75,41 @@ def with_lsh_bucket(
     return df.withColumn(out_col, key)
 
 
+def with_lsh_buckets(
+    df: DataFrame,
+    vec_col: str,
+    num_planes: int = 4,
+    num_tables: int = 8,
+    dim: int = 64,
+    out_col: str = "_buckets",
+) -> DataFrame:
+    """All hash tables' bucket keys in ONE Arrow-batched GEMM: project
+    the vector batch against every (table, plane) hyperplane at once
+    (n x dim @ dim x T*P), then pack sign bits per table. Replaces
+    T*P interpreted dot-product folds per row with a single BLAS call —
+    the per-row cost that dominates at corpus scale."""
+    import numpy as np
+    import pandas as pd
+
+    planes = np.array(
+        [
+            [_plane_component(t * 1000 + p, d) for d in range(dim)]
+            for t in range(num_tables)
+            for p in range(num_planes)
+        ]
+    ).T  # dim x (T*P)
+    weights = 1 << np.arange(num_planes)
+
+    @F.pandas_udf("array<bigint>")
+    def _buckets(s):  # type: ignore[no-untyped-def]
+        x = np.array(s.tolist(), dtype=np.float64)
+        signs = (x @ planes) >= 0
+        b = signs.reshape(len(x), num_tables, num_planes) @ weights
+        return pd.Series(list(b.astype(np.int64)))
+
+    return df.withColumn(out_col, _buckets(F.col(vec_col)))
+
+
 def lsh_bucket_topk(
     df: DataFrame,
     id_col: str,
@@ -94,15 +129,13 @@ def lsh_bucket_topk(
 
     At scale each table is one groupBy-shuffle on the bucket key and the
     query side is a broadcast — the corpus is never self-joined."""
-    b = df
-    for t in range(num_tables):
-        b = with_lsh_bucket(b, vec_col, num_planes, dim, table_id=t, out_col=f"_b{t}")
-    qcols = [F.col(f"_b{t}").alias(f"_qb{t}") for t in range(num_tables)]
-    q = b.filter(F.col(id_col) == query_id).select(F.col(vec_col).alias("_qvec"), *qcols)
-    match_any = None
-    for t in range(num_tables):
-        m = F.col(f"_b{t}") == F.col(f"_qb{t}")
-        match_any = m if match_any is None else (match_any | m)
+    b = with_lsh_buckets(df, vec_col, num_planes, num_tables, dim)
+    q = b.filter(F.col(id_col) == query_id).select(
+        F.col(vec_col).alias("_qvec"), F.col("_buckets").alias("_qbuckets")
+    )
+    match_any = F.exists(
+        F.zip_with("_buckets", "_qbuckets", lambda x, y: x == y), lambda m: m
+    )
     c = cosine(F.col(vec_col), F.col("_qvec"))
     return (
         b.crossJoin(F.broadcast(q))

@@ -337,11 +337,11 @@ def ss_ann(spark: SparkSession, sf: str) -> DataFrame:
     e = table(spark, sf, "embeddings")
     exact = cosine_topk(e, "vec_id", "embedding", query_id=0, k=5)
     approx = lsh_bucket_topk(e, "vec_id", "embedding", query_id=0, k=5)
-    inter = exact.select("vec_id").intersect(approx.select("vec_id")).count()
-    got = approx.count()
-    return spark.createDataFrame(
-        [(got, inter, float(inter) / 5.0)],
-        "ann_results BIGINT, overlap_with_exact BIGINT, recall_at_5 DOUBLE",
+    overlap = exact.select("vec_id").intersect(approx.select("vec_id"))
+    return (
+        approx.agg(_cnt().alias("ann_results"))
+        .crossJoin(overlap.agg(_cnt().alias("overlap_with_exact")))
+        .withColumn("recall_at_5", F.col("overlap_with_exact") / F.lit(5.0))
     )
 
 
