@@ -1,0 +1,84 @@
+"""Equivalence tests for skew-salting transforms and the custom
+stateful streaming operator."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ensembl_database_loader_spark.catalog import table
+from ensembl_database_loader_spark.operators.skew import salted_group_count, salted_join
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_salted_group_count_equivalence(spark):
+    li = table(spark, SF, "lineitem")
+    plain = {
+        r.l_returnflag: r["count"]
+        for r in li.groupBy("l_returnflag").count().collect()
+    }
+    salted = {
+        r.l_returnflag: r["count"]
+        for r in salted_group_count(li, "l_returnflag").collect()
+    }
+    assert salted == plain
+
+
+def test_salted_join_equivalence(spark):
+    li = table(spark, SF, "lineitem").select("l_orderkey", "l_quantity")
+    o = table(spark, SF, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_totalprice"
+    )
+    # plain vs salted: identical multiset of joined rows
+    plain = (
+        li.join(o, "l_orderkey")
+        .groupBy()
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.col("l_quantity") * F.col("o_totalprice")), 2).alias("s"),
+        )
+        .first()
+    )
+    salted = (
+        salted_join(li, o, "l_orderkey", num_salts=8)
+        .groupBy()
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.col("l_quantity") * F.col("o_totalprice")), 2).alias("s"),
+        )
+        .first()
+    )
+    assert (salted.n, salted.s) == (plain.n, plain.s)
+
+
+def test_running_user_profile_stateful_stream(spark, tmp_path):
+    from ensembl_database_loader_spark.streaming.stateful import running_user_profile
+    from ensembl_database_loader_spark.streaming.windows import stream_events
+
+    events = stream_events(spark, SF)
+    prof = running_user_profile(events)
+    assert prof.isStreaming
+    q = (
+        prof.writeStream.format("memory")
+        .queryName("user_profiles_test")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql(
+        "SELECT user_id, cnt, ROUND(total, 2) AS total FROM user_profiles_test"
+    ).toPandas()
+    # batch oracle: per-user count + sum over the whole fixture
+    exp = (
+        table(spark, SF, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.round(F.sum("value"), 2).alias("total"))
+        .toPandas()
+    )
+    g = got.sort_values("user_id").reset_index(drop=True)
+    e = exp.sort_values("user_id").reset_index(drop=True)
+    assert len(g) == len(e)
+    assert (g["cnt"].values == e["cnt"].values).all()
+    assert (abs(g["total"].values - e["total"].values) < 1e-6).all()
