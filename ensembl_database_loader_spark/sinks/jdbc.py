@@ -86,6 +86,28 @@ def grant_statements(
     return stmts
 
 
+def write_bucketed_table(
+    spark: SparkSession,
+    df: DataFrame,
+    table: str,
+    bucket_col: str,
+    num_buckets: int = 32,
+    sort_col: str | None = None,
+) -> None:
+    """Persist a table bucketed (and optionally sorted) by its join key.
+
+    Two tables bucketed the same way join WITHOUT any Exchange — the
+    shuffle is paid once at write time and amortized over every later
+    join/aggregation on that key. This is the 100 TB answer to the
+    reference's repeated per-load full rewrites: fact tables that join
+    on orderkey land bucketed by orderkey. (Verified by
+    tests/test_plan_quality.py::test_bucketed_join_has_no_exchange.)"""
+    w = df.write.mode("overwrite").format("parquet").bucketBy(num_buckets, bucket_col)
+    if sort_col:
+        w = w.sortBy(sort_col)
+    w.saveAsTable(table)
+
+
 def write_parquet_mirror(
     spark: SparkSession,
     df: DataFrame,

@@ -90,3 +90,33 @@ def test_semi_anti_joins_stay_semi_anti(spark):
 def test_exists_subquery_decorrelates_to_join(spark):
     plan = plan_of(spark, "q29_exists_subquery")
     assert "LeftSemi" in plan  # Catalyst decorrelated, no per-row subquery
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    """Co-located bucketed tables join shuffle-free: the write-time
+    bucketing replaces the per-query Exchange on both sides."""
+    from ensembl_database_loader_spark.catalog import table as cat_table
+    from ensembl_database_loader_spark.sinks import write_bucketed_table
+
+    li = cat_table(spark, SF, "lineitem").select("l_orderkey", "l_quantity")
+    o = cat_table(spark, SF, "orders").select("o_orderkey", "o_totalprice")
+    write_bucketed_table(spark, li, "bkt_lineitem", "l_orderkey", 8)
+    write_bucketed_table(spark, o, "bkt_orders", "o_orderkey", 8)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force SMJ
+    try:
+        j = spark.table("bkt_lineitem").join(
+            spark.table("bkt_orders"),
+            spark.table("bkt_lineitem").l_orderkey
+            == spark.table("bkt_orders").o_orderkey,
+        )
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            j.explain("formatted")
+        plan = buf.getvalue()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan  # both sides pre-bucketed
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS bkt_lineitem")
+        spark.sql("DROP TABLE IF EXISTS bkt_orders")
