@@ -174,3 +174,54 @@ def test_parquet_mirror_sink_registers_and_analyzes(spark, tmp_path):
     assert any("Statistics" in str(r) for r in stats)  # ANALYZE ran
     spark.sql("DROP TABLE mirror_db_test.t1")
     spark.sql("DROP DATABASE mirror_db_test")
+
+
+def test_cli_end_to_end(tmp_path, spark):
+    """python -m ensembl_database_loader_spark against a fixture dump
+    (reuses the session via main's get_spark -> getOrCreate)."""
+    from ensembl_database_loader_spark.cli import main
+
+    work = tmp_path / "cliwork"
+    os.makedirs(work)
+    build_dump(str(work), "cli_core_1_1")
+    rc = main([
+        "--work-dir", str(work),
+        "--target-dir", str(tmp_path / "clitarget"),
+        "--mode", "ensembl",
+        "--priority-species", "cli",
+    ])
+    assert rc == 0
+    assert spark.read.parquet(str(tmp_path / "clitarget" / "cli_core_1_1" / "orders")).count() == 3
+
+
+def test_incremental_streaming_mirror(spark, tmp_path):
+    """New dump parts landing over time append exactly once."""
+    import gzip
+
+    from ensembl_database_loader_spark.pipeline.incremental import (
+        incremental_mirror,
+        stream_dump_parts,
+    )
+    from ensembl_database_loader_spark.sources import parse_mysql_ddl
+    from tests.test_mysql_dump import DDL, ROWS_ORDERS_P1, ROWS_ORDERS_P2, _tsv
+
+    landing = tmp_path / "landing"
+    target = str(tmp_path / "inc_orders")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(landing)
+    schema = parse_mysql_ddl(DDL).tables["orders"]
+    with open(landing / "orders.0001.txt.gz", "wb") as f:
+        f.write(gzip.compress(_tsv(ROWS_ORDERS_P1)))
+    s = stream_dump_parts(spark, str(landing), schema)
+    assert s.isStreaming
+    q = incremental_mirror(s, target, ckpt)
+    q.awaitTermination(120)
+    assert spark.read.parquet(target).count() == 2
+    # a new part lands: only the delta is appended (checkpointed)
+    with open(landing / "orders.0002.txt.gz", "wb") as f:
+        f.write(gzip.compress(_tsv(ROWS_ORDERS_P2)))
+    q2 = incremental_mirror(stream_dump_parts(spark, str(landing), schema), target, ckpt)
+    q2.awaitTermination(120)
+    got = spark.read.parquet(target).orderBy("o_orderkey")
+    assert [r.o_orderkey for r in got.collect()] == [1, 2, 3]
+    assert got.filter(F.col("o_orderdate").isNull()).count() == 1  # zero-date
