@@ -881,3 +881,176 @@ def q40(spark: SparkSession, sf: str) -> DataFrame:
         F.sum("pos").cast("bigint").alias("sum_pos"),
         F.round(F.sum(F.col("val").cast("double")), 2).alias("sum_val"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Multi-join analytics (TPC-H Q3/Q5/Q10 shapes): CBO join ordering +
+# broadcast selection over 3-6 table plans
+# ---------------------------------------------------------------------------
+
+
+_REVENUE = "l_extendedprice * (1 - l_discount)"
+
+
+@probe(
+    "q41_tpch_q3_shape",
+    oracle=(
+        "SELECT l_orderkey, "
+        f"ROUND(SUM({_REVENUE}), 2) AS revenue, "
+        "strftime(o_orderdate, '%Y-%m-%d') AS odate, o_orderpriority "
+        "FROM customer JOIN orders ON c_custkey = o_custkey "
+        "JOIN lineitem ON l_orderkey = o_orderkey "
+        "WHERE c_mktsegment = 'BUILDING' "
+        "AND o_orderdate < TIMESTAMP '1998-07-01' "
+        "AND l_shipdate > TIMESTAMP '1998-07-01' "
+        "GROUP BY l_orderkey, o_orderdate, o_orderpriority "
+        "ORDER BY revenue DESC, l_orderkey LIMIT 10"
+    ),
+    tags=("join", "tpch"),
+)
+def q41(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q3 shape (shipping priority): selective dim filter pushed to
+    the customer scan, two fact joins, grouped revenue top-10."""
+    ensure_session_confs(spark)
+    c = table(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = table(spark, sf, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-07-01").cast("timestamp")
+    )
+    li = table(spark, sf, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-07-01").cast("timestamp")
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(rev), 2).alias("revenue"))
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("odate"),
+            "o_orderpriority",
+        )
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+@probe(
+    "q42_tpch_q5_shape",
+    oracle=(
+        "SELECT n_name, "
+        f"ROUND(SUM({_REVENUE}), 2) AS revenue "
+        "FROM region JOIN nation ON n_regionkey = r_regionkey "
+        "JOIN customer ON c_nationkey = n_nationkey "
+        "JOIN orders ON o_custkey = c_custkey "
+        "JOIN lineitem ON l_orderkey = o_orderkey "
+        "JOIN supplier ON s_suppkey = l_suppkey AND s_nationkey = c_nationkey "
+        "WHERE r_name = 'ASIA' "
+        "AND o_orderdate >= TIMESTAMP '1996-01-01' "
+        "AND o_orderdate < TIMESTAMP '1999-01-01' "
+        "GROUP BY n_name ORDER BY revenue DESC, n_name"
+    ),
+    tags=("join", "tpch"),
+)
+def q42(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q5 shape (local supplier volume): a 6-table join where the
+    region/nation dims broadcast and the supplier join carries an extra
+    same-nation predicate — the canonical CBO join-ordering stressor."""
+    ensure_session_confs(spark)
+    r = table(spark, sf, "region").filter(F.col("r_name") == "ASIA")
+    n = table(spark, sf, "nation")
+    c = table(spark, sf, "customer")
+    o = table(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1999-01-01").cast("timestamp"))
+    )
+    li = table(spark, sf, "lineitem")
+    s = table(spark, sf, "supplier")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        F.broadcast(r.join(n, n.n_regionkey == r.r_regionkey))
+        .join(c, F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(o, F.col("o_custkey") == F.col("c_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            s,
+            (F.col("s_suppkey") == F.col("l_suppkey"))
+            & (F.col("s_nationkey") == F.col("c_nationkey")),
+        )
+        .groupBy("n_name")
+        .agg(F.round(F.sum(rev), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
+@probe(
+    "q43_tpch_q10_shape",
+    oracle=(
+        "SELECT c_custkey, c_name, "
+        f"ROUND(SUM({_REVENUE}), 2) AS revenue, "
+        "ROUND(c_acctbal, 2) AS acctbal, n_name "
+        "FROM customer JOIN orders ON o_custkey = c_custkey "
+        "JOIN lineitem ON l_orderkey = o_orderkey "
+        "JOIN nation ON n_nationkey = c_nationkey "
+        "WHERE l_returnflag = 'R' "
+        "AND o_orderdate >= TIMESTAMP '1996-01-01' "
+        "AND o_orderdate < TIMESTAMP '1997-01-01' "
+        "GROUP BY c_custkey, c_name, c_acctbal, n_name "
+        "ORDER BY revenue DESC, c_custkey LIMIT 20"
+    ),
+    tags=("join", "tpch"),
+)
+def q43(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q10 shape (returned items): fact-fact-dim join with a
+    post-join selective flag filter, wide grouping key, top-20."""
+    ensure_session_confs(spark)
+    c = table(spark, sf, "customer")
+    o = table(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = table(spark, sf, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = table(spark, sf, "nation")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        c.join(o, F.col("o_custkey") == F.col("c_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(n), F.col("n_nationkey") == F.col("c_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.round(F.sum(rev), 2).alias("revenue"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "revenue",
+            F.round("c_acctbal", 2).alias("acctbal"),
+            "n_name",
+        )
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+@probe("q44_approx_percentile", oracle=None, tags=("approx", "sketch"))
+def q44(spark: SparkSession, sf: str) -> DataFrame:
+    """Quantile sketch: approx_percentile (GK sketch) vs the exact
+    percentile, self-checked within 1% relative error — the
+    mergeable-sketch path for 100 TB percentile dashboards (exact
+    percentile needs a full sort; the sketch merges map-side). No
+    oracle: sketch internals are engine-specific (rows-only check)."""
+    ensure_session_confs(spark)
+    li = table(spark, sf, "lineitem")
+    row = li.agg(
+        F.expr("approx_percentile(l_extendedprice, array(0.5, 0.95), 10000)").alias("ap"),
+        F.expr("percentile(l_extendedprice, array(0.5, 0.95))").alias("ex"),
+    ).select(
+        F.round(F.col("ap")[0], 2).alias("approx_p50"),
+        F.round(F.col("ap")[1], 2).alias("approx_p95"),
+        F.round(F.col("ex")[0], 2).alias("exact_p50"),
+        F.round(F.col("ex")[1], 2).alias("exact_p95"),
+    )
+    ok = (
+        (F.abs(F.col("approx_p50") - F.col("exact_p50")) / F.col("exact_p50") < 0.01)
+        & (F.abs(F.col("approx_p95") - F.col("exact_p95")) / F.col("exact_p95") < 0.01)
+    )
+    return row.withColumn("within_bounds", ok)
