@@ -27,6 +27,7 @@ from ensembl_database_loader_spark.operators.dedup import (
     minhash_lsh_candidates,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
+    ngram_jaccard_pairs_prefix,
     simhash_pairs,
 )
 from ensembl_database_loader_spark.operators.similarity import (
@@ -147,6 +148,33 @@ def ll2(spark: SparkSession, sf: str) -> DataFrame:
     over the variant corpus."""
     ensure_session_confs(spark)
     pairs = ngram_jaccard_pairs(
+        _corpus(spark, sf), "doc_id", "text", "lang", n=3, threshold=0.8
+    )
+    return pairs.agg(
+        _cnt().alias("pair_cnt"), F.round(F.sum("jaccard"), 2).alias("sum_jaccard")
+    )
+
+
+@probe(
+    "dd_jaccard_prefix",
+    oracle=(
+        f"WITH c AS (SELECT * FROM {_CORPUS} t), "
+        f"s AS (SELECT id, lang, {_shingles(_toks('text'))} AS sh FROM c), "
+        "p AS (SELECT " + _JACCARD.format(a="a.sh", b="b.sh") + " AS j "
+        "FROM s a JOIN s b ON a.lang = b.lang AND a.id < b.id) "
+        "SELECT COUNT(*) AS pair_cnt, ROUND(SUM(j), 2) AS sum_jaccard "
+        "FROM p WHERE j >= 0.8"
+    ),
+    tags=("llm", "dedup"),
+)
+def dd_jaccard_prefix(spark: SparkSession, sf: str) -> DataFrame:
+    """PPJoin-style prefix-filtered exact Jaccard pairs (>= 0.8): only
+    each doc's (1-t)|S|+1 globally-rarest shingles enter the inverted
+    index, so hot shingles never cause freq^2 candidate blowup. Same
+    oracle as ll2_ngram_jaccard — output is provably identical; this
+    probe exists so the scale path is correctness-gated too."""
+    ensure_session_confs(spark)
+    pairs = ngram_jaccard_pairs_prefix(
         _corpus(spark, sf), "doc_id", "text", "lang", n=3, threshold=0.8
     )
     return pairs.agg(

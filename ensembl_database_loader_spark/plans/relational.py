@@ -1031,6 +1031,166 @@ def q43(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@probe(
+    "q45_asof_join",
+    oracle=(
+        "WITH l AS (SELECT * FROM events WHERE event_type = 'click'), "
+        "r AS (SELECT * FROM events WHERE event_type = 'view') "
+        "SELECT COUNT(*) AS click_cnt, COUNT(r.event_id) AS matched_cnt, "
+        "ROUND(SUM(l.value - r.value), 2) AS sum_value_delta, "
+        "CAST(SUM(CASE WHEN r.event_id IS NOT NULL THEN l.user_id END) AS BIGINT) "
+        "AS sum_matched_user "
+        "FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts"
+    ),
+    tags=("join", "temporal"),
+)
+def q45(spark: SparkSession, sf: str) -> DataFrame:
+    """As-of join: each click enriched with the same user's most recent
+    view at-or-before it. Spark lacks ASOF JOIN; the operator
+    (operators/asof.py) is the distributed union+window formulation —
+    one shuffle on user_id, zero join nodes — checked here against
+    DuckDB's native ASOF LEFT JOIN."""
+    from ensembl_database_loader_spark.operators.asof import asof_join
+
+    ensure_session_confs(spark)
+    e = table(spark, sf, "events")
+    clicks = e.filter(F.col("event_type") == "click")
+    views = e.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    j = asof_join(clicks, views, on="ts", by=["user_id"], value_cols=["event_id", "value"])
+    return j.agg(
+        _cnt().alias("click_cnt"),
+        _cnt(F.col("event_id_r").isNotNull()).alias("matched_cnt"),
+        F.round(F.sum(F.col("value") - F.col("value_r")), 2).alias("sum_value_delta"),
+        F.sum(F.when(F.col("event_id_r").isNotNull(), F.col("user_id")))
+        .cast("bigint")
+        .alias("sum_matched_user"),
+    )
+
+
+@probe(
+    "q46_cube_grouping",
+    oracle=(
+        "SELECT o_orderstatus, o_orderpriority, "
+        "CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid, "
+        "COUNT(*) AS cnt, ROUND(SUM(o_totalprice), 2) AS total "
+        "FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)"
+    ),
+    tags=("agg", "cube"),
+)
+def q46(spark: SparkSession, sf: str) -> DataFrame:
+    """CUBE over (status, priority) with grouping_id — all 2^2 grouping
+    sets in one partial-aggregatable pass (Spark expands the cube
+    map-side; no per-set rescan). grouping_id bitmask matches DuckDB's
+    GROUPING()."""
+    ensure_session_confs(spark)
+    o = table(spark, sf, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.grouping_id().cast("bigint").alias("gid"),
+        _cnt().alias("cnt"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
+
+
+@probe(
+    "q47_pivot",
+    oracle=(
+        "SELECT o_orderpriority, "
+        "ROUND(SUM(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 2) AS f_total, "
+        "ROUND(SUM(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 2) AS o_total, "
+        "ROUND(SUM(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 2) AS p_total "
+        "FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"
+    ),
+    tags=("agg", "pivot"),
+)
+def q47(spark: SparkSession, sf: str) -> DataFrame:
+    """Pivot (long->wide): revenue by priority x status. Pivot values
+    are given explicitly so Spark skips the extra distinct-values job
+    — at 100 TB an unbounded pivot is a full-scan surprise."""
+    ensure_session_confs(spark)
+    o = table(spark, sf, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.round(F.sum("o_totalprice"), 2))
+        .withColumnRenamed("F", "f_total")
+        .withColumnRenamed("O", "o_total")
+        .withColumnRenamed("P", "p_total")
+        .orderBy("o_orderpriority")
+    )
+
+
+@probe(
+    "q48_unpivot",
+    oracle=(
+        "WITH u AS ("
+        "SELECT 'l_discount' AS metric, l_discount AS val FROM lineitem "
+        "UNION ALL SELECT 'l_extendedprice', l_extendedprice FROM lineitem "
+        "UNION ALL SELECT 'l_quantity', l_quantity FROM lineitem) "
+        "SELECT metric, COUNT(*) AS cnt, ROUND(SUM(val), 2) AS total "
+        "FROM u GROUP BY metric ORDER BY metric"
+    ),
+    tags=("reshape",),
+)
+def q48(spark: SparkSession, sf: str) -> DataFrame:
+    """Unpivot (wide->long) of three measure columns, then aggregate
+    per metric. Spark's unpivot is a zero-shuffle Expand node — each
+    input row fans out in place."""
+    ensure_session_confs(spark)
+    li = table(spark, sf, "lineitem")
+    u = li.unpivot(
+        ids=[],
+        values=["l_discount", "l_extendedprice", "l_quantity"],
+        variableColumnName="metric",
+        valueColumnName="val",
+    )
+    return (
+        u.groupBy("metric")
+        .agg(_cnt().alias("cnt"), F.round(F.sum("val"), 2).alias("total"))
+        .orderBy("metric")
+    )
+
+
+@probe(
+    "q49_exact_median",
+    oracle=(
+        "SELECT l_returnflag, "
+        "ROUND(quantile_cont(l_extendedprice, 0.5) + 1e-6, 2) AS median_price, "
+        "ROUND(quantile_cont(l_extendedprice, 0.25) + 1e-6, 2) AS q25_price, "
+        "ROUND(quantile_cont(l_extendedprice, 0.75) + 1e-6, 2) AS q75_price "
+        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"
+    ),
+    tags=("agg", "percentile"),
+)
+def q49(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact interpolated percentiles per group (Spark `percentile` ==
+    DuckDB `quantile_cont`, linear interpolation). The exact path needs
+    per-group sorted values — q44 is the mergeable-sketch alternative
+    for when this doesn't fit.
+
+    The +1e-6 nudge before ROUND is a knife-edge guard: quartiles of
+    2-decimal prices land exactly on the quarter-cent grid, so the
+    true median is often exactly x.xx5 and a 1-ulp interpolation
+    difference between engines flips the rounding (observed at
+    sf0.001). Engines agree to ~5e-8 absolute, so shifting the
+    boundary by 1e-6 makes both round identically."""
+    ensure_session_confs(spark)
+    li = table(spark, sf, "lineitem")
+    qt = lambda p: F.round(  # noqa: E731
+        F.expr(f"percentile(l_extendedprice, {p})") + F.lit(1e-6), 2
+    )
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            qt(0.5).alias("median_price"),
+            qt(0.25).alias("q25_price"),
+            qt(0.75).alias("q75_price"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
 @probe("q44_approx_percentile", oracle=None, tags=("approx", "sketch"))
 def q44(spark: SparkSession, sf: str) -> DataFrame:
     """Quantile sketch: approx_percentile (GK sketch) vs the exact

@@ -25,6 +25,9 @@ RUNTIME_CONFS: dict[str, str] = {
 }
 
 BUILD_CONFS: dict[str, str] = {
+    # local[N] runs everything in the driver JVM; the 1g default heap
+    # GC-thrashes on wide shuffles at sf0.1+. Env-overridable.
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
     "spark.sql.cbo.enabled": "true",
     "spark.sql.cbo.joinReorder.enabled": "true",
     "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_SHUFFLE", "32"),

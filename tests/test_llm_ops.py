@@ -164,3 +164,25 @@ def test_filter_map_lines_v1(spark):
     out = filter_map_lines(df, "line", keep_rlike="^keep", alter_pattern="keep",
                            alter_replacement="KEPT")
     assert sorted(r.line for r in out.collect()) == ["KEPT me too", "KEPT this"]
+
+
+def test_prefix_filter_jaccard_equivalence(spark):
+    """Prefix-filtered exact Jaccard returns exactly the same pairs as
+    the plain inverted index (candidate completeness)."""
+    from ensembl_database_loader_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        ngram_jaccard_pairs_prefix,
+    )
+    from ensembl_database_loader_spark.plans.llm import _corpus
+
+    c = _corpus(spark, "/root/testdata/sf0.01")
+    plain = {
+        (r.id1, r.id2, round(r.jaccard, 9))
+        for r in ngram_jaccard_pairs(c, "doc_id", "text", "lang", 3, 0.8).collect()
+    }
+    pref = {
+        (r.id1, r.id2, round(r.jaccard, 9))
+        for r in ngram_jaccard_pairs_prefix(c, "doc_id", "text", "lang", 3, 0.8).collect()
+    }
+    assert len(plain) > 0
+    assert pref == plain
