@@ -32,6 +32,8 @@ def main() -> int:
     ap.add_argument(
         "--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     )
+    ap.add_argument("--include-merged", action="store_true",
+                    help="also time the window-consolidation composite probes")
     args = ap.parse_args()
 
     sf_dir = args.sf_dir
@@ -46,6 +48,11 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
 
     probes = all_probes()
+    # Window-consolidation composites just re-run their component probes
+    # (already timed individually) — excluding them keeps the suite
+    # total comparable with BASELINE.md probe-for-probe.
+    if not args.include_merged:
+        probes = {k: v for k, v in probes.items() if "merged" not in v.tags}
     if args.only:
         keep = set(args.only.split(","))
         probes = {k: v for k, v in probes.items() if k in keep}

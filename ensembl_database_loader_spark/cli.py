@@ -23,18 +23,61 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument("--work-dir", required=True, help="directory of dump databases")
     p.add_argument("--target-dir", required=True, help="parquet mirror target")
+    p.add_argument("--profile", default=None, choices=("ensembl", "eg"),
+                   help="named preset: the reference's LoadDBs_conf (ensembl) "
+                        "or LoadDBs_EG_conf (eg) defaults; explicit flags "
+                        "override the profile")
     p.add_argument("--mode", default="all", choices=("all", "ensembl", "mart"))
     p.add_argument("--databases", nargs="*", default=None,
                    help="explicit database list (mode must be 'all')")
-    p.add_argument("--priority-species", nargs="*", default=[])
-    p.add_argument("--priority-groups", nargs="*", default=[])
-    p.add_argument("--max-concurrent", type=int, default=4)   # -hive_capacity
-    p.add_argument("--max-retry", type=int, default=1)        # -max_retry_count
-    p.add_argument("--failed-tolerance", type=float, default=0.5)
+    p.add_argument("--priority-species", nargs="*", default=None)
+    p.add_argument("--priority-groups", nargs="*", default=None)
+    p.add_argument("--max-concurrent", type=int, default=None)  # -hive_capacity
+    p.add_argument("--max-retry", type=int, default=None)       # -max_retry_count
+    p.add_argument("--failed-tolerance", type=float, default=None)
     p.add_argument("--no-verify", action="store_true",
                    help="skip CHECKSUMS verification")
+    p.add_argument("--strict-escapes", action="store_true",
+                   help="full LOAD DATA escape fidelity (escaped tabs/newlines, "
+                        "\\0\\b\\n\\r\\t\\Z letter map) via the per-partition "
+                        "decoder — exact but row-at-a-time; use for dumps with "
+                        "free-text columns")
     p.add_argument("--master", default=None, help="spark master override")
     return p
+
+
+def resolve_options(args) -> dict:
+    """Merge CLI flags over the selected profile's defaults (explicit
+    flag always wins; without --profile the pre-profile defaults
+    apply)."""
+    from ensembl_database_loader_spark.profiles import get_profile
+
+    prof = get_profile(args.profile) if args.profile else None
+
+    def pick(flag_val, prof_val, default):
+        if flag_val is not None:
+            return flag_val
+        if prof is not None:
+            return prof_val
+        return default
+
+    return {
+        "mode": args.mode,
+        "databases": args.databases,
+        "priority_species": tuple(
+            pick(args.priority_species, list(prof.priority_species) if prof else [], [])
+        ),
+        "priority_groups": tuple(
+            pick(args.priority_groups, list(prof.priority_groups) if prof else [], [])
+        ),
+        "max_concurrent": pick(
+            args.max_concurrent, prof.high_priority_load_capacity if prof else None, 4
+        ),
+        "max_retry": pick(args.max_retry, prof.max_retry if prof else None, 1),
+        "failed_tolerance": pick(
+            args.failed_tolerance, prof.load_failed_tolerance if prof else None, 0.5
+        ),
+    }
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -43,18 +86,14 @@ def main(argv: list[str] | None = None) -> int:
     from ensembl_database_loader_spark.session import get_spark
 
     spark = get_spark(app_name="mirror-cli", master=args.master)
+    opts = resolve_options(args)
     report = mirror(
         spark,
         work_dir=args.work_dir,
         target_dir=args.target_dir,
-        mode=args.mode,
-        databases=args.databases,
-        priority_species=tuple(args.priority_species),
-        priority_groups=tuple(args.priority_groups),
-        max_concurrent=args.max_concurrent,
-        failed_tolerance=args.failed_tolerance,
-        max_retry=args.max_retry,
         verify=not args.no_verify,
+        strict_escapes=args.strict_escapes,
+        **opts,
     )
     print(render_report(report.to_df(spark)))
     return 1 if report.failed_databases else 0

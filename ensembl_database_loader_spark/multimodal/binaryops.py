@@ -5,15 +5,24 @@ The pattern for image/audio/video at 100 TB: store the raw bytes as a
 ``binary`` column (or a reference into object storage), keep typed
 metadata (modality, byte size, codec) alongside, and run decode /
 feature-extraction as mapInPandas stages so each Arrow batch crosses
-the JVM<->Python boundary once. Media libraries are not available in
-this container, so the actual decoders are STUBS behind
-``NotImplementedError``; ``_fake_decode`` is a deterministic
-stand-in that keeps the Spark-side plumbing (schema, batching,
-partitioning) real and testable.
+the JVM<->Python boundary once.
+
+Decoding is PLUGGABLE by modality:
+
+- ``image/bmp`` and ``audio/wav`` are decoded FOR REAL by the stdlib
+  codecs below (``decode_bmp24`` parses the BITMAPINFOHEADER + pixel
+  rows with stride handling; ``decode_wav16`` parses RIFF via the
+  stdlib ``wave`` module + PCM samples via ``struct``) — no external
+  media library needed.
+- compressed formats (PNG/JPEG/MP4...) need libraries this container
+  lacks; ``decode_image`` stays an explicit ``NotImplementedError``
+  seam, and ``_fake_decode`` is the deterministic stand-in that keeps
+  schema/batching/fan-out testable for those modalities.
 """
 
 from __future__ import annotations
 
+import struct
 from collections.abc import Iterator
 
 import pandas as pd
@@ -40,12 +49,93 @@ def with_binary_payload(df: DataFrame, id_col: str, payload_col: str, modality: 
 
 
 def decode_image(data: bytes) -> tuple[int, int]:
-    """Real image decode — requires an imaging library not present in
-    this environment. Kept as an explicit stub so the seam is obvious."""
+    """Compressed-image decode (PNG/JPEG/...) — requires an imaging
+    library not present in this environment. Kept as an explicit stub
+    so the seam is obvious; uncompressed BMP decodes for real via
+    ``decode_bmp24``."""
     raise NotImplementedError(
-        "image decoding needs an imaging library (e.g. Pillow); "
-        "install one and replace this stub"
+        "compressed image decoding needs an imaging library (e.g. Pillow); "
+        "install one and replace this stub (BMP/WAV decode for real below)"
     )
+
+
+# --- real stdlib codecs ----------------------------------------------------
+
+
+def encode_bmp24(width: int, height: int, bgr: tuple[int, int, int]) -> bytes:
+    """A real uncompressed 24-bit BMP (BITMAPFILEHEADER +
+    BITMAPINFOHEADER, bottom-up rows padded to 4-byte stride), solid
+    ``bgr`` fill. Pure stdlib."""
+    stride = (width * 3 + 3) & ~3
+    image_size = stride * height
+    file_header = struct.pack("<2sIHHI", b"BM", 14 + 40 + image_size, 0, 0, 54)
+    info_header = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, image_size, 2835, 2835, 0, 0
+    )
+    row = bytes(bgr) * width + b"\x00" * (stride - width * 3)
+    return file_header + info_header + row * height
+
+
+def decode_bmp24(data: bytes) -> tuple[int, int, float, float, float]:
+    """Real BMP decode: validate magic/compression, parse the header,
+    walk padded pixel rows, and return (width, height, mean_b, mean_g,
+    mean_r) over the actual pixel bytes."""
+    if data[:2] != b"BM":
+        raise ValueError("not a BMP: bad magic")
+    (offset,) = struct.unpack_from("<I", data, 10)
+    header_size, width, height = struct.unpack_from("<Iii", data, 14)
+    planes, bitcount = struct.unpack_from("<HH", data, 26)
+    (compression,) = struct.unpack_from("<I", data, 30)
+    if header_size < 40 or bitcount != 24 or compression != 0 or planes != 1:
+        raise ValueError(
+            f"unsupported BMP variant (header={header_size} bpp={bitcount} "
+            f"compression={compression})"
+        )
+    flipped = height < 0  # negative height = top-down row order
+    height = abs(height)
+    stride = (width * 3 + 3) & ~3
+    sums = [0, 0, 0]
+    for r in range(height):
+        base = offset + r * stride
+        row = data[base : base + width * 3]
+        sums[0] += sum(row[0::3])
+        sums[1] += sum(row[1::3])
+        sums[2] += sum(row[2::3])
+    n = width * height
+    del flipped  # solid-fill stats are row-order independent
+    return width, height, sums[0] / n, sums[1] / n, sums[2] / n
+
+
+def encode_wav16(n_samples: int, value: int, framerate: int = 8000) -> bytes:
+    """A real 16-bit mono PCM WAV written by the stdlib ``wave``
+    module, every sample equal to ``value``."""
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(framerate)
+        w.writeframes(struct.pack(f"<{n_samples}h", *([value] * n_samples)))
+    return buf.getvalue()
+
+
+def decode_wav16(data: bytes) -> tuple[int, int, int, int]:
+    """Real WAV decode via the stdlib RIFF parser: returns
+    (n_channels, framerate, n_frames, max_abs_sample)."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(data), "rb") as w:
+        n_channels = w.getnchannels()
+        framerate = w.getframerate()
+        n_frames = w.getnframes()
+        if w.getsampwidth() != 2:
+            raise ValueError("only 16-bit PCM supported")
+        raw = w.readframes(n_frames)
+    samples = struct.unpack(f"<{n_frames * n_channels}h", raw)
+    return n_channels, framerate, n_frames, max((abs(s) for s in samples), default=0)
 
 
 def _fake_decode(data: bytes) -> tuple[int, int, int]:
@@ -78,6 +168,89 @@ def decode_media_stats(df: DataFrame, use_real_decoder: bool = False) -> DataFra
             )
 
     return df.mapInPandas(decode_batches, schema=DECODED_SCHEMA)
+
+
+def build_deterministic_media(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, modality, bytes): a REAL solid-fill BMP for even ids, a REAL
+    constant-sample WAV for odd ids — geometry/fill/sample count derived
+    from (id, octet_length(text)) so every decoded statistic is
+    closed-form predictable by a SQL oracle over the source table:
+
+    image (even id): width = 4 + olen%13, height = 3 + id%7,
+                     fill BGR = (p, (p+1)%256, (p+2)%256), p = (id*37+olen)%256
+    audio (odd id):  n_samples = 8 + olen%32, framerate 8000,
+                     sample value = id%1000 - 500
+    """
+
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.octet_length(F.col(text_col)).cast("bigint").alias("olen"),
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads, modalities = [], []
+            for i, olen in zip(pdf["id"], pdf["olen"]):
+                i, olen = int(i), int(olen)
+                if i % 2 == 0:
+                    p = (i * 37 + olen) % 256
+                    payloads.append(
+                        encode_bmp24(
+                            4 + olen % 13,
+                            3 + i % 7,
+                            (p, (p + 1) % 256, (p + 2) % 256),
+                        )
+                    )
+                    modalities.append("image/bmp")
+                else:
+                    payloads.append(encode_wav16(8 + olen % 32, i % 1000 - 500))
+                    modalities.append("audio/wav")
+            yield pd.DataFrame(
+                {"id": pdf["id"], "modality": modalities, "bytes": payloads}
+            )
+
+    return base.mapInPandas(gen, schema="id BIGINT, modality STRING, bytes BINARY")
+
+
+REAL_DECODED_SCHEMA = (
+    "id BIGINT, modality STRING, width INT, height INT, mean_b DOUBLE, "
+    "mean_r DOUBLE, n_frames INT, sample_rate INT, max_amp INT, n_bytes BIGINT"
+)
+
+
+def decode_real_media(df: DataFrame) -> DataFrame:
+    """mapInPandas decode stage dispatching on modality to the REAL
+    stdlib codecs (BMP header+pixel parse, RIFF/WAV parse). Unknown
+    modalities raise — this stage is for formats we actually decode;
+    opaque payloads go through ``decode_media_stats``."""
+
+    def dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                "id": [], "modality": [], "width": [], "height": [],
+                "mean_b": [], "mean_r": [], "n_frames": [], "sample_rate": [],
+                "max_amp": [], "n_bytes": [],
+            }  # fmt: skip
+            for i, m, b in zip(pdf["id"], pdf["modality"], pdf["bytes"]):
+                data = bytes(b)
+                row: dict[str, object] = {
+                    "id": int(i), "modality": m, "width": None, "height": None,
+                    "mean_b": None, "mean_r": None, "n_frames": None,
+                    "sample_rate": None, "max_amp": None, "n_bytes": len(data),
+                }  # fmt: skip
+                if m == "image/bmp":
+                    w, h, mb, _mg, mr = decode_bmp24(data)
+                    row.update(width=w, height=h, mean_b=mb, mean_r=mr)
+                elif m == "audio/wav":
+                    _nch, rate, frames, amp = decode_wav16(data)
+                    row.update(n_frames=frames, sample_rate=rate, max_amp=amp)
+                else:
+                    raise ValueError(f"no real decoder for modality {m!r}")
+                for k, v in row.items():
+                    out[k].append(v)
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(dec, schema=REAL_DECODED_SCHEMA)
 
 
 RESIZED_SCHEMA = "id BIGINT, modality STRING, width INT, height INT, bytes BINARY"

@@ -223,6 +223,7 @@ def _load_one(
     branch: int,
     attempt: int,
     verify: bool,
+    strict_escapes: bool = False,
 ) -> list[JobResult]:
     """Per-database chain: verify -> load to a parquet mirror. Runs in a
     worker thread; the FAIR pool gives priority classes their weight
@@ -237,7 +238,9 @@ def _load_one(
                 raise FileExistsError(f"target database already exists: {target}")
             shutil.rmtree(target)  # retry: drop + recreate (DownloadDatabase.pm:172-186)
         src = os.path.join(work_dir, database)
-        tables = read_mysql_dump(spark, src, verify=verify)
+        tables = read_mysql_dump(
+            spark, src, verify=verify, strict_escapes=strict_escapes
+        )
         results.append(JobResult(database, "verify", "DONE", attempt))
         for t, df in tables.items():
             df.write.mode("errorifexists").parquet(os.path.join(target, t))
@@ -262,6 +265,7 @@ def mirror(
     failed_tolerance: float = 0.5,  # -failed_job_tolerance (50%), LoadDBs_conf.pm:166
     max_retry: int = 1,  # -max_retry_count, LoadDBs_conf.pm:189
     verify: bool = True,
+    strict_escapes: bool = False,  # full LOAD DATA escape fidelity (slow path)
     seed: int = 42,
 ) -> MirrorReport:
     """Mirror every selected dump database into a parquet target.
@@ -289,7 +293,14 @@ def mirror(
         out: list[JobResult] = []
         for attempt in range(max_retry + 1):
             out = _load_one(
-                spark, work_dir, target_dir, row.database, row.branch, attempt, verify
+                spark,
+                work_dir,
+                target_dir,
+                row.database,
+                row.branch,
+                attempt,
+                verify,
+                strict_escapes=strict_escapes,
             )
             if not any(r.status == "FAILED" for r in out):
                 break

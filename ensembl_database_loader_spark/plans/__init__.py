@@ -18,5 +18,9 @@ try:
     from ensembl_database_loader_spark.plans import llm  # noqa: F401
 except ImportError:  # pragma: no cover
     pass
+try:
+    from ensembl_database_loader_spark.plans import merged  # noqa: F401
+except ImportError:  # pragma: no cover
+    pass
 
 __all__ = ["Probe", "all_probes", "probe"]

@@ -328,6 +328,26 @@ def dd_simhash(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@probe("dd_simhash_banded", oracle=_SIMHASH_ORACLE, tags=("llm", "dedup"))
+def dd_simhash_banded(spark: SparkSession, sf: str) -> DataFrame:
+    """SimHash near-dup pairs via BANDED blocking (the 100 TB path):
+    fingerprints are bucketed on (band index, 6-bit band value, lang)
+    and only bucket-mates are paired — pigeonhole over 5 bands
+    guarantees no pair within Hamming<=4 is missed. Same oracle as
+    dd_simhash; pytest proves pair-set equality with the quadratic
+    version (tests/test_llm_ops.py)."""
+    from ensembl_database_loader_spark.operators.dedup import simhash_pairs_banded
+
+    ensure_session_confs(spark)
+    pairs = simhash_pairs_banded(
+        _corpus(spark, sf), "doc_id", "text", "lang", max_hamming=4
+    )
+    return pairs.agg(
+        _cnt(F.col("hamming") <= 4).alias("pair_cnt"),
+        _cnt(F.col("hamming") == 0).alias("zero_ham_cnt"),
+    )
+
+
 @probe(
     "dd_embedding_neardup",
     oracle=(
@@ -498,6 +518,55 @@ def mm_frames(spark: SparkSession, sf: str) -> DataFrame:
 @probe(
     "mm_decode_stats",
     oracle=(
+        "WITH m AS (SELECT doc_id, octet_length(encode(text)) AS olen FROM documents) "
+        "SELECT COUNT(*) FILTER (WHERE doc_id % 2 = 0) AS img_cnt, "
+        "CAST(SUM(CASE WHEN doc_id % 2 = 0 THEN 4 + olen % 13 END) AS BIGINT) AS sum_width, "
+        "CAST(SUM(CASE WHEN doc_id % 2 = 0 THEN 3 + doc_id % 7 END) AS BIGINT) AS sum_height, "
+        "CAST(SUM(CASE WHEN doc_id % 2 = 0 THEN (doc_id * 37 + olen) % 256 END) AS BIGINT) "
+        "AS sum_mean_b, "
+        "CAST(SUM(CASE WHEN doc_id % 2 = 0 THEN ((doc_id * 37 + olen) % 256 + 2) % 256 END) "
+        "AS BIGINT) AS sum_mean_r, "
+        "COUNT(*) FILTER (WHERE doc_id % 2 = 1) AS wav_cnt, "
+        "CAST(SUM(CASE WHEN doc_id % 2 = 1 THEN 8 + olen % 32 END) AS BIGINT) AS sum_frames, "
+        "CAST(SUM(CASE WHEN doc_id % 2 = 1 THEN abs(doc_id % 1000 - 500) END) AS BIGINT) "
+        "AS sum_amp FROM m"
+    ),
+    tags=("llm", "multimodal"),
+)
+def mm_decode(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL multimodal decode: deterministic 24-bit BMP (even doc_ids)
+    and 16-bit PCM WAV (odd doc_ids) payloads flow through an
+    Arrow-batched mapInPandas stage that genuinely parses headers,
+    pixel rows (with stride), and PCM samples via stdlib struct/wave
+    (multimodal/binaryops.py: encode_bmp24/decode_bmp24,
+    encode_wav16/decode_wav16). The oracle closed-forms every decoded
+    statistic from the generation parameters — a decoder bug (channel
+    order, stride, sample width) breaks the hash match."""
+    from ensembl_database_loader_spark.multimodal.binaryops import (
+        build_deterministic_media,
+        decode_real_media,
+    )
+
+    ensure_session_confs(spark)
+    d = table(spark, sf, "documents")
+    stats = decode_real_media(build_deterministic_media(d, "doc_id", "text"))
+    img = F.col("modality") == "image/bmp"
+    wav = F.col("modality") == "audio/wav"
+    return stats.agg(
+        _cnt(img).alias("img_cnt"),
+        F.sum(F.when(img, F.col("width"))).cast("bigint").alias("sum_width"),
+        F.sum(F.when(img, F.col("height"))).cast("bigint").alias("sum_height"),
+        F.sum(F.when(img, F.round("mean_b"))).cast("bigint").alias("sum_mean_b"),
+        F.sum(F.when(img, F.round("mean_r"))).cast("bigint").alias("sum_mean_r"),
+        _cnt(wav).alias("wav_cnt"),
+        F.sum(F.when(wav, F.col("n_frames"))).cast("bigint").alias("sum_frames"),
+        F.sum(F.when(wav, F.col("max_amp"))).cast("bigint").alias("sum_amp"),
+    )
+
+
+@probe(
+    "mm_decode_plumbing",
+    oracle=(
         "WITH b AS (SELECT octet_length(encode(text)) AS olen, "
         "unicode(substr(text, 1, 1)) AS fb FROM documents) "
         "SELECT COUNT(*) AS cnt, CAST(SUM(16 + olen % 64) AS BIGINT) AS sum_width, "
@@ -507,11 +576,11 @@ def mm_frames(spark: SparkSession, sf: str) -> DataFrame:
     ),
     tags=("llm", "multimodal"),
 )
-def mm_decode(spark: SparkSession, sf: str) -> DataFrame:
-    """Multimodal decode plumbing: binary payload column + typed
-    metadata through an Arrow-batched mapInPandas decode stage (the
-    decoder is the documented deterministic stub — real media libs are
-    not in this container; the Spark-side schema/batching is real)."""
+def mm_decode_plumbing(spark: SparkSession, sf: str) -> DataFrame:
+    """Opaque-payload decode plumbing (the seam for formats needing
+    external media libs): binary payload column + typed metadata through
+    decode_media_stats with the documented deterministic stand-in —
+    schema, batching, and partitioning are the real 100 TB shape."""
     ensure_session_confs(spark)
     d = table(spark, sf, "documents")
     payload = with_binary_payload(d, "doc_id", "text", modality="image")

@@ -1,0 +1,121 @@
+"""Window-consolidation probes: several same-shaped single-row probes
+fused into one row so every declared SURVEY §2.3 capability fits inside
+the correctness driver's 50-probe window alongside the full
+LLM-pipeline and streaming surface.
+
+Each merged probe is a pure composition: it CALLS the original
+registered probes (which stay registered, individually bench-timed,
+and locally oracle-checked) and cross-joins their one-row outputs
+with unambiguous column renames. The oracle is built the same way —
+the original oracle strings wrapped as renamed subselects and
+cross-joined — so Spark and DuckDB stay in lock-step by construction.
+The probe name carries every covered probe ID (e.g.
+``q04_q05_q06_filter_family`` covers Q04+Q05+Q06).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ensembl_database_loader_spark.plans.registry import get, probe
+
+#: merged name -> [(original probe, [(src_col, out_col), ...]), ...]
+MERGE_SPECS: dict[str, list[tuple[str, list[tuple[str, str]]]]] = {
+    "q04_q05_q06_filter_family": [
+        ("q04_filter_predicate", [("cnt", "pred_cnt")]),
+        ("q05_filter_regex", [("like_cnt", "like_cnt"), ("re_cnt", "re_cnt")]),
+        ("q06_filter_inlist", [("in_cnt", "in_cnt"), ("anti_cnt", "anti_cnt")]),
+    ],
+    "q09_q10_outer_joins": [
+        ("q09_left_outer_join", [("cnt", "left_unmatched_cnt")]),
+        (
+            "q10_full_outer_join",
+            [
+                ("cnt", "full_cnt"),
+                ("nation_only", "nation_only"),
+                ("supplier_only", "supplier_only"),
+            ],
+        ),
+    ],
+    "q11_q12_semi_anti_join": [
+        ("q11_semi_join", [("cnt", "semi_cnt")]),
+        ("q12_anti_join", [("cnt", "anti_cnt")]),
+    ],
+    "q13_q14_range_cross_join": [
+        ("q13_range_join", [("cnt", "range_cnt")]),
+        ("q14_cross_join", [("cnt", "cross_cnt")]),
+    ],
+    "q23_q24_q25_window_family": [
+        (
+            "q23_window_rank",
+            [("cnt", "rank_cnt"), ("sum_price", "rank_sum_price")],
+        ),
+        (
+            "q24_window_lag",
+            [("sum_delta", "lag_sum_delta"), ("cnt_delta", "lag_cnt_delta")],
+        ),
+        (
+            "q25_window_frame",
+            [("sum_mov", "frame_sum_mov"), ("cnt", "frame_cnt")],
+        ),
+    ],
+    "q26_q27_set_ops": [
+        (
+            "q26_union",
+            [("all_cnt", "union_all_cnt"), ("uniq_cnt", "union_uniq_cnt")],
+        ),
+        (
+            "q27_intersect_except",
+            [("inter_cnt", "inter_cnt"), ("except_cnt", "except_cnt")],
+        ),
+    ],
+    "q28_q29_subqueries": [
+        ("q28_scalar_subquery", [("cnt", "above_avg_cnt")]),
+        ("q29_exists_subquery", [("cnt", "exists_cnt")]),
+    ],
+    "q35_q36_json_casts": [
+        ("q35_json_fns", [("k_sum", "json_k_sum"), ("hi_cnt", "json_hi_cnt")]),
+        (
+            "q36_casts",
+            [
+                ("qty_sum", "qty_sum"),
+                ("ship_days", "ship_days"),
+                ("tax_roundtrip", "tax_roundtrip"),
+            ],
+        ),
+    ],
+}
+
+
+def _merged_spark_fn(spec: list[tuple[str, list[tuple[str, str]]]]):
+    def spark_fn(spark: SparkSession, sf: str) -> DataFrame:
+        out: DataFrame | None = None
+        for name, cols in spec:
+            df = get(name).spark_fn(spark, sf)
+            df = df.selectExpr(*[f"`{src}` AS `{dst}`" for src, dst in cols])
+            out = df if out is None else out.crossJoin(df)
+        assert out is not None
+        return out
+
+    return spark_fn
+
+
+def _merged_oracle(spec: list[tuple[str, list[tuple[str, str]]]]) -> str:
+    subs = []
+    for i, (name, cols) in enumerate(spec):
+        orig = get(name).oracle
+        assert orig is not None, f"merged component {name} has no oracle"
+        select = ", ".join(f"{src} AS {dst}" for src, dst in cols)
+        subs.append(f"(SELECT {select} FROM ({orig}) _m{i}) s{i}")
+    return "SELECT * FROM " + " CROSS JOIN ".join(subs)
+
+
+def _register_all() -> None:
+    for merged_name, spec in MERGE_SPECS.items():
+        covered = ", ".join(n for n, _ in spec)
+        fn = _merged_spark_fn(spec)
+        fn.__doc__ = f"Window-consolidation of: {covered} (see MERGE_SPECS)."
+        probe(merged_name, oracle=_merged_oracle(spec), tags=("merged",))(fn)
+
+
+_register_all()

@@ -1,0 +1,71 @@
+"""Named pipeline profiles — the reference's two PipeConfig presets.
+
+The reference ships LoadDBs_conf.pm (Ensembl main) and
+LoadDBs_EG_conf.pm (Ensembl Genomes) as subclassed eHive configs whose
+deltas are a handful of defaults; here the same deltas are plain data
+selected by ``--profile`` on the CLI.
+
+Field provenance:
+- ensembl: ftp.ensembl.org, rsync on, release = software version,
+  priority species homo_sapiens/mus_musculus/danio_rerio + groups
+  core/variation, download capacity 5 / tolerance 10%, load capacity 4
+  / tolerance 50%, max_retry 1 (LoadDBs_conf.pm:34-92,130-190).
+- eg: ftp.ensemblgenomes.org, rsync OFF, release 'current', division
+  required in source paths, priority species EMPTY + groups
+  core/variation, himem download rc-class, high-priority load capacity
+  8 (LoadDBs_EG_conf.pm:36-56,88,118-161).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class Profile:
+    name: str
+    ftp_host: str
+    ftp_port: int = 21
+    rsync: bool = True
+    release: str | int = "current"
+    division: str = ""
+    mode: str = "all"
+    priority_species: tuple[str, ...] = ()
+    priority_groups: tuple[str, ...] = ("core", "variation")
+    download_capacity: int = 5  # -analysis_capacity on 'download'
+    download_himem: bool = False  # -rc_name => 'himem'
+    download_failed_tolerance: float = 0.10
+    load_capacity: int = 4  # -hive_capacity on 'load_files'
+    high_priority_load_capacity: int = 4
+    load_failed_tolerance: float = 0.50
+    max_retry: int = 1
+    grant_users: tuple[str, ...] = field(default_factory=tuple)
+
+
+PROFILES: dict[str, Profile] = {
+    "ensembl": Profile(
+        name="ensembl",
+        ftp_host="ftp.ensembl.org",
+        rsync=True,
+        release="current",  # reference: software_version() of the API checkout
+        priority_species=("homo_sapiens", "mus_musculus", "danio_rerio"),
+    ),
+    "eg": Profile(
+        name="eg",
+        ftp_host="ftp.ensemblgenomes.org",
+        rsync=False,  # LoadDBs_EG_conf.pm:43
+        release="current",  # LoadDBs_EG_conf.pm:57
+        priority_species=(),  # LoadDBs_EG_conf.pm:88
+        download_himem=True,  # LoadDBs_EG_conf.pm:120
+        high_priority_load_capacity=8,  # LoadDBs_EG_conf.pm:160
+    ),
+}
+
+
+def get_profile(name: str) -> Profile:
+    try:
+        return PROFILES[name]
+    except KeyError:
+        raise KeyError(
+            f"unknown profile {name!r}; available: {sorted(PROFILES)}"
+        ) from None

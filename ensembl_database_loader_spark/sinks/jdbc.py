@@ -12,9 +12,14 @@ DISABLE/ENABLE KEYS with a post-load ANALYZE (LoadFiles.pm:120-149,
   (-hive_capacity 4, LoadDBs_conf.pm:154) becomes the number of
   concurrent JDBC connections.
 - DISABLE KEYS / LOAD DATA / ANALYZE / GRANT are emitted as statement
-  lists for the caller to run over a raw connection — this container
-  has no MySQL server or JDBC driver jar, so execution is the caller's
-  (tested: statement text; gated: execution).
+  lists and executed over a raw JDBC connection via
+  ``execute_statements`` (java.sql.DriverManager through the JVM
+  gateway — the reference runs the same bracket over a raw DBI handle,
+  LoadFiles.pm:120-149). No MySQL server exists in this container, so
+  the end-to-end write/readback/statement tests run against the
+  EMBEDDED DERBY engine that ships on Spark's classpath
+  (tests/test_jdbc_roundtrip.py); the MySQL-specific statement TEXT is
+  tested verbatim.
 - ``write_parquet_mirror``: the internal mirror target — parquet +
   Spark catalog registration + ``ANALYZE TABLE COMPUTE STATISTICS``
   (the reference's post-load ANALYZE feeding the optimizer; here it
@@ -42,22 +47,55 @@ def write_jdbc(
     """Batched JDBC write. ``num_partitions`` bounds concurrent
     connections (coalesce, not repartition — no shuffle just to write);
     isolation NONE skips transactional overhead for bulk loads, matching
-    the reference's DISABLE KEYS posture."""
-    sep = "&" if "?" in url else "?"
-    tuned_url = f"{url}{sep}rewriteBatchedStatements=true&useSSL=false"
-    (
+    the reference's DISABLE KEYS posture. MySQL URLs get the LOAD-DATA-
+    approximating throughput params (rewriteBatchedStatements packs
+    row INSERTs into multi-row packets); other engines (e.g. embedded
+    Derby in tests) take the URL as-is."""
+    tuned_url = url
+    if url.startswith("jdbc:mysql"):
+        sep = "&" if "?" in url else "?"
+        tuned_url = f"{url}{sep}rewriteBatchedStatements=true&useSSL=false"
+    w = (
         df.coalesce(num_partitions)
         .write.format("jdbc")
         .option("url", tuned_url)
         .option("dbtable", table)
-        .option("user", user)
-        .option("password", password)
         .option("batchsize", batch_size)
         .option("isolationLevel", isolation_level)
         .option("truncate", "true")
-        .mode(mode)
-        .save()
     )
+    if user:
+        w = w.option("user", user).option("password", password)
+    w.mode(mode).save()
+
+
+def read_jdbc(
+    spark: SparkSession, url: str, table: str, user: str = "", password: str = ""
+) -> DataFrame:
+    """Read a JDBC table back (verification twin of ``write_jdbc``)."""
+    r = spark.read.format("jdbc").option("url", url).option("dbtable", table)
+    if user:
+        r = r.option("user", user).option("password", password)
+    return r.load()
+
+
+def execute_statements(spark: SparkSession, url: str, statements: list[str]) -> None:
+    """Run raw SQL statements over one JDBC connection via the JVM
+    gateway's java.sql.DriverManager — the passthrough seam for the
+    reference's non-DataFrame DDL (DISABLE/ENABLE KEYS bracket,
+    LoadFiles.pm:218-228; GRANT + FLUSH, Grant.pm:76-104). Driver-side
+    and sequential by design: these are per-table DDL brackets, not
+    data movement."""
+    conn = spark._jvm.java.sql.DriverManager.getConnection(url)  # noqa: SLF001
+    try:
+        stmt = conn.createStatement()
+        try:
+            for sql in statements:
+                stmt.execute(sql)
+        finally:
+            stmt.close()
+    finally:
+        conn.close()
 
 
 def bulk_load_statements(table: str, local_file: str) -> list[str]:

@@ -81,7 +81,13 @@ class DumpSchema:
 
 
 def _strip_comments(sql: str) -> str:
-    sql = re.sub(r"/\*.*?\*/", "", sql, flags=re.DOTALL)  # incl. /*!40101 */
+    # Unwrap /*!NNNNN ... */ conditional (versioned) comments FIRST,
+    # keeping their inner SQL: real mysqldump output wraps CREATE VIEW
+    # (and its CREATE TABLE stand-in) in /*!50001 ... */, so deleting
+    # them wholesale would silently lose those views. Note [^!] below:
+    # plain block comments are removed, conditionals survive unwrapping.
+    sql = re.sub(r"/\*!\d*\s?(.*?)\*/", r"\1", sql, flags=re.DOTALL)
+    sql = re.sub(r"/\*[^!].*?\*/|/\*\*/", "", sql, flags=re.DOTALL)
     sql = re.sub(r"--[^\n]*", "", sql)
     sql = re.sub(r"^\s*#[^\n]*$", "", sql, flags=re.MULTILINE)
     return sql
@@ -170,5 +176,8 @@ def parse_mysql_ddl(sql: str) -> DumpSchema:
         body = _body_at(cleaned, m.end() - 1)
         out.tables[m.group("name")] = _parse_columns(body)
     for m in _CREATE_VIEW_RE.finditer(cleaned):
-        out.views.append(m.group("name"))
+        # mysqldump emits each view twice (temporary stand-in + final
+        # structure, both in /*!50001 ... */ conditionals): dedupe.
+        if m.group("name") not in out.views:
+            out.views.append(m.group("name"))
     return out

@@ -36,10 +36,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import DateType, StringType, StructField, StructType, TimestampType
 
-from ensembl_database_loader_spark.functions.checksums import (
-    bsd_sum16_blocks,
-    bsd_sum16_file_udf,
-)
+from ensembl_database_loader_spark.functions.checksums import bsd_sum16_file_check_udf
 from ensembl_database_loader_spark.sources.mysql_ddl import DumpSchema, parse_mysql_ddl
 
 #: Part-grouping regex — the reference's, verbatim (LoadFiles.pm:203):
@@ -131,13 +128,17 @@ def verify_checksums(
     Returns a DataFrame (file, expected, actual) of FAILURES (empty =
     verified). Missing files surface as actual='-' exactly like the
     reference (DownloadDatabase.pm:157); extra on-disk files not in the
-    manifest are ignored (the manifest drives the check). Checksums are
-    compared 5-digit zero-padded (DownloadDatabase.pm:208,248)."""
+    manifest are ignored (the manifest drives the check). Like the
+    reference, the compared value is the combined ``'%05d sum' blocks``
+    pair (DownloadDatabase.pm:208-210, 247-250) — a truncated or
+    resized file fails on the block count even if the 16-bit sum
+    collides."""
     if dump.checksum_file is None:
         raise FileNotFoundError(f"{dump.path}: no CHECKSUMS manifest")
     manifest = parse_checksum_manifest(dump.checksum_file)
     expected = spark.createDataFrame(
-        [(f, f"{s:05d}") for f, s, _ in manifest], "file string, expected string"
+        [(f, f"{s:05d} {blocks}") for f, s, blocks in manifest],
+        "file string, expected string",
     )
     local = [
         e.name
@@ -149,7 +150,7 @@ def verify_checksums(
         "file string, path string",
     ).select(
         "file",
-        F.format_string("%05d", bsd_sum16_file_udf(F.col("path"))).alias("actual"),
+        bsd_sum16_file_check_udf(F.col("path")).alias("actual"),
     )
     failures = (
         expected.join(actual, "file", "left_outer")
@@ -209,6 +210,21 @@ def _mysql_unescape(s: str) -> str | None:
     return "".join(out)
 
 
+def _split_unescaped_tabs(record: str) -> list[str]:
+    """Split a record on unescaped tabs: re-join split pieces whose tail
+    ends with an odd backslash run (that tab was escaped data)."""
+    raw, fields = record.split("\t"), []
+    acc = raw[0]
+    for piece in raw[1:]:
+        if _trailing_backslashes(acc) % 2 == 1:
+            acc = acc + "\t" + piece
+        else:
+            fields.append(acc)
+            acc = piece
+    fields.append(acc)
+    return fields
+
+
 def _decode_mysql_lines(lines, n_cols: int):
     """Per-partition MySQL-TSV record decoder: rejoin lines ending in an
     escaped newline (odd trailing-backslash run), split fields on
@@ -221,24 +237,15 @@ def _decode_mysql_lines(lines, n_cols: int):
             buf = cur
             continue
         buf = None
-        # split on unescaped tabs: re-join split pieces whose tail ends
-        # with an odd backslash run (that tab was escaped data)
-        raw, fields = cur.split("\t"), []
-        acc = raw[0]
-        for piece in raw[1:]:
-            if _trailing_backslashes(acc) % 2 == 1:
-                acc = acc + "\t" + piece
-            else:
-                fields.append(acc)
-                acc = piece
-        fields.append(acc)
-        vals = [_mysql_unescape(f) for f in fields]
+        vals = [_mysql_unescape(f) for f in _split_unescaped_tabs(cur)]
         if len(vals) < n_cols:
             vals += [None] * (n_cols - len(vals))
         yield tuple(vals[:n_cols])
     if buf is not None:  # dangling escaped newline at EOF: emit as-is
         yield tuple(
-            ([_mysql_unescape(f) for f in buf.split("\t")] + [None] * n_cols)[:n_cols]
+            ([_mysql_unescape(f) for f in _split_unescaped_tabs(buf)] + [None] * n_cols)[
+                :n_cols
+            ]
         )
 
 

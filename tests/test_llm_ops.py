@@ -166,6 +166,39 @@ def test_filter_map_lines_v1(spark):
     assert sorted(r.line for r in out.collect()) == ["KEPT me too", "KEPT this"]
 
 
+def test_simhash_banded_equivalence(spark):
+    """Banded SimHash blocking returns exactly the same (id1, id2,
+    hamming) pairs as the quadratic-within-block version (pigeonhole
+    candidate completeness over 5 bands at max_hamming=4)."""
+    from ensembl_database_loader_spark.operators.dedup import (
+        simhash_pairs,
+        simhash_pairs_banded,
+    )
+    from ensembl_database_loader_spark.plans.llm import _corpus
+
+    c = _corpus(spark, "/root/testdata/sf0.01")
+    quad = {
+        (r.id1, r.id2, r.hamming)
+        for r in simhash_pairs(c, "doc_id", "text", "lang", max_hamming=4).collect()
+    }
+    banded = {
+        (r.id1, r.id2, r.hamming)
+        for r in simhash_pairs_banded(c, "doc_id", "text", "lang", max_hamming=4).collect()
+    }
+    assert len(quad) > 0
+    assert banded == quad
+
+
+def test_simhash_banded_rejects_too_few_bands(spark, sf_dir):
+    import pytest as _pytest
+
+    from ensembl_database_loader_spark.operators.dedup import simhash_pairs_banded
+
+    d = table(spark, sf_dir, "documents")
+    with _pytest.raises(ValueError):
+        simhash_pairs_banded(d, "doc_id", "text", "lang", max_hamming=4, n_bands=3)
+
+
 def test_prefix_filter_jaccard_equivalence(spark):
     """Prefix-filtered exact Jaccard returns exactly the same pairs as
     the plain inverted index (candidate completeness)."""

@@ -194,6 +194,86 @@ def test_cli_end_to_end(tmp_path, spark):
     assert spark.read.parquet(str(tmp_path / "clitarget" / "cli_core_1_1" / "orders")).count() == 3
 
 
+def test_cli_eg_profile_end_to_end(tmp_path, spark):
+    """--profile eg runs with the LoadDBs_EG_conf defaults (capacity 8,
+    rsync off, priority groups core/variation, no priority species) on a
+    fixture dump."""
+    from ensembl_database_loader_spark.cli import main
+
+    work = tmp_path / "egwork"
+    os.makedirs(work)
+    build_dump(str(work), "bacteria_core_1_1")
+    rc = main([
+        "--work-dir", str(work),
+        "--target-dir", str(tmp_path / "egtarget"),
+        "--profile", "eg",
+    ])
+    assert rc == 0
+    got = spark.read.parquet(str(tmp_path / "egtarget" / "bacteria_core_1_1" / "orders"))
+    assert got.count() == 3
+
+
+def test_profile_resolution_precedence():
+    """Profile supplies defaults; explicit flags win; no profile keeps
+    the original CLI defaults."""
+    from ensembl_database_loader_spark.cli import build_parser, resolve_options
+    from ensembl_database_loader_spark.profiles import get_profile
+
+    eg = get_profile("eg")
+    assert eg.ftp_host == "ftp.ensemblgenomes.org"  # LoadDBs_EG_conf.pm:37
+    assert eg.rsync is False and eg.release == "current"
+    assert eg.download_himem and eg.high_priority_load_capacity == 8
+    assert eg.priority_species == () and eg.priority_groups == ("core", "variation")
+
+    ens = get_profile("ensembl")
+    assert ens.ftp_host == "ftp.ensembl.org" and ens.rsync is True
+    assert ens.priority_species == ("homo_sapiens", "mus_musculus", "danio_rerio")
+
+    p = build_parser()
+    base = ["--work-dir", "w", "--target-dir", "t"]
+    opts = resolve_options(p.parse_args(base + ["--profile", "eg"]))
+    assert opts["max_concurrent"] == 8
+    assert opts["priority_groups"] == ("core", "variation")
+    assert opts["priority_species"] == ()
+    opts = resolve_options(
+        p.parse_args(base + ["--profile", "eg", "--max-concurrent", "2"])
+    )
+    assert opts["max_concurrent"] == 2  # explicit flag beats profile
+    opts = resolve_options(p.parse_args(base))
+    assert opts["max_concurrent"] == 4 and opts["priority_groups"] == ()
+
+
+def test_mirror_strict_escapes_plumbed(spark, tmp_path):
+    """mirror(strict_escapes=True) must decode escaped tabs/newlines
+    exactly (the fast csv path would mis-split these rows)."""
+    import gzip as _gzip
+
+    from ensembl_database_loader_spark.pipeline import mirror
+
+    name = "esc_mirror_1_1"
+    d = os.path.join(str(tmp_path), "w", name)
+    os.makedirs(d)
+    ddl = "CREATE TABLE `t` (`id` int(11), `v` text) ENGINE=MyISAM;"
+    with open(os.path.join(d, f"{name}.sql.gz"), "wb") as f:
+        f.write(_gzip.compress(ddl.encode()))
+    body = "1\thas\\\ttab\n2\tline\\\nbreak\n"
+    with open(os.path.join(d, "t.txt.gz"), "wb") as f:
+        f.write(_gzip.compress(body.encode()))
+    report = mirror(
+        spark,
+        work_dir=str(tmp_path / "w"),
+        target_dir=str(tmp_path / "t"),
+        verify=False,
+        strict_escapes=True,
+    )
+    assert not report.failed_databases
+    got = {
+        r.id: r.v
+        for r in spark.read.parquet(str(tmp_path / "t" / name / "t")).collect()
+    }
+    assert got == {1: "has\ttab", 2: "line\nbreak"}
+
+
 def test_incremental_streaming_mirror(spark, tmp_path):
     """New dump parts landing over time append exactly once."""
     import gzip

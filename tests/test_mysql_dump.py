@@ -207,6 +207,67 @@ def test_strict_escape_round_trip(spark, tmp_path):
     }
 
 
+def test_truncation_with_colliding_sum16_fails(spark, tmp_path):
+    """A resized file whose 16-bit sum collides with the manifest entry
+    must still fail: the compare is the reference's combined
+    '%05d sum + blocks' pair (DownloadDatabase.pm:208-210, 247-250).
+    2048 zero bytes fold to sum16=0, the same as the empty file."""
+    name = "trunc_db_1_1"
+    d = os.path.join(str(tmp_path), name)
+    os.makedirs(d)
+    with open(os.path.join(d, f"{name}.sql.gz"), "wb") as f:
+        f.write(gzip.compress(b"CREATE TABLE `t` (`id` int(11));"))
+    with open(os.path.join(d, "t.txt.gz"), "wb") as f:
+        f.write(b"\0" * 2048)  # sum16 == 0 == sum16(b'')
+    sql_data = gzip.compress(b"CREATE TABLE `t` (`id` int(11));")
+    s, blocks = bsd_sum16_blocks(sql_data)
+    with open(os.path.join(d, "CHECKSUMS"), "w") as f:
+        f.write(f"{s:05d} {blocks:5d} {name}.sql.gz\n")
+        f.write(f"00000     0 t.txt.gz\n")  # manifest says: empty file
+    with pytest.raises(ChecksumError) as ei:
+        verify_checksums(spark, scan_dump_dir(d))
+    assert any(f == "t.txt.gz" for f, _, _ in ei.value.failures)
+
+
+def test_conditional_comment_views_detected():
+    """Real mysqldump wraps view DDL in /*!50001 ... */ conditional
+    comments (temporary stand-in + final structure); both must be
+    unwrapped, the view recorded once, and the stand-in CREATE TABLE
+    must not leak into data loading."""
+    ddl = """
+/*!40101 SET NAMES utf8 */;
+CREATE TABLE `base` (
+  `id` int(11) NOT NULL
+) ENGINE=MyISAM;
+
+-- Temporary table structure for view `v_cond`
+DROP TABLE IF EXISTS `v_cond`;
+/*!50001 DROP VIEW IF EXISTS `v_cond`*/;
+/*!50001 CREATE VIEW `v_cond` AS SELECT
+ 1 AS `id`*/;
+
+-- Final view structure for view `v_cond`
+/*!50001 DROP VIEW IF EXISTS `v_cond`*/;
+/*!50001 CREATE ALGORITHM=UNDEFINED */
+/*!50013 DEFINER=`adm`@`%` SQL SECURITY DEFINER */
+/*!50001 VIEW `v_cond` AS select `id` from `base` */;
+"""
+    sch = parse_mysql_ddl(ddl)
+    assert sch.views == ["v_cond"]
+    assert "base" in sch.tables
+    # a /*!50001 CREATE TABLE stand-in (older mysqldump) is also seen,
+    # but view status wins at load time (read_mysql_dump skips views)
+
+
+def test_eof_dangling_escape_with_escaped_tabs():
+    """A final record with an escaped tab AND a trailing backslash must
+    use the same escape-aware field split as the main path."""
+    from ensembl_database_loader_spark.sources.mysql_dump import _decode_mysql_lines
+
+    rows = list(_decode_mysql_lines(iter(["7\ta\\\tb\\"]), 2))
+    assert rows == [("7", "a\tb\\")]
+
+
 def test_fast_path_matches_spark_writer_dialect(spark, tmp_path):
     """The csv fast path round-trips what Spark's writer emits with the
     same dialect options (the q02 contract)."""
