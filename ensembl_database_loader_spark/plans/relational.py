@@ -851,15 +851,26 @@ def q36(spark: SparkSession, sf: str) -> DataFrame:
 def q37(spark: SparkSession, sf: str) -> DataFrame:
     """Seeded Bernoulli sample (reference: randomized job order,
     LoadDBs_conf.pm:115). No oracle — sample membership is engine-
-    specific; the row carries rate bounds the driver can eyeball."""
+    specific; the row carries rate bounds the driver can eyeball.
+    One aggregate pass: total and the rand(42)<0.1 Bernoulli-sample
+    count come from the same scan (the r1 version ran two jobs plus a
+    createDataFrame — 3x the cost for the same answer)."""
     ensure_session_confs(spark)
     li = table(spark, sf, "lineitem")
-    total = li.count()
-    got = li.sample(fraction=0.1, seed=42).count()
-    lo, hi = int(total * 0.05), int(total * 0.15)
-    return spark.createDataFrame(
-        [(total, got, lo, hi, lo <= got <= hi)],
-        "total BIGINT, sampled BIGINT, lo BIGINT, hi BIGINT, within_bounds BOOLEAN",
+    # rand() must live in a Project (non-deterministic expressions are
+    # rejected inside aggregate functions); count the flags after.
+    r = li.select((F.rand(42) < 0.1).alias("_in_sample")).agg(
+        _cnt().alias("total"),
+        _cnt(F.col("_in_sample")).alias("sampled"),
+    )
+    lo = F.floor(F.col("total") * 0.05).cast("bigint")
+    hi = F.floor(F.col("total") * 0.15).cast("bigint")
+    return r.select(
+        "total",
+        "sampled",
+        lo.alias("lo"),
+        hi.alias("hi"),
+        ((F.col("sampled") >= lo) & (F.col("sampled") <= hi)).alias("within_bounds"),
     )
 
 

@@ -1,0 +1,124 @@
+#!/usr/bin/env python
+"""Scaling evidence for the bucketed dedup/ANN paths (COVERAGE.md table).
+
+Grows the sf0.1 corpus by replication with per-replica word suffixes —
+each replica's shingle vocabulary is disjoint from every other's, so
+the near-dup structure (each doc + its first-word-dropped variant)
+stays constant per doc while corpus size scales. If the candidate
+stage were all-pairs the runtime would grow ~quadratically; the
+bucketed band-key join should grow ~linearly.
+
+ANN vectors scale by replication with deterministic per-replica,
+per-dimension perturbation (cosine is scale-invariant, so plain
+scalar multiples would create artificial exact-duplicate directions).
+
+Usage: python scripts/scaling_bench.py [--sf-dir /root/testdata/sf0.1]
+Prints one JSON line per (op, n, sec).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from ensembl_database_loader_spark.catalog import table  # noqa: E402
+from ensembl_database_loader_spark.operators.dedup import (  # noqa: E402
+    minhash_lsh_candidates,
+    minhash_lsh_pairs,
+)
+from ensembl_database_loader_spark.operators.similarity import (  # noqa: E402
+    lsh_bucket_topk,
+)
+from ensembl_database_loader_spark.session import get_spark  # noqa: E402
+
+
+def scaled_corpus(spark, sf_dir: str, k: int):
+    """k replicas x (documents + dropped-first-word variants); replica r
+    suffixes every word with _r<r> so shingles are replica-disjoint."""
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    reps = spark.range(k).select(F.col("id").alias("r"))
+    base = d.crossJoin(reps).select(
+        (F.col("doc_id") + F.col("r") * 1_000_000).alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.split("text", " "),
+                lambda w: F.concat(w, F.lit("_r"), F.col("r").cast("string")),
+            ),
+        ).alias("text"),
+    )
+    variants = base.select(
+        (F.col("doc_id") + 500_000).alias("doc_id"),
+        F.regexp_replace("text", "^[^ ]+ ", "").alias("text"),
+    )
+    return base.unionByName(variants)
+
+
+def scaled_vectors(spark, sf_dir: str, k: int):
+    e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    reps = spark.range(k).select(F.col("id").alias("r"))
+    return e.crossJoin(reps).select(
+        (F.col("vec_id") + F.col("r") * 1_000_000).alias("vec_id"),
+        F.transform(
+            F.col("embedding"),
+            lambda v, i: (
+                v + ((i * (F.col("r") % 13) % 7).cast("float") - 3.0) * 0.05
+            ).cast("float"),
+        ).alias("embedding"),
+    )
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument(
+        "--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    )
+    ap.add_argument("--doc-reps", default="1,2,5,10", help="replica counts for dedup")
+    ap.add_argument("--vec-reps", default="1,5,25,50", help="replica counts for ANN")
+    args = ap.parse_args()
+
+    spark = get_spark(app_name="scaling-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    out = []
+
+    for k in [int(x) for x in args.doc_reps.split(",")]:
+        c = scaled_corpus(spark, args.sf_dir, k).cache()
+        n = c.count()  # materialize outside the timed region
+        t0 = time.perf_counter()
+        cand = minhash_lsh_candidates(c, "doc_id", "text", num_hashes=8, rows_per_band=2)
+        ver = minhash_lsh_pairs(c, "doc_id", "text", threshold=None, candidates=cand)
+        row = ver.agg(
+            F.count(F.lit(1)).alias("cand"),
+            F.count(F.when(F.col("jaccard") >= 0.8, 1)).alias("verified"),
+        ).collect()[0]
+        dt = time.perf_counter() - t0
+        rec = {"op": "dd_minhash_lsh", "n_docs": n, "sec": round(dt, 2),
+               "cand": row.cand, "verified": row.verified}  # fmt: skip
+        out.append(rec)
+        print(json.dumps(rec), flush=True)
+        c.unpersist()
+
+    for k in [int(x) for x in args.vec_reps.split(",")]:
+        e = scaled_vectors(spark, args.sf_dir, k).cache()
+        n = e.count()
+        t0 = time.perf_counter()
+        top = lsh_bucket_topk(e, "vec_id", "embedding", query_id=0, k=5).collect()
+        dt = time.perf_counter() - t0
+        rec = {"op": "ss_ann_lsh", "n_vecs": n, "sec": round(dt, 2), "topk": len(top)}
+        out.append(rec)
+        print(json.dumps(rec), flush=True)
+        e.unpersist()
+
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
