@@ -146,6 +146,69 @@ def lsh_bucket_topk(
     )
 
 
+def ivf_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_id: int,
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    dim: int = 64,
+) -> DataFrame:
+    """Approximate top-k via IVF (inverted-file) cells: vectors are
+    assigned to their nearest of ``n_cells`` centroids (one GEMM pass in
+    a pandas UDF), and a query scans only its ``n_probe`` nearest cells
+    with exact cosine re-rank — the other standard ANN scale path next
+    to hyperplane LSH (``lsh_bucket_topk``).
+
+    Centroid 'training' here is deterministic first-``n_cells``-by-id
+    (a pluggable seam — swap in sampled k-means for production; the
+    cell-assignment and probe machinery is unchanged). Centroids and
+    the query vector are tiny driver-side collects (n_cells + 1 rows,
+    the broadcast-dim pattern); the corpus itself is never collected —
+    assignment is one narrow GEMM pass and the probed scan touches
+    ~n_probe/n_cells of the data."""
+    import numpy as np
+    import pandas as pd
+
+    cent = (
+        df.orderBy(id_col)
+        .limit(n_cells)
+        .select(F.col(vec_col).cast("array<double>"))
+        .collect()
+    )
+    c = np.array([r[0] for r in cent], dtype=np.float64)
+    cn = c / np.maximum(np.linalg.norm(c, axis=1, keepdims=True), 1e-12)
+
+    @F.pandas_udf("int")
+    def _cell(s):  # type: ignore[no-untyped-def]
+        x = np.array(s.tolist(), dtype=np.float64)
+        xn = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+        return pd.Series((xn @ cn.T).argmax(axis=1).astype("int32"))
+
+    qrow = (
+        df.filter(F.col(id_col) == query_id)
+        .select(F.col(vec_col).cast("array<double>"))
+        .collect()
+    )
+    q = np.array(qrow[0][0], dtype=np.float64)
+    qn = q / max(np.linalg.norm(q), 1e-12)
+    probe_cells = [int(i) for i in np.argsort(-(cn @ qn))[:n_probe]]
+
+    assigned = df.withColumn("_cell", _cell(F.col(vec_col)))
+    qdf = df.filter(F.col(id_col) == query_id).select(F.col(vec_col).alias("_qvec"))
+    cos = cosine(F.col(vec_col), F.col("_qvec"))
+    return (
+        assigned.filter(F.col("_cell").isin(probe_cells))
+        .crossJoin(F.broadcast(qdf))
+        .filter(F.col(id_col) != query_id)
+        .select(F.col(id_col), F.round(cos, 6).alias("cos"))
+        .orderBy(F.desc("cos"), id_col)
+        .limit(k)
+    )
+
+
 def embedding_neardup_pairs(
     df: DataFrame,
     id_col: str,

@@ -39,6 +39,33 @@ def with_token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+#: BPE-style pre-tokenizer pattern (the GPT-2 pre-split shape reduced to
+#: engine-portable character classes): letter runs, digit runs, and
+#: non-alphanumeric-non-space runs each become one pre-token. Kept to
+#: plain ASCII classes so Java regex (Spark) and RE2-ish (DuckDB)
+#: tokenize byte-identically.
+BPE_PRETOKEN_RE = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 \\t\\n]+"
+
+
+def with_regex_tokens(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """BPE-ish pre-tokenization: token count, distinct count, and
+    punctuation-run count per document — the tokenizer-cost estimator a
+    pretraining pipeline runs before the real BPE pass. Pure JVM regex
+    (one codegen'd pass, no Python)."""
+    toks = F.expr(
+        f"regexp_extract_all(lower({text_col}), '{BPE_PRETOKEN_RE}', 0)"
+    )
+    return df.withColumns(
+        {
+            "n_pretokens": F.size(toks).cast("bigint"),
+            "n_distinct_pretokens": F.size(F.array_distinct(toks)).cast("bigint"),
+            "n_punct_runs": F.size(
+                F.filter(toks, lambda t: ~t.rlike("^[a-z0-9]"))
+            ).cast("bigint"),
+        }
+    )
+
+
 def with_quality_score(
     df: DataFrame,
     text_col: str = "text",

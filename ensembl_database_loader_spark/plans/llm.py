@@ -483,6 +483,61 @@ def tx_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@probe(
+    "tx_regex_token_counts",
+    oracle=(
+        "WITH t AS (SELECT lang, regexp_extract_all(lower(text), "
+        "'[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 \\t\\n]+', 0) AS toks FROM documents) "
+        "SELECT lang, CAST(SUM(len(toks)) AS BIGINT) AS total_pretokens, "
+        "CAST(SUM(len(list_distinct(toks))) AS BIGINT) AS total_distinct_pretokens, "
+        "CAST(SUM(len(list_filter(toks, t -> NOT regexp_matches(t, '^[a-z0-9]')))) "
+        "AS BIGINT) AS total_punct_runs "
+        "FROM t GROUP BY lang ORDER BY lang"
+    ),
+    tags=("llm", "text"),
+)
+def tx_regex_tokens(spark: SparkSession, sf: str) -> DataFrame:
+    """BPE-ish pre-tokenization counts per language (letter / digit /
+    punctuation runs — the GPT-2 pre-split shape with engine-portable
+    ASCII classes). Pure JVM regex, one codegen'd pass."""
+    from ensembl_database_loader_spark.operators.textstats import with_regex_tokens
+
+    ensure_session_confs(spark)
+    d = with_regex_tokens(table(spark, sf, "documents"))
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.sum("n_pretokens").cast("bigint").alias("total_pretokens"),
+            F.sum("n_distinct_pretokens")
+            .cast("bigint")
+            .alias("total_distinct_pretokens"),
+            F.sum("n_punct_runs").cast("bigint").alias("total_punct_runs"),
+        )
+        .orderBy("lang")
+    )
+
+
+@probe("ss_ann_ivf", oracle=None, tags=("llm", "similarity", "approx"))
+def ss_ann_ivf(spark: SparkSession, sf: str) -> DataFrame:
+    """Approximate NN via IVF cells (nearest-centroid partitioning,
+    n_probe-cell scan, exact re-rank) reported against the exact top-5.
+    No oracle — approximation is engine-specific (rows-only check); the
+    recall column is the self-assertion. Complements ss_ann_lsh as the
+    second standard ANN scale path."""
+    from ensembl_database_loader_spark.operators.similarity import ivf_topk
+
+    ensure_session_confs(spark)
+    e = table(spark, sf, "embeddings")
+    exact = cosine_topk(e, "vec_id", "embedding", query_id=0, k=5)
+    approx = ivf_topk(e, "vec_id", "embedding", query_id=0, k=5)
+    overlap = exact.select("vec_id").intersect(approx.select("vec_id"))
+    return (
+        approx.agg(_cnt().alias("ann_results"))
+        .crossJoin(overlap.agg(_cnt().alias("overlap_with_exact")))
+        .withColumn("recall_at_5", F.col("overlap_with_exact") / F.lit(5.0))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Multimodal plumbing
 # ---------------------------------------------------------------------------

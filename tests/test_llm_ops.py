@@ -103,6 +103,39 @@ def test_ann_lsh_finds_planted_neardup(spark, sf_dir):
     assert 999999 in top, top
 
 
+def test_ivf_topk_finds_planted_neardup(spark, sf_dir):
+    """IVF must route a ~0.9999-cosine near-dup of the query into a
+    probed cell and surface it in the approximate top-k."""
+    from ensembl_database_loader_spark.operators.similarity import ivf_topk
+
+    e = table(spark, sf_dir, "embeddings")
+    planted = e.filter(F.col("vec_id") == 0).select(
+        F.lit(888888).cast("bigint").alias("vec_id"),
+        F.transform("embedding", lambda x: (x * 1.0001).cast("float")).alias(
+            "embedding"
+        ),
+        F.col("label"),
+    )
+    top = [
+        r.vec_id
+        for r in ivf_topk(
+            e.unionByName(planted), "vec_id", "embedding", query_id=0, k=5
+        ).collect()
+    ]
+    assert 888888 in top, top
+
+
+def test_regex_pretokens_unit(spark):
+    from ensembl_database_loader_spark.operators.textstats import with_regex_tokens
+
+    df = spark.createDataFrame([("Hello, world! 42 foo-bar",)], "text string")
+    r = with_regex_tokens(df).collect()[0]
+    # pretokens: hello , world ! 42 foo - bar  => 8 runs, 2 punct-only (',' '!' '-')
+    assert r.n_pretokens == 8
+    assert r.n_punct_runs == 3
+    assert r.n_distinct_pretokens == 8
+
+
 def test_multimodal_decode_stub_and_schema(spark, sf_dir):
     d = table(spark, sf_dir, "documents").limit(10)
     payload = with_binary_payload(d, "doc_id", "text", modality="image")
