@@ -131,6 +131,70 @@ def wm5(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @probe(
+    "wm7_live_dedup_stream",
+    oracle=(
+        "SELECT COUNT(DISTINCT event_id) AS uniq_cnt, "
+        "(SELECT COUNT(*) * 2 FROM events) AS replayed_cnt FROM events"
+    ),
+    tags=("streaming", "live-stream"),
+)
+def wm7(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL streaming dedup: the events fixture exposed TWICE to a
+    file-source stream (an at-least-once replay), deduplicated with
+    dropDuplicatesWithinWatermark on event_id, drained via availableNow
+    into a memory sink, then counted — the live twin of wm5's batch
+    equivalence."""
+    ensure_session_confs(spark)
+    s = stream_events(spark, sf, copies=2)
+    deduped = dedup_stream(s)  # streaming path: watermark + WithinWatermark
+    out = run_available_now(deduped.select("event_id"), output_mode="append")
+    replayed = table(spark, sf, "events").agg(
+        (F.count(F.lit(1)) * 2).alias("replayed_cnt")
+    )
+    return out.agg(F.count(F.lit(1)).alias("uniq_cnt")).crossJoin(replayed)
+
+
+@probe(
+    "ws1_custom_stateful_profile",
+    oracle=(
+        "WITH p AS (SELECT user_id, COUNT(*) AS cnt, SUM(value) AS total, "
+        "MAX(ts) AS last_seen FROM events GROUP BY user_id) "
+        "SELECT COUNT(*) AS users, CAST(SUM(cnt) AS BIGINT) AS total_events, "
+        "ROUND(SUM(total), 2) AS sum_value, "
+        "strftime(MAX(last_seen), '%Y-%m-%d %H:%M:%S') AS max_last_seen FROM p"
+    ),
+    tags=("streaming", "live-stream", "stateful"),
+)
+def ws1(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL custom stateful streaming operator: running_user_profile
+    (applyInPandasWithState, per-user cumulative count/sum/last-seen
+    with idle-timeout state expiry) over a live file-source stream,
+    drained with availableNow. The memory sink may hold one row per
+    user per micro-batch (update mode); the final profile per user is
+    the row with the highest cumulative count — reduced here and
+    checked against the batch groupBy oracle."""
+    from pyspark.sql import Window
+
+    from ensembl_database_loader_spark.streaming.stateful import (
+        running_user_profile,
+    )
+
+    ensure_session_confs(spark)
+    s = stream_events(spark, sf)
+    prof = run_available_now(running_user_profile(s), output_mode="update")
+    w = Window.partitionBy("user_id").orderBy(F.desc("cnt"))
+    final = prof.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1)
+    return final.agg(
+        F.count(F.lit(1)).alias("users"),
+        F.sum("cnt").cast("bigint").alias("total_events"),
+        F.round(F.sum("total"), 2).alias("sum_value"),
+        F.date_format(F.max("last_seen"), "yyyy-MM-dd HH:mm:ss").alias(
+            "max_last_seen"
+        ),
+    )
+
+
+@probe(
     "wm6_stream_static_join",
     oracle=(
         "WITH dim AS (SELECT DISTINCT user_id, user_id % 5 AS segment FROM events) "

@@ -20,35 +20,57 @@ STATE_SCHEMA = "cnt BIGINT, total DOUBLE, last_seen TIMESTAMP"
 OUTPUT_SCHEMA = "user_id BIGINT, cnt BIGINT, total DOUBLE, last_seen TIMESTAMP"
 
 
-def _update_user_profile(
-    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
-) -> Iterator[pd.DataFrame]:
-    (user_id,) = key
-    if state.hasTimedOut:
-        state.remove()
-        return
-    cnt, total, last_seen = state.get if state.exists else (0, 0.0, None)
-    for pdf in pdfs:
-        cnt += len(pdf)
-        total += float(pdf["value"].sum())
-        batch_max = pdf["ts"].max()
-        last_seen = batch_max if last_seen is None else max(last_seen, batch_max)
-    state.update((cnt, float(total), last_seen))
-    state.setTimeoutDuration(60 * 60 * 1000)  # expire after 1h idle
-    yield pd.DataFrame(
-        {"user_id": [user_id], "cnt": [cnt], "total": [total], "last_seen": [last_seen]}
-    )
+def _make_update_user_profile(expire_idle_ms: int):
+    def _update_user_profile(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if state.hasTimedOut:
+            state.remove()
+            return
+        cnt, total, last_seen = state.get if state.exists else (0, 0.0, None)
+        for pdf in pdfs:
+            cnt += len(pdf)
+            total += float(pdf["value"].sum())
+            batch_max = pdf["ts"].max()
+            last_seen = batch_max if last_seen is None else max(last_seen, batch_max)
+        state.update((cnt, float(total), last_seen))
+        if expire_idle_ms:
+            state.setTimeoutDuration(expire_idle_ms)
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "cnt": [cnt],
+                "total": [total],
+                "last_seen": [last_seen],
+            }
+        )
+
+    return _update_user_profile
 
 
-def running_user_profile(events: DataFrame) -> DataFrame:
+def running_user_profile(events: DataFrame, expire_idle_ms: int = 0) -> DataFrame:
     """Per-user running (count, sum(value), last ts) as a custom
     stateful operator. Input must be a STREAMING DataFrame with
     (user_id, ts, value); grouping shuffles once on user_id, state
-    lives in the state store keyed by user."""
+    lives in the state store keyed by user.
+
+    ``expire_idle_ms > 0`` enables ProcessingTimeTimeout state expiry
+    (the watermark analogue for custom state — mandatory for unbounded
+    production streams, or the store grows with every user ever seen).
+    The default is NoTimeout because an availableNow/bounded drain with
+    pending processing-time timeouts never terminates — Spark keeps the
+    query alive to fire expirations (observed: a 15-user fixture ran to
+    completion in seconds, then idled until awaitTermination gave up)."""
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if expire_idle_ms
+        else GroupStateTimeout.NoTimeout
+    )
     return events.select("user_id", "ts", "value").groupBy("user_id").applyInPandasWithState(
-        _update_user_profile,
+        _make_update_user_profile(expire_idle_ms),
         outputStructType=OUTPUT_SCHEMA,
         stateStructType=STATE_SCHEMA,
         outputMode="update",
-        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        timeoutConf=timeout,
     )

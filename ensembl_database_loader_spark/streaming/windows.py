@@ -27,10 +27,17 @@ from pyspark.sql import functions as F
 _TS_FMT = "yyyy-MM-dd HH:mm:ss"
 
 
-def stream_events(spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None) -> DataFrame:
+def stream_events(
+    spark: SparkSession,
+    sf_dir: str,
+    max_files_per_trigger: int | None = None,
+    copies: int = 1,
+) -> DataFrame:
     """File-source stream over the events fixture. Schema comes from a
     batch peek (streams require an explicit schema); the nanosecond
-    timestamp handling matches catalog.table."""
+    timestamp handling matches catalog.table. ``copies > 1`` exposes the
+    fixture N times (N files in the monitored dir) — a replayed/
+    at-least-once source for dedup semantics."""
     import os
     import tempfile
 
@@ -38,13 +45,14 @@ def stream_events(spark: SparkSession, sf_dir: str, max_files_per_trigger: int |
     # single parquet file, so expose it through a symlinked temp dir.
     src = os.path.join(sf_dir, "events.parquet")
     d = tempfile.mkdtemp(prefix="edl_stream_events_")
-    link = os.path.join(d, "events.parquet")
-    try:
-        os.symlink(src, link)
-    except OSError:  # filesystems without symlink support
-        import shutil
+    for i in range(copies):
+        link = os.path.join(d, f"events_{i}.parquet")
+        try:
+            os.symlink(src, link)
+        except OSError:  # filesystems without symlink support
+            import shutil
 
-        shutil.copyfile(src, link)
+            shutil.copyfile(src, link)
 
     reader = spark.readStream
     if max_files_per_trigger is not None:
