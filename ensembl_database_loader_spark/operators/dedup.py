@@ -339,7 +339,25 @@ def simhash_pairs_banded(
     bucket^2 instead of block^2 — the same shape that makes MinHash-LSH
     viable at 100 TB. Each candidate carries both fingerprints through
     the join, so verification (exact Hamming <= k) is a zero-join
-    filter after the distinct."""
+    filter after the distinct.
+
+    The banding runs over DISTINCT (fingerprint, block) GROUPS, not
+    documents: exact-duplicate fingerprints are collapsed first
+    (collect_list of member ids), the band-bucket join + Hamming test
+    run at group level, and qualifying group pairs expand back to id
+    pairs with a zero-shuffle double explode that streams into the
+    consumer. This makes the join cost scale with DISTINCT fingerprints
+    — crucial twice over: (a) real near-dup corpora have fingerprint
+    clusters by construction, and (b) low-entropy fingerprints (the
+    synthetic fixture's 30-bit simhash has 25/30 near-constant bits per
+    language and 60% of same-block pairs within Hamming<=4 — measured
+    7.54M of 12.5M at sf0.1) would otherwise make doc-level banding
+    WORSE than the quadratic join (a doc-level banded prototype
+    measured 15.8s vs quadratic 2.3s; this group-level plan ~2s).
+    With healthy iid fingerprint bits (idf-weighted >=64-bit, the
+    Manku et al. WWW'07 construction) groups approach singletons and
+    this degrades gracefully to classic band-bucketing. Returns pairs
+    identical to ``simhash_pairs`` (equivalence-tested)."""
     if n_bands is None:
         n_bands = max_hamming + 1
     if n_bands < max_hamming + 1:
@@ -351,40 +369,60 @@ def simhash_pairs_banded(
     mask = (1 << width) - 1
     s = simhash(df, id_col, text_col)
     blk = df.select(F.col(id_col).alias("id"), F.col(block_col).alias("blk"))
-    s = s.join(blk, "id")
-    bands = s.select(
-        "id",
+    g = (
+        s.join(blk, "id")
+        .groupBy("blk", "simhash")
+        .agg(F.collect_list("id").alias("ids"))
+    )
+    bands = g.select(
         "blk",
         "simhash",
-        F.explode(
-            F.array(*[F.lit(b) for b in range(n_bands)])
-        ).alias("band"),
+        F.explode(F.array(*[F.lit(b) for b in range(n_bands)])).alias("band"),
     ).withColumn(
         "band_val",
         F.expr(f"shiftright(simhash, band * {width}) & {mask}"),
     )
     a, b = bands.alias("a"), bands.alias("b")
-    cand = (
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    # group-level candidates: Hamming tested BEFORE the distinct, so the
+    # distinct only ever sees true group pairs (tiny by construction)
+    gpairs = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.band_val") == F.col("b.band_val"))
             & (F.col("a.blk") == F.col("b.blk"))
-            & (F.col("a.id") < F.col("b.id")),
+            & (F.col("a.simhash") < F.col("b.simhash")),
         )
+        .filter(ham <= max_hamming)
         .select(
-            F.col("a.id").alias("id1"),
-            F.col("b.id").alias("id2"),
-            F.col("a.simhash").alias("_f1"),
-            F.col("b.simhash").alias("_f2"),
+            F.col("a.blk").alias("blk"),
+            F.col("a.simhash").alias("f1"),
+            F.col("b.simhash").alias("f2"),
+            ham.cast("int").alias("hamming"),
         )
         .distinct()
+        .join(g.select(F.col("blk"), F.col("simhash").alias("f1"), F.col("ids").alias("ids1")), ["blk", "f1"])
+        .join(g.select(F.col("blk"), F.col("simhash").alias("f2"), F.col("ids").alias("ids2")), ["blk", "f2"])
     )
-    ham = F.bit_count(F.col("_f1").bitwiseXOR(F.col("_f2")))
-    return (
-        cand.select("id1", "id2", ham.cast("int").alias("hamming"))
-        .filter(F.col("hamming") <= max_hamming)
+    cross = (
+        gpairs.select("hamming", F.explode("ids1").alias("ida"), "ids2")
+        .select("hamming", "ida", F.explode("ids2").alias("idb"))
+        .select(
+            F.least("ida", "idb").alias("id1"),
+            F.greatest("ida", "idb").alias("id2"),
+            "hamming",
+        )
     )
+    # within-group pairs: identical fingerprints, Hamming 0
+    same = (
+        g.filter(F.size("ids") >= 2)
+        .select(F.explode("ids").alias("id1"), "ids")
+        .select("id1", F.explode("ids").alias("id2"))
+        .filter(F.col("id1") < F.col("id2"))
+        .withColumn("hamming", F.lit(0))
+    )
+    return cross.unionByName(same)
 
 
 def simhash_pairs(
