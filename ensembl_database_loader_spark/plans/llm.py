@@ -620,6 +620,39 @@ def mm_decode(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @probe(
+    "mm_resize",
+    oracle=(
+        "SELECT COUNT(*) AS cnt, CAST(COUNT(*) * 96 AS BIGINT) AS sum_resized_bytes, "
+        "CAST(SUM(CASE WHEN octet_length(encode(text)) >= 96 THEN 96 "
+        "ELSE octet_length(encode(text)) END) AS BIGINT) AS sum_kept_bytes "
+        "FROM documents"
+    ),
+    tags=("llm", "multimodal"),
+)
+def mm_resize(spark: SparkSession, sf: str) -> DataFrame:
+    """Resize-stage plumbing over binary payloads (12x8 target): the
+    stub truncates/pads to w*h bytes, so output sizes are exact and the
+    kept-byte count (pre-padding) is oracle-predictable. The real seam
+    decodes/resamples inside the same Arrow batch."""
+    from ensembl_database_loader_spark.multimodal.binaryops import resize_images
+
+    ensure_session_confs(spark)
+    d = table(spark, sf, "documents")
+    payload = with_binary_payload(d, "doc_id", "text", modality="image")
+    out = resize_images(payload, 12, 8)
+    resized = out.agg(
+        _cnt().alias("cnt"),
+        F.sum(F.octet_length("bytes")).cast("bigint").alias("sum_resized_bytes"),
+    )
+    kept = payload.agg(
+        F.sum(F.least(F.col("meta.n_bytes"), F.lit(96)))
+        .cast("bigint")
+        .alias("sum_kept_bytes")
+    )
+    return resized.crossJoin(kept)
+
+
+@probe(
     "mm_decode_plumbing",
     oracle=(
         "WITH b AS (SELECT octet_length(encode(text)) AS olen, "

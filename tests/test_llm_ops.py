@@ -176,6 +176,41 @@ def test_wav16_codec_roundtrip():
     assert data[:4] == b"RIFF" and data[8:12] == b"WAVE"
 
 
+def test_bmp_wav_codec_property():
+    """Property: encode->decode is the identity on (geometry, fill) /
+    (frames, amplitude) across sizes including stride-padding edges."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from ensembl_database_loader_spark.multimodal.binaryops import (
+        decode_bmp24,
+        decode_wav16,
+        encode_bmp24,
+        encode_wav16,
+    )
+
+    @settings(max_examples=50, deadline=None)
+    @given(
+        w=st.integers(1, 40),
+        h=st.integers(1, 20),
+        bgr=st.tuples(
+            st.integers(0, 255), st.integers(0, 255), st.integers(0, 255)
+        ),
+    )
+    def check_bmp(w, h, bgr):
+        got = decode_bmp24(encode_bmp24(w, h, bgr))
+        assert got == (w, h, float(bgr[0]), float(bgr[1]), float(bgr[2]))
+
+    @settings(max_examples=50, deadline=None)
+    @given(n=st.integers(1, 64), v=st.integers(-32768, 32767))
+    def check_wav(n, v):
+        nch, rate, frames, amp = decode_wav16(encode_wav16(n, v))
+        assert (nch, rate, frames, amp) == (1, 8000, n, abs(v))
+
+    check_bmp()
+    check_wav()
+
+
 def test_real_media_decode_through_spark(spark, sf_dir):
     """BMP/WAV payloads built and genuinely decoded through the
     mapInPandas stages must match the closed-form generation params."""
