@@ -5,6 +5,15 @@ q15_tpch_q1) on sf0.001. ``queries()`` / ``oracle_sql()`` expose the
 full probe registry from ensembl_database_loader_spark.plans — each
 probe is a (PySpark callable, DuckDB-SQL oracle) pair; probes without
 an oracle (approximate/sampled ops) get the rows-only check.
+
+Ordering contract: the FIRST 50 entries (registry.WINDOW_50) cover the
+complete declared surface — Q01–Q40 (same-shaped single-row probes
+fused into composites named for the IDs they cover, e.g.
+``q04_q05_q06_filter_family``; components stay individually registered
+and oracle-checked after the window), WM1–WM6, LL1–LL5, and the
+dedup/similarity/text/multimodal operator probes. Entries after
+position 50 are the un-merged originals plus extensions (q41–q49,
+alternate implementations, live-stream and resize probes).
 """
 
 from __future__ import annotations
