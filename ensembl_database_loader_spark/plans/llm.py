@@ -348,6 +348,50 @@ def dd_simhash_banded(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+_SIMHASH64_ORACLE = (
+    f"WITH c AS (SELECT * FROM {_CORPUS} t0), "
+    f"tk AS (SELECT id, lang, unnest(list_distinct({_toks('text')})) AS tok FROM c), "
+    "n AS (SELECT COUNT(*) AS n FROM c), "
+    "dfreq AS (SELECT tok, COUNT(*) AS df FROM tk GROUP BY tok), "
+    "w AS (SELECT tok, CASE WHEN df * 10 > (SELECT n FROM n) THEN 1 "
+    "WHEN df * 100 > (SELECT n FROM n) THEN 4 ELSE 16 END AS wt, "
+    + _POLY_HASH.format(s="tok") + " AS h1, "
+    + _POLY_HASH.format(s="('2|' || tok)") + " AS h2 FROM dfreq), "
+    "th AS (SELECT tk.id, tk.lang, w.wt, w.h1, w.h2 FROM tk JOIN w USING (tok)), "
+    "bits AS (SELECT id, lang, j, "
+    "SUM(CASE WHEN (((CASE WHEN j < 30 THEN h1 ELSE h2 END) >> (j % 30)) & 1) = 1 "
+    "THEN wt ELSE -wt END) AS v "
+    "FROM th CROSS JOIN (SELECT unnest(generate_series(0, 59)) AS j) jj "
+    "GROUP BY id, lang, j), "
+    "fp AS (SELECT id, lang, CAST(SUM(CASE WHEN v >= 0 THEN (CAST(1 AS BIGINT) << j) "
+    "ELSE 0 END) AS BIGINT) AS f FROM bits GROUP BY id, lang), "
+    "p AS (SELECT bit_count(xor(a.f, b.f)) AS ham FROM fp a "
+    "JOIN fp b ON a.lang = b.lang AND a.id < b.id) "
+    "SELECT COUNT(*) FILTER (WHERE ham <= 4) AS pair_cnt, "
+    "COUNT(*) FILTER (WHERE ham = 0) AS zero_ham_cnt FROM p"
+)
+
+
+@probe("dd_simhash64_idf", oracle=_SIMHASH64_ORACLE, tags=("llm", "dedup"))
+def dd_simhash64(spark: SparkSession, sf: str) -> DataFrame:
+    """Production simhash-dedup construction (Manku et al., WWW'07
+    shape): 60-bit fingerprint (two salted polynomial folds) with
+    tiered integer idf weights — rare tokens dominate the vote, giving
+    banding real bit entropy — then group-level banded pair generation
+    (12-bit bands, Hamming <= 4). Every arithmetic step is integer, so
+    the oracle replicates fingerprints bit-for-bit."""
+    from ensembl_database_loader_spark.operators.dedup import simhash64_pairs_banded
+
+    ensure_session_confs(spark)
+    pairs = simhash64_pairs_banded(
+        _corpus(spark, sf), "doc_id", "text", "lang", max_hamming=4
+    )
+    return pairs.agg(
+        _cnt(F.col("hamming") <= 4).alias("pair_cnt"),
+        _cnt(F.col("hamming") == 0).alias("zero_ham_cnt"),
+    )
+
+
 @probe(
     "dd_embedding_neardup",
     oracle=(

@@ -311,6 +311,36 @@ def test_simhash_banded_equivalence(spark):
     assert banded == quad
 
 
+def test_simhash64_weighted_banded_equivalence(spark):
+    """Weighted 60-bit banded pairs equal the quadratic self-join over
+    the same fingerprints (12-bit-band pigeonhole completeness)."""
+    from ensembl_database_loader_spark.operators.dedup import (
+        simhash64_pairs_banded,
+        simhash64_weighted_fingerprints,
+    )
+    from ensembl_database_loader_spark.plans.llm import _corpus
+
+    c = _corpus(spark, "/root/testdata/sf0.001")
+    fps = simhash64_weighted_fingerprints(c, "doc_id", "text", "lang")
+    a, b = fps.alias("a"), fps.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    quad = {
+        (r[0], r[1], r.h)
+        for r in a.join(
+            b, (F.col("a.blk") == F.col("b.blk")) & (F.col("a.id") < F.col("b.id"))
+        )
+        .select("a.id", "b.id", ham.cast("int").alias("h"))
+        .filter(F.col("h") <= 4)
+        .collect()
+    }
+    banded = {
+        (r.id1, r.id2, r.hamming)
+        for r in simhash64_pairs_banded(c, "doc_id", "text", "lang").collect()
+    }
+    assert len(quad) > 0
+    assert banded == quad
+
+
 def test_simhash_banded_rejects_too_few_bands(spark, sf_dir):
     import pytest as _pytest
 
