@@ -1202,6 +1202,76 @@ def q49(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@probe(
+    "q50_bucketed_join",
+    oracle=(
+        "SELECT COUNT(*) AS cnt, "
+        "CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * "
+        "CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS VARCHAR) AS weighted "
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey"
+    ),
+    tags=("join", "bucketed", "sink"),
+)
+def q50(spark: SparkSession, sf: str) -> DataFrame:
+    """Bucketed co-located join through the bucketed SINK: both fact
+    tables are persisted bucketed+sorted on the join key
+    (write_bucketed_table), then joined with ZERO shuffle Exchange —
+    the shuffle is paid once at write time and amortized over every
+    later join on that key (the 100 TB answer to repeatedly joining on
+    orderkey). At fixture scale AQE may still choose a broadcast of the
+    small side (no shuffle either way); the strict no-Exchange property
+    is pinned with broadcast disabled in tests/test_plan_quality.py."""
+    from ensembl_database_loader_spark.sinks.jdbc import write_bucketed_table
+
+    ensure_session_confs(spark)
+    li = table(spark, sf, "lineitem").select("l_orderkey", "l_extendedprice")
+    o = table(spark, sf, "orders").select("o_orderkey", "o_totalprice")
+    write_bucketed_table(spark, li, "q50_li_b", "l_orderkey", 16, "l_orderkey")
+    write_bucketed_table(spark, o, "q50_o_b", "o_orderkey", 16, "o_orderkey")
+    lb, ob = spark.table("q50_li_b"), spark.table("q50_o_b")
+    # DECIMAL, not DOUBLE: the weighted sum reaches ~1e15 where double
+    # ulp is ~0.25 and engine-order-dependent — decimal is exact on both
+    # engines, so the hash comparison is meaningful.
+    w = F.col("l_extendedprice").cast("decimal(18,2)") * F.col("o_totalprice").cast(
+        "decimal(18,2)"
+    )
+    # string output: a decimal(38,2) column round-trips pandas as
+    # decimal.Decimal on the Spark side but float64 on the DuckDB side
+    # (precision loss at 1e15) — the string form compares exactly.
+    return lb.join(ob, lb.l_orderkey == ob.o_orderkey).agg(
+        _cnt().alias("cnt"),
+        F.sum(w).cast("decimal(38,2)").cast("string").alias("weighted"),
+    )
+
+
+@probe(
+    "q51_salted_skew_join",
+    oracle=(
+        "SELECT COUNT(*) AS cnt, CAST(SUM(n_nationkey) AS BIGINT) AS key_sum "
+        "FROM customer JOIN nation ON c_nationkey = n_nationkey"
+    ),
+    tags=("join", "skew"),
+)
+def q51(spark: SparkSession, sf: str) -> DataFrame:
+    """Salted skew join: the fact side's keys are spread over 16 salt
+    buckets and the dimension side is exploded to match — the explicit
+    hot-key mitigation for when a single key's rows exceed one task
+    even after AQE's skew split. Same multiset of joined rows as the
+    plain join (the oracle IS the plain join)."""
+    from ensembl_database_loader_spark.operators.skew import salted_join
+
+    ensure_session_confs(spark)
+    c = table(spark, sf, "customer").select(
+        F.col("c_custkey"), F.col("c_nationkey").alias("n_nationkey")
+    )
+    n = table(spark, sf, "nation").select("n_nationkey")
+    j = salted_join(c, n, "n_nationkey", num_salts=16)
+    return j.agg(
+        _cnt().alias("cnt"),
+        F.sum("n_nationkey").cast("bigint").alias("key_sum"),
+    )
+
+
 @probe("q44_approx_percentile", oracle=None, tags=("approx", "sketch"))
 def q44(spark: SparkSession, sf: str) -> DataFrame:
     """Quantile sketch: approx_percentile (GK sketch) vs the exact

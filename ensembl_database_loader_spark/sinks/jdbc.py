@@ -139,7 +139,21 @@ def write_bucketed_table(
     join/aggregation on that key. This is the 100 TB answer to the
     reference's repeated per-load full rewrites: fact tables that join
     on orderkey land bucketed by orderkey. (Verified by
-    tests/test_plan_quality.py::test_bucketed_join_has_no_exchange.)"""
+    tests/test_plan_quality.py::test_bucketed_join_has_no_exchange.)
+
+    Idempotent across sessions: a managed table's warehouse directory
+    outlives the in-memory catalog, so a fresh session's saveAsTable
+    would fail with LOCATION_ALREADY_EXISTS — drop the catalog entry
+    AND purge an orphaned location first."""
+    import os
+    import shutil
+    from urllib.parse import urlparse
+
+    spark.sql(f"DROP TABLE IF EXISTS `{table}`")
+    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    orphan = os.path.join(warehouse, table.lower())
+    if os.path.exists(orphan):
+        shutil.rmtree(orphan)
     w = df.write.mode("overwrite").format("parquet").bucketBy(num_buckets, bucket_col)
     if sort_col:
         w = w.sortBy(sort_col)
