@@ -170,3 +170,17 @@ def test_runtime_bloom_filter_injected_on_selective_join(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_banded_simhash_plan_has_no_cartesian(spark):
+    """The banded pair engine must plan hash/SMJ joins on band keys —
+    never a cartesian or nested-loop product."""
+    from ensembl_database_loader_spark.catalog import table as cat_table
+    from ensembl_database_loader_spark.operators.dedup import simhash_pairs_banded
+
+    d = cat_table(spark, SF, "documents")
+    pairs = simhash_pairs_banded(d, "doc_id", "text", "lang", max_hamming=4)
+    pairs.collect()
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
