@@ -1,0 +1,86 @@
+"""Corpus curation pipeline: the user-facing composition of the
+training-data operators — quality filter -> exact dedup -> near-dup
+dedup -> token accounting — as one DataFrame-in, DataFrame-out call
+plus a funnel-stats frame.
+
+This is the shape a pretraining data pipeline actually runs at 100 TB:
+each stage is a narrow transformation or a bucketed join from
+operators/ (no new shuffle classes introduced here), so the composed
+plan inherits the per-operator scale properties. Stage semantics are
+deliberately SQL-expressible so the whole funnel is oracle-checkable
+end to end (probe ``llp_curation_funnel``).
+
+Near-dup survivor rule: a document is dropped iff some near-dup PAIR
+links it to a smaller-id document ("keep first"). This is the standard
+greedy approximation — exact cluster-level dedup needs connected
+components (see the iterative operator in operators/components.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ensembl_database_loader_spark.functions.text import normalize_text, tokens
+from ensembl_database_loader_spark.operators.dedup import ngram_jaccard_pairs
+from ensembl_database_loader_spark.operators.textstats import with_quality_score
+
+
+def curate_corpus(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    block_col: str = "lang",
+    min_quality: int = 2,
+    jaccard_threshold: float = 0.8,
+) -> tuple[DataFrame, DataFrame]:
+    """Run the curation funnel; returns (kept_docs, stats).
+
+    Stages:
+    1. quality: heuristic score (length/diversity/token-shape) >= min_quality
+    2. exact:   one survivor per normalized text (smallest id wins —
+                deterministic, unlike dropDuplicates' arbitrary pick)
+    3. neardup: drop any doc with a >=threshold Jaccard pair to a
+                smaller surviving id (keep-first greedy)
+
+    ``stats`` is a 1-row frame: n_input, n_quality, n_exact, n_kept,
+    tokens_kept — the funnel numbers every curation run reports."""
+    base = df.select(F.col(id_col).alias("id"), F.col(block_col).alias("blk"), F.col(text_col).alias("text"))
+
+    quality = with_quality_score(base, "text").filter(
+        F.col("quality_score") >= min_quality
+    ).select("id", "blk", "text")
+
+    # exact dedup, smallest id per normalized text (deterministic)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(normalize_text("text")).orderBy("id")
+    # the survivor frame is referenced by the pair join (both sides),
+    # the keep anti-join, and two stats aggregates — persist so the
+    # quality+window pipeline runs once (ContextCleaner auto-unpersists;
+    # at 100 TB use persist(DISK_ONLY) or a materialized stage table)
+    exact = (
+        quality.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+        .persist()
+    )
+
+    pairs = ngram_jaccard_pairs(
+        exact, "id", "text", "blk", n=3, threshold=jaccard_threshold
+    )
+    dropped = pairs.select(F.col("id2").alias("id")).distinct()
+    kept = exact.join(dropped, "id", "left_anti")
+
+    stats = (
+        base.agg(F.count(F.lit(1)).alias("n_input"))
+        .crossJoin(quality.agg(F.count(F.lit(1)).alias("n_quality")))
+        .crossJoin(exact.agg(F.count(F.lit(1)).alias("n_exact")))
+        .crossJoin(
+            kept.agg(
+                F.count(F.lit(1)).alias("n_kept"),
+                F.sum(F.size(tokens("text"))).cast("bigint").alias("tokens_kept"),
+            )
+        )
+    )
+    return kept, stats

@@ -348,6 +348,50 @@ def dd_simhash_banded(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+_QUALITY_SCORE_SQL = (
+    "(CASE WHEN n BETWEEN 100 AND 400 THEN 1 ELSE 0 END) "
+    "+ (CASE WHEN CAST(len(list_distinct(toks)) AS DOUBLE) / greatest(len(toks), 1) "
+    ">= 0.5 THEN 1 ELSE 0 END) "
+    "+ (CASE WHEN CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), "
+    "list_transform(toks, t -> CAST(length(t) AS BIGINT))), (a, b) -> a + b) AS DOUBLE) "
+    "/ greatest(len(toks), 1) BETWEEN 3.0 AND 10.0 THEN 1 ELSE 0 END)"
+)
+
+_CURATE_ORACLE = (
+    f"WITH c AS (SELECT * FROM {_CORPUS} t0), "
+    f"q0 AS (SELECT id, lang, text, {_toks('text')} AS toks, length(text) AS n FROM c), "
+    f"q AS (SELECT id, lang, text FROM q0 WHERE {_QUALITY_SCORE_SQL} >= 2), "
+    f"e AS (SELECT id, lang, text FROM (SELECT id, lang, text, "
+    f"ROW_NUMBER() OVER (PARTITION BY {_norm('text')} ORDER BY id) AS rn FROM q) t "
+    "WHERE rn = 1), "
+    f"s AS (SELECT id, lang, {_shingles(_toks('text'))} AS sh FROM e), "
+    "p AS (SELECT a.id AS id1, b.id AS id2 FROM s a "
+    "JOIN s b ON a.lang = b.lang AND a.id < b.id "
+    "WHERE " + _JACCARD.format(a="a.sh", b="b.sh") + " >= 0.8), "
+    "k AS (SELECT * FROM e WHERE id NOT IN (SELECT DISTINCT id2 FROM p)) "
+    "SELECT (SELECT COUNT(*) FROM c) AS n_input, "
+    "(SELECT COUNT(*) FROM q) AS n_quality, "
+    "(SELECT COUNT(*) FROM e) AS n_exact, "
+    "(SELECT COUNT(*) FROM k) AS n_kept, "
+    f"(SELECT CAST(SUM(len({_toks('text')})) AS BIGINT) FROM k) AS tokens_kept"
+)
+
+
+@probe("llp_curation_funnel", oracle=_CURATE_ORACLE, tags=("llm", "pipeline"))
+def llp_curation(spark: SparkSession, sf: str) -> DataFrame:
+    """End-to-end corpus curation funnel (pipeline/curate.py): quality
+    filter -> deterministic exact dedup (smallest id per normalized
+    text) -> keep-first near-dup dedup (inverted-index Jaccard >= 0.8
+    blocked by lang) -> token accounting. The oracle recomputes the
+    ENTIRE funnel in SQL, so every stage's semantics are checked in
+    composition, not just in isolation."""
+    from ensembl_database_loader_spark.pipeline.curate import curate_corpus
+
+    ensure_session_confs(spark)
+    _kept, stats = curate_corpus(_corpus(spark, sf))
+    return stats
+
+
 _SIMHASH64_ORACLE = (
     f"WITH c AS (SELECT * FROM {_CORPUS} t0), "
     f"tk AS (SELECT id, lang, unnest(list_distinct({_toks('text')})) AS tok FROM c), "

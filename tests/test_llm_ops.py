@@ -176,6 +176,33 @@ def test_wav16_codec_roundtrip():
     assert data[:4] == b"RIFF" and data[8:12] == b"WAVE"
 
 
+def test_curate_corpus_funnel_semantics(spark):
+    """Hand-built corpus: low-quality doc dropped at stage 1, exact
+    duplicate collapsed to the smaller id, near-dup pair keeps the
+    smaller id, survivors and stats agree."""
+    from ensembl_database_loader_spark.pipeline.curate import curate_corpus
+
+    good = "the quick brown fox jumps over the lazy dog and then runs far away " * 3
+    near = "a " + good  # shares nearly all 3-gram shingles with `good`
+    other = "completely different german words appear here nine ten eleven " * 2
+    rows = [
+        (1, "en", good),
+        (2, "en", good.upper()),  # exact dup after normalization -> id 1 wins
+        (3, "en", near),          # near-dup of 1 -> dropped (id 1 < 3)
+        (4, "en", "aa aa aa aa"), # fails length + diversity + token shape
+        (5, "de", other),         # distinct content: survives every stage
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, lang string, text string")
+    kept, stats = curate_corpus(df)
+    kept_ids = sorted(r.id for r in kept.collect())
+    assert kept_ids == [1, 5]
+    s = stats.collect()[0]
+    # exact-dedup is global (not blocked): cross-language identical text
+    # is the same document; uppercase dup 2 collapses into 1
+    assert (s.n_input, s.n_quality, s.n_exact, s.n_kept) == (5, 4, 3, 2)
+    assert s.tokens_kept > 0
+
+
 def test_bmp_wav_codec_property():
     """Property: encode->decode is the identity on (geometry, fill) /
     (frames, amplitude) across sizes including stride-padding edges."""
