@@ -392,6 +392,58 @@ def llp_curation(spark: SparkSession, sf: str) -> DataFrame:
     return stats
 
 
+_COMPONENTS_ORACLE = (
+    f"WITH c AS (SELECT * FROM {_CORPUS} t0), "
+    f"s AS (SELECT id, lang, {_shingles(_toks('text'))} AS sh FROM c), "
+    "p AS (SELECT a.id AS id1, b.id AS id2 FROM s a "
+    "JOIN s b ON a.lang = b.lang AND a.id < b.id "
+    "WHERE " + _JACCARD.format(a="a.sh", b="b.sh") + " >= 0.8), "
+    "sym AS (SELECT id1 AS src, id2 AS dst FROM p "
+    "UNION SELECT id2, id1 FROM p), "
+    "reach AS (WITH RECURSIVE r(v, l) AS ("
+    "SELECT id, id FROM c "
+    "UNION SELECT e.dst, r.l FROM r JOIN sym e ON e.src = r.v) "
+    "SELECT v AS id, MIN(l) AS component FROM r GROUP BY v), "
+    "clusters AS (SELECT component, COUNT(*) AS sz FROM reach GROUP BY component) "
+    "SELECT (SELECT COUNT(*) FROM reach) AS n_nodes, "
+    "(SELECT COUNT(*) FROM clusters) AS n_components, "
+    "(SELECT MAX(sz) FROM clusters) AS max_cluster, "
+    "(SELECT COUNT(*) FROM clusters WHERE sz > 1) AS nontrivial_components, "
+    "(SELECT CAST(SUM(component) AS BIGINT) FROM reach) AS sum_component"
+)
+
+
+@probe("dd_connected_components", oracle=_COMPONENTS_ORACLE, tags=("llm", "dedup", "iterative"))
+def dd_components(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact cluster-level dedup: connected components (iterative
+    min-label propagation, operators/components.py) over the Jaccard
+    >= 0.8 near-dup pair graph — the transitive closure the keep-first
+    funnel rule approximates. Oracle = DuckDB recursive-CTE reachability
+    over the identical edge set, so per-node component labels must
+    agree exactly (checked via count/size/sum aggregates)."""
+    from ensembl_database_loader_spark.operators.components import (
+        connected_components,
+    )
+
+    ensure_session_confs(spark)
+    c = _corpus(spark, sf)
+    edges = ngram_jaccard_pairs(c, "doc_id", "text", "lang", n=3, threshold=0.8)
+    labels = connected_components(
+        c.select(F.col("doc_id").alias("id")), edges.select("id1", "id2")
+    )
+    clusters = labels.groupBy("component").agg(_cnt().alias("sz"))
+    return (
+        labels.agg(_cnt().alias("n_nodes"), F.sum("component").cast("bigint").alias("sum_component"))
+        .crossJoin(
+            clusters.agg(
+                _cnt().alias("n_components"),
+                F.max("sz").alias("max_cluster"),
+                _cnt(F.col("sz") > 1).alias("nontrivial_components"),
+            )
+        )
+    )
+
+
 _SIMHASH64_ORACLE = (
     f"WITH c AS (SELECT * FROM {_CORPUS} t0), "
     f"tk AS (SELECT id, lang, unnest(list_distinct({_toks('text')})) AS tok FROM c), "

@@ -176,6 +176,34 @@ def test_wav16_codec_roundtrip():
     assert data[:4] == b"RIFF" and data[8:12] == b"WAVE"
 
 
+def test_connected_components_chain_and_isolates(spark):
+    """A 4-node chain (transitively connected), a 2-node pair, and an
+    isolated node: labels must be the component-minimum ids."""
+    from ensembl_database_loader_spark.operators.components import (
+        connected_components,
+    )
+
+    nodes = spark.createDataFrame([(i,) for i in [1, 2, 3, 4, 10, 11, 20]], "id bigint")
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "id1 bigint, id2 bigint"
+    )
+    got = {r.id: r.component for r in connected_components(nodes, edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20}
+
+
+def test_connected_components_raises_on_no_convergence(spark):
+    from ensembl_database_loader_spark.operators.components import (
+        connected_components,
+    )
+
+    nodes = spark.createDataFrame([(i,) for i in range(1, 6)], "id bigint")
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 5)], "id1 bigint, id2 bigint"
+    )
+    with pytest.raises(RuntimeError):
+        connected_components(nodes, edges, max_iterations=1)
+
+
 def test_curate_corpus_funnel_semantics(spark):
     """Hand-built corpus: low-quality doc dropped at stage 1, exact
     duplicate collapsed to the smaller id, near-dup pair keeps the
