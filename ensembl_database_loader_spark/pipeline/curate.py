@@ -33,6 +33,7 @@ def curate_corpus(
     block_col: str = "lang",
     min_quality: int = 2,
     jaccard_threshold: float = 0.8,
+    cluster_exact: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Run the curation funnel; returns (kept_docs, stats).
 
@@ -40,8 +41,12 @@ def curate_corpus(
     1. quality: heuristic score (length/diversity/token-shape) >= min_quality
     2. exact:   one survivor per normalized text (smallest id wins —
                 deterministic, unlike dropDuplicates' arbitrary pick)
-    3. neardup: drop any doc with a >=threshold Jaccard pair to a
-                smaller surviving id (keep-first greedy)
+    3. neardup: ``cluster_exact=False`` (default) drops any doc with a
+                >=threshold Jaccard pair to a smaller surviving id
+                (keep-first greedy); ``cluster_exact=True`` computes
+                connected components of the pair graph and keeps only
+                each cluster's minimum id (exact, costs O(diameter)
+                extra rounds)
 
     ``stats`` is a 1-row frame: n_input, n_quality, n_exact, n_kept,
     tokens_kept — the funnel numbers every curation run reports."""
@@ -69,8 +74,20 @@ def curate_corpus(
     pairs = ngram_jaccard_pairs(
         exact, "id", "text", "blk", n=3, threshold=jaccard_threshold
     )
-    dropped = pairs.select(F.col("id2").alias("id")).distinct()
-    kept = exact.join(dropped, "id", "left_anti")
+    if cluster_exact:
+        # exact cluster-level dedup: transitive closure of the pair
+        # graph, keep the minimum id of every component
+        from ensembl_database_loader_spark.operators.components import (
+            connected_components,
+        )
+
+        labels = connected_components(exact.select("id"), pairs.select("id1", "id2"))
+        survivors = labels.filter(F.col("id") == F.col("component")).select("id")
+        kept = exact.join(survivors, "id", "left_semi")
+    else:
+        # keep-first greedy: drop any doc a pair links to a smaller id
+        dropped = pairs.select(F.col("id2").alias("id")).distinct()
+        kept = exact.join(dropped, "id", "left_anti")
 
     stats = (
         base.agg(F.count(F.lit(1)).alias("n_input"))

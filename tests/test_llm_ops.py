@@ -229,6 +229,10 @@ def test_curate_corpus_funnel_semantics(spark):
     # is the same document; uppercase dup 2 collapses into 1
     assert (s.n_input, s.n_quality, s.n_exact, s.n_kept) == (5, 4, 3, 2)
     assert s.tokens_kept > 0
+    # exact-cluster mode (connected components) agrees on this corpus
+    kept_cc, stats_cc = curate_corpus(df, cluster_exact=True)
+    assert sorted(r.id for r in kept_cc.collect()) == [1, 5]
+    assert stats_cc.collect()[0].n_kept == 2
 
 
 def test_bmp_wav_codec_property():
