@@ -1272,6 +1272,97 @@ def q51(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@probe(
+    "q52_jsonl_roundtrip",
+    oracle=(
+        "SELECT COUNT(*) AS cnt, CAST(SUM(s_suppkey) AS BIGINT) AS key_sum, "
+        "COUNT(DISTINCT s_nationkey) AS nations, "
+        "ROUND(SUM(s_acctbal), 2) AS sum_bal FROM supplier"
+    ),
+    tags=("scan", "json", "sink"),
+)
+def q52(spark: SparkSession, sf: str) -> DataFrame:
+    """JSONL sink + source round-trip: supplier written as line-
+    delimited JSON, read back with an explicit schema (schema inference
+    is a full extra pass at 100 TB — never rely on it), aggregated to
+    prove value fidelity across the text encoding."""
+    import tempfile
+
+    ensure_session_confs(spark)
+    out = tempfile.mkdtemp(prefix="edl_jsonl_") + "/supplier"
+    s = table(spark, sf, "supplier").select(
+        "s_suppkey", "s_nationkey", F.round("s_acctbal", 2).alias("s_acctbal")
+    )
+    s.write.mode("overwrite").json(out)
+    back = spark.read.schema(
+        "s_suppkey BIGINT, s_nationkey BIGINT, s_acctbal DOUBLE"
+    ).json(out)
+    return back.agg(
+        _cnt().alias("cnt"),
+        F.sum("s_suppkey").cast("bigint").alias("key_sum"),
+        F.countDistinct("s_nationkey").alias("nations"),
+        F.round(F.sum("s_acctbal"), 2).alias("sum_bal"),
+    )
+
+
+@probe(
+    "q53_orc_roundtrip",
+    oracle=(
+        "SELECT COUNT(*) AS cnt, CAST(SUM(p_partkey) AS BIGINT) AS key_sum, "
+        "COUNT(DISTINCT p_brand) AS brands FROM part"
+    ),
+    tags=("scan", "orc", "sink"),
+)
+def q53(spark: SparkSession, sf: str) -> DataFrame:
+    """ORC sink + source round-trip (Spark's second columnar format —
+    a lakehouse migration path must read/write both): part written as
+    ORC, read back, aggregated. Values must match the parquet source
+    of truth exactly."""
+    import tempfile
+
+    ensure_session_confs(spark)
+    out = tempfile.mkdtemp(prefix="edl_orc_") + "/part"
+    table(spark, sf, "part").write.mode("overwrite").orc(out)
+    back = spark.read.orc(out)
+    return back.agg(
+        _cnt().alias("cnt"),
+        F.sum("p_partkey").cast("bigint").alias("key_sum"),
+        F.countDistinct("p_brand").alias("brands"),
+    )
+
+
+@probe(
+    "q54_partitioned_write_prune",
+    oracle=(
+        "SELECT o_orderstatus, COUNT(*) AS cnt, "
+        "ROUND(SUM(o_totalprice), 2) AS total FROM orders "
+        "WHERE o_orderstatus IN ('F', 'P') GROUP BY o_orderstatus "
+        "ORDER BY o_orderstatus"
+    ),
+    tags=("scan", "sink", "partitioned"),
+)
+def q54(spark: SparkSession, sf: str) -> DataFrame:
+    """Hive-style partitioned write + partition-PRUNED read: orders
+    written partitionBy(o_orderstatus), then filtered on the partition
+    column — the scan must touch only the two matching directories
+    (the single most important layout decision at 100 TB; pruning is
+    pinned in tests/test_plan_quality.py)."""
+    import tempfile
+
+    ensure_session_confs(spark)
+    out = tempfile.mkdtemp(prefix="edl_part_") + "/orders"
+    table(spark, sf, "orders").write.mode("overwrite").partitionBy(
+        "o_orderstatus"
+    ).parquet(out)
+    back = spark.read.parquet(out)
+    return (
+        back.filter(F.col("o_orderstatus").isin("F", "P"))
+        .groupBy("o_orderstatus")
+        .agg(_cnt().alias("cnt"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+        .orderBy("o_orderstatus")
+    )
+
+
 @probe("q44_approx_percentile", oracle=None, tags=("approx", "sketch"))
 def q44(spark: SparkSession, sf: str) -> DataFrame:
     """Quantile sketch: approx_percentile (GK sketch) vs the exact

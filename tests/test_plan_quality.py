@@ -184,3 +184,20 @@ def test_banded_simhash_plan_has_no_cartesian(spark):
     plan = pairs._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_partitioned_write_prunes_partitions(spark, tmp_path):
+    """A filter on the partition column must reach the scan as a
+    partition filter (only matching directories read)."""
+    from ensembl_database_loader_spark.catalog import table as cat_table
+
+    from pyspark.sql import functions as F
+
+    out = str(tmp_path / "orders_part")
+    cat_table(spark, SF, "orders").write.partitionBy("o_orderstatus").parquet(out)
+    q = spark.read.parquet(out).filter(F.col("o_orderstatus") == "F")
+    q.collect()
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "o_orderstatus" in plan.split(
+        "PartitionFilters"
+    )[1].split("]")[0]
