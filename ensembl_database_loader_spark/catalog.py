@@ -30,25 +30,40 @@ TABLES: tuple[str, ...] = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def normalize_event_ts(df: DataFrame) -> DataFrame:
+    """Normalize ``events.ts`` to TIMESTAMP (with local-tz semantics),
+    whatever physical form the fixture was generated with:
+
+    - parquet TIMESTAMP(NANOS): unreadable natively by Spark — callers
+      set the legacy nanosAsLong conf so it arrives as raw int64 nanos;
+      truncate to microseconds with integer division (float division
+      would lose precision on int64 epoch-nanos). DuckDB performs the
+      same ns -> us truncation on read.
+    - parquet TIMESTAMP(MICROS, isAdjustedToUTC=false): Spark reads
+      TIMESTAMP_NTZ, which watermarks/windows reject — cast to
+      TIMESTAMP. Under the engine's UTC session timezone the wall-clock
+      is preserved, matching DuckDB's naive read.
+    - already TIMESTAMP: pass through.
+    """
+    from pyspark.sql import functions as F
+
+    dt = dict(df.dtypes).get("ts")
+    if dt == "bigint":
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if dt == "timestamp_ntz":
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one fixture table. Column pruning / predicate pushdown is
-    preserved because we return the raw scan, not a cached/collected copy.
-
-    ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark cannot read
-    natively — we read it as raw nanos (legacy conf) and truncate to
-    microseconds with integer division (float division would lose
-    precision on int64 epoch-nanos). DuckDB performs the same ns -> us
-    truncation on read, so both engines see identical values.
+    preserved because we return the raw scan, not a cached/collected copy
+    (the ``ts`` normalization is a projection Catalyst pushes past).
     """
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
-        from pyspark.sql import functions as F
-
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(path)
-        if dict(df.dtypes).get("ts") == "bigint":
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        return df
+        return normalize_event_ts(spark.read.parquet(path))
     return spark.read.parquet(path)
 
 

@@ -1277,7 +1277,8 @@ def q51(spark: SparkSession, sf: str) -> DataFrame:
     oracle=(
         "SELECT COUNT(*) AS cnt, CAST(SUM(s_suppkey) AS BIGINT) AS key_sum, "
         "COUNT(DISTINCT s_nationkey) AS nations, "
-        "ROUND(SUM(s_acctbal), 2) AS sum_bal FROM supplier"
+        "CAST(SUM(CAST(ROUND(s_acctbal * 100) AS BIGINT)) AS BIGINT) AS sum_bal_cents "
+        "FROM supplier"
     ),
     tags=("scan", "json", "sink"),
 )
@@ -1297,11 +1298,16 @@ def q52(spark: SparkSession, sf: str) -> DataFrame:
     back = spark.read.schema(
         "s_suppkey BIGINT, s_nationkey BIGINT, s_acctbal DOUBLE"
     ).json(out)
+    # integer cents, not ROUND(SUM(double)): double summation order
+    # differs between engines, so a sum near a .005 boundary could flip
+    # the 2-dec rounding — the cents sum is exact on both sides.
     return back.agg(
         _cnt().alias("cnt"),
         F.sum("s_suppkey").cast("bigint").alias("key_sum"),
         F.countDistinct("s_nationkey").alias("nations"),
-        F.round(F.sum("s_acctbal"), 2).alias("sum_bal"),
+        F.sum(F.round(F.col("s_acctbal") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("sum_bal_cents"),
     )
 
 
@@ -1335,7 +1341,8 @@ def q53(spark: SparkSession, sf: str) -> DataFrame:
     "q54_partitioned_write_prune",
     oracle=(
         "SELECT o_orderstatus, COUNT(*) AS cnt, "
-        "ROUND(SUM(o_totalprice), 2) AS total FROM orders "
+        "CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) "
+        "AS total_cents FROM orders "
         "WHERE o_orderstatus IN ('F', 'P') GROUP BY o_orderstatus "
         "ORDER BY o_orderstatus"
     ),
@@ -1355,10 +1362,16 @@ def q54(spark: SparkSession, sf: str) -> DataFrame:
         "o_orderstatus"
     ).parquet(out)
     back = spark.read.parquet(out)
+    # integer cents (see q52): exact across engine summation orders.
     return (
         back.filter(F.col("o_orderstatus").isin("F", "P"))
         .groupBy("o_orderstatus")
-        .agg(_cnt().alias("cnt"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+        .agg(
+            _cnt().alias("cnt"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("total_cents"),
+        )
         .orderBy("o_orderstatus")
     )
 

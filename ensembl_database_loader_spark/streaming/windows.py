@@ -27,6 +27,13 @@ from pyspark.sql import functions as F
 _TS_FMT = "yyyy-MM-dd HH:mm:ss"
 
 
+#: (realpath(sf_dir), copies) -> prepared symlink dir. The file stream
+#: source just lists this dir; reusing it across calls avoids per-probe
+#: mkdtemp + symlink setup and keeps /tmp from accumulating one dir per
+#: invocation (repeat-bench runs call stream_events many times).
+_STREAM_DIR_CACHE: dict[tuple[str, int], str] = {}
+
+
 def stream_events(
     spark: SparkSession,
     sf_dir: str,
@@ -34,35 +41,39 @@ def stream_events(
     copies: int = 1,
 ) -> DataFrame:
     """File-source stream over the events fixture. Schema comes from a
-    batch peek (streams require an explicit schema); the nanosecond
-    timestamp handling matches catalog.table. ``copies > 1`` exposes the
+    batch peek (streams require an explicit schema); the timestamp
+    normalization matches catalog.table. ``copies > 1`` exposes the
     fixture N times (N files in the monitored dir) — a replayed/
     at-least-once source for dedup semantics."""
     import os
     import tempfile
 
-    # The file streaming source monitors a DIRECTORY; the fixture is a
-    # single parquet file, so expose it through a symlinked temp dir.
-    src = os.path.join(sf_dir, "events.parquet")
-    d = tempfile.mkdtemp(prefix="edl_stream_events_")
-    for i in range(copies):
-        link = os.path.join(d, f"events_{i}.parquet")
-        try:
-            os.symlink(src, link)
-        except OSError:  # filesystems without symlink support
-            import shutil
+    from ensembl_database_loader_spark.catalog import normalize_event_ts
 
-            shutil.copyfile(src, link)
+    # The file streaming source monitors a DIRECTORY; the fixture is a
+    # single parquet file, so expose it through a symlinked temp dir
+    # (cached — the links are immutable once made).
+    src = os.path.join(sf_dir, "events.parquet")
+    key = (os.path.realpath(src), copies)
+    d = _STREAM_DIR_CACHE.get(key)
+    if d is None or not os.path.isdir(d):
+        d = tempfile.mkdtemp(prefix="edl_stream_events_")
+        for i in range(copies):
+            link = os.path.join(d, f"events_{i}.parquet")
+            try:
+                os.symlink(src, link)
+            except OSError:  # filesystems without symlink support
+                import shutil
+
+                shutil.copyfile(src, link)
+        _STREAM_DIR_CACHE[key] = d
 
     reader = spark.readStream
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw_schema = spark.read.parquet(src).schema
-    df = reader.schema(raw_schema).parquet(d)
-    if dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return df
+    return normalize_event_ts(reader.schema(raw_schema).parquet(d))
 
 
 def tumbling_agg(events: DataFrame, width: str = "1 hour", watermark: str | None = "10 minutes") -> DataFrame:
