@@ -10,10 +10,12 @@ Ordering contract: the FIRST 50 entries (registry.WINDOW_50) cover the
 complete declared surface — Q01–Q40 (same-shaped single-row probes
 fused into composites named for the IDs they cover, e.g.
 ``q04_q05_q06_filter_family``; components stay individually registered
-and oracle-checked after the window), WM1–WM6, LL1–LL5, and the
-dedup/similarity/text/multimodal operator probes. Entries after
-position 50 are the un-merged originals plus extensions (q41–q49,
-alternate implementations, live-stream and resize probes).
+and oracle-checked after the window), WM1–WM6, LL1–LL5, the
+dedup/similarity/text/multimodal operator probes, and the flagship
+composites (idf SimHash, connected components, curation funnel,
+bucketed-sink join, exact median). Entries after position 50 are the
+un-merged originals plus extensions (q41–q48, alternate
+implementations, live-stream and resize probes).
 """
 
 from __future__ import annotations

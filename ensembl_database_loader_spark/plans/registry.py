@@ -38,13 +38,14 @@ _REGISTRY: dict[str, Probe] = {}
 #: The first 50 probes the correctness driver checks, in order. Every
 #: SURVEY §2.3-declared capability (Q01–Q40 via merged composites,
 #: WM1–WM6, LL1–LL5) plus the LLM-pipeline operator probes (dd_*, tx_*,
-#: mm_*, ss_ann) must sit inside this window; extension probes
-#: (q41–q49, the pre-merge originals, alternate-implementation probes)
-#: register after it and keep their local oracle-parity checks.
+#: mm_*, ss_ann) AND the flagship composites (weighted idf SimHash,
+#: connected components, curation funnel, bucketed-sink join, exact
+#: median) must sit inside this window; extension probes (q41–q48, the
+#: pre-merge originals, alternate-implementation probes) register after
+#: it and keep their local oracle-parity checks.
 WINDOW_50: tuple[str, ...] = (
-    "q01_parquet_scan",
+    "q01_q03_scan_projection",
     "q02_tsv_roundtrip",
-    "q03_projection",
     "q04_q05_q06_filter_family",
     "q07_join_broadcast",
     "q08_join_shuffle",
@@ -52,26 +53,24 @@ WINDOW_50: tuple[str, ...] = (
     "q11_q12_semi_anti_join",
     "q13_q14_range_cross_join",
     "q15_tpch_q1",
-    "q16_count_distinct",
+    "q16_q31_distinct_date_fns",
     "q17_approx_count_distinct",
-    "q18_conditional_agg",
+    "q18_q20_condagg_having",
     "q19_rollup",
-    "q20_having",
     "q21_sort_multikey",
     "q22_topk",
     "q23_q24_q25_window_family",
     "q26_q27_set_ops",
     "q28_q29_subqueries",
-    "q30_string_fns",
-    "q31_date_fns",
-    "q32_math_fns",
-    "q33_case_null_fns",
-    "q34_array_fns",
+    "q30_q32_string_math_fns",
+    "q33_q34_case_array_fns",
     "q35_q36_json_casts",
     "q37_sampling",
     "q38_python_udf_bsd_sum",
     "q39_pandas_udf_zscore",
     "q40_posexplode",
+    "q49_exact_median",
+    "q50_bucketed_join",
     "wm1_tumbling_window",
     "wm2_sliding_window",
     "wm3_session_window",
@@ -85,7 +84,10 @@ WINDOW_50: tuple[str, ...] = (
     "ll5_quality_filter",
     "dd_minhash_lsh",
     "dd_simhash_banded",
+    "dd_simhash64_idf",
     "dd_embedding_neardup",
+    "dd_connected_components",
+    "llp_curation_funnel",
     "ss_ann_lsh",
     "tx_langid",
     "tx_token_counts",

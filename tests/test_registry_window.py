@@ -40,7 +40,10 @@ def test_llm_operator_probes_in_window():
     for name in (
         "dd_minhash_lsh",
         "dd_simhash_banded",
+        "dd_simhash64_idf",
         "dd_embedding_neardup",
+        "dd_connected_components",
+        "llp_curation_funnel",
         "ss_ann_lsh",
         "tx_langid",
         "tx_token_counts",
@@ -49,6 +52,21 @@ def test_llm_operator_probes_in_window():
         "mm_frame_sample",
     ):
         assert name in WINDOW_50
+
+
+def test_flagship_probes_in_window_with_oracles():
+    """Round-4 rotation: the flagship composites carry HARD driver
+    verification (hash-exact vs DuckDB), not just local parity."""
+    probes = all_probes()
+    for name in (
+        "dd_simhash64_idf",
+        "dd_connected_components",
+        "llp_curation_funnel",
+        "q49_exact_median",
+        "q50_bucketed_join",
+    ):
+        assert name in WINDOW_50
+        assert probes[name].oracle is not None
 
 
 def test_merged_components_stay_registered_with_oracles():
