@@ -77,6 +77,13 @@ def main() -> int:
         probes = {k: v for k, v in probes.items() if "merged" not in v.tags}
     if args.only:
         keep = set(args.only.split(","))
+        unknown = sorted(keep - set(all_probes()))
+        if unknown:
+            # A typo'd --only name must not silently shrink the suite and
+            # exit 0 as if it passed.
+            print(f"# ERROR unknown probe names in --only: {unknown}",
+                  file=sys.stderr)
+            return 2
         probes = {k: v for k, v in probes.items() if k in keep}
 
     # Seeded shuffle: stable for a given seed, but NOT alphabetical, so
@@ -128,6 +135,13 @@ def main() -> int:
         os.makedirs(BENCH_DIR, exist_ok=True)
         full = dict(record)
         full["protocol"] = {
+            # Bump when the measurement protocol changes semantics:
+            # v1 (rounds 1-3): no warm-up, alphabetical order, repeat=1.
+            # v2 (round 4+): per-probe untimed warm-up, min-of-repeats,
+            #   seeded shuffle, clearCache+gc between probes. history.jsonl
+            # records without a protocol field are v1 — NOT comparable
+            # probe-for-probe with v2 records.
+            "protocol_version": 2,
             "seed": args.seed,
             "repeat": args.repeat,
             "order": probes_list,

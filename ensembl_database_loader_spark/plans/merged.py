@@ -22,9 +22,13 @@ from ensembl_database_loader_spark.plans.registry import get, probe
 #: merged name -> [(original probe, [(src_col, out_col), ...]), ...]
 MERGE_SPECS: dict[str, list[tuple[str, list[tuple[str, str]]]]] = {
     # Multi-row components are safe to cross-join as long as the row
-    # product stays small (the driver sorts rows before hashing, and a
-    # composite row carries every component's values, so a green hash
-    # still verifies each component exactly).
+    # product stays small. A green composite hash verifies each
+    # component's row SET given the others are non-empty and
+    # duplicate-free: in theory multiplicity-compensating errors
+    # (component A duplicated k×, B shrunk k×) survive a sorted product
+    # hash, but every multi-row component here carries a unique
+    # tie-break key column, so duplicates are impossible and the
+    # precondition holds by construction.
     "q01_q03_scan_projection": [
         ("q01_parquet_scan", [("cnt", "scan_cnt")]),
         (

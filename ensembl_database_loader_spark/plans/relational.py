@@ -341,12 +341,23 @@ def q16(spark: SparkSession, sf: str) -> DataFrame:
     return table(spark, sf, "orders").agg(F.countDistinct("o_custkey").alias("cnt"))
 
 
-@probe("q17_approx_count_distinct", oracle=None, tags=("approx",))
+@probe(
+    "q17_approx_count_distinct",
+    oracle=(
+        "SELECT COUNT(DISTINCT o_custkey) AS exact_cnt, TRUE AS within_5pct "
+        "FROM orders"
+    ),
+    tags=("approx",),
+)
 def q17(spark: SparkSession, sf: str) -> DataFrame:
-    """HLL++ approximate distinct — the 100 TB substitute for q16 (no
-    oracle: approximation is engine-specific; driver checks rows-only).
-    Emits approx, exact, and a within-5%% flag so the row itself shows
-    the rtol contract holds."""
+    """HLL++ approximate distinct — the 100 TB substitute for q16.
+
+    The raw HLL estimate is engine-specific, so the probe emits only the
+    cross-engine-deterministic columns: the exact count and a boolean
+    asserting the estimate landed within 5% of it. The oracle declares
+    ``TRUE`` for that flag — if Spark's HLL++ ever drifts outside the
+    rtol contract the hash mismatches, so the approximation IS
+    correctness-gated without hashing the engine-specific value."""
     ensure_session_confs(spark)
     o = table(spark, sf, "orders")
     r = o.agg(
@@ -354,7 +365,6 @@ def q17(spark: SparkSession, sf: str) -> DataFrame:
         F.countDistinct("o_custkey").alias("exact_cnt"),
     )
     return r.select(
-        "approx_cnt",
         "exact_cnt",
         (F.abs(F.col("approx_cnt") - F.col("exact_cnt")) <= 0.05 * F.col("exact_cnt")).alias(
             "within_5pct"
@@ -642,14 +652,16 @@ def q28(spark: SparkSession, sf: str) -> DataFrame:
 )
 def q29(spark: SparkSession, sf: str) -> DataFrame:
     """Correlated EXISTS via Spark SQL so Catalyst decorrelates it into the
-    same semi-join q11 builds by hand."""
+    same semi-join q11 builds by hand. DataFrames are passed as SQL
+    template args instead of session-global temp views — concurrent
+    probe runs in one session can't race on a shared view name."""
     ensure_session_confs(spark)
-    table(spark, sf, "customer").createOrReplaceTempView("_q29_customer")
-    table(spark, sf, "orders").createOrReplaceTempView("_q29_orders")
     return spark.sql(
-        "SELECT COUNT(*) AS cnt FROM _q29_customer c WHERE EXISTS "
-        "(SELECT 1 FROM _q29_orders o WHERE o.o_custkey = c.c_custkey "
-        "AND o.o_totalprice > 400000)"
+        "SELECT COUNT(*) AS cnt FROM {cust} c WHERE EXISTS "
+        "(SELECT 1 FROM {ords} o WHERE o.o_custkey = c.c_custkey "
+        "AND o.o_totalprice > 400000)",
+        cust=table(spark, sf, "customer"),
+        ords=table(spark, sf, "orders"),
     )
 
 
@@ -849,11 +861,23 @@ def q36(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@probe("q37_sampling", oracle=None, tags=("approx",))
+@probe(
+    "q37_sampling",
+    oracle=(
+        "SELECT COUNT(*) AS total, "
+        "CAST(FLOOR(COUNT(*) * 0.05) AS BIGINT) AS lo, "
+        "CAST(FLOOR(COUNT(*) * 0.15) AS BIGINT) AS hi, "
+        "TRUE AS within_bounds FROM lineitem"
+    ),
+    tags=("approx",),
+)
 def q37(spark: SparkSession, sf: str) -> DataFrame:
     """Seeded Bernoulli sample (reference: randomized job order,
-    LoadDBs_conf.pm:115). No oracle — sample membership is engine-
-    specific; the row carries rate bounds the driver can eyeball.
+    LoadDBs_conf.pm:115). The seeded rand(42) membership count is
+    engine-specific, so the probe emits only the deterministic columns:
+    total, the [5%, 15%] bounds, and a boolean asserting the sampled
+    count landed inside them. The oracle declares ``TRUE`` for the flag,
+    so a sampler drifting outside its rate contract hash-mismatches.
     One aggregate pass: total and the rand(42)<0.1 Bernoulli-sample
     count come from the same scan (the r1 version ran two jobs plus a
     createDataFrame — 3x the cost for the same answer)."""
@@ -869,7 +893,6 @@ def q37(spark: SparkSession, sf: str) -> DataFrame:
     hi = F.floor(F.col("total") * 0.15).cast("bigint")
     return r.select(
         "total",
-        "sampled",
         lo.alias("lo"),
         hi.alias("hi"),
         ((F.col("sampled") >= lo) & (F.col("sampled") <= hi)).alias("within_bounds"),
@@ -1207,16 +1230,27 @@ def q49(spark: SparkSession, sf: str) -> DataFrame:
 def _ensure_q50_tables(spark: SparkSession, sf: str) -> tuple[str, str]:
     """Idempotent one-time setup for q50: persist both fact tables
     bucketed+sorted on the join key, ONCE per (session, sf_dir). Table
-    names carry an sf-dir fingerprint so a session touching several
-    scale factors (unit tests at sf0.001, parity at sf0.01, bench at
-    sf0.1) never reads another sf's buckets. Amortized-write is the
-    point of bucketing — the probe itself should time the zero-Exchange
-    join, not the setup (bench.py's untimed warm-up run lands here)."""
+    names carry a fingerprint of the sf-dir path AND the source parquet
+    files' (size, mtime), so a session touching several scale factors
+    (unit tests at sf0.001, parity at sf0.01, bench at sf0.1) never
+    reads another sf's buckets, and regenerating the fixtures under the
+    same path invalidates the cached buckets instead of silently
+    joining stale data. Amortized-write is the point of bucketing — the
+    probe itself should time the zero-Exchange join, not the setup
+    (bench.py's untimed warm-up run lands here)."""
     import hashlib
 
     from ensembl_database_loader_spark.sinks.jdbc import write_bucketed_table
 
-    tag = hashlib.md5(os.path.realpath(sf).encode()).hexdigest()[:8]
+    ident = os.path.realpath(sf)
+    for t in ("lineitem", "orders"):
+        p = os.path.join(sf, f"{t}.parquet")
+        try:
+            st = os.stat(p)
+            ident += f"|{t}:{st.st_size}:{st.st_mtime_ns}"
+        except OSError:
+            pass  # missing file -> table() will raise with a clear error
+    tag = hashlib.md5(ident.encode()).hexdigest()[:8]
     li_name, o_name = f"q50_li_b_{tag}", f"q50_o_b_{tag}"
     if not (spark.catalog.tableExists(li_name) and spark.catalog.tableExists(o_name)):
         li = table(spark, sf, "lineitem").select("l_orderkey", "l_extendedprice")
@@ -1396,13 +1430,24 @@ def q54(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@probe("q44_approx_percentile", oracle=None, tags=("approx", "sketch"))
+@probe(
+    "q44_approx_percentile",
+    oracle=(
+        "SELECT ROUND(quantile_cont(l_extendedprice, 0.5), 2) AS exact_p50, "
+        "ROUND(quantile_cont(l_extendedprice, 0.95), 2) AS exact_p95, "
+        "TRUE AS within_bounds FROM lineitem"
+    ),
+    tags=("approx", "sketch"),
+)
 def q44(spark: SparkSession, sf: str) -> DataFrame:
     """Quantile sketch: approx_percentile (GK sketch) vs the exact
     percentile, self-checked within 1% relative error — the
     mergeable-sketch path for 100 TB percentile dashboards (exact
-    percentile needs a full sort; the sketch merges map-side). No
-    oracle: sketch internals are engine-specific (rows-only check)."""
+    percentile needs a full sort; the sketch merges map-side). The GK
+    estimate itself is engine-specific so it is not emitted; the output
+    carries the exact interpolated percentiles (DuckDB quantile_cont
+    matches Spark percentile) plus the within-1% flag the oracle
+    declares TRUE — the sketch IS correctness-gated via the flag."""
     ensure_session_confs(spark)
     li = table(spark, sf, "lineitem")
     row = li.agg(
@@ -1418,4 +1463,6 @@ def q44(spark: SparkSession, sf: str) -> DataFrame:
         (F.abs(F.col("approx_p50") - F.col("exact_p50")) / F.col("exact_p50") < 0.01)
         & (F.abs(F.col("approx_p95") - F.col("exact_p95")) / F.col("exact_p95") < 0.01)
     )
-    return row.withColumn("within_bounds", ok)
+    return row.withColumn("within_bounds", ok).select(
+        "exact_p50", "exact_p95", "within_bounds"
+    )

@@ -40,6 +40,11 @@ class Profile:
     load_failed_tolerance: float = 0.50
     max_retry: int = 1
     grant_users: tuple[str, ...] = field(default_factory=tuple)
+    # Both reference configs default prerelease off (LoadDBs_conf.pm:66,
+    # LoadDBs_EG_conf.pm:68). When on: source paths use the hidden
+    # `.release-N` dot-dir (Base.pm:66) and grants are skipped entirely
+    # (Grant.pm:77-78) so the databases stay private until release.
+    prerelease: bool = False
 
 
 PROFILES: dict[str, Profile] = {

@@ -113,10 +113,19 @@ def bulk_load_statements(table: str, local_file: str) -> list[str]:
 
 
 def grant_statements(
-    database: str, users: tuple[str, ...] = DEFAULT_GRANT_USERS
+    database: str,
+    users: tuple[str, ...] = DEFAULT_GRANT_USERS,
+    prerelease: bool = False,
 ) -> list[str]:
     """G1 grant DDL (template Grant.pm:79-80; flush Grant.pm:101).
-    No Spark equivalent exists for internal tables — MySQL targets only."""
+    No Spark equivalent exists for internal tables — MySQL targets only.
+
+    A prerelease load grants NOTHING — the reference's Grant runnable
+    skips both the grant DDL and the flush when ``prerelease`` is set
+    (Grant.pm:77-78, 96-97), so unreleased databases stay invisible to
+    the public users until the real release load re-runs grants."""
+    if prerelease:
+        return []
     stmts = [
         f"GRANT SELECT, EXECUTE ON `{database}`.* TO '{user}'@'%'" for user in users
     ]

@@ -226,10 +226,11 @@ def _split_unescaped_tabs(record: str) -> list[str]:
 
 
 def _decode_mysql_lines(lines, n_cols: int):
-    """Per-partition MySQL-TSV record decoder: rejoin lines ending in an
-    escaped newline (odd trailing-backslash run), split fields on
-    unescaped tabs, unescape each field. gzip parts are non-splittable,
-    so a partition never starts mid-record."""
+    """Per-line reference decoder (kept as the equivalence oracle for
+    the Arrow batch decoder below, and for property tests): rejoin lines
+    ending in an escaped newline (odd trailing-backslash run), split
+    fields on unescaped tabs, unescape each field. gzip parts are
+    non-splittable, so a partition never starts mid-record."""
     buf: str | None = None
     for line in lines:
         cur = line if buf is None else buf + "\n" + line

@@ -56,7 +56,21 @@ def stream_events(
     src = os.path.join(sf_dir, "events.parquet")
     key = (os.path.realpath(src), copies)
     d = _STREAM_DIR_CACHE.get(key)
-    if d is None or not os.path.isdir(d):
+
+    def _cache_valid(path: str | None) -> bool:
+        # Validate CONTENTS, not just dir existence: every expected link
+        # must still resolve to src (a cleaned /tmp or dangling symlink
+        # would otherwise feed the stream an empty/partial directory).
+        if path is None or not os.path.isdir(path):
+            return False
+        expected = [os.path.join(path, f"events_{i}.parquet") for i in range(copies)]
+        return all(
+            os.path.exists(p)  # follows symlinks -> False when dangling
+            and os.path.getsize(p) == os.path.getsize(src)
+            for p in expected
+        )
+
+    if not _cache_valid(d):
         d = tempfile.mkdtemp(prefix="edl_stream_events_")
         for i in range(copies):
             link = os.path.join(d, f"events_{i}.parquet")

@@ -103,15 +103,26 @@ def main() -> int:
                         print(f"  {name}: cols spark={scols} oracle={ocols}",
                               file=sys.stderr)
                     else:
-                        diff = [
-                            (a, b)
-                            for a, b in zip(srows, orows)
-                            if a != b
-                        ][:3]
+                        # Set difference, not positional zip: zip silently
+                        # truncates when row counts differ and misaligns
+                        # after the first insertion/deletion.
+                        only_s = sorted(set(srows) - set(orows))[:3]
+                        only_o = sorted(set(orows) - set(srows))[:3]
                         print(f"  {name}: {len(srows)} vs {len(orows)} rows; "
-                              f"first diffs {diff}", file=sys.stderr)
+                              f"spark-only {only_s}; oracle-only {only_o}",
+                              file=sys.stderr)
             else:
-                ok = len(pdf) >= 0 and len(pdf.columns) > 0
+                # No oracle: require a non-degenerate schema AND that any
+                # self-check boolean columns the probe emits (within_*,
+                # *_ok) are all true — the probe's own declared invariant.
+                selfcheck_cols = [
+                    c for c in pdf.columns
+                    if pdf[c].dtype == bool
+                    and (c.startswith("within_") or c.endswith("_ok"))
+                ]
+                ok = len(pdf.columns) > 0 and all(
+                    bool(pdf[c].all()) for c in selfcheck_cols
+                )
                 mode = "rows_only"
                 if not ok:
                     failures.append(name)

@@ -162,6 +162,16 @@ def test_sink_statement_builders():
     g = grant_statements("homo_sapiens_core_110_38")
     assert g[0] == "GRANT SELECT, EXECUTE ON `homo_sapiens_core_110_38`.* TO 'anonymous'@'%'"
     assert g[-1] == "FLUSH PRIVILEGES"
+    # Prerelease loads grant NOTHING — not even the flush (Grant.pm:77-78,
+    # 96-97): the database stays invisible to public users until release.
+    assert grant_statements("homo_sapiens_core_110_38", prerelease=True) == []
+
+
+def test_profiles_default_prerelease_off():
+    from ensembl_database_loader_spark.profiles import get_profile
+
+    for name in ("ensembl", "eg"):
+        assert get_profile(name).prerelease is False  # LoadDBs_conf.pm:66
 
 
 def test_parquet_mirror_sink_registers_and_analyzes(spark, tmp_path):
