@@ -39,9 +39,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="skip CHECKSUMS verification")
     p.add_argument("--strict-escapes", action="store_true",
                    help="full LOAD DATA escape fidelity (escaped tabs/newlines, "
-                        "\\0\\b\\n\\r\\t\\Z letter map) via the per-partition "
-                        "decoder — exact but row-at-a-time; use for dumps with "
-                        "free-text columns")
+                        "\\0\\b\\n\\r\\t\\Z letter map) via the Arrow-native "
+                        "mapInArrow decoder; use for dumps with free-text "
+                        "columns")
     p.add_argument("--master", default=None, help="spark master override")
     return p
 
