@@ -2,21 +2,93 @@
 class (exact cluster-level dedup: near-dup PAIRS only say A~B and B~C;
 grouping a whole near-dup cluster needs the transitive closure).
 
-Min-label propagation: every node starts labeled with its own id; each
-round every node takes the minimum label among itself and its
-neighbors; convergence in O(graph diameter) rounds. Per round: one
-join + one aggregate (both shuffles on node id), a localCheckpoint to
-truncate the growing lineage (without it the plan doubles every round
-— the classic iterative-Spark failure), and one driver-side count for
-the convergence test (inherent to iterative algorithms; GraphX's
-Pregel loop does the same). Near-dup graphs have tiny diameters, so
-rounds stay in single digits at any corpus size.
+Algorithm: alternating large-star/small-star (Kiveris et al.,
+"Connected Components in MapReduce and Beyond", SoCC'14) — the
+standard scale-out formulation. Each round rewires the edge set toward
+stars centered at component minima:
+
+- large-star: every node connects its LARGER neighbors to the minimum
+  of its neighborhood (including itself);
+- small-star: every node connects its smaller-or-equal neighbors to
+  that minimum.
+
+Both preserve connectivity; the fixpoint is a forest of stars whose
+centers are the component minima. Convergence is O(log n) ROUNDS
+INDEPENDENT OF GRAPH DIAMETER — a path graph (the worst case for the
+round-4 min-label propagation, which needed diameter rounds) halves
+every round. Per round: two groupBy-join passes over the edge set
+(shuffles on node id), a localCheckpoint to truncate lineage (without
+it the plan doubles every round — the classic iterative-Spark
+failure), and ONE driver-side aggregate for the fixpoint test
+(inherent to iterative algorithms; GraphX's Pregel loop does the
+same). At 100 TB the edge set also SHRINKS every round (toward one
+edge per non-center node), so late rounds are cheap.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+def _canon(edges: DataFrame, dedupe: bool = True) -> DataFrame:
+    """Undirected edge set in canonical (lo, hi) form, self-loops
+    dropped. ``dedupe=False`` skips the distinct SHUFFLE — used for the
+    large-star output, which feeds straight into small-star whose own
+    groupBy/distinct absorbs duplicates anyway (one shuffle saved per
+    round)."""
+    e = edges.select(
+        F.least("src", "dst").alias("src"), F.greatest("src", "dst").alias("dst")
+    ).filter(F.col("src") != F.col("dst"))
+    return e.distinct() if dedupe else e
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """Connect every node's strictly-larger neighbors to the minimum of
+    its closed neighborhood."""
+    sym = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    mins = sym.groupBy("src").agg(F.min("dst").alias("_mn")).select(
+        "src", F.least("src", "_mn").alias("m")
+    )
+    return _canon(
+        sym.join(mins, "src")
+        .filter(F.col("dst") > F.col("src"))
+        .select(F.col("dst").alias("src"), F.col("m").alias("dst")),
+        dedupe=False,
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Connect every node's smaller neighbors (and itself) to the
+    minimum of its smaller neighborhood."""
+    d = edges.select(
+        F.greatest("src", "dst").alias("u"), F.least("src", "dst").alias("v")
+    )
+    mins = d.groupBy("u").agg(F.min("v").alias("m"))
+    rewired = (
+        d.join(mins, "u")
+        .filter(F.col("v") != F.col("m"))
+        .select(F.col("v").alias("src"), F.col("m").alias("dst"))
+    )
+    centers = mins.select(F.col("u").alias("src"), F.col("m").alias("dst"))
+    return _canon(rewired.unionByName(centers))
+
+
+def _fingerprint(edges: DataFrame) -> tuple:
+    """Cheap fixpoint probe: (count, two independent hash XORs). One
+    aggregate job, no join. XOR (not SUM) because the edge set is
+    distinct (duplicates that would cancel cannot occur) and XOR cannot
+    overflow under ANSI arithmetic. A collision would need two
+    DIFFERENT edge sets agreeing on count and both 64-bit folds —
+    negligible next to hardware error rates."""
+    row = edges.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr("bit_xor(xxhash64(src, dst))").alias("h1"),
+        F.expr("bit_xor(xxhash64(dst, src, 7))").alias("h2"),
+    ).first()
+    return (row.n, row.h1, row.h2)
 
 
 def connected_components(
@@ -30,42 +102,41 @@ def connected_components(
     """(id, component) with component = min node id reachable from id.
 
     ``nodes``: one row per node id (isolated nodes keep their own id as
-    component). ``edges``: undirected pairs (each given once)."""
-    sym = (
+    component). ``edges``: undirected pairs (each given once).
+
+    ``max_iterations`` bounds ROUNDS of large-star+small-star; because
+    convergence is O(log n) rounds regardless of diameter, the default
+    25 covers any graph that fits in a cluster (2^25 nodes per chain)."""
+    e = _canon(
         edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
-        .unionByName(
-            edges.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst"))
-        )
-        .distinct()
-        .localCheckpoint()
-    )
-    labels = nodes.select(
-        F.col(id_col).alias("id"), F.col(id_col).alias("component")
     ).localCheckpoint()
 
+    fp = _fingerprint(e)
     for _ in range(max_iterations):
-        neighbor_min = (
-            sym.join(labels, sym.src == labels.id)
-            .groupBy(F.col("dst").alias("id"))
-            .agg(F.min("component").alias("_nbr"))
+        e2 = _small_star(_large_star(e)).localCheckpoint()
+        fp2 = _fingerprint(e2)
+        e = e2
+        if fp2 == fp:
+            break
+        fp = fp2
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} rounds"
         )
-        updated = (
-            labels.join(neighbor_min, "id", "left")
-            .select(
-                "id",
-                F.least(
-                    F.col("component"), F.coalesce("_nbr", F.col("component"))
-                ).alias("component"),
-                (
-                    F.coalesce("_nbr", F.col("component")) < F.col("component")
-                ).alias("_changed"),
-            )
-            .localCheckpoint()
+
+    # Fixpoint is a star forest centered at component minima: every
+    # node's component is the min of its closed neighborhood.
+    sym = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    nbr_min = sym.groupBy(F.col("src").alias("id")).agg(
+        F.min("dst").alias("_nbr")
+    )
+    return (
+        nodes.select(F.col(id_col).alias("id"))
+        .join(nbr_min, "id", "left")
+        .select(
+            "id",
+            F.least(F.col("id"), F.coalesce("_nbr", F.col("id"))).alias("component"),
         )
-        changed = updated.filter(F.col("_changed")).count()
-        labels = updated.drop("_changed")
-        if changed == 0:
-            return labels
-    raise RuntimeError(
-        f"connected_components did not converge in {max_iterations} rounds"
     )

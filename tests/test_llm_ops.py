@@ -191,6 +191,45 @@ def test_connected_components_chain_and_isolates(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20}
 
 
+def test_connected_components_long_chain_converges_in_log_rounds(spark):
+    """A 60-node path graph has diameter 59: the round-4 min-label
+    propagation needed 59 rounds and raised at the 25-round cap. The
+    large-star/small-star formulation must converge within the same
+    default cap (O(log n) rounds regardless of diameter)."""
+    from ensembl_database_loader_spark.operators.components import (
+        connected_components,
+    )
+
+    n = 60
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "id bigint")
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id1 bigint, id2 bigint"
+    )
+    got = {r.id: r.component for r in connected_components(nodes, edges).collect()}
+    assert got == {i: 0 for i in range(n)}
+
+
+def test_connected_components_two_chains_and_star(spark):
+    """Mixed topology: two long chains plus a pre-formed star — each
+    component labels to its minimum id."""
+    from ensembl_database_loader_spark.operators.components import (
+        connected_components,
+    )
+
+    chain_a = [(i, i + 1) for i in range(0, 29)]          # 0..29
+    chain_b = [(i, i + 1) for i in range(100, 129)]       # 100..129
+    star = [(200, v) for v in range(201, 206)]            # 200..205
+    nodes = spark.createDataFrame(
+        [(i,) for i in list(range(30)) + list(range(100, 130)) + list(range(200, 206))],
+        "id bigint",
+    )
+    edges = spark.createDataFrame(chain_a + chain_b + star, "id1 bigint, id2 bigint")
+    got = {r.id: r.component for r in connected_components(nodes, edges).collect()}
+    assert all(got[i] == 0 for i in range(30))
+    assert all(got[i] == 100 for i in range(100, 130))
+    assert all(got[i] == 200 for i in range(200, 206))
+
+
 def test_connected_components_raises_on_no_convergence(spark):
     from ensembl_database_loader_spark.operators.components import (
         connected_components,
