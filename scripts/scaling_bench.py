@@ -32,8 +32,11 @@ from ensembl_database_loader_spark.catalog import table  # noqa: E402
 from ensembl_database_loader_spark.operators.dedup import (  # noqa: E402
     minhash_lsh_candidates,
     minhash_lsh_pairs,
+    ngram_jaccard_pairs_prefix,
+    simhash64_pairs_banded,
 )
 from ensembl_database_loader_spark.operators.similarity import (  # noqa: E402
+    ivf_topk,
     lsh_bucket_topk,
 )
 from ensembl_database_loader_spark.session import get_spark  # noqa: E402
@@ -41,8 +44,10 @@ from ensembl_database_loader_spark.session import get_spark  # noqa: E402
 
 def scaled_corpus(spark, sf_dir: str, k: int):
     """k replicas x (documents + dropped-first-word variants); replica r
-    suffixes every word with _r<r> so shingles are replica-disjoint."""
-    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    suffixes every word with _r<r> so shingles are replica-disjoint.
+    ``lang`` rides along unchanged — the blocked operators
+    (prefix-Jaccard, banded simhash) see each block grow k-fold."""
+    d = table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
     reps = spark.range(k).select(F.col("id").alias("r"))
     base = d.crossJoin(reps).select(
         (F.col("doc_id") + F.col("r") * 1_000_000).alias("doc_id"),
@@ -53,10 +58,12 @@ def scaled_corpus(spark, sf_dir: str, k: int):
                 lambda w: F.concat(w, F.lit("_r"), F.col("r").cast("string")),
             ),
         ).alias("text"),
+        "lang",
     )
     variants = base.select(
         (F.col("doc_id") + 500_000).alias("doc_id"),
         F.regexp_replace("text", "^[^ ]+ ", "").alias("text"),
+        "lang",
     )
     return base.unionByName(variants)
 
@@ -91,6 +98,7 @@ def main() -> int:
     for k in [int(x) for x in args.doc_reps.split(",")]:
         c = scaled_corpus(spark, args.sf_dir, k).cache()
         n = c.count()  # materialize outside the timed region
+
         t0 = time.perf_counter()
         cand = minhash_lsh_candidates(c, "doc_id", "text", num_hashes=8, rows_per_band=2)
         ver = minhash_lsh_pairs(c, "doc_id", "text", threshold=None, candidates=cand)
@@ -103,17 +111,47 @@ def main() -> int:
                "cand": row.cand, "verified": row.verified}  # fmt: skip
         out.append(rec)
         print(json.dumps(rec), flush=True)
+
+        t0 = time.perf_counter()
+        pairs = ngram_jaccard_pairs_prefix(
+            c, "doc_id", "text", "lang", n=3, threshold=0.8
+        )
+        pcnt = pairs.count()
+        dt = time.perf_counter() - t0
+        rec = {"op": "dd_jaccard_prefix", "n_docs": n, "sec": round(dt, 2),
+               "pairs": pcnt}  # fmt: skip
+        out.append(rec)
+        print(json.dumps(rec), flush=True)
+
+        t0 = time.perf_counter()
+        sh = simhash64_pairs_banded(c, "doc_id", "text", "lang", max_hamming=4)
+        scnt = sh.count()
+        dt = time.perf_counter() - t0
+        rec = {"op": "dd_simhash64_idf", "n_docs": n, "sec": round(dt, 2),
+               "pairs": scnt}  # fmt: skip
+        out.append(rec)
+        print(json.dumps(rec), flush=True)
+
         c.unpersist()
 
     for k in [int(x) for x in args.vec_reps.split(",")]:
         e = scaled_vectors(spark, args.sf_dir, k).cache()
         n = e.count()
+
         t0 = time.perf_counter()
         top = lsh_bucket_topk(e, "vec_id", "embedding", query_id=0, k=5).collect()
         dt = time.perf_counter() - t0
         rec = {"op": "ss_ann_lsh", "n_vecs": n, "sec": round(dt, 2), "topk": len(top)}
         out.append(rec)
         print(json.dumps(rec), flush=True)
+
+        t0 = time.perf_counter()
+        top = ivf_topk(e, "vec_id", "embedding", query_id=0, k=5).collect()
+        dt = time.perf_counter() - t0
+        rec = {"op": "ss_ann_ivf", "n_vecs": n, "sec": round(dt, 2), "topk": len(top)}
+        out.append(rec)
+        print(json.dumps(rec), flush=True)
+
         e.unpersist()
 
     spark.stop()
