@@ -8,6 +8,7 @@ from ensembl_database_loader_spark.pipeline.mirror import (  # noqa: F401
     mode_filter,
     priority_branch,
     priority_score,
+    render_email_summary,
     render_report,
     summarize,
 )

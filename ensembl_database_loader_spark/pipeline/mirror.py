@@ -149,6 +149,7 @@ class JobResult:
     status: str  # 'DONE' | 'FAILED'
     attempt: int = 0
     error: str | None = None
+    branch: int = 2  # P2 dataflow branch (2 normal .. 5 human variation)
 
 
 @dataclass
@@ -157,9 +158,13 @@ class MirrorReport:
 
     def to_df(self, spark: SparkSession) -> DataFrame:
         return spark.createDataFrame(
-            [(r.database, r.analysis, r.status, r.attempt, r.error) for r in self.results]
+            [
+                (r.database, r.analysis, r.status, r.attempt, r.error, r.branch)
+                for r in self.results
+            ]
             or [],
-            "database string, analysis string, status string, attempt int, error string",
+            "database string, analysis string, status string, attempt int, "
+            "error string, branch int",
         )
 
     @property
@@ -203,6 +208,100 @@ def render_report(report_df: DataFrame) -> str:
     return "\n".join(lines)
 
 
+#: The reference's email body, verbatim (EmailSummary.pm:88-103): seven
+#: fixed success/fail pairs in pipeline order, then the failed-job
+#: section.
+_EMAIL_TEMPLATE = """Your Ensembl Mirrors Pipeline has finished. We have:
+
+  * %d databases successfully downloaded (%d failed)
+  * %d databases successfully prioritised (%d failed)
+  * %d human variation database successfully loaded (%d failed)
+  * %d super priority databases successfully loaded (%d failed)
+  * %d high priority databases successfully loaded (%d failed)
+  * %d databases successfully loaded (%d failed)
+  * %d databases were successfully granted access (%d failed)
+
+%s
+"""
+
+#: Template slot order -> (analysis filter, branch filter). Branches
+#: map to the reference's load analyses (LoadDBs_conf.pm:140-143):
+#: 2 load_files, 3 high_priority, 4 super_priority, 5 human_variation.
+_EMAIL_SLOTS: list[tuple[str, int | None]] = [
+    ("verify", None),  # download+checksum stage == reference 'download'
+    ("prioritise", None),
+    ("load", 5),
+    ("load", 4),
+    ("load", 3),
+    ("load", 2),
+    ("grant", None),
+]
+
+
+def render_email_summary(report_df: DataFrame) -> str:
+    """A4, byte-faithful variant: the reference's exact sprintf email
+    body (EmailSummary.pm:88-103), seven fixed success/fail pairs plus
+    the failed-jobs section (wording EmailSummary.pm:151-162; line
+    format `job_id=%d %s(%5d) input_id='%s'` with hive's stringified
+    `{database => name}` input ids — job/analysis ids are positional
+    here since there is no hive database to assign them).
+
+    Slot mapping: our 'verify' stage is the reference's download (the
+    download runnable's work IS fetch+checksum); 'prioritise' counts
+    every database seen (the pure scoring computation cannot fail);
+    the four load slots split our 'load' rows by P2 branch; 'grant'
+    counts grant-analysis rows when a JDBC target emits them (the
+    parquet mirror has no grant stage, so 0/0). The generic
+    ``render_report`` remains the structured alternative."""
+    rows = report_df.select(
+        "database", "analysis", "status", "branch"
+    ).collect()
+    seen_dbs = sorted({r.database for r in rows})
+
+    def pair(analysis: str, branch: int | None) -> tuple[int, int]:
+        if analysis == "prioritise":
+            return len(seen_dbs), 0
+        done = {
+            r.database
+            for r in rows
+            if r.analysis == analysis
+            and r.status == "DONE"
+            and (branch is None or r.branch == branch)
+        }
+        failed = {
+            r.database
+            for r in rows
+            if r.analysis == analysis
+            and r.status == "FAILED"
+            and (branch is None or r.branch == branch)
+        }
+        return len(done), len(failed)
+
+    args: list[object] = []
+    for analysis, branch in _EMAIL_SLOTS:
+        s, f = pair(analysis, branch)
+        args.extend([s, f])
+
+    failures = failed_jobs(report_df).collect()
+    if not failures:
+        failed_text = "No jobs failed. Congratulations!"
+    else:
+        analysis_ids = {"verify": 1, "load": 2, "grant": 3}
+        lines = [
+            "The following jobs have failed during this run. Please check "
+            "your hive's error msg table for the following jobs:",
+            "",
+        ]
+        for i, r in enumerate(failures, start=1):
+            lines.append(
+                "  * job_id=%d %s(%5d) input_id='{database => %s}'"
+                % (i, r.analysis, analysis_ids.get(r.analysis, 0), r.database)
+            )
+        failed_text = "\n".join(lines) + "\n"
+    args.append(failed_text)
+    return _EMAIL_TEMPLATE % tuple(args)
+
+
 def failed_jobs(report_df: DataFrame) -> DataFrame:
     """A2/A3: FAILED rows, failures-first multi-key order
     (EmailSummary.pm:142-176)."""
@@ -241,13 +340,15 @@ def _load_one(
         tables = read_mysql_dump(
             spark, src, verify=verify, strict_escapes=strict_escapes
         )
-        results.append(JobResult(database, "verify", "DONE", attempt))
+        results.append(JobResult(database, "verify", "DONE", attempt, branch=branch))
         for t, df in tables.items():
             df.write.mode("errorifexists").parquet(os.path.join(target, t))
-        results.append(JobResult(database, "load", "DONE", attempt))
+        results.append(JobResult(database, "load", "DONE", attempt, branch=branch))
     except Exception as exc:  # noqa: BLE001 - containment is the contract
         stage = "verify" if not any(r.analysis == "verify" for r in results) else "load"
-        results.append(JobResult(database, stage, "FAILED", attempt, str(exc)[:500]))
+        results.append(
+            JobResult(database, stage, "FAILED", attempt, str(exc)[:500], branch=branch)
+        )
     finally:
         sc.setLocalProperty("spark.scheduler.pool", None)
     return results

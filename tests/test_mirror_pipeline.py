@@ -167,6 +167,47 @@ def test_sink_statement_builders():
     assert grant_statements("homo_sapiens_core_110_38", prerelease=True) == []
 
 
+def test_render_email_summary_matches_reference_template(spark):
+    """Byte-level check of the reference's email body
+    (EmailSummary.pm:88-103): seven fixed success/fail pairs in pipeline
+    order, branch-split load slots, and both failed-section variants."""
+    from ensembl_database_loader_spark.pipeline import render_email_summary
+    from ensembl_database_loader_spark.pipeline.mirror import JobResult, MirrorReport
+
+    ok = MirrorReport(
+        results=[
+            JobResult("a_core_1", "verify", "DONE", branch=2),
+            JobResult("a_core_1", "load", "DONE", branch=2),
+            JobResult("homo_sapiens_variation_1", "verify", "DONE", branch=5),
+            JobResult("homo_sapiens_variation_1", "load", "DONE", branch=5),
+        ]
+    )
+    text = render_email_summary(ok.to_df(spark))
+    assert text.startswith(
+        "Your Ensembl Mirrors Pipeline has finished. We have:\n"
+    )
+    assert "  * 2 databases successfully downloaded (0 failed)\n" in text
+    assert "  * 2 databases successfully prioritised (0 failed)\n" in text
+    assert "  * 1 human variation database successfully loaded (0 failed)\n" in text
+    assert "  * 0 super priority databases successfully loaded (0 failed)\n" in text
+    assert "  * 1 databases successfully loaded (0 failed)\n" in text
+    assert "  * 0 databases were successfully granted access (0 failed)\n" in text
+    assert "No jobs failed. Congratulations!" in text
+
+    bad = MirrorReport(
+        results=[
+            JobResult("b_core_1", "verify", "FAILED", error="checksum", branch=2),
+        ]
+    )
+    text = render_email_summary(bad.to_df(spark))
+    assert "  * 0 databases successfully downloaded (1 failed)\n" in text
+    assert (
+        "The following jobs have failed during this run. Please check "
+        "your hive's error msg table for the following jobs:" in text
+    )
+    assert "  * job_id=1 verify(    1) input_id='{database => b_core_1}'" in text
+
+
 def test_profiles_default_prerelease_off():
     from ensembl_database_loader_spark.profiles import get_profile
 
