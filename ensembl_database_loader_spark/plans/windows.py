@@ -21,6 +21,7 @@ from ensembl_database_loader_spark.streaming.windows import (
     sliding_agg,
     stream_events,
     stream_static_join,
+    stream_stream_join,
     tumbling_agg,
     user_segments,
 )
@@ -191,6 +192,41 @@ def ws1(spark: SparkSession, sf: str) -> DataFrame:
         F.date_format(F.max("last_seen"), "yyyy-MM-dd HH:mm:ss").alias(
             "max_last_seen"
         ),
+    )
+
+
+@probe(
+    "ws2_stream_stream_join",
+    oracle=(
+        "WITH c AS (SELECT user_id, ts, value FROM events WHERE event_type = 'click'), "
+        "v AS (SELECT user_id, ts, value FROM events WHERE event_type = 'view') "
+        "SELECT COUNT(*) AS pair_cnt, COUNT(DISTINCT c.user_id) AS users, "
+        "ROUND(SUM(c.value + v.value), 2) AS sum_value "
+        "FROM c JOIN v ON c.user_id = v.user_id "
+        "AND v.ts BETWEEN c.ts AND c.ts + INTERVAL 10 MINUTE"
+    ),
+    tags=("streaming", "live-stream"),
+)
+def ws2(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL stream-stream join: two file-source streams over the events
+    fixture (clicks / views), watermarked on both sides, inner-joined
+    on user with a 10-minute event-time range bound, drained with
+    availableNow and aggregated. The range bound + double watermark is
+    what lets the engine expire join state on both sides — the
+    unbounded-state trap is the defining hazard of stream-stream
+    joins. Single-batch availableNow makes the result equal the batch
+    self-join, which is the DuckDB oracle."""
+    ensure_session_confs(spark)
+    clicks = stream_events(spark, sf).filter(F.col("event_type") == "click")
+    views = stream_events(spark, sf).filter(F.col("event_type") == "view")
+    joined = stream_stream_join(clicks, views)
+    out = run_available_now(
+        joined.select("user_id", "c_value", "v_value"), output_mode="append"
+    )
+    return out.agg(
+        F.count(F.lit(1)).alias("pair_cnt"),
+        F.countDistinct("user_id").alias("users"),
+        F.round(F.sum(F.col("c_value") + F.col("v_value")), 2).alias("sum_value"),
     )
 
 

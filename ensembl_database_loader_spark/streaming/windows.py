@@ -154,6 +154,41 @@ def stream_static_join(events: DataFrame, dim: DataFrame) -> DataFrame:
     )
 
 
+def stream_stream_join(
+    clicks: DataFrame,
+    views: DataFrame,
+    gap: str = "10 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """WS2: watermarked stream-stream INNER join on user with an
+    event-time range bound — "view within ``gap`` after a click".
+
+    Both sides carry a watermark and the join condition bounds the
+    right side's event time relative to the left's, which is exactly
+    what lets Structured Streaming expire buffered state on both sides
+    (an unbounded condition would grow state forever). Works
+    identically on batch frames (no watermark applied), so the batch
+    self-join is the oracle."""
+    c = clicks.select(
+        "user_id", F.col("ts").alias("c_ts"), F.col("value").alias("c_value")
+    )
+    v = views.select(
+        F.col("user_id").alias("v_user_id"),
+        F.col("ts").alias("v_ts"),
+        F.col("value").alias("v_value"),
+    )
+    if clicks.isStreaming:
+        c = c.withWatermark("c_ts", watermark)
+    if views.isStreaming:
+        v = v.withWatermark("v_ts", watermark)
+    cond = (
+        (c.user_id == v.v_user_id)
+        & (v.v_ts >= c.c_ts)
+        & (v.v_ts <= F.col("c_ts") + F.expr(f"INTERVAL {gap}"))
+    )
+    return c.join(v, cond, "inner")
+
+
 def run_available_now(df: DataFrame, output_mode: str = "complete") -> DataFrame:
     """Drain a streaming DataFrame with the availableNow trigger into a
     uniquely-named in-memory table; returns the resulting batch frame."""

@@ -89,3 +89,58 @@ def test_watermark_drops_late_rows(spark, sf_dir):
         assert out.get("2024-03-01 10:00") == 1, out
     finally:
         shutil.rmtree(os.path.dirname(src), ignore_errors=True)
+
+
+@pytest.mark.slow
+def test_stream_stream_join_buffers_across_batches(spark):
+    """A click in micro-batch 0 must stay buffered in join state and
+    match a view that only arrives in micro-batch 1 (maxFilesPerTrigger
+    = 1); a view outside the 10-minute range must not match."""
+    from ensembl_database_loader_spark.streaming.windows import stream_stream_join
+
+    schema = "event_id LONG, ts STRING, user_id LONG, event_type STRING, value DOUBLE, props STRING"
+    src = tempfile.mkdtemp(prefix="edl_ssj_src_") + "/f1"
+    try:
+        batches = [
+            # batch0: the click, alone
+            [(1, "2024-03-01 10:00:00", 1, "click", 1.0, "{}")],
+            # batch1: in-range view (10:05), out-of-range view (10:20),
+            # in-range view for a DIFFERENT user (no matching click)
+            [
+                (2, "2024-03-01 10:05:00", 1, "view", 2.0, "{}"),
+                (3, "2024-03-01 10:20:00", 1, "view", 4.0, "{}"),
+                (4, "2024-03-01 10:05:00", 2, "view", 8.0, "{}"),
+            ],
+        ]
+        seen: set[str] = set()
+        for i, rows in enumerate(batches):
+            df = spark.createDataFrame(rows, schema).withColumn(
+                "ts", F.to_timestamp("ts")
+            )
+            df.coalesce(1).write.mode("append").parquet(src)
+            new = {p for p in os.listdir(src) if p.endswith(".parquet")} - seen
+            assert len(new) == 1
+            f = os.path.join(src, next(iter(new)))
+            os.utime(f, (1_700_000_000 + i * 100,) * 2)
+            seen.add(next(iter(new)))
+
+        read_schema = (
+            spark.createDataFrame([], schema)
+            .withColumn("ts", F.to_timestamp("ts"))
+            .schema
+        )
+        stream = (
+            spark.readStream.option("maxFilesPerTrigger", 1)
+            .schema(read_schema)
+            .parquet(src)
+        )
+        joined = stream_stream_join(
+            stream.filter(F.col("event_type") == "click"),
+            stream.filter(F.col("event_type") == "view"),
+        )
+        got = run_available_now(
+            joined.select("user_id", "c_value", "v_value"), output_mode="append"
+        ).collect()
+        assert [(r.user_id, r.c_value, r.v_value) for r in got] == [(1, 1.0, 2.0)]
+    finally:
+        shutil.rmtree(os.path.dirname(src), ignore_errors=True)
