@@ -1466,3 +1466,37 @@ def q44(spark: SparkSession, sf: str) -> DataFrame:
     return row.withColumn("within_bounds", ok).select(
         "exact_p50", "exact_p95", "within_bounds"
     )
+
+
+@probe(
+    "q55_percentile_countbased",
+    oracle=(
+        "SELECT l_returnflag, "
+        "ROUND(quantile_cont(l_quantity, 0.5) + 1e-6, 2) AS p50_qty, "
+        "ROUND(quantile_cont(l_quantity, 0.9) + 1e-6, 2) AS p90_qty "
+        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"
+    ),
+    tags=("agg", "percentile"),
+)
+def q55(spark: SparkSession, sf: str) -> DataFrame:
+    """Distributed EXACT percentile via value counts
+    (operators/percentiles.py) — the 100 TB path when distinct values
+    are bounded: quantities/ratings/durations, here l_quantity (50
+    distinct values over 600k rows at sf0.1). Spark's built-in
+    ``percentile`` buffers per-group values on one reducer (q49's
+    documented trade-off); this plan is a partial-aggregated shuffle
+    over distinct values plus a 50-row cumulative window. Same +1e-6
+    knife-edge guard as q49 (percentiles of a discrete grid land on
+    .x5 boundaries)."""
+    from ensembl_database_loader_spark.operators.percentiles import percentile_cont
+
+    ensure_session_confs(spark)
+    li = table(spark, sf, "lineitem")
+    p = percentile_cont(
+        li, "l_quantity", {"p50_qty": 0.5, "p90_qty": 0.9}, ("l_returnflag",)
+    )
+    return p.select(
+        "l_returnflag",
+        F.round(F.col("p50_qty") + F.lit(1e-6), 2).alias("p50_qty"),
+        F.round(F.col("p90_qty") + F.lit(1e-6), 2).alias("p90_qty"),
+    ).orderBy("l_returnflag")

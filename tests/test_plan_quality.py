@@ -201,3 +201,50 @@ def test_partitioned_write_prunes_partitions(spark, tmp_path):
     assert "PartitionFilters" in plan and "o_orderstatus" in plan.split(
         "PartitionFilters"
     )[1].split("]")[0]
+
+
+def test_percentile_cont_matches_builtin(spark):
+    """Count-based exact percentile must equal Spark's buffering
+    `percentile` aggregate (to 1 ulp; both use lo + (hi-lo)*frac at
+    position (n-1)p), global and grouped, including null handling."""
+    from pyspark.sql import functions as F
+
+    from ensembl_database_loader_spark.catalog import table as cat_table
+    from ensembl_database_loader_spark.operators.percentiles import percentile_cont
+
+    li = cat_table(spark, SF, "lineitem").withColumn(
+        "qty_n", F.when(F.col("l_linenumber") == 1, None).otherwise(F.col("l_quantity"))
+    )
+    got = percentile_cont(li, "qty_n", {"p25": 0.25, "p50": 0.5, "p99": 0.99}).first()
+    exp = li.agg(
+        F.expr("percentile(qty_n, array(0.25, 0.5, 0.99))").alias("e")
+    ).first()["e"]
+    assert (got.p25, got.p50, got.p99) == tuple(exp)
+
+    g_got = {
+        r.l_returnflag: r.p50
+        for r in percentile_cont(
+            li, "qty_n", {"p50": 0.5}, ("l_returnflag",)
+        ).collect()
+    }
+    g_exp = {
+        r.l_returnflag: r.e
+        for r in li.groupBy("l_returnflag")
+        .agg(F.expr("percentile(qty_n, 0.5)").alias("e"))
+        .collect()
+    }
+    assert g_got == g_exp
+
+
+def test_percentile_cont_plan_has_partial_aggregation(spark):
+    """The count-based path must partial-aggregate map-side (the whole
+    point: shuffle distinct values, not rows) and contain no
+    per-group value buffering aggregate."""
+    from ensembl_database_loader_spark.catalog import table as cat_table
+    from ensembl_database_loader_spark.operators.percentiles import percentile_cont
+
+    li = cat_table(spark, SF, "lineitem")
+    p = percentile_cont(li, "l_quantity", {"p50": 0.5}, ("l_returnflag",))
+    plan = p._jdf.queryExecution().executedPlan().toString()
+    assert "partial_count" in plan
+    assert "percentile" not in plan.lower()
