@@ -146,6 +146,71 @@ def lsh_bucket_topk(
     )
 
 
+def kmeans_centroids(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_cells: int = 16,
+    n_iter: int = 5,
+    sample_fraction: float | None = None,
+) -> list[list[float]]:
+    """Distributed Lloyd's k-means for IVF cell training: deterministic
+    first-``n_cells``-by-id init, then ``n_iter`` rounds of
+    (assign-to-nearest via one Arrow GEMM pass) -> (per-cell
+    elementwise mean via posexplode + groupBy partial aggregation).
+
+    Everything stays DataFrame-side except the centroids themselves
+    (n_cells x dim doubles collected per round — the broadcast-dim
+    pattern). ``sample_fraction`` trains on a seeded sample: at 100 TB
+    centroid quality needs only a representative sample, not the full
+    corpus, and the assignment pass in ``ivf_topk`` is unchanged.
+    Deterministic for a fixed input (seeded sample, id-ordered init;
+    means use float summation so ulp-level drift across partition
+    orders is possible — fine for a cell index, which is why the IVF
+    PROBE keeps the grid init and this trainer is unit-tested on
+    cluster-recovery properties instead of value hashes).
+
+    Empty cells keep their previous centroid (the standard fix)."""
+    import numpy as np
+    import pandas as pd
+
+    train = df
+    if sample_fraction is not None:
+        train = df.sample(fraction=sample_fraction, seed=42)
+    train = train.select(
+        F.col(id_col).alias("_id"), F.col(vec_col).cast("array<double>").alias("_v")
+    )
+
+    init = train.orderBy("_id").limit(n_cells).select("_v").collect()
+    cn = np.array([r._v for r in init], dtype=np.float64)
+
+    for _ in range(n_iter):
+        c_norm = cn / np.maximum(np.linalg.norm(cn, axis=1, keepdims=True), 1e-12)
+
+        @F.pandas_udf("int")
+        def _assign(s, _c=c_norm):  # type: ignore[no-untyped-def]
+            x = np.array(s.tolist(), dtype=np.float64)
+            xn = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+            return pd.Series((xn @ _c.T).argmax(axis=1).astype("int32"))
+
+        means = (
+            train.withColumn("_cell", _assign(F.col("_v")))
+            .select("_cell", F.posexplode("_v").alias("_pos", "_x"))
+            .groupBy("_cell", "_pos")
+            .agg(F.avg("_x").alias("_m"))
+            .collect()
+        )
+        new = cn.copy()
+        per_cell: dict[int, dict[int, float]] = {}
+        for r in means:
+            per_cell.setdefault(r._cell, {})[r._pos] = r._m
+        for cell, dims in per_cell.items():
+            for pos, m in dims.items():
+                new[cell, pos] = m
+        cn = new
+    return cn.tolist()
+
+
 def ivf_topk(
     df: DataFrame,
     id_col: str,
@@ -155,6 +220,7 @@ def ivf_topk(
     n_cells: int = 16,
     n_probe: int = 4,
     dim: int = 64,
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """Approximate top-k via IVF (inverted-file) cells: vectors are
     assigned to their nearest of ``n_cells`` centroids (one GEMM pass in
@@ -162,23 +228,26 @@ def ivf_topk(
     with exact cosine re-rank — the other standard ANN scale path next
     to hyperplane LSH (``lsh_bucket_topk``).
 
-    Centroid 'training' here is deterministic first-``n_cells``-by-id
-    (a pluggable seam — swap in sampled k-means for production; the
-    cell-assignment and probe machinery is unchanged). Centroids and
-    the query vector are tiny driver-side collects (n_cells + 1 rows,
-    the broadcast-dim pattern); the corpus itself is never collected —
+    Default centroid 'training' is deterministic first-``n_cells``-by-id;
+    pass ``centroids=kmeans_centroids(df, ...)`` for trained cells (the
+    assignment and probe machinery is identical). Centroids and the
+    query vector are tiny driver-side collects (n_cells + 1 rows, the
+    broadcast-dim pattern); the corpus itself is never collected —
     assignment is one narrow GEMM pass and the probed scan touches
     ~n_probe/n_cells of the data."""
     import numpy as np
     import pandas as pd
 
-    cent = (
-        df.orderBy(id_col)
-        .limit(n_cells)
-        .select(F.col(vec_col).cast("array<double>"))
-        .collect()
-    )
-    c = np.array([r[0] for r in cent], dtype=np.float64)
+    if centroids is not None:
+        c = np.array(centroids, dtype=np.float64)
+    else:
+        cent = (
+            df.orderBy(id_col)
+            .limit(n_cells)
+            .select(F.col(vec_col).cast("array<double>"))
+            .collect()
+        )
+        c = np.array([r[0] for r in cent], dtype=np.float64)
     cn = c / np.maximum(np.linalg.norm(c, axis=1, keepdims=True), 1e-12)
 
     @F.pandas_udf("int")

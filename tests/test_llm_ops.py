@@ -469,3 +469,98 @@ def test_prefix_filter_jaccard_equivalence(spark):
     }
     assert len(plain) > 0
     assert pref == plain
+
+
+def test_connected_components_random_graphs_match_union_find(spark):
+    """Property check: on seeded random graphs (varying density, incl.
+    isolated nodes and duplicate/reversed edges), large-star/small-star
+    must agree with a plain union-find."""
+    import random
+
+    from ensembl_database_loader_spark.operators.components import (
+        connected_components,
+    )
+
+    for seed, n, m in [(1, 30, 15), (2, 40, 60), (3, 25, 5), (4, 50, 120)]:
+        rng = random.Random(seed)
+        node_ids = rng.sample(range(1000), n)
+        edge_list = [
+            (rng.choice(node_ids), rng.choice(node_ids)) for _ in range(m)
+        ]
+        # union-find reference
+        parent = {i: i for i in node_ids}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edge_list:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        # canonical label = min of component
+        comp_min: dict[int, int] = {}
+        for i in node_ids:
+            r = find(i)
+            comp_min[r] = min(comp_min.get(r, i), i)
+        expected = {i: comp_min[find(i)] for i in node_ids}
+
+        nodes = spark.createDataFrame([(i,) for i in node_ids], "id bigint")
+        edges = spark.createDataFrame(
+            edge_list or [(node_ids[0], node_ids[0])], "id1 bigint, id2 bigint"
+        )
+        got = {
+            r.id: r.component
+            for r in connected_components(nodes, edges).collect()
+        }
+        assert got == expected, f"seed={seed}"
+
+
+def test_kmeans_centroids_recover_separated_clusters(spark):
+    """Three well-separated synthetic clusters: after Lloyd's rounds,
+    every point's nearest trained centroid must put its whole cluster
+    in one cell (purity 1.0), and trained centroids must sit near the
+    true cluster means — the property grid-init alone does not have."""
+    import numpy as np
+
+    from ensembl_database_loader_spark.operators.similarity import (
+        ivf_topk,
+        kmeans_centroids,
+    )
+
+    rng = np.random.RandomState(7)
+    true_means = np.array([[10.0, 0, 0, 0], [0, 10.0, 0, 0], [0, 0, 10.0, 0]])
+    rows = []
+    for ci, mu in enumerate(true_means):
+        for j in range(40):
+            v = mu + rng.normal(0, 0.3, 4)
+            rows.append((ci * 1000 + j, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+
+    cents = np.array(
+        kmeans_centroids(df, "vec_id", "embedding", n_cells=3, n_iter=5)
+    )
+    cn = cents / np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
+    assign = {}
+    for rid, v in rows:
+        x = np.array(v)
+        xn = x / np.linalg.norm(x)
+        assign[rid] = int((xn @ cn.T).argmax())
+    for ci in range(3):
+        cells = {assign[ci * 1000 + j] for j in range(40)}
+        assert len(cells) == 1, f"cluster {ci} split across cells {cells}"
+    # each true mean is close (cosine) to exactly one trained centroid
+    tm = true_means / np.linalg.norm(true_means, axis=1, keepdims=True)
+    best = (tm @ cn.T).max(axis=1)
+    assert (best > 0.99).all(), best
+
+    # trained centroids slot into ivf_topk unchanged
+    top = ivf_topk(
+        df, "vec_id", "embedding", query_id=0, k=3, n_cells=3, n_probe=1,
+        centroids=cents.tolist(),
+    ).collect()
+    assert len(top) == 3
+    got_ids = {r.vec_id for r in top}
+    assert got_ids <= {j for j in range(1, 40)}, got_ids  # same cluster as query
