@@ -657,13 +657,22 @@ def tx_regex_tokens(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@probe("ss_ann_ivf", oracle=None, tags=("llm", "similarity", "approx"))
+@probe(
+    "ss_ann_ivf",
+    oracle="SELECT TRUE AS returned_k, TRUE AS recall_ok",
+    tags=("llm", "similarity", "approx"),
+)
 def ss_ann_ivf(spark: SparkSession, sf: str) -> DataFrame:
     """Approximate NN via IVF cells (nearest-centroid partitioning,
-    n_probe-cell scan, exact re-rank) reported against the exact top-5.
-    No oracle — approximation is engine-specific (rows-only check); the
-    recall column is the self-assertion. Complements ss_ann_lsh as the
-    second standard ANN scale path."""
+    n_probe-cell scan, exact re-rank), asserted against the exact
+    top-5. The raw overlap is engine-specific, so the probe emits only
+    the contract booleans — k results returned and recall >= 0.6 —
+    which the oracle declares TRUE: an IVF regression that tanks recall
+    hash-mismatches. (Measured recall: 0.8 at sf0.001, 1.0 at
+    sf0.01/sf0.1, so the 0.6 bound has >= 1-cell slack.) ss_ann_lsh
+    stays rows-only: hyperplane-LSH recall for moderately-similar
+    neighbors is legitimately fixture-dependent (0 at sf0.01).
+    Complements ss_ann_lsh as the second standard ANN scale path."""
     from ensembl_database_loader_spark.operators.similarity import ivf_topk
 
     ensure_session_confs(spark)
@@ -674,7 +683,10 @@ def ss_ann_ivf(spark: SparkSession, sf: str) -> DataFrame:
     return (
         approx.agg(_cnt().alias("ann_results"))
         .crossJoin(overlap.agg(_cnt().alias("overlap_with_exact")))
-        .withColumn("recall_at_5", F.col("overlap_with_exact") / F.lit(5.0))
+        .select(
+            (F.col("ann_results") == 5).alias("returned_k"),
+            (F.col("overlap_with_exact") / F.lit(5.0) >= 0.6).alias("recall_ok"),
+        )
     )
 
 
