@@ -207,6 +207,35 @@ def test_strict_escape_round_trip(spark, tmp_path):
     }
 
 
+def test_strict_escapes_across_arrow_batch_boundary(spark, tmp_path):
+    """A record whose escaped newline lands exactly at the Arrow batch
+    boundary (default maxRecordsPerBatch = 10000 lines) must be carried
+    raw into the next batch and decode identically to its neighbors —
+    the cross-batch seam of the mapInArrow decoder, exercised through a
+    REAL Spark read, not the unit-level driver."""
+    name = "batchseam_db_1_1"
+    d = os.path.join(str(tmp_path), name)
+    os.makedirs(d)
+    ddl = "CREATE TABLE `t` (`id` int(11), `v` text) ENGINE=MyISAM;"
+    with open(os.path.join(d, f"{name}.sql.gz"), "wb") as f:
+        f.write(gzip.compress(ddl.encode()))
+    # Physical line 10000 (0-indexed 9999) ends with the escaped-newline
+    # backslash; its continuation is physical line 10001 — the first
+    # line of the NEXT Arrow batch.
+    lines = [f"{i}\trow {i}" for i in range(9999)]
+    lines.append("9999\tsplit\\")  # escaped newline -> joins next line
+    lines.append("part two")
+    lines += [f"{i}\trow {i}" for i in range(10000, 12000)]
+    with open(os.path.join(d, "t.txt.gz"), "wb") as f:
+        f.write(gzip.compress(("\n".join(lines) + "\n").encode()))
+    dump = scan_dump_dir(d)
+    df = read_dump_table(spark, dump, "t", strict_escapes=True)
+    assert df.count() == 12000  # 12001 physical lines, one joined pair
+    row = df.filter(df.id == 9999).collect()
+    assert [r.v for r in row] == ["split\npart two"]
+    assert df.filter(df.v.isNull()).count() == 0
+
+
 def test_truncation_with_colliding_sum16_fails(spark, tmp_path):
     """A resized file whose 16-bit sum collides with the manifest entry
     must still fail: the compare is the reference's combined
