@@ -66,6 +66,63 @@ def with_regex_tokens(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def repetition_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style repetition signals per document: (id, n_words,
+    top_word_frac, dup_word_frac, top_bigram_frac) — the fraction of
+    the doc taken by its most frequent word / bigram and the
+    duplicate-word fraction. Boilerplate, keyword-stuffed, and
+    generated-loop pages light these up; a pretraining curation stack
+    thresholds on them right next to the LL5 quality filters.
+
+    Plan shape: explode words / bigrams -> partially-aggregated
+    groupBy counts -> per-doc max+sum — two shuffles keyed by (doc,
+    term), both map-side combined, no per-doc value buffering. Bigrams
+    come from zip_with over two slices of the token array (JVM-side,
+    no UDF)."""
+    toks = tokens(text_col)
+    base = df.select(F.col(id_col).alias("id"), toks.alias("_t"))
+    n = F.size(F.col("_t"))
+    bigrams = F.zip_with(
+        F.slice("_t", 1, F.greatest(n - 1, F.lit(0))),
+        F.slice("_t", 2, F.greatest(n - 1, F.lit(0))),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    base = base.withColumn("_bg", bigrams)
+
+    words = base.select("id", F.explode("_t").alias("w"))
+    wstats = (
+        words.groupBy("id", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("id")
+        .agg(
+            F.max("c").alias("_top_w"),
+            F.sum("c").alias("n_words"),
+            F.count(F.lit(1)).alias("_n_distinct"),
+        )
+    )
+    bg = base.select("id", F.explode("_bg").alias("b"))
+    bstats = (
+        bg.groupBy("id", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("id")
+        .agg(F.max("c").alias("_top_b"), F.sum("c").alias("_n_bg"))
+    )
+    out = wstats.join(bstats, "id", "left")
+    return out.select(
+        "id",
+        F.col("n_words").cast("bigint").alias("n_words"),
+        (F.col("_top_w") / F.col("n_words")).alias("top_word_frac"),
+        ((F.col("n_words") - F.col("_n_distinct")) / F.col("n_words")).alias(
+            "dup_word_frac"
+        ),
+        F.coalesce(F.col("_top_b") / F.col("_n_bg"), F.lit(0.0)).alias(
+            "top_bigram_frac"
+        ),
+    )
+
+
 def with_quality_score(
     df: DataFrame,
     text_col: str = "text",

@@ -658,6 +658,48 @@ def tx_regex_tokens(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @probe(
+    "tx_repetition",
+    oracle=(
+        f"WITH t AS (SELECT doc_id AS id, {_toks('text')} AS l FROM documents), "
+        "w AS (SELECT id, unnest(l) AS w FROM t), "
+        "wc AS (SELECT id, w, COUNT(*) AS c FROM w GROUP BY id, w), "
+        "ws AS (SELECT id, MAX(c) AS top_w, CAST(SUM(c) AS BIGINT) AS n_words, "
+        "COUNT(*) AS n_distinct FROM wc GROUP BY id), "
+        "b AS (SELECT id, l[i] || ' ' || l[i+1] AS bgm FROM t, "
+        "UNNEST(generate_series(1, len(l) - 1)) AS g(i)), "
+        "bc AS (SELECT id, bgm, COUNT(*) AS c FROM b GROUP BY id, bgm), "
+        "bs AS (SELECT id, MAX(c) AS top_b, SUM(c) AS n_bg FROM bc GROUP BY id), "
+        "d AS (SELECT ws.id, "
+        "top_w / CAST(n_words AS DOUBLE) AS twf, "
+        "(n_words - n_distinct) / CAST(n_words AS DOUBLE) AS dwf, "
+        "COALESCE(top_b / CAST(n_bg AS DOUBLE), 0.0) AS tbf "
+        "FROM ws LEFT JOIN bs ON ws.id = bs.id) "
+        "SELECT COUNT(*) AS n_docs, "
+        "COUNT(*) FILTER (WHERE twf > 0.2) AS repetitive_docs, "
+        "ROUND(SUM(dwf), 2) AS sum_dup_frac, "
+        "ROUND(SUM(tbf), 2) AS sum_bigram_frac FROM d"
+    ),
+    tags=("llm", "text"),
+)
+def tx_repetition(spark: SparkSession, sf: str) -> DataFrame:
+    """Gopher-style repetition signals (top-word / duplicate-word /
+    top-bigram fractions, operators/textstats.py repetition_stats)
+    rolled up over the corpus: doc counts past the 0.2 top-word
+    threshold plus fraction sums — the repetition-filter stage of a
+    pretraining curation stack, fully SQL-replicable."""
+    from ensembl_database_loader_spark.operators.textstats import repetition_stats
+
+    ensure_session_confs(spark)
+    r = repetition_stats(table(spark, sf, "documents"))
+    return r.agg(
+        _cnt().alias("n_docs"),
+        _cnt(F.col("top_word_frac") > 0.2).alias("repetitive_docs"),
+        F.round(F.sum("dup_word_frac"), 2).alias("sum_dup_frac"),
+        F.round(F.sum("top_bigram_frac"), 2).alias("sum_bigram_frac"),
+    )
+
+
+@probe(
     "ss_ann_ivf",
     oracle="SELECT TRUE AS returned_k, TRUE AS recall_ok",
     tags=("llm", "similarity", "approx"),

@@ -564,3 +564,29 @@ def test_kmeans_centroids_recover_separated_clusters(spark):
     assert len(top) == 3
     got_ids = {r.vec_id for r in top}
     assert got_ids <= {j for j in range(1, 40)}, got_ids  # same cluster as query
+
+
+def test_repetition_stats_hand_built(spark):
+    """Hand-computed repetition fractions: a stuffed doc, a clean doc,
+    and a one-word doc (bigram fraction must be 0, not a div-by-zero)."""
+    from ensembl_database_loader_spark.operators.textstats import repetition_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, "buy now buy now buy now"),     # 6 words: buy x3, now x3
+            (2, "all words here are unique"),   # 5 distinct words
+            (3, "single"),                      # 1 word, 0 bigrams
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {r.id: r for r in repetition_stats(df).collect()}
+    r1 = got[1]
+    assert r1.n_words == 6
+    assert r1.top_word_frac == 0.5          # 'buy' 3/6
+    assert r1.dup_word_frac == (6 - 2) / 6
+    assert r1.top_bigram_frac == 3 / 5      # 'buy now' 3 of 5 bigrams
+    r2 = got[2]
+    assert (r2.top_word_frac, r2.dup_word_frac) == (0.2, 0.0)
+    assert r2.top_bigram_frac == 0.25       # 4 distinct bigrams
+    r3 = got[3]
+    assert (r3.n_words, r3.top_bigram_frac) == (1, 0.0)
