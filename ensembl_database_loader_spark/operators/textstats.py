@@ -123,6 +123,61 @@ def repetition_stats(
     )
 
 
+def crossdoc_boilerplate(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    min_docs: int = 3,
+) -> tuple[DataFrame, DataFrame]:
+    """Cross-document boilerplate detection: word n-grams that recur in
+    >= ``min_docs`` DISTINCT documents (headers, footers, license
+    blurbs, template chrome) and the per-document contamination they
+    cause.
+
+    Returns (boilerplate_ngrams, doc_stats):
+    - boilerplate_ngrams: (shingle, n_docs) for every flagged n-gram;
+    - doc_stats: (id, n_shingles, n_boilerplate, boilerplate_frac) per
+      document (docs shorter than n words have 0/0/0.0).
+
+    Plan shape: distinct-shingle explode -> groupBy shingle with a
+    distinct-doc count (partial-aggregated; shingles, not documents,
+    cross the wire) -> semi-join back. The flagged set is small by
+    construction (an n-gram in >= min_docs docs), so the back-join
+    broadcasts at any corpus size."""
+    from ensembl_database_loader_spark.functions.text import shingle_udf
+
+    sh = df.select(
+        F.col(id_col).alias("id"), shingle_udf(n)(F.col(text_col)).alias("_sh")
+    )
+    exploded = sh.select("id", F.explode("_sh").alias("shingle"))
+    flagged = (
+        exploded.groupBy("shingle")
+        .agg(F.countDistinct("id").alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+    )
+    hits = (
+        exploded.join(F.broadcast(flagged.select("shingle")), "shingle", "left_semi")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_boilerplate"))
+    )
+    doc_stats = (
+        sh.select("id", F.size("_sh").cast("bigint").alias("n_shingles"))
+        .join(hits, "id", "left")
+        .select(
+            "id",
+            "n_shingles",
+            F.coalesce("n_boilerplate", F.lit(0)).cast("bigint").alias(
+                "n_boilerplate"
+            ),
+            F.when(F.col("n_shingles") > 0, F.coalesce("n_boilerplate", F.lit(0)) / F.col("n_shingles"))
+            .otherwise(F.lit(0.0))
+            .alias("boilerplate_frac"),
+        )
+    )
+    return flagged, doc_stats
+
+
 def with_quality_score(
     df: DataFrame,
     text_col: str = "text",

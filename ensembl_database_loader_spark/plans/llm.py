@@ -700,6 +700,48 @@ def tx_repetition(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @probe(
+    "tx_boilerplate",
+    oracle=(
+        f"WITH t AS (SELECT doc_id AS id, {_shingles(_toks('text'))} AS sh "
+        "FROM documents), "
+        "e AS (SELECT id, unnest(sh) AS shingle FROM t), "
+        "fl AS (SELECT shingle, COUNT(DISTINCT id) AS nd FROM e "
+        "GROUP BY shingle HAVING COUNT(DISTINCT id) >= 3), "
+        "h AS (SELECT e.id, COUNT(*) AS nb FROM e JOIN fl USING (shingle) "
+        "GROUP BY e.id), "
+        "d AS (SELECT t.id, len(sh) AS ns, COALESCE(nb, 0) AS nb "
+        "FROM t LEFT JOIN h ON t.id = h.id) "
+        "SELECT (SELECT COUNT(*) FROM fl) AS n_boilerplate_ngrams, "
+        "CAST(COUNT(*) FILTER (WHERE nb > 0) AS BIGINT) AS docs_affected, "
+        "ROUND(SUM(CASE WHEN ns > 0 THEN nb / CAST(ns AS DOUBLE) "
+        "ELSE 0.0 END), 2) AS sum_boilerplate_frac FROM d"
+    ),
+    tags=("llm", "text"),
+)
+def tx_boilerplate(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-document boilerplate: word 3-grams recurring in >= 3
+    distinct documents (template chrome / license blurbs), rolled up as
+    flagged-ngram count, affected docs, and contamination-fraction sum
+    (operators/textstats.py crossdoc_boilerplate). The flagged set is
+    small by construction, so the doc back-join broadcasts."""
+    from ensembl_database_loader_spark.operators.textstats import (
+        crossdoc_boilerplate,
+    )
+
+    ensure_session_confs(spark)
+    flagged, docs = crossdoc_boilerplate(table(spark, sf, "documents"))
+    return (
+        flagged.agg(_cnt().alias("n_boilerplate_ngrams"))
+        .crossJoin(
+            docs.agg(
+                _cnt(F.col("n_boilerplate") > 0).alias("docs_affected"),
+                F.round(F.sum("boilerplate_frac"), 2).alias("sum_boilerplate_frac"),
+            )
+        )
+    )
+
+
+@probe(
     "ss_ann_ivf",
     oracle="SELECT TRUE AS returned_k, TRUE AS recall_ok",
     tags=("llm", "similarity", "approx"),

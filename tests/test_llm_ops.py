@@ -590,3 +590,33 @@ def test_repetition_stats_hand_built(spark):
     assert r2.top_bigram_frac == 0.25       # 4 distinct bigrams
     r3 = got[3]
     assert (r3.n_words, r3.top_bigram_frac) == (1, 0.0)
+
+
+def test_crossdoc_boilerplate_hand_built(spark):
+    """Planted template chrome across 3 docs is flagged; a unique doc
+    is untouched; a short doc yields 0 shingles and 0.0 fraction."""
+    from ensembl_database_loader_spark.operators.textstats import (
+        crossdoc_boilerplate,
+    )
+
+    footer = "all rights reserved worldwide"
+    df = spark.createDataFrame(
+        [
+            (1, f"alpha beta gamma {footer}"),
+            (2, f"delta epsilon zeta {footer}"),
+            (3, f"eta theta iota {footer}"),
+            (4, "completely unrelated text body here"),
+            (5, "too short"),
+        ],
+        "doc_id bigint, text string",
+    )
+    flagged, docs = crossdoc_boilerplate(df, n=3, min_docs=3)
+    flagged_set = {r.shingle for r in flagged.collect()}
+    # the 3-gram fully inside the shared footer appears in docs 1-3
+    assert "all rights reserved" in flagged_set
+    assert "rights reserved worldwide" in flagged_set
+    assert all("unrelated" not in s for s in flagged_set)
+    d = {r.id: r for r in docs.collect()}
+    assert d[1].n_boilerplate >= 2 and d[1].boilerplate_frac > 0
+    assert d[4].n_boilerplate == 0 and d[4].boilerplate_frac == 0.0
+    assert d[5].n_shingles == 0 and d[5].boilerplate_frac == 0.0
