@@ -248,3 +248,18 @@ def test_percentile_cont_plan_has_partial_aggregation(spark):
     plan = p._jdf.queryExecution().executedPlan().toString()
     assert "partial_count" in plan
     assert "percentile" not in plan.lower()
+
+
+def test_boilerplate_backjoin_broadcasts(spark):
+    """crossdoc_boilerplate's flagged-shingle semi-join must broadcast
+    (the flagged set is small by construction) — no sort-merge join on
+    the exploded shingle stream."""
+    from ensembl_database_loader_spark.catalog import table as cat_table
+    from ensembl_database_loader_spark.operators.textstats import (
+        crossdoc_boilerplate,
+    )
+
+    _, docs = crossdoc_boilerplate(cat_table(spark, SF, "documents"))
+    plan = docs._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert "SortMergeJoin" not in plan
