@@ -222,6 +222,7 @@ _EMAIL_TEMPLATE = """Your Ensembl Mirrors Pipeline has finished. We have:
   * %d databases were successfully granted access (%d failed)
 
 %s
+
 """
 
 #: Template slot order -> (analysis filter, branch filter). Branches
@@ -248,19 +249,25 @@ def render_email_summary(report_df: DataFrame) -> str:
 
     Slot mapping: our 'verify' stage is the reference's download (the
     download runnable's work IS fetch+checksum); 'prioritise' counts
-    every database seen (the pure scoring computation cannot fail);
-    the four load slots split our 'load' rows by P2 branch; 'grant'
-    counts grant-analysis rows when a JDBC target emits them (the
-    parquet mirror has no grant stage, so 0/0). The generic
-    ``render_report`` remains the structured alternative."""
+    only databases whose verify stage is DONE — in the reference a
+    prioritise job exists only when its download job succeeded and the
+    pure scoring computation cannot fail, so successes == verify-DONE
+    and failures == 0; the four load slots split our 'load' rows by P2
+    branch; 'grant' counts grant-analysis rows when a JDBC target
+    emits them (the parquet mirror has no grant stage, so 0/0). The
+    generic ``render_report`` remains the structured alternative."""
     rows = report_df.select(
         "database", "analysis", "status", "branch"
     ).collect()
-    seen_dbs = sorted({r.database for r in rows})
+    verified_dbs = {
+        r.database
+        for r in rows
+        if r.analysis == "verify" and r.status == "DONE"
+    }
 
     def pair(analysis: str, branch: int | None) -> tuple[int, int]:
         if analysis == "prioritise":
-            return len(seen_dbs), 0
+            return len(verified_dbs), 0
         done = {
             r.database
             for r in rows

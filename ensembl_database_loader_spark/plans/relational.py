@@ -864,9 +864,14 @@ def q36(spark: SparkSession, sf: str) -> DataFrame:
 @probe(
     "q37_sampling",
     oracle=(
+        # CAST(0.05 AS DOUBLE) forces the oracle onto the same double
+        # product Spark's F.floor(total * 0.05) computes — DuckDB's
+        # exact DECIMAL arithmetic could otherwise floor one higher
+        # when n * 0.05 is an exact integer and the double product
+        # lands one ulp below it.
         "SELECT COUNT(*) AS total, "
-        "CAST(FLOOR(COUNT(*) * 0.05) AS BIGINT) AS lo, "
-        "CAST(FLOOR(COUNT(*) * 0.15) AS BIGINT) AS hi, "
+        "CAST(FLOOR(COUNT(*) * CAST(0.05 AS DOUBLE)) AS BIGINT) AS lo, "
+        "CAST(FLOOR(COUNT(*) * CAST(0.15 AS DOUBLE)) AS BIGINT) AS hi, "
         "TRUE AS within_bounds FROM lineitem"
     ),
     tags=("approx",),

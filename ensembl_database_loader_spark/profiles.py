@@ -44,7 +44,38 @@ class Profile:
     # LoadDBs_EG_conf.pm:68). When on: source paths use the hidden
     # `.release-N` dot-dir (Base.pm:66) and grants are skipped entirely
     # (Grant.pm:77-78) so the databases stay private until release.
+    # ``source_path``/``nfs_source_dir``/``grants`` below consume it —
+    # flipping this one field flips both behaviors, like the reference's
+    # single -prerelease pipeline-wide parameter.
     prerelease: bool = False
+
+    def source_path(self, division: str | None = None) -> str:
+        """S3 from the profile: `/pub/[.]release-N[/division]/mysql`
+        with the hidden dot-dir when ``prerelease`` (Base.pm:62-74)."""
+        from ensembl_database_loader_spark.sources.discovery import base_ftp_path
+
+        div = division if division is not None else (self.division or None)
+        return base_ftp_path(self.release, div, prerelease=self.prerelease)
+
+    def nfs_source_dir(self, nfs_root: str, division: str | None = None) -> str:
+        """The NFS-mirror twin of ``source_path`` (Base.pm:123-144)."""
+        from ensembl_database_loader_spark.sources.discovery import nfs_ftp_site_dir
+
+        div = division if division is not None else (self.division or None)
+        return nfs_ftp_site_dir(
+            nfs_root, self.release, div, prerelease=self.prerelease
+        )
+
+    def grants(self, database: str) -> list[str]:
+        """G1 from the profile: the grant DDL + flush for ``database``,
+        or NOTHING on a prerelease load (Grant.pm:77-78, 96-97)."""
+        from ensembl_database_loader_spark.sinks.jdbc import (
+            DEFAULT_GRANT_USERS,
+            grant_statements,
+        )
+
+        users = self.grant_users or DEFAULT_GRANT_USERS
+        return grant_statements(database, users, prerelease=self.prerelease)
 
 
 PROFILES: dict[str, Profile] = {

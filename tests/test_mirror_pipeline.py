@@ -199,8 +199,15 @@ def test_render_email_summary_matches_reference_template(spark):
             JobResult("b_core_1", "verify", "FAILED", error="checksum", branch=2),
         ]
     )
+    # Reference heredoc ends "%s\n\nMSG" — body must end with a blank
+    # line after the failed-jobs section (EmailSummary.pm:99-101).
+    assert text.endswith("No jobs failed. Congratulations!\n\n")
+
     text = render_email_summary(bad.to_df(spark))
     assert "  * 0 databases successfully downloaded (1 failed)\n" in text
+    # A failed download produces no prioritise job in the reference, so
+    # a verify-FAILED database must not count as prioritised.
+    assert "  * 0 databases successfully prioritised (0 failed)\n" in text
     assert (
         "The following jobs have failed during this run. Please check "
         "your hive's error msg table for the following jobs:" in text
@@ -213,6 +220,28 @@ def test_profiles_default_prerelease_off():
 
     for name in ("ensembl", "eg"):
         assert get_profile(name).prerelease is False  # LoadDBs_conf.pm:66
+
+
+def test_profile_prerelease_drives_paths_and_grants():
+    """Profile.prerelease is live, not a dead config knob: one field
+    flips BOTH the hidden source dot-dir (Base.pm:62-74) and the
+    grant skip (Grant.pm:77-78, 96-97)."""
+    import dataclasses
+
+    from ensembl_database_loader_spark.profiles import get_profile
+
+    released = get_profile("ensembl")
+    pre = dataclasses.replace(released, prerelease=True, release=110)
+
+    assert dataclasses.replace(released, release=110).source_path() == (
+        "/pub/release-110/mysql"
+    )
+    assert pre.source_path() == "/pub/.release-110/mysql"
+    assert pre.nfs_source_dir("/nfs/ftp") == "/nfs/ftp/pub/.release-110/mysql"
+    assert pre.source_path(division="plants") == "/pub/.release-110/plants/mysql"
+
+    assert released.grants("homo_sapiens_core_110_38")[-1] == "FLUSH PRIVILEGES"
+    assert pre.grants("homo_sapiens_core_110_38") == []
 
 
 def test_parquet_mirror_sink_registers_and_analyzes(spark, tmp_path):
