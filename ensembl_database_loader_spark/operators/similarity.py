@@ -236,25 +236,11 @@ def ivf_topk(
     assignment is one narrow GEMM pass and the probed scan touches
     ~n_probe/n_cells of the data."""
     import numpy as np
-    import pandas as pd
 
-    if centroids is not None:
-        c = np.array(centroids, dtype=np.float64)
-    else:
-        cent = (
-            df.orderBy(id_col)
-            .limit(n_cells)
-            .select(F.col(vec_col).cast("array<double>"))
-            .collect()
-        )
-        c = np.array([r[0] for r in cent], dtype=np.float64)
+    if centroids is None:
+        centroids = _grid_centroids(df, id_col, vec_col, n_cells)
+    c = np.array(centroids, dtype=np.float64)
     cn = c / np.maximum(np.linalg.norm(c, axis=1, keepdims=True), 1e-12)
-
-    @F.pandas_udf("int")
-    def _cell(s):  # type: ignore[no-untyped-def]
-        x = np.array(s.tolist(), dtype=np.float64)
-        xn = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
-        return pd.Series((xn @ cn.T).argmax(axis=1).astype("int32"))
 
     qrow = (
         df.filter(F.col(id_col) == query_id)
@@ -265,7 +251,7 @@ def ivf_topk(
     qn = q / max(np.linalg.norm(q), 1e-12)
     probe_cells = [int(i) for i in np.argsort(-(cn @ qn))[:n_probe]]
 
-    assigned = df.withColumn("_cell", _cell(F.col(vec_col)))
+    assigned = _assign_cells(df, vec_col, centroids)
     qdf = df.filter(F.col(id_col) == query_id).select(F.col(vec_col).alias("_qvec"))
     cos = cosine(F.col(vec_col), F.col("_qvec"))
     return (
@@ -274,6 +260,218 @@ def ivf_topk(
         .filter(F.col(id_col) != query_id)
         .select(F.col(id_col), F.round(cos, 6).alias("cos"))
         .orderBy(F.desc("cos"), id_col)
+        .limit(k)
+    )
+
+
+def _assign_cells(df: DataFrame, vec_col: str, centroids) -> DataFrame:
+    """Attach `_cell` = argmax cosine(vec, centroid) in one Arrow GEMM
+    pass (the shared assignment step of ivf_topk / build_ann_index —
+    identical math, so a materialized index and a direct query agree
+    bit-for-bit on cell membership)."""
+    import numpy as np
+    import pandas as pd
+
+    cn = np.asarray(centroids, dtype=np.float64)
+    cn = cn / np.maximum(np.linalg.norm(cn, axis=1, keepdims=True), 1e-12)
+
+    @F.pandas_udf("int")
+    def _cell(s):  # type: ignore[no-untyped-def]
+        x = np.array(s.tolist(), dtype=np.float64)
+        xn = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+        return pd.Series((xn @ cn.T).argmax(axis=1).astype("int32"))
+
+    return df.withColumn("_cell", _cell(F.col(vec_col)))
+
+
+def _grid_centroids(df: DataFrame, id_col: str, vec_col: str, n_cells: int):
+    """The deterministic first-``n_cells``-by-id centroid init shared by
+    ``ivf_topk`` and ``build_ann_index`` (pass ``kmeans_centroids`` output
+    instead for trained cells)."""
+    rows = (
+        df.orderBy(id_col)
+        .limit(n_cells)
+        .select(F.col(vec_col).cast("array<double>"))
+        .collect()
+    )
+    return [list(r[0]) for r in rows]
+
+
+def build_ann_index(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    path: str,
+    n_cells: int = 16,
+    centroids: list[list[float]] | None = None,
+) -> list[list[float]]:
+    """Materialize an IVF ANN index: assign every corpus row to its
+    nearest centroid ONCE and persist the corpus ``partitionBy("_cell")``
+    at ``path``, with the centroids in ``_ann_meta.json`` alongside
+    (underscore-prefixed files are invisible to Spark's directory scan).
+
+    This is the serving-path fix for per-query corpus rescans: a query
+    via ``ivf_topk_indexed`` reads ONLY its ``n_probe`` probed cell
+    directories (PartitionFilters pruning, pinned in
+    tests/test_plan_quality.py) — at 100 TB that is ~n_probe/n_cells of
+    the data instead of a full scan + rehash per query. The write costs
+    one assignment pass + one shuffle-free partitioned write, amortized
+    over every subsequent query; rebuild on corpus refresh (or append
+    new batches with the same persisted centroids — assignment is
+    stateless given ``_ann_meta.json``).
+
+    Returns the centroids used."""
+    import json
+    import os
+
+    if centroids is None:
+        centroids = _grid_centroids(df, id_col, vec_col, n_cells)
+    assigned = _assign_cells(df, vec_col, centroids)
+    assigned.write.mode("overwrite").partitionBy("_cell").parquet(path)
+    meta = {
+        "kind": "ivf",
+        "id_col": id_col,
+        "vec_col": vec_col,
+        "n_cells": len(centroids),
+        "dim": len(centroids[0]),
+        "centroids": centroids,
+    }
+    with open(os.path.join(path, "_ann_meta.json"), "w") as f:
+        json.dump(meta, f)
+    return centroids
+
+
+def ann_index_meta(path: str) -> dict:
+    import json
+    import os
+
+    with open(os.path.join(path, "_ann_meta.json")) as f:
+        return json.load(f)
+
+
+def ivf_topk_indexed(
+    spark,
+    path: str,
+    query_vec: list[float],
+    k: int = 5,
+    n_probe: int = 4,
+    exclude_id: int | None = None,
+) -> DataFrame:
+    """Top-k over a materialized IVF index (``build_ann_index``): pick
+    the ``n_probe`` nearest centroids driver-side (n_cells x dim numpy —
+    tiny), then scan ONLY those cell partitions with exact cosine
+    re-rank. The probe filter is on the partition column, so the scan's
+    PartitionFilters prune to n_probe directories — no corpus rescan,
+    no per-query re-hash. Result is identical to the unindexed
+    ``ivf_topk`` with the same centroids (hash-gated by
+    ss_ann_ivf_indexed)."""
+    import numpy as np
+
+    meta = ann_index_meta(path)
+    cn = np.asarray(meta["centroids"], dtype=np.float64)
+    cn = cn / np.maximum(np.linalg.norm(cn, axis=1, keepdims=True), 1e-12)
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = q / max(np.linalg.norm(q), 1e-12)
+    probe_cells = [int(i) for i in np.argsort(-(cn @ qn))[:n_probe]]
+
+    idx = spark.read.parquet(path).filter(F.col("_cell").isin(probe_cells))
+    if exclude_id is not None:
+        idx = idx.filter(F.col(meta["id_col"]) != exclude_id)
+    qcol = F.array(*[F.lit(float(x)) for x in query_vec])
+    cos = cosine(F.col(meta["vec_col"]), qcol)
+    return (
+        idx.select(F.col(meta["id_col"]), F.round(cos, 6).alias("cos"))
+        .orderBy(F.desc("cos"), meta["id_col"])
+        .limit(k)
+    )
+
+
+def build_lsh_index(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    path: str,
+    num_planes: int = 4,
+    num_tables: int = 8,
+    dim: int = 64,
+) -> None:
+    """Materialize a multi-table hyperplane-LSH index: one GEMM pass
+    computes every table's bucket key (``with_lsh_buckets``), then each
+    row is exploded into its ``num_tables`` (table, bucket) postings and
+    persisted ``partitionBy("_table", "_bucket")``. A query probes
+    exactly ``num_tables`` partitions (its bucket in each table) via
+    partition-pruned reads — the per-query corpus rehash in
+    ``lsh_bucket_topk`` disappears. Storage is num_tables x corpus (the
+    classic LSH replica trade); at 100 TB store only (id, vec) in the
+    postings, as here."""
+    import json
+    import os
+
+    b = with_lsh_buckets(df, vec_col, num_planes, num_tables, dim)
+    exploded = b.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.posexplode("_buckets").alias("_table", "_bucket"),
+    )
+    exploded.write.mode("overwrite").partitionBy("_table", "_bucket").parquet(path)
+    meta = {
+        "kind": "lsh",
+        "id_col": id_col,
+        "vec_col": vec_col,
+        "num_planes": num_planes,
+        "num_tables": num_tables,
+        "dim": dim,
+    }
+    with open(os.path.join(path, "_ann_meta.json"), "w") as f:
+        json.dump(meta, f)
+
+
+def lsh_topk_indexed(
+    spark,
+    path: str,
+    query_vec: list[float],
+    k: int = 5,
+    exclude_id: int | None = None,
+) -> DataFrame:
+    """Top-k over a materialized LSH index (``build_lsh_index``): the
+    query's bucket per table is computed driver-side from the same
+    deterministic hyperplanes, the scan filters on the two partition
+    columns (an OR of per-table conjunctions — still prunable), and
+    candidates are deduped by id before the exact cosine re-rank.
+    Identical results to ``lsh_bucket_topk`` on the same corpus."""
+    import numpy as np
+
+    meta = ann_index_meta(path)
+    num_planes, num_tables, dim = (
+        meta["num_planes"],
+        meta["num_tables"],
+        meta["dim"],
+    )
+    planes = np.array(
+        [
+            [_plane_component(t * 1000 + p, d) for d in range(dim)]
+            for t in range(num_tables)
+            for p in range(num_planes)
+        ]
+    )
+    q = np.asarray(query_vec, dtype=np.float64)
+    signs = (planes @ q) >= 0
+    weights = 1 << np.arange(num_planes)
+    qbuckets = signs.reshape(num_tables, num_planes) @ weights
+
+    cond = None
+    for t, b in enumerate(qbuckets):
+        c = (F.col("_table") == int(t)) & (F.col("_bucket") == int(b))
+        cond = c if cond is None else (cond | c)
+    idx = spark.read.parquet(path).filter(cond)
+    if exclude_id is not None:
+        idx = idx.filter(F.col(meta["id_col"]) != exclude_id)
+    qcol = F.array(*[F.lit(float(x)) for x in query_vec])
+    cos = cosine(F.col(meta["vec_col"]), qcol)
+    return (
+        idx.dropDuplicates([meta["id_col"]])
+        .select(F.col(meta["id_col"]), F.round(cos, 6).alias("cos"))
+        .orderBy(F.desc("cos"), meta["id_col"])
         .limit(k)
     )
 

@@ -792,6 +792,63 @@ def ss_ann_ivf(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@probe(
+    "ss_ann_ivf_indexed",
+    oracle=(
+        "SELECT TRUE AS returned_k, TRUE AS matches_unindexed, "
+        "TRUE AS recall_ok"
+    ),
+    tags=("llm", "similarity", "approx", "index"),
+)
+def ss_ann_ivf_indexed(spark: SparkSession, sf: str) -> DataFrame:
+    """Materialized IVF ANN index: ``build_ann_index`` assigns cells
+    ONCE and persists the corpus partitionBy(_cell);
+    ``ivf_topk_indexed`` reads only the n_probe probed cell directories
+    (PartitionFilters-pruned, pinned in tests/test_plan_quality.py) —
+    the 100 TB serving path, vs ``ss_ann_ivf`` which re-assigns the
+    whole corpus per query.
+
+    Contract (all hash-gated by a TRUE-declaring oracle): k results
+    returned; the indexed result is ROW-IDENTICAL to the unindexed
+    ``ivf_topk`` with the same deterministic centroids (same grid init,
+    same GEMM assignment, same exact-cosine re-rank — symmetric
+    exceptAll must be empty); recall vs exact top-5 >= 0.6 (same bound
+    ss_ann_ivf carries, measured 0.8-1.0 across fixtures)."""
+    import tempfile
+
+    from ensembl_database_loader_spark.operators.similarity import (
+        build_ann_index,
+        ivf_topk,
+        ivf_topk_indexed,
+    )
+
+    ensure_session_confs(spark)
+    e = table(spark, sf, "embeddings").select("vec_id", "embedding")
+    path = tempfile.mkdtemp(prefix="edl_annidx_") + "/embeddings"
+    build_ann_index(e, "vec_id", "embedding", path, n_cells=16)
+
+    qvec = list(
+        e.filter(F.col("vec_id") == 0)
+        .select(F.col("embedding").cast("array<double>"))
+        .first()[0]
+    )
+    indexed = ivf_topk_indexed(spark, path, qvec, k=5, n_probe=4, exclude_id=0)
+    direct = ivf_topk(e, "vec_id", "embedding", query_id=0, k=5)
+    sym_diff = indexed.exceptAll(direct).unionAll(direct.exceptAll(indexed))
+    exact = cosine_topk(e, "vec_id", "embedding", query_id=0, k=5)
+    overlap = exact.select("vec_id").intersect(indexed.select("vec_id"))
+    return (
+        indexed.agg(_cnt().alias("n"))
+        .crossJoin(sym_diff.agg(_cnt().alias("diffs")))
+        .crossJoin(overlap.agg(_cnt().alias("hits")))
+        .select(
+            (F.col("n") == 5).alias("returned_k"),
+            (F.col("diffs") == 0).alias("matches_unindexed"),
+            (F.col("hits") / F.lit(5.0) >= 0.6).alias("recall_ok"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Multimodal plumbing
 # ---------------------------------------------------------------------------

@@ -125,6 +125,70 @@ def test_ivf_topk_finds_planted_neardup(spark, sf_dir):
     assert 888888 in top, top
 
 
+def _query_vec(e, query_id=0):
+    return list(
+        e.filter(F.col("vec_id") == query_id)
+        .select(F.col("embedding").cast("array<double>"))
+        .first()[0]
+    )
+
+
+def test_ann_index_ivf_matches_unindexed(spark, sf_dir, tmp_path):
+    """The materialized IVF index must return ROW-IDENTICAL results to
+    the per-query-assignment ivf_topk — under both the grid init and
+    trained k-means centroids — and persist its meta for stateless
+    reuse (a later session / appended batch needs only the json)."""
+    from ensembl_database_loader_spark.operators.similarity import (
+        ann_index_meta,
+        build_ann_index,
+        ivf_topk,
+        ivf_topk_indexed,
+        kmeans_centroids,
+    )
+
+    e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    qvec = _query_vec(e)
+
+    for label, cents in (
+        ("grid", None),
+        ("kmeans", kmeans_centroids(e, "vec_id", "embedding", n_cells=8, n_iter=2)),
+    ):
+        path = str(tmp_path / f"idx_{label}")
+        used = build_ann_index(
+            e, "vec_id", "embedding", path, n_cells=8, centroids=cents
+        )
+        direct = ivf_topk(
+            e, "vec_id", "embedding", 0, k=5, n_cells=8, centroids=used
+        ).collect()
+        indexed = ivf_topk_indexed(
+            spark, path, qvec, k=5, n_probe=4, exclude_id=0
+        ).collect()
+        assert [tuple(r) for r in indexed] == [tuple(r) for r in direct], label
+
+    meta = ann_index_meta(str(tmp_path / "idx_kmeans"))
+    assert meta["kind"] == "ivf" and meta["n_cells"] == 8
+    assert len(meta["centroids"][0]) == meta["dim"]
+
+
+def test_ann_index_lsh_matches_unindexed(spark, sf_dir, tmp_path):
+    """The materialized LSH index (per-table posting partitions) must
+    agree with lsh_bucket_topk's per-query rehash exactly."""
+    from ensembl_database_loader_spark.operators.similarity import (
+        build_lsh_index,
+        lsh_bucket_topk,
+        lsh_topk_indexed,
+    )
+
+    e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    path = str(tmp_path / "lsh_idx")
+    build_lsh_index(e, "vec_id", "embedding", path)
+    direct = lsh_bucket_topk(e, "vec_id", "embedding", 0, k=5).collect()
+    indexed = lsh_topk_indexed(
+        spark, path, _query_vec(e), k=5, exclude_id=0
+    ).collect()
+    assert [tuple(r) for r in indexed] == [tuple(r) for r in direct]
+
+
 def test_regex_pretokens_unit(spark):
     from ensembl_database_loader_spark.operators.textstats import with_regex_tokens
 

@@ -203,6 +203,44 @@ def test_partitioned_write_prunes_partitions(spark, tmp_path):
     )[1].split("]")[0]
 
 
+def test_ann_index_query_scan_is_partition_pruned(spark, tmp_path):
+    """The serving-path contract of the materialized ANN index: an
+    ivf_topk_indexed query must read ONLY its n_probe probed cell
+    directories — the _cell filter reaches the scan as a
+    PartitionFilter, and the data actually read contains exactly the
+    probed cells, not the corpus."""
+    from pyspark.sql import functions as F
+
+    from ensembl_database_loader_spark.catalog import table as cat_table
+    from ensembl_database_loader_spark.operators.similarity import (
+        build_ann_index,
+        ivf_topk_indexed,
+    )
+
+    e = cat_table(spark, SF, "embeddings").select("vec_id", "embedding")
+    path = str(tmp_path / "ann_idx")
+    build_ann_index(e, "vec_id", "embedding", path, n_cells=16)
+    qvec = list(
+        e.filter(F.col("vec_id") == 0)
+        .select(F.col("embedding").cast("array<double>"))
+        .first()[0]
+    )
+    q = ivf_topk_indexed(spark, path, qvec, k=5, n_probe=4, exclude_id=0)
+    q.collect()
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "_cell" in plan.split("PartitionFilters")[1].split("]")[0]
+
+    # the pruned read touches exactly the probed cells (<= n_probe of 16)
+    pruned = spark.read.parquet(path).filter(
+        F.col("_cell").isin(list(range(16)))
+    )
+    probed = spark.read.parquet(path).filter(F.col("_cell").isin([0, 1, 2, 3]))
+    cells_all = {r._cell for r in pruned.select("_cell").distinct().collect()}
+    cells_probed = {r._cell for r in probed.select("_cell").distinct().collect()}
+    assert len(cells_all) > 4 >= len(cells_probed)
+
+
 def test_percentile_cont_matches_builtin(spark):
     """Count-based exact percentile must equal Spark's buffering
     `percentile` aggregate (to 1 ulp; both use lo + (hi-lo)*frac at
