@@ -22,8 +22,70 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ensembl_database_loader_spark.functions.text import normalize_text, tokens
-from ensembl_database_loader_spark.operators.dedup import ngram_jaccard_pairs
+from ensembl_database_loader_spark.operators.dedup import (
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    ngram_jaccard_pairs_prefix,
+)
 from ensembl_database_loader_spark.operators.textstats import with_quality_score
+
+
+def _near_dup_pairs(
+    exact: DataFrame, strategy: str, jaccard_threshold: float
+) -> DataFrame:
+    """The strategy-selectable near-dup stage over the exact-dedup
+    survivors; every strategy returns (id1, id2, jaccard >= threshold).
+
+    - ``prefix`` (default): PPJoin prefix-filtered exact Jaccard —
+      identical pairs to ``inverted`` (equivalence-tested) but hot
+      shingles never enter the index, so a heavy-tailed real corpus
+      can't blow up the freq^2 join term. The safe default at 100 TB.
+    - ``inverted``: plain inverted-index exact Jaccard — one shuffle
+      cheaper; fine when the shingle frequency tail is known benign
+      (e.g. pre-filtered or synthetic corpora).
+    - ``minhash``: MinHash-LSH candidates verified by exact Jaccard —
+      sub-linear candidate generation; precision stays exact (verify
+      step) but recall follows the LSH S-curve, so the kept set can
+      only GROW vs the exact strategies (fewer detected pairs =>
+      fewer drops)."""
+    if strategy == "prefix":
+        return ngram_jaccard_pairs_prefix(
+            exact, "id", "text", "blk", n=3, threshold=jaccard_threshold
+        )
+    if strategy == "inverted":
+        return ngram_jaccard_pairs(
+            exact, "id", "text", "blk", n=3, threshold=jaccard_threshold
+        )
+    if strategy == "minhash":
+        from ensembl_database_loader_spark.operators.dedup import (
+            minhash_lsh_candidates,
+        )
+
+        # restrict LSH candidates to the same block before the exact
+        # verify — the funnel's near-dup stage is block-scoped in every
+        # strategy (the unblocked operator would drop cross-block
+        # near-dups the exact strategies never consider)
+        blk = exact.select("id", "blk")
+        cand = (
+            minhash_lsh_candidates(exact, "id", "text", n=3)
+            .join(
+                blk.select(F.col("id").alias("id1"), F.col("blk").alias("_b1")),
+                "id1",
+            )
+            .join(
+                blk.select(F.col("id").alias("id2"), F.col("blk").alias("_b2")),
+                "id2",
+            )
+            .filter(F.col("_b1") == F.col("_b2"))
+            .select("id1", "id2")
+        )
+        return minhash_lsh_pairs(
+            exact, "id", "text", threshold=jaccard_threshold, n=3, candidates=cand
+        )
+    raise ValueError(
+        f"unknown near_dup strategy {strategy!r}; "
+        "expected 'prefix' | 'inverted' | 'minhash'"
+    )
 
 
 def curate_corpus(
@@ -34,6 +96,7 @@ def curate_corpus(
     min_quality: int = 2,
     jaccard_threshold: float = 0.8,
     cluster_exact: bool = False,
+    near_dup: str = "prefix",
 ) -> tuple[DataFrame, DataFrame]:
     """Run the curation funnel; returns (kept_docs, stats).
 
@@ -41,7 +104,12 @@ def curate_corpus(
     1. quality: heuristic score (length/diversity/token-shape) >= min_quality
     2. exact:   one survivor per normalized text (smallest id wins —
                 deterministic, unlike dropDuplicates' arbitrary pick)
-    3. neardup: ``cluster_exact=False`` (default) drops any doc with a
+    3. neardup: pair generation per ``near_dup`` strategy
+                ('prefix' default | 'inverted' | 'minhash' — see
+                ``_near_dup_pairs`` for the trade-offs; 'prefix' and
+                'inverted' produce identical pairs, 'minhash' is the
+                sub-linear approximate path). Survivor rule:
+                ``cluster_exact=False`` (default) drops any doc with a
                 >=threshold Jaccard pair to ANY smaller-id document
                 (whether or not that document itself survives — the
                 keep-first greedy rule, matching the oracle);
@@ -74,9 +142,7 @@ def curate_corpus(
         .persist()
     )
 
-    pairs = ngram_jaccard_pairs(
-        exact, "id", "text", "blk", n=3, threshold=jaccard_threshold
-    )
+    pairs = _near_dup_pairs(exact, near_dup, jaccard_threshold)
     if cluster_exact:
         # exact cluster-level dedup: transitive closure of the pair
         # graph, keep the minimum id of every component

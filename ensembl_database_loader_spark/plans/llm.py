@@ -384,11 +384,19 @@ def llp_curation(spark: SparkSession, sf: str) -> DataFrame:
     text) -> keep-first near-dup dedup (inverted-index Jaccard >= 0.8
     blocked by lang) -> token accounting. The oracle recomputes the
     ENTIRE funnel in SQL, so every stage's semantics are checked in
-    composition, not just in isolation."""
+    composition, not just in isolation.
+
+    The probe pins ``near_dup='inverted'``: the synthetic fixture's
+    shingle frequencies are near-uniform, so PPJoin prefix filtering
+    (the API default, heavy-tail-safe for real corpora) pays its extra
+    global-frequency shuffle for nothing here (measured 25s vs 3.8s at
+    sf0.1). Strategy equivalence (prefix == inverted kept sets,
+    minhash-blocked superset) is pinned in
+    tests/test_llm_ops.py::test_curate_corpus_near_dup_strategies."""
     from ensembl_database_loader_spark.pipeline.curate import curate_corpus
 
     ensure_session_confs(spark)
-    _kept, stats = curate_corpus(_corpus(spark, sf))
+    _kept, stats = curate_corpus(_corpus(spark, sf), near_dup="inverted")
     return stats
 
 

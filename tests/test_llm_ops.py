@@ -338,6 +338,27 @@ def test_curate_corpus_funnel_semantics(spark):
     assert stats_cc.collect()[0].n_kept == 2
 
 
+def test_curate_corpus_near_dup_strategies(spark, sf_dir):
+    """'prefix' (default) and 'inverted' must produce IDENTICAL kept
+    sets (PPJoin prefix filtering is an exact-equivalence optimization);
+    'minhash' verifies candidates with exact Jaccard so its kept set can
+    only be a SUPERSET (LSH recall < 1 drops fewer docs, never more).
+    Unknown strategies fail fast."""
+    from ensembl_database_loader_spark.pipeline.curate import curate_corpus
+
+    corpus = _variant_corpus(spark, sf_dir)
+    kept_by = {}
+    for strategy in ("prefix", "inverted", "minhash"):
+        kept, stats = curate_corpus(corpus, near_dup=strategy)
+        kept_by[strategy] = {r.id for r in kept.collect()}
+        assert stats.collect()[0].n_kept == len(kept_by[strategy])
+    assert kept_by["prefix"] == kept_by["inverted"]
+    assert kept_by["minhash"] >= kept_by["prefix"]
+
+    with pytest.raises(ValueError, match="near_dup"):
+        curate_corpus(corpus, near_dup="bogus")[0].collect()
+
+
 def test_bmp_wav_codec_property():
     """Property: encode->decode is the identity on (geometry, fill) /
     (frames, amplitude) across sizes including stride-padding edges."""
