@@ -23,9 +23,13 @@ from pyspark.sql import functions as F
 
 from ensembl_database_loader_spark.functions.text import normalize_text, tokens
 from ensembl_database_loader_spark.operators.dedup import (
+    _jaccard,
+    minhash_band_keys,
     minhash_lsh_pairs,
+    minhash_signatures,
     ngram_jaccard_pairs,
     ngram_jaccard_pairs_prefix,
+    with_shingles,
 )
 from ensembl_database_loader_spark.operators.textstats import with_quality_score
 
@@ -97,8 +101,11 @@ def curate_corpus(
     jaccard_threshold: float = 0.8,
     cluster_exact: bool = False,
     near_dup: str = "prefix",
+    store_path: str | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Run the curation funnel; returns (kept_docs, stats).
+    ``store_path`` bootstraps the incremental fingerprint store from
+    this run's exact survivors (see ``curate_increment``).
 
     Stages:
     1. quality: heuristic score (length/diversity/token-shape) >= min_quality
@@ -169,4 +176,208 @@ def curate_corpus(
             )
         )
     )
+    if store_path is not None:
+        write_fingerprint_store(exact, store_path)
+    return kept, stats
+
+
+# ---------------------------------------------------------------------------
+# Incremental / cross-run dedup
+#
+# The recurring-ingest workload: batch N+1 must be deduplicated against
+# the corpus already curated in batches 1..N WITHOUT recomputing old
+# signatures. The persisted fingerprint store holds, for every
+# EXACT-STAGE SURVIVOR (not just the kept set — the keep-first rule
+# drops a doc that pairs with any smaller-id exact survivor, whether or
+# not that survivor itself was later near-dup-dropped):
+#
+#   exact_sigs: (id, blk, sha, sh)  — sha2(normalized text) for the
+#               exact stage, the distinct-shingle array for Jaccard
+#               verification of LSH candidates
+#   band_keys:  (id, band, key)     — MinHash-LSH band keys (candidate
+#               generation against new batches is a bucket join on
+#               (band, key), never a corpus scan)
+#
+# Invariant: ids are globally monotone across batches (new ids > every
+# stored id — the natural property of crawl ingest). Under it,
+# curate_increment(batch2) after curate_corpus(batch1, store_path=...)
+# produces EXACTLY the one-shot curate_corpus(batch1 ∪ batch2,
+# near_dup='minhash') result (probe llp_incremental_dedup hash-gates
+# this).
+# ---------------------------------------------------------------------------
+
+_STORE_N = 3
+_STORE_NUM_HASHES = 8
+_STORE_ROWS_PER_BAND = 2
+
+
+def _store_signatures(exact: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(exact_sigs, band_keys) for a frame of exact-stage survivors."""
+    sigs = exact.select(
+        "id",
+        "blk",
+        F.sha2(normalize_text("text"), 256).alias("sha"),
+    ).join(with_shingles(exact, "id", "text", _STORE_N).withColumnRenamed("shingles", "sh"), "id")
+    bands = minhash_band_keys(
+        minhash_signatures(exact, "id", "text", _STORE_NUM_HASHES, _STORE_N),
+        _STORE_ROWS_PER_BAND,
+    )
+    return sigs, bands
+
+
+def _snapshot_files(spark, path: str) -> list[str]:
+    """List a store directory's data files at call time (Hadoop FS, so
+    any scheme works). Reading these EXPLICIT paths pins the snapshot:
+    a later append to the directory cannot leak into plans built from
+    the list, even across cache invalidation."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(hpath):
+        raise FileNotFoundError(f"fingerprint store missing: {path}")
+    files = [
+        st.getPath().toString()
+        for st in fs.listStatus(hpath)
+        if st.isFile() and not st.getPath().getName().startswith(("_", "."))
+    ]
+    if not files:
+        raise FileNotFoundError(f"fingerprint store empty: {path}")
+    return files
+
+
+def write_fingerprint_store(
+    exact: DataFrame, store_path: str, mode: str = "overwrite"
+) -> None:
+    """Persist (or append to) the fingerprint store at ``store_path``."""
+    sigs, bands = _store_signatures(exact)
+    sigs.write.mode(mode).parquet(store_path + "/exact_sigs")
+    bands.write.mode(mode).parquet(store_path + "/band_keys")
+
+
+def curate_increment(
+    new_df: DataFrame,
+    store_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    block_col: str = "lang",
+    min_quality: int = 2,
+    jaccard_threshold: float = 0.8,
+    update_store: bool = True,
+) -> tuple[DataFrame, DataFrame]:
+    """Curate a NEW batch against the persisted fingerprint store plus
+    itself; returns (kept_new_docs, stats) with the same funnel-stats
+    shape as ``curate_corpus`` (counts are for the new batch only).
+
+    Old signatures are never recomputed: the exact stage anti-joins the
+    new batch's sha2 against the store, and near-dup candidates against
+    the old corpus come from a (band, key) bucket join with the stored
+    band keys — both shuffles scale with the NEW batch plus matched
+    buckets, not the historical corpus. Verification (exact Jaccard on
+    the stored shingle arrays) touches candidates only.
+
+    ``update_store=True`` appends the new exact survivors' signatures
+    to the store so the next increment composes. The store is read as a
+    SNAPSHOT — the file list is pinned at call time and the frames read
+    those explicit files, so the returned lazy frames never see their
+    own appended output. (A directory read + persist is NOT enough:
+    writing to a path invalidates every cached plan on that path, and
+    the recompute would read the appended files — measured as kept==0
+    self-poisoning.)
+
+    Requires new ids > every stored id (monotone ingest)."""
+    spark = new_df.sparkSession
+    base = new_df.select(
+        F.col(id_col).alias("id"),
+        F.col(block_col).alias("blk"),
+        F.col(text_col).alias("text"),
+    )
+    quality = (
+        with_quality_score(base, "text")
+        .filter(F.col("quality_score") >= min_quality)
+        .select("id", "blk", "text")
+    )
+
+    from pyspark.sql import Window
+
+    # snapshot-isolate the store: read the explicit files present NOW
+    old_sigs = spark.read.parquet(*_snapshot_files(spark, store_path + "/exact_sigs"))
+    old_bands = spark.read.parquet(*_snapshot_files(spark, store_path + "/band_keys"))
+
+    w = Window.partitionBy(normalize_text("text")).orderBy("id")
+    exact = (
+        quality.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+        .withColumn("_sha", F.sha2(normalize_text("text"), 256))
+        .join(
+            old_sigs.select(F.col("sha").alias("_sha")).distinct(),
+            "_sha",
+            "left_anti",
+        )
+        .drop("_sha")
+        .persist()
+    )
+
+    new_sigs, new_bands = _store_signatures(exact)
+    new_sigs = new_sigs.persist()
+
+    # new-vs-old: bucket join on stored band keys, exact-Jaccard verify
+    cand_old = (
+        new_bands.alias("nb")
+        .join(
+            old_bands.alias("ob"),
+            (F.col("nb.band") == F.col("ob.band"))
+            & (F.col("nb.key") == F.col("ob.key")),
+        )
+        .select(F.col("ob.id").alias("old_id"), F.col("nb.id").alias("new_id"))
+        .distinct()
+    )
+    dropped_vs_old = (
+        cand_old.join(
+            old_sigs.select(
+                F.col("id").alias("old_id"),
+                F.col("blk").alias("_ob"),
+                F.col("sh").alias("_os"),
+            ),
+            "old_id",
+        )
+        .join(
+            new_sigs.select(
+                F.col("id").alias("new_id"),
+                F.col("blk").alias("_nb"),
+                F.col("sh").alias("_ns"),
+            ),
+            "new_id",
+        )
+        .filter(
+            (F.col("_ob") == F.col("_nb"))
+            & (_jaccard(F.col("_os"), F.col("_ns")) >= jaccard_threshold)
+        )
+        .select(F.col("new_id").alias("id"))
+        .distinct()
+    )
+
+    # new-vs-new: block-scoped minhash within the new exact survivors
+    # (identical construction to curate_corpus's 'minhash' strategy)
+    pairs_new = _near_dup_pairs(exact, "minhash", jaccard_threshold)
+    dropped_vs_new = pairs_new.select(F.col("id2").alias("id")).distinct()
+
+    kept = exact.join(
+        dropped_vs_old.unionByName(dropped_vs_new).distinct(), "id", "left_anti"
+    )
+
+    stats = (
+        base.agg(F.count(F.lit(1)).alias("n_input"))
+        .crossJoin(quality.agg(F.count(F.lit(1)).alias("n_quality")))
+        .crossJoin(exact.agg(F.count(F.lit(1)).alias("n_exact")))
+        .crossJoin(
+            kept.agg(
+                F.count(F.lit(1)).alias("n_kept"),
+                F.sum(F.size(tokens("text"))).cast("bigint").alias("tokens_kept"),
+            )
+        )
+    )
+    if update_store:
+        new_sigs.write.mode("append").parquet(store_path + "/exact_sigs")
+        new_bands.write.mode("append").parquet(store_path + "/band_keys")
     return kept, stats

@@ -400,6 +400,68 @@ def llp_curation(spark: SparkSession, sf: str) -> DataFrame:
     return stats
 
 
+@probe(
+    "llp_incremental_dedup",
+    oracle="SELECT TRUE AS kept_equal, TRUE AS store_appended",
+    tags=("llm", "pipeline", "incremental"),
+)
+def llp_incremental(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-run incremental dedup (pipeline/curate.py
+    curate_increment): batch1 (base docs) bootstraps the fingerprint
+    store — sha2 exact signatures + MinHash band keys + shingle arrays
+    of the exact-stage survivors — then batch2 (the near-dup variants,
+    ids +100000) is curated against the store plus itself WITHOUT
+    recomputing batch1 signatures. Contract (hash-gated TRUE oracle):
+    the union of the two incremental kept sets is ROW-IDENTICAL to the
+    one-shot minhash-strategy run over the full corpus, and the store
+    grew by append with every batch2 survivor's signature present.
+    (Funnel-total additivity is pinned in
+    tests/test_llm_ops.py::test_curate_increment_equals_one_shot.)
+    This is the recurring-crawl-ingest workload: per-increment cost
+    scales with the new batch + matched band buckets, never the
+    historical corpus.
+
+    Probe-cost controls: deterministic 1-in-5 subsample (variant ids
+    are +100000 ≡ 0 mod 5, so base/variant near-dup pairs stay
+    together) and the three kept frames persisted — the equality check
+    references each side twice, and un-persisted funnels re-run their
+    pair-generation lineage per reference (measured 75s -> single-digit
+    seconds at sf0.1)."""
+    import tempfile
+
+    from ensembl_database_loader_spark.pipeline.curate import (
+        curate_corpus,
+        curate_increment,
+    )
+
+    ensure_session_confs(spark)
+    corpus = _corpus(spark, sf).filter(F.col("doc_id") % 5 == 0)
+    batch1 = corpus.filter(F.col("doc_id") < 100000)
+    batch2 = corpus.filter(F.col("doc_id") >= 100000)
+    store = tempfile.mkdtemp(prefix="edl_fpstore_") + "/fp"
+
+    kept1, _ = curate_corpus(batch1, near_dup="minhash", store_path=store)
+    n_store_1 = spark.read.parquet(store + "/exact_sigs").count()
+    kept2, _ = curate_increment(batch2, store)
+    k1 = kept1.select("id").persist()
+    k2 = kept2.select("id").persist()
+    kept_one, _ = curate_corpus(corpus, near_dup="minhash")
+    ko = kept_one.select("id").persist()
+
+    kept_inc = k1.unionByName(k2)
+    sym_diff = kept_inc.exceptAll(ko).unionAll(ko.exceptAll(kept_inc))
+
+    store_sigs = spark.read.parquet(store + "/exact_sigs")
+    n_store_2 = store_sigs.count()
+    missing_sigs = k2.join(
+        store_sigs.select("id"), "id", "left_anti"
+    ).count()
+    store_appended = n_store_2 > n_store_1 and missing_sigs == 0
+    return sym_diff.agg((_cnt() == 0).alias("kept_equal")).select(
+        "kept_equal", F.lit(bool(store_appended)).alias("store_appended")
+    )
+
+
 _COMPONENTS_ORACLE = (
     f"WITH c AS (SELECT * FROM {_CORPUS} t0), "
     f"s AS (SELECT id, lang, {_shingles(_toks('text'))} AS sh FROM c), "

@@ -359,6 +359,68 @@ def test_curate_corpus_near_dup_strategies(spark, sf_dir):
         curate_corpus(corpus, near_dup="bogus")[0].collect()
 
 
+def test_curate_increment_equals_one_shot(spark, sf_dir, tmp_path):
+    """Two-batch incremental curation (batch1 bootstraps the
+    fingerprint store, batch2 dedups against store + itself) must equal
+    the one-shot minhash-strategy run over the union — kept ids AND
+    funnel totals."""
+    from ensembl_database_loader_spark.pipeline.curate import (
+        curate_corpus,
+        curate_increment,
+    )
+
+    corpus = _variant_corpus(spark, sf_dir)  # variants get doc_id+100000
+    batch1 = corpus.filter(F.col("doc_id") < 100000)
+    batch2 = corpus.filter(F.col("doc_id") >= 100000)
+    store = str(tmp_path / "fp_store")
+
+    kept1, stats1 = curate_corpus(batch1, near_dup="minhash", store_path=store)
+    kept2, stats2 = curate_increment(batch2, store)
+    inc_ids = {r.id for r in kept1.collect()} | {r.id for r in kept2.collect()}
+
+    kept_all, stats_all = curate_corpus(corpus, near_dup="minhash")
+    one_ids = {r.id for r in kept_all.collect()}
+    assert inc_ids == one_ids
+
+    s1, s2, sa = stats1.first(), stats2.first(), stats_all.first()
+    assert s1.n_input + s2.n_input == sa.n_input
+    assert s1.n_kept + s2.n_kept == sa.n_kept
+    assert s1.tokens_kept + s2.tokens_kept == sa.tokens_kept
+
+
+def test_curate_increment_store_reuse(spark, sf_dir, tmp_path):
+    """The store must compose across increments: after batch2's append,
+    a batch3 increment dedups against batch1 AND batch2 signatures; an
+    exact re-send of an already-kept doc is dropped at the exact stage
+    without touching the Jaccard path."""
+    from ensembl_database_loader_spark.pipeline.curate import (
+        curate_corpus,
+        curate_increment,
+    )
+
+    corpus = _variant_corpus(spark, sf_dir)
+    batch1 = corpus.filter(F.col("doc_id") < 100000)
+    batch2 = corpus.filter(F.col("doc_id") >= 100000)
+    store = str(tmp_path / "fp_store")
+
+    curate_corpus(batch1, near_dup="minhash", store_path=store)
+    n_sigs_1 = spark.read.parquet(store + "/exact_sigs").count()
+    _, stats2 = curate_increment(batch2, store)
+    n_exact_2 = stats2.first().n_exact
+    n_sigs_2 = spark.read.parquet(store + "/exact_sigs").count()
+    assert n_sigs_2 == n_sigs_1 + n_exact_2  # append, not rewrite
+
+    # batch3: resend of batch1 docs under fresh (larger) ids -> all are
+    # exact dups of stored texts, zero exact survivors, zero kept
+    batch3 = batch1.select(
+        (F.col("doc_id") + 300000).alias("doc_id"), "lang", "text"
+    )
+    kept3, stats3 = curate_increment(batch3, store, update_store=False)
+    assert kept3.count() == 0
+    s3 = stats3.first()
+    assert s3.n_exact == 0 and s3.n_kept == 0
+
+
 def test_bmp_wav_codec_property():
     """Property: encode->decode is the identity on (geometry, fill) /
     (frames, amplitude) across sizes including stride-padding edges."""
