@@ -176,12 +176,21 @@ def write_parquet_mirror(
     table: str,
     base_path: str,
     analyze: bool = True,
+    analyze_columns: bool = True,
 ) -> None:
     """Internal mirror sink: parquet + catalog registration + stats.
 
     ``ANALYZE TABLE ... COMPUTE STATISTICS`` is the Spark twin of the
     reference's post-load ANALYZE (LoadFiles.pm:230-234) — it feeds
-    Catalyst's CBO join reordering instead of MySQL's planner."""
+    Catalyst's CBO instead of MySQL's planner. ``analyze_columns``
+    additionally computes per-column NDV/min/max/null stats
+    (``FOR ALL COLUMNS``): with ``spark.sql.cbo.enabled`` those let the
+    optimizer estimate FILTER selectivity, so a filtered dimension
+    whose raw table size exceeds the broadcast threshold can still be
+    recognized as broadcast-small — the difference between a broadcast
+    and a sort-merge join on every mirror query that filters a dim
+    (gated in tests/test_plan_quality.py::
+    test_cbo_column_stats_enable_broadcast_after_filter)."""
     spark.sql(f"CREATE DATABASE IF NOT EXISTS `{database}`")
     path = f"{base_path}/{database}/{table}"
     df.write.mode("overwrite").parquet(path)
@@ -190,4 +199,7 @@ def write_parquet_mirror(
         f"CREATE TABLE `{database}`.`{table}` USING PARQUET LOCATION '{path}'"
     )
     if analyze:
-        spark.sql(f"ANALYZE TABLE `{database}`.`{table}` COMPUTE STATISTICS")
+        stmt = f"ANALYZE TABLE `{database}`.`{table}` COMPUTE STATISTICS"
+        spark.sql(stmt)
+        if analyze_columns:
+            spark.sql(stmt + " FOR ALL COLUMNS")

@@ -203,6 +203,65 @@ def test_partitioned_write_prunes_partitions(spark, tmp_path):
     )[1].split("]")[0]
 
 
+def test_cbo_column_stats_enable_broadcast_after_filter(spark, tmp_path):
+    """The CBO stats round-trip (reference post-load ANALYZE TABLE,
+    LoadFiles.pm:230-234): write_parquet_mirror computes table AND
+    column statistics, and with spark.sql.cbo.enabled those let the
+    optimizer estimate a range-filter's selectivity from min/max — the
+    filtered dimension drops under the broadcast threshold and the
+    fact join flips from sort-merge to broadcast. Without CBO the
+    filter inherits the unfiltered size estimate and stays sort-merge,
+    so the gate asserts BOTH directions (proving the column stats are
+    actually consumed, not that everything small broadcasts)."""
+    from pyspark.sql import functions as F
+
+    from ensembl_database_loader_spark.catalog import table as cat_table
+    from ensembl_database_loader_spark.sinks.jdbc import write_parquet_mirror
+
+    write_parquet_mirror(
+        spark, cat_table(spark, SF, "orders"), "cbodb", "orders_dim", str(tmp_path)
+    )
+    write_parquet_mirror(
+        spark,
+        cat_table(spark, SF, "lineitem"),
+        "cbodb",
+        "lineitem_fact",
+        str(tmp_path),
+    )
+    ndv = {
+        r.info_name: r.info_value
+        for r in spark.sql(
+            "DESC EXTENDED cbodb.orders_dim o_orderkey"
+        ).collect()
+    }
+    assert int(ndv["distinct_count"]) > 0  # FOR ALL COLUMNS ran
+
+    prev_cbo = spark.conf.get("spark.sql.cbo.enabled")
+    prev_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # threshold between the CBO filtered estimate (~7 KiB: 101 rows
+        # x avg row width) and the no-CBO estimate (~30 KiB: unfiltered)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(16 * 1024))
+        plans = {}
+        for cbo in ("false", "true"):
+            spark.conf.set("spark.sql.cbo.enabled", cbo)
+            dim = spark.table("cbodb.orders_dim").filter(F.col("o_orderkey") < 100)
+            q = spark.table("cbodb.lineitem_fact").join(
+                dim, F.col("l_orderkey") == F.col("o_orderkey")
+            )
+            plans[cbo] = q._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plans["false"]
+        assert "BroadcastHashJoin" not in plans["false"]
+        assert "BroadcastHashJoin" in plans["true"]
+        assert "SortMergeJoin" not in plans["true"]
+    finally:
+        spark.conf.set("spark.sql.cbo.enabled", prev_cbo)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
+        spark.sql("DROP TABLE IF EXISTS cbodb.orders_dim")
+        spark.sql("DROP TABLE IF EXISTS cbodb.lineitem_fact")
+        spark.sql("DROP DATABASE IF EXISTS cbodb")
+
+
 def test_ann_index_query_scan_is_partition_pruned(spark, tmp_path):
     """The serving-path contract of the materialized ANN index: an
     ivf_topk_indexed query must read ONLY its n_probe probed cell

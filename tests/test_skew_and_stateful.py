@@ -82,3 +82,51 @@ def test_running_user_profile_stateful_stream(spark, tmp_path):
     assert len(g) == len(e)
     assert (g["cnt"].values == e["cnt"].values).all()
     assert (abs(g["total"].values - e["total"].values) < 1e-6).all()
+
+
+def test_aqe_skew_join_splits_hot_partition(spark):
+    """AQE's runtime skew handling is the complement of the manual
+    salted join (q51 / operators/skew.py):
+
+    - AQE skew-join applies when skew shows up at RUNTIME in a
+      sort-merge join's shuffle sizes — it splits the oversized
+      partition into advisory-sized reads with no query rewrite. Use
+      it by default: zero code, reacts to the skew you actually have.
+    - Manual salting applies when the skew is KNOWN and structural
+      (one hot key dominating every run), when the join must be a
+      shuffled hash join, or for skewed AGGREGATIONS (AQE's skew
+      handling only covers joins) — at the cost of exploding the dim
+      side by the salt factor.
+
+    This gate pins that AQE actually triggers: a 500k-row fact with
+    80% of rows on one key, sort-merge-joined (broadcast disabled)
+    against a 101-row dim, must mark the join skew=true and read the
+    hot partition as skewed splits."""
+    fact = spark.range(500000).select(
+        F.when(F.col("id") < 400000, 0).otherwise(F.col("id") % 100 + 1).alias("k"),
+        F.rand(7).alias("v"),
+    )
+    dim = spark.range(101).select(F.col("id").alias("k"), F.rand(8).alias("w"))
+    confs = {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2.0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {c: spark.conf.get(c, None) for c in confs}
+    try:
+        for c, v in confs.items():
+            spark.conf.set(c, v)
+        q = fact.join(dim, "k").select(F.sum("v").alias("sv"), F.sum("w").alias("sw"))
+        q.collect()
+        plan = q._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin(skew=true)" in plan
+        assert "skewed" in plan  # AQEShuffleRead ... skewed
+    finally:
+        for c, v in prev.items():
+            if v is None:
+                spark.conf.unset(c)
+            else:
+                spark.conf.set(c, v)
