@@ -341,6 +341,20 @@ def build_ann_index(
     return centroids
 
 
+def append_to_ann_index(new_df: DataFrame, path: str) -> None:
+    """Append a NEW batch into an existing IVF index: assignment uses
+    the index's PERSISTED centroids (``_ann_meta.json``), so the append
+    is stateless and never touches the already-indexed rows — the ANN
+    twin of ``pipeline.curate.curate_increment``'s fingerprint-store
+    append for recurring ingest. New rows land inside the existing
+    ``_cell=...`` partition directories, so queries keep pruning to
+    n_probe cells with zero rebuild. (Re-train + rebuild only when the
+    corpus distribution drifts enough that centroid quality matters.)"""
+    meta = ann_index_meta(path)
+    assigned = _assign_cells(new_df, meta["vec_col"], meta["centroids"])
+    assigned.write.mode("append").partitionBy("_cell").parquet(path)
+
+
 def ann_index_meta(path: str) -> dict:
     import json
     import os
@@ -520,17 +534,17 @@ def embedding_neardup_pairs(
 
     def gemm(batches):
         for pdf in batches:
-            for _, row in pdf.iterrows():
-                ids1 = np.array([r["id"] for r in row["rows1"]], dtype=np.int64)
-                ids2 = np.array([r["id"] for r in row["rows2"]], dtype=np.int64)
-                x = np.array([r["v"] for r in row["rows1"]], dtype=np.float64)
-                y = np.array([r["v"] for r in row["rows2"]], dtype=np.float64)
+            for row in pdf.itertuples(index=False):
+                ids1 = np.array([r["id"] for r in row.rows1], dtype=np.int64)
+                ids2 = np.array([r["id"] for r in row.rows2], dtype=np.int64)
+                x = np.array([r["v"] for r in row.rows1], dtype=np.float64)
+                y = np.array([r["v"] for r in row.rows2], dtype=np.float64)
                 xn = x / np.linalg.norm(x, axis=1, keepdims=True)
                 yn = y / np.linalg.norm(y, axis=1, keepdims=True)
                 g = xn @ yn.T
                 # round half away from zero to 6 dp (SQL ROUND semantics)
                 g = np.sign(g) * np.floor(np.abs(g) * 1e6 + 0.5) / 1e6
-                if row["bid1"] == row["bid2"]:
+                if row.bid1 == row.bid2:
                     # same block: upper triangle by id avoids dup/self pairs
                     mask = (ids1[:, None] < ids2[None, :]) & (g >= threshold)
                     i, j = np.nonzero(mask)

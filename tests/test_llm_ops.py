@@ -170,6 +170,34 @@ def test_ann_index_ivf_matches_unindexed(spark, sf_dir, tmp_path):
     assert len(meta["centroids"][0]) == meta["dim"]
 
 
+def test_ann_index_append_equals_full_build(spark, sf_dir, tmp_path):
+    """Incremental index growth: build on half the corpus, append the
+    other half with the PERSISTED centroids — queries must equal a
+    one-shot full build with the same centroids (assignment is
+    stateless given _ann_meta.json, so cell membership is identical)."""
+    from ensembl_database_loader_spark.operators.similarity import (
+        append_to_ann_index,
+        build_ann_index,
+        ivf_topk_indexed,
+    )
+
+    e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    half1 = e.filter(F.col("vec_id") % 2 == 0)
+    half2 = e.filter(F.col("vec_id") % 2 == 1)
+    qvec = _query_vec(e)
+
+    full_path = str(tmp_path / "idx_full")
+    cents = build_ann_index(e, "vec_id", "embedding", full_path, n_cells=8)
+
+    inc_path = str(tmp_path / "idx_inc")
+    build_ann_index(half1, "vec_id", "embedding", inc_path, centroids=cents)
+    append_to_ann_index(half2, inc_path)
+
+    full = ivf_topk_indexed(spark, full_path, qvec, k=5, exclude_id=0).collect()
+    inc = ivf_topk_indexed(spark, inc_path, qvec, k=5, exclude_id=0).collect()
+    assert [tuple(r) for r in inc] == [tuple(r) for r in full]
+
+
 def test_ann_index_lsh_matches_unindexed(spark, sf_dir, tmp_path):
     """The materialized LSH index (per-table posting partitions) must
     agree with lsh_bucket_topk's per-query rehash exactly."""
