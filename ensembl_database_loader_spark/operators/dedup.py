@@ -217,6 +217,44 @@ def minhash_band_keys(signatures: DataFrame, rows_per_band: int = 2) -> DataFram
     )
 
 
+def minhash_band_keys_direct(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 8,
+    rows_per_band: int = 2,
+    n: int = 3,
+) -> DataFrame:
+    """(id, band, key) band keys in ONE shuffle: the per-seed minima
+    run as ``num_hashes`` conditional MIN aggregates in a single
+    groupBy(id) with map-side partial aggregation (the two-step
+    ``minhash_signatures`` -> ``minhash_band_keys`` path costs a
+    seeds-crossJoin row inflation plus TWO shuffles for the same
+    values), then band keys concatenate consecutive minima and a
+    narrow posexplode emits the (band, key) rows. Values are
+    bit-identical to the two-step path (pinned in tests)."""
+    sh = df.select(
+        F.col(id_col).alias("id"), shingle_udf(n)(F.col(text_col)).alias("sh")
+    ).select("id", F.explode("sh").alias("g"))
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{s}|"), F.col("g")))).alias(f"_mh{s}")
+        for s in range(num_hashes)
+    ]
+    wide = sh.groupBy("id").agg(*aggs)
+    n_bands = num_hashes // rows_per_band
+    keys = F.array(
+        *[
+            F.concat(
+                *[F.col(f"_mh{b * rows_per_band + r}") for r in range(rows_per_band)]
+            )
+            for b in range(n_bands)
+        ]
+    )
+    return wide.select(
+        "id", F.posexplode(keys).alias("band", "key")
+    ).withColumn("band", F.col("band").cast("bigint"))
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     id_col: str,
@@ -228,8 +266,8 @@ def minhash_lsh_candidates(
     """Distinct candidate pairs (id1 < id2) sharing at least one LSH band
     bucket. The join is per-bucket (groupBy band key), so cost scales
     with bucket sizes — the property that makes this viable at 100 TB."""
-    bands = minhash_band_keys(
-        minhash_signatures(df, id_col, text_col, num_hashes, n), rows_per_band
+    bands = minhash_band_keys_direct(
+        df, id_col, text_col, num_hashes, rows_per_band, n
     )
     a, b = bands.alias("a"), bands.alias("b")
     return (

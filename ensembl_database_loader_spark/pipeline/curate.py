@@ -24,9 +24,8 @@ from pyspark.sql import functions as F
 from ensembl_database_loader_spark.functions.text import normalize_text, tokens
 from ensembl_database_loader_spark.operators.dedup import (
     _jaccard,
-    minhash_band_keys,
+    minhash_band_keys_direct,
     minhash_lsh_pairs,
-    minhash_signatures,
     ngram_jaccard_pairs,
     ngram_jaccard_pairs_prefix,
     with_shingles,
@@ -218,9 +217,8 @@ def _store_signatures(exact: DataFrame) -> tuple[DataFrame, DataFrame]:
         "blk",
         F.sha2(normalize_text("text"), 256).alias("sha"),
     ).join(with_shingles(exact, "id", "text", _STORE_N).withColumnRenamed("shingles", "sh"), "id")
-    bands = minhash_band_keys(
-        minhash_signatures(exact, "id", "text", _STORE_NUM_HASHES, _STORE_N),
-        _STORE_ROWS_PER_BAND,
+    bands = minhash_band_keys_direct(
+        exact, "id", "text", _STORE_NUM_HASHES, _STORE_ROWS_PER_BAND, _STORE_N
     )
     return sigs, bands
 
@@ -357,10 +355,46 @@ def curate_increment(
         .distinct()
     )
 
-    # new-vs-new: block-scoped minhash within the new exact survivors
-    # (identical construction to curate_corpus's 'minhash' strategy)
-    pairs_new = _near_dup_pairs(exact, "minhash", jaccard_threshold)
-    dropped_vs_new = pairs_new.select(F.col("id2").alias("id")).distinct()
+    # new-vs-new: block-scoped minhash within the new exact survivors —
+    # semantically identical to curate_corpus's 'minhash' strategy, but
+    # REUSING the band keys and shingle arrays already computed for the
+    # store (the strategy helper would re-derive both: one extra shuffle
+    # plus a full shingle-UDF pass per increment)
+    cand_new = (
+        new_bands.alias("a")
+        .join(
+            new_bands.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
+        .distinct()
+    )
+    dropped_vs_new = (
+        cand_new.join(
+            new_sigs.select(
+                F.col("id").alias("id1"),
+                F.col("blk").alias("_b1"),
+                F.col("sh").alias("_s1"),
+            ),
+            "id1",
+        )
+        .join(
+            new_sigs.select(
+                F.col("id").alias("id2"),
+                F.col("blk").alias("_b2"),
+                F.col("sh").alias("_s2"),
+            ),
+            "id2",
+        )
+        .filter(
+            (F.col("_b1") == F.col("_b2"))
+            & (_jaccard(F.col("_s1"), F.col("_s2")) >= jaccard_threshold)
+        )
+        .select(F.col("id2").alias("id"))
+        .distinct()
+    )
 
     kept = exact.join(
         dropped_vs_old.unionByName(dropped_vs_new).distinct(), "id", "left_anti"

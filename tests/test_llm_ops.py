@@ -61,6 +61,22 @@ def test_minhash_lsh_finds_planted_neardups(spark, sf_dir):
         assert recall >= 0.5, f"LSH recall too low: {recall:.2f} ({len(lsh)}/{len(exact)})"
 
 
+def test_minhash_band_keys_direct_equivalence(spark, sf_dir):
+    """The fused one-shuffle band-key path (conditional MINs in a
+    single groupBy + posexplode) must emit byte-identical (id, band,
+    key) rows to the two-step signatures -> band-keys path."""
+    from ensembl_database_loader_spark.operators.dedup import (
+        minhash_band_keys,
+        minhash_band_keys_direct,
+        minhash_signatures,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    two = minhash_band_keys(minhash_signatures(d, "doc_id", "text", 8, 3), 2)
+    one = minhash_band_keys_direct(d, "doc_id", "text", 8, 2, 3)
+    assert sorted(map(tuple, one.collect())) == sorted(map(tuple, two.collect()))
+
+
 def test_simhash_identical_docs_zero_hamming(spark, sf_dir):
     d = table(spark, sf_dir, "documents").select("doc_id", "text").limit(20)
     s1 = simhash(d, "doc_id", "text").withColumnRenamed("simhash", "h1")
