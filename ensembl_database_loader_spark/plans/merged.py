@@ -134,6 +134,51 @@ MERGE_SPECS: dict[str, list[tuple[str, list[tuple[str, str]]]]] = {
         ("q28_scalar_subquery", [("cnt", "above_avg_cnt")]),
         ("q29_exists_subquery", [("cnt", "exists_cnt")]),
     ],
+    # r6: two text/multimodal pairs consolidated to free window slots
+    # for the round-6 flagships (ss_ann_ivf_indexed,
+    # llp_incremental_dedup) — components stay registered and timed.
+    "tx_tokens_fingerprint": [
+        (
+            "tx_token_counts",
+            [
+                ("lang", "lang"),
+                ("total_tokens", "total_tokens"),
+                ("total_distinct_tokens", "total_distinct_tokens"),
+                ("avg_tok_len", "avg_tok_len"),
+            ],
+        ),
+        (
+            "tx_fingerprint",
+            [
+                ("distinct_fp", "distinct_fp"),
+                ("min_fp", "min_fp"),
+                ("max_fp", "max_fp"),
+            ],
+        ),
+    ],
+    "mm_decode_frames": [
+        (
+            "mm_decode_stats",
+            [
+                ("img_cnt", "img_cnt"),
+                ("sum_width", "sum_width"),
+                ("sum_height", "sum_height"),
+                ("sum_mean_b", "sum_mean_b"),
+                ("sum_mean_r", "sum_mean_r"),
+                ("wav_cnt", "wav_cnt"),
+                ("sum_frames", "sum_frames"),
+                ("sum_amp", "sum_amp"),
+            ],
+        ),
+        (
+            "mm_frame_sample",
+            [
+                ("frame_cnt", "frame_cnt"),
+                ("sum_frame_idx", "sum_frame_idx"),
+                ("sum_frame_bytes", "sum_frame_bytes"),
+            ],
+        ),
+    ],
     "q35_q36_json_casts": [
         ("q35_json_fns", [("k_sum", "json_k_sum"), ("hi_cnt", "json_hi_cnt")]),
         (

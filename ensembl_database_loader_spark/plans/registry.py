@@ -88,12 +88,12 @@ WINDOW_50: tuple[str, ...] = (
     "dd_embedding_neardup",
     "dd_connected_components",
     "llp_curation_funnel",
+    "llp_incremental_dedup",
     "ss_ann_lsh",
+    "ss_ann_ivf_indexed",
     "tx_langid",
-    "tx_token_counts",
-    "tx_fingerprint",
-    "mm_decode_stats",
-    "mm_frame_sample",
+    "tx_tokens_fingerprint",
+    "mm_decode_frames",
 )
 
 

@@ -44,12 +44,15 @@ def test_llm_operator_probes_in_window():
         "dd_embedding_neardup",
         "dd_connected_components",
         "llp_curation_funnel",
+        "llp_incremental_dedup",
         "ss_ann_lsh",
+        "ss_ann_ivf_indexed",
         "tx_langid",
-        "tx_token_counts",
-        "tx_fingerprint",
-        "mm_decode_stats",
-        "mm_frame_sample",
+        # r6: token-counts/fingerprint and the two mm probes ride the
+        # window via their merged composites (components stay
+        # registered and locally oracle-checked)
+        "tx_tokens_fingerprint",
+        "mm_decode_frames",
     ):
         assert name in WINDOW_50
 
