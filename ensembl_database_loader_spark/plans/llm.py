@@ -1061,3 +1061,182 @@ def mm_decode_plumbing(spark: SparkSession, sf: str) -> DataFrame:
         F.sum("n_frames").cast("bigint").alias("sum_frames"),
         F.sum("n_bytes").cast("bigint").alias("sum_bytes"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus-construction extensions (round 6): decontamination, data mixing,
+# sequence packing, PII redaction
+# ---------------------------------------------------------------------------
+
+_CONTAM_ORACLE = (
+    "WITH b AS (SELECT list(DISTINCT s) AS bl FROM (SELECT unnest("
+    + _shingles(_toks("text"))
+    + ") AS s FROM documents WHERE source = 'src0')), "
+    "d AS (SELECT " + _shingles(_toks("text")) + " AS sh FROM documents "
+    "WHERE source <> 'src0'), "
+    "r AS (SELECT len(sh) AS n_sh, "
+    "len(list_intersect(sh, bl)) AS hits FROM d, b) "
+    "SELECT COUNT(*) AS n_docs, "
+    "COUNT(*) FILTER (WHERE hits > 0) AS n_flagged_any, "
+    "COUNT(*) FILTER (WHERE CAST(hits AS DOUBLE) / greatest(n_sh, 1) >= 0.2) "
+    "AS n_flagged_frac, "
+    "CAST(SUM(hits) AS BIGINT) AS total_hits, "
+    "ROUND(AVG(CAST(hits AS DOUBLE) / greatest(n_sh, 1)), 2) AS mean_frac FROM r"
+)
+
+
+@probe("tx_contamination", oracle=_CONTAM_ORACLE, tags=("llm", "text", "curation"))
+def tx_contamination(spark: SparkSession, sf: str) -> DataFrame:
+    """Benchmark decontamination (operators/contamination.py): docs
+    from source 'src0' play the held-out eval suite; every other doc is
+    scored by its distinct-3-gram overlap with the benchmark n-gram
+    set. Plan: benchmark shingles dedup once and BROADCAST (eval suites
+    are tiny next to a corpus), the corpus explodes shingles once, the
+    membership probe is map-side, one doc-keyed shuffle aggregates.
+    The oracle recomputes per-doc hit counts via list_intersect."""
+    from ensembl_database_loader_spark.operators.contamination import (
+        contamination_report,
+    )
+
+    ensure_session_confs(spark)
+    d = table(spark, sf, "documents")
+    rep = contamination_report(
+        d.filter(F.col("source") != "src0"),
+        d.filter(F.col("source") == "src0"),
+        "doc_id",
+        "text",
+        n=3,
+    )
+    return rep.agg(
+        _cnt().alias("n_docs"),
+        _cnt(F.col("n_contaminated") > 0).alias("n_flagged_any"),
+        _cnt(F.col("contamination_frac") >= 0.2).alias("n_flagged_frac"),
+        F.sum("n_contaminated").cast("bigint").alias("total_hits"),
+        F.round(F.avg("contamination_frac"), 2).alias("mean_frac"),
+    )
+
+
+#: Deterministic PII injection — identical SQL text runs on both engines
+#: (the corpus has no organic PII, so the probe plants some: emails on
+#: doc_id%7, IPv4 on %11, phone numbers on %13; CASE order resolves
+#: overlaps identically).
+_PII_INJECT = (
+    "CASE WHEN doc_id % 7 = 0 THEN text || ' contact user' || "
+    "CAST(doc_id AS STRING) || '@example.com now' "
+    "WHEN doc_id % 11 = 0 THEN text || ' from 10.' || "
+    "CAST(doc_id % 256 AS STRING) || '.0.' || CAST(doc_id % 100 AS STRING) || "
+    "' logged' "
+    "WHEN doc_id % 13 = 0 THEN text || ' call +1-555-' || "
+    "lpad(CAST(doc_id % 1000 AS STRING), 3, '0') || '-0199' "
+    "ELSE text END"
+)
+
+_PII_ORACLE = (
+    f"WITH i AS (SELECT doc_id, {_PII_INJECT} AS text FROM documents), "
+    "r AS (SELECT doc_id, "
+    "len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_email, "
+    "len(regexp_extract_all(text, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS n_ipv4, "
+    "len(regexp_extract_all(text, '\\+\\d{1,2}-\\d{3}-\\d{3}-\\d{4}')) AS n_phone, "
+    "regexp_replace(regexp_replace(regexp_replace(text, "
+    "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'), "
+    "'\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g'), "
+    "'\\+\\d{1,2}-\\d{3}-\\d{3}-\\d{4}', '<PHONE>', 'g') AS redacted FROM i) "
+    "SELECT CAST(SUM(n_email) AS BIGINT) AS emails, "
+    "CAST(SUM(n_ipv4) AS BIGINT) AS ips, "
+    "CAST(SUM(n_phone) AS BIGINT) AS phones, "
+    "COUNT(*) FILTER (WHERE n_email + n_ipv4 + n_phone > 0) AS docs_touched, "
+    "CAST(COUNT(DISTINCT md5(redacted)) AS BIGINT) AS distinct_redacted, "
+    "CAST(SUM(length(redacted)) AS BIGINT) AS total_chars FROM r"
+)
+
+
+@probe("tx_pii_redact", oracle=_PII_ORACLE, tags=("llm", "text", "curation"))
+def tx_pii(spark: SparkSession, sf: str) -> DataFrame:
+    """PII scrub (operators/redact.py): emails / IPv4s / phone numbers
+    replaced by typed tags, counts taken pre-replacement. Patterns live
+    in the Java-regex / RE2 common subset so the oracle scrubs
+    byte-identically; distinct-md5-of-redacted-text hash-gates the full
+    scrub output, not just the counts. Whole-stage codegen, zero
+    shuffle before the final aggregate."""
+    from ensembl_database_loader_spark.operators.redact import with_pii_redaction
+
+    ensure_session_confs(spark)
+    d = table(spark, sf, "documents").select(
+        "doc_id", F.expr(_PII_INJECT).alias("text")
+    )
+    r = with_pii_redaction(d, "text")
+    return r.agg(
+        F.sum("n_email").cast("bigint").alias("emails"),
+        F.sum("n_ipv4").cast("bigint").alias("ips"),
+        F.sum("n_phone").cast("bigint").alias("phones"),
+        _cnt(F.col("n_email") + F.col("n_ipv4") + F.col("n_phone") > 0).alias(
+            "docs_touched"
+        ),
+        F.countDistinct(F.md5("redacted")).cast("bigint").alias("distinct_redacted"),
+        F.sum(F.length("redacted")).cast("bigint").alias("total_chars"),
+    )
+
+
+#: The probe's mixture: whitelist semantics — fr absent => dropped.
+_MIX_RATES = {"en": 0.5, "es": 0.25, "zh": 0.1, "de": 0.8}
+
+_MIX_ORACLE = (
+    "WITH k AS (SELECT lang, ((doc_id * 2654435761) % 4294967296) % 1000 AS b "
+    "FROM documents), "
+    "s AS (SELECT lang, COUNT(*) AS n_input, COUNT(*) FILTER (WHERE b < "
+    "CASE lang WHEN 'en' THEN 500 WHEN 'es' THEN 250 WHEN 'zh' THEN 100 "
+    "WHEN 'de' THEN 800 ELSE 0 END) AS n_kept FROM k GROUP BY lang) "
+    "SELECT lang, n_input, n_kept, "
+    "ROUND(CAST(n_kept AS DOUBLE) / n_input, 2) AS achieved_rate "
+    "FROM s ORDER BY lang"
+)
+
+
+@probe("llp_mix_sample", oracle=_MIX_ORACLE, tags=("llm", "pipeline", "curation"))
+def llp_mix(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic stratified sampling / data mixing
+    (operators/mixing.py): keep iff Knuth-hash(doc_id) mod 1000 falls
+    under the stratum's threshold — reproducible across reruns,
+    cluster layouts, and incremental batches, and row-level EXACT
+    cross-engine (pure BIGINT arithmetic), unlike seed-based sample().
+    Zero shuffles for the sample itself (map-side filter); the audit
+    report is one groupBy."""
+    from ensembl_database_loader_spark.operators.mixing import (
+        mixture_report,
+        stratified_sample,
+    )
+
+    ensure_session_confs(spark)
+    d = table(spark, sf, "documents")
+    s = stratified_sample(d, "doc_id", "lang", _MIX_RATES, modulus=1000)
+    return mixture_report(d, s, "lang").orderBy("lang")
+
+
+_PACK_ORACLE = (
+    f"WITH t AS (SELECT len({_toks('text')}) AS n_tokens FROM documents) "
+    "SELECT COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens, "
+    "TRUE AS each_doc_once, TRUE AS no_overflow, TRUE AS ffd_bound_ok, "
+    "TRUE AS above_lower_bound"
+    " FROM t"
+)
+
+
+@probe("llp_seq_packing", oracle=_PACK_ORACLE, tags=("llm", "pipeline", "curation"))
+def llp_packing(spark: SparkSession, sf: str) -> DataFrame:
+    """Sequence packing (operators/packing.py): documents bin-packed
+    first-fit-decreasing into 256-token training sequences, sharded by
+    deterministic id hash (8 shards pack concurrently; one shuffle
+    total). Hash-gated contract: doc/token totals are oracle-exact, and
+    the TRUE-declaring oracle gates coverage (every doc exactly once),
+    capacity (no pack above budget), the per-shard FFD pack-count bound
+    n_packs <= floor(2*tokens/budget)+1, and the global lower bound
+    n_packs >= ceil(tokens/budget)."""
+    from ensembl_database_loader_spark.operators.packing import (
+        pack_sequences,
+        packing_report,
+    )
+
+    ensure_session_confs(spark)
+    d = with_token_stats(table(spark, sf, "documents"), "text")
+    packed = pack_sequences(d, "doc_id", "n_tokens", budget=256, n_shards=8)
+    return packing_report(packed, budget=256)

@@ -1,0 +1,177 @@
+"""Unit tests for the round-6 corpus-construction operators:
+contamination, deterministic mixing, sequence packing, PII redaction."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from ensembl_database_loader_spark.operators.contamination import (
+    contamination_report,
+    decontaminate,
+)
+from ensembl_database_loader_spark.operators.mixing import (
+    KNUTH,
+    deterministic_sample,
+    keyed_hash,
+    stratified_sample,
+)
+from ensembl_database_loader_spark.operators.packing import (
+    _ffd_pack,
+    pack_sequences,
+    packing_report,
+)
+from ensembl_database_loader_spark.operators.redact import with_pii_redaction
+
+
+# --- contamination ---------------------------------------------------------
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_contamination_counts_and_zero_hit_docs(spark):
+    corpus = _docs(
+        spark,
+        [
+            (1, "alpha beta gamma delta"),  # shares 'alpha beta gamma'
+            (2, "one two three four five"),  # clean
+            (3, "x y"),  # too short for 3-grams
+        ],
+    )
+    bench = _docs(spark, [(100, "alpha beta gamma epsilon")])
+    rep = {
+        r["id"]: r.asDict()
+        for r in contamination_report(corpus, bench, "doc_id", "text").collect()
+    }
+    assert rep[1]["n_contaminated"] == 1 and rep[1]["n_shingles"] == 2
+    assert rep[2]["n_contaminated"] == 0
+    assert rep[3]["n_contaminated"] == 0 and rep[3]["n_shingles"] == 0
+    assert rep[3]["contamination_frac"] == 0.0  # greatest(n,1) guard
+
+
+def test_decontaminate_drops_by_fraction_and_hits(spark):
+    corpus = _docs(
+        spark,
+        [
+            (1, "alpha beta gamma delta"),  # frac 0.5 > 0.2 -> dropped
+            (2, "one two three four five alpha beta gamma"),  # frac 1/6
+            (3, "clean words only here"),
+        ],
+    )
+    bench = _docs(spark, [(100, "alpha beta gamma")])
+    kept = {r.doc_id for r in decontaminate(corpus, bench, max_frac=0.2).collect()}
+    assert kept == {2, 3}
+    # absolute-hit threshold catches doc 2 as well
+    kept2 = {
+        r.doc_id
+        for r in decontaminate(corpus, bench, max_frac=0.2, max_hits=0).collect()
+    }
+    assert kept2 == {3}
+
+
+# --- mixing ----------------------------------------------------------------
+
+
+def test_keyed_hash_matches_python_arithmetic(spark):
+    df = spark.range(0, 500).select(F.col("id"))
+    got = {
+        r.id: r.b
+        for r in df.select("id", keyed_hash("id", 1000).alias("b")).collect()
+    }
+    for i, b in got.items():
+        assert b == (i * KNUTH) % 2**32 % 1000
+
+
+def test_deterministic_sample_is_layout_independent(spark):
+    df = spark.range(0, 2000)
+    a = {r.id for r in deterministic_sample(df, "id", 0.3).collect()}
+    b = {
+        r.id
+        for r in deterministic_sample(df.repartition(17), "id", 0.3).collect()
+    }
+    assert a == b  # partition layout cannot change the sample
+    assert 0.2 < len(a) / 2000 < 0.4
+
+
+def test_stratified_sample_whitelist_and_rates(spark):
+    df = spark.range(0, 3000).select(
+        F.col("id"),
+        F.when(F.col("id") % 3 == 0, "en")
+        .when(F.col("id") % 3 == 1, "zh")
+        .otherwise("fr")
+        .alias("lang"),
+    )
+    s = stratified_sample(df, "id", "lang", {"en": 1.0, "zh": 0.2}).collect()
+    by_lang = pd.DataFrame([r.asDict() for r in s]).groupby("lang").size()
+    assert by_lang.get("fr", 0) == 0  # absent stratum -> dropped
+    assert by_lang["en"] == 1000  # rate 1.0 keeps everything
+    assert 100 < by_lang["zh"] < 300
+
+
+# --- packing ---------------------------------------------------------------
+
+
+def test_ffd_pack_local_properties():
+    pdf = pd.DataFrame(
+        {"shard": 0, "id": range(10), "n_tokens": [90, 80, 70, 60, 50, 40, 30, 20, 10, 5]}
+    )
+    out = _ffd_pack(pdf, budget=100)
+    assert sorted(out["id"]) == list(range(10))
+    sums = out.groupby("pack_id")["n_tokens"].sum()
+    assert (sums <= 100).all()
+    # FFD: at most one bin at most half-full
+    assert (sums <= 50).sum() <= 1
+    assert not out["oversize"].any()
+
+
+def test_ffd_pack_oversize_gets_own_pack():
+    pdf = pd.DataFrame({"shard": 3, "id": [1, 2], "n_tokens": [500, 10]})
+    out = _ffd_pack(pdf, budget=100)
+    over = out[out["oversize"]]
+    assert len(over) == 1 and over["id"].iloc[0] == 1
+    assert out["pack_id"].nunique() == 2
+
+
+def test_pack_sequences_report_contract(spark):
+    df = spark.range(0, 400).select(
+        F.col("id"), (F.pmod(F.col("id") * 7919, F.lit(120)) + 1).alias("n_tokens")
+    )
+    packed = pack_sequences(df, "id", "n_tokens", budget=128, n_shards=4)
+    row = packing_report(packed, budget=128).collect()[0]
+    assert row.n_docs == 400 and row.each_doc_once
+    assert row.no_overflow and row.ffd_bound_ok and row.above_lower_bound
+    # deterministic: same input -> same pack assignment
+    a = sorted((r.id, r.pack_id) for r in packed.collect())
+    b = sorted(
+        (r.id, r.pack_id)
+        for r in pack_sequences(
+            df.repartition(13), "id", "n_tokens", budget=128, n_shards=4
+        ).collect()
+    )
+    assert a == b
+
+
+# --- redaction -------------------------------------------------------------
+
+
+def test_pii_redaction_families(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at bob.smith+x@ex-ample.co.uk today"),
+            (2, "server 10.0.255.7 and 192.168.1.1 up"),
+            (3, "call +1-555-123-4567 now"),
+            (4, "nothing to scrub here"),
+            (5, "combo a@b.io at 8.8.8.8"),
+        ],
+        "id bigint, text string",
+    )
+    out = {r.id: r.asDict() for r in with_pii_redaction(df, "text").collect()}
+    assert out[1]["n_email"] == 1 and "<EMAIL>" in out[1]["redacted"]
+    assert "bob" not in out[1]["redacted"]
+    assert out[2]["n_ipv4"] == 2 and out[2]["redacted"].count("<IP>") == 2
+    assert out[3]["n_phone"] == 1 and "<PHONE>" in out[3]["redacted"]
+    assert out[4]["redacted"] == "nothing to scrub here"
+    assert out[5]["n_email"] == 1 and out[5]["n_ipv4"] == 1
+    assert out[5]["redacted"] == "combo <EMAIL> at <IP>"

@@ -360,3 +360,43 @@ def test_boilerplate_backjoin_broadcasts(spark):
     plan = docs._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_contamination_membership_probe_broadcasts(spark):
+    """The benchmark n-gram set must broadcast (eval suites are tiny
+    next to a 100 TB corpus) — the membership test happens map-side,
+    never as a corpus-keyed shuffle join."""
+    plan = plan_of(spark, "tx_contamination")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_deterministic_sample_plan_has_no_exchange(spark):
+    """Keyed-hash sampling is a pure map-side filter: zero shuffles,
+    zero Python — the only sampling design that survives 100 TB."""
+    from ensembl_database_loader_spark.operators.mixing import stratified_sample
+
+    df = spark.read.parquet(f"{SF}/documents.parquet")
+    s = stratified_sample(df, "doc_id", "lang", {"en": 0.5, "zh": 0.1})
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        s.explain("formatted")
+    plan = buf.getvalue()
+    assert "Exchange" not in plan
+    assert "pythonUDF" not in plan and "BatchEvalPython" not in plan
+
+
+def test_pii_redaction_is_codegen_no_shuffle(spark):
+    """Redaction touches every corpus byte: it must stay inside
+    whole-stage codegen with no exchange before the aggregate."""
+    from ensembl_database_loader_spark.operators.redact import with_pii_redaction
+
+    df = spark.read.parquet(f"{SF}/documents.parquet")
+    r = with_pii_redaction(df, "text").select("redacted", "n_email")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        r.explain("formatted")
+    plan = buf.getvalue()
+    assert "Exchange" not in plan
+    # '*' marks whole-stage-codegen stages in formatted explain — the
+    # regexp project must be inside one, not a BatchEvalPython stage
+    assert "* Project" in plan and "BatchEvalPython" not in plan
