@@ -55,23 +55,24 @@ def contamination_report(
     of the groupBy; the membership probe itself is map-side when
     broadcast.
     """
-    bench = benchmark_ngrams(benchmark, text_col, n)
+    bench = benchmark_ngrams(benchmark, text_col, n).withColumn("_hit", F.lit(1))
     if broadcast_benchmark:
         bench = F.broadcast(bench)
 
-    sh = docs.select(
+    # single shingle pass: explode_outer keeps zero-shingle docs alive
+    # (null shingle row), the left join marks benchmark members, and one
+    # doc-keyed aggregate recovers (n_shingles, hit count) together — the
+    # shingle UDF runs once and there is exactly one shuffle.
+    exploded = docs.select(
         F.col(id_col).alias("id"), shingle_udf(n)(F.col(text_col)).alias("sh")
-    )
-    per_doc = sh.select("id", F.size("sh").alias("n_shingles"))
-    hits = (
-        sh.select("id", F.explode("sh").alias("sh"))
-        .join(bench, "sh")
-        .groupBy("id")
-        .agg(F.count(F.lit(1)).alias("n_contaminated"))
-    )
+    ).select("id", F.size("sh").alias("n_shingles"), F.explode_outer("sh").alias("sh"))
     return (
-        per_doc.join(hits, "id", "left")
-        .withColumn("n_contaminated", F.coalesce("n_contaminated", F.lit(0)))
+        exploded.join(bench, "sh", "left")
+        .groupBy("id")
+        .agg(
+            F.first("n_shingles").alias("n_shingles"),
+            F.coalesce(F.sum("_hit"), F.lit(0)).alias("n_contaminated"),
+        )
         .withColumn(
             "contamination_frac",
             F.col("n_contaminated") / F.greatest("n_shingles", F.lit(1)),

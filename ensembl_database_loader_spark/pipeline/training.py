@@ -1,0 +1,126 @@
+"""End-to-end training-corpus construction: the single-call composition
+a pretraining data team actually runs —
+
+    curate (quality -> exact dedup -> near-dup dedup)
+    -> decontaminate (drop benchmark-overlapping docs)
+    -> mix (deterministic per-stratum sampling to the target mixture)
+    -> pack (first-fit-decreasing into token-budget sequences)
+
+Every stage is one of the already-tested operators (pipeline/curate.py,
+operators/contamination.py, operators/mixing.py, operators/packing.py),
+so the composed plan inherits each stage's scale posture: the only
+shuffles are the funnel's own (window dedup + pair join), one broadcast
+membership probe, and the packing shard groupBy — mixing adds zero.
+Stage semantics up to packing are SQL-expressible, so the whole
+pipeline is oracle-checkable end to end (probe
+``llp_training_pipeline``); packing adds its hash-gated contract
+booleans on top.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ensembl_database_loader_spark.operators.contamination import decontaminate
+from ensembl_database_loader_spark.operators.mixing import stratified_sample
+from ensembl_database_loader_spark.operators.packing import (
+    pack_sequences,
+    packing_report,
+)
+from ensembl_database_loader_spark.operators.textstats import with_token_stats
+from ensembl_database_loader_spark.pipeline.curate import curate_corpus
+
+
+def build_training_corpus(
+    docs: DataFrame,
+    benchmark: DataFrame | None = None,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    block_col: str = "lang",
+    min_quality: int = 2,
+    jaccard_threshold: float = 0.8,
+    near_dup: str = "prefix",
+    max_contamination: float = 0.2,
+    contamination_n: int = 3,
+    mix_rates: dict[str, float] | None = None,
+    mix_modulus: int = 1000,
+    pack_budget: int = 1024,
+    pack_shards: int = 64,
+    store_path: str | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Returns ``(packed, report)``.
+
+    ``packed``: one row per surviving document with its training-
+    sequence assignment — ``(shard, pack_id, id, n_tokens, oversize,
+    blk, text)``. Write it partitioned/sorted by (shard, pack_id) and
+    the export is the training shard set.
+
+    ``report``: 1-row accounting frame — the curation funnel numbers
+    (n_input / n_quality / n_exact / n_kept / tokens_kept) plus
+    n_clean (post-decontamination), n_mixed (post-mixing),
+    packed_tokens, and the packing contract booleans (each_doc_once,
+    no_overflow, ffd_bound_ok, above_lower_bound).
+
+    ``benchmark=None`` skips decontamination; ``mix_rates=None`` skips
+    mixing (n_clean / n_mixed then equal the prior stage). Pass
+    ``store_path`` to bootstrap the incremental fingerprint store so
+    later batches can run ``curate_increment`` (pipeline/curate.py).
+    """
+    kept, funnel = curate_corpus(
+        docs,
+        id_col,
+        text_col,
+        block_col,
+        min_quality=min_quality,
+        jaccard_threshold=jaccard_threshold,
+        near_dup=near_dup,
+        store_path=store_path,
+    )
+    # kept: (id, blk, text) — referenced by the contamination report
+    # (shingle explode + per-doc counts) AND the decontamination
+    # anti-join AND the funnel stats; persist so the near-dup pair join
+    # in its lineage runs once (curate persists only the exact stage).
+    kept = kept.persist()
+    clean = (
+        decontaminate(
+            kept,
+            benchmark.select(F.col(text_col).alias("text")),
+            "id",
+            "text",
+            n=contamination_n,
+            max_frac=max_contamination,
+        )
+        if benchmark is not None
+        else kept
+    )
+    mixed = (
+        stratified_sample(clean, "id", "blk", mix_rates, modulus=mix_modulus)
+        if mix_rates
+        else clean
+    )
+    # mixed feeds three consumers (clean/mixed counts, packing, the
+    # text back-join) — persist so the funnel lineage runs once; at
+    # 100 TB substitute a materialized stage table.
+    mixed = mixed.persist()
+
+    packed_assign = pack_sequences(
+        with_token_stats(mixed, "text"), "id", "n_tokens",
+        budget=pack_budget, n_shards=pack_shards,
+    )
+    packed = packed_assign.join(mixed.select("id", "blk", "text"), "id")
+
+    pack_contract = packing_report(packed_assign, pack_budget).select(
+        F.col("total_tokens").alias("packed_tokens"),
+        "each_doc_once",
+        "no_overflow",
+        "ffd_bound_ok",
+        "above_lower_bound",
+    )
+    report = (
+        funnel.crossJoin(clean.agg(F.count(F.lit(1)).alias("n_clean")))
+        .crossJoin(mixed.agg(F.count(F.lit(1)).alias("n_mixed")))
+        .crossJoin(pack_contract)
+    )
+    return packed, report

@@ -1240,3 +1240,69 @@ def llp_packing(spark: SparkSession, sf: str) -> DataFrame:
     d = with_token_stats(table(spark, sf, "documents"), "text")
     packed = pack_sequences(d, "doc_id", "n_tokens", budget=256, n_shards=8)
     return packing_report(packed, budget=256)
+
+
+_TRAIN_ORACLE = (
+    f"WITH c AS (SELECT * FROM {_CORPUS} t0), "
+    f"q0 AS (SELECT id, lang, text, {_toks('text')} AS toks, "
+    "length(text) AS n FROM c), "
+    f"q AS (SELECT id, lang, text FROM q0 WHERE {_QUALITY_SCORE_SQL} >= 2), "
+    "e AS (SELECT id, lang, text FROM (SELECT id, lang, text, "
+    f"ROW_NUMBER() OVER (PARTITION BY {_norm('text')} ORDER BY id) AS rn "
+    "FROM q) t WHERE rn = 1), "
+    f"s AS (SELECT id, lang, {_shingles(_toks('text'))} AS sh FROM e), "
+    "p AS (SELECT a.id AS id1, b.id AS id2 FROM s a "
+    "JOIN s b ON a.lang = b.lang AND a.id < b.id "
+    "WHERE " + _JACCARD.format(a="a.sh", b="b.sh") + " >= 0.8), "
+    "k AS (SELECT e.id, e.lang, e.text, s.sh FROM e JOIN s USING (id) "
+    "WHERE id NOT IN (SELECT DISTINCT id2 FROM p)), "
+    f"bl AS (SELECT list(DISTINCT x) AS bl FROM (SELECT "
+    f"unnest({_shingles(_toks('text'))}) AS x FROM documents "
+    "WHERE source = 'src0')), "
+    "k2 AS (SELECT id, lang, text FROM k, bl WHERE "
+    "CAST(len(list_intersect(sh, bl)) AS DOUBLE) / greatest(len(sh), 1) <= 0.2), "
+    "m AS (SELECT * FROM k2 WHERE ((id * 2654435761) % 4294967296) % 1000 < "
+    "CASE lang WHEN 'en' THEN 500 WHEN 'es' THEN 250 WHEN 'zh' THEN 100 "
+    "WHEN 'de' THEN 800 ELSE 0 END) "
+    "SELECT (SELECT COUNT(*) FROM c) AS n_input, "
+    "(SELECT COUNT(*) FROM q) AS n_quality, "
+    "(SELECT COUNT(*) FROM e) AS n_exact, "
+    "(SELECT COUNT(*) FROM k) AS n_kept, "
+    f"(SELECT CAST(SUM(len({_toks('text')})) AS BIGINT) FROM k) AS tokens_kept, "
+    "(SELECT COUNT(*) FROM k2) AS n_clean, "
+    "(SELECT COUNT(*) FROM m) AS n_mixed, "
+    f"(SELECT CAST(SUM(len({_toks('text')})) AS BIGINT) FROM m) AS packed_tokens, "
+    "TRUE AS each_doc_once, TRUE AS no_overflow, TRUE AS ffd_bound_ok, "
+    "TRUE AS above_lower_bound"
+)
+
+
+@probe(
+    "llp_training_pipeline",
+    oracle=_TRAIN_ORACLE,
+    tags=("llm", "pipeline", "curation"),
+)
+def llp_training(spark: SparkSession, sf: str) -> DataFrame:
+    """End-to-end training-corpus construction
+    (pipeline/training.py build_training_corpus): curation funnel ->
+    benchmark decontamination (src0 docs play the eval suite) ->
+    deterministic mixture sampling -> FFD sequence packing, one call.
+    Every stage through mixing is recomputed exactly by the oracle
+    (nine CTEs, the deepest composition in the suite); packing adds
+    exact token totals plus its hash-gated contract booleans. Runs on
+    the variant corpus so the near-dup stage has real work."""
+    from ensembl_database_loader_spark.pipeline.training import (
+        build_training_corpus,
+    )
+
+    ensure_session_confs(spark)
+    bench = table(spark, sf, "documents").filter(F.col("source") == "src0")
+    _packed, report = build_training_corpus(
+        _corpus(spark, sf),
+        bench,
+        near_dup="inverted",
+        mix_rates=_MIX_RATES,
+        pack_budget=512,
+        pack_shards=8,
+    )
+    return report

@@ -190,6 +190,90 @@ MERGE_SPECS: dict[str, list[tuple[str, list[tuple[str, str]]]]] = {
             ],
         ),
     ],
+    # r6b: the approx-contract pair and the UDF pair consolidate to free
+    # two window slots for the corpus-construction composites below —
+    # components stay registered, timed, and locally oracle-checked.
+    "q17_q37_approx_sampling": [
+        (
+            "q17_approx_count_distinct",
+            [("exact_cnt", "exact_cnt"), ("within_5pct", "within_5pct")],
+        ),
+        (
+            "q37_sampling",
+            [
+                ("total", "total"),
+                ("lo", "lo"),
+                ("hi", "hi"),
+                ("within_bounds", "within_bounds"),
+            ],
+        ),
+    ],
+    "q38_q39_udf_family": [
+        (
+            "q38_python_udf_bsd_sum",
+            [
+                ("sum_checksum", "sum_checksum"),
+                ("distinct_checksums", "distinct_checksums"),
+            ],
+        ),
+        (
+            "q39_pandas_udf_zscore",
+            [
+                ("lang", "lang"),
+                ("mean_abs_z", "mean_abs_z"),
+                ("std_z", "std_z"),
+                ("cnt", "z_cnt"),
+            ],
+        ),
+    ],
+    # round-6 corpus-construction flagships: decontamination + PII scrub
+    # and mixing + packing ride the window as composites so the driver
+    # hash-gates them directly.
+    "tx_decontam_pii": [
+        (
+            "tx_contamination",
+            [
+                ("n_docs", "n_docs"),
+                ("n_flagged_any", "n_flagged_any"),
+                ("n_flagged_frac", "n_flagged_frac"),
+                ("total_hits", "total_hits"),
+                ("mean_frac", "mean_frac"),
+            ],
+        ),
+        (
+            "tx_pii_redact",
+            [
+                ("emails", "emails"),
+                ("ips", "ips"),
+                ("phones", "phones"),
+                ("docs_touched", "docs_touched"),
+                ("distinct_redacted", "distinct_redacted"),
+                ("total_chars", "total_chars"),
+            ],
+        ),
+    ],
+    "llp_mix_packing": [
+        (
+            "llp_mix_sample",
+            [
+                ("lang", "lang"),
+                ("n_input", "n_input"),
+                ("n_kept", "n_kept"),
+                ("achieved_rate", "achieved_rate"),
+            ],
+        ),
+        (
+            "llp_seq_packing",
+            [
+                ("n_docs", "pack_n_docs"),
+                ("total_tokens", "total_tokens"),
+                ("each_doc_once", "each_doc_once"),
+                ("no_overflow", "no_overflow"),
+                ("ffd_bound_ok", "ffd_bound_ok"),
+                ("above_lower_bound", "above_lower_bound"),
+            ],
+        ),
+    ],
 }
 
 

@@ -54,7 +54,7 @@ WINDOW_50: tuple[str, ...] = (
     "q13_q14_range_cross_join",
     "q15_tpch_q1",
     "q16_q31_distinct_date_fns",
-    "q17_approx_count_distinct",
+    "q17_q37_approx_sampling",
     "q18_q20_condagg_having",
     "q19_rollup",
     "q21_sort_multikey",
@@ -65,9 +65,9 @@ WINDOW_50: tuple[str, ...] = (
     "q30_q32_string_math_fns",
     "q33_q34_case_array_fns",
     "q35_q36_json_casts",
-    "q37_sampling",
-    "q38_python_udf_bsd_sum",
-    "q39_pandas_udf_zscore",
+    "tx_decontam_pii",
+    "q38_q39_udf_family",
+    "llp_mix_packing",
     "q40_posexplode",
     "q49_exact_median",
     "q50_bucketed_join",

@@ -22,6 +22,12 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Right-size shuffles for the local harness: a vanilla session's 200
+    # default turns multi-stage probes (curation funnel, training
+    # pipeline) into scheduling-overhead benchmarks at sf<=0.1. Runtime-
+    # mutable, result-neutral (no probe's output depends on partition
+    # count); a cluster deployment overrides via SPARK_GRAFT_SHUFFLE.
+    "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_SHUFFLE", "32"),
 }
 
 BUILD_CONFS: dict[str, str] = {

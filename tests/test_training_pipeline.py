@@ -1,0 +1,60 @@
+"""pipeline/training.py build_training_corpus — end-to-end composition
+semantics on a small controlled corpus."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ensembl_database_loader_spark.pipeline.training import build_training_corpus
+
+
+def _corpus(spark):
+    # 3-stopword-free quality-passing docs need length 100..400 chars,
+    # >=0.5 distinct ratio, mean token len 3..10 — build compliant texts
+    words = [f"tok{i:03d}" for i in range(40)]
+    base = " ".join(words)  # 40 distinct 6-char tokens, ~280 chars
+    rows = [
+        (1, "en", base),
+        (2, "en", base),  # exact dup of 1 -> dropped at exact stage
+        (3, "en", base.replace("tok000", "tok999")),  # near-dup of 1
+        (4, "en", " ".join(f"oth{i:03d}" for i in range(40))),  # clean distinct
+        (5, "zh", " ".join(f"zzz{i:03d}" for i in range(40))),  # other stratum
+        (6, "en", "aa aa aa aa"),  # fails quality (short, repetitive, tiny tokens)
+    ]
+    return spark.createDataFrame(rows, "doc_id bigint, lang string, text string")
+
+
+def test_build_training_corpus_stage_accounting(spark):
+    docs = _corpus(spark)
+    bench = spark.createDataFrame(
+        [(100, " ".join(f"oth{i:03d}" for i in range(40)))],
+        "doc_id bigint, text string",
+    )
+    packed, report = build_training_corpus(
+        docs,
+        bench,
+        near_dup="inverted",
+        mix_rates={"en": 1.0, "zh": 1.0},
+        pack_budget=128,
+        pack_shards=2,
+    )
+    r = report.collect()[0]
+    assert r.n_input == 6
+    assert r.n_quality == 5  # doc 6 fails
+    assert r.n_exact == 4  # doc 2 is an exact dup
+    assert r.n_kept == 3  # doc 3 near-dups doc 1
+    assert r.n_clean == 2  # doc 4 IS the benchmark -> contaminated
+    assert r.n_mixed == 2  # both strata at rate 1.0
+    assert r.each_doc_once and r.no_overflow and r.ffd_bound_ok
+    got = {row.id for row in packed.select("id").collect()}
+    assert got == {1, 5}
+    # packed rows carry the text back for export
+    assert packed.filter(F.col("text").isNull()).count() == 0
+
+
+def test_build_training_corpus_optional_stages_skip(spark):
+    docs = _corpus(spark)
+    _, report = build_training_corpus(docs, None, near_dup="inverted")
+    r = report.collect()[0]
+    assert r.n_clean == r.n_kept  # no benchmark -> no decontamination
+    assert r.n_mixed == r.n_clean  # no rates -> no mixing
