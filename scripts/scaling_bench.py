@@ -134,6 +134,41 @@ def main() -> int:
         out.append(rec)
         print(json.dumps(rec), flush=True)
 
+        # r6 corpus-construction ops: contamination should scale
+        # linearly in corpus size (broadcast membership — per-doc cost
+        # is flat); packing likewise (shard-local FFD)
+        from ensembl_database_loader_spark.operators.contamination import (
+            contamination_report,
+        )
+        from ensembl_database_loader_spark.operators.packing import pack_sequences
+        from ensembl_database_loader_spark.operators.textstats import (
+            with_token_stats,
+        )
+
+        bench_docs = table(spark, args.sf_dir, "documents").filter(
+            F.col("source") == "src0"
+        )
+        t0 = time.perf_counter()
+        rep = contamination_report(c, bench_docs, "doc_id", "text")
+        flagged = rep.filter(F.col("n_contaminated") > 0).count()
+        dt = time.perf_counter() - t0
+        rec = {"op": "tx_contamination", "n_docs": n, "sec": round(dt, 2),
+               "flagged": flagged}  # fmt: skip
+        out.append(rec)
+        print(json.dumps(rec), flush=True)
+
+        t0 = time.perf_counter()
+        packed = pack_sequences(
+            with_token_stats(c, "text"), "doc_id", "n_tokens",
+            budget=512, n_shards=32,
+        )
+        n_packs = packed.select("shard", "pack_id").distinct().count()
+        dt = time.perf_counter() - t0
+        rec = {"op": "llp_seq_packing", "n_docs": n, "sec": round(dt, 2),
+               "n_packs": n_packs}  # fmt: skip
+        out.append(rec)
+        print(json.dumps(rec), flush=True)
+
         c.unpersist()
 
     for k in [int(x) for x in args.vec_reps.split(",")]:
