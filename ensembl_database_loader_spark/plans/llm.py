@@ -1306,3 +1306,80 @@ def llp_training(spark: SparkSession, sf: str) -> DataFrame:
         pack_shards=8,
     )
     return report
+
+
+@probe(
+    "ws3_streaming_ingest_curate",
+    oracle="SELECT TRUE AS kept_equal, TRUE AS store_grew",
+    tags=("llm", "pipeline", "streaming", "live-stream"),
+)
+def ws3_streaming_ingest(spark: SparkSession, sf: str) -> DataFrame:
+    """LIVE incremental curation (streaming/ingest.py): two document
+    drops land in a directory as jsonl files; a file-source stream
+    with foreachBatch runs curate_increment per micro-batch against
+    the persisted fingerprint store (bootstrapping on the first drop),
+    appending survivors to the curated output. Hash-gated contract:
+    the streamed kept set is ROW-IDENTICAL to the one-shot
+    minhash-strategy curation of the union, and the store grew across
+    batches. Deterministic 1-in-20 subsample bounds probe cost
+    (variants are +100000 ≡ 0 mod 20, so near-dup pairs stay
+    aligned); writing landing files from collected rows is the
+    probe-harness stand-in for the crawler that produces them."""
+    import json as _json
+    import os
+    import tempfile
+    import time as _time
+
+    from ensembl_database_loader_spark.pipeline.curate import curate_corpus
+    from ensembl_database_loader_spark.streaming.ingest import (
+        stream_documents,
+        streaming_curate,
+    )
+
+    ensure_session_confs(spark)
+    corpus = _corpus(spark, sf).filter(F.col("doc_id") % 20 == 0)
+    root = tempfile.mkdtemp(prefix="edl_ingest_")
+    landing = os.path.join(root, "landing")
+    os.makedirs(landing)
+    store, out, ckpt = (os.path.join(root, d) for d in ("store", "out", "ckpt"))
+
+    drops = (
+        ("b1.jsonl", corpus.filter(F.col("doc_id") < 100000)),
+        ("b2.jsonl", corpus.filter(F.col("doc_id") >= 100000)),
+    )
+    now = _time.time()
+    for i, (fname, frame) in enumerate(drops):
+        path = os.path.join(landing, fname)
+        with open(path, "w") as f:
+            f.writelines(
+                _json.dumps(r.asDict()) + "\n"
+                for r in frame.select("doc_id", "lang", "text").collect()
+            )
+        # stagger mtimes so the file source's oldest-first order runs
+        # b1 before b2 (the monotone-id invariant) within ONE drain
+        os.utime(path, (now - 20 + 10 * i, now - 20 + 10 * i))
+    q = streaming_curate(
+        stream_documents(spark, landing, max_files_per_trigger=1),
+        store,
+        out,
+        ckpt,
+    )
+    q.awaitTermination(300)
+
+    streamed = spark.read.parquet(out).select("id").persist()
+    one_shot, _ = curate_corpus(corpus, near_dup="minhash")
+    ko = one_shot.select("id").persist()
+    sym_diff = streamed.exceptAll(ko).unionAll(ko.exceptAll(streamed))
+
+    sig_counts = (
+        spark.read.parquet(store + "/exact_sigs")
+        .agg(
+            _cnt(F.col("id") >= 100000).alias("b2"),
+            _cnt(F.col("id") < 100000).alias("b1"),
+        )
+        .collect()[0]
+    )
+    grew = sig_counts.b1 > 0 and sig_counts.b2 > 0
+    return sym_diff.agg((_cnt() == 0).alias("kept_equal")).select(
+        "kept_equal", F.lit(bool(grew)).alias("store_grew")
+    )

@@ -1,0 +1,90 @@
+"""Streaming corpus ingest with per-micro-batch incremental curation —
+the live form of the recurring-crawl workload: document files land in a
+directory, each micro-batch is curated against the persisted
+fingerprint store (pipeline/curate.curate_increment), survivors append
+to the curated corpus, and the store grows so the next batch composes.
+
+Semantics and guarantees:
+- The file-source checkpoint gives at-least-once micro-batch delivery;
+  the curated-output append is therefore at-least-once too (use the
+  batch-id dedup idiom or an idempotent sink path per epoch if the
+  consumer needs exactly-once rows).
+- The STORE append is also at-least-once, and that is SAFE for dedup
+  correctness: a replayed batch's signatures anti-join to nothing new
+  (exact stage) and duplicate band keys only produce redundant
+  candidate pairs that verify to the same drop set.
+- Batches must arrive with monotone ids (crawl-natural) — the
+  curate_increment invariant.
+
+At 100 TB this is backfill-plus-tail: curate the historical corpus
+once with ``curate_corpus(store_path=...)``, then leave this stream
+tailing the landing directory with bounded work per trigger.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+from ensembl_database_loader_spark.pipeline.curate import (
+    curate_corpus,
+    curate_increment,
+)
+
+
+def stream_documents(
+    spark: SparkSession,
+    landing_dir: str,
+    schema: StructType | str = "doc_id bigint, lang string, text string",
+    fmt: str = "json",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Streaming read of document files (jsonl by default) landing under
+    ``landing_dir``."""
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.format(fmt).load(landing_dir)
+
+
+def streaming_curate(
+    stream_df: DataFrame,
+    store_path: str,
+    output_path: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+    **curate_kwargs,
+):
+    """Start the incremental-curation stream: every micro-batch runs
+    ``curate_increment`` against ``store_path`` (bootstrapping the
+    store with ``curate_corpus`` on the very first batch) and appends
+    survivors to ``output_path``. Returns the StreamingQuery.
+
+    ``curate_kwargs`` forward to curate_corpus/curate_increment
+    (id_col/text_col/block_col/min_quality/jaccard_threshold).
+    """
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        try:
+            # works on any Hadoop FS scheme — _snapshot_files raises
+            # FileNotFoundError when the store isn't bootstrapped yet
+            kept, _stats = curate_increment(batch_df, store_path, **curate_kwargs)
+        except FileNotFoundError:
+            kept, _stats = curate_corpus(
+                batch_df,
+                store_path=store_path,
+                near_dup="minhash",
+                **curate_kwargs,
+            )
+        kept.write.mode("append").parquet(output_path)
+
+    w = (
+        stream_df.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()
