@@ -1383,3 +1383,50 @@ def ws3_streaming_ingest(spark: SparkSession, sf: str) -> DataFrame:
     return sym_diff.agg((_cnt() == 0).alias("kept_equal")).select(
         "kept_equal", F.lit(bool(grew)).alias("store_grew")
     )
+
+
+_CHUNK_ORACLE = (
+    f"WITH t AS (SELECT doc_id, {_toks('text')} AS toks FROM documents), "
+    "c AS (SELECT doc_id, (s - 1) / 24 AS chunk_idx, "
+    "array_to_string(list_slice(toks, s, s + 31), ' ') AS chunk, "
+    "len(list_slice(toks, s, s + 31)) AS n_tok "
+    "FROM t, unnest(generate_series(1, len(toks), 24)) AS u(s)) "
+    "SELECT COUNT(*) AS total_chunks, "
+    "CAST(SUM(n_tok) AS BIGINT) AS sum_chunk_tokens, "
+    "CAST(MAX(n_tok) AS BIGINT) AS max_chunk_tokens, "
+    "CAST(COUNT(DISTINCT md5(chunk)) AS BIGINT) AS distinct_chunks, "
+    "TRUE AS udtf_equal FROM c"
+)
+
+
+@probe("tx_chunking", oracle=_CHUNK_ORACLE, tags=("llm", "text", "udtf"))
+def tx_chunking(spark: SparkSession, sf: str) -> DataFrame:
+    """Document chunking (operators/chunking.py): 32-token windows
+    every 24 tokens (8 overlap) — the RAG/embedding fan-out. The JVM
+    higher-order-function chunker supplies the oracle-exact stats; the
+    Python UDTF variant (Spark 4 user-defined TABLE function, lateral
+    join) is re-run over the same docs and hash-gated ROW-IDENTICAL to
+    the JVM path (boolean the TRUE-declaring oracle locks)."""
+    from ensembl_database_loader_spark.operators.chunking import (
+        chunk_documents,
+        chunk_udtf,
+    )
+
+    ensure_session_confs(spark)
+    d = table(spark, sf, "documents")
+    jvm = chunk_documents(d, "doc_id", "text", size=32, overlap=8).persist()
+
+    spark.udtf.register("edl_chunk_text", chunk_udtf(32, 8))
+    d.select("doc_id", "text").createOrReplaceTempView("edl_chunk_docs")
+    via_udtf = spark.sql(
+        "SELECT d.doc_id AS id, c.chunk_idx, c.chunk, c.n_tokens "
+        "FROM edl_chunk_docs d, LATERAL edl_chunk_text(d.text) c"
+    )
+    diff = jvm.exceptAll(via_udtf).unionAll(via_udtf.exceptAll(jvm))
+    stats = jvm.agg(
+        _cnt().alias("total_chunks"),
+        F.sum("n_tokens").cast("bigint").alias("sum_chunk_tokens"),
+        F.max("n_tokens").cast("bigint").alias("max_chunk_tokens"),
+        F.countDistinct(F.md5("chunk")).cast("bigint").alias("distinct_chunks"),
+    )
+    return stats.crossJoin(diff.agg((_cnt() == 0).alias("udtf_equal")))

@@ -175,3 +175,48 @@ def test_pii_redaction_families(spark):
     assert out[4]["redacted"] == "nothing to scrub here"
     assert out[5]["n_email"] == 1 and out[5]["n_ipv4"] == 1
     assert out[5]["redacted"] == "combo <EMAIL> at <IP>"
+
+
+# --- chunking --------------------------------------------------------------
+
+
+def test_chunk_documents_windows_and_edges(spark):
+    from ensembl_database_loader_spark.operators.chunking import chunk_documents
+
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(f"w{i}" for i in range(40))),  # 40 toks -> 0,24 starts
+            (2, "a b c"),  # single short chunk
+            (3, ""),  # no chunks
+        ],
+        "doc_id bigint, text string",
+    )
+    rows = chunk_documents(docs, size=32, overlap=8).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.id, []).append(r)
+    assert [r.n_tokens for r in sorted(by_doc[1], key=lambda r: r.chunk_idx)] == [32, 16]
+    assert by_doc[1][0].chunk.startswith("w0 w1 ")
+    assert by_doc[1][1].chunk.startswith("w24 ")  # overlap: restart at 40-16
+    assert [r.n_tokens for r in by_doc[2]] == [3]
+    assert 3 not in by_doc
+
+
+def test_chunk_udtf_matches_jvm(spark):
+    from ensembl_database_loader_spark.operators.chunking import (
+        chunk_documents,
+        chunk_udtf,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"t{i}x{j}" for j in range(i * 7 % 50))) for i in range(1, 20)],
+        "doc_id bigint, text string",
+    )
+    jvm = chunk_documents(docs, size=10, overlap=3)
+    spark.udtf.register("chunk_text_test", chunk_udtf(10, 3))
+    docs.createOrReplaceTempView("chunk_docs_test")
+    u = spark.sql(
+        "SELECT d.doc_id AS id, c.chunk_idx, c.chunk, c.n_tokens "
+        "FROM chunk_docs_test d, LATERAL chunk_text_test(d.text) c"
+    )
+    assert jvm.exceptAll(u).count() == 0 and u.exceptAll(jvm).count() == 0
