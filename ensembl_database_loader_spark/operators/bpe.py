@@ -1,0 +1,142 @@
+"""Distributed BPE (byte-pair-encoding) vocabulary training + encoding
+— the tokenizer-training step of an LLM data pipeline, Spark-first.
+
+Classic BPE (Sennrich et al., ACL'16) operates on the WORD-FREQUENCY
+table, not raw text: the corpus collapses to (word, freq) once (one
+shuffle — even a web-scale corpus collapses to a distinct-word table
+orders of magnitude smaller), then each merge step is
+
+    count adjacent symbol pairs weighted by word freq
+    -> pick argmax (count desc, pair lexicographic — deterministic)
+    -> rewrite every word's symbol array, merging that pair greedily
+       left-to-right
+
+Spark shape: pair counting is an explode + partial-aggregated groupBy;
+only the SINGLE winning pair row is collected per step; the rewrite is
+a pure JVM higher-order fold (no Python in the loop). Lineage is cut
+with localCheckpoint every few merges (the components-operator idiom)
+so the plan doesn't deepen linearly in vocab size.
+
+Word-internal merges only (no end-of-word marker): symbol
+concatenation always reconstructs the word, so encoding is a partition
+of the word by construction — the probe's round-trip contract.
+
+Encoding applies the learned merges by rank per word — a dict-driven
+Arrow-batched pandas UDF (the production encoder is a library; the
+Python-per-distinct-word cost is the realistic shape, and it runs on
+the distinct-word table, not the corpus).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ensembl_database_loader_spark.functions.text import tokens
+
+
+def word_frequencies(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(word, freq) over normalized whitespace tokens — the one corpus
+    pass; everything after runs on the distinct-word table."""
+    return (
+        df.select(F.explode(tokens(text_col)).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+
+
+def _chars(word: str | Column) -> Column:
+    c = F.col(word) if isinstance(word, str) else word
+    return F.expr(
+        "transform(sequence(1, length(word)), i -> substring(word, i, 1))"
+    )
+
+
+def _apply_merge(syms: Column, a: str, b: str) -> Column:
+    """Greedy left-to-right merge of adjacent (a, b) -> a||b, as a JVM
+    fold: the merged symbol becomes the new 'last', so overlapping
+    occurrences resolve exactly like the sequential reference."""
+    merged = F.array(F.lit(a + b))
+
+    def step(acc: Column, x: Column) -> Column:
+        return F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(a))
+            & (x == F.lit(b)),
+            F.concat(F.slice(acc, 1, F.size(acc) - 1), merged),
+        ).otherwise(F.concat(acc, F.array(x)))
+
+    return F.aggregate(syms, F.array().cast("array<string>"), step)
+
+
+def _pair_counts(words: DataFrame) -> DataFrame:
+    pairs = F.expr(
+        "CASE WHEN size(syms) < 2 THEN array() ELSE "
+        "transform(sequence(1, size(syms) - 1), "
+        "i -> struct(element_at(syms, i) AS a, element_at(syms, i + 1) AS b)) END"
+    )
+    return (
+        words.select("freq", F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .agg(F.sum("freq").alias("cnt"))
+    )
+
+
+def train_bpe(
+    word_freq: DataFrame, num_merges: int, checkpoint_every: int = 5
+) -> list[tuple[str, str]]:
+    """Learn ``num_merges`` merges from a (word, freq) frame. Returns
+    the ordered merge list (the vocabulary is base chars + one product
+    per merge). Stops early when no adjacent pair remains."""
+    words = word_freq.select(
+        "freq", _chars("word").alias("syms")
+    ).localCheckpoint()
+    merges: list[tuple[str, str]] = []
+    for m in range(num_merges):
+        best = (
+            _pair_counts(words)
+            .orderBy(F.col("cnt").desc(), F.col("a"), F.col("b"))
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        a, b = best[0].a, best[0].b
+        merges.append((a, b))
+        words = words.select("freq", _apply_merge(F.col("syms"), a, b).alias("syms"))
+        if (m + 1) % checkpoint_every == 0:
+            words = words.localCheckpoint()
+    return merges
+
+
+def encode_words(
+    word_freq: DataFrame, merges: list[tuple[str, str]]
+) -> DataFrame:
+    """(word, freq, syms): each distinct word encoded with the learned
+    merges applied in rank order (Arrow-batched; runs on distinct
+    words, not corpus occurrences)."""
+    rank = {pair: i for i, pair in enumerate(merges)}
+
+    @F.pandas_udf("array<string>")
+    def _enc(s):  # type: ignore[no-untyped-def]
+        def enc(word: str) -> list[str]:
+            syms = list(word)
+            while len(syms) > 1:
+                pairs = {(syms[i], syms[i + 1]) for i in range(len(syms) - 1)}
+                cand = [p for p in pairs if p in rank]
+                if not cand:
+                    break
+                a, b = min(cand, key=rank.__getitem__)
+                out: list[str] = []
+                for x in syms:
+                    if out and out[-1] == a and x == b:
+                        out[-1] = a + b
+                    else:
+                        out.append(x)
+                syms = out
+            return syms
+
+        return s.map(enc)
+
+    return word_freq.select("word", "freq", _enc("word").alias("syms"))

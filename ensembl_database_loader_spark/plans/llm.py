@@ -1430,3 +1430,105 @@ def tx_chunking(spark: SparkSession, sf: str) -> DataFrame:
         F.countDistinct(F.md5("chunk")).cast("bigint").alias("distinct_chunks"),
     )
     return stats.crossJoin(diff.agg((_cnt() == 0).alias("udtf_equal")))
+
+
+#: char list of a word (DuckDB side)
+_DUCK_CHARS = "list_transform(generate_series(1, length(word)), i -> substring(word, i, 1))"
+
+_BPE_ORACLE = (
+    "WITH w AS (SELECT word, COUNT(*) AS freq FROM "
+    f"(SELECT unnest({_toks('text')}) AS word FROM documents) "
+    "WHERE word <> '' GROUP BY word), "
+    # merge 1: adjacent char pairs weighted by word freq
+    "p1 AS (SELECT substring(word, i, 1) AS a, substring(word, i + 1, 1) AS b, "
+    "SUM(freq) AS cnt FROM w, "
+    "unnest(generate_series(1, length(word) - 1)) AS t(i) "
+    "WHERE length(word) >= 2 GROUP BY 1, 2), "
+    "m1 AS (SELECT a, b FROM p1 ORDER BY cnt DESC, a, b LIMIT 1), "
+    # rewrite by merge 1: separator-join chars, non-overlapping replace
+    # (exact vs the greedy fold: pre-merge symbols are single chars, so
+    # no cross-symbol false match is possible — see probe docstring)
+    "r AS (SELECT freq, list_filter(string_split(replace("
+    f"array_to_string({_DUCK_CHARS}, chr(31)), "
+    "(SELECT a FROM m1) || chr(31) || (SELECT b FROM m1), "
+    "(SELECT a FROM m1) || (SELECT b FROM m1)), chr(31)), x -> x <> '') AS syms "
+    "FROM w), "
+    # merge 2: adjacent symbol pairs of the rewritten words
+    "p2 AS (SELECT syms[i] AS a, syms[i + 1] AS b, SUM(freq) AS cnt FROM r, "
+    "unnest(generate_series(1, len(syms) - 1)) AS t(i) "
+    "WHERE len(syms) >= 2 GROUP BY 1, 2), "
+    "m2 AS (SELECT a, b FROM p2 ORDER BY cnt DESC, a, b LIMIT 1) "
+    "SELECT (SELECT COUNT(*) FROM w) AS n_words, "
+    "(SELECT COUNT(DISTINCT substring(word, i, 1)) FROM w, "
+    "unnest(generate_series(1, length(word))) AS t(i)) AS base_vocab, "
+    "(SELECT a || '+' || b FROM m1) AS merge1, "
+    "(SELECT a || '+' || b FROM m2) AS merge2, "
+    "CAST(12 AS BIGINT) AS n_merges, "
+    "TRUE AS roundtrip_ok, TRUE AS symbols_in_vocab, TRUE AS compress_ok"
+)
+
+
+@probe("tx_bpe_train", oracle=_BPE_ORACLE, tags=("llm", "text", "iterative"))
+def tx_bpe(spark: SparkSession, sf: str) -> DataFrame:
+    """Distributed BPE vocabulary training (operators/bpe.py): the
+    corpus collapses to the distinct-word frequency table (one
+    shuffle), then 12 Sennrich merge steps — pair counting as
+    partial-aggregated groupBy, argmax with deterministic (count desc,
+    pair lex) tie-break, greedy rewrite as a pure-JVM fold,
+    localCheckpoint lineage cuts. The oracle recomputes merges 1 AND 2
+    exactly (merge-2 needs the merge-1 rewrite, done with a
+    separator-joined non-overlapping replace — exact here because
+    pre-merge symbols are single characters, so the pattern can't
+    straddle a symbol boundary); later merges are pinned by the
+    pure-Python-reference equality test
+    (tests/test_corpus_ops.py::test_train_bpe_matches_reference).
+    Encoding contracts (hash-gated TRUE): every encoded word
+    reconstructs by concatenation, uses only vocabulary symbols, and
+    the freq-weighted mean symbols/word does not exceed mean chars."""
+    from ensembl_database_loader_spark.operators.bpe import (
+        encode_words,
+        train_bpe,
+        word_frequencies,
+    )
+
+    ensure_session_confs(spark)
+    wf = word_frequencies(table(spark, sf, "documents"), "text").persist()
+    merges = train_bpe(wf, 12)
+    enc = encode_words(wf, merges)
+    vocab = sorted({a + b for a, b in merges})
+    checks = enc.agg(
+        F.min(
+            (F.concat_ws("", F.col("syms")) == F.col("word")).cast("int")
+        ).alias("rt"),
+        F.min(
+            F.forall(
+                "syms",
+                lambda s: (F.length(s) == 1)
+                | F.array_contains(F.array(*[F.lit(v) for v in vocab]), s),
+            ).cast("int")
+        ).alias("in_vocab"),
+        (
+            F.sum(F.size("syms") * F.col("freq"))
+            <= F.sum(F.length("word") * F.col("freq"))
+        ).alias("compress"),
+    )
+    stats = wf.agg(_cnt().alias("n_words")).crossJoin(
+        wf.select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, length(word)), "
+                    "i -> substring(word, i, 1))"
+                )
+            ).alias("ch")
+        ).agg(F.countDistinct("ch").cast("bigint").alias("base_vocab"))
+    )
+    return stats.crossJoin(checks).select(
+        "n_words",
+        "base_vocab",
+        F.lit("+".join(merges[0]) if merges else None).alias("merge1"),
+        F.lit("+".join(merges[1]) if len(merges) > 1 else None).alias("merge2"),
+        F.lit(len(merges)).cast("bigint").alias("n_merges"),
+        (F.col("rt") == 1).alias("roundtrip_ok"),
+        (F.col("in_vocab") == 1).alias("symbols_in_vocab"),
+        F.col("compress").alias("compress_ok"),
+    )

@@ -220,3 +220,73 @@ def test_chunk_udtf_matches_jvm(spark):
         "FROM chunk_docs_test d, LATERAL chunk_text_test(d.text) c"
     )
     assert jvm.exceptAll(u).count() == 0 and u.exceptAll(jvm).count() == 0
+
+
+# --- BPE -------------------------------------------------------------------
+
+
+def _bpe_reference(word_freqs: dict, num_merges: int):
+    """Pure-Python Sennrich trainer: the independent reference."""
+    words = {w: list(w) for w in word_freqs}
+    merges = []
+    for _ in range(num_merges):
+        counts = {}
+        for w, syms in words.items():
+            f = word_freqs[w]
+            for i in range(len(syms) - 1):
+                counts[(syms[i], syms[i + 1])] = (
+                    counts.get((syms[i], syms[i + 1]), 0) + f
+                )
+        if not counts:
+            break
+        best = min(counts, key=lambda p: (-counts[p], p))
+        merges.append(best)
+        a, b = best
+        for w, syms in words.items():
+            out = []
+            for x in syms:
+                if out and out[-1] == a and x == b:
+                    out[-1] = a + b
+                else:
+                    out.append(x)
+            words[w] = out
+    return merges, words
+
+
+def test_train_bpe_matches_reference(spark):
+    from ensembl_database_loader_spark.operators.bpe import (
+        encode_words,
+        train_bpe,
+        word_frequencies,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat"),
+            (2, "the bat and the cat chat"),
+            (3, "that hat is the cat hat"),
+            (4, "aaa aaaa aa aaa"),  # overlapping-pair stress
+        ],
+        "doc_id bigint, text string",
+    )
+    wf = word_frequencies(docs, "text")
+    freqs = {r.word: r.freq for r in wf.collect()}
+    merges = train_bpe(wf, 10, checkpoint_every=3)
+    ref_merges, ref_words = _bpe_reference(freqs, 10)
+    assert merges == ref_merges
+
+    enc = {r.word: list(r.syms) for r in encode_words(wf, merges).collect()}
+    assert enc == ref_words  # rank-order encoding == training segmentation
+    for w, syms in enc.items():
+        assert "".join(syms) == w  # partition property
+
+
+def test_train_bpe_early_stop_single_chars(spark):
+    from ensembl_database_loader_spark.operators.bpe import (
+        train_bpe,
+        word_frequencies,
+    )
+
+    docs = spark.createDataFrame([(1, "a b c a b")], "doc_id bigint, text string")
+    merges = train_bpe(word_frequencies(docs, "text"), 5)
+    assert merges == []  # no word has two symbols -> nothing to merge
