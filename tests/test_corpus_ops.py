@@ -290,3 +290,19 @@ def test_train_bpe_early_stop_single_chars(spark):
     docs = spark.createDataFrame([(1, "a b c a b")], "doc_id bigint, text string")
     merges = train_bpe(word_frequencies(docs, "text"), 5)
     assert merges == []  # no word has two symbols -> nothing to merge
+
+
+# --- repeat-invocation stability (driver may call a probe twice) -----------
+
+
+def test_stateful_probes_repeat_stably(spark, sf_dir):
+    """tx_chunking registers a UDTF + temp view; tx_bpe_train persists
+    and checkpoints — both must return identical results when invoked
+    twice in one session (the driver/verify harness may re-run them)."""
+    from ensembl_database_loader_spark.plans import all_probes
+
+    probes = all_probes()
+    for name in ("tx_chunking", "tx_bpe_train"):
+        a = probes[name].spark_fn(spark, sf_dir).collect()
+        b = probes[name].spark_fn(spark, sf_dir).collect()
+        assert a == b, name

@@ -400,3 +400,41 @@ def test_pii_redaction_is_codegen_no_shuffle(spark):
     # '*' marks whole-stage-codegen stages in formatted explain — the
     # regexp project must be inside one, not a BatchEvalPython stage
     assert "* Project" in plan and "BatchEvalPython" not in plan
+
+
+def test_chunking_is_narrow_fanout_no_shuffle(spark):
+    """The JVM chunker is a per-row fan-out: posexplode over a codegen
+    higher-order transform — no exchange, no Python."""
+    from ensembl_database_loader_spark.operators.chunking import chunk_documents
+
+    df = spark.read.parquet(f"{SF}/documents.parquet")
+    c = chunk_documents(df, "doc_id", "text", size=32, overlap=8)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        c.explain("formatted")
+    plan = buf.getvalue()
+    assert "Exchange" not in plan
+    assert "Generate" in plan  # posexplode fan-out
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_bpe_pair_count_has_partial_aggregation(spark):
+    """Each BPE merge step's pair count must partial-aggregate map-side
+    (the iteration runs num_merges times — a shuffle of raw pair rows
+    would multiply the corpus-pass cost)."""
+    from ensembl_database_loader_spark.operators.bpe import (
+        _chars,
+        _pair_counts,
+        word_frequencies,
+    )
+    from pyspark.sql import functions as F
+
+    wf = word_frequencies(spark.read.parquet(f"{SF}/documents.parquet"), "text")
+    words = wf.select("freq", _chars("word").alias("syms"))
+    counts = _pair_counts(words)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        counts.explain("formatted")
+    plan = buf.getvalue()
+    # two HashAggregates around the exchange = partial + final
+    assert plan.count("HashAggregate") >= 2
