@@ -132,6 +132,13 @@ def packing_report(packed: DataFrame, budget: int) -> DataFrame:
         F.countDistinct("id").alias("n_distinct_docs"),
         F.sum("n_tokens").alias("total_tokens"),
         F.countDistinct("shard", "pack_id").alias("n_packs"),
+        # the lower bound must count oversize docs as their own packs,
+        # not by their token mass: one 10x-budget doc is ONE pack, while
+        # ceil(total/budget) would demand ten
+        F.sum(F.when(~F.col("oversize"), F.col("n_tokens")).otherwise(0)).alias(
+            "_regular_tokens"
+        ),
+        F.sum(F.col("oversize").cast("int")).alias("_n_oversize"),
     )
     return (
         totals.crossJoin(shard_ok)
@@ -144,7 +151,8 @@ def packing_report(packed: DataFrame, budget: int) -> DataFrame:
             (F.col("ffd_bound_ok") == 1).alias("ffd_bound_ok"),
             (
                 F.col("n_packs")
-                >= F.ceil(F.col("total_tokens") / F.lit(budget))
+                >= F.ceil(F.col("_regular_tokens") / F.lit(budget))
+                + F.col("_n_oversize")
             ).alias("above_lower_bound"),
         )
     )

@@ -306,3 +306,17 @@ def test_stateful_probes_repeat_stably(spark, sf_dir):
         a = probes[name].spark_fn(spark, sf_dir).collect()
         b = probes[name].spark_fn(spark, sf_dir).collect()
         assert a == b, name
+
+
+def test_packing_report_contract_with_oversize_docs(spark):
+    """The lower bound counts an oversize doc as ONE pack, not by its
+    token mass — a 10x-budget doc must not fail above_lower_bound."""
+    df = spark.createDataFrame(
+        [(1, 1000), (2, 50), (3, 60), (4, 40)], "id bigint, n_tokens bigint"
+    )
+    packed = pack_sequences(df, "id", "n_tokens", budget=100, n_shards=2)
+    row = packing_report(packed, budget=100).collect()[0]
+    assert row.each_doc_once and row.no_overflow
+    assert row.ffd_bound_ok and row.above_lower_bound
+    over = {r.id for r in packed.filter("oversize").collect()}
+    assert over == {1}
