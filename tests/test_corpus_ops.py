@@ -320,3 +320,39 @@ def test_packing_report_contract_with_oversize_docs(spark):
     assert row.ffd_bound_ok and row.above_lower_bound
     over = {r.id for r in packed.filter("oversize").collect()}
     assert over == {1}
+
+
+def test_train_bpe_batched_passes(spark):
+    """merges_per_pass>1: the disjoint-selection helper rejects
+    interacting pairs, encoding still round-trips, and the first merge
+    matches the sequential reference (same initial counts)."""
+    from ensembl_database_loader_spark.operators.bpe import (
+        _select_disjoint,
+        encode_words,
+        train_bpe,
+        word_frequencies,
+    )
+
+    # helper semantics: shared symbols and products are rejected
+    ranked = [("a", "t"), ("h", "e"), ("a", "x"), ("t", "h"), ("i", "n")]
+    assert _select_disjoint(ranked, 3) == [("a", "t"), ("h", "e"), ("i", "n")]
+    # a pair consuming an earlier product is rejected too
+    assert _select_disjoint([("a", "b"), ("ab", "c")], 2) == [("a", "b")]
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat the bat"),
+            (2, "that hat is the cat hat and chat"),
+            (3, "sitting batting chatting matting"),
+        ],
+        "doc_id bigint, text string",
+    )
+    wf = word_frequencies(docs, "text")
+    seq = train_bpe(wf, 8, merges_per_pass=1)
+    bat = train_bpe(wf, 8, merges_per_pass=4)
+    assert len(bat) == 8
+    # batched merges still produce a valid encoder (partition property)
+    for r in encode_words(wf, bat).collect():
+        assert "".join(r.syms) == r.word
+    # first merge of each strategy agrees (same initial counts)
+    assert seq[0] == bat[0]
