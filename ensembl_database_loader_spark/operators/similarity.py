@@ -559,3 +559,41 @@ def embedding_neardup_pairs(
                 yield pd.DataFrame({"id1": lo, "id2": hi, "cos": g[i, j]})
 
     return block_pairs.mapInPandas(gemm, schema="id1 bigint, id2 bigint, cos double")
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    block_col: str | None = None,
+    threshold: float = 0.9,
+    num_blocks: int = 32,
+) -> DataFrame:
+    """SemDeDup-shaped semantic deduplication: drop every row whose
+    embedding has cosine >= threshold with a SMALLER-id row (keep-first,
+    the curation-funnel survivor rule), optionally restricted to pairs
+    sharing ``block_col`` (cluster / language / source blocking).
+
+    Exact pair generation via the blocked-GEMM all-pairs engine
+    (embedding_neardup_pairs) — the EXACT baseline of the family; at
+    corpus scale substitute the ANN candidate generators (lsh_bucket /
+    IVF cells, see build_ann_index) for the pair stage and keep the
+    same keep-first anti-join."""
+    pairs = embedding_neardup_pairs(
+        df.select(id_col, vec_col), id_col, vec_col, threshold, num_blocks
+    )
+    if block_col is not None:
+        blk = df.select(F.col(id_col), F.col(block_col).alias("_sb"))
+        pairs = (
+            pairs.join(
+                blk.select(F.col(id_col).alias("id1"), F.col("_sb").alias("_b1")),
+                "id1",
+            )
+            .join(
+                blk.select(F.col(id_col).alias("id2"), F.col("_sb").alias("_b2")),
+                "id2",
+            )
+            .filter(F.col("_b1") == F.col("_b2"))
+        )
+    dropped = pairs.select(F.col("id2").alias(id_col)).distinct()
+    return df.join(dropped, id_col, "left_anti")

@@ -1532,3 +1532,47 @@ def tx_bpe(spark: SparkSession, sf: str) -> DataFrame:
         (F.col("in_vocab") == 1).alias("symbols_in_vocab"),
         F.col("compress").alias("compress_ok"),
     )
+
+
+_SEMDEDUP_ORACLE = (
+    "WITH e AS (SELECT vec_id, label, "
+    "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings), "
+    "p AS (SELECT b.vec_id AS id2 FROM e a JOIN e b "
+    "ON a.label = b.label AND a.vec_id < b.vec_id "
+    "WHERE ROUND(" + _COS.format(a="a.v", b="b.v") + ", 6) >= 0.5), "
+    "d AS (SELECT DISTINCT id2 FROM p) "
+    "SELECT (SELECT COUNT(*) FROM e) AS n_input, "
+    "(SELECT COUNT(*) FROM d) AS n_dropped, "
+    "CAST((SELECT COUNT(*) FROM e) - (SELECT COUNT(*) FROM d) AS BIGINT) "
+    "AS n_kept, "
+    "(SELECT CAST(COALESCE(SUM(vec_id), 0) AS BIGINT) FROM e "
+    "WHERE vec_id NOT IN (SELECT id2 FROM d)) AS kept_id_sum"
+)
+
+
+@probe("dd_semantic_dedup", oracle=_SEMDEDUP_ORACLE, tags=("llm", "dedup", "semantic"))
+def dd_semantic(spark: SparkSession, sf: str) -> DataFrame:
+    """Semantic dedup (SemDeDup shape, operators/similarity.py
+    semantic_dedup): keep-first drop of rows whose embedding cosine
+    >= 0.5 with a smaller-id row in the SAME label block. Pair stage is
+    the exact blocked-GEMM engine (the family's exact baseline — the
+    ANN candidate generators are the at-scale substitute, same
+    anti-join); the oracle recomputes the full blocked pair set and the
+    kept-id SUM, so a single wrongly-kept row breaks the hash."""
+    from ensembl_database_loader_spark.operators.similarity import semantic_dedup
+
+    ensure_session_confs(spark)
+    e = table(spark, sf, "embeddings").select("vec_id", "label", "embedding")
+    kept = semantic_dedup(e, "vec_id", "embedding", "label", threshold=0.5)
+    tot = e.agg(_cnt().alias("n_input"))
+    return tot.crossJoin(
+        kept.agg(
+            _cnt().alias("n_kept"),
+            F.coalesce(F.sum("vec_id"), F.lit(0)).cast("bigint").alias("kept_id_sum"),
+        )
+    ).select(
+        "n_input",
+        (F.col("n_input") - F.col("n_kept")).cast("bigint").alias("n_dropped"),
+        F.col("n_kept").cast("bigint"),
+        "kept_id_sum",
+    )

@@ -356,3 +356,26 @@ def test_train_bpe_batched_passes(spark):
         assert "".join(r.syms) == r.word
     # first merge of each strategy agrees (same initial counts)
     assert seq[0] == bat[0]
+
+
+def test_semantic_dedup_keep_first_and_blocking(spark):
+    from ensembl_database_loader_spark.operators.similarity import semantic_dedup
+
+    rows = [
+        (1, 0, [1.0, 0.0, 0.0]),
+        (2, 0, [1.0, 0.0001, 0.0]),  # near-dup of 1, same block -> dropped
+        (3, 1, [1.0, 0.0002, 0.0]),  # near-dup of 1 but other block -> kept
+        (4, 0, [0.0, 1.0, 0.0]),  # orthogonal -> kept
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, label int, embedding array<float>")
+    kept = {
+        r.vec_id
+        for r in semantic_dedup(df, "vec_id", "embedding", "label", 0.99).collect()
+    }
+    assert kept == {1, 3, 4}
+    # unblocked: cross-block pair now drops 3 as well
+    kept2 = {
+        r.vec_id
+        for r in semantic_dedup(df, "vec_id", "embedding", None, 0.99).collect()
+    }
+    assert kept2 == {1, 4}
