@@ -89,3 +89,33 @@ def mixture_report(
             "achieved_rate", F.round(F.col("n_kept") / F.col("n_input"), 2)
         )
     )
+
+
+def split_corpus(
+    df: DataFrame,
+    id_col: str,
+    weights: dict[str, float],
+    modulus: int = 100_000,
+) -> DataFrame:
+    """Deterministic train/val/test split: adds a ``split`` column by
+    carving the keyed-hash bucket space into contiguous ranges sized by
+    ``weights`` (which must sum to ~1). Disjoint and exhaustive by
+    construction, reproducible across reruns/layouts, and decidable
+    per-row — an incremental batch splits consistently with history.
+    Ranges are assigned in sorted split-name order; the last range
+    absorbs rounding remainder."""
+    total = sum(weights.values())
+    if not 0.999 <= total <= 1.001:
+        raise ValueError(f"weights must sum to 1, got {total}")
+    names = sorted(weights)
+    bounds: list[tuple[str, int, int]] = []
+    lo = 0
+    for i, name in enumerate(names):
+        hi = modulus if i == len(names) - 1 else lo + int(round(weights[name] * modulus))
+        bounds.append((name, lo, hi))
+        lo = hi
+    h = keyed_hash(id_col, modulus)
+    expr = F.lit(None).cast("string")
+    for name, b_lo, b_hi in reversed(bounds):
+        expr = F.when((h >= b_lo) & (h < b_hi), F.lit(name)).otherwise(expr)
+    return df.withColumn("split", expr)

@@ -1576,3 +1576,31 @@ def dd_semantic(spark: SparkSession, sf: str) -> DataFrame:
         F.col("n_kept").cast("bigint"),
         "kept_id_sum",
     )
+
+
+_SPLIT_ORACLE = (
+    # sorted split names: test [0,50), train [50,950), val [950,1000)
+    "WITH k AS (SELECT lang, ((doc_id * 2654435761) % 4294967296) % 1000 AS b "
+    "FROM documents), "
+    "s AS (SELECT lang, CASE WHEN b < 50 THEN 'test' "
+    "WHEN b < 950 THEN 'train' ELSE 'val' END AS split FROM k) "
+    "SELECT split, lang, COUNT(*) AS cnt FROM s "
+    "GROUP BY split, lang ORDER BY split, lang"
+)
+
+
+@probe("llp_corpus_split", oracle=_SPLIT_ORACLE, tags=("llm", "pipeline", "curation"))
+def llp_split(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic train/val/test split (operators/mixing.py
+    split_corpus): the keyed-hash bucket space carved into contiguous
+    ranges (sorted-name order, last range absorbs rounding) — disjoint,
+    exhaustive, layout-independent, and row-level EXACT cross-engine;
+    per-(split, lang) counts hash-gated."""
+    from ensembl_database_loader_spark.operators.mixing import split_corpus
+
+    ensure_session_confs(spark)
+    d = table(spark, sf, "documents")
+    s = split_corpus(d, "doc_id", {"train": 0.9, "val": 0.05, "test": 0.05}, 1000)
+    return (
+        s.groupBy("split", "lang").agg(_cnt().alias("cnt")).orderBy("split", "lang")
+    )

@@ -379,3 +379,22 @@ def test_semantic_dedup_keep_first_and_blocking(spark):
         for r in semantic_dedup(df, "vec_id", "embedding", None, 0.99).collect()
     }
     assert kept2 == {1, 4}
+
+
+def test_split_corpus_disjoint_exhaustive_deterministic(spark):
+    from ensembl_database_loader_spark.operators.mixing import split_corpus
+
+    df = spark.range(0, 5000)
+    w = {"train": 0.9, "val": 0.05, "test": 0.05}
+    s = split_corpus(df, "id", w, modulus=1000)
+    rows = s.collect()
+    assert all(r.split in w for r in rows)  # exhaustive, no NULLs
+    sizes = pd.Series([r.split for r in rows]).value_counts()
+    assert sizes["train"] > 4000 and sizes["val"] > 100 and sizes["test"] > 100
+    # layout independence
+    rows2 = {(r.id, r.split) for r in split_corpus(df.repartition(13), "id", w, 1000).collect()}
+    assert rows2 == {(r.id, r.split) for r in rows}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        split_corpus(df, "id", {"a": 0.5, "b": 0.2})
