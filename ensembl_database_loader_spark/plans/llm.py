@@ -1604,3 +1604,74 @@ def llp_split(spark: SparkSession, sf: str) -> DataFrame:
     return (
         s.groupBy("split", "lang").agg(_cnt().alias("cnt")).orderBy("split", "lang")
     )
+
+
+#: Deterministic multi-line reconstruction of the single-line fixture
+#: docs: 4-token lines; line idx (1-based) gets '.' when (doc_id+idx)%3=0,
+#: a blocked ' cookie.' suffix when %5=0, else no terminal; the first
+#: line is appended again at the end (exercises first-occurrence
+#: dedup). Spark and DuckDB build byte-identical texts.
+_LINES_SPARK = (
+    "transform(sequence(1, size(toks), 4), s -> "
+    "array_join(slice(toks, s, 4), ' ') || "
+    "CASE WHEN (doc_id + cast((s - 1) / 4 as int) + 1) % 3 = 0 THEN '.' "
+    "WHEN (doc_id + cast((s - 1) / 4 as int) + 1) % 5 = 0 THEN ' cookie.' "
+    "ELSE '' END)"
+)
+
+_LINES_DUCK = (
+    "list_transform(generate_series(1, len(toks), 4), s -> "
+    "array_to_string(list_slice(toks, s, s + 3), ' ') || "
+    "CASE WHEN (doc_id + (s - 1) // 4 + 1) % 3 = 0 THEN '.' "
+    "WHEN (doc_id + (s - 1) // 4 + 1) % 5 = 0 THEN ' cookie.' "
+    "ELSE '' END)"
+)
+
+_CLEAN_ORACLE = (
+    f"WITH t AS (SELECT doc_id, {_toks('text')} AS toks FROM documents), "
+    f"built AS (SELECT doc_id, {_LINES_DUCK} AS lines FROM t), "
+    "doc2 AS (SELECT doc_id, list_append(lines, lines[1]) AS lines FROM built), "
+    "f AS (SELECT doc_id, list_filter(lines, l -> "
+    "regexp_matches(l, '[.!?\"]$') AND len(string_split(trim(l), ' ')) >= 3 "
+    "AND NOT contains(lower(l), 'javascript') AND NOT contains(lower(l), 'cookie') "
+    "AND NOT contains(lower(l), 'lorem ipsum') AND NOT contains(lower(l), '{')"
+    ") AS kept FROM doc2), "
+    "d AS (SELECT doc_id, list_filter(kept, (x, i) -> list_position(kept, x) = i) "
+    "AS ded FROM f), "
+    "r AS (SELECT doc_id, array_to_string(ded, chr(10)) AS clean_text, "
+    "len(ded) AS n_lines FROM d WHERE len(ded) >= 1) "
+    "SELECT COUNT(*) AS docs_kept, CAST(SUM(n_lines) AS BIGINT) AS lines_kept, "
+    "CAST(SUM(length(clean_text)) AS BIGINT) AS chars_kept, "
+    "CAST(COUNT(DISTINCT md5(clean_text)) AS BIGINT) AS distinct_cleaned FROM r"
+)
+
+
+@probe("tx_line_clean", oracle=_CLEAN_ORACLE, tags=("llm", "text", "curation"))
+def tx_line_clean(spark: SparkSession, sf: str) -> DataFrame:
+    """C4-style line cleaning (operators/textclean.py): terminal-
+    punctuation rule, min-words rule, blocklist, order-preserving
+    first-occurrence line dedup, min-lines doc drop — all as codegen
+    array lambdas (zero shuffle before the final aggregate). The probe
+    reconstructs multi-line docs deterministically (identical SQL on
+    both engines) and the oracle recomputes the ENTIRE clean,
+    hash-gating the distinct-md5 of every cleaned text."""
+    from ensembl_database_loader_spark.operators.textclean import clean_lines
+
+    ensure_session_confs(spark)
+    d = table(spark, sf, "documents").select(
+        "doc_id", F.split(normalize_text("text"), " ").alias("toks")
+    )
+    built = d.select("doc_id", F.expr(_LINES_SPARK).alias("lines"))
+    doc2 = built.select(
+        "doc_id",
+        F.array_join(
+            F.concat(F.col("lines"), F.array(F.element_at("lines", 1))), "\n"
+        ).alias("text"),
+    )
+    cleaned = clean_lines(doc2, "text", min_words=3, min_lines=1)
+    return cleaned.agg(
+        _cnt().alias("docs_kept"),
+        F.sum("n_lines_kept").cast("bigint").alias("lines_kept"),
+        F.sum(F.length("clean_text")).cast("bigint").alias("chars_kept"),
+        F.countDistinct(F.md5("clean_text")).cast("bigint").alias("distinct_cleaned"),
+    )

@@ -398,3 +398,23 @@ def test_split_corpus_disjoint_exhaustive_deterministic(spark):
 
     with _pytest.raises(ValueError):
         split_corpus(df, "id", {"a": 0.5, "b": 0.2})
+
+
+def test_clean_lines_c4_rules(spark):
+    from ensembl_database_loader_spark.operators.textclean import clean_lines
+
+    docs = spark.createDataFrame(
+        [
+            (1, "this line is fine.\nshort one.\nno terminal punct here\n"
+                "this line is fine.\nAccept our cookie policy now.\nanother good line!"),
+            (2, "all lines fail\nx.\n{ code }"),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r.doc_id: r for r in clean_lines(docs, min_words=3).collect()}
+    assert 2 not in out  # every line fails -> doc dropped
+    got = out[1].clean_text.split("\n")
+    # kept: 'this line is fine.' (once — duplicate removed, first kept),
+    # 'another good line!'; dropped: short, no-terminal, cookie
+    assert got == ["this line is fine.", "another good line!"]
+    assert out[1].n_lines_kept == 2
