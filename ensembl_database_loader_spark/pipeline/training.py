@@ -49,6 +49,7 @@ def build_training_corpus(
     pack_budget: int = 1024,
     pack_shards: int = 64,
     store_path: str | None = None,
+    line_clean: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Returns ``(packed, report)``.
 
@@ -68,6 +69,17 @@ def build_training_corpus(
     ``store_path`` to bootstrap the incremental fingerprint store so
     later batches can run ``curate_increment`` (pipeline/curate.py).
     """
+    if line_clean:
+        # C4-style line scrub BEFORE doc-level curation (the C4 order:
+        # line rules first, then document filters); docs losing every
+        # line drop here, survivors carry the cleaned text downstream
+        from ensembl_database_loader_spark.operators.textclean import clean_lines
+
+        docs = (
+            clean_lines(docs, text_col)
+            .withColumn(text_col, F.col("clean_text"))
+            .drop("clean_text", "n_lines_kept")
+        )
     kept, funnel = curate_corpus(
         docs,
         id_col,

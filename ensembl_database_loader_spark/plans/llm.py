@@ -1675,3 +1675,60 @@ def tx_line_clean(spark: SparkSession, sf: str) -> DataFrame:
         F.sum(F.length("clean_text")).cast("bigint").alias("chars_kept"),
         F.countDistinct(F.md5("clean_text")).cast("bigint").alias("distinct_cleaned"),
     )
+
+
+_QUANT_ORACLE = (
+    "WITH e AS (SELECT vec_id, "
+    "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings), "
+    "s AS (SELECT vec_id, v, greatest(list_max(list_transform(v, x -> abs(x))) "
+    "/ 127.0, 1e-12) AS sc FROM e), "
+    "q AS (SELECT vec_id, v, sc, "
+    "list_transform(v, x -> CAST(round(x / sc) AS INT)) AS qv FROM s), "
+    "per AS (SELECT vec_id, sc, "
+    "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+    "list_transform(qv, x -> CAST(x AS BIGINT))), (a, b) -> a + b) AS q_sum, "
+    "list_max(list_transform(qv, x -> abs(x))) AS q_max, "
+    "list_max(list_transform(generate_series(1, len(v)), "
+    "i -> abs(v[i] - qv[i] * sc) / sc)) AS rel_err FROM q) "
+    "SELECT COUNT(*) AS n_vecs, CAST(SUM(q_sum) AS BIGINT) AS sum_q, "
+    "CAST(MAX(q_max) AS BIGINT) AS max_abs_q, "
+    "TRUE AS err_bounded FROM per"
+)
+
+
+@probe("ss_quantize_int8", oracle=_QUANT_ORACLE, tags=("llm", "similarity", "storage"))
+def ss_quantize(spark: SparkSession, sf: str) -> DataFrame:
+    """Int8 symmetric per-vector quantization (operators/quantize.py):
+    the 4x ANN-storage lever. The component-sum and max-magnitude of
+    the quantized corpus are oracle-exact (Spark ROUND and DuckDB
+    round share half-away-from-zero); the per-component reconstruction
+    error bound |x - q*scale| <= scale/2 (+ float slack) is the
+    hash-gated contract."""
+    from ensembl_database_loader_spark.operators.quantize import (
+        dequantize,
+        quantize_embeddings,
+    )
+
+    ensure_session_confs(spark)
+    e = table(spark, sf, "embeddings").select("vec_id", "embedding")
+    q = quantize_embeddings(e, "embedding")
+    deq = q.withColumn("dq", dequantize("q", "scale"))
+    per = deq.select(
+        F.aggregate(
+            F.col("q"), F.lit(0).cast("bigint"), lambda a, x: a + x.cast("bigint")
+        ).alias("q_sum"),
+        F.array_max(F.transform("q", lambda x: F.abs(x))).alias("q_max"),
+        F.array_max(
+            F.zip_with(
+                F.transform("embedding", lambda x: x.cast("double")),
+                "dq",
+                lambda x, d: F.abs(x - d) / F.col("scale"),
+            )
+        ).alias("rel_err"),
+    )
+    return per.agg(
+        _cnt().alias("n_vecs"),
+        F.sum("q_sum").cast("bigint").alias("sum_q"),
+        F.max("q_max").cast("bigint").alias("max_abs_q"),
+        (F.max("rel_err") <= 0.5 + 1e-9).alias("err_bounded"),
+    )

@@ -418,3 +418,28 @@ def test_clean_lines_c4_rules(spark):
     # 'another good line!'; dropped: short, no-terminal, cookie
     assert got == ["this line is fine.", "another good line!"]
     assert out[1].n_lines_kept == 2
+
+
+def test_quantize_embeddings_roundtrip_bounds(spark):
+    from ensembl_database_loader_spark.operators.quantize import (
+        dequantize,
+        quantize_embeddings,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, -0.5, 0.25, 0.0]),
+            (2, [100.0, -100.0, 3.0, 0.1]),
+            (3, [0.0, 0.0, 0.0, 0.0]),  # zero vector
+        ],
+        "vec_id bigint, embedding array<float>",
+    )
+    q = quantize_embeddings(df, "embedding")
+    out = {r.vec_id: r for r in q.withColumn("dq", dequantize("q", "scale")).collect()}
+    assert out[1].q == [127, -64, 32, 0]  # scale = 1/127
+    assert out[2].q[:2] == [127, -127]
+    assert out[3].q == [0, 0, 0, 0]  # epsilon guard, no NaN
+    for r in out.values():
+        assert all(abs(x) <= 127 for x in r.q)
+        for orig, deq in zip(r.embedding, r.dq):
+            assert abs(orig - deq) <= r.scale / 2 + 1e-9

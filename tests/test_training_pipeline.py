@@ -88,3 +88,17 @@ def test_shuffled_export_is_deterministic_and_sharded(spark, tmp_path):
     for a in f1:
         ids = [r.id for r in spark.read.parquet(a).select("id").collect()]
         assert min(ids) < 250 and max(ids) >= 750
+
+
+def test_build_training_corpus_line_clean_stage(spark):
+    # one doc whose lines all fail the C4 rules disappears before the
+    # funnel; survivors flow through with cleaned text
+    words = [f"tok{i:03d}" for i in range(40)]
+    good = " ".join(words[:20]) + ".\n" + " ".join(words[20:]) + "!"
+    bad = "no terminal punct\nalso none"
+    docs = spark.createDataFrame(
+        [(1, "en", good), (2, "en", bad)], "doc_id bigint, lang string, text string"
+    )
+    _, report = build_training_corpus(docs, None, near_dup="inverted", line_clean=True)
+    r = report.collect()[0]
+    assert r.n_input == 1  # doc 2 dropped by the line stage
