@@ -438,3 +438,23 @@ def test_bpe_pair_count_has_partial_aggregation(spark):
     plan = buf.getvalue()
     # two HashAggregates around the exchange = partial + final
     assert plan.count("HashAggregate") >= 2
+
+
+def test_line_clean_and_quantize_are_narrow_codegen(spark):
+    """Both full-corpus byte-touching stages (C4 line clean, int8
+    quantization) must stay narrow: no exchange, no Python eval."""
+    from ensembl_database_loader_spark.operators.quantize import quantize_embeddings
+    from ensembl_database_loader_spark.operators.textclean import clean_lines
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    for frame in (
+        clean_lines(docs, "text"),
+        quantize_embeddings(emb, "embedding"),
+    ):
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            frame.explain("formatted")
+        plan = buf.getvalue()
+        assert "Exchange" not in plan
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
