@@ -30,13 +30,33 @@ KNUTH = 2654435761
 HASH_SPACE = 2**32
 
 
+def knuth32(id_col: str | Column) -> Column:
+    """``(id * KNUTH) mod 2^32`` — overflow-free over the FULL bigint
+    domain (negatives included): the id is first folded to [0, 2^32)
+    with ``pmod`` (mathematical mod, so negative ids agree with any
+    engine's non-negative fold), then the 32-bit multiply runs as two
+    16-bit halves — ``(lo + hi*2^16) * K mod 2^32`` with each partial
+    product <= 2^48, never near the int64 limit. (A direct bigint
+    multiply wraps silently in Spark for ids >= ~3.4e9 and errors in
+    ANSI engines — this form is engine-identical everywhere.)"""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    id32 = F.pmod(c.cast("bigint"), F.lit(HASH_SPACE))
+    lo = id32.bitwiseAND(F.lit(0xFFFF))
+    hi = F.shiftright(id32, 16)
+    return F.pmod(
+        F.pmod(lo * F.lit(KNUTH), F.lit(HASH_SPACE))
+        + F.pmod(hi * F.lit(KNUTH), F.lit(HASH_SPACE)) * F.lit(65536),
+        F.lit(HASH_SPACE),
+    )
+
+
 def keyed_hash(id_col: str | Column, modulus: int = 100_000) -> Column:
     """Deterministic bucket in [0, modulus): Knuth multiplicative hash
-    folded to ``modulus`` buckets. BIGINT-exact (no overflow for ids
-    < ~3.4e9; larger ids should pre-fold with ``pmod`` first)."""
-    c = F.col(id_col) if isinstance(id_col, str) else id_col
-    h = F.pmod(c.cast("bigint") * F.lit(KNUTH), F.lit(HASH_SPACE))
-    return F.pmod(h, F.lit(modulus))
+    (``knuth32`` — overflow-free, full bigint domain) folded to
+    ``modulus`` buckets. Equal to the DuckDB oracle's direct
+    ``(id * K) % 2^32 % modulus`` for every id where DuckDB's multiply
+    itself doesn't overflow."""
+    return F.pmod(knuth32(id_col), F.lit(modulus))
 
 
 def deterministic_sample(

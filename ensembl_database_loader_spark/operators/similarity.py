@@ -496,6 +496,7 @@ def embedding_neardup_pairs(
     vec_col: str,
     threshold: float = 0.5,
     num_blocks: int = 32,
+    group_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """All-pairs cosine >= threshold: (id1, id2, cos), via blocked
     matrix multiply. Rows are hashed into ``num_blocks`` blocks, each
@@ -505,6 +506,16 @@ def embedding_neardup_pairs(
     pairwise self-join and BLAS instead of interpreted per-pair folds.
     At scale, size num_blocks so a block (rows/num_blocks * dim * 8 B)
     fits comfortably in an executor's Arrow batch (a few MB).
+
+    ``group_cols`` restricts pair generation to rows sharing every
+    listed column (cluster / language / LSH-bucket blocking): the
+    packing groupBy and the block-pair join both key on the group
+    columns, so cross-group GEMM work and shuffle are never generated
+    — the restriction is pushed INTO the pair stage, not filtered
+    after it. Rows with a NULL group value pair with nothing (SQL
+    equality semantics). If the same (id1, id2) can co-occur in
+    multiple groups (e.g. multi-table LSH postings), the caller
+    dedups.
 
     Cosines are rounded half-away-from-zero to 6 decimals, matching
     Spark/DuckDB ROUND. Zero-norm vectors yield NaN and never pass the
@@ -516,14 +527,18 @@ def embedding_neardup_pairs(
         df.select(
             F.col(id_col).cast("bigint").alias("id"),
             F.col(vec_col).cast("array<double>").alias("v"),
+            *[F.col(g) for g in group_cols],
         )
         .withColumn("bid", F.pmod(F.xxhash64("id"), F.lit(num_blocks)))
-        .groupBy("bid")
+        .groupBy(*group_cols, "bid")
         .agg(F.collect_list(F.struct("id", "v")).alias("rows"))
     )
+    cond = F.col("x.bid") <= F.col("y.bid")
+    for g in group_cols:
+        cond = (F.col(f"x.{g}") == F.col(f"y.{g}")) & cond
     block_pairs = (
         packed.alias("x")
-        .join(packed.alias("y"), F.col("x.bid") <= F.col("y.bid"))
+        .join(packed.alias("y"), cond)
         .select(
             F.col("x.bid").alias("bid1"),
             F.col("x.rows").alias("rows1"),
@@ -567,33 +582,76 @@ def semantic_dedup(
     vec_col: str,
     block_col: str | None = None,
     threshold: float = 0.9,
-    num_blocks: int = 32,
+    num_blocks: int | None = None,
+    candidates: str = "exact",
+    n_cells: int = 16,
+    centroids: list[list[float]] | None = None,
+    num_planes: int = 4,
+    num_tables: int = 8,
+    dim: int = 64,
 ) -> DataFrame:
     """SemDeDup-shaped semantic deduplication: drop every row whose
     embedding has cosine >= threshold with a SMALLER-id row (keep-first,
     the curation-funnel survivor rule), optionally restricted to pairs
-    sharing ``block_col`` (cluster / language / source blocking).
+    sharing ``block_col`` (cluster / language / source blocking — pushed
+    INTO pair generation, so cross-block GEMM work and shuffle are
+    never created).
 
-    Exact pair generation via the blocked-GEMM all-pairs engine
-    (embedding_neardup_pairs) — the EXACT baseline of the family; at
-    corpus scale substitute the ANN candidate generators (lsh_bucket /
-    IVF cells, see build_ann_index) for the pair stage and keep the
-    same keep-first anti-join."""
-    pairs = embedding_neardup_pairs(
-        df.select(id_col, vec_col), id_col, vec_col, threshold, num_blocks
-    )
-    if block_col is not None:
-        blk = df.select(F.col(id_col), F.col(block_col).alias("_sb"))
-        pairs = (
-            pairs.join(
-                blk.select(F.col(id_col).alias("id1"), F.col("_sb").alias("_b1")),
-                "id1",
-            )
-            .join(
-                blk.select(F.col(id_col).alias("id2"), F.col("_sb").alias("_b2")),
-                "id2",
-            )
-            .filter(F.col("_b1") == F.col("_b2"))
+    ``candidates`` selects the pair stage; the keep-first anti-join is
+    identical for all three:
+
+    - ``'exact'``: the blocked-GEMM all-pairs engine
+      (``embedding_neardup_pairs``) — O(n^2/blocks) GEMM work within
+      each block. The exactness baseline and the verifier for the ANN
+      paths; quadratic, so corpus-scale runs use the paths below.
+    - ``'ivf'``: rows are assigned to their nearest of ``n_cells``
+      centroids (``_assign_cells`` — one Arrow GEMM pass; pass
+      ``centroids=kmeans_centroids(...)`` for trained cells, default is
+      the deterministic grid init) and pairs are generated ONLY within
+      a cell. This is the SemDeDup formulation proper (cluster, then
+      dedup within clusters): work drops from O(n^2) to
+      O(sum cell_i^2) ~ O(n^2/n_cells) with balanced cells, and the
+      per-cell GEMM is a bounded-size unit — at 100 TB scale n_cells
+      with corpus size to keep cells executor-sized. Drops a SUBSET of
+      the exact path's rows (misses cross-cell pairs), so kept(ivf) is
+      always a superset of kept(exact) — hash-gated by
+      dd_semantic_dedup_ann.
+    - ``'lsh'``: multi-table hyperplane buckets (``with_lsh_buckets``,
+      one GEMM pass) exploded to (table, bucket) postings; pairs are
+      generated within a posting group and deduped across tables. A
+      pair is considered iff it shares ANY table's bucket — recall
+      1-(1-p^planes)^tables for cosine-similar pairs; same
+      subset/superset guarantee as 'ivf'.
+
+    ``num_blocks`` (the GEMM sub-blocking within a pair-generation
+    group) defaults to 32 ungrouped and 4 when blocking/candidate
+    groups already bound group size."""
+    base_cols = [id_col, vec_col] + ([block_col] if block_col else [])
+    base = df.select(*base_cols)
+    groups: tuple[str, ...] = (block_col,) if block_col else ()
+
+    if candidates == "exact":
+        work = base
+    elif candidates == "ivf":
+        if centroids is None:
+            centroids = _grid_centroids(base, id_col, vec_col, n_cells)
+        work = _assign_cells(base, vec_col, centroids)
+        groups = groups + ("_cell",)
+    elif candidates == "lsh":
+        b = with_lsh_buckets(base, vec_col, num_planes, num_tables, dim)
+        work = b.select(
+            *base_cols, F.posexplode("_buckets").alias("_table", "_bucket")
         )
+        groups = groups + ("_table", "_bucket")
+    else:
+        raise ValueError(f"unknown candidates mode: {candidates!r}")
+
+    if num_blocks is None:
+        num_blocks = 32 if not groups else 4
+    pairs = embedding_neardup_pairs(
+        work, id_col, vec_col, threshold, num_blocks, group_cols=groups
+    )
+    # duplicate pairs (an LSH pair sharing several tables' buckets)
+    # collapse in the id2-distinct — no separate pair-dedup shuffle
     dropped = pairs.select(F.col("id2").alias(id_col)).distinct()
     return df.join(dropped, id_col, "left_anti")

@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ensembl_database_loader_spark.operators.mixing import HASH_SPACE, KNUTH
+from ensembl_database_loader_spark.operators.mixing import knuth32
 
 
 def shuffled_export(
@@ -32,10 +32,13 @@ def shuffled_export(
     n_shards: int,
     fmt: str = "parquet",
 ) -> DataFrame:
-    """Write ``df`` to ``path`` as exactly ``n_shards`` files whose
-    membership AND internal order are pure functions of ``id_col``.
-    Returns the (unwritten) sharded frame for inspection/testing."""
-    h = F.pmod(F.col(id_col).cast("bigint") * F.lit(KNUTH), F.lit(HASH_SPACE))
+    """Write ``df`` to ``path`` as at most ``n_shards`` files (one per
+    non-empty hash partition — a partition that receives no rows
+    produces no part-file) whose membership AND internal order are pure
+    functions of ``id_col``. Returns the sharded frame (shuffle-key
+    column dropped, matching the written schema) for
+    inspection/testing."""
+    h = knuth32(id_col)
     # repartition on the Knuth key: shard membership is murmur3(key) %
     # n_shards — a fixed function of the id, so reruns and input
     # layouts produce identical shards (pinned by test); hashing the
@@ -51,4 +54,4 @@ def shuffled_export(
         .format(fmt)
         .save(path)
     )
-    return sharded
+    return sharded.drop("_shuffle_key")

@@ -1386,7 +1386,13 @@ def ws3_streaming_ingest(spark: SparkSession, sf: str) -> DataFrame:
 
 
 _CHUNK_ORACLE = (
-    f"WITH t AS (SELECT doc_id, {_toks('text')} AS toks FROM documents), "
+    # the empty/whitespace-only guard mirrors the Spark chunker's: a
+    # doc whose token list is [''] yields ZERO chunks in both engines
+    # (generate_series over toks=[''] would otherwise emit one empty
+    # chunk here that chunk_documents never produces)
+    f"WITH t AS (SELECT doc_id, {_toks('text')} AS toks FROM documents "
+    "WHERE NOT (len(" + _toks("text") + ") = 1 "
+    "AND (" + _toks("text") + ")[1] = '')), "
     "c AS (SELECT doc_id, (s - 1) / 24 AS chunk_idx, "
     "array_to_string(list_slice(toks, s, s + 31), ' ') AS chunk, "
     "len(list_slice(toks, s, s + 31)) AS n_tok "

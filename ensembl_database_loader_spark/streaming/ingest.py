@@ -62,7 +62,11 @@ def streaming_curate(
 
     ``curate_kwargs`` forward to curate_corpus/curate_increment
     (id_col/text_col/block_col/min_quality/jaccard_threshold).
+    ``near_dup`` (a curate_corpus-only option, default 'minhash' here —
+    the store-compatible band-signature path) applies to the bootstrap
+    batch; curate_increment always uses the persisted band store.
     """
+    near_dup = curate_kwargs.pop("near_dup", "minhash")
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -75,7 +79,7 @@ def streaming_curate(
             kept, _stats = curate_corpus(
                 batch_df,
                 store_path=store_path,
-                near_dup="minhash",
+                near_dup=near_dup,
                 **curate_kwargs,
             )
         kept.write.mode("append").parquet(output_path)
