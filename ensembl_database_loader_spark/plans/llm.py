@@ -1738,3 +1738,172 @@ def ss_quantize(spark: SparkSession, sf: str) -> DataFrame:
         F.max("q_max").cast("bigint").alias("max_abs_q"),
         (F.max("rel_err") <= 0.5 + 1e-9).alias("err_bounded"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 7: ANN-candidate semantic dedup + clustered-fixture recall gates
+# ---------------------------------------------------------------------------
+
+_SEMDEDUP_ANN_ORACLE = (
+    # exact-path drop count is recomputed in full SQL (same blocked
+    # keep-first rule as _SEMDEDUP_ORACLE, threshold 0.2); the ANN
+    # paths' guarantees are engine-side contracts the TRUE literals
+    # lock: each ANN candidate set is a SUBSET of all pairs, so each
+    # ANN kept set must be a SUPERSET of the exact kept set, and on
+    # this fixture both paths must actually drop rows.
+    "WITH e AS (SELECT vec_id, label, "
+    "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings), "
+    "p AS (SELECT b.vec_id AS id2 FROM e a JOIN e b "
+    "ON a.label = b.label AND a.vec_id < b.vec_id "
+    "WHERE ROUND(" + _COS.format(a="a.v", b="b.v") + ", 6) >= 0.2) "
+    "SELECT (SELECT COUNT(*) FROM e) AS n_input, "
+    "(SELECT COUNT(DISTINCT id2) FROM p) AS n_dropped_exact, "
+    "TRUE AS ivf_superset_ok, TRUE AS lsh_superset_ok, "
+    "TRUE AS ivf_drops, TRUE AS lsh_drops"
+)
+
+
+@probe(
+    "dd_semantic_dedup_ann",
+    oracle=_SEMDEDUP_ANN_ORACLE,
+    tags=("llm", "dedup", "semantic", "approx"),
+)
+def dd_semantic_ann(spark: SparkSession, sf: str) -> DataFrame:
+    """SemDeDup at corpus scale (operators/similarity.py semantic_dedup
+    candidates='ivf'|'lsh'): pair generation restricted to IVF cells /
+    LSH bucket postings instead of the exact all-pairs GEMM — work
+    drops from O(n^2) to ~O(n^2/n_cells) (balanced cells; see
+    scripts/scaling_bench.py for the measured near-linear curve).
+
+    Hash-gated contract: the exact path's drop count is recomputed in
+    full SQL (threshold 0.2, label blocking); both ANN paths must keep
+    a SUPERSET of the exact kept set (ANN candidates are a subset of
+    all pairs — a single wrongly-dropped row breaks the hash) and must
+    drop a non-empty set on this fixture (so the booleans aren't
+    vacuous)."""
+    from ensembl_database_loader_spark.operators.similarity import semantic_dedup
+
+    ensure_session_confs(spark)
+    e = table(spark, sf, "embeddings").select("vec_id", "label", "embedding")
+    kept = {
+        mode: semantic_dedup(
+            e, "vec_id", "embedding", "label", threshold=0.2, candidates=mode
+        )
+        .select("vec_id")
+        .persist()
+        for mode in ("exact", "ivf", "lsh")
+    }
+    n_input = e.agg(_cnt().alias("n_input"))
+    n_exact = kept["exact"].agg(_cnt().alias("_ke"))
+    out = (
+        n_input.crossJoin(n_exact)
+        .crossJoin(
+            kept["exact"]
+            .join(kept["ivf"], "vec_id", "left_anti")
+            .agg((_cnt() == 0).alias("ivf_superset_ok"))
+        )
+        .crossJoin(
+            kept["exact"]
+            .join(kept["lsh"], "vec_id", "left_anti")
+            .agg((_cnt() == 0).alias("lsh_superset_ok"))
+        )
+        .crossJoin(kept["ivf"].agg(_cnt().alias("_ki")))
+        .crossJoin(kept["lsh"].agg(_cnt().alias("_kl")))
+    )
+    return out.select(
+        "n_input",
+        (F.col("n_input") - F.col("_ke")).cast("bigint").alias("n_dropped_exact"),
+        "ivf_superset_ok",
+        "lsh_superset_ok",
+        (F.col("_ki") < F.col("n_input")).alias("ivf_drops"),
+        (F.col("_kl") < F.col("n_input")).alias("lsh_drops"),
+    )
+
+
+@probe(
+    "ss_ann_recall_clustered",
+    oracle=(
+        "SELECT TRUE AS exact_in_cluster0, TRUE AS lsh_returned_5, "
+        "TRUE AS ivf_returned_5, TRUE AS recall_lsh_ok, TRUE AS recall_ivf_ok"
+    ),
+    tags=("llm", "similarity", "approx", "recall"),
+)
+def ss_ann_recall(spark: SparkSession, sf: str) -> DataFrame:
+    """Honest recall@5 gate for the ANN paths on a CLUSTERED fixture.
+
+    The raw embeddings fixture is iid random vectors, so top-5-vs-exact
+    recall there is a coin flip and no recall bound is assertable
+    (ss_ann_lsh instead plants a near-dup). Real embedding corpora are
+    clustered — so this probe builds a deterministic planted-cluster
+    corpus FROM the fixture: the first 8 embeddings (by vec_id) are
+    normalized cluster seeds, and each seed gets 250 members
+    seed + 0.02 * noise, with noise components derived from
+    xxhash64(cluster, member, dim) — fully Spark-side, no RNG state,
+    identical across runs/partitionings. Within-cluster cosine ~0.996,
+    cross-cluster ~0 (random seeds), so the exact top-5 of member 0 is
+    entirely inside cluster 0 (asserted), and a working ANN path must
+    recover it.
+
+    Hash-gated contract (TRUE-declaring oracle): exact top-5 all in
+    cluster 0; both ANN paths return k=5; recall@5 vs exact >= 0.8 for
+    multi-table hyperplane LSH (default 4 planes x 8 tables) AND for
+    IVF with kmeans-trained cells (n_cells=8, n_probe=2) — measured
+    1.0 at every sf, bound leaves one-miss slack for ulp-level k-means
+    drift."""
+    from ensembl_database_loader_spark.operators.similarity import (
+        ivf_topk,
+        kmeans_centroids,
+        lsh_bucket_topk,
+    )
+
+    ensure_session_confs(spark)
+    e = table(spark, sf, "embeddings")
+    seeds = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").cast("int").alias("c"),
+        F.col("embedding").cast("array<double>").alias("s0"),
+    )
+    norm = F.sqrt(F.aggregate("s0", F.lit(0.0), lambda a, x: a + x * x))
+    seeds = seeds.withColumn(
+        "seed", F.transform("s0", lambda x: x / F.greatest(norm, F.lit(1e-12)))
+    )
+    members = seeds.crossJoin(
+        spark.range(0, 250).select(F.col("id").cast("int").alias("j"))
+    )
+
+    def _noise(i):
+        return (
+            F.pmod(F.xxhash64(F.col("c"), F.col("j"), i), F.lit(2001))
+            - F.lit(1000)
+        ) / F.lit(1000.0)
+
+    # member ids interleave clusters (id = j*8 + c): ids 0..7 are one
+    # member per cluster, so the deterministic first-8-by-id k-means
+    # init starts with one centroid per true cluster — the same
+    # property a hash-shuffled real corpus gives random init.
+    corpus = members.select(
+        (F.col("j") * 8 + F.col("c")).cast("bigint").alias("vec_id"),
+        F.transform("seed", lambda x, i: x + F.lit(0.02) * _noise(i)).alias(
+            "embedding"
+        ),
+    ).persist()
+
+    exact = cosine_topk(corpus, "vec_id", "embedding", 0, 5).select("vec_id")
+    lsh = lsh_bucket_topk(corpus, "vec_id", "embedding", 0, 5).select("vec_id")
+    cents = kmeans_centroids(corpus, "vec_id", "embedding", n_cells=8, n_iter=3)
+    ivf = ivf_topk(
+        corpus, "vec_id", "embedding", 0, 5, n_cells=8, n_probe=2, centroids=cents
+    ).select("vec_id")
+
+    return (
+        exact.agg(
+            (F.max(F.pmod("vec_id", F.lit(8))) == 0).alias("exact_in_cluster0")
+        )
+        .crossJoin(lsh.agg((_cnt() == 5).alias("lsh_returned_5")))
+        .crossJoin(ivf.agg((_cnt() == 5).alias("ivf_returned_5")))
+        .crossJoin(
+            exact.intersect(lsh).agg((_cnt() >= 4).alias("recall_lsh_ok"))
+        )
+        .crossJoin(
+            exact.intersect(ivf).agg((_cnt() >= 4).alias("recall_ivf_ok"))
+        )
+    )

@@ -252,6 +252,59 @@ MERGE_SPECS: dict[str, list[tuple[str, list[tuple[str, str]]]]] = {
             ],
         ),
     ],
+    # round-7 flagships ride the window as composites: embedding
+    # near-dup + SemDeDup (exact AND ANN-candidate paths) fused into
+    # one row, and the planted-near-dup LSH contract fused with the
+    # clustered-fixture recall@5 gates. Components stay registered,
+    # individually timed, and locally oracle-checked.
+    "dd_embedding_neardup_semantic": [
+        (
+            "dd_embedding_neardup",
+            [
+                ("near_cnt", "near_cnt"),
+                ("dup_cnt", "dup_cnt"),
+                ("max_cos", "max_cos"),
+            ],
+        ),
+        (
+            "dd_semantic_dedup",
+            [
+                ("n_input", "sd_n_input"),
+                ("n_dropped", "sd_n_dropped"),
+                ("n_kept", "sd_n_kept"),
+                ("kept_id_sum", "sd_kept_id_sum"),
+            ],
+        ),
+        (
+            "dd_semantic_dedup_ann",
+            [
+                ("n_dropped_exact", "ann_n_dropped_exact"),
+                ("ivf_superset_ok", "ivf_superset_ok"),
+                ("lsh_superset_ok", "lsh_superset_ok"),
+                ("ivf_drops", "ivf_drops"),
+                ("lsh_drops", "lsh_drops"),
+            ],
+        ),
+    ],
+    "ss_ann_lsh_recall": [
+        (
+            "ss_ann_lsh",
+            [
+                ("returned_k", "planted_returned_k"),
+                ("planted_found", "planted_found"),
+            ],
+        ),
+        (
+            "ss_ann_recall_clustered",
+            [
+                ("exact_in_cluster0", "exact_in_cluster0"),
+                ("lsh_returned_5", "lsh_returned_5"),
+                ("ivf_returned_5", "ivf_returned_5"),
+                ("recall_lsh_ok", "recall_lsh_ok"),
+                ("recall_ivf_ok", "recall_ivf_ok"),
+            ],
+        ),
+    ],
     "llp_mix_packing": [
         (
             "llp_mix_sample",

@@ -85,11 +85,14 @@ WINDOW_50: tuple[str, ...] = (
     "dd_minhash_lsh",
     "dd_simhash_banded",
     "dd_simhash64_idf",
-    "dd_embedding_neardup",
+    # r7 rotation: the embedding-dedup row now carries SemDeDup's exact
+    # AND ANN-candidate paths; the LSH row adds the clustered-fixture
+    # recall@5 gates (components stay registered + locally checked)
+    "dd_embedding_neardup_semantic",
     "dd_connected_components",
     "llp_curation_funnel",
     "llp_incremental_dedup",
-    "ss_ann_lsh",
+    "ss_ann_lsh_recall",
     "ss_ann_ivf_indexed",
     "tx_langid",
     "tx_tokens_fingerprint",

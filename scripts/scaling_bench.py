@@ -212,6 +212,27 @@ def main() -> int:
         out.append(rec)
         print(json.dumps(rec), flush=True)
 
+        # r7: SemDeDup with IVF candidate cells — n_cells scales with
+        # the corpus so cells stay ~2k rows: total GEMM work is
+        # sum(cell^2) ~ n * cell_size, i.e. LINEAR in n at fixed cell
+        # size (the exact path would be quadratic)
+        from ensembl_database_loader_spark.operators.similarity import (
+            semantic_dedup,
+        )
+
+        n_cells = max(16, n // 2000)
+        t0 = time.perf_counter()
+        kept = semantic_dedup(
+            e, "vec_id", "embedding", threshold=0.2,
+            candidates="ivf", n_cells=n_cells,
+        )
+        kcnt = kept.count()
+        dt = time.perf_counter() - t0
+        rec = {"op": "dd_semantic_dedup_ivf", "n_vecs": n, "sec": round(dt, 2),
+               "n_cells": n_cells, "kept": kcnt}  # fmt: skip
+        out.append(rec)
+        print(json.dumps(rec), flush=True)
+
         e.unpersist()
 
     spark.stop()

@@ -84,6 +84,18 @@ def test_keyed_hash_matches_python_arithmetic(spark):
         assert b == (i * KNUTH) % 2**32 % 1000
 
 
+def test_keyed_hash_full_bigint_domain(spark):
+    """The split 16-bit multiply must equal (id * K) mod 2^32 mod m for
+    ids far beyond the naive multiply's int64 overflow point (~3.4e9)
+    and for negative ids (mathematical mod)."""
+    ids = [0, 1, 3_400_000_000, 2**32 - 1, 2**32, 2**40 + 7,
+           2**62, -1, -97, -(2**40)]
+    df = spark.createDataFrame([(i,) for i in ids], "id bigint")
+    got = {r.id: r.b for r in df.select("id", keyed_hash("id", 1000).alias("b")).collect()}
+    for i in ids:
+        assert got[i] == ((i % 2**32) * KNUTH) % 2**32 % 1000, i
+
+
 def test_deterministic_sample_is_layout_independent(spark):
     df = spark.range(0, 2000)
     a = {r.id for r in deterministic_sample(df, "id", 0.3).collect()}
@@ -379,6 +391,54 @@ def test_semantic_dedup_keep_first_and_blocking(spark):
         for r in semantic_dedup(df, "vec_id", "embedding", None, 0.99).collect()
     }
     assert kept2 == {1, 4}
+
+
+def test_semantic_dedup_ann_candidates(spark):
+    """ANN candidate paths: (a) with a single IVF cell the candidate set
+    is complete, so 'ivf' must agree with 'exact' row-for-row; (b) with
+    many cells / LSH buckets candidates are a subset of all pairs, so
+    the kept set must be a SUPERSET of exact's; (c) unknown mode raises."""
+    import pytest
+
+    from ensembl_database_loader_spark.operators.similarity import semantic_dedup
+
+    rows = [
+        (i, i % 2, [float(i % 7 == 0) + 0.001 * i, 1.0, float(i % 3)])
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, label int, embedding array<float>")
+    exact = {r.vec_id for r in
+             semantic_dedup(df, "vec_id", "embedding", "label", 0.98).collect()}
+    one_cell = {r.vec_id for r in
+                semantic_dedup(df, "vec_id", "embedding", "label", 0.98,
+                               candidates="ivf", n_cells=1).collect()}
+    assert one_cell == exact
+    for mode, kw in [("ivf", {"n_cells": 8}), ("lsh", {"dim": 3, "num_tables": 2})]:
+        kept = {r.vec_id for r in
+                semantic_dedup(df, "vec_id", "embedding", "label", 0.98,
+                               candidates=mode, **kw).collect()}
+        assert exact <= kept, mode
+    with pytest.raises(ValueError):
+        semantic_dedup(df, "vec_id", "embedding", None, 0.9, candidates="nope")
+
+
+def test_neardup_pairs_group_cols_restrict(spark):
+    """group_cols pushes blocking INTO pair generation: no cross-group
+    pair may appear, and within-group pairs match the unblocked engine
+    filtered to same-group."""
+    from ensembl_database_loader_spark.operators.similarity import (
+        embedding_neardup_pairs,
+    )
+
+    rows = [(i, i % 3, [1.0, 0.0001 * i]) for i in range(30)]
+    df = spark.createDataFrame(rows, "id bigint, g int, v array<float>")
+    grouped = {(r.id1, r.id2) for r in
+               embedding_neardup_pairs(df, "id", "v", 0.9, 4, group_cols=("g",)).collect()}
+    allp = {(r.id1, r.id2) for r in
+            embedding_neardup_pairs(df, "id", "v", 0.9, 4).collect()}
+    same_g = {(a, b) for (a, b) in allp if a % 3 == b % 3}
+    assert grouped == same_g
+    assert all(a % 3 == b % 3 for a, b in grouped)
 
 
 def test_split_corpus_disjoint_exhaustive_deterministic(spark):

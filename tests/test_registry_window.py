@@ -41,11 +41,14 @@ def test_llm_operator_probes_in_window():
         "dd_minhash_lsh",
         "dd_simhash_banded",
         "dd_simhash64_idf",
-        "dd_embedding_neardup",
+        # r7: embedding near-dup and the LSH planted-near-dup contract
+        # ride the window via composites that add SemDeDup's ANN paths
+        # and the clustered recall@5 gates
+        "dd_embedding_neardup_semantic",
         "dd_connected_components",
         "llp_curation_funnel",
         "llp_incremental_dedup",
-        "ss_ann_lsh",
+        "ss_ann_lsh_recall",
         "ss_ann_ivf_indexed",
         "tx_langid",
         # r6: token-counts/fingerprint and the two mm probes ride the

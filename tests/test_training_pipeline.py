@@ -88,6 +88,10 @@ def test_shuffled_export_is_deterministic_and_sharded(spark, tmp_path):
     for a in f1:
         ids = [r.id for r in spark.read.parquet(a).select("id").collect()]
         assert min(ids) < 250 and max(ids) >= 750
+    # the returned inspection frame matches the written schema (no
+    # internal _shuffle_key column)
+    ret = shuffled_export(df, str(tmp_path / "c"), "id", 4)
+    assert ret.columns == spark.read.parquet(str(tmp_path / "c")).columns
 
 
 def test_build_training_corpus_line_clean_stage(spark):
