@@ -849,8 +849,10 @@ def ss_ann_ivf(spark: SparkSession, sf: str) -> DataFrame:
 
     ensure_session_confs(spark)
     e = table(spark, sf, "embeddings")
-    exact = cosine_topk(e, "vec_id", "embedding", query_id=0, k=5)
-    approx = ivf_topk(e, "vec_id", "embedding", query_id=0, k=5)
+    # persist the 5-row results: each feeds two DAG branches (agg +
+    # intersect) and would otherwise recompute its whole scan path
+    exact = cosine_topk(e, "vec_id", "embedding", query_id=0, k=5).persist()
+    approx = ivf_topk(e, "vec_id", "embedding", query_id=0, k=5).persist()
     overlap = exact.select("vec_id").intersect(approx.select("vec_id"))
     return (
         approx.agg(_cnt().alias("ann_results"))
@@ -902,10 +904,15 @@ def ss_ann_ivf_indexed(spark: SparkSession, sf: str) -> DataFrame:
         .select(F.col("embedding").cast("array<double>"))
         .first()[0]
     )
-    indexed = ivf_topk_indexed(spark, path, qvec, k=5, n_probe=4, exclude_id=0)
-    direct = ivf_topk(e, "vec_id", "embedding", query_id=0, k=5)
+    # persist the 5-row results: indexed feeds four DAG branches
+    # (both exceptAll sides, overlap, agg) and would otherwise re-read
+    # the index per branch
+    indexed = ivf_topk_indexed(
+        spark, path, qvec, k=5, n_probe=4, exclude_id=0
+    ).persist()
+    direct = ivf_topk(e, "vec_id", "embedding", query_id=0, k=5).persist()
     sym_diff = indexed.exceptAll(direct).unionAll(direct.exceptAll(indexed))
-    exact = cosine_topk(e, "vec_id", "embedding", query_id=0, k=5)
+    exact = cosine_topk(e, "vec_id", "embedding", query_id=0, k=5).persist()
     overlap = exact.select("vec_id").intersect(indexed.select("vec_id"))
     return (
         indexed.agg(_cnt().alias("n"))
@@ -1887,12 +1894,27 @@ def ss_ann_recall(spark: SparkSession, sf: str) -> DataFrame:
         ),
     ).persist()
 
-    exact = cosine_topk(corpus, "vec_id", "embedding", 0, 5).select("vec_id")
-    lsh = lsh_bucket_topk(corpus, "vec_id", "embedding", 0, 5).select("vec_id")
+    # persist the 5-row results — each feeds multiple DAG branches
+    # (returned-k agg + recall intersect)
+    exact = (
+        cosine_topk(corpus, "vec_id", "embedding", 0, 5)
+        .select("vec_id")
+        .persist()
+    )
+    lsh = (
+        lsh_bucket_topk(corpus, "vec_id", "embedding", 0, 5)
+        .select("vec_id")
+        .persist()
+    )
     cents = kmeans_centroids(corpus, "vec_id", "embedding", n_cells=8, n_iter=3)
-    ivf = ivf_topk(
-        corpus, "vec_id", "embedding", 0, 5, n_cells=8, n_probe=2, centroids=cents
-    ).select("vec_id")
+    ivf = (
+        ivf_topk(
+            corpus, "vec_id", "embedding", 0, 5,
+            n_cells=8, n_probe=2, centroids=cents,
+        )
+        .select("vec_id")
+        .persist()
+    )
 
     return (
         exact.agg(

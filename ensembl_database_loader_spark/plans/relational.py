@@ -412,13 +412,28 @@ def q18(spark: SparkSession, sf: str) -> DataFrame:
     ),
 )
 def q19(spark: SparkSession, sf: str) -> DataFrame:
-    """ROLLUP grouping sets with GROUPING() markers."""
+    """ROLLUP grouping sets with GROUPING() markers.
+
+    Plan shape: a plain partial-aggregated groupBy first, THEN the
+    rollup over the ~|rf|x|ls| tiny aggregate — the Expand operator
+    (which triples its input) runs over a handful of rows instead of
+    the whole fact table. Same result, one extra (tiny) shuffle,
+    3x less JVM row traffic; at 100 TB the difference is the whole
+    fact table duplicated per grouping set vs not."""
     ensure_session_confs(spark)
     li = table(spark, sf, "lineitem")
+    # coalesce(1): the pre-aggregate is <= |rf| x |ls| rows (single
+    # digits) by construction — one task for the rollup beats 32
+    # near-empty shuffle partitions
+    pre = (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(_cnt().alias("_c"))
+        .coalesce(1)
+    )
     return (
-        li.rollup("l_returnflag", "l_linestatus")
+        pre.rollup("l_returnflag", "l_linestatus")
         .agg(
-            _cnt().alias("cnt"),
+            F.sum("_c").cast("bigint").alias("cnt"),
             F.grouping("l_returnflag").cast("int").alias("g_rflag"),
             F.grouping("l_linestatus").cast("int").alias("g_lstat"),
         )
@@ -1215,18 +1230,24 @@ def q49(spark: SparkSession, sf: str) -> DataFrame:
     true median is often exactly x.xx5 and a 1-ulp interpolation
     difference between engines flips the rounding (observed at
     sf0.001). Engines agree to ~5e-8 absolute, so shifting the
-    boundary by 1e-6 makes both round identically."""
+    boundary by 1e-6 makes both round identically.
+
+    All three quantiles come from ONE array-form percentile aggregate
+    (``percentile(x, array(...))``) — one per-group value buffer and
+    one sort, not three (r6 ran three scalar percentile aggs and paid
+    ~3x the buffer/sort work)."""
     ensure_session_confs(spark)
     li = table(spark, sf, "lineitem")
-    qt = lambda p: F.round(  # noqa: E731
-        F.expr(f"percentile(l_extendedprice, {p})") + F.lit(1e-6), 2
-    )
+    qs = F.expr("percentile(l_extendedprice, array(0.25, 0.5, 0.75))")
+    out = lambda i: F.round(F.col("_q")[i] + F.lit(1e-6), 2)  # noqa: E731
     return (
         li.groupBy("l_returnflag")
-        .agg(
-            qt(0.5).alias("median_price"),
-            qt(0.25).alias("q25_price"),
-            qt(0.75).alias("q75_price"),
+        .agg(qs.alias("_q"))
+        .select(
+            "l_returnflag",
+            out(1).alias("median_price"),
+            out(0).alias("q25_price"),
+            out(2).alias("q75_price"),
         )
         .orderBy("l_returnflag")
     )
