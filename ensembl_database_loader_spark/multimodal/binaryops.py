@@ -49,14 +49,23 @@ def with_binary_payload(df: DataFrame, id_col: str, payload_col: str, modality: 
 
 
 def decode_image(data: bytes) -> tuple[int, int]:
-    """Compressed-image decode (PNG/JPEG/...) — requires an imaging
-    library not present in this environment. Kept as an explicit stub
-    so the seam is obvious; uncompressed BMP decodes for real via
-    ``decode_bmp24``."""
-    raise NotImplementedError(
-        "compressed image decoding needs an imaging library (e.g. Pillow); "
-        "install one and replace this stub (BMP/WAV decode for real below)"
-    )
+    """Compressed-image decode (PNG/JPEG/...): returns (width, height)
+    via Pillow when it is importable; otherwise raises
+    ``NotImplementedError`` — an OPTIONAL dependency seam, not a
+    missing feature (this container ships no imaging library;
+    uncompressed BMP decodes for real via ``decode_bmp24`` and the
+    Spark-side plumbing is identical either way)."""
+    try:
+        from PIL import Image  # optional; absent in this container
+    except ImportError as exc:
+        raise NotImplementedError(
+            "compressed image decoding needs an imaging library (e.g. "
+            "Pillow); BMP/WAV decode for real below"
+        ) from exc
+    import io
+
+    with Image.open(io.BytesIO(data)) as im:
+        return im.width, im.height
 
 
 # --- real stdlib codecs ----------------------------------------------------

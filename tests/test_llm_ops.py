@@ -252,8 +252,29 @@ def test_multimodal_decode_stub_and_schema(spark, sf_dir):
     rows = out.collect()
     assert len(rows) == 10
     assert all(16 <= r.width < 80 and r.n_bytes > 0 for r in rows)
-    with pytest.raises(NotImplementedError):
-        decode_image(b"\x89PNG")
+    try:
+        import PIL  # noqa: F401
+
+        has_pil = True
+    except ImportError:
+        has_pil = False
+    if not has_pil:
+        # optional-dependency seam: without an imaging library the
+        # stub raises, chaining the ImportError
+        with pytest.raises(NotImplementedError):
+            decode_image(b"\x89PNG")
+
+
+def test_decode_image_with_pillow_if_available():
+    """Exercises the real Pillow path when the optional dependency is
+    present (skipped in this container, which ships no imaging lib)."""
+    PIL_Image = pytest.importorskip("PIL.Image")
+    import io
+
+    im = PIL_Image.new("RGB", (7, 5))
+    buf = io.BytesIO()
+    im.save(buf, format="PNG")
+    assert decode_image(buf.getvalue()) == (7, 5)
 
 
 def test_bmp24_codec_roundtrip():

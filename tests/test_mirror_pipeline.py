@@ -385,3 +385,44 @@ def test_incremental_streaming_mirror(spark, tmp_path):
     got = spark.read.parquet(target).orderBy("o_orderkey")
     assert [r.o_orderkey for r in got.collect()] == [1, 2, 3]
     assert got.filter(F.col("o_orderdate").isNull()).count() == 1  # zero-date
+
+
+def test_fair_pools_prioritize_under_contention(spark):
+    """P2 contention evidence (LoadDBs_conf.pm:155,165,177 scheduler
+    priorities): with every core saturated by a load_normal (weight 1)
+    job, a later-submitted load_p3 job (weight 8, minShare 2) must
+    still get task slots as they free and finish BEFORE the low
+    -priority job — under FIFO its tasks would queue behind the whole
+    backlog and finish after. Thread-scoped
+    spark.scheduler.pool tagging is exactly what mirror()'s worker
+    threads do (_load_one)."""
+    import threading
+    import time
+
+    sc = spark.sparkContext
+    assert sc.getConf().get("spark.scheduler.mode") == "FAIR"
+    res: dict[str, tuple[float, float]] = {}
+
+    def run(pool: str, n_tasks: int, sleep: float, key: str) -> None:
+        sc.setLocalProperty("spark.scheduler.pool", pool)
+        try:
+            t0 = time.perf_counter()
+            spark.range(n_tasks).repartition(n_tasks).foreachPartition(
+                lambda it: __import__("time").sleep(sleep)
+            )
+            res[key] = (t0, time.perf_counter())
+        finally:
+            sc.setLocalProperty("spark.scheduler.pool", None)
+
+    # warm the task-dispatch path so JIT/startup doesn't blur the race
+    run("load_normal", 4, 0.01, "warm")
+
+    low = threading.Thread(target=run, args=("load_normal", 24, 0.25, "low"))
+    low.start()
+    time.sleep(0.4)  # let the low-priority backlog saturate the cores
+    run("load_p3", 2, 0.1, "high")
+    low.join()
+
+    (_, low_end), (high_start, high_end) = res["low"], res["high"]
+    assert high_end < low_end, "high-priority job must finish first"
+    assert high_end - high_start < low_end - res["low"][0]
