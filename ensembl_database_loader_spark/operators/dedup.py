@@ -88,7 +88,9 @@ def ngram_jaccard_pairs(
         shingle_udf(n)(F.col(text_col)).alias("sh"),
     ).withColumn("sz", F.size("sh").cast("bigint"))
     ex = s.select("id", "blk", "sz", F.explode("sh").alias("g"))
-    a, b = ex.alias("a"), ex.alias("b")
+    # both self-join sides are the corpus-sized shingle stream — never
+    # let either broadcast (same posture as the prefix path)
+    a, b = ex.alias("a"), ex.hint("shuffle_hash").alias("b")
     inter = (
         a.join(
             b,
@@ -147,7 +149,9 @@ def ngram_jaccard_pairs_prefix(
         shingle_udf(n)(F.col(text_col)).alias("sh"),
     ).withColumn("sz", F.size("sh").cast("bigint"))
     ex = s.select("id", "blk", "sz", F.explode("sh").alias("g"))
-    freq = ex.groupBy("g").agg(F.count(F.lit(1)).alias("_freq"))
+    # shuffle_hash: the distinct-shingle frequency table scales with
+    # the corpus (a broadcast misestimate here OOMed at 1M docs)
+    freq = ex.groupBy("g").agg(F.count(F.lit(1)).alias("_freq")).hint("shuffle_hash")
     ranked = ex.join(freq, "g").withColumn(
         "_rk",
         F.row_number().over(
@@ -161,7 +165,9 @@ def ngram_jaccard_pairs_prefix(
     # prefix, which is correctness-neutral.
     prefix_len = F.floor((1.0 - threshold) * F.col("sz") + 1e-9).cast("int") + 1
     prefix = ranked.filter(F.col("_rk") <= prefix_len).select("id", "blk", "sz", "g")
-    a, b = prefix.alias("a"), prefix.alias("b")
+    # both self-join sides are the corpus-sized prefix index — never
+    # let either broadcast
+    a, b = prefix.alias("a"), prefix.hint("shuffle_hash").alias("b")
     cand = (
         a.join(
             b,
@@ -174,7 +180,10 @@ def ngram_jaccard_pairs_prefix(
         .select(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
         .distinct()
     )
-    sh = s.select("id", "sh")
+    # shuffle_hash hint: same scale posture as minhash_lsh_pairs — the
+    # shingle side is corpus-sized with UDF-opaque stats; never let it
+    # broadcast
+    sh = s.select("id", "sh").hint("shuffle_hash")
     j = _jaccard(F.col("s1.sh"), F.col("s2.sh"))
     return (
         cand.join(sh.alias("s1"), cand.id1 == F.col("s1.id"))
@@ -302,7 +311,14 @@ def minhash_lsh_pairs(
         if candidates is not None
         else minhash_lsh_candidates(df, id_col, text_col, num_hashes, rows_per_band, n)
     )
-    sh = with_shingles(df, id_col, text_col, n)
+    # merge-join hint: BOTH sides scale with the corpus (candidates ~
+    # O(near-dups), shingle sets ~ O(docs x shingles)), and the shingle
+    # side's size is invisible to Catalyst (UDF-produced arrays), so a
+    # 64 MiB broadcast threshold can mis-pick a broadcast that builds a
+    # multi-GB table driver-side (observed OOM at 1M docs). Sort-merge
+    # never builds an in-memory table and spills — the only safe
+    # strategy for a corpus-keyed verify join at 100 TB.
+    sh = with_shingles(df, id_col, text_col, n).hint("shuffle_hash")
     j = _jaccard(F.col("s1.shingles"), F.col("s2.shingles"))
     out = (
         cand.join(sh.alias("s1"), cand.id1 == F.col(f"s1.{id_col}"))

@@ -212,11 +212,19 @@ _STORE_ROWS_PER_BAND = 2
 
 def _store_signatures(exact: DataFrame) -> tuple[DataFrame, DataFrame]:
     """(exact_sigs, band_keys) for a frame of exact-stage survivors."""
+    # shuffle_hash hint: both sides are corpus-sized and the shingle
+    # side's stats are UDF-opaque — never let Catalyst broadcast it
+    # (same posture as the dedup verify joins)
     sigs = exact.select(
         "id",
         "blk",
         F.sha2(normalize_text("text"), 256).alias("sha"),
-    ).join(with_shingles(exact, "id", "text", _STORE_N).withColumnRenamed("shingles", "sh"), "id")
+    ).join(
+        with_shingles(exact, "id", "text", _STORE_N)
+        .withColumnRenamed("shingles", "sh")
+        .hint("shuffle_hash"),
+        "id",
+    )
     bands = minhash_band_keys_direct(
         exact, "id", "text", _STORE_NUM_HASHES, _STORE_ROWS_PER_BAND, _STORE_N
     )

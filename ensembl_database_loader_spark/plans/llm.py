@@ -1567,9 +1567,10 @@ _SEMDEDUP_ORACLE = (
 def dd_semantic(spark: SparkSession, sf: str) -> DataFrame:
     """Semantic dedup (SemDeDup shape, operators/similarity.py
     semantic_dedup): keep-first drop of rows whose embedding cosine
-    >= 0.5 with a smaller-id row in the SAME label block. Pair stage is
-    the exact blocked-GEMM engine (the family's exact baseline — the
-    ANN candidate generators are the at-scale substitute, same
+    >= 0.5 with a smaller-id row in the SAME label block (blocking
+    pushed into pair generation). Pair stage is the exact blocked-GEMM
+    engine (the family's exact baseline — candidates='ivf'/'lsh' is
+    the wired at-scale path, hash-gated by dd_semantic_dedup_ann, same
     anti-join); the oracle recomputes the full blocked pair set and the
     kept-id SUM, so a single wrongly-kept row breaks the hash."""
     from ensembl_database_loader_spark.operators.similarity import semantic_dedup
