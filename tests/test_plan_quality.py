@@ -458,3 +458,35 @@ def test_line_clean_and_quantize_are_narrow_codegen(spark):
         plan = buf.getvalue()
         assert "Exchange" not in plan
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_semantic_dedup_grouped_pairs_join_is_hash_keyed(spark):
+    """r7: with blocking/candidate groups, the packed block-pair
+    self-join carries EQUALITY predicates on the group columns, so
+    Catalyst must pick a hash-keyed join (broadcast or shuffled hash /
+    sort-merge) — never a cartesian product. Cross-group pairs are
+    pruned by the join itself, not by a post-filter (the r6 shape the
+    round-6 advice flagged: all cross-block pairs generated, then
+    filtered)."""
+    from ensembl_database_loader_spark.operators.similarity import (
+        embedding_neardup_pairs,
+    )
+
+    df = spark.read.parquet(f"{SF}/embeddings.parquet")
+    pairs = embedding_neardup_pairs(
+        df, "vec_id", "embedding", 0.5, 4, group_cols=("label",)
+    )
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert (
+        "BroadcastHashJoin" in plan
+        or "ShuffledHashJoin" in plan
+        or "SortMergeJoin" in plan
+    )
+    # ungrouped: the bid<=bid block-pair join is the documented
+    # num_blocks^2/2 nested-loop over PACKED rows (32 rows, not the
+    # corpus) — assert it does NOT regress into a per-row join by
+    # checking the pair stage still packs first
+    ungrouped = embedding_neardup_pairs(df, "vec_id", "embedding", 0.5, 4)
+    uplan = ungrouped._jdf.queryExecution().executedPlan().toString()
+    assert "collect_list" in uplan
