@@ -13,9 +13,9 @@ fused into composites named for the IDs they cover, e.g.
 and oracle-checked after the window), WM1–WM6, LL1–LL5, the
 dedup/similarity/text/multimodal operator probes, and the flagship
 composites (idf SimHash, connected components, curation funnel +
-incremental dedup, materialized ANN index, decontamination + PII
-scrub, data mixing + sequence packing, bucketed-sink join, exact
-median). Entries after position 50 are the un-merged originals plus
+incremental dedup, materialized ANN index, ANN-candidate SemDeDup +
+clustered recall@5 gates, decontamination + PII scrub, data mixing +
+sequence packing, bucketed-sink join, exact median). Entries after position 50 are the un-merged originals plus
 extensions (q41–q48, alternate implementations, live-stream probes,
 the end-to-end training pipeline, streaming incremental curation,
 chunking/UDTF, and distributed BPE training).
