@@ -1930,3 +1930,90 @@ def ss_ann_recall(spark: SparkSession, sf: str) -> DataFrame:
             exact.intersect(ivf).agg((_cnt() >= 4).alias("recall_ivf_ok"))
         )
     )
+
+
+_BOILER = (
+    "standard license header boilerplate appended for exact substring testing"
+)
+
+_SUBSTR_ORACLE = (
+    # same planted-boilerplate corpus, window hashing, duplicate set,
+    # coverage, and cleaned text as the Spark operator — the cleaned
+    # texts' distinct md5 is the strongest gate (one mis-removed token
+    # anywhere breaks the hash)
+    "WITH c AS (SELECT doc_id AS id, CASE WHEN doc_id % 3 = 0 THEN "
+    f"text || ' {_BOILER}' ELSE text END AS text FROM documents), "
+    f"t AS (SELECT id, {_toks('text')} AS toks FROM c), "
+    "w AS (SELECT id, s AS pos, "
+    "md5(array_to_string(list_slice(toks, s, s + 7), ' ')) AS whash "
+    "FROM t, unnest(generate_series(1, len(toks) - 7)) AS u(s) "
+    "WHERE len(toks) >= 8 AND NOT (len(toks) = 1 AND toks[1] = '')), "
+    "d AS (SELECT whash FROM w GROUP BY whash HAVING COUNT(*) >= 2), "
+    "ds AS (SELECT id, list(pos) AS starts FROM w JOIN d USING (whash) "
+    "GROUP BY id), "
+    "cl AS (SELECT t.id, toks, COALESCE(ds.starts, []) AS starts "
+    "FROM t LEFT JOIN ds ON t.id = ds.id), "
+    "k AS (SELECT id, len(toks) AS n_tok, "
+    "list_filter(list_transform(generate_series(1, len(toks)), "
+    "i -> CASE WHEN len(list_filter(starts, s -> s <= i AND s >= i - 7)) > 0 "
+    "THEN NULL ELSE toks[i] END), x -> x IS NOT NULL) AS kept FROM cl) "
+    "SELECT CAST((SELECT COUNT(*) FROM c) AS BIGINT) AS n_docs, "
+    "CAST((SELECT COUNT(*) FROM w) AS BIGINT) AS n_windows, "
+    "CAST((SELECT COUNT(*) FROM d) AS BIGINT) AS n_dup_hashes, "
+    "CAST((SELECT COUNT(*) FROM k WHERE n_tok - len(kept) > 0) AS BIGINT) "
+    "AS docs_affected, "
+    "CAST((SELECT SUM(n_tok - len(kept)) FROM k) AS BIGINT) AS tokens_removed, "
+    # COALESCE: DuckDB's array_to_string([]) is NULL where Spark's
+    # array_join([]) is '' — a fully-removed doc must hash as '' in
+    # both engines
+    "CAST((SELECT COUNT(DISTINCT md5(COALESCE(array_to_string(kept, ' '), ''))) "
+    "FROM k) AS BIGINT) AS distinct_clean_md5"
+)
+
+
+@probe("tx_substr_dedup", oracle=_SUBSTR_ORACLE, tags=("llm", "dedup", "substring"))
+def tx_substr_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact-substring dedup (operators/substrdedup.py — the
+    ExactSubstr pass of Lee et al. 2022, as distributed rolling-window
+    hashing): every 8-token span occurring >= 2 times corpus-wide is
+    removed from every document that contains it. The corpus plants a
+    10-token license boilerplate on every third document (CASE both
+    engines compute identically), so the duplicated-window set, the
+    affected-doc count, the removed-token total, AND the distinct md5
+    of every cleaned text are all non-vacuous and hash-gated."""
+    from ensembl_database_loader_spark.operators.substrdedup import (
+        remove_duplicate_spans,
+        window_hashes,
+    )
+
+    ensure_session_confs(spark)
+    d = table(spark, sf, "documents")
+    corpus = d.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 == 0, F.concat("text", F.lit(" " + _BOILER))
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    cleaned = remove_duplicate_spans(corpus, "doc_id", "text", window=8).persist()
+    wins = window_hashes(corpus, "doc_id", "text", window=8)
+    return (
+        corpus.agg(_cnt().alias("n_docs"))
+        .crossJoin(wins.agg(_cnt().alias("n_windows")))
+        .crossJoin(
+            wins.groupBy("whash")
+            .agg(_cnt().alias("_c"))
+            .filter(F.col("_c") >= 2)
+            .agg(_cnt().alias("n_dup_hashes"))
+        )
+        .crossJoin(
+            cleaned.agg(
+                _cnt(F.col("n_removed") > 0).alias("docs_affected"),
+                F.sum("n_removed").cast("bigint").alias("tokens_removed"),
+                F.countDistinct(F.md5("clean_text"))
+                .cast("bigint")
+                .alias("distinct_clean_md5"),
+            )
+        )
+    )

@@ -155,6 +155,17 @@ MERGE_SPECS: dict[str, list[tuple[str, list[tuple[str, str]]]]] = {
                 ("max_fp", "max_fp"),
             ],
         ),
+        # r7: exact-substring dedup (ExactSubstr) rides the window here
+        (
+            "tx_substr_dedup",
+            [
+                ("n_windows", "sd_n_windows"),
+                ("n_dup_hashes", "sd_n_dup_hashes"),
+                ("docs_affected", "sd_docs_affected"),
+                ("tokens_removed", "sd_tokens_removed"),
+                ("distinct_clean_md5", "sd_distinct_clean_md5"),
+            ],
+        ),
     ],
     "mm_decode_frames": [
         (

@@ -157,6 +157,29 @@ def main() -> int:
         out.append(rec)
         print(json.dumps(rec), flush=True)
 
+        # r7: exact-substring dedup — three linear shuffles (window-hash
+        # count, per-doc starts, doc back-join); the doc+variant corpus
+        # duplicates nearly every window, so this is the worst case for
+        # the coverage stage
+        from ensembl_database_loader_spark.operators.substrdedup import (
+            remove_duplicate_spans,
+        )
+
+        t0 = time.perf_counter()
+        row = (
+            remove_duplicate_spans(c, "doc_id", "text", window=8)
+            .agg(
+                F.sum("n_removed").alias("removed"),
+                F.count(F.when(F.col("n_removed") > 0, 1)).alias("affected"),
+            )
+            .collect()[0]
+        )
+        dt = time.perf_counter() - t0
+        rec = {"op": "tx_substr_dedup", "n_docs": n, "sec": round(dt, 2),
+               "tokens_removed": row.removed, "docs_affected": row.affected}  # fmt: skip
+        out.append(rec)
+        print(json.dumps(rec), flush=True)
+
         t0 = time.perf_counter()
         packed = pack_sequences(
             with_token_stats(c, "text"), "doc_id", "n_tokens",

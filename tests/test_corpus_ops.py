@@ -503,3 +503,104 @@ def test_quantize_embeddings_roundtrip_bounds(spark):
         assert all(abs(x) <= 127 for x in r.q)
         for orig, deq in zip(r.embedding, r.dq):
             assert abs(orig - deq) <= r.scale / 2 + 1e-9
+
+
+# --- exact-substring dedup (r7) ---------------------------------------------
+
+
+def test_remove_duplicate_spans_cross_doc(spark):
+    from ensembl_database_loader_spark.operators.substrdedup import (
+        remove_duplicate_spans,
+    )
+
+    rows = [
+        (1, "alpha beta gamma delta COMMON ONE TWO THREE FOUR tail one"),
+        (2, "x y z COMMON ONE TWO THREE FOUR something else entirely here"),
+        (3, "totally unique words nothing shared at all in this document"),
+        (4, "short doc"),
+        (5, "rep rep rep rep rep rep rep rep rep rep"),  # self-repetition
+    ]
+    df = spark.createDataFrame(rows, "id bigint, text string")
+    out = {
+        r.id: (r.clean_text, r.n_removed, r.n_tokens)
+        for r in remove_duplicate_spans(df, "id", "text", window=5).collect()
+    }
+    # the shared 5-token run is removed from BOTH docs, rest untouched
+    assert out[1] == ("alpha beta gamma delta tail one", 5, 11)
+    assert out[2] == ("x y z something else entirely here", 5, 12)
+    # unique doc: unchanged (normalized form)
+    assert out[3] == (rows[2][1], 0, 10)
+    # shorter than the window: no window can cover it
+    assert out[4] == ("short doc", 0, 2)
+    # any repeated n-gram counts, including within ONE doc
+    assert out[5] == ("", 10, 10)
+
+
+def test_remove_duplicate_spans_id_col_named_id_and_layout(spark):
+    """The internal join must not clobber a caller id column literally
+    named 'id', and results are partition-layout independent."""
+    from ensembl_database_loader_spark.operators.substrdedup import (
+        remove_duplicate_spans,
+    )
+
+    rows = [(i, f"w{i} common run of five tokens here tail{i}") for i in range(6)]
+    df = spark.createDataFrame(rows, "id bigint, text string")
+    a = {
+        (r.id, r.clean_text)
+        for r in remove_duplicate_spans(df, "id", "text", window=5).collect()
+    }
+    b = {
+        (r.id, r.clean_text)
+        for r in remove_duplicate_spans(
+            df.repartition(7), "id", "text", window=5
+        ).collect()
+    }
+    assert a == b
+    assert all(isinstance(i, int) for i, _ in a)  # id survived the join
+
+
+def test_duplicated_window_hashes_counts(spark):
+    from ensembl_database_loader_spark.operators.substrdedup import (
+        duplicated_window_hashes,
+        window_hashes,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b c d e"), (3, "z y x w v")],
+        "id bigint, text string",
+    )
+    wh = window_hashes(df, "id", "text", window=5)
+    assert wh.count() == 3  # one window per doc
+    dups = duplicated_window_hashes(df, "id", "text", window=5).collect()
+    assert len(dups) == 1 and dups[0].cnt == 2
+
+
+def test_remove_duplicate_spans_methods_equivalent(spark):
+    """'fold' (chunk-sized docs) and 'explode' (book-length docs) must
+    produce row-identical output."""
+    from ensembl_database_loader_spark.operators.substrdedup import (
+        remove_duplicate_spans,
+    )
+
+    rows = [
+        (1, "alpha beta gamma delta COMMON ONE TWO THREE FOUR tail one"),
+        (2, "x y z COMMON ONE TWO THREE FOUR something else entirely here"),
+        (3, "totally unique words nothing shared at all in this document"),
+        (4, "short doc"),
+        (5, "rep rep rep rep rep rep rep rep rep rep"),
+        (6, ""),
+    ]
+    df = spark.createDataFrame(rows, "id bigint, text string")
+    a = {
+        (r.id, r.clean_text, r.n_tokens, r.n_removed)
+        for r in remove_duplicate_spans(df, "id", "text", 5, method="fold").collect()
+    }
+    b = {
+        (r.id, r.clean_text, r.n_tokens, r.n_removed)
+        for r in remove_duplicate_spans(df, "id", "text", 5, method="explode").collect()
+    }
+    assert a == b
+    import pytest
+
+    with pytest.raises(ValueError):
+        remove_duplicate_spans(df, "id", "text", 5, method="nope")
