@@ -1,0 +1,155 @@
+"""Token-budget corpus selection: "take the first N tokens of each
+stratum" in a DETERMINISTIC pseudo-random document order — the mixing
+primitive that turns weight recipes ("30B tokens of en-web, 5B of
+code") into concrete document sets.
+
+Selection rule: within a stratum, documents are totally ordered by
+``(knuth32(id), id)`` (the same keyed hash as mixing/splitting, so the
+order is reproducible across reruns, layouts, and incremental batches)
+and a document is kept iff the token sum of all documents BEFORE it is
+still strictly under the stratum's budget. The budget overshoots by at
+most one document — the rule every engine can compute bit-identically
+(no fractional documents).
+
+Scale shape — the naive plan is a window cumsum partitioned by
+stratum, which funnels a 100 TB stratum through ONE task's sort. This
+implementation never sorts a stratum:
+
+1. documents land in ``n_buckets`` hash-range buckets (map-side);
+2. a (stratum x bucket) token histogram — tiny — takes the window
+   cumsum instead, classifying each bucket as full-keep
+   (``cum_before + bucket_tokens < budget``), boundary (the first
+   crossing), or full-drop;
+3. full-keep buckets pass map-side; full-drop buckets filter map-side;
+   ONLY the boundary bucket (~1/n_buckets of one stratum) gets the
+   exact per-document window cumsum, offset by the histogram's
+   ``cum_before``.
+
+Everything is BIGINT arithmetic on the Knuth hash, so the DuckDB
+oracle (a plain per-stratum window cumsum) matches row-for-row — the
+two plans compute the identical keep set (pinned by probe
+``llp_token_budget`` and the naive-vs-bucketed equivalence test).
+Strata absent from ``budgets`` are dropped (whitelist semantics,
+matching ``stratified_sample``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ensembl_database_loader_spark.operators.mixing import HASH_SPACE, knuth32
+
+
+def _budget_col(strata_col: str, budgets: dict[str, int]):
+    m = F.create_map(
+        *[x for k, v in sorted(budgets.items()) for x in (F.lit(k), F.lit(int(v)))]
+    )
+    return m[F.col(strata_col)]
+
+
+def select_token_budget(
+    df: DataFrame,
+    id_col: str,
+    token_col: str,
+    strata_col: str,
+    budgets: dict[str, int],
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """Keep documents per stratum, in ``(knuth32(id), id)`` order, while
+    the running token total stays under the stratum's budget (keep iff
+    tokens-before < budget; overshoot <= one document). Returns the
+    input columns plus ``_h`` dropped — i.e. the kept rows unchanged."""
+    budget = _budget_col(strata_col, budgets)
+    bucket_w = HASH_SPACE // n_buckets
+    work = (
+        df.withColumn("_h", knuth32(id_col))
+        .withColumn("_bkt", (F.col("_h") / F.lit(bucket_w)).cast("bigint"))
+        .filter(budget.isNotNull())
+    )
+
+    hist = (
+        work.groupBy(strata_col, "_bkt")
+        .agg(F.sum(F.col(token_col)).cast("bigint").alias("_btok"))
+    )
+    hw = Window.partitionBy(strata_col).orderBy("_bkt")
+    hist = hist.withColumn(
+        "_cum_before",
+        F.coalesce(
+            F.sum("_btok").over(hw.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        ),
+    )
+    # bucket classes: full-keep strictly under budget; boundary = first
+    # crossing; everything at/after the crossing drops map-side
+    hb = _budget_col(strata_col, budgets)
+    hist = hist.withColumn(
+        "_cls",
+        F.when(F.col("_cum_before") + F.col("_btok") < hb, F.lit("keep"))
+        .when(F.col("_cum_before") < hb, F.lit("boundary"))
+        .otherwise(F.lit("drop")),
+    ).select(
+        F.col(strata_col).alias("_hs"),
+        "_bkt",
+        "_cls",
+        "_cum_before",
+    )
+
+    joined = work.join(
+        F.broadcast(hist),
+        (work[strata_col] == hist["_hs"]) & (work["_bkt"] == hist["_bkt"]),
+    ).drop("_hs", hist["_bkt"])
+
+    kept_full = joined.filter(F.col("_cls") == "keep")
+
+    # exact pass over ONLY the boundary bucket (~1/n_buckets of one
+    # stratum): per-doc cumsum offset by the histogram prefix
+    bw = Window.partitionBy(strata_col).orderBy("_h", id_col)
+    boundary = (
+        joined.filter(F.col("_cls") == "boundary")
+        .withColumn(
+            "_before",
+            F.col("_cum_before")
+            + F.coalesce(
+                F.sum(F.col(token_col)).over(
+                    bw.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .filter(F.col("_before") < budget)
+        .drop("_before")
+    )
+
+    return kept_full.unionByName(boundary).drop(
+        "_h", "_bkt", "_cls", "_cum_before"
+    )
+
+
+def select_token_budget_naive(
+    df: DataFrame,
+    id_col: str,
+    token_col: str,
+    strata_col: str,
+    budgets: dict[str, int],
+) -> DataFrame:
+    """The single-window reference plan (one sort per stratum — fine at
+    test scale, a one-task funnel at 100 TB). Kept for the equivalence
+    test pinning the bucketed plan's keep set."""
+    budget = _budget_col(strata_col, budgets)
+    w = Window.partitionBy(strata_col).orderBy("_h", id_col)
+    return (
+        df.withColumn("_h", knuth32(id_col))
+        .filter(budget.isNotNull())
+        .withColumn(
+            "_before",
+            F.coalesce(
+                F.sum(F.col(token_col)).over(
+                    w.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .filter(F.col("_before") < budget)
+        .drop("_h", "_before")
+    )

@@ -2017,3 +2017,70 @@ def tx_substr_dedup(spark: SparkSession, sf: str) -> DataFrame:
             )
         )
     )
+
+
+_TOKEN_BUDGET_ORACLE = (
+    # the naive single-window reference: per-stratum cumsum of tokens
+    # in (knuth_hash, id) order, keep while tokens-before < budget —
+    # the bucketed Spark plan must produce the IDENTICAL keep set
+    # (kept_id_sum is the row-level gate)
+    f"WITH t AS (SELECT doc_id, lang, len({_toks('text')}) AS n_tokens "
+    "FROM documents), "
+    "h AS (SELECT *, (doc_id * 2654435761) % 4294967296 AS hh FROM t "
+    "WHERE lang IN ('de', 'en', 'zh')), "
+    "b AS (SELECT *, CASE lang WHEN 'en' THEN 3000 WHEN 'zh' THEN 500 "
+    "WHEN 'de' THEN 100000 END AS bud, "
+    "COALESCE(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY hh, doc_id "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bef FROM h) "
+    "SELECT lang, COUNT(*) AS kept_cnt, "
+    "CAST(SUM(n_tokens) AS BIGINT) AS kept_tokens, "
+    "CAST(SUM(doc_id) AS BIGINT) AS kept_id_sum, "
+    "((SUM(n_tokens) - MAX(n_tokens)) < MAX(bud)) AS overshoot_bounded "
+    "FROM b WHERE bef < bud GROUP BY lang ORDER BY lang"
+)
+
+
+@probe(
+    "llp_token_budget",
+    oracle=_TOKEN_BUDGET_ORACLE,
+    tags=("llm", "pipeline", "mixing"),
+)
+def llp_token_budget(spark: SparkSession, sf: str) -> DataFrame:
+    """Token-budget corpus selection (operators/budget.py
+    select_token_budget): per-stratum 'first N tokens' in deterministic
+    (knuth32(id), id) order — the mixing primitive that turns token
+    weight recipes into document sets. The Spark plan is the SCALE
+    formulation (hash-range bucket histogram + window cumsum over the
+    tiny histogram + exact pass over ONLY the boundary bucket — no
+    stratum is ever fully sorted); the oracle is the naive one-window
+    reference, so the hash-gate proves the two plans pick the
+    identical keep set (kept_id_sum is row-level). Budgets: en 3000 /
+    zh 500 / de 100000 tokens; other strata drop (whitelist)."""
+    from ensembl_database_loader_spark.operators.budget import select_token_budget
+    from ensembl_database_loader_spark.operators.textstats import with_token_stats
+
+    ensure_session_confs(spark)
+    d = table(spark, sf, "documents")
+    dt = with_token_stats(d, "text").select("doc_id", "lang", "n_tokens")
+    kept = select_token_budget(
+        dt, "doc_id", "n_tokens", "lang",
+        {"en": 3000, "zh": 500, "de": 100000}, n_buckets=64,
+    )
+    bud = F.when(F.col("lang") == "en", 3000).when(F.col("lang") == "zh", 500).when(
+        F.col("lang") == "de", 100000
+    )
+    return (
+        kept.groupBy("lang")
+        .agg(
+            _cnt().alias("kept_cnt"),
+            F.sum("n_tokens").cast("bigint").alias("kept_tokens"),
+            F.sum("doc_id").cast("bigint").alias("kept_id_sum"),
+            # overshoot <= one document is a THEOREM of the keep rule
+            # (total = before_last + tok_last < budget + max_tok), so
+            # sum - max < budget must hold — a real hash-gated bound
+            ((F.sum("n_tokens") - F.max("n_tokens")) < F.max(bud)).alias(
+                "overshoot_bounded"
+            ),
+        )
+        .orderBy("lang")
+    )

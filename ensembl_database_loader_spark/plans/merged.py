@@ -337,6 +337,19 @@ MERGE_SPECS: dict[str, list[tuple[str, list[tuple[str, str]]]]] = {
                 ("above_lower_bound", "above_lower_bound"),
             ],
         ),
+        # r7: token-budget corpus selection rides the window here (the
+        # bucketed scale plan hash-gated against the naive-window
+        # oracle; kept_id_sum is row-level)
+        (
+            "llp_token_budget",
+            [
+                ("lang", "tb_lang"),
+                ("kept_cnt", "tb_kept_cnt"),
+                ("kept_tokens", "tb_kept_tokens"),
+                ("kept_id_sum", "tb_kept_id_sum"),
+                ("overshoot_bounded", "tb_overshoot_bounded"),
+            ],
+        ),
     ],
 }
 

@@ -604,3 +604,60 @@ def test_remove_duplicate_spans_methods_equivalent(spark):
 
     with pytest.raises(ValueError):
         remove_duplicate_spans(df, "id", "text", 5, method="nope")
+
+
+# --- token-budget selection (r7) --------------------------------------------
+
+
+def test_token_budget_bucketed_equals_naive(spark):
+    """The scale plan (bucket histogram + boundary-only window) must
+    pick the IDENTICAL keep set as the naive one-window reference, for
+    any bucket count, including degenerate budgets."""
+    from ensembl_database_loader_spark.operators.budget import (
+        select_token_budget,
+        select_token_budget_naive,
+    )
+
+    rows = [(i, ["a", "b", "c"][i % 3], 10 + (i * 7) % 50) for i in range(500)]
+    df = spark.createDataFrame(rows, "id bigint, lang string, n_tokens bigint")
+    for budgets in [{"a": 900, "b": 35, "c": 10**9}, {"a": 1, "b": 0}]:
+        naive = {
+            r.id
+            for r in select_token_budget_naive(
+                df, "id", "n_tokens", "lang", budgets
+            ).collect()
+        }
+        for nb in (2, 16, 512):
+            got = {
+                r.id
+                for r in select_token_budget(
+                    df, "id", "n_tokens", "lang", budgets, n_buckets=nb
+                ).collect()
+            }
+            assert got == naive, (budgets, nb)
+    # budget 0 keeps nothing; absent strata are whitelisted out
+    z = select_token_budget(df, "id", "n_tokens", "lang", {"b": 0}).collect()
+    assert z == []
+
+
+def test_token_budget_overshoot_and_determinism(spark):
+    from pyspark.sql import functions as F
+
+    from ensembl_database_loader_spark.operators.budget import select_token_budget
+
+    rows = [(i, "x", 100) for i in range(100)]
+    df = spark.createDataFrame(rows, "id bigint, lang string, n_tokens bigint")
+    kept = select_token_budget(df, "id", "n_tokens", "lang", {"x": 1050})
+    tot = kept.agg(F.sum("n_tokens")).collect()[0][0]
+    # 10 docs fill 1000 < 1050, the 11th overshoots to 1100, the 12th
+    # would start at 1100 >= 1050
+    assert tot == 1100
+    # layout independence
+    a = {r.id for r in kept.collect()}
+    b = {
+        r.id
+        for r in select_token_budget(
+            df.repartition(13), "id", "n_tokens", "lang", {"x": 1050}
+        ).collect()
+    }
+    assert a == b
