@@ -2084,3 +2084,76 @@ def llp_token_budget(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+_LM_ORACLE = (
+    # identical training corpus (lang='en'), add-1-smoothed bigram
+    # logprob, per-doc mean, per-lang aggregate; en_best uses the
+    # UNROUNDED per-lang means (gaps ~1e-3, far above ulp noise)
+    f"WITH tdoc AS (SELECT doc_id, lang, {_toks('text')} AS toks FROM documents), "
+    "uni AS (SELECT w, COUNT(*) AS uc FROM "
+    f"(SELECT unnest({_toks('text')}) AS w FROM documents WHERE lang = 'en') "
+    "GROUP BY w), "
+    "vv AS (SELECT COUNT(*) AS v FROM uni), "
+    "bi AS (SELECT w1, w2, COUNT(*) AS bc FROM "
+    "(SELECT toks[i] AS w1, toks[i + 1] AS w2 FROM tdoc, "
+    "unnest(generate_series(1, len(toks) - 1)) AS u(i) WHERE lang = 'en') "
+    "GROUP BY w1, w2), "
+    "bg AS (SELECT doc_id, lang, toks[i] AS w1, toks[i + 1] AS w2 FROM tdoc, "
+    "unnest(generate_series(1, len(toks) - 1)) AS u(i)), "
+    "sc AS (SELECT doc_id, lang, "
+    "ln((COALESCE(bc, 0) + 1.0) / (COALESCE(uc, 0) + 1.0 * v)) AS lp "
+    "FROM bg LEFT JOIN bi USING (w1, w2) "
+    "LEFT JOIN uni ON bg.w1 = uni.w CROSS JOIN vv), "
+    "doc AS (SELECT doc_id, lang, AVG(lp) AS mlp FROM sc GROUP BY doc_id, lang), "
+    "per AS (SELECT lang, COUNT(*) AS cnt, AVG(mlp) AS raw FROM doc GROUP BY lang) "
+    "SELECT lang, CAST(cnt AS BIGINT) AS scored_docs, "
+    "ROUND(raw + 1e-9, 2) AS avg_logprob, "
+    "((SELECT lang FROM per ORDER BY raw DESC, lang LIMIT 1) = 'en') AS en_best "
+    "FROM per ORDER BY lang"
+)
+
+
+@probe("tx_lm_perplexity", oracle=_LM_ORACLE, tags=("llm", "text", "quality"))
+def tx_lm_perplexity(spark: SparkSession, sf: str) -> DataFrame:
+    """Bigram-LM perplexity quality scoring (operators/lm.py — the
+    CCNet model-based filter next to the heuristic quality score):
+    train add-1-smoothed unigram/bigram counts on the English slice,
+    score EVERY document's mean bigram ln-probability, aggregate per
+    language. The discrimination contract — the reference language
+    scores best (`en_best`) — is exactly CCNet's premise, computed on
+    the unrounded per-language means in both engines; the per-language
+    rounded means and scored-doc counts are hash-gated directly.
+    Probabilities are exact BIGINT-count rationals; ln() is the only
+    double step."""
+    from ensembl_database_loader_spark.operators.lm import (
+        score_bigram_logprob,
+        train_bigram_lm,
+    )
+
+    ensure_session_confs(spark)
+    d = table(spark, sf, "documents")
+    uni, bi, vocab = train_bigram_lm(d.filter(F.col("lang") == "en"))
+    scored = score_bigram_logprob(d, "doc_id", "text", uni, bi, vocab)
+    per = (
+        scored.filter(F.col("mean_logprob").isNotNull())
+        .groupBy("lang")
+        .agg(
+            _cnt().alias("scored_docs"),
+            F.avg("mean_logprob").alias("_raw"),
+        )
+        .persist()
+    )
+    best = per.orderBy(F.desc("_raw"), "lang").limit(1).select(
+        (F.col("lang") == "en").alias("en_best")
+    )
+    return (
+        per.crossJoin(best)
+        .select(
+            "lang",
+            F.col("scored_docs").cast("bigint"),
+            F.round(F.col("_raw") + F.lit(1e-9), 2).alias("avg_logprob"),
+            "en_best",
+        )
+        .orderBy("lang")
+    )

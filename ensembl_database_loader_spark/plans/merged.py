@@ -297,6 +297,27 @@ MERGE_SPECS: dict[str, list[tuple[str, list[tuple[str, str]]]]] = {
             ],
         ),
     ],
+    # r7: language-ID confusion + bigram-LM perplexity scoring share a
+    # window row (both per-lang with unique keys; product <= 125 rows)
+    "tx_langid_lm": [
+        (
+            "tx_langid",
+            [
+                ("lang", "lid_lang"),
+                ("lang_guess", "lang_guess"),
+                ("cnt", "lid_cnt"),
+            ],
+        ),
+        (
+            "tx_lm_perplexity",
+            [
+                ("lang", "lm_lang"),
+                ("scored_docs", "lm_scored_docs"),
+                ("avg_logprob", "lm_avg_logprob"),
+                ("en_best", "lm_en_best"),
+            ],
+        ),
+    ],
     "ss_ann_lsh_recall": [
         (
             "ss_ann_lsh",

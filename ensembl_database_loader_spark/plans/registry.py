@@ -94,7 +94,8 @@ WINDOW_50: tuple[str, ...] = (
     "llp_incremental_dedup",
     "ss_ann_lsh_recall",
     "ss_ann_ivf_indexed",
-    "tx_langid",
+    # r7: langid rides with the bigram-LM perplexity scorer
+    "tx_langid_lm",
     "tx_tokens_fingerprint",
     "mm_decode_frames",
 )

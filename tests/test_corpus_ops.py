@@ -661,3 +661,58 @@ def test_token_budget_overshoot_and_determinism(spark):
         ).collect()
     }
     assert a == b
+
+
+# --- bigram-LM perplexity (r7) ----------------------------------------------
+
+
+def test_bigram_lm_hand_computed(spark):
+    """Hand-checkable add-1 model: ref = 'a b a b' gives uni a:2 b:2
+    (V=2), bigrams (a,b):2 (b,a):1."""
+    import math
+
+    from ensembl_database_loader_spark.operators.lm import (
+        score_bigram_logprob,
+        train_bigram_lm,
+    )
+
+    ref = spark.createDataFrame([("a b a b",)], "text string")
+    uni, bi, V = train_bigram_lm(ref)
+    assert V == 2
+    docs = spark.createDataFrame(
+        [(1, "a b"), (2, "b a"), (3, "z z"), (4, "solo")],
+        "id bigint, text string",
+    )
+    got = {
+        r.id: (r.mean_logprob, r.n_bigrams)
+        for r in score_bigram_logprob(docs, "id", "text", uni, bi, V).collect()
+    }
+    assert abs(got[1][0] - math.log((2 + 1) / (2 + 2))) < 1e-12
+    assert abs(got[2][0] - math.log((1 + 1) / (2 + 2))) < 1e-12
+    # fully unseen: (0+1)/(0+2)
+    assert abs(got[3][0] - math.log(1 / 2)) < 1e-12
+    # < 2 tokens: no bigrams, NULL score
+    assert got[4] == (None, None) or got[4][0] is None
+
+
+def test_perplexity_filter_threshold(spark):
+    import math
+
+    from ensembl_database_loader_spark.operators.lm import (
+        perplexity_filter,
+        train_bigram_lm,
+    )
+
+    ref = spark.createDataFrame([("a b a b",)], "text string")
+    uni, bi, V = train_bigram_lm(ref)
+    docs = spark.createDataFrame(
+        [(1, "a b"), (2, "z z"), (3, "solo")], "id bigint, text string"
+    )
+    thr = (math.log(3 / 4) + math.log(1 / 2)) / 2  # between the two scores
+    kept = {
+        r.id
+        for r in perplexity_filter(
+            docs, "id", "text", uni, bi, V, min_mean_logprob=thr
+        ).collect()
+    }
+    assert kept == {1}  # in-distribution doc survives; unscored drops

@@ -50,7 +50,7 @@ def test_llm_operator_probes_in_window():
         "llp_incremental_dedup",
         "ss_ann_lsh_recall",
         "ss_ann_ivf_indexed",
-        "tx_langid",
+        "tx_langid_lm",
         # r6: token-counts/fingerprint and the two mm probes ride the
         # window via their merged composites (components stay
         # registered and locally oracle-checked)
