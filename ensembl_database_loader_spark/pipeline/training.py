@@ -1,10 +1,17 @@
 """End-to-end training-corpus construction: the single-call composition
 a pretraining data team actually runs —
 
-    curate (quality -> exact dedup -> near-dup dedup)
+    [line-clean] -> [exact-substring scrub]
+    -> curate (quality -> exact dedup -> near-dup dedup)
+    -> [bigram-LM perplexity filter]
     -> decontaminate (drop benchmark-overlapping docs)
     -> mix (deterministic per-stratum sampling to the target mixture)
+    -> [token-budget selection]
     -> pack (first-fit-decreasing into token-budget sequences)
+
+(bracketed stages are opt-in; with the defaults the pipeline and its
+report schema are byte-identical to the four-stage composition the
+probe oracles)
 
 Every stage is one of the already-tested operators (pipeline/curate.py,
 operators/contamination.py, operators/mixing.py, operators/packing.py),
@@ -50,6 +57,11 @@ def build_training_corpus(
     pack_shards: int = 64,
     store_path: str | None = None,
     line_clean: bool = False,
+    substr_window: int | None = None,
+    lm_ref: DataFrame | None = None,
+    lm_min_logprob: float = -8.0,
+    lm_alpha: float = 1.0,
+    token_budgets: dict[str, int] | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Returns ``(packed, report)``.
 
@@ -68,6 +80,20 @@ def build_training_corpus(
     mixing (n_clean / n_mixed then equal the prior stage). Pass
     ``store_path`` to bootstrap the incremental fingerprint store so
     later batches can run ``curate_increment`` (pipeline/curate.py).
+
+    Opt-in stages (each appends its own report column ONLY when
+    enabled, so the default report schema is unchanged):
+
+    - ``substr_window``: exact-substring scrub (ExactSubstr,
+      operators/substrdedup.py) on the raw corpus before doc-level
+      curation — repeated spans vanish, docs shortened below the
+      quality bar drop in the funnel. Adds nothing to the report
+      (the funnel's n_input/n_quality absorb it).
+    - ``lm_ref``: bigram-LM perplexity filter (operators/lm.py) over
+      the curation survivors — train on ``lm_ref``, keep docs with
+      mean bigram logprob >= ``lm_min_logprob``. Appends ``n_lm``.
+    - ``token_budgets``: per-stratum token-budget selection
+      (operators/budget.py) after mixing. Appends ``n_budget``.
     """
     if line_clean:
         # C4-style line scrub BEFORE doc-level curation (the C4 order:
@@ -79,6 +105,16 @@ def build_training_corpus(
             clean_lines(docs, text_col)
             .withColumn(text_col, F.col("clean_text"))
             .drop("clean_text", "n_lines_kept")
+        )
+    if substr_window is not None:
+        from ensembl_database_loader_spark.operators.substrdedup import (
+            remove_duplicate_spans,
+        )
+
+        docs = (
+            remove_duplicate_spans(docs, id_col, text_col, window=substr_window)
+            .withColumn(text_col, F.col("clean_text"))
+            .drop("clean_text", "n_tokens", "n_removed")
         )
     kept, funnel = curate_corpus(
         docs,
@@ -95,6 +131,19 @@ def build_training_corpus(
     # anti-join AND the funnel stats; persist so the near-dup pair join
     # in its lineage runs once (curate persists only the exact stage).
     kept = kept.persist()
+    n_lm_col = None
+    if lm_ref is not None:
+        from ensembl_database_loader_spark.operators.lm import (
+            perplexity_filter,
+            train_bigram_lm,
+        )
+
+        uni, bi, vocab = train_bigram_lm(lm_ref, text_col)
+        kept = perplexity_filter(
+            kept, "id", "text", uni, bi, vocab,
+            min_mean_logprob=lm_min_logprob, alpha=lm_alpha,
+        ).drop("mean_logprob", "n_bigrams").persist()
+        n_lm_col = kept.agg(F.count(F.lit(1)).alias("n_lm"))
     clean = (
         decontaminate(
             kept,
@@ -112,6 +161,16 @@ def build_training_corpus(
         if mix_rates
         else clean
     )
+    n_mixed_col = mixed.agg(F.count(F.lit(1)).alias("n_mixed"))
+    if token_budgets is not None:
+        from ensembl_database_loader_spark.operators.budget import (
+            select_token_budget,
+        )
+
+        mixed = select_token_budget(
+            with_token_stats(mixed, "text"), "id", "n_tokens", "blk",
+            token_budgets,
+        ).drop("n_tokens", "n_distinct_tokens", "mean_tok_len")
     # mixed feeds three consumers (clean/mixed counts, packing, the
     # text back-join) — persist so the funnel lineage runs once; at
     # 100 TB substitute a materialized stage table.
@@ -132,7 +191,13 @@ def build_training_corpus(
     )
     report = (
         funnel.crossJoin(clean.agg(F.count(F.lit(1)).alias("n_clean")))
-        .crossJoin(mixed.agg(F.count(F.lit(1)).alias("n_mixed")))
+        .crossJoin(n_mixed_col)
         .crossJoin(pack_contract)
     )
+    if n_lm_col is not None:
+        report = report.crossJoin(n_lm_col)
+    if token_budgets is not None:
+        report = report.crossJoin(
+            mixed.agg(F.count(F.lit(1)).alias("n_budget"))
+        )
     return packed, report

@@ -106,3 +106,39 @@ def test_build_training_corpus_line_clean_stage(spark):
     _, report = build_training_corpus(docs, None, near_dup="inverted", line_clean=True)
     r = report.collect()[0]
     assert r.n_input == 1  # doc 2 dropped by the line stage
+
+
+def test_build_training_corpus_optin_stages(spark, sf_dir):
+    """r7 opt-in stages: with defaults the report schema is unchanged;
+    enabling substr/LM/budget stages appends n_lm and n_budget and each
+    stage actually bites."""
+    from pyspark.sql import functions as F
+
+    from ensembl_database_loader_spark.catalog import table
+    from ensembl_database_loader_spark.pipeline.training import (
+        build_training_corpus,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    bench = d.filter(F.col("source") == "src0")
+    _, base = build_training_corpus(
+        d, bench, near_dup="inverted", pack_budget=512, pack_shards=4
+    )
+    assert "n_lm" not in base.columns and "n_budget" not in base.columns
+
+    _, rep = build_training_corpus(
+        d,
+        bench,
+        near_dup="inverted",
+        pack_budget=512,
+        pack_shards=4,
+        substr_window=8,
+        lm_ref=d.filter(F.col("lang") == "en"),
+        lm_min_logprob=-6.0,
+        token_budgets={"en": 1000, "de": 500},
+    )
+    r = rep.collect()[0]
+    assert rep.columns == base.columns + ["n_lm", "n_budget"]
+    assert r.n_lm <= r.n_kept            # LM filter only drops
+    assert r.n_budget <= r.n_mixed       # budget selection only drops
+    assert r.each_doc_once and r.no_overflow
