@@ -91,6 +91,8 @@ def remove_duplicate_spans(
     text_col: str,
     window: int = 8,
     method: str = "fold",
+    hashes: DataFrame | None = None,
+    duplicated: DataFrame | None = None,
 ) -> DataFrame:
     """ExactSubstr removal: drop every token covered by >= 1 duplicated
     window; returns the input columns plus
@@ -116,9 +118,24 @@ def remove_duplicate_spans(
       anti-join on (id, pos) keeps survivors, and an ordered regroup
       rebuilds the text. Two more shuffles, but every stage is linear
       in tokens — the plan for book-length documents where a single
-      doc's len x starts product would blow up an executor."""
-    wh = window_hashes(df, id_col, text_col, window)
-    dup = duplicated_window_hashes(df, id_col, text_col, window).select("whash")
+      doc's len x starts product would blow up an executor.
+
+    Pass precomputed (ideally persisted) ``hashes`` (window_hashes
+    output) and/or ``duplicated`` (duplicated_window_hashes output) to
+    avoid re-deriving them when the caller also aggregates over them
+    (probe tx_substr_dedup does)."""
+    wh = (
+        hashes
+        if hashes is not None
+        else window_hashes(df, id_col, text_col, window)
+    )
+    dup = (
+        duplicated
+        if duplicated is not None
+        else wh.groupBy("whash")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= 2)
+    ).select("whash")
     toks = F.expr(_tok_expr(text_col))
     base = df.withColumn("_toks", toks)
 

@@ -1996,17 +1996,22 @@ def tx_substr_dedup(spark: SparkSession, sf: str) -> DataFrame:
         .otherwise(F.col("text"))
         .alias("text"),
     )
-    cleaned = remove_duplicate_spans(corpus, "doc_id", "text", window=8).persist()
-    wins = window_hashes(corpus, "doc_id", "text", window=8)
+    # one window-hash pass and one dup aggregation feed the probe's
+    # stats AND the removal operator (hashes/duplicated pass-through)
+    wins = window_hashes(corpus, "doc_id", "text", window=8).persist()
+    dups = (
+        wins.groupBy("whash")
+        .agg(_cnt().alias("cnt"))
+        .filter(F.col("cnt") >= 2)
+        .persist()
+    )
+    cleaned = remove_duplicate_spans(
+        corpus, "doc_id", "text", window=8, hashes=wins, duplicated=dups
+    ).persist()
     return (
         corpus.agg(_cnt().alias("n_docs"))
         .crossJoin(wins.agg(_cnt().alias("n_windows")))
-        .crossJoin(
-            wins.groupBy("whash")
-            .agg(_cnt().alias("_c"))
-            .filter(F.col("_c") >= 2)
-            .agg(_cnt().alias("n_dup_hashes"))
-        )
+        .crossJoin(dups.agg(_cnt().alias("n_dup_hashes")))
         .crossJoin(
             cleaned.agg(
                 _cnt(F.col("n_removed") > 0).alias("docs_affected"),
