@@ -117,3 +117,120 @@ def test_keyed_hash_golden_values():
         4077198353,
         4238151232,
     ]
+
+
+# --- r7 operators vs pure-Python references ---------------------------------
+
+
+def _norm_py(text: str) -> list[str]:
+    """The engine's normalization: lower, trim, collapse whitespace,
+    split on single spaces ('' -> [''])."""
+    return re.sub(r"\s+", " ", text.lower().strip()).split(" ")
+
+
+def _ref_exactsubstr(docs: dict[int, str], w: int) -> dict[int, tuple[str, int, int]]:
+    toks = {i: _norm_py(t) for i, t in docs.items()}
+
+    def windows(ts):
+        if len(ts) < w or (len(ts) == 1 and ts[0] == ""):
+            return []
+        return [tuple(ts[s : s + w]) for s in range(len(ts) - w + 1)]
+
+    from collections import Counter
+
+    counts = Counter(win for ts in toks.values() for win in windows(ts))
+    dup = {win for win, c in counts.items() if c >= 2}
+    out = {}
+    for i, ts in toks.items():
+        starts = [s for s, win in enumerate(windows(ts)) if win in dup]
+        covered = set()
+        for s in starts:
+            covered.update(range(s, s + w))
+        kept = [t for j, t in enumerate(ts) if j not in covered]
+        out[i] = (" ".join(kept), len(ts), len(ts) - len(kept))
+    return out
+
+
+def test_remove_duplicate_spans_property_wrapper(spark):
+    """Drives the hypothesis strategy with the session fixture (the
+    @given decorator can't take pytest fixtures directly)."""
+    from hypothesis import given as h_given
+    from hypothesis import settings as h_settings
+
+    from ensembl_database_loader_spark.operators.substrdedup import (
+        remove_duplicate_spans,
+    )
+
+    @h_settings(max_examples=20, deadline=None)
+    @h_given(
+        st.dictionaries(
+            st.integers(0, 50),
+            st.lists(
+                st.sampled_from(["aa", "bb", "cc"]), min_size=0, max_size=12
+            ).map(" ".join),
+            min_size=1,
+            max_size=8,
+        ),
+        st.integers(2, 4),
+    )
+    def run(docs, w):
+        ref = _ref_exactsubstr(docs, w)
+        df = spark.createDataFrame(list(docs.items()), "id bigint, text string")
+        for method in ("fold", "explode"):
+            got = {
+                r.id: (r.clean_text, r.n_tokens, r.n_removed)
+                for r in remove_duplicate_spans(
+                    df, "id", "text", w, method=method
+                ).collect()
+            }
+            assert got == ref, (method, docs, w)
+
+    run()
+
+
+def test_token_budget_property_wrapper(spark):
+    """Bucketed token-budget selection vs the pure-Python reference:
+    sort by ((id*K) mod 2^32, id) per stratum, keep while before <
+    budget."""
+    from hypothesis import given as h_given
+    from hypothesis import settings as h_settings
+
+    from ensembl_database_loader_spark.operators.budget import select_token_budget
+    from ensembl_database_loader_spark.operators.mixing import HASH_SPACE, KNUTH
+
+    @h_settings(max_examples=20, deadline=None)
+    @h_given(
+        st.lists(
+            st.tuples(
+                st.integers(0, 10**7),
+                st.sampled_from(["x", "y"]),
+                st.integers(0, 40),
+            ),
+            min_size=1,
+            max_size=30,
+            unique_by=lambda r: r[0],
+        ),
+        st.integers(0, 300),
+        st.integers(2, 64),
+    )
+    def run(rows, bud, nb):
+        ref = set()
+        for lang in ("x", "y"):
+            acc = 0
+            for i, _, tok in sorted(
+                (r for r in rows if r[1] == lang),
+                key=lambda r: ((r[0] * KNUTH) % HASH_SPACE, r[0]),
+            ):
+                if acc < bud:
+                    ref.add(i)
+                acc += tok
+        df = spark.createDataFrame(rows, "id bigint, lang string, n_tokens bigint")
+        got = {
+            r.id
+            for r in select_token_budget(
+                df, "id", "n_tokens", "lang", {"x": bud, "y": bud}, n_buckets=nb
+            ).collect()
+        }
+        assert got == ref, (rows, bud, nb)
+
+    run()
