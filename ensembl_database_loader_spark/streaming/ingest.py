@@ -47,17 +47,35 @@ def stream_documents(
     return reader.format(fmt).load(landing_dir)
 
 
+def write_curated_batch(
+    kept: DataFrame, output_path: str, batch_id: int, exactly_once: bool
+) -> None:
+    """The per-micro-batch sink. ``exactly_once=False`` appends (a
+    replayed batch duplicates its rows — at-least-once).
+    ``exactly_once=True`` writes each batch into its own
+    ``batch=<id>`` partition directory with overwrite: a foreachBatch
+    replay rewrites the SAME directory, so the output is idempotent
+    under the checkpoint's batch-id replay semantics — the standard
+    exactly-once idiom for file sinks. Readers see a ``batch``
+    partition column (read ``output_path`` as a whole)."""
+    if exactly_once:
+        kept.write.mode("overwrite").parquet(f"{output_path}/batch={batch_id}")
+    else:
+        kept.write.mode("append").parquet(output_path)
+
+
 def streaming_curate(
     stream_df: DataFrame,
     store_path: str,
     output_path: str,
     checkpoint_dir: str,
     available_now: bool = True,
+    exactly_once: bool = False,
     **curate_kwargs,
 ):
     """Start the incremental-curation stream: every micro-batch runs
     ``curate_increment`` against ``store_path`` (bootstrapping the
-    store with ``curate_corpus`` on the very first batch) and appends
+    store with ``curate_corpus`` on the very first batch) and writes
     survivors to ``output_path``. Returns the StreamingQuery.
 
     ``curate_kwargs`` forward to curate_corpus/curate_increment
@@ -65,6 +83,13 @@ def streaming_curate(
     ``near_dup`` (a curate_corpus-only option, default 'minhash' here —
     the store-compatible band-signature path) applies to the bootstrap
     batch; curate_increment always uses the persisted band store.
+
+    ``exactly_once=True`` switches the output sink to per-batch
+    partition-directory overwrite (``write_curated_batch``): replayed
+    micro-batches rewrite their own directory instead of appending
+    duplicates, upgrading the output from at-least-once to
+    exactly-once rows. (The STORE append stays at-least-once either
+    way — provably safe for dedup, see module docstring.)
     """
     near_dup = curate_kwargs.pop("near_dup", "minhash")
 
@@ -82,7 +107,7 @@ def streaming_curate(
                 near_dup=near_dup,
                 **curate_kwargs,
             )
-        kept.write.mode("append").parquet(output_path)
+        write_curated_batch(kept, output_path, batch_id, exactly_once)
 
     w = (
         stream_df.writeStream.foreachBatch(_process)

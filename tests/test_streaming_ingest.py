@@ -81,3 +81,62 @@ def test_streaming_curate_two_drops_equal_one_shot(spark, tmp_path):
     sigs = spark.read.parquet(store + "/exact_sigs")
     assert sigs.filter(F.col("id") >= 1000).count() > 0
     assert sigs.filter(F.col("id") < 1000).count() > 0
+
+
+def test_write_curated_batch_exactly_once_idempotent(spark, tmp_path):
+    """A replayed micro-batch (same batch_id) must leave ONE copy of
+    its rows under exactly_once=True, and duplicate them under the
+    at-least-once append sink — the foreachBatch replay contract."""
+    from ensembl_database_loader_spark.streaming.ingest import write_curated_batch
+
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id bigint, text string")
+    eo, alo = str(tmp_path / "eo"), str(tmp_path / "alo")
+    for _ in range(2):  # simulate the replay
+        write_curated_batch(df, eo, batch_id=7, exactly_once=True)
+        write_curated_batch(df, alo, batch_id=7, exactly_once=False)
+    got = spark.read.parquet(eo)
+    assert got.count() == 2
+    assert {r.batch for r in got.select("batch").distinct().collect()} == {7}
+    assert spark.read.parquet(alo).count() == 4  # append path duplicates
+
+    # a second batch lands in its own partition, first stays intact
+    df2 = spark.createDataFrame([(3, "c")], "id bigint, text string")
+    write_curated_batch(df2, eo, batch_id=8, exactly_once=True)
+    assert spark.read.parquet(eo).count() == 3
+
+
+def test_streaming_curate_exactly_once_end_to_end(spark, tmp_path):
+    """streaming_curate(exactly_once=True) drains the same landing dir
+    and produces the same kept id set as the append sink, partitioned
+    by batch."""
+    import json
+    import os
+
+    from ensembl_database_loader_spark.streaming.ingest import (
+        stream_documents,
+        streaming_curate,
+    )
+
+    landing = str(tmp_path / "landing")
+    os.makedirs(landing)
+    docs = [
+        {"doc_id": i, "lang": "en",
+         "text": f"unique document number {i} with several words inside"}
+        for i in range(8)
+    ]
+    with open(os.path.join(landing, "b0.jsonl"), "w") as f:
+        for d in docs:
+            f.write(json.dumps(d) + "\n")
+
+    out, store, ckpt = (
+        str(tmp_path / "out"), str(tmp_path / "store"), str(tmp_path / "ckpt")
+    )
+    q = streaming_curate(
+        stream_documents(spark, landing),
+        store, out, ckpt,
+        exactly_once=True, min_quality=0,
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out)
+    assert "batch" in got.columns
+    assert {r.id for r in got.select("id").collect()} == set(range(8))
