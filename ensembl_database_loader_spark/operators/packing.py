@@ -159,3 +159,72 @@ def packing_report(packed: DataFrame, budget: int) -> DataFrame:
 
 
 __all__: Iterable[str] = ("pack_sequences", "packing_report")
+
+
+def pack_concat(
+    df: DataFrame,
+    id_col: str,
+    token_col: str,
+    seq_len: int,
+    n_shards: int = 64,
+    eos_tokens: int = 1,
+) -> DataFrame:
+    """GPT-style concatenation packing — the OTHER standard packing
+    scheme next to FFD binning (``pack_sequences``): each shard's
+    documents concatenate into one token stream (every document
+    followed by ``eos_tokens`` separator tokens) and training examples
+    are fixed ``seq_len`` windows cut from the stream; documents SPAN
+    example boundaries (that is the point — zero padding waste).
+
+    Returns the input columns plus:
+
+    - ``shard``          — deterministic id-hash shard;
+    - ``start_offset``   — the document body's first token position in
+      the shard stream (cumsum of prior docs' n_tokens + eos);
+    - ``first_example`` / ``last_example`` — the example indices the
+      body touches (``floor(start / seq_len)`` /
+      ``floor((start + max(n_tokens,1) - 1) / seq_len)``);
+    - ``spans_boundary`` — whether the body crosses an example cut.
+
+    Everything after the shard shuffle is ONE window cumsum per shard
+    (pure BIGINT arithmetic, so the DuckDB oracle matches row-level) —
+    the same bounded-shard pattern as FFD packing: choose ``n_shards``
+    so a shard's documents fit one task comfortably; shards pack
+    concurrently and the ordering key (knuth32(id), id) makes the
+    layout irrelevant."""
+    from pyspark.sql import Window
+
+    from ensembl_database_loader_spark.operators.mixing import knuth32
+
+    work = df.withColumn("_h", knuth32(id_col)).withColumn(
+        "shard", keyed_hash(id_col, n_shards).cast("int")
+    )
+    w = Window.partitionBy("shard").orderBy("_h", id_col)
+    start = F.coalesce(
+        F.sum(F.col(token_col) + F.lit(eos_tokens)).over(
+            w.rowsBetween(Window.unboundedPreceding, -1)
+        ),
+        F.lit(0),
+    ).cast("bigint")
+    out = (
+        work.withColumn("start_offset", start)
+        .withColumn(
+            "first_example", (F.col("start_offset") / seq_len).cast("bigint")
+        )
+        .withColumn(
+            "last_example",
+            (
+                (
+                    F.col("start_offset")
+                    + F.greatest(F.col(token_col), F.lit(1))
+                    - 1
+                )
+                / seq_len
+            ).cast("bigint"),
+        )
+        .withColumn(
+            "spans_boundary", F.col("first_example") != F.col("last_example")
+        )
+        .drop("_h")
+    )
+    return out

@@ -2162,3 +2162,61 @@ def tx_lm_perplexity(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+_CONCAT_PACK_ORACLE = (
+    # per-shard concat stream: same knuth shard + (hash, id) order +
+    # cumsum arithmetic, all BIGINT — row-level exact
+    f"WITH t AS (SELECT doc_id, len({_toks('text')}) AS n_tokens FROM documents), "
+    "h AS (SELECT doc_id, n_tokens, "
+    "(doc_id * 2654435761) % 4294967296 AS hh, "
+    "CAST(((doc_id * 2654435761) % 4294967296) % 8 AS INTEGER) AS shard FROM t), "
+    "s AS (SELECT *, COALESCE(SUM(n_tokens + 1) OVER (PARTITION BY shard "
+    "ORDER BY hh, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) "
+    "AS start_offset FROM h), "
+    "e AS (SELECT *, start_offset // 128 AS fe, "
+    "(start_offset + greatest(n_tokens, 1) - 1) // 128 AS le FROM s) "
+    "SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs, "
+    "CAST(SUM(n_tokens + 1) AS BIGINT) AS stream_tokens, "
+    "CAST((SUM(n_tokens + 1) + 127) // 128 AS BIGINT) AS n_examples, "
+    "CAST(COUNT(*) FILTER (WHERE fe != le) AS BIGINT) AS docs_split, "
+    "CAST(SUM(start_offset) AS BIGINT) AS sum_start_offsets "
+    "FROM e GROUP BY shard ORDER BY shard"
+)
+
+
+@probe(
+    "llp_concat_packing",
+    oracle=_CONCAT_PACK_ORACLE,
+    tags=("llm", "pipeline", "packing"),
+)
+def llp_concat_packing(spark: SparkSession, sf: str) -> DataFrame:
+    """GPT-style concatenation packing (operators/packing.py
+    pack_concat): per-shard token streams with one EOS per document,
+    fixed 128-token examples cut across document boundaries. The
+    oracle recomputes the full shard/order/cumsum arithmetic, so
+    per-shard doc counts, stream lengths, example counts, boundary-
+    split counts AND the sum of every start offset (row-level) are
+    hash-gated. Complements llp_seq_packing (FFD binning) as the
+    second standard packing scheme."""
+    from ensembl_database_loader_spark.operators.packing import pack_concat
+    from ensembl_database_loader_spark.operators.textstats import with_token_stats
+
+    ensure_session_confs(spark)
+    d = with_token_stats(table(spark, sf, "documents"), "text").select(
+        "doc_id", "n_tokens"
+    )
+    packed = pack_concat(d, "doc_id", "n_tokens", seq_len=128, n_shards=8)
+    return (
+        packed.groupBy("shard")
+        .agg(
+            _cnt().alias("n_docs"),
+            F.sum(F.col("n_tokens") + 1).cast("bigint").alias("stream_tokens"),
+            F.floor((F.sum(F.col("n_tokens") + 1) + 127) / 128)
+            .cast("bigint")
+            .alias("n_examples"),
+            _cnt(F.col("spans_boundary")).alias("docs_split"),
+            F.sum("start_offset").cast("bigint").alias("sum_start_offsets"),
+        )
+        .orderBy("shard")
+    )

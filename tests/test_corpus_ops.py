@@ -716,3 +716,44 @@ def test_perplexity_filter_threshold(spark):
         ).collect()
     }
     assert kept == {1}  # in-distribution doc survives; unscored drops
+
+
+# --- concat-split packing (r7) ----------------------------------------------
+
+
+def test_pack_concat_matches_python_reference(spark):
+    from ensembl_database_loader_spark.operators.mixing import HASH_SPACE, KNUTH
+    from ensembl_database_loader_spark.operators.packing import pack_concat
+
+    rows = [(i, 3 + (i * 5) % 40) for i in range(200)]
+    df = spark.createDataFrame(rows, "id bigint, n_tokens bigint")
+    got = {
+        r.id: (r.shard, r.start_offset, r.first_example, r.last_example,
+               r.spans_boundary)
+        for r in pack_concat(df, "id", "n_tokens", seq_len=32, n_shards=4).collect()
+    }
+    # Python reference: shard = hash % 4, order by (hash, id), cumsum
+    by_shard: dict[int, list[tuple[int, int, int]]] = {}
+    for i, tok in rows:
+        h = (i * KNUTH) % HASH_SPACE
+        by_shard.setdefault(h % 4, []).append((h, i, tok))
+    for shard, docs in by_shard.items():
+        off = 0
+        for h, i, tok in sorted(docs):
+            fe, le = off // 32, (off + max(tok, 1) - 1) // 32
+            assert got[i] == (shard, off, fe, le, fe != le), i
+            off += tok + 1
+
+
+def test_pack_concat_layout_independent(spark):
+    from ensembl_database_loader_spark.operators.packing import pack_concat
+
+    df = spark.createDataFrame(
+        [(i, 10 + i % 7) for i in range(100)], "id bigint, n_tokens bigint"
+    )
+    a = {tuple(r) for r in pack_concat(df, "id", "n_tokens", 64, 4).collect()}
+    b = {
+        tuple(r)
+        for r in pack_concat(df.repartition(11), "id", "n_tokens", 64, 4).collect()
+    }
+    assert a == b
