@@ -94,6 +94,11 @@ def select_token_budget(
         "_cls",
         "_cum_before",
     )
+    # the histogram feeds BOTH union arms below; without materialization
+    # each arm re-runs the full corpus scan + groupBy that builds it
+    # (no ReusedExchange across union arms, verified empirically).
+    # (strata x n_buckets) rows — broadcast-dim sized, safe to persist.
+    hist = hist.persist()
 
     joined = work.join(
         F.broadcast(hist),

@@ -490,3 +490,54 @@ def test_semantic_dedup_grouped_pairs_join_is_hash_keyed(spark):
     ungrouped = embedding_neardup_pairs(df, "vec_id", "embedding", 0.5, 4)
     uplan = ungrouped._jdf.queryExecution().executedPlan().toString()
     assert "collect_list" in uplan
+
+
+def test_lm_count_joins_are_shuffle_hash_not_broadcast(spark):
+    """r7: the LM count tables scale with the reference corpus and have
+    UDF-opaque sizes — scoring must join them shuffle-partitioned,
+    never as a driver-built broadcast."""
+    from ensembl_database_loader_spark.catalog import table as cat_table
+    from ensembl_database_loader_spark.operators.lm import (
+        score_bigram_logprob,
+        train_bigram_lm,
+    )
+
+    d = cat_table(spark, SF, "documents")
+    uni, bi, V = train_bigram_lm(d)
+    scored = score_bigram_logprob(d, "doc_id", "text", uni, bi, V)
+    plan = scored._jdf.queryExecution().executedPlan().toString()
+    # every join keyed on a token column (w1 / w1,w2) is a count-table
+    # join and must be shuffle-hash; the final per-doc back-join may
+    # broadcast — its size is an accurate post-shuffle AQE estimate,
+    # not a UDF-opaque guess
+    token_joins = [
+        ln for ln in plan.splitlines() if "Join [w1" in ln or "Join [w2" in ln
+    ]
+    assert len(token_joins) == 2
+    assert all("ShuffledHashJoin" in ln for ln in token_joins)
+
+
+def test_token_budget_histogram_broadcasts_and_windows_stay_small(spark):
+    """r7: the (strata x buckets) histogram is tiny, materialized ONCE
+    (it feeds both union arms — without the persist each arm re-runs
+    the corpus scan that builds it), and broadcast back onto the
+    corpus. The only corpus-level Window is the per-doc cumsum over the
+    boundary bucket — never a corpus-wide stratum sort."""
+    import re
+
+    from ensembl_database_loader_spark.catalog import table as cat_table
+    from ensembl_database_loader_spark.operators.budget import select_token_budget
+    from ensembl_database_loader_spark.operators.textstats import with_token_stats
+
+    d = with_token_stats(cat_table(spark, SF, "documents"), "text")
+    kept = select_token_budget(
+        d, "doc_id", "n_tokens", "lang", {"en": 1000, "de": 500}
+    )
+    plan = kept._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    # histogram cached once, scanned by both union arms
+    assert plan.count("InMemoryTableScan") == 2
+    # exactly one window runs over corpus rows: the boundary-bucket
+    # cumsum on the token column (the histogram's own window lives
+    # inside the cached relation)
+    assert len(re.findall(r"Window \[sum\(n_tokens", plan)) == 1
