@@ -131,6 +131,38 @@ def select_token_budget(
     )
 
 
+def select_doc_cap(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    caps: dict[str, int],
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """Keep at most ``caps[stratum]`` documents per stratum, chosen in
+    deterministic ``(knuth32(id), id)`` order — the per-domain cap web
+    curation uses to stop a handful of giant domains dominating the
+    corpus (and the analogue of the reference's per-database row caps).
+
+    A document cap IS a token budget where every document weighs one
+    token: keep iff docs-before < cap, so exactly ``min(cap, |stratum|)``
+    documents survive (the budget rule's <=-one-doc overshoot collapses
+    to exactness at weight 1). Reuses the bucket-histogram scale plan
+    verbatim — no stratum is ever sorted whole, so a 100 TB domain
+    never funnels through one task the way the naive per-domain
+    ``row_number`` window would. Strata absent from ``caps`` drop
+    (whitelist semantics, same as ``select_token_budget``)."""
+    one = "_doc_cap_one"
+    kept = select_token_budget(
+        df.withColumn(one, F.lit(1).cast("bigint")),
+        id_col,
+        one,
+        strata_col,
+        caps,
+        n_buckets,
+    )
+    return kept.drop(one)
+
+
 def select_token_budget_naive(
     df: DataFrame,
     id_col: str,

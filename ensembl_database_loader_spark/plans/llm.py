@@ -2220,3 +2220,56 @@ def llp_concat_packing(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("shard")
     )
+
+
+_DOMAIN_CAP_ORACLE = (
+    # the naive per-domain row_number reference: rank docs per source
+    # in (knuth_hash, id) order, keep rank <= cap. The Spark side runs
+    # the bucket-histogram plan instead (no per-domain sort) — the
+    # row-level kept_id_sum gate proves the two pick IDENTICAL docs.
+    "WITH h AS (SELECT doc_id, source, "
+    "(doc_id * 2654435761) % 4294967296 AS hh FROM documents), "
+    "c AS (SELECT *, CASE WHEN CAST(SUBSTR(source, 4) AS INTEGER) % 2 = 1 "
+    "THEN 4 ELSE 9 END AS cap FROM h), "
+    "r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY source "
+    "ORDER BY hh, doc_id) AS rn FROM c) "
+    "SELECT source, COUNT(*) AS kept_cnt, "
+    "CAST(SUM(doc_id) AS BIGINT) AS kept_id_sum, "
+    "(COUNT(*) = MIN(cap)) AS cap_exact "
+    "FROM r WHERE rn <= cap GROUP BY source ORDER BY source"
+)
+
+
+@probe(
+    "llp_domain_cap",
+    oracle=_DOMAIN_CAP_ORACLE,
+    tags=("llm", "pipeline", "mixing"),
+)
+def llp_domain_cap(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-domain document cap (operators/budget.py select_doc_cap):
+    keep at most cap docs per source in deterministic (knuth32(id), id)
+    order — the web-curation staple that stops giant domains dominating
+    a corpus (and the analogue of the reference's per-database limits,
+    LoadDBs_conf.pm batch scoping). A doc cap is a token budget at
+    weight 1, so the bucket-histogram scale plan is reused verbatim;
+    the oracle is the naive per-domain row_number window. cap_exact
+    pins non-vacuity: every source exceeds its cap on the fixture, so
+    exactly cap docs survive (the weight-1 exactness theorem)."""
+    from ensembl_database_loader_spark.operators.budget import select_doc_cap
+
+    ensure_session_confs(spark)
+    caps = {f"src{i}": (4 if i % 2 == 1 else 9) for i in range(0, 20)}
+    d = table(spark, sf, "documents").select("doc_id", "source")
+    kept = select_doc_cap(d, "doc_id", "source", caps, n_buckets=64)
+    cap_col = F.create_map(
+        *[x for k, v in sorted(caps.items()) for x in (F.lit(k), F.lit(v))]
+    )[F.col("source")]
+    return (
+        kept.groupBy("source")
+        .agg(
+            _cnt().alias("kept_cnt"),
+            F.sum("doc_id").cast("bigint").alias("kept_id_sum"),
+            (_cnt() == F.max(cap_col)).alias("cap_exact"),
+        )
+        .orderBy("source")
+    )

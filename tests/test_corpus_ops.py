@@ -757,3 +757,42 @@ def test_pack_concat_layout_independent(spark):
         for r in pack_concat(df.repartition(11), "id", "n_tokens", 64, 4).collect()
     }
     assert a == b
+
+
+def test_doc_cap_exactness_and_row_number_equivalence(spark):
+    """A doc cap is a weight-1 token budget, so exactly min(cap, n)
+    docs survive per stratum, and the keep set equals the naive
+    per-stratum row_number <= cap reference in (knuth32(id), id)
+    order."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from ensembl_database_loader_spark.operators.budget import select_doc_cap
+    from ensembl_database_loader_spark.operators.mixing import knuth32
+
+    rows = [(i, ["a", "b", "c"][i % 3]) for i in range(300)]
+    df = spark.createDataFrame(rows, "id bigint, dom string")
+    caps = {"a": 7, "b": 0, "c": 10**6}
+    w = Window.partitionBy("dom").orderBy(knuth32("id"), "id")
+    naive = {
+        r.id
+        for r in df.withColumn("rn", F.row_number().over(w))
+        .filter(
+            F.col("rn")
+            <= F.create_map(
+                *[x for k, v in caps.items() for x in (F.lit(k), F.lit(v))]
+            )[F.col("dom")]
+        )
+        .collect()
+    }
+    for nb in (2, 16, 512):
+        kept = select_doc_cap(df, "id", "dom", caps, n_buckets=nb).collect()
+        assert {r.id for r in kept} == naive, nb
+        # exactness: min(cap, |stratum|) per stratum, schema unchanged
+        per = {}
+        for r in kept:
+            per[r.dom] = per.get(r.dom, 0) + 1
+        assert per == {"a": 7, "c": 100}
+        assert set(kept[0].asDict()) == {"id", "dom"}
+    # absent strata drop (whitelist)
+    assert select_doc_cap(df, "id", "dom", {"zz": 5}).count() == 0
