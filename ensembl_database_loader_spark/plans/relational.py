@@ -1526,3 +1526,65 @@ def q55(spark: SparkSession, sf: str) -> DataFrame:
         F.round(F.col("p50_qty") + F.lit(1e-6), 2).alias("p50_qty"),
         F.round(F.col("p90_qty") + F.lit(1e-6), 2).alias("p90_qty"),
     ).orderBy("l_returnflag")
+
+
+@probe(
+    "q56_jsonl_roundtrip",
+    oracle=(
+        "SELECT CAST(COUNT(*) AS BIGINT) AS n_good, "
+        "CAST(1 AS BIGINT) AS n_corrupt, "
+        "CAST(SUM(doc_id) AS BIGINT) AS id_sum, "
+        "CAST(SUM(n_chars) AS BIGINT) AS chars_sum, "
+        "CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs, "
+        "CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS distinct_text_md5 "
+        "FROM documents"
+    ),
+    tags=("scan", "jsonl", "source"),
+)
+def q56(spark: SparkSession, sf: str) -> DataFrame:
+    """JSONL round-trip (sources/jsonl.py) — the interchange format LLM
+    corpora ship in: documents written as 3 gzipped line-JSON shards,
+    one planted malformed line, read back with an EXPLICIT schema (no
+    inference pass) in PERMISSIVE mode. distinct_text_md5 pins the
+    text column byte-exact through JSON string escaping; the corrupt
+    line lands in the capture column (n_corrupt=1), never fails the
+    job. Generalizes q02's TSV dialect (LoadFiles.pm:138-141) to the
+    modern shard format."""
+    import os
+    import tempfile
+
+    from ensembl_database_loader_spark.sources.jsonl import read_jsonl, write_jsonl
+
+    ensure_session_confs(spark)
+    out = tempfile.mkdtemp(prefix="edl_jsonl_") + "/documents"
+    d = table(spark, sf, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    write_jsonl(d, out, n_shards=3, compression="gzip")
+    with open(os.path.join(out, "junk.json"), "w") as f:
+        f.write('{"doc_id": not-valid-json\n')
+    back = read_jsonl(
+        spark,
+        out,
+        "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT",
+    )
+    c = F.col("_corrupt_record")
+    # ONE agg over the parsed frame: corrupt rows have all data columns
+    # null, so good-row stats condition on the capture column. A
+    # separate corrupt-only aggregate would prune to just
+    # _corrupt_record and hit Spark's corrupt-only-query restriction
+    # (0A000) — jsonl_quality_report documents the same.
+    return back.agg(
+        F.count(F.when(c.isNull(), F.coalesce(F.col("lang"), F.lit("")))).alias(
+            "n_good"
+        ),
+        F.count(F.when(c.isNotNull(), 1)).alias("n_corrupt"),
+        F.sum(F.when(c.isNull(), F.col("doc_id"))).cast("bigint").alias("id_sum"),
+        F.sum(F.when(c.isNull(), F.col("n_chars"))).cast("bigint").alias("chars_sum"),
+        F.countDistinct(F.when(c.isNull(), F.col("lang"))).alias("n_langs"),
+        F.countDistinct(F.when(c.isNull(), F.md5("text"))).alias(
+            "distinct_text_md5"
+        ),
+    ).select(
+        "n_good", "n_corrupt", "id_sum", "chars_sum", "n_langs", "distinct_text_md5"
+    )

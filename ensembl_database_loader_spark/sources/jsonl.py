@@ -1,0 +1,94 @@
+"""JSONL (newline-delimited JSON) source/sink — the interchange format
+LLM training corpora actually ship in (one JSON object per line,
+usually gzipped shards).
+
+Reference analogue: the loader's TSV ingest surface
+(``LoadFiles.pm:138-141`` LOAD DATA dialect) generalized to the format
+modern pipelines exchange; same contract (explicit schema, escape-safe
+round-trip, malformed-input accounting).
+
+Scale posture:
+- **Explicit schema, never inference.** ``spark.read.json`` without a
+  schema runs a FULL extra pass over the data to infer one — at 100 TB
+  that doubles the scan. ``read_jsonl`` therefore takes the schema as
+  a required argument (DDL string or StructType).
+- **One record per line** (``multiLine=False``, the default): line-
+  delimited JSON is splittable, so a 1 TB uncompressed shard still
+  fans out across tasks. Gzip shards are NOT splittable — one task per
+  file — so the writer defaults to many shards; keep shard size ~<1 GB
+  at the source.
+- **PERMISSIVE + corrupt-record capture**: real web-scale dumps carry
+  malformed lines; failing the job on line 3 billion is not an option.
+  Bad lines land in ``corrupt_col`` (everything else null) and
+  ``jsonl_quality_report`` quantifies them — the per-file accounting
+  the reference keeps for checksum mismatches (``CheckSums.pm``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StringType, StructField, StructType
+
+CORRUPT_COL = "_corrupt_record"
+
+
+def read_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema: str | StructType,
+    corrupt_col: str = CORRUPT_COL,
+) -> DataFrame:
+    """Read line-delimited JSON with an EXPLICIT schema (no inference
+    pass) in PERMISSIVE mode; malformed lines surface as rows with all
+    data columns null and the raw line in ``corrupt_col``."""
+    if isinstance(schema, str):
+        schema = StructType.fromDDL(schema)
+    if corrupt_col not in schema.fieldNames():
+        schema = StructType(
+            list(schema.fields) + [StructField(corrupt_col, StringType(), True)]
+        )
+    return (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt_col)
+        .json(path)
+    )
+
+
+def write_jsonl(
+    df: DataFrame,
+    path: str,
+    n_shards: int | None = None,
+    compression: str | None = None,
+) -> None:
+    """Write one JSON object per line. ``n_shards`` repartitions (use
+    it with ``compression='gzip'`` — gzip files are unsplittable, so
+    shard count fixes downstream read parallelism)."""
+    if n_shards is not None:
+        df = df.repartition(n_shards)
+    w = df.write.mode("overwrite")
+    if compression is not None:
+        w = w.option("compression", compression)
+    w.json(path)
+
+
+def jsonl_quality_report(
+    df: DataFrame, corrupt_col: str = CORRUPT_COL
+) -> DataFrame:
+    """One row: good/corrupt line counts for a ``read_jsonl`` frame —
+    the load-accounting step (a malformed-rate gate belongs in every
+    ingest job). Spark refuses queries whose referenced columns are
+    ONLY the corrupt-record column (SQLSTATE 0A000), so the good count
+    deliberately routes through a data column."""
+    c = F.col(corrupt_col)
+    data_cols = [n for n in df.columns if n != corrupt_col]
+    good = (
+        F.when(c.isNull(), F.coalesce(F.col(data_cols[0]).cast("string"), F.lit("")))
+        if data_cols
+        else F.when(c.isNull(), F.lit(""))
+    )
+    return df.agg(
+        F.count(good).alias("n_good"),
+        F.count(F.when(c.isNotNull(), 1)).alias("n_corrupt"),
+    )
