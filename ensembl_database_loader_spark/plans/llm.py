@@ -2273,3 +2273,109 @@ def llp_domain_cap(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+_SKETCH_ORACLE = (
+    # exact distinct/overlap quantities recomputed in SQL; sketch
+    # quantities are engine-side (DataSketches binaries DuckDB cannot
+    # reproduce) and ride TRUE-declaring contract booleans — each
+    # non-vacuous: the fixture has 3k-27k distinct shingles per lang
+    # and a strictly-between-0-and-1 Jaccard at every sf
+    f"WITH t AS (SELECT lang, source, {_toks('text')} AS toks FROM documents "
+    "WHERE lang IN ('en', 'de')), "
+    "sh AS (SELECT lang, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS s "
+    "FROM t, unnest(generate_series(1, len(toks) - 2)) AS u(i)), "
+    "g AS (SELECT s, MAX(lang = 'en') AS en, MAX(lang = 'de') AS de "
+    "FROM sh GROUP BY s) "
+    "SELECT CAST(COUNT(*) FILTER (WHERE en) AS BIGINT) AS en_distinct, "
+    "CAST(COUNT(*) FILTER (WHERE de) AS BIGINT) AS de_distinct, "
+    "CAST(COUNT(*) FILTER (WHERE en AND de) AS BIGINT) AS inter_exact, "
+    "ROUND(CAST(COUNT(*) FILTER (WHERE en AND de) AS DOUBLE) "
+    "/ COUNT(*) + 1e-9, 4) AS jaccard_exact, "
+    "TRUE AS hll_ok, TRUE AS merge_ok, TRUE AS theta_ok FROM g"
+)
+
+
+@probe(
+    "ss_sketch_distinct_overlap",
+    oracle=_SKETCH_ORACLE,
+    tags=("sketch", "llm", "incremental"),
+)
+def ss_sketch_distinct_overlap(spark: SparkSession, sf: str) -> DataFrame:
+    """Mergeable distinct sketches (operators/sketches.py): storable
+    per-batch HLL sketches whose union carries the single-shot error
+    bound (merge_ok gates per-source-merged within 2% of the one-shot
+    union estimate over en shingles — DataSketches guarantees no
+    error growth on merge, not bit-identity), HLL estimate
+    within 5% of the exact distinct count (hll_ok), and theta-sketch
+    set algebra estimating en/de shingle Jaccard without any
+    distinct-join (theta_ok: within 0.05 absolute of the exact
+    Jaccard, which the oracle recomputes in full alongside the exact
+    distinct counts). The incremental layer over q17's one-shot
+    approx_count_distinct: sketches persist with each batch, 'distinct
+    across all runs' is a union over tiny rows, not a rescan."""
+    from ensembl_database_loader_spark.functions.text import tokens, word_shingles
+    from ensembl_database_loader_spark.operators.sketches import (
+        corpus_overlap_estimate,
+        distinct_sketches,
+        merge_distinct_sketches,
+    )
+
+    ensure_session_confs(spark)
+    d = table(spark, sf, "documents").filter(F.col("lang").isin("en", "de"))
+    sh = d.select(
+        "lang", "source", F.explode(word_shingles(tokens("text"))).alias("s")
+    ).persist()
+
+    g = sh.groupBy("s").agg(
+        F.max(F.col("lang") == "en").alias("en"),
+        F.max(F.col("lang") == "de").alias("de"),
+    )
+    exact = g.agg(
+        _cnt(F.col("en")).alias("en_distinct"),
+        _cnt(F.col("de")).alias("de_distinct"),
+        _cnt(F.col("en") & F.col("de")).alias("inter_exact"),
+        F.round(
+            _cnt(F.col("en") & F.col("de")) / _cnt() + F.lit(1e-9), 4
+        ).alias("jaccard_exact"),
+    )
+
+    en = sh.filter(F.col("lang") == "en")
+    per_src = distinct_sketches(en, ("source",), "s", lg_k=14)
+    merged = merge_distinct_sketches(per_src).select(
+        F.col("distinct_est").alias("m_est")
+    )
+    # route the single-shot sketch through the SAME union estimator:
+    # a fresh sketch reports the HIP estimate, a union the composite
+    # estimate — the register state is identical, the estimator isn't
+    single = merge_distinct_sketches(
+        distinct_sketches(en.withColumn("_g", F.lit(1)), ("_g",), "s")
+    ).select(F.col("distinct_est").alias("s_est"))
+    theta = corpus_overlap_estimate(
+        en.select("s"), sh.filter(F.col("lang") == "de").select("s"), "s", lg_k=16
+    ).select(F.col("est_jaccard").alias("t_j"))
+
+    return (
+        exact.crossJoin(merged)
+        .crossJoin(single)
+        .crossJoin(theta)
+        .select(
+            "en_distinct",
+            "de_distinct",
+            "inter_exact",
+            "jaccard_exact",
+            (
+                F.abs(F.col("s_est") - F.col("en_distinct"))
+                / F.col("en_distinct")
+                <= 0.05
+            ).alias("hll_ok"),
+            (
+                F.abs(F.col("m_est") - F.col("s_est"))
+                / F.col("s_est")
+                <= 0.02
+            ).alias("merge_ok"),
+            (F.abs(F.col("t_j") - F.col("jaccard_exact")) <= 0.05).alias(
+                "theta_ok"
+            ),
+        )
+    )
