@@ -204,7 +204,9 @@ MERGE_SPECS: dict[str, list[tuple[str, list[tuple[str, str]]]]] = {
     # r6b: the approx-contract pair and the UDF pair consolidate to free
     # two window slots for the corpus-construction composites below —
     # components stay registered, timed, and locally oracle-checked.
-    "q17_q37_approx_sampling": [
+    # late-r7: the mergeable-sketch layer (storable HLL batch sketches +
+    # theta set algebra) joins its one-shot sibling q17 in the window
+    "q17_q37_approx_sketch": [
         (
             "q17_approx_count_distinct",
             [("exact_cnt", "exact_cnt"), ("within_5pct", "within_5pct")],
@@ -216,6 +218,18 @@ MERGE_SPECS: dict[str, list[tuple[str, list[tuple[str, str]]]]] = {
                 ("lo", "lo"),
                 ("hi", "hi"),
                 ("within_bounds", "within_bounds"),
+            ],
+        ),
+        (
+            "ss_sketch_distinct_overlap",
+            [
+                ("en_distinct", "sk_en_distinct"),
+                ("de_distinct", "sk_de_distinct"),
+                ("inter_exact", "sk_inter_exact"),
+                ("jaccard_exact", "sk_jaccard_exact"),
+                ("hll_ok", "sk_hll_ok"),
+                ("merge_ok", "sk_merge_ok"),
+                ("theta_ok", "sk_theta_ok"),
             ],
         ),
     ],

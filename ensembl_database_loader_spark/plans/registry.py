@@ -54,7 +54,7 @@ WINDOW_50: tuple[str, ...] = (
     "q13_q14_range_cross_join",
     "q15_tpch_q1",
     "q16_q31_distinct_date_fns",
-    "q17_q37_approx_sampling",
+    "q17_q37_approx_sketch",
     "q18_q20_condagg_having",
     "q19_rollup",
     "q21_sort_multikey",
