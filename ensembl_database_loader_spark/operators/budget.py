@@ -137,6 +137,7 @@ def select_doc_cap(
     strata_col: str,
     caps: dict[str, int],
     n_buckets: int = 1024,
+    keep_unlisted: bool = False,
 ) -> DataFrame:
     """Keep at most ``caps[stratum]`` documents per stratum, chosen in
     deterministic ``(knuth32(id), id)`` order — the per-domain cap web
@@ -149,8 +150,11 @@ def select_doc_cap(
     to exactness at weight 1). Reuses the bucket-histogram scale plan
     verbatim — no stratum is ever sorted whole, so a 100 TB domain
     never funnels through one task the way the naive per-domain
-    ``row_number`` window would. Strata absent from ``caps`` drop
-    (whitelist semantics, same as ``select_token_budget``)."""
+    ``row_number`` window would. Strata absent from ``caps`` drop by
+    default (whitelist semantics, same as ``select_token_budget``);
+    ``keep_unlisted=True`` passes them through uncapped instead — the
+    pipeline semantic ("cap these giant domains, keep the rest"), a
+    map-side filter union with no extra shuffle."""
     one = "_doc_cap_one"
     kept = select_token_budget(
         df.withColumn(one, F.lit(1).cast("bigint")),
@@ -159,8 +163,14 @@ def select_doc_cap(
         strata_col,
         caps,
         n_buckets,
-    )
-    return kept.drop(one)
+    ).drop(one)
+    if keep_unlisted:
+        listed = list(caps)
+        unlisted = df.filter(
+            ~F.col(strata_col).isin(listed) | F.col(strata_col).isNull()
+        )
+        kept = kept.unionByName(unlisted)
+    return kept
 
 
 def select_token_budget_naive(

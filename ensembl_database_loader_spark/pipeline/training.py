@@ -1,7 +1,7 @@
 """End-to-end training-corpus construction: the single-call composition
 a pretraining data team actually runs —
 
-    [line-clean] -> [exact-substring scrub]
+    [domain-cap] -> [line-clean] -> [exact-substring scrub]
     -> curate (quality -> exact dedup -> near-dup dedup)
     -> [bigram-LM perplexity filter]
     -> decontaminate (drop benchmark-overlapping docs)
@@ -62,6 +62,8 @@ def build_training_corpus(
     lm_min_logprob: float = -8.0,
     lm_alpha: float = 1.0,
     token_budgets: dict[str, int] | None = None,
+    domain_caps: dict[str, int] | None = None,
+    domain_col: str = "source",
 ) -> tuple[DataFrame, DataFrame]:
     """Returns ``(packed, report)``.
 
@@ -94,7 +96,21 @@ def build_training_corpus(
       mean bigram logprob >= ``lm_min_logprob``. Appends ``n_lm``.
     - ``token_budgets``: per-stratum token-budget selection
       (operators/budget.py) after mixing. Appends ``n_budget``.
+    - ``domain_caps``: per-domain document caps (select_doc_cap,
+      keep_unlisted — listed domains capped in deterministic hash
+      order, the rest pass) applied FIRST, before any text stage: at
+      crawl scale the cap is the cheapest reduction, so it runs before
+      the expensive ones. Adds nothing to the report (the funnel's
+      n_input IS the post-cap count — same convention as the substr
+      stage; a separate counter would re-run the cap stage for a
+      number n_input already carries).
     """
+    if domain_caps is not None:
+        from ensembl_database_loader_spark.operators.budget import select_doc_cap
+
+        docs = select_doc_cap(
+            docs, id_col, domain_col, domain_caps, keep_unlisted=True
+        )
     if line_clean:
         # C4-style line scrub BEFORE doc-level curation (the C4 order:
         # line rules first, then document filters); docs losing every

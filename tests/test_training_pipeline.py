@@ -142,3 +142,45 @@ def test_build_training_corpus_optin_stages(spark, sf_dir):
     assert r.n_lm <= r.n_kept            # LM filter only drops
     assert r.n_budget <= r.n_mixed       # budget selection only drops
     assert r.each_doc_once and r.no_overflow
+
+
+def test_build_training_corpus_domain_cap_stage(spark, sf_dir):
+    """domain_caps runs first (keep_unlisted: listed domains capped in
+    deterministic hash order, the rest pass) and appends n_domain_cap."""
+    from pyspark.sql import functions as F
+
+    from ensembl_database_loader_spark.catalog import table
+    from ensembl_database_loader_spark.pipeline.training import (
+        build_training_corpus,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    per_src = {r.source: r.c for r in d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("c")).collect()}
+    caps = {"src0": 3, "src1": 3}
+    _, base = build_training_corpus(
+        d, None, near_dup="inverted", pack_budget=512, pack_shards=4
+    )
+    _, rep = build_training_corpus(
+        d, None, near_dup="inverted", pack_budget=512, pack_shards=4,
+        domain_caps=caps,
+    )
+    r = rep.collect()[0]
+    assert rep.columns == base.columns  # report schema unchanged
+    expected = sum(min(c, caps.get(srcname, c)) for srcname, c in per_src.items())
+    assert r.n_input == expected  # the funnel's n_input IS the post-cap count
+
+
+def test_doc_cap_keep_unlisted_passthrough(spark):
+    from pyspark.sql import functions as F
+
+    from ensembl_database_loader_spark.operators.budget import select_doc_cap
+
+    rows = [(i, ["a", "b", None][i % 3]) for i in range(90)]
+    df = spark.createDataFrame(rows, "id bigint, dom string")
+    kept = select_doc_cap(df, "id", "dom", {"a": 5}, keep_unlisted=True)
+    per = {r.dom: r.c for r in kept.groupBy("dom").agg(
+        F.count(F.lit(1)).alias("c")).collect()}
+    assert per["a"] == 5       # capped
+    assert per["b"] == 30      # unlisted passes whole
+    assert per[None] == 30     # null stratum passes too
