@@ -1588,3 +1588,105 @@ def q56(spark: SparkSession, sf: str) -> DataFrame:
     ).select(
         "n_good", "n_corrupt", "id_sum", "chars_sum", "n_langs", "distinct_text_md5"
     )
+
+
+@probe(
+    "q57_range_interval_window",
+    oracle=(
+        "SELECT CAST(SUM(c) AS BIGINT) AS sum_roll_cnt, "
+        "CAST(MAX(c) AS BIGINT) AS max_roll_cnt, "
+        "ROUND(SUM(s), 2) AS sum_roll_sum FROM ("
+        "SELECT COUNT(*) OVER w AS c, SUM(value) OVER w AS s FROM "
+        "(SELECT user_id, epoch_us(ts) AS tsu, value FROM events) e "
+        "WINDOW w AS (PARTITION BY user_id ORDER BY tsu "
+        "RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)) t"
+    ),
+    tags=("window", "events"),
+)
+def q57(spark: SparkSession, sf: str) -> DataFrame:
+    """Event-time RANGE frame: per-user rolling 1-hour count/sum —
+    the time-windowed analytic q25's ROWS frame can't express (a ROWS
+    frame counts rows, not elapsed time). Ordered on unix_micros so
+    both engines run the identical bigint RANGE arithmetic; rows with
+    equal timestamps are frame peers in both. One shuffle on user_id,
+    per-user sort only — the same scale posture as every window probe
+    (users are the natural partition; no global sort)."""
+    ensure_session_confs(spark)
+    e = table(spark, sf, "events").withColumn("tsu", F.unix_micros("ts"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("tsu")
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    r = e.select(
+        F.count(F.lit(1)).over(w).alias("c"),
+        F.sum("value").over(w).alias("s"),
+    )
+    return r.agg(
+        F.sum("c").cast("bigint").alias("sum_roll_cnt"),
+        F.max("c").cast("bigint").alias("max_roll_cnt"),
+        F.round(F.sum("s"), 2).alias("sum_roll_sum"),
+    )
+
+
+@probe(
+    "q58_sessionization",
+    oracle=(
+        "WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tsu FROM events), "
+        "g AS (SELECT user_id, event_id, tsu, CASE WHEN "
+        "tsu - LAG(tsu) OVER (PARTITION BY user_id ORDER BY tsu, event_id) "
+        "> 1800000000 OR "
+        "LAG(tsu) OVER (PARTITION BY user_id ORDER BY tsu, event_id) IS NULL "
+        "THEN 1 ELSE 0 END AS is_new FROM e), "
+        "s AS (SELECT user_id, tsu, SUM(is_new) OVER (PARTITION BY user_id "
+        "ORDER BY tsu, event_id ROWS UNBOUNDED PRECEDING) AS sess FROM g), "
+        "per AS (SELECT user_id, sess, COUNT(*) AS n_ev, "
+        "MAX(tsu) - MIN(tsu) AS dur_us FROM s GROUP BY user_id, sess) "
+        "SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions, "
+        "CAST(SUM(n_ev) AS BIGINT) AS n_events, "
+        "CAST(MAX(n_ev) AS BIGINT) AS max_events_per_session, "
+        "CAST(SUM(dur_us) AS BIGINT) AS total_session_us FROM per"
+    ),
+    tags=("window", "events", "session"),
+)
+def q58(spark: SparkSession, sf: str) -> DataFrame:
+    """Batch sessionization (gaps-and-islands): wm3's session windows
+    for the BATCH path — new session when a user is idle > 30 min,
+    session id = running count of session starts. Boundary decisions
+    depend only on timestamp VALUES (ties have gap 0), so the result
+    is deterministic under any tie order. Two windows over one
+    user_id shuffle + one aggregate; per-user sorts only, no global
+    sort — the standard scale shape for event sessionization."""
+    ensure_session_confs(spark)
+    e = table(spark, sf, "events").select(
+        "user_id", "event_id", F.unix_micros("ts").alias("tsu")
+    )
+    wo = Window.partitionBy("user_id").orderBy("tsu", "event_id")
+    g = e.withColumn(
+        "is_new",
+        F.when(
+            (F.col("tsu") - F.lag("tsu").over(wo) > 1_800_000_000)
+            | F.lag("tsu").over(wo).isNull(),
+            1,
+        ).otherwise(0),
+    )
+    s = g.withColumn(
+        "sess",
+        F.sum("is_new").over(
+            # SAME order key as the lag window: the session-start row
+            # (is_new=1) is by construction the first row of its tie
+            # group under (tsu, event_id), so the cumsum can never
+            # assign sess=0 — and the two windows share one sort
+            wo.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    per = s.groupBy("user_id", "sess").agg(
+        _cnt().alias("n_ev"),
+        (F.max("tsu") - F.min("tsu")).alias("dur_us"),
+    )
+    return per.agg(
+        _cnt().alias("n_sessions"),
+        F.sum("n_ev").cast("bigint").alias("n_events"),
+        F.max("n_ev").cast("bigint").alias("max_events_per_session"),
+        F.sum("dur_us").cast("bigint").alias("total_session_us"),
+    )
