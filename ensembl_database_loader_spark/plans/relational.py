@@ -1690,3 +1690,93 @@ def q58(spark: SparkSession, sf: str) -> DataFrame:
         F.max("n_ev").cast("bigint").alias("max_events_per_session"),
         F.sum("dur_us").cast("bigint").alias("total_session_us"),
     )
+
+
+@probe(
+    "q59_event_funnel",
+    oracle=(
+        "WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS tsu, event_id "
+        "FROM events), "
+        "w1 AS (SELECT *, MIN(CASE WHEN event_type = 'view' THEN tsu END) "
+        "OVER (PARTITION BY user_id ORDER BY tsu, event_id "
+        "ROWS UNBOUNDED PRECEDING) AS first_view FROM e), "
+        "w2 AS (SELECT *, CASE WHEN event_type = 'click' AND first_view IS NOT "
+        "NULL AND tsu > first_view AND tsu <= first_view + 86400000000 "
+        "THEN tsu END AS click_after FROM w1), "
+        "w3 AS (SELECT *, MIN(click_after) OVER (PARTITION BY user_id "
+        "ORDER BY tsu, event_id ROWS UNBOUNDED PRECEDING) AS first_click FROM w2), "
+        "w4 AS (SELECT *, CASE WHEN event_type = 'purchase' AND first_click IS "
+        "NOT NULL AND tsu > first_click AND tsu <= first_click + 86400000000 "
+        "THEN 1 ELSE 0 END AS purch_after FROM w3), "
+        "u AS (SELECT user_id, MAX(CASE WHEN first_view IS NOT NULL THEN 1 "
+        "ELSE 0 END) AS s1, MAX(CASE WHEN click_after IS NOT NULL THEN 1 "
+        "ELSE 0 END) AS s2, MAX(purch_after) AS s3 FROM w4 GROUP BY user_id) "
+        "SELECT CAST(SUM(s1) AS BIGINT) AS n_view, "
+        "CAST(SUM(s2) AS BIGINT) AS n_view_click, "
+        "CAST(SUM(s3) AS BIGINT) AS n_view_click_purchase, "
+        "ROUND(CAST(SUM(s3) AS DOUBLE) / NULLIF(SUM(s1), 0) + 1e-9, 4) "
+        "AS conversion FROM u"
+    ),
+    tags=("window", "events", "funnel"),
+)
+def q59(spark: SparkSession, sf: str) -> DataFrame:
+    """Ordered conversion funnel (view -> click -> purchase, each step
+    within 24h of the previous, strictly increasing event time — the
+    bound gives partial conversion at every sf, so each funnel stage
+    carries signal): the product-analytics query usually written
+    as two self-joins of the event log on user_id — quadratic in
+    events-per-user and two corpus shuffles. This plan is ONE pass:
+    chained cumulative-min windows ('first view so far', then 'first
+    qualifying click so far') over a single user_id shuffle + one
+    (tsu, event_id) sort, then a per-user aggregate. Same-instant
+    events don't advance the funnel (strict >), so ties are
+    deterministic in both engines."""
+    ensure_session_confs(spark)
+    e = table(spark, sf, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("tsu"), "event_id"
+    )
+    wo = Window.partitionBy("user_id").orderBy("tsu", "event_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    w = (
+        e.withColumn(
+            "first_view",
+            F.min(F.when(F.col("event_type") == "view", F.col("tsu"))).over(wo),
+        )
+        .withColumn(
+            "click_after",
+            F.when(
+                (F.col("event_type") == "click")
+                & F.col("first_view").isNotNull()
+                & (F.col("tsu") > F.col("first_view"))
+                & (F.col("tsu") <= F.col("first_view") + 86_400_000_000),
+                F.col("tsu"),
+            ),
+        )
+        .withColumn("first_click", F.min("click_after").over(wo))
+        .withColumn(
+            "purch_after",
+            F.when(
+                (F.col("event_type") == "purchase")
+                & F.col("first_click").isNotNull()
+                & (F.col("tsu") > F.col("first_click"))
+                & (F.col("tsu") <= F.col("first_click") + 86_400_000_000),
+                1,
+            ).otherwise(0),
+        )
+    )
+    u = w.groupBy("user_id").agg(
+        F.max(F.when(F.col("first_view").isNotNull(), 1).otherwise(0)).alias("s1"),
+        F.max(F.when(F.col("click_after").isNotNull(), 1).otherwise(0)).alias("s2"),
+        F.max("purch_after").alias("s3"),
+    )
+    return u.agg(
+        F.sum("s1").cast("bigint").alias("n_view"),
+        F.sum("s2").cast("bigint").alias("n_view_click"),
+        F.sum("s3").cast("bigint").alias("n_view_click_purchase"),
+        F.round(
+            F.sum("s3") / F.nullif(F.sum("s1").cast("double"), F.lit(0.0))
+            + F.lit(1e-9),
+            4,
+        ).alias("conversion"),
+    )
