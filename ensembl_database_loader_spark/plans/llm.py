@@ -2227,10 +2227,15 @@ _DOMAIN_CAP_ORACLE = (
     # in (knuth_hash, id) order, keep rank <= cap. The Spark side runs
     # the bucket-histogram plan instead (no per-domain sort) — the
     # row-level kept_id_sum gate proves the two pick IDENTICAL docs.
+    # TRY_CAST + cap IS NOT NULL mirrors the Spark side's whitelist
+    # semantics exactly: a source outside src0..src19 drops in both
+    # engines instead of erroring the oracle
     "WITH h AS (SELECT doc_id, source, "
     "(doc_id * 2654435761) % 4294967296 AS hh FROM documents), "
-    "c AS (SELECT *, CASE WHEN CAST(SUBSTR(source, 4) AS INTEGER) % 2 = 1 "
-    "THEN 4 ELSE 9 END AS cap FROM h), "
+    "c AS (SELECT *, CASE WHEN TRY_CAST(SUBSTR(source, 4) AS INTEGER) "
+    "BETWEEN 0 AND 19 THEN "
+    "CASE WHEN TRY_CAST(SUBSTR(source, 4) AS INTEGER) % 2 = 1 "
+    "THEN 4 ELSE 9 END END AS cap FROM h WHERE source LIKE 'src%'), "
     "r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY source "
     "ORDER BY hh, doc_id) AS rn FROM c) "
     "SELECT source, COUNT(*) AS kept_cnt, "
