@@ -1,0 +1,97 @@
+"""Event-log analytics operators: sessionization and ordered
+conversion funnels — the two event-table queries analysts otherwise
+write as per-user self-joins of the log (quadratic per user, one
+corpus shuffle per join).
+
+Both operators are single-pass: one hash shuffle on the user column,
+one per-user sort, chained window functions. At 100 TB the user column
+is the natural partition key (billions of users, each with a bounded
+event count), so no task ever sees more than one user's worth of
+sorted data beyond its partition share — there is no global sort and
+no self-join anywhere.
+
+Timestamps are taken as BIGINT microseconds (``F.unix_micros(ts)``) so
+gap/step arithmetic is exact integer math, identical across engines
+(probes q58/q59 hash-gate against DuckDB's epoch_us on the same
+parquet).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def sessionize(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    tiebreak_col: str,
+    gap_us: int,
+) -> DataFrame:
+    """Gaps-and-islands sessionization: a new session starts when the
+    user was idle longer than ``gap_us``. Adds a per-user ``sess``
+    number (1-based). The idle-gap lag and the session-start cumsum
+    share ONE (ts, tiebreak) sort order — which also guarantees the
+    session-start row is first in its tie group, so no row can land
+    before its own session (sess=0 is impossible). Boundary decisions
+    depend only on timestamp VALUES (tied rows have gap 0), so the
+    result is deterministic under any tie order."""
+    wo = Window.partitionBy(user_col).orderBy(ts_col, tiebreak_col)
+    is_new = F.when(
+        (F.col(ts_col) - F.lag(ts_col).over(wo) > gap_us)
+        | F.lag(ts_col).over(wo).isNull(),
+        1,
+    ).otherwise(0)
+    return df.withColumn(
+        "sess",
+        F.sum(is_new).over(wo.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+
+
+def conversion_funnel(
+    df: DataFrame,
+    user_col: str,
+    type_col: str,
+    ts_col: str,
+    tiebreak_col: str,
+    steps: tuple[str, ...],
+    step_within_us: int | None = None,
+) -> DataFrame:
+    """Ordered funnel (step i+1 strictly after step i, optionally
+    within ``step_within_us``): one row per user with integer columns
+    ``s1..sN`` (1 = user completed that step). Implemented as chained
+    cumulative-min windows — 'earliest step-1 event so far', then
+    'earliest qualifying step-2 event so far', ... — so the whole
+    funnel is one shuffle + one sort however many steps it has,
+    instead of ``N-1`` self-joins. Same-instant events don't advance
+    the funnel (strict >); ties are deterministic."""
+    assert len(steps) >= 1
+    wo = Window.partitionBy(user_col).orderBy(ts_col, tiebreak_col).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    work = df
+    prev_first: Column | None = None
+    qual_cols: list[str] = []
+    for i, step in enumerate(steps):
+        if i == 0:
+            qual = F.when(F.col(type_col) == step, F.col(ts_col))
+        else:
+            cond = (
+                (F.col(type_col) == step)
+                & prev_first.isNotNull()
+                & (F.col(ts_col) > prev_first)
+            )
+            if step_within_us is not None:
+                cond = cond & (F.col(ts_col) <= prev_first + step_within_us)
+            qual = F.when(cond, F.col(ts_col))
+        qc, fc = f"_q{i}", f"_f{i}"
+        work = work.withColumn(qc, qual).withColumn(fc, F.min(qc).over(wo))
+        qual_cols.append(qc)
+        prev_first = F.col(fc)
+    return work.groupBy(user_col).agg(
+        *[
+            F.max(F.when(F.col(qc).isNotNull(), 1).otherwise(0)).alias(f"s{i + 1}")
+            for i, qc in enumerate(qual_cols)
+        ]
+    )

@@ -1657,29 +1657,13 @@ def q58(spark: SparkSession, sf: str) -> DataFrame:
     is deterministic under any tie order. Two windows over one
     user_id shuffle + one aggregate; per-user sorts only, no global
     sort — the standard scale shape for event sessionization."""
+    from ensembl_database_loader_spark.operators.events import sessionize
+
     ensure_session_confs(spark)
     e = table(spark, sf, "events").select(
         "user_id", "event_id", F.unix_micros("ts").alias("tsu")
     )
-    wo = Window.partitionBy("user_id").orderBy("tsu", "event_id")
-    g = e.withColumn(
-        "is_new",
-        F.when(
-            (F.col("tsu") - F.lag("tsu").over(wo) > 1_800_000_000)
-            | F.lag("tsu").over(wo).isNull(),
-            1,
-        ).otherwise(0),
-    )
-    s = g.withColumn(
-        "sess",
-        F.sum("is_new").over(
-            # SAME order key as the lag window: the session-start row
-            # (is_new=1) is by construction the first row of its tie
-            # group under (tsu, event_id), so the cumsum can never
-            # assign sess=0 — and the two windows share one sort
-            wo.rowsBetween(Window.unboundedPreceding, 0)
-        ),
-    )
+    s = sessionize(e, "user_id", "tsu", "event_id", gap_us=1_800_000_000)
     per = s.groupBy("user_id", "sess").agg(
         _cnt().alias("n_ev"),
         (F.max("tsu") - F.min("tsu")).alias("dur_us"),
@@ -1731,44 +1715,16 @@ def q59(spark: SparkSession, sf: str) -> DataFrame:
     (tsu, event_id) sort, then a per-user aggregate. Same-instant
     events don't advance the funnel (strict >), so ties are
     deterministic in both engines."""
+    from ensembl_database_loader_spark.operators.events import conversion_funnel
+
     ensure_session_confs(spark)
     e = table(spark, sf, "events").select(
         "user_id", "event_type", F.unix_micros("ts").alias("tsu"), "event_id"
     )
-    wo = Window.partitionBy("user_id").orderBy("tsu", "event_id").rowsBetween(
-        Window.unboundedPreceding, 0
-    )
-    w = (
-        e.withColumn(
-            "first_view",
-            F.min(F.when(F.col("event_type") == "view", F.col("tsu"))).over(wo),
-        )
-        .withColumn(
-            "click_after",
-            F.when(
-                (F.col("event_type") == "click")
-                & F.col("first_view").isNotNull()
-                & (F.col("tsu") > F.col("first_view"))
-                & (F.col("tsu") <= F.col("first_view") + 86_400_000_000),
-                F.col("tsu"),
-            ),
-        )
-        .withColumn("first_click", F.min("click_after").over(wo))
-        .withColumn(
-            "purch_after",
-            F.when(
-                (F.col("event_type") == "purchase")
-                & F.col("first_click").isNotNull()
-                & (F.col("tsu") > F.col("first_click"))
-                & (F.col("tsu") <= F.col("first_click") + 86_400_000_000),
-                1,
-            ).otherwise(0),
-        )
-    )
-    u = w.groupBy("user_id").agg(
-        F.max(F.when(F.col("first_view").isNotNull(), 1).otherwise(0)).alias("s1"),
-        F.max(F.when(F.col("click_after").isNotNull(), 1).otherwise(0)).alias("s2"),
-        F.max("purch_after").alias("s3"),
+    u = conversion_funnel(
+        e, "user_id", "event_type", "tsu", "event_id",
+        steps=("view", "click", "purchase"),
+        step_within_us=86_400_000_000,
     )
     return u.agg(
         F.sum("s1").cast("bigint").alias("n_view"),

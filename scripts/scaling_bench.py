@@ -91,13 +91,17 @@ def main() -> int:
     )
     ap.add_argument("--doc-reps", default="1,2,5,10", help="replica counts for dedup")
     ap.add_argument("--vec-reps", default="1,5,25,50", help="replica counts for ANN")
+    ap.add_argument(
+        "--event-reps", default="1,5,20",
+        help="replica counts for event analytics (users scale, per-user density constant)",
+    )
     args = ap.parse_args()
 
     spark = get_spark(app_name="scaling-bench")
     spark.sparkContext.setLogLevel("ERROR")
     out = []
 
-    for k in [int(x) for x in args.doc_reps.split(",")]:
+    for k in [int(x) for x in args.doc_reps.split(",") if x]:
         c = scaled_corpus(spark, args.sf_dir, k).cache()
         n = c.count()  # materialize outside the timed region
 
@@ -192,9 +196,25 @@ def main() -> int:
         out.append(rec)
         print(json.dumps(rec), flush=True)
 
+        # late-r7: per-domain doc caps — bucket-histogram plan, so cost
+        # is one corpus scan + a boundary-bucket window regardless of
+        # how large any single domain grows
+        from ensembl_database_loader_spark.operators.budget import select_doc_cap
+
+        t0 = time.perf_counter()
+        capped = select_doc_cap(
+            c, "doc_id", "lang", {"en": 5000, "de": 2000}, keep_unlisted=True
+        )
+        ccnt = capped.count()
+        dt = time.perf_counter() - t0
+        rec = {"op": "llp_domain_cap", "n_docs": n, "sec": round(dt, 2),
+               "kept": ccnt}  # fmt: skip
+        out.append(rec)
+        print(json.dumps(rec), flush=True)
+
         c.unpersist()
 
-    for k in [int(x) for x in args.vec_reps.split(",")]:
+    for k in [int(x) for x in args.vec_reps.split(",") if x]:
         e = scaled_vectors(spark, args.sf_dir, k).cache()
         n = e.count()
 
@@ -257,6 +277,51 @@ def main() -> int:
         print(json.dumps(rec), flush=True)
 
         e.unpersist()
+
+    # late-r7: event analytics — users scale with replicas while
+    # per-user event counts stay constant, the realistic growth mode;
+    # both ops are one user-shuffle + per-user sorts, so wall-clock
+    # should grow ~linearly in total events
+    from ensembl_database_loader_spark.operators.events import (
+        conversion_funnel,
+        sessionize,
+    )
+
+    for k in [int(x) for x in args.event_reps.split(",") if x]:
+        ev = table(spark, args.sf_dir, "events").select(
+            "user_id", "event_id", "event_type", F.unix_micros("ts").alias("tsu")
+        )
+        reps = spark.range(k).select(F.col("id").alias("rep"))
+        ev = ev.crossJoin(reps).select(
+            (F.col("user_id") + F.col("rep") * 1_000_000).alias("user_id"),
+            "event_id", "event_type", "tsu",
+        ).cache()
+        n = ev.count()
+
+        t0 = time.perf_counter()
+        sess = sessionize(ev, "user_id", "tsu", "event_id", gap_us=1_800_000_000)
+        ns = sess.select("user_id", "sess").distinct().count()
+        dt = time.perf_counter() - t0
+        rec = {"op": "q58_sessionization", "n_events": n, "sec": round(dt, 2),
+               "n_sessions": ns}  # fmt: skip
+        out.append(rec)
+        print(json.dumps(rec), flush=True)
+
+        t0 = time.perf_counter()
+        fun = conversion_funnel(
+            ev, "user_id", "event_type", "tsu", "event_id",
+            steps=("view", "click", "purchase"), step_within_us=86_400_000_000,
+        )
+        row = fun.agg(
+            F.sum("s1").alias("a"), F.sum("s3").alias("c")
+        ).collect()[0]
+        dt = time.perf_counter() - t0
+        rec = {"op": "q59_event_funnel", "n_events": n, "sec": round(dt, 2),
+               "n_step1": int(row.a), "n_step3": int(row.c)}  # fmt: skip
+        out.append(rec)
+        print(json.dumps(rec), flush=True)
+
+        ev.unpersist()
 
     spark.stop()
     return 0
