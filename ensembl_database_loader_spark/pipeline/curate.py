@@ -18,7 +18,7 @@ components (see the iterative operator in operators/components.py).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ensembl_database_loader_spark.functions.text import normalize_text, tokens
@@ -423,3 +423,64 @@ def curate_increment(
         new_sigs.write.mode("append").parquet(store_path + "/exact_sigs")
         new_bands.write.mode("append").parquet(store_path + "/band_keys")
     return kept, stats
+
+
+# ---------------------------------------------------------------------------
+# Corpus-stats sketch store (optional companion to the fingerprint store)
+#
+# "How many distinct tokens does the accumulated corpus have after 40
+# ingest runs?" answered WITHOUT rescanning history: each run appends
+# one ~KB HLL sketch row; the cumulative estimate is a union over those
+# rows (operators/sketches.py — error-bounded merge, ~1% at lg_k 14).
+# Deliberately decoupled from curate_corpus/curate_increment so the
+# funnel's outputs, probes, and timings are untouched — call it on the
+# kept frame right after each run, against the same store_path.
+
+
+def write_corpus_sketch(
+    kept: DataFrame,
+    store_path: str,
+    batch_label: str,
+    text_col: str = "text",
+    lg_k: int = 14,
+) -> None:
+    """Append one (batch_label, hll_sketch, distinct_est, n_docs,
+    n_tokens) row for this run's kept documents to
+    ``store_path + '/token_sketches'``."""
+    from ensembl_database_loader_spark.operators.sketches import distinct_sketches
+
+    tok = kept.select(
+        F.lit(batch_label).alias("batch"), F.explode(tokens(text_col)).alias("w")
+    )
+    sk = distinct_sketches(tok, ("batch",), "w", lg_k=lg_k)
+    counts = kept.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(tokens(text_col))).cast("bigint").alias("n_tokens"),
+    )
+    sk.crossJoin(counts).write.mode("append").parquet(
+        store_path + "/token_sketches"
+    )
+
+
+def corpus_distinct_stats(spark: SparkSession, store_path: str) -> DataFrame:
+    """One row over ALL batches ever sketched: ``n_batches, n_docs,
+    n_tokens, distinct_tokens_est`` — the cumulative corpus accounting,
+    computed from the tiny sketch rows only (no history rescan)."""
+    from ensembl_database_loader_spark.operators.sketches import (
+        merge_distinct_sketches,
+    )
+
+    sk = spark.read.parquet(
+        *_snapshot_files(spark, store_path + "/token_sketches")
+    )
+    merged = merge_distinct_sketches(sk).select(
+        F.col("distinct_est").alias("distinct_tokens_est")
+    )
+    return (
+        sk.agg(
+            F.count(F.lit(1)).alias("n_batches"),
+            F.sum("n_docs").cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+        )
+        .crossJoin(merged)
+    )

@@ -64,3 +64,39 @@ def test_theta_overlap_no_join_estimates(spark):
     plan = corpus_overlap_estimate(a, b, "w")._jdf.queryExecution(
     ).executedPlan().toString()
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+def test_corpus_sketch_store_accumulates_across_runs(spark, tmp_path):
+    """The incremental corpus-accounting flow: one sketch row appended
+    per curation run; cumulative distinct-token estimate from the tiny
+    rows only, within the sketch bound of the exact cross-batch
+    distinct count."""
+    from ensembl_database_loader_spark.functions.text import tokens as tok_fn
+    from ensembl_database_loader_spark.pipeline.curate import (
+        corpus_distinct_stats,
+        write_corpus_sketch,
+    )
+
+    store = str(tmp_path / "store")
+    b1 = spark.range(0, 400).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("alpha tok"), F.col("id").cast("string"), F.lit(" beta")).alias("text"),
+    )
+    b2 = spark.range(400, 1000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("alpha tok"), F.col("id").cast("string"), F.lit(" gamma")).alias("text"),
+    )
+    write_corpus_sketch(b1, store, "run1")
+    write_corpus_sketch(b2, store, "run2")
+    row = corpus_distinct_stats(spark, store).collect()[0]
+    assert row.n_batches == 2
+    assert row.n_docs == 1000
+    assert row.n_tokens == 3000
+    exact = (
+        b1.unionByName(b2)
+        .select(F.explode(tok_fn("text")).alias("w"))
+        .agg(F.countDistinct("w"))
+        .collect()[0][0]
+    )  # 1000 unique tokN + alpha/beta/gamma = 1003
+    assert exact == 1003
+    assert abs(row.distinct_tokens_est - exact) / exact < 0.05
