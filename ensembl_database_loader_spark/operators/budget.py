@@ -42,6 +42,11 @@ from ensembl_database_loader_spark.operators.mixing import HASH_SPACE, knuth32
 
 
 def _budget_col(strata_col: str, budgets: dict[str, int]):
+    if not budgets:
+        # empty whitelist: F.create_map() builds map<void,void>, which
+        # fails analysis when indexed by a string — a null budget for
+        # every stratum expresses "nothing listed" instead
+        return F.lit(None).cast("bigint")
     m = F.create_map(
         *[x for k, v in sorted(budgets.items()) for x in (F.lit(k), F.lit(int(v)))]
     )
@@ -155,6 +160,9 @@ def select_doc_cap(
     ``keep_unlisted=True`` passes them through uncapped instead — the
     pipeline semantic ("cap these giant domains, keep the rest"), a
     map-side filter union with no extra shuffle."""
+    if not caps:
+        # nothing listed: everything is "unlisted"
+        return df if keep_unlisted else df.limit(0)
     one = "_doc_cap_one"
     kept = select_token_budget(
         df.withColumn(one, F.lit(1).cast("bigint")),

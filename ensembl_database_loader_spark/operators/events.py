@@ -37,6 +37,11 @@ def sessionize(
     before its own session (sess=0 is impossible). Boundary decisions
     depend only on timestamp VALUES (tied rows have gap 0), so the
     result is deterministic under any tie order."""
+    if "sess" in df.columns:
+        raise ValueError(
+            "sessionize writes a 'sess' column but the input already has "
+            "one — rename or drop it first"
+        )
     wo = Window.partitionBy(user_col).orderBy(ts_col, tiebreak_col)
     is_new = F.when(
         (F.col(ts_col) - F.lag(ts_col).over(wo) > gap_us)
@@ -67,6 +72,9 @@ def conversion_funnel(
     instead of ``N-1`` self-joins. Same-instant events don't advance
     the funnel (strict >); ties are deterministic."""
     assert len(steps) >= 1
+    clash = [c for c in df.columns if c.startswith(("__cf_q", "__cf_f"))]
+    if clash:
+        raise ValueError(f"conversion_funnel internal columns clash: {clash}")
     wo = Window.partitionBy(user_col).orderBy(ts_col, tiebreak_col).rowsBetween(
         Window.unboundedPreceding, 0
     )
@@ -85,7 +93,7 @@ def conversion_funnel(
             if step_within_us is not None:
                 cond = cond & (F.col(ts_col) <= prev_first + step_within_us)
             qual = F.when(cond, F.col(ts_col))
-        qc, fc = f"_q{i}", f"_f{i}"
+        qc, fc = f"__cf_q{i}", f"__cf_f{i}"
         work = work.withColumn(qc, qual).withColumn(fc, F.min(qc).over(wo))
         qual_cols.append(qc)
         prev_first = F.col(fc)

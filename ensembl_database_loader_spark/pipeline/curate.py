@@ -240,14 +240,14 @@ def _snapshot_files(spark, path: str) -> list[str]:
     hpath = jvm.org.apache.hadoop.fs.Path(path)
     fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
     if not fs.exists(hpath):
-        raise FileNotFoundError(f"fingerprint store missing: {path}")
+        raise FileNotFoundError(f"store missing: {path}")
     files = [
         st.getPath().toString()
         for st in fs.listStatus(hpath)
         if st.isFile() and not st.getPath().getName().startswith(("_", "."))
     ]
     if not files:
-        raise FileNotFoundError(f"fingerprint store empty: {path}")
+        raise FileNotFoundError(f"store empty: {path}")
     return files
 
 
@@ -441,25 +441,35 @@ def write_corpus_sketch(
     kept: DataFrame,
     store_path: str,
     batch_label: str,
+    id_col: str = "doc_id",
     text_col: str = "text",
     lg_k: int = 14,
 ) -> None:
-    """Append one (batch_label, hll_sketch, distinct_est, n_docs,
-    n_tokens) row for this run's kept documents to
-    ``store_path + '/token_sketches'``."""
-    from ensembl_database_loader_spark.operators.sketches import distinct_sketches
+    """Append one (batch, hll_sketch, distinct_est, n_docs, n_tokens)
+    row for this run's kept documents to
+    ``store_path + '/token_sketches'``.
 
+    ONE aggregate over one explode_outer pass computes the sketch and
+    both counts together (a second ``kept.agg`` branch would re-run
+    the whole curation lineage feeding ``kept``), and a global
+    aggregate always emits its row — an EMPTY batch (everything
+    filtered, or all-null texts) still lands in the store with a null
+    sketch and zero counts, so per-run accounting never silently
+    skips a run."""
     tok = kept.select(
-        F.lit(batch_label).alias("batch"), F.explode(tokens(text_col)).alias("w")
+        F.col(id_col).alias("_id"),
+        F.explode_outer(tokens(text_col)).alias("w"),
     )
-    sk = distinct_sketches(tok, ("batch",), "w", lg_k=lg_k)
-    counts = kept.agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum(F.size(tokens(text_col))).cast("bigint").alias("n_tokens"),
+    sk_agg = F.hll_sketch_agg(F.col("w"), F.lit(int(lg_k)))
+    row = tok.agg(
+        sk_agg.alias("hll_sketch"),
+        F.coalesce(F.hll_sketch_estimate(sk_agg), F.lit(0)).alias("distinct_est"),
+        F.count_distinct(F.col("_id")).alias("n_docs"),
+        F.count(F.col("w")).cast("bigint").alias("n_tokens"),
     )
-    sk.crossJoin(counts).write.mode("append").parquet(
-        store_path + "/token_sketches"
-    )
+    row.select(F.lit(batch_label).alias("batch"), "*").write.mode(
+        "append"
+    ).parquet(store_path + "/token_sketches")
 
 
 def corpus_distinct_stats(spark: SparkSession, store_path: str) -> DataFrame:
@@ -473,8 +483,10 @@ def corpus_distinct_stats(spark: SparkSession, store_path: str) -> DataFrame:
     sk = spark.read.parquet(
         *_snapshot_files(spark, store_path + "/token_sketches")
     )
-    merged = merge_distinct_sketches(sk).select(
-        F.col("distinct_est").alias("distinct_tokens_est")
+    # empty batches carry null sketches; hll_union_agg skips nulls, and
+    # an all-empty store estimates 0
+    merged = merge_distinct_sketches(sk.filter(F.col("hll_sketch").isNotNull())).select(
+        F.coalesce(F.col("distinct_est"), F.lit(0)).alias("distinct_tokens_est")
     )
     return (
         sk.agg(

@@ -796,3 +796,20 @@ def test_doc_cap_exactness_and_row_number_equivalence(spark):
         assert set(kept[0].asDict()) == {"id", "dom"}
     # absent strata drop (whitelist)
     assert select_doc_cap(df, "id", "dom", {"zz": 5}).count() == 0
+
+
+def test_doc_cap_and_budget_empty_whitelist(spark):
+    """Empty caps/budgets must apply the documented whitelist semantics
+    (drop all / pass all), never fail analysis (empty F.create_map()
+    builds map<void,void> and errors when indexed)."""
+    from ensembl_database_loader_spark.operators.budget import (
+        select_doc_cap,
+        select_token_budget,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a", 5), (2, "b", 5)], "id bigint, dom string, n_tokens bigint"
+    )
+    assert select_doc_cap(df, "id", "dom", {}).count() == 0
+    assert select_doc_cap(df, "id", "dom", {}, keep_unlisted=True).count() == 2
+    assert select_token_budget(df, "id", "n_tokens", "dom", {}).count() == 0

@@ -126,3 +126,16 @@ def test_funnel_strictness_and_single_shuffle(spark):
     )
     assert plan.count("Exchange hashpartitioning") == 1
     assert plan.count("Sort [") == 1
+
+
+def test_events_operators_reject_column_collisions(spark):
+    import pytest
+
+    df = spark.createDataFrame(
+        [(1, "a", 10, 0, 9)], "u bigint, ty string, ts bigint, tb bigint, sess bigint"
+    )
+    with pytest.raises(ValueError, match="sess"):
+        sessionize(df, "u", "ts", "tb", gap_us=5)
+    df2 = df.withColumnRenamed("sess", "__cf_q0")
+    with pytest.raises(ValueError, match="clash"):
+        conversion_funnel(df2, "u", "ty", "ts", "tb", ("a",))

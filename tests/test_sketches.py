@@ -100,3 +100,23 @@ def test_corpus_sketch_store_accumulates_across_runs(spark, tmp_path):
     )  # 1000 unique tokN + alpha/beta/gamma = 1003
     assert exact == 1003
     assert abs(row.distinct_tokens_est - exact) / exact < 0.05
+
+
+def test_corpus_sketch_store_records_empty_batches(spark, tmp_path):
+    """An empty curation batch still lands one accounting row (null
+    sketch, zero counts) — runs are never silently missing from the
+    store."""
+    from ensembl_database_loader_spark.pipeline.curate import (
+        corpus_distinct_stats,
+        write_corpus_sketch,
+    )
+
+    store = str(tmp_path / "store")
+    full = spark.createDataFrame([(1, "alpha beta")], "doc_id bigint, text string")
+    empty = full.limit(0)
+    write_corpus_sketch(full, store, "run1")
+    write_corpus_sketch(empty, store, "run2")
+    row = corpus_distinct_stats(spark, store).collect()[0]
+    assert row.n_batches == 2  # the empty run is still accounted
+    assert row.n_docs == 1 and row.n_tokens == 2
+    assert row.distinct_tokens_est == 2

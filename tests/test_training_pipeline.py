@@ -146,7 +146,8 @@ def test_build_training_corpus_optin_stages(spark, sf_dir):
 
 def test_build_training_corpus_domain_cap_stage(spark, sf_dir):
     """domain_caps runs first (keep_unlisted: listed domains capped in
-    deterministic hash order, the rest pass) and appends n_domain_cap."""
+    deterministic hash order, the rest pass); the report schema is
+    unchanged — the funnel's n_input IS the post-cap count."""
     from pyspark.sql import functions as F
 
     from ensembl_database_loader_spark.catalog import table
