@@ -813,3 +813,28 @@ def test_doc_cap_and_budget_empty_whitelist(spark):
     assert select_doc_cap(df, "id", "dom", {}).count() == 0
     assert select_doc_cap(df, "id", "dom", {}, keep_unlisted=True).count() == 2
     assert select_token_budget(df, "id", "n_tokens", "dom", {}).count() == 0
+
+
+def test_profile_columns_single_pass_and_null_accounting(spark):
+    from ensembl_database_loader_spark.operators.profile import profile_columns
+
+    df = spark.createDataFrame(
+        [(1, "a", None), (2, "b", 5.0), (3, None, 5.0), (4, "b", None)],
+        "id bigint, s string, v double",
+    )
+    rows = {r.column: r for r in profile_columns(df, exact=True).collect()}
+    assert set(rows) == {"id", "s", "v"}
+    assert all(r.n_rows == 4 for r in rows.values())
+    assert (rows["s"].n_nulls, rows["s"].n_distinct) == (1, 2)
+    assert (rows["v"].n_nulls, rows["v"].n_distinct) == (2, 1)
+    assert (rows["id"].min_val, rows["id"].max_val) == ("1", "4")
+    # approx path: ONE aggregate pass, no Expand (exact multi-distinct
+    # plans an Expand replica per aggregate — the documented trade-off)
+    plan = (
+        profile_columns(df, exact=False)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Expand" not in plan
+    assert plan.count("Exchange") <= 1  # single-partition final agg only
