@@ -1786,3 +1786,64 @@ def dq_profile(spark: SparkSession, sf: str) -> DataFrame:
         li, ("l_linenumber", "l_returnflag", "l_linestatus", "l_shipdate"),
         exact=True,
     ).orderBy("column")
+
+
+@probe(
+    "llp_snapshot_merge",
+    oracle=(
+        # the change batch, derived deterministically from orders:
+        # keys % 10 == 0 update (price + 1), % 97 == 0 delete, plus
+        # 100 brand-new keys (o_orderkey + 100000000)
+        "WITH batch AS ("
+        "SELECT o_orderkey AS k, ROUND(o_totalprice + 1, 2) AS price, "
+        "(o_orderkey % 97 = 0) AS dead FROM orders WHERE o_orderkey % 10 = 0 "
+        "UNION ALL "
+        "SELECT o_orderkey + 100000000, ROUND(o_totalprice, 2), FALSE "
+        "FROM orders WHERE o_orderkey <= 400"
+        "), snap AS (SELECT o_orderkey AS k, ROUND(o_totalprice, 2) AS price "
+        "FROM orders), "
+        "merged AS ("
+        "SELECT * FROM snap WHERE k NOT IN (SELECT k FROM batch) "
+        "UNION ALL SELECT k, price FROM batch WHERE NOT dead) "
+        "SELECT CAST(COUNT(*) AS BIGINT) AS n_rows, "
+        "CAST(SUM(k) AS BIGINT) AS key_sum, "
+        "ROUND(SUM(price), 2) AS price_sum, "
+        "CAST(COUNT(*) FILTER (WHERE k > 100000000) AS BIGINT) AS n_inserted "
+        "FROM merged"
+    ),
+    tags=("merge", "upsert", "pipeline"),
+)
+def llp_snapshot_merge(spark: SparkSession, sf: str) -> DataFrame:
+    """Snapshot merge / MERGE INTO (operators/upsert.py): updates,
+    inserts, and tombstone deletes applied in one anti-join + union —
+    the incremental form of the reference's drop-and-reload mirror
+    maintenance (Database.pm drop/create). The oracle recomputes the
+    merge relationally; key_sum and price_sum are row-level gates over
+    the merged snapshot."""
+    from ensembl_database_loader_spark.operators.upsert import merge_snapshot
+
+    ensure_session_confs(spark)
+    o = table(spark, sf, "orders")
+    snap = o.select(
+        F.col("o_orderkey").alias("k"),
+        F.round("o_totalprice", 2).alias("price"),
+    )
+    updates = o.filter(F.col("o_orderkey") % 10 == 0).select(
+        F.col("o_orderkey").alias("k"),
+        F.round(F.col("o_totalprice") + 1, 2).alias("price"),
+        (F.col("o_orderkey") % 97 == 0).alias("dead"),
+    )
+    inserts = o.filter(F.col("o_orderkey") <= 400).select(
+        (F.col("o_orderkey") + 100_000_000).alias("k"),
+        F.round("o_totalprice", 2).alias("price"),
+        F.lit(False).alias("dead"),
+    )
+    merged = merge_snapshot(
+        snap, updates.unionByName(inserts), ("k",), tombstone_col="dead"
+    )
+    return merged.agg(
+        _cnt().alias("n_rows"),
+        F.sum("k").cast("bigint").alias("key_sum"),
+        F.round(F.sum("price"), 2).alias("price_sum"),
+        _cnt(F.col("k") > 100_000_000).alias("n_inserted"),
+    )

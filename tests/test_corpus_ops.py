@@ -838,3 +838,24 @@ def test_profile_columns_single_pass_and_null_accounting(spark):
     )
     assert "Expand" not in plan
     assert plan.count("Exchange") <= 1  # single-partition final agg only
+
+
+def test_merge_snapshot_semantics(spark):
+    from ensembl_database_loader_spark.operators.upsert import merge_snapshot
+
+    snap = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k bigint, v string"
+    )
+    batch = spark.createDataFrame(
+        [(2, "B", False), (3, None, True), (4, "d", False), (5, "e", None)],
+        "k bigint, v string, dead boolean",
+    )
+    got = {r.k: r.v for r in merge_snapshot(snap, batch, ("k",), "dead").collect()}
+    # 1 carried, 2 updated, 3 tombstoned, 4 inserted, 5 null-dead -> live
+    assert got == {1: "a", 2: "B", 4: "d", 5: "e"}
+    # without a tombstone column every batch row upserts
+    got2 = {
+        r.k: r.v
+        for r in merge_snapshot(snap, batch.drop("dead"), ("k",)).collect()
+    }
+    assert got2 == {1: "a", 2: "B", 3: None, 4: "d", 5: "e"}
