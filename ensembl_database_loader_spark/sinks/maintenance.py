@@ -1,0 +1,75 @@
+"""Table maintenance for the parquet mirror: small-file compaction.
+
+Every incremental writer (streaming ingest micro-batches,
+``curate_increment`` appends, per-release mirror loads) accretes small
+files; at scale the file count — not the byte count — becomes the
+bottleneck (task-per-file scheduling, namenode/listing pressure,
+parquet footer overhead per file). Compaction rewrites a directory
+into ~``target_bytes``-sized files.
+
+Reference analogue: the loader's idempotent directory recreate before
+each load (``LoadFiles.pm`` prepare/reload) — here the table survives
+and is rewritten in place with a rename swap.
+
+Scale notes: the rewrite is one job whose parallelism is the OUTPUT
+file count (``repartition(n_out)`` — a full shuffle, the price of
+perfect sizing; at 100 TB compact partition-by-partition instead, one
+hive partition per job, same helper pointed at the partition dir).
+The swap is two renames — not atomic as a pair; a reader racing the
+swap can fail and retry, which is the standard non-transactional
+parquet-lake trade-off (a table format adds the commit protocol)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import SparkSession
+
+
+def _fs(spark: SparkSession, path: str):
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    return hpath.getFileSystem(spark._jsc.hadoopConfiguration()), hpath, jvm
+
+
+def _dir_stats(spark: SparkSession, path: str) -> tuple[int, int]:
+    """(n_data_files, total_bytes) for a parquet directory."""
+    fs, hpath, _ = _fs(spark, path)
+    files = [
+        st
+        for st in fs.listStatus(hpath)
+        if st.isFile() and not st.getPath().getName().startswith(("_", "."))
+    ]
+    return len(files), sum(st.getLen() for st in files)
+
+
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    target_bytes: int = 128 << 20,
+    sort_cols: tuple[str, ...] = (),
+) -> dict[str, int]:
+    """Rewrite the parquet directory at ``path`` into
+    ``ceil(total_bytes / target_bytes)`` files (optionally sorted
+    within files by ``sort_cols`` — restores min/max-stat clustering
+    that interleaved appends destroy, so scans prune row groups
+    again). Returns ``{files_before, files_after, bytes}``."""
+    n_before, total = _dir_stats(spark, path)
+    n_out = max(1, math.ceil(total / target_bytes))
+    df = spark.read.parquet(path)
+    out = df.repartition(n_out)
+    if sort_cols:
+        out = out.sortWithinPartitions(*sort_cols)
+
+    tmp = path.rstrip("/") + "__compact_tmp"
+    out.write.mode("overwrite").parquet(tmp)
+
+    fs, hpath, jvm = _fs(spark, path)
+    bak = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "__compact_bak")
+    if fs.exists(bak):
+        fs.delete(bak, True)
+    fs.rename(hpath, bak)
+    fs.rename(jvm.org.apache.hadoop.fs.Path(tmp), hpath)
+    fs.delete(bak, True)
+    n_after, _ = _dir_stats(spark, path)
+    return {"files_before": n_before, "files_after": n_after, "bytes": total}
