@@ -92,3 +92,34 @@ def jsonl_quality_report(
         F.count(good).alias("n_good"),
         F.count(F.when(c.isNotNull(), 1)).alias("n_corrupt"),
     )
+
+
+def stream_jsonl(
+    spark: SparkSession,
+    landing_dir: str,
+    schema: str | StructType,
+    corrupt_col: str = CORRUPT_COL,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Streaming tail of a JSONL landing directory — the crawl-ingest
+    shape: new ``*.json`` / ``*.json.gz`` shards dropped into
+    ``landing_dir`` surface as micro-batches with the SAME schema,
+    PERMISSIVE corrupt capture, and dialect as ``read_jsonl`` (batch
+    backfill and streaming tail stay interchangeable — the
+    backfill-plus-tail pattern of ``pipeline/incremental.py``).
+    ``max_files_per_trigger`` bounds per-trigger work."""
+    if isinstance(schema, str):
+        schema = StructType.fromDDL(schema)
+    if corrupt_col not in schema.fieldNames():
+        schema = StructType(
+            list(schema.fields) + [StructField(corrupt_col, StringType(), True)]
+        )
+    reader = spark.readStream
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return (
+        reader.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt_col)
+        .json(landing_dir)
+    )

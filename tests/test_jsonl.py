@@ -92,3 +92,48 @@ def test_compact_parquet_reduces_files_and_preserves_rows(spark, tmp_path):
     import os
     assert not os.path.exists(path + "__compact_tmp")
     assert not os.path.exists(path + "__compact_bak")
+
+
+def test_stream_jsonl_tails_landing_dir(spark, tmp_path):
+    """Two shard drops drain as bounded micro-batches; streamed rows ==
+    batch read of the same directory, corrupt line captured not fatal."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from ensembl_database_loader_spark.sources.jsonl import (
+        read_jsonl,
+        stream_jsonl,
+        write_jsonl,
+    )
+
+    landing = str(tmp_path / "landing")
+    os.makedirs(landing)
+    d1 = spark.range(0, 50).select(F.col("id"), F.lit("x").alias("text"), F.lit(1.0).alias("score"))
+    d2 = spark.range(50, 90).select(F.col("id"), F.lit("y").alias("text"), F.lit(2.0).alias("score"))
+    write_jsonl(d1, landing + "/b1", n_shards=1)
+    write_jsonl(d2, landing + "/b2", n_shards=1)
+    with open(landing + "/b2/junk.json", "w") as f:
+        f.write("not json\n")
+
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    q = (
+        stream_jsonl(spark, landing + "/*", SCHEMA, max_files_per_trigger=1)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = spark.read.parquet(out)
+    batch = read_jsonl(spark, landing + "/*", SCHEMA)
+    assert streamed.count() == batch.count() == 91  # 90 good + 1 corrupt
+    assert (
+        streamed.filter(F.col("_corrupt_record").isNotNull()).count() == 1
+    )
+    assert (
+        streamed.agg(F.sum("id")).collect()[0][0]
+        == batch.agg(F.sum("id")).collect()[0][0]
+    )
