@@ -140,3 +140,36 @@ def test_streaming_curate_exactly_once_end_to_end(spark, tmp_path):
     got = spark.read.parquet(out)
     assert "batch" in got.columns
     assert {r.id for r in got.select("id").collect()} == set(range(8))
+
+
+def test_streaming_curate_from_jsonl_with_corrupt_lines(spark, tmp_path):
+    """The full crawl pipeline: JSONL shards (including a malformed
+    line) land -> corrupt lines filtered with accounting, good docs
+    curated through the store. The bad line must cost a row, never
+    the job."""
+    from ensembl_database_loader_spark.sources.jsonl import stream_jsonl
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    store = str(tmp_path / "store")
+    out = str(tmp_path / "curated")
+    ckpt = str(tmp_path / "ckpt")
+
+    batch = _docs(0)
+    with open(landing / "b1.jsonl", "w") as f:
+        f.writelines(json.dumps(r) + "\n" for r in batch)
+        f.write('{"doc_id": 999, "lang": "en", "text": trunca\n')  # corrupt
+
+    s = stream_jsonl(
+        spark, str(landing), "doc_id bigint, lang string, text string"
+    )
+    good = s.filter(F.col("_corrupt_record").isNull()).drop("_corrupt_record")
+    _drain(streaming_curate(good, store, out, ckpt))
+
+    streamed = {r.id for r in spark.read.parquet(out).select("id").collect()}
+    one_shot, _ = curate_corpus(
+        spark.createDataFrame(batch, "doc_id bigint, lang string, text string"),
+        near_dup="minhash",
+    )
+    assert streamed == {r.id for r in one_shot.select("id").collect()}
+    assert 999 not in streamed  # the corrupt line never entered curation
