@@ -1745,34 +1745,34 @@ def q59(spark: SparkSession, sf: str) -> DataFrame:
         # render through DuckDB's shortest-roundtrip double formatting,
         # so profile only exact-rendering columns (ints/strings/dates
         # stringify identically in both engines)
-        "WITH r AS (SELECT COUNT(*) AS n_rows FROM lineitem) "
-        "SELECT 'l_linenumber' AS \"column\", n_rows, "
-        "(SELECT COUNT(*) FROM lineitem WHERE l_linenumber IS NULL) AS n_nulls, "
-        "(SELECT CAST(COUNT(DISTINCT l_linenumber) AS BIGINT) FROM lineitem) AS n_distinct, "
-        "(SELECT CAST(MIN(l_linenumber) AS VARCHAR) FROM lineitem) AS min_val, "
-        "(SELECT CAST(MAX(l_linenumber) AS VARCHAR) FROM lineitem) AS max_val FROM r "
-        "UNION ALL SELECT 'l_returnflag', n_rows, "
-        "(SELECT COUNT(*) FROM lineitem WHERE l_returnflag IS NULL), "
-        "(SELECT CAST(COUNT(DISTINCT l_returnflag) AS BIGINT) FROM lineitem), "
-        "(SELECT MIN(l_returnflag) FROM lineitem), "
-        "(SELECT MAX(l_returnflag) FROM lineitem) FROM r "
-        "UNION ALL SELECT 'l_linestatus', n_rows, "
-        "(SELECT COUNT(*) FROM lineitem WHERE l_linestatus IS NULL), "
-        "(SELECT CAST(COUNT(DISTINCT l_linestatus) AS BIGINT) FROM lineitem), "
-        "(SELECT MIN(l_linestatus) FROM lineitem), "
-        "(SELECT MAX(l_linestatus) FROM lineitem) FROM r "
-        "UNION ALL SELECT 'l_shipdate', n_rows, "
-        "(SELECT COUNT(*) FROM lineitem WHERE l_shipdate IS NULL), "
-        "(SELECT CAST(COUNT(DISTINCT l_shipdate) AS BIGINT) FROM lineitem), "
-        "(SELECT CAST(MIN(l_shipdate) AS VARCHAR) FROM lineitem), "
-        "(SELECT CAST(MAX(l_shipdate) AS VARCHAR) FROM lineitem) FROM r "
+        "WITH r AS (SELECT COUNT(*) AS n_rows FROM orders) "
+        "SELECT 'o_custkey' AS \"column\", n_rows, "
+        "(SELECT COUNT(*) FROM orders WHERE o_custkey IS NULL) AS n_nulls, "
+        "(SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT) FROM orders) AS n_distinct, "
+        "(SELECT CAST(MIN(o_custkey) AS VARCHAR) FROM orders) AS min_val, "
+        "(SELECT CAST(MAX(o_custkey) AS VARCHAR) FROM orders) AS max_val FROM r "
+        "UNION ALL SELECT 'o_orderstatus', n_rows, "
+        "(SELECT COUNT(*) FROM orders WHERE o_orderstatus IS NULL), "
+        "(SELECT CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) FROM orders), "
+        "(SELECT MIN(o_orderstatus) FROM orders), "
+        "(SELECT MAX(o_orderstatus) FROM orders) FROM r "
+        "UNION ALL SELECT 'o_orderpriority', n_rows, "
+        "(SELECT COUNT(*) FROM orders WHERE o_orderpriority IS NULL), "
+        "(SELECT CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) FROM orders), "
+        "(SELECT MIN(o_orderpriority) FROM orders), "
+        "(SELECT MAX(o_orderpriority) FROM orders) FROM r "
+        "UNION ALL SELECT 'o_orderdate', n_rows, "
+        "(SELECT COUNT(*) FROM orders WHERE o_orderdate IS NULL), "
+        "(SELECT CAST(COUNT(DISTINCT o_orderdate) AS BIGINT) FROM orders), "
+        "(SELECT CAST(MIN(o_orderdate) AS VARCHAR) FROM orders), "
+        "(SELECT CAST(MAX(o_orderdate) AS VARCHAR) FROM orders) FROM r "
         'ORDER BY "column"'
     ),
     tags=("profile", "quality"),
 )
 def dq_profile(spark: SparkSession, sf: str) -> DataFrame:
     """Column profiler (operators/profile.py): null / distinct / min /
-    max for four lineitem columns in ONE aggregate pass (long-format
+    max for four orders columns in ONE aggregate pass (long-format
     output — data-quality gates become plain filters). exact=True here
     so the DuckDB oracle reproduces every value; at 100 TB the default
     approx path profiles with HLL++ partial aggregation and no Expand.
@@ -1781,9 +1781,9 @@ def dq_profile(spark: SparkSession, sf: str) -> DataFrame:
     from ensembl_database_loader_spark.operators.profile import profile_columns
 
     ensure_session_confs(spark)
-    li = table(spark, sf, "lineitem")
+    o = table(spark, sf, "orders")
     return profile_columns(
-        li, ("l_linenumber", "l_returnflag", "l_linestatus", "l_shipdate"),
+        o, ("o_custkey", "o_orderstatus", "o_orderpriority", "o_orderdate"),
         exact=True,
     ).orderBy("column")
 
