@@ -122,12 +122,22 @@ def wm4(spark: SparkSession, sf: str) -> DataFrame:
 )
 def wm5(spark: SparkSession, sf: str) -> DataFrame:
     """Dedup on event_id over a doubled (replayed) input — the batch
-    equivalent of streaming dropDuplicatesWithinWatermark."""
+    equivalent of streaming dropDuplicatesWithinWatermark (wm7 probes
+    the real streaming path). Formulated as the count-bearing groupBy
+    (dropDuplicates without discarding multiplicity) so both the
+    replayed count and the deduped count come out of ONE
+    partial-aggregated shuffle instead of two aggregate subtrees that
+    each rescan the union."""
     ensure_session_confs(spark)
-    e = table(spark, sf, "events")
-    doubled = e.unionByName(e)
-    return doubled.agg(F.count(F.lit(1)).alias("input_cnt")).crossJoin(
-        dedup_stream(doubled).agg(F.count(F.lit(1)).alias("uniq_cnt"))
+    e = table(spark, sf, "events").select("event_id")
+    g = (
+        e.unionByName(e)
+        .groupBy("event_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return g.agg(
+        F.sum("c").cast("bigint").alias("input_cnt"),
+        F.count(F.lit(1)).alias("uniq_cnt"),
     )
 
 
