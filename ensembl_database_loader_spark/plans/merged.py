@@ -47,6 +47,20 @@ MERGE_SPECS: dict[str, list[tuple[str, list[tuple[str, str]]]]] = {
                 ("y1996", "y1996"),
             ],
         ),
+        # late-r7: the single-pass column profiler rides this window
+        # row (4 rows keyed uniquely by "column"; product bounded by
+        # q31's month rows)
+        (
+            "dq_profile",
+            [
+                ("column", "dq_column"),
+                ("n_rows", "dq_n_rows"),
+                ("n_nulls", "dq_n_nulls"),
+                ("n_distinct", "dq_n_distinct"),
+                ("min_val", "dq_min_val"),
+                ("max_val", "dq_max_val"),
+            ],
+        ),
     ],
     "q18_q20_condagg_having": [
         (
@@ -60,6 +74,16 @@ MERGE_SPECS: dict[str, list[tuple[str, list[tuple[str, str]]]]] = {
             ],
         ),
         ("q20_having", [("cnt", "having_cnt")]),
+        # late-r7: snapshot merge (MERGE INTO) rides this window row
+        (
+            "llp_snapshot_merge",
+            [
+                ("n_rows", "merge_n_rows"),
+                ("key_sum", "merge_key_sum"),
+                ("price_sum", "merge_price_sum"),
+                ("n_inserted", "merge_n_inserted"),
+            ],
+        ),
     ],
     "q30_q32_string_math_fns": [
         ("q30_string_fns", [("p_partkey", "p_partkey"), ("s", "str_s")]),
@@ -407,7 +431,9 @@ def _merged_oracle(spec: list[tuple[str, list[tuple[str, str]]]]) -> str:
     for i, (name, cols) in enumerate(spec):
         orig = get(name).oracle
         assert orig is not None, f"merged component {name} has no oracle"
-        select = ", ".join(f"{src} AS {dst}" for src, dst in cols)
+        # quote both sides: component columns may collide with SQL
+        # reserved words (dq_profile's "column")
+        select = ", ".join(f'"{src}" AS "{dst}"' for src, dst in cols)
         subs.append(f"(SELECT {select} FROM ({orig}) _m{i}) s{i}")
     return "SELECT * FROM " + " CROSS JOIN ".join(subs)
 
