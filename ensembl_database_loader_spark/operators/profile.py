@@ -34,20 +34,32 @@ def profile_columns(
     cols = tuple(cols) if cols is not None else tuple(df.columns)
     distinct = F.count_distinct if exact else F.approx_count_distinct
     aggs = [F.count(F.lit(1)).alias("__rows")]
-    for c in cols:
+    for i, c in enumerate(cols):
+        # positional internal aliases: column NAMES never enter any
+        # parsed SQL string, so names with quotes/backticks/dots are
+        # profiled as-is (F.col on an exact name is parse-free)
         aggs += [
-            F.count(F.when(F.col(c).isNull(), 1)).alias(f"__n_{c}"),
-            distinct(F.col(c)).cast("bigint").alias(f"__d_{c}"),
-            F.min(F.col(c)).cast("string").alias(f"__mn_{c}"),
-            F.max(F.col(c)).cast("string").alias(f"__mx_{c}"),
+            F.count(F.when(df[c].isNull(), 1)).alias(f"__n_{i}"),
+            distinct(df[c]).cast("bigint").alias(f"__d_{i}"),
+            F.min(df[c]).cast("string").alias(f"__mn_{i}"),
+            F.max(df[c]).cast("string").alias(f"__mx_{i}"),
         ]
     row = df.agg(*aggs)
-    # stack the single wide row into long format (pure projection)
-    stack_args = ", ".join(
-        f"'{c}', `__n_{c}`, `__d_{c}`, `__mn_{c}`, `__mx_{c}`" for c in cols
+    # one struct per column, exploded into long format (pure projection)
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col(f"__n_{i}").alias("n_nulls"),
+                F.col(f"__d_{i}").alias("n_distinct"),
+                F.col(f"__mn_{i}").alias("min_val"),
+                F.col(f"__mx_{i}").alias("max_val"),
+            )
+            for i, c in enumerate(cols)
+        ]
     )
-    return row.selectExpr(
-        "__rows AS n_rows",
-        f"stack({len(cols)}, {stack_args}) AS "
-        "(column, n_nulls, n_distinct, min_val, max_val)",
-    ).select("column", "n_rows", "n_nulls", "n_distinct", "min_val", "max_val")
+    return row.select(
+        F.col("__rows").alias("n_rows"), F.explode(entries).alias("p")
+    ).select(
+        "p.column", "n_rows", "p.n_nulls", "p.n_distinct", "p.min_val", "p.max_val"
+    )

@@ -33,8 +33,16 @@ def merge_snapshot(
     UNION (batch rows not flagged deleted). A key that appears in the
     batch therefore always takes the batch's version; a tombstoned key
     vanishes. The batch must carry at most one row per key (enforce
-    upstream — CDC compaction — or the duplicate survives verbatim)."""
+    upstream — CDC compaction — or the duplicate survives verbatim).
+
+    Batch rows with a NULL merge key are DROPPED: a null key can never
+    match the anti-join (equality, not null-safe), so such a row would
+    otherwise append on every run — N merge cycles, N duplicate
+    null-key rows — while replacing nothing. Null-key rows already in
+    the snapshot carry over untouched."""
     keys = list(key_cols)
+    for k in keys:
+        batch = batch.filter(F.col(k).isNotNull())
     carried = snapshot.join(batch.select(*keys), keys, "left_anti")
     if tombstone_col is not None:
         live = batch.filter(

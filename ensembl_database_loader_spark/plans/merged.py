@@ -80,7 +80,7 @@ MERGE_SPECS: dict[str, list[tuple[str, list[tuple[str, str]]]]] = {
             [
                 ("n_rows", "merge_n_rows"),
                 ("key_sum", "merge_key_sum"),
-                ("price_sum", "merge_price_sum"),
+                ("price_cents", "merge_price_cents"),
                 ("n_inserted", "merge_n_inserted"),
             ],
         ),

@@ -1807,7 +1807,10 @@ def dq_profile(spark: SparkSession, sf: str) -> DataFrame:
         "UNION ALL SELECT k, price FROM batch WHERE NOT dead) "
         "SELECT CAST(COUNT(*) AS BIGINT) AS n_rows, "
         "CAST(SUM(k) AS BIGINT) AS key_sum, "
-        "ROUND(SUM(price), 2) AS price_sum, "
+        # exact BIGINT cents: ROUND(SUM(double)) of 160k addends is
+        # order-dependent in the last ulps — a latent half-cent flake
+        # under the driver's exact string gate
+        "CAST(SUM(CAST(ROUND(price * 100) AS BIGINT)) AS BIGINT) AS price_cents, "
         "CAST(COUNT(*) FILTER (WHERE k > 100000000) AS BIGINT) AS n_inserted "
         "FROM merged"
     ),
@@ -1844,6 +1847,8 @@ def llp_snapshot_merge(spark: SparkSession, sf: str) -> DataFrame:
     return merged.agg(
         _cnt().alias("n_rows"),
         F.sum("k").cast("bigint").alias("key_sum"),
-        F.round(F.sum("price"), 2).alias("price_sum"),
+        F.sum(F.round(F.col("price") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("price_cents"),
         _cnt(F.col("k") > 100_000_000).alias("n_inserted"),
     )

@@ -55,6 +55,14 @@ def compact_parquet(
     that interleaved appends destroy, so scans prune row groups
     again). Returns ``{files_before, files_after, bytes}``."""
     n_before, total = _dir_stats(spark, path)
+    if n_before == 0:
+        # a hive-partitioned table root has only subdirectories here;
+        # proceeding would read the whole tree and swap the layout for
+        # one flat file — compact per partition directory instead
+        raise ValueError(
+            f"no data files directly under {path} — point compact_parquet "
+            "at a leaf (partition) directory, not a partitioned table root"
+        )
     n_out = max(1, math.ceil(total / target_bytes))
     df = spark.read.parquet(path)
     out = df.repartition(n_out)
@@ -68,8 +76,15 @@ def compact_parquet(
     bak = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "__compact_bak")
     if fs.exists(bak):
         fs.delete(bak, True)
-    fs.rename(hpath, bak)
-    fs.rename(jvm.org.apache.hadoop.fs.Path(tmp), hpath)
+    # Hadoop rename reports most failures by RETURNING FALSE, not
+    # throwing — check both renames, and never delete the backup until
+    # the new data is verifiably in place (a failed swap must leave the
+    # original recoverable, not silently destroyed)
+    if not fs.rename(hpath, bak):
+        raise IOError(f"compact_parquet: could not move {path} aside")
+    if not fs.rename(jvm.org.apache.hadoop.fs.Path(tmp), hpath):
+        fs.rename(bak, hpath)  # restore the original
+        raise IOError(f"compact_parquet: swap into {path} failed; original restored")
     fs.delete(bak, True)
     n_after, _ = _dir_stats(spark, path)
     return {"files_before": n_before, "files_after": n_after, "bytes": total}

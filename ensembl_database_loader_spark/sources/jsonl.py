@@ -33,6 +33,21 @@ from pyspark.sql.types import StringType, StructField, StructType
 CORRUPT_COL = "_corrupt_record"
 
 
+def _with_corrupt_col(
+    schema: str | StructType, corrupt_col: str
+) -> StructType:
+    """Normalize a DDL-or-StructType schema and append the corrupt-
+    record capture column — shared by the batch and streaming readers
+    so the two dialects cannot drift."""
+    if isinstance(schema, str):
+        schema = StructType.fromDDL(schema)
+    if corrupt_col not in schema.fieldNames():
+        schema = StructType(
+            list(schema.fields) + [StructField(corrupt_col, StringType(), True)]
+        )
+    return schema
+
+
 def read_jsonl(
     spark: SparkSession,
     path: str,
@@ -42,12 +57,7 @@ def read_jsonl(
     """Read line-delimited JSON with an EXPLICIT schema (no inference
     pass) in PERMISSIVE mode; malformed lines surface as rows with all
     data columns null and the raw line in ``corrupt_col``."""
-    if isinstance(schema, str):
-        schema = StructType.fromDDL(schema)
-    if corrupt_col not in schema.fieldNames():
-        schema = StructType(
-            list(schema.fields) + [StructField(corrupt_col, StringType(), True)]
-        )
+    schema = _with_corrupt_col(schema, corrupt_col)
     return (
         spark.read.schema(schema)
         .option("mode", "PERMISSIVE")
@@ -108,12 +118,7 @@ def stream_jsonl(
     backfill and streaming tail stay interchangeable — the
     backfill-plus-tail pattern of ``pipeline/incremental.py``).
     ``max_files_per_trigger`` bounds per-trigger work."""
-    if isinstance(schema, str):
-        schema = StructType.fromDDL(schema)
-    if corrupt_col not in schema.fieldNames():
-        schema = StructType(
-            list(schema.fields) + [StructField(corrupt_col, StringType(), True)]
-        )
+    schema = _with_corrupt_col(schema, corrupt_col)
     reader = spark.readStream
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)

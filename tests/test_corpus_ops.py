@@ -859,3 +859,18 @@ def test_merge_snapshot_semantics(spark):
         for r in merge_snapshot(snap, batch.drop("dead"), ("k",)).collect()
     }
     assert got2 == {1: "a", 2: "B", 3: None, 4: "d", 5: "e"}
+
+
+def test_merge_snapshot_drops_null_key_batch_rows(spark):
+    from ensembl_database_loader_spark.operators.upsert import merge_snapshot
+
+    snap = spark.createDataFrame([(1, "a"), (None, "n")], "k bigint, v string")
+    batch = spark.createDataFrame([(None, "junk"), (2, "b")], "k bigint, v string")
+    m = merge_snapshot(snap, batch, ("k",))
+    # snapshot's null-key row carries; the batch's null-key row drops
+    # (it could never replace anything and would re-append every run)
+    assert sorted((r.k if r.k is not None else -1, r.v) for r in m.collect()) == [
+        (-1, "n"), (1, "a"), (2, "b")
+    ]
+    # idempotent: merging the same batch again does not grow the table
+    assert merge_snapshot(m, batch, ("k",)).count() == 3

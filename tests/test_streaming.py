@@ -144,3 +144,16 @@ def test_stream_stream_join_buffers_across_batches(spark):
         assert [(r.user_id, r.c_value, r.v_value) for r in got] == [(1, 1.0, 2.0)]
     finally:
         shutil.rmtree(os.path.dirname(src), ignore_errors=True)
+
+
+def test_dedup_stream_batch_fallback(spark):
+    """dedup_stream's batch branch (plain dropDuplicates) — kept as a
+    public API path even though wm5 now fuses its own dedup+count."""
+    from ensembl_database_loader_spark.streaming.windows import dedup_stream
+
+    df = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00"), (1, "2024-01-01 00:00:01"), (2, "2024-01-01 00:00:02")],
+        "event_id bigint, ts string",
+    )
+    out = dedup_stream(df)
+    assert sorted(r.event_id for r in out.collect()) == [1, 2]
