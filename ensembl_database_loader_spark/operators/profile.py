@@ -33,18 +33,26 @@ def profile_columns(
     columns are profiled."""
     cols = tuple(cols) if cols is not None else tuple(df.columns)
     distinct = F.count_distinct if exact else F.approx_count_distinct
+    # Hostile column names (quotes/backticks/dots) break EVERY named
+    # reference — even df[name] and df[index] round-trip through the
+    # attribute-name parser. toDF is a pure positional rename, so the
+    # aggregation runs over safe names and the ORIGINAL name only ever
+    # appears as a string literal in the output. First position wins
+    # for duplicate names.
+    idx = {}
+    for i, name in enumerate(df.columns):
+        idx.setdefault(name, i)
+    work = df.toDF(*[f"__c{i}" for i in range(len(df.columns))])
     aggs = [F.count(F.lit(1)).alias("__rows")]
     for i, c in enumerate(cols):
-        # positional internal aliases: column NAMES never enter any
-        # parsed SQL string, so names with quotes/backticks/dots are
-        # profiled as-is (F.col on an exact name is parse-free)
+        src = F.col(f"__c{idx[c]}")
         aggs += [
-            F.count(F.when(df[c].isNull(), 1)).alias(f"__n_{i}"),
-            distinct(df[c]).cast("bigint").alias(f"__d_{i}"),
-            F.min(df[c]).cast("string").alias(f"__mn_{i}"),
-            F.max(df[c]).cast("string").alias(f"__mx_{i}"),
+            F.count(F.when(src.isNull(), 1)).alias(f"__n_{i}"),
+            distinct(src).cast("bigint").alias(f"__d_{i}"),
+            F.min(src).cast("string").alias(f"__mn_{i}"),
+            F.max(src).cast("string").alias(f"__mx_{i}"),
         ]
-    row = df.agg(*aggs)
+    row = work.agg(*aggs)
     # one struct per column, exploded into long format (pure projection)
     entries = F.array(
         *[

@@ -874,3 +874,52 @@ def test_merge_snapshot_drops_null_key_batch_rows(spark):
     ]
     # idempotent: merging the same batch again does not grow the table
     assert merge_snapshot(m, batch, ("k",)).count() == 3
+
+
+def test_merge_snapshot_property_vs_dict_reference(spark):
+    """Randomized merge cycles vs a plain dict: apply 3 CDC batches in
+    sequence and compare the surviving (key -> value) map exactly."""
+    import random
+
+    from ensembl_database_loader_spark.operators.upsert import merge_snapshot
+
+    rng = random.Random(123)
+    ref = {k: f"v{k}" for k in range(30)}
+    snap = spark.createDataFrame(list(ref.items()), "k bigint, v string")
+    for _ in range(3):
+        batch = []
+        for _ in range(15):
+            k = rng.randrange(0, 45)
+            op = rng.choice(["upsert", "delete"])
+            batch.append((k, f"b{k}", op == "delete"))
+        # CDC compaction contract: one row per key (last wins)
+        compacted = {k: (v, d) for k, v, d in batch}
+        batch_rows = [(k, v, d) for k, (v, d) in compacted.items()]
+        snap = merge_snapshot(
+            snap,
+            spark.createDataFrame(batch_rows, "k bigint, v string, dead boolean"),
+            ("k",),
+            tombstone_col="dead",
+        )
+        for k, (v, d) in compacted.items():
+            if d:
+                ref.pop(k, None)
+            else:
+                ref[k] = v
+        assert {r.k: r.v for r in snap.collect()} == ref
+
+
+def test_profile_columns_hostile_names(spark):
+    """Column names with quotes/backticks/dots must profile as-is —
+    names never enter parsed SQL (the selectExpr-injection regression)."""
+    from ensembl_database_loader_spark.operators.profile import profile_columns
+
+    df = spark.range(0, 10).select(
+        F.col("id").alias("user's_id"),
+        (F.col("id") % 3).alias("a`b"),
+        F.col("id").alias("dot.ted"),
+    )
+    rows = {r.column: r for r in profile_columns(df, exact=True).collect()}
+    assert set(rows) == {"user's_id", "a`b", "dot.ted"}
+    assert rows["a`b"].n_distinct == 3
+    assert rows["user's_id"].n_nulls == 0
