@@ -69,7 +69,10 @@ def select_token_budget(
     bucket_w = HASH_SPACE // n_buckets
     work = (
         df.withColumn("_h", knuth32(id_col))
-        .withColumn("_bkt", (F.col("_h") / F.lit(bucket_w)).cast("bigint"))
+        # integer DIV keeps the bucket assignment BIGINT-exact (a double
+        # division is safe at 2^32 magnitudes but breaks the stated
+        # pure-integer contract near 2^52)
+        .withColumn("_bkt", F.expr(f"_h DIV {bucket_w}"))
         .filter(budget.isNotNull())
     )
 
@@ -102,13 +105,27 @@ def select_token_budget(
     # the histogram feeds BOTH union arms below; without materialization
     # each arm re-runs the full corpus scan + groupBy that builds it
     # (no ReusedExchange across union arms, verified empirically).
-    # (strata x n_buckets) rows — broadcast-dim sized, safe to persist.
-    hist = hist.persist()
+    # (strata x n_buckets) rows — broadcast-dim sized. Eager
+    # localCheckpoint instead of persist(): the blocks are freed by the
+    # ContextCleaner when the frame is garbage-collected, so repeated
+    # calls in a long-lived session (build_training_corpus pipelines)
+    # don't accrete entries in the cache registry the way an
+    # un-unpersisted .persist() would.
+    hist = hist.localCheckpoint(eager=True)
 
-    joined = work.join(
-        F.broadcast(hist),
-        (work[strata_col] == hist["_hs"]) & (work["_bkt"] == hist["_bkt"]),
-    ).drop("_hs", hist["_bkt"])
+    # string-qualified refs, not dataset-column refs: the checkpointed
+    # frame keeps the parent's expression ids, which trips the
+    # ambiguous-self-join detector on dataset-indexed columns
+    joined = (
+        work.alias("_w")
+        .join(
+            F.broadcast(hist.alias("_hist")),
+            (F.col(f"_w.{strata_col}") == F.col("_hist._hs"))
+            & (F.col("_w._bkt") == F.col("_hist._bkt")),
+        )
+        .drop(F.col("_hist._bkt"))
+        .drop("_hs")
+    )
 
     kept_full = joined.filter(F.col("_cls") == "keep")
 

@@ -311,13 +311,14 @@ def minhash_lsh_pairs(
         if candidates is not None
         else minhash_lsh_candidates(df, id_col, text_col, num_hashes, rows_per_band, n)
     )
-    # merge-join hint: BOTH sides scale with the corpus (candidates ~
+    # shuffle_hash hint: BOTH sides scale with the corpus (candidates ~
     # O(near-dups), shingle sets ~ O(docs x shingles)), and the shingle
     # side's size is invisible to Catalyst (UDF-produced arrays), so a
     # 64 MiB broadcast threshold can mis-pick a broadcast that builds a
-    # multi-GB table driver-side (observed OOM at 1M docs). Sort-merge
-    # never builds an in-memory table and spills — the only safe
-    # strategy for a corpus-keyed verify join at 100 TB.
+    # multi-GB table driver-side (observed OOM at 1M docs). The hint's
+    # job is to FORBID broadcast; shuffle-hash skips the per-partition
+    # sort of sort-merge but does build a per-partition hash table, so
+    # under heavy key skew prefer .hint("merge") (spills gracefully).
     sh = with_shingles(df, id_col, text_col, n).hint("shuffle_hash")
     j = _jaccard(F.col("s1.shingles"), F.col("s2.shingles"))
     out = (

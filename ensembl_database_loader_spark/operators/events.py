@@ -71,7 +71,10 @@ def conversion_funnel(
     funnel is one shuffle + one sort however many steps it has,
     instead of ``N-1`` self-joins. Same-instant events don't advance
     the funnel (strict >); ties are deterministic."""
-    assert len(steps) >= 1
+    if len(steps) < 1:
+        # ValueError (not assert — stripped under python -O) for
+        # consistency with the adjacent column-clash guard
+        raise ValueError("steps must be non-empty")
     clash = [c for c in df.columns if c.startswith(("__cf_q", "__cf_f"))]
     if clash:
         raise ValueError(f"conversion_funnel internal columns clash: {clash}")

@@ -208,19 +208,15 @@ def pack_concat(
     ).cast("bigint")
     out = (
         work.withColumn("start_offset", start)
-        .withColumn(
-            "first_example", (F.col("start_offset") / seq_len).cast("bigint")
-        )
+        # integer DIV, not double division: keeps the example-index
+        # arithmetic genuinely BIGINT-exact as documented (float division
+        # loses exactness near 2^52-scale stream offsets)
+        .withColumn("first_example", F.expr(f"start_offset DIV {int(seq_len)}"))
         .withColumn(
             "last_example",
-            (
-                (
-                    F.col("start_offset")
-                    + F.greatest(F.col(token_col), F.lit(1))
-                    - 1
-                )
-                / seq_len
-            ).cast("bigint"),
+            F.expr(
+                f"(start_offset + greatest(`{token_col}`, 1) - 1) DIV {int(seq_len)}"
+            ),
         )
         .withColumn(
             "spans_boundary", F.col("first_example") != F.col("last_example")

@@ -519,10 +519,12 @@ def test_lm_count_joins_are_shuffle_hash_not_broadcast(spark):
 
 def test_token_budget_histogram_broadcasts_and_windows_stay_small(spark):
     """r7: the (strata x buckets) histogram is tiny, materialized ONCE
-    (it feeds both union arms — without the persist each arm re-runs
-    the corpus scan that builds it), and broadcast back onto the
-    corpus. The only corpus-level Window is the per-doc cumsum over the
-    boundary bucket — never a corpus-wide stratum sort."""
+    (it feeds both union arms — without the materialization each arm
+    re-runs the corpus scan that builds it; r8 switched persist() to an
+    eager localCheckpoint so long-lived sessions don't leak cache
+    entries), and broadcast back onto the corpus. The only corpus-level
+    Window is the per-doc cumsum over the boundary bucket — never a
+    corpus-wide stratum sort."""
     import re
 
     from ensembl_database_loader_spark.catalog import table as cat_table
@@ -535,8 +537,11 @@ def test_token_budget_histogram_broadcasts_and_windows_stay_small(spark):
     )
     plan = kept._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
-    # histogram cached once, scanned by both union arms
-    assert plan.count("InMemoryTableScan") == 2
+    # histogram checkpoint-materialized once, scanned by both union arms
+    # (an ExistingRDD scan per arm; zero InMemoryTableScan = no cache
+    # registry entry leaked)
+    assert plan.count("Scan ExistingRDD") == 2
+    assert "InMemoryTableScan" not in plan
     # exactly one window runs over corpus rows: the boundary-bucket
     # cumsum on the token column (the histogram's own window lives
     # inside the cached relation)
