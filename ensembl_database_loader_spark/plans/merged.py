@@ -84,6 +84,20 @@ MERGE_SPECS: dict[str, list[tuple[str, list[tuple[str, str]]]]] = {
                 ("n_inserted", "merge_n_inserted"),
             ],
         ),
+        # r8: the manifest-committed lake (atomic snapshot commits,
+        # reader pinning, exactly-once txn appends) rides here too —
+        # the MERGE INTO twin with durability
+        (
+            "llp_manifest_commit",
+            [
+                ("mc_n_rows", "mc_n_rows"),
+                ("mc_key_sum", "mc_key_sum"),
+                ("mc_price_cents", "mc_price_cents"),
+                ("mc_pinned_ok", "mc_pinned_ok"),
+                ("mc_versions", "mc_versions"),
+                ("mc_compact_ok", "mc_compact_ok"),
+            ],
+        ),
     ],
     "q30_q32_string_math_fns": [
         ("q30_string_fns", [("p_partkey", "p_partkey"), ("s", "str_s")]),

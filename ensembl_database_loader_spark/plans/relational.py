@@ -1852,3 +1852,108 @@ def llp_snapshot_merge(spark: SparkSession, sf: str) -> DataFrame:
         .alias("price_cents"),
         _cnt(F.col("k") > 100_000_000).alias("n_inserted"),
     )
+
+
+@probe(
+    "llp_manifest_commit",
+    oracle=(
+        # the full commit cycle recomputed relationally: the table is
+        # orders' k<=4000 subset (written as two commits), the merge
+        # batch updates %10 keys (+1), tombstones %97 keys, inserts 100
+        # new keys; compaction and vacuum must not change content
+        "WITH sub AS (SELECT o_orderkey AS k, ROUND(o_totalprice, 2) AS price "
+        "FROM orders WHERE o_orderkey <= 4000), "
+        "batch AS ("
+        "SELECT k, ROUND(price + 1, 2) AS price, (k % 97 = 0) AS dead "
+        "FROM sub WHERE k % 10 = 0 "
+        "UNION ALL SELECT k + 100000, price, FALSE FROM sub WHERE k <= 400"
+        "), merged AS ("
+        "SELECT * FROM sub WHERE k NOT IN (SELECT k FROM batch) "
+        "UNION ALL SELECT k, price FROM batch WHERE NOT dead) "
+        "SELECT CAST(COUNT(*) AS BIGINT) AS mc_n_rows, "
+        "CAST(SUM(k) AS BIGINT) AS mc_key_sum, "
+        "CAST(SUM(CAST(ROUND(price * 100) AS BIGINT)) AS BIGINT) AS mc_price_cents, "
+        "TRUE AS mc_pinned_ok, CAST(4 AS BIGINT) AS mc_versions, "
+        "TRUE AS mc_compact_ok "
+        "FROM merged"
+    ),
+    tags=("manifest", "commit", "pipeline"),
+)
+def llp_manifest_commit(spark: SparkSession, sf: str) -> DataFrame:
+    """Manifest-committed parquet lake (sinks/manifest.py): a full
+    write -> append -> MERGE INTO -> compact -> vacuum cycle against
+    one table, hash-gating
+
+    - read-your-writes: the head snapshot after the cycle equals the
+      relational recomputation (n_rows / key_sum / price_cents);
+    - reader pinning: a snapshot RESOLVED BEFORE the merge+compact
+      still aggregates to the pre-merge content afterwards
+      (``mc_pinned_ok`` — the atomicity the two-rename swap lacked);
+    - version accounting (4 commits) and compaction to one file;
+    - vacuum safety: the final aggregate reads the head AFTER old
+      versions were reclaimed, so a vacuum that touched live files
+      would break the content gate.
+
+    Atomic publish = single manifest rename; optimistic concurrency
+    via writer-id readback (tests/test_manifest.py races two
+    committers). Reference analogue: the collision-guarded drop/create
+    transactionality of LoadFiles.pm:56-64 / Database.pm:56-63, made
+    incremental."""
+    import tempfile
+
+    from ensembl_database_loader_spark.sinks.manifest import (
+        compact_table,
+        list_manifests,
+        merge_table,
+        snapshot,
+        vacuum_table,
+        write_table,
+    )
+
+    ensure_session_confs(spark)
+    path = tempfile.mkdtemp(prefix="edl_manifest_") + "/tbl"
+    base = (
+        table(spark, sf, "orders")
+        .filter(F.col("o_orderkey") <= 4000)
+        .select(
+            F.col("o_orderkey").alias("k"),
+            F.round("o_totalprice", 2).alias("price"),
+        )
+    )
+    write_table(base.filter(F.col("k") % 2 == 0), path)
+    write_table(base.filter(F.col("k") % 2 == 1), path, mode="append")
+    pinned = snapshot(spark, path)  # resolved at version 1 (pre-merge)
+
+    updates = base.filter(F.col("k") % 10 == 0).select(
+        "k",
+        F.round(F.col("price") + 1, 2).alias("price"),
+        (F.col("k") % 97 == 0).alias("dead"),
+    )
+    inserts = base.filter(F.col("k") <= 400).select(
+        (F.col("k") + 100_000).alias("k"), "price", F.lit(False).alias("dead")
+    )
+    merge_table(path, updates.unionByName(inserts), ("k",), tombstone_col="dead")
+    compacted = compact_table(spark, path, target_bytes=1 << 30)
+    n_versions = len(list_manifests(spark, path))
+
+    agg = lambda df: df.agg(  # noqa: E731
+        _cnt(), F.sum("k").cast("bigint"),
+        F.sum(F.round(F.col("price") * 100).cast("bigint")).cast("bigint"),
+    ).first()
+    # the pinned reader executes NOW — after two newer commits — and
+    # must still see the pre-merge snapshot, row-for-row
+    pinned_ok = agg(pinned) == agg(base)
+    # destructive step last: reclaim all but the head, then build the
+    # returned plan on the post-vacuum head (content gate doubles as
+    # the vacuum-safety gate)
+    vacuum_table(spark, path, keep_last=1)
+    return snapshot(spark, path).agg(
+        _cnt().alias("mc_n_rows"),
+        F.sum("k").cast("bigint").alias("mc_key_sum"),
+        F.sum(F.round(F.col("price") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("mc_price_cents"),
+        F.lit(bool(pinned_ok)).alias("mc_pinned_ok"),
+        F.lit(n_versions).cast("bigint").alias("mc_versions"),
+        F.lit(bool(compacted["files_after"] == 1)).alias("mc_compact_ok"),
+    )

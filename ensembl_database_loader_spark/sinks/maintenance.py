@@ -17,7 +17,12 @@ perfect sizing; at 100 TB compact partition-by-partition instead, one
 hive partition per job, same helper pointed at the partition dir).
 The swap is two renames — not atomic as a pair; a reader racing the
 swap can fail and retry, which is the standard non-transactional
-parquet-lake trade-off (a table format adds the commit protocol)."""
+parquet-lake trade-off. For tables with concurrent readers use the
+manifest-committed layer instead (``sinks/manifest.py``):
+``manifest.compact_table`` publishes the compacted file list as an
+atomic snapshot commit, so racing readers keep reading the pre-compact
+snapshot — this helper remains for plain directories no manifest ever
+managed."""
 
 from __future__ import annotations
 

@@ -1,0 +1,447 @@
+"""Manifest-committed parquet tables: atomic snapshot commits for the
+plain-parquet lake.
+
+The round-7 gap this closes: every incremental writer in the repo
+(``merge_snapshot`` output, ``compact_parquet``'s two-rename swap,
+streaming micro-batch appends) left a window where a racing reader saw
+a half-written directory — the standard non-transactional parquet
+trade-off. The fingerprint store already solved the read side with a
+snapshot-isolated explicit file list (``pipeline/curate._snapshot_files``);
+this module generalizes that into a tiny commit protocol:
+
+- Writers write data files under ``<table>/data/<commit-uuid>/`` (a
+  directory no reader ever lists), then atomically PUBLISH a manifest
+  ``_manifest-<version>.json`` at the table root naming the exact data
+  files of the new snapshot. A single-file rename is atomic on HDFS and
+  POSIX local filesystems, so a manifest is either fully visible or not
+  there at all — readers can never observe a partial commit.
+- Readers resolve the LATEST manifest and read that explicit file list
+  (``spark.read.parquet(*files)``). A plan built from one snapshot is
+  pinned: later commits add new manifests and new data directories, but
+  never touch the files an older manifest names, so a reader that
+  resolved before a concurrent merge/compact still reads a consistent
+  snapshot. Old files are reclaimed explicitly by ``vacuum_table``.
+- Concurrent committers are serialized optimistically: each manifest
+  carries a random writer id; after renaming into ``_manifest-<v>``,
+  the committer reads the published file back and, if another writer's
+  id is inside (local rename(2) silently replaces, so exists-checks
+  alone can't detect the race), rebuilds against the new head and
+  retries at ``v+1``. Underscore-prefixed names keep manifests and temp
+  files invisible to any plain Spark directory scan of the table root.
+
+The manifest also carries ``txn`` — a ``{app_id: last_batch_id}``
+watermark map — which upgrades streaming ``foreachBatch`` appends from
+at-least-once to exactly-once: a replayed micro-batch (same app, same
+batch id <= the stored watermark) commits nothing (the idiom JDBC/Delta
+sinks use for idempotent replay).
+
+Reference analogue: the loader's coarse transactionality — drop/create
+with a collision guard around every database load
+(``LoadFiles.pm:56-64``, ``Database.pm:56-63``) — made incremental:
+instead of "the whole database is either the old or the new load", the
+unit is a snapshot version.
+
+Scale notes: a manifest is O(files) JSON — at 100 TB keep file counts
+sane with ``compact_table`` (which is itself just another commit). The
+commit path is pure driver-side filesystem metadata (no Spark job), so
+commit latency is independent of data size. Readers pay one small-file
+read to resolve; listing cost is O(manifests), bounded by vacuum.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import re
+import uuid
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+_MANIFEST_RE = re.compile(r"^_manifest-(\d{12})\.json$")
+_DIGITS = 12
+_MAX_COMMIT_RETRIES = 20
+
+
+# ---------------------------------------------------------------------------
+# Hadoop FS helpers (driver-side metadata only — no Spark jobs)
+# ---------------------------------------------------------------------------
+
+
+def _fs(spark: SparkSession, path: str):
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    return hpath.getFileSystem(spark._jsc.hadoopConfiguration()), hpath, jvm
+
+
+def _read_bytes(spark: SparkSession, path: str) -> bytes:
+    fs, hpath, jvm = _fs(spark, path)
+    stream = fs.open(hpath)
+    baos = jvm.java.io.ByteArrayOutputStream()
+    # closes both streams; works on any Hadoop FS scheme
+    jvm.org.apache.hadoop.io.IOUtils.copyBytes(stream, baos, 4096, True)
+    return bytes(baos.toByteArray())
+
+
+def _write_bytes(spark: SparkSession, path: str, data: bytes) -> None:
+    fs, hpath, _ = _fs(spark, path)
+    out = fs.create(hpath, True)
+    out.write(bytearray(data))
+    out.close()
+
+
+def _list_names(spark: SparkSession, path: str) -> list[str]:
+    fs, hpath, _ = _fs(spark, path)
+    if not fs.exists(hpath):
+        return []
+    return [st.getPath().getName() for st in fs.listStatus(hpath)]
+
+
+def _list_data_files(spark: SparkSession, data_dir: str) -> list[str]:
+    """Data-file names under one commit's data directory (no _/. files)."""
+    return [
+        n
+        for n in _list_names(spark, data_dir)
+        if not n.startswith(("_", "."))
+    ]
+
+
+# ---------------------------------------------------------------------------
+# Manifest resolution
+# ---------------------------------------------------------------------------
+
+
+def list_manifests(spark: SparkSession, path: str) -> list[int]:
+    """Sorted versions of every published manifest at the table root."""
+    out = []
+    for n in _list_names(spark, path):
+        m = _MANIFEST_RE.match(n)
+        if m:
+            out.append(int(m.group(1)))
+    return sorted(out)
+
+
+def _manifest_path(path: str, version: int) -> str:
+    return f"{path.rstrip('/')}/_manifest-{version:0{_DIGITS}d}.json"
+
+
+def read_manifest(spark: SparkSession, path: str, version: int) -> dict:
+    return json.loads(_read_bytes(spark, _manifest_path(path, version)))
+
+
+def latest_manifest(spark: SparkSession, path: str) -> dict | None:
+    """The head manifest, or None for a not-yet-committed table."""
+    versions = list_manifests(spark, path)
+    if not versions:
+        return None
+    return read_manifest(spark, path, versions[-1])
+
+
+# ---------------------------------------------------------------------------
+# Commit protocol
+# ---------------------------------------------------------------------------
+
+
+def _commit(
+    spark: SparkSession,
+    path: str,
+    build: Callable[[dict | None], dict | None],
+    operation: str,
+) -> dict | None:
+    """Optimistic-concurrency commit loop.
+
+    ``build(parent_manifest_or_None)`` returns the new manifest's
+    payload fields (``files``, ``schema``, optional ``txn`` map) — or
+    None to skip the commit (idempotent replay). It is re-invoked
+    against the NEW head whenever a race is lost, so its output must be
+    a pure function of the parent (plus the writer's own staged files).
+
+    Returns the published manifest dict, or None if ``build`` skipped.
+    """
+    root = path.rstrip("/")
+    fs, hroot, jvm = _fs(spark, root)
+    fs.mkdirs(hroot)
+    for _ in range(_MAX_COMMIT_RETRIES):
+        versions = list_manifests(spark, root)
+        head = read_manifest(spark, root, versions[-1]) if versions else None
+        payload = build(head)
+        if payload is None:
+            return None
+        version = (versions[-1] + 1) if versions else 0
+        writer = uuid.uuid4().hex
+        manifest = {
+            "version": version,
+            "writer": writer,
+            "operation": operation,
+            "parent": versions[-1] if versions else None,
+            **payload,
+        }
+        tmp = f"{root}/_tmp-manifest-{writer}.json"
+        final = _manifest_path(root, version)
+        _write_bytes(spark, tmp, json.dumps(manifest).encode())
+        ffinal = jvm.org.apache.hadoop.fs.Path(final)
+        if fs.exists(ffinal):
+            # fast-path conflict: someone already published this version
+            fs.delete(jvm.org.apache.hadoop.fs.Path(tmp), False)
+            continue
+        if not fs.rename(jvm.org.apache.hadoop.fs.Path(tmp), ffinal):
+            fs.delete(jvm.org.apache.hadoop.fs.Path(tmp), False)
+            continue
+        # local rename(2) REPLACES an existing destination, so the
+        # exists-check above is not airtight — read the published file
+        # back and confirm it is ours (rename is atomic, so this read
+        # sees exactly one writer's complete manifest)
+        published = read_manifest(spark, root, version)
+        if published.get("writer") == writer:
+            return manifest
+        # lost the race: the competing manifest is the new head; retry
+    raise RuntimeError(
+        f"manifest commit at {path} lost {_MAX_COMMIT_RETRIES} races — "
+        "pathological contention or a stuck competing writer"
+    )
+
+
+def _stage_data(df: DataFrame, path: str) -> tuple[list[str], str]:
+    """Write ``df``'s data files under a fresh ``data/<uuid>/`` commit
+    directory nobody reads directly; returns (relative file paths,
+    schema json). The ONLY Spark job in the write path."""
+    root = path.rstrip("/")
+    commit_dir = f"data/{uuid.uuid4().hex}"
+    df.write.parquet(f"{root}/{commit_dir}")
+    rel = [
+        f"{commit_dir}/{n}"
+        for n in sorted(_list_data_files(df.sparkSession, f"{root}/{commit_dir}"))
+    ]
+    return rel, df.schema.json()
+
+
+def _txn_skip(head: dict | None, txn: tuple[str, int] | None) -> bool:
+    """True when this (app, batch) is already reflected in the head —
+    the exactly-once replay guard."""
+    if txn is None or head is None:
+        return False
+    app, batch = txn
+    last = head.get("txn", {}).get(app)
+    return last is not None and int(batch) <= int(last)
+
+
+def _merged_txn(head: dict | None, txn: tuple[str, int] | None) -> dict:
+    out = dict((head or {}).get("txn", {}))
+    if txn is not None:
+        out[txn[0]] = int(txn[1])
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Public table API
+# ---------------------------------------------------------------------------
+
+
+def write_table(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    txn: tuple[str, int] | None = None,
+) -> dict | None:
+    """Commit ``df`` as the table's next snapshot.
+
+    ``mode='overwrite'`` replaces the file list; ``mode='append'``
+    unions it with the current snapshot's. Either way the data files
+    are fully written BEFORE the manifest publishes, so readers see the
+    old snapshot until the commit instant and the new one after —
+    never a mix.
+
+    ``txn=(app_id, batch_id)`` makes the commit idempotent under
+    replay: if the head manifest already reflects a batch >= batch_id
+    for app_id, nothing is committed (returns None) — the streaming
+    exactly-once guard. Replay skips are detected BEFORE staging when
+    possible, so a replayed batch usually costs zero Spark jobs.
+    """
+    if mode not in ("overwrite", "append"):
+        raise ValueError(f"write_table mode must be overwrite|append, got {mode!r}")
+    spark = df.sparkSession
+    if _txn_skip(latest_manifest(spark, path), txn):
+        return None
+    staged, schema_json = _stage_data(df, path)
+
+    def build(head: dict | None) -> dict | None:
+        if _txn_skip(head, txn):
+            return None  # competing replay landed first
+        files = staged
+        if mode == "append" and head is not None:
+            files = head["files"] + staged
+        return {
+            "files": files,
+            "schema": schema_json,
+            "txn": _merged_txn(head, txn),
+        }
+
+    return _commit(spark, path, build, mode)
+
+
+def snapshot(
+    spark: SparkSession, path: str, version: int | None = None
+) -> DataFrame:
+    """The table's snapshot as a DataFrame — the latest version, or a
+    time-traveled earlier one. The plan reads the manifest's EXPLICIT
+    file list, so it stays consistent even if merges/compactions commit
+    while it runs (their files are new directories; only ``vacuum_table``
+    deletes, and it only reclaims versions you asked it to drop)."""
+    root = path.rstrip("/")
+    m = (
+        read_manifest(spark, root, version)
+        if version is not None
+        else latest_manifest(spark, root)
+    )
+    if m is None:
+        raise FileNotFoundError(f"no manifest at {path} — not a committed table")
+    schema = StructType.fromJson(json.loads(m["schema"]))
+    if not m["files"]:
+        return spark.createDataFrame([], schema)
+    return spark.read.schema(schema).parquet(
+        *[f"{root}/{rel}" for rel in m["files"]]
+    )
+
+
+def merge_table(
+    path: str,
+    batch: DataFrame,
+    key_cols: tuple[str, ...],
+    tombstone_col: str | None = None,
+) -> dict:
+    """MERGE INTO with an atomic commit: apply the change batch
+    (updates / inserts / tombstone deletes — ``operators/upsert.
+    merge_snapshot``) to the current snapshot and publish the result as
+    the next version. Readers either see the pre-merge snapshot or the
+    post-merge one; the in-between state (new files written, manifest
+    not yet renamed) is invisible.
+
+    The merge is computed against the snapshot resolved at call time
+    and staged before the commit loop; if another writer commits in
+    between, the commit is NOT blindly retried (the merged data would
+    be stale) — it raises, and the caller re-runs the merge. CDC
+    appliers are single-writer in practice; the raise turns a silent
+    lost-update into an explicit retry."""
+    from ensembl_database_loader_spark.operators.upsert import merge_snapshot
+
+    spark = batch.sparkSession
+    base_head = latest_manifest(spark, path)
+    if base_head is None:
+        raise FileNotFoundError(f"no manifest at {path} — not a committed table")
+    snap = snapshot(spark, path, base_head["version"])
+    merged = merge_snapshot(snap, batch, key_cols, tombstone_col)
+    staged, schema_json = _stage_data(merged, path)
+
+    def build(head: dict | None) -> dict:
+        if head is None or head["version"] != base_head["version"]:
+            raise RuntimeError(
+                f"concurrent commit during merge at {path} "
+                f"(expected head {base_head['version']}, "
+                f"found {head['version'] if head else None}) — re-run the merge"
+            )
+        return {"files": staged, "schema": schema_json, "txn": _merged_txn(head, None)}
+
+    out = _commit(spark, path, build, "merge")
+    assert out is not None
+    return out
+
+
+def compact_table(
+    spark: SparkSession,
+    path: str,
+    target_bytes: int = 128 << 20,
+    sort_cols: tuple[str, ...] = (),
+) -> dict:
+    """Small-file compaction as a commit: rewrite the current snapshot
+    into ~``target_bytes`` files (optionally sorted within files to
+    restore min/max clustering) and publish. Unlike ``maintenance.
+    compact_parquet``'s two-rename swap, there is NO window where the
+    table is missing or doubled: old files stay on disk until
+    ``vacuum_table``, so snapshots resolved before the compaction keep
+    reading bit-identical data. Returns the new manifest (with
+    ``files_before``/``files_after`` stats attached)."""
+    head = latest_manifest(spark, path)
+    if head is None:
+        raise FileNotFoundError(f"no manifest at {path} — not a committed table")
+    root = path.rstrip("/")
+    fs, _, jvm = _fs(spark, root)
+    total = sum(
+        fs.getFileStatus(jvm.org.apache.hadoop.fs.Path(f"{root}/{rel}")).getLen()
+        for rel in head["files"]
+    )
+    n_out = max(1, math.ceil(total / target_bytes))
+    df = snapshot(spark, path, head["version"]).repartition(n_out)
+    if sort_cols:
+        df = df.sortWithinPartitions(*sort_cols)
+    staged, schema_json = _stage_data(df, path)
+
+    def build(h: dict | None) -> dict:
+        if h is None or h["version"] != head["version"]:
+            raise RuntimeError(
+                f"concurrent commit during compaction at {path} — re-run"
+            )
+        return {"files": staged, "schema": schema_json, "txn": _merged_txn(h, None)}
+
+    out = _commit(spark, path, build, "compact")
+    assert out is not None
+    out["files_before"] = len(head["files"])
+    out["files_after"] = len(staged)
+    return out
+
+
+def vacuum_table(spark: SparkSession, path: str, keep_last: int = 1) -> dict:
+    """Reclaim storage: delete data files referenced ONLY by manifests
+    older than the last ``keep_last`` versions, then drop those
+    manifests. This is the explicit, operator-invoked destructive step
+    — the commit path itself never deletes, which is what makes
+    concurrent readers safe. Run it with a grace period longer than the
+    longest-running reader (same discipline as any table format)."""
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    root = path.rstrip("/")
+    versions = list_manifests(spark, root)
+    if not versions:
+        raise FileNotFoundError(f"no manifest at {path} — not a committed table")
+    keep_versions = versions[-keep_last:]
+    drop_versions = versions[:-keep_last]
+    live: set[str] = set()
+    for v in keep_versions:
+        live.update(read_manifest(spark, root, v)["files"])
+    dead: set[str] = set()
+    for v in drop_versions:
+        dead.update(read_manifest(spark, root, v)["files"])
+    dead -= live
+
+    fs, _, jvm = _fs(spark, root)
+    for rel in sorted(dead):
+        fs.delete(jvm.org.apache.hadoop.fs.Path(f"{root}/{rel}"), False)
+    for v in drop_versions:
+        fs.delete(jvm.org.apache.hadoop.fs.Path(_manifest_path(root, v)), False)
+    # drop now-empty commit directories (pure cosmetics; readers never
+    # list data/)
+    data_dir = jvm.org.apache.hadoop.fs.Path(f"{root}/data")
+    if fs.exists(data_dir):
+        for st in fs.listStatus(data_dir):
+            if st.isDirectory() and not fs.listStatus(st.getPath()):
+                fs.delete(st.getPath(), False)
+    return {
+        "deleted_files": len(dead),
+        "deleted_manifests": len(drop_versions),
+        "kept_versions": keep_versions,
+    }
+
+
+def table_history(spark: SparkSession, path: str) -> DataFrame:
+    """One row per committed version: (version, operation, n_files) —
+    the audit trail the reference keeps as per-database job rows
+    (``JobFactory.pm`` analysis accounting), here per snapshot."""
+    root = path.rstrip("/")
+    rows = [
+        (m["version"], m["operation"], len(m["files"]))
+        for m in (read_manifest(spark, root, v) for v in list_manifests(spark, root))
+    ]
+    return spark.createDataFrame(
+        rows, "version bigint, operation string, n_files bigint"
+    ).orderBy(F.col("version"))

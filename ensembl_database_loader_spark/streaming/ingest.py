@@ -47,18 +47,43 @@ def stream_documents(
     return reader.format(fmt).load(landing_dir)
 
 
+#: txn app id for manifest-committed streaming appends
+_TXN_APP = "streaming_curate"
+
+
 def write_curated_batch(
-    kept: DataFrame, output_path: str, batch_id: int, exactly_once: bool
+    kept: DataFrame,
+    output_path: str,
+    batch_id: int,
+    exactly_once: bool,
+    sink: str = "files",
 ) -> None:
-    """The per-micro-batch sink. ``exactly_once=False`` appends (a
-    replayed batch duplicates its rows — at-least-once).
-    ``exactly_once=True`` writes each batch into its own
-    ``batch=<id>`` partition directory with overwrite: a foreachBatch
-    replay rewrites the SAME directory, so the output is idempotent
-    under the checkpoint's batch-id replay semantics — the standard
-    exactly-once idiom for file sinks. Readers see a ``batch``
-    partition column (read ``output_path`` as a whole)."""
-    if exactly_once:
+    """The per-micro-batch sink.
+
+    ``sink='files'`` (plain parquet directory):
+    ``exactly_once=False`` appends (a replayed batch duplicates its
+    rows — at-least-once). ``exactly_once=True`` writes each batch into
+    its own ``batch=<id>`` partition directory with overwrite: a
+    foreachBatch replay rewrites the SAME directory, so the output is
+    idempotent under the checkpoint's batch-id replay semantics — the
+    standard exactly-once idiom for file sinks. Readers see a ``batch``
+    partition column (read ``output_path`` as a whole).
+
+    ``sink='manifest'`` (manifest-committed table, sinks/manifest.py):
+    every micro-batch is one ATOMIC append commit carrying
+    ``txn=('streaming_curate', batch_id)`` — a replayed batch is
+    detected by the stored watermark and commits nothing, so the output
+    is exactly-once regardless of the ``exactly_once`` flag, and a
+    reader racing the stream always resolves a complete snapshot (the
+    plain-files appends expose half-written part files). Readers use
+    ``manifest.snapshot(spark, output_path)``."""
+    if sink == "manifest":
+        from ensembl_database_loader_spark.sinks.manifest import write_table
+
+        # first batch bootstraps the table (manifest append == overwrite
+        # on an uncommitted table, but be explicit about the schema seed)
+        write_table(kept, output_path, mode="append", txn=(_TXN_APP, batch_id))
+    elif exactly_once:
         kept.write.mode("overwrite").parquet(f"{output_path}/batch={batch_id}")
     else:
         kept.write.mode("append").parquet(output_path)
@@ -71,6 +96,7 @@ def streaming_curate(
     checkpoint_dir: str,
     available_now: bool = True,
     exactly_once: bool = False,
+    sink: str = "files",
     **curate_kwargs,
 ):
     """Start the incremental-curation stream: every micro-batch runs
@@ -90,6 +116,11 @@ def streaming_curate(
     duplicates, upgrading the output from at-least-once to
     exactly-once rows. (The STORE append stays at-least-once either
     way — provably safe for dedup, see module docstring.)
+
+    ``sink='manifest'`` commits each micro-batch atomically to a
+    manifest table at ``output_path`` with a per-batch txn watermark —
+    exactly-once AND atomically visible to concurrent readers (see
+    ``write_curated_batch``).
     """
     near_dup = curate_kwargs.pop("near_dup", "minhash")
 
@@ -107,7 +138,7 @@ def streaming_curate(
                 near_dup=near_dup,
                 **curate_kwargs,
             )
-        write_curated_batch(kept, output_path, batch_id, exactly_once)
+        write_curated_batch(kept, output_path, batch_id, exactly_once, sink)
 
     w = (
         stream_df.writeStream.foreachBatch(_process)

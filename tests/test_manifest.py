@@ -1,0 +1,212 @@
+"""Manifest-committed table tests (sinks/manifest.py): atomic snapshot
+commits, reader pinning under concurrent rewrites, exactly-once txn
+appends, optimistic commit races, vacuum reclamation."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from ensembl_database_loader_spark.sinks import manifest as M
+
+
+@pytest.fixture()
+def tbl(tmp_path):
+    return str(tmp_path / "tbl")
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "k bigint, v string")
+
+
+def _content(df):
+    return sorted((r.k, r.v) for r in df.collect())
+
+
+def test_overwrite_append_roundtrip(spark, tbl):
+    M.write_table(_df(spark, [(1, "a"), (2, "b")]), tbl)
+    assert _content(M.snapshot(spark, tbl)) == [(1, "a"), (2, "b")]
+
+    M.write_table(_df(spark, [(3, "c")]), tbl, mode="append")
+    assert _content(M.snapshot(spark, tbl)) == [(1, "a"), (2, "b"), (3, "c")]
+
+    M.write_table(_df(spark, [(9, "z")]), tbl, mode="overwrite")
+    assert _content(M.snapshot(spark, tbl)) == [(9, "z")]
+
+    # time travel: every prior version still resolves bit-identically
+    assert _content(M.snapshot(spark, tbl, version=0)) == [(1, "a"), (2, "b")]
+    assert _content(M.snapshot(spark, tbl, version=1)) == [
+        (1, "a"),
+        (2, "b"),
+        (3, "c"),
+    ]
+    hist = [(r.version, r.operation) for r in M.table_history(spark, tbl).collect()]
+    assert hist == [(0, "overwrite"), (1, "append"), (2, "overwrite")]
+
+
+def test_empty_table_keeps_schema(spark, tbl):
+    M.write_table(_df(spark, []), tbl)
+    snap = M.snapshot(spark, tbl)
+    assert snap.count() == 0
+    assert [f.name for f in snap.schema.fields] == ["k", "v"]
+
+
+def test_merge_then_compact_read_your_writes(spark, tbl):
+    # many small commits -> merge -> compact; content must survive the
+    # whole cycle exactly (the read-your-writes gate)
+    M.write_table(_df(spark, [(1, "a"), (2, "b")]), tbl)
+    for i in range(3, 7):
+        M.write_table(_df(spark, [(i, f"v{i}")]), tbl, mode="append")
+
+    batch = spark.createDataFrame(
+        [(2, "B", False), (4, None, True), (10, "new", False)],
+        "k bigint, v string, dead boolean",
+    )
+    M.merge_table(tbl, batch, ("k",), tombstone_col="dead")
+    expect = [(1, "a"), (2, "B"), (3, "v3"), (5, "v5"), (6, "v6"), (10, "new")]
+    assert _content(M.snapshot(spark, tbl)) == expect
+
+    out = M.compact_table(spark, tbl, target_bytes=1 << 30)
+    assert out["files_after"] <= out["files_before"]
+    assert out["files_after"] == 1  # everything fits one target file
+    assert _content(M.snapshot(spark, tbl)) == expect
+
+
+def test_reader_pinned_across_concurrent_commits(spark, tbl):
+    """A snapshot resolved BEFORE a merge + compaction still reads the
+    pre-merge data, with no missing or duplicate rows — the atomicity
+    property the two-rename swap could not give."""
+    M.write_table(_df(spark, [(i, f"v{i}") for i in range(20)]), tbl)
+    pinned = M.snapshot(spark, tbl)  # resolved at version 0
+
+    batch = spark.createDataFrame([(5, "CHANGED", False)], "k bigint, v string, dead boolean")
+    M.merge_table(tbl, batch, ("k",), tombstone_col="dead")
+    M.compact_table(spark, tbl, target_bytes=1 << 30)
+
+    got = _content(pinned)  # executed only now, after 2 newer commits
+    assert got == [(i, f"v{i}") for i in range(20)]
+    # and the head sees the merge
+    assert (5, "CHANGED") in _content(M.snapshot(spark, tbl))
+
+
+def test_txn_append_is_exactly_once(spark, tbl):
+    M.write_table(_df(spark, [(1, "a")]), tbl)
+    assert (
+        M.write_table(_df(spark, [(2, "b")]), tbl, "append", txn=("app", 0))
+        is not None
+    )
+    # replayed micro-batch: same app, same batch id -> no-op
+    assert M.write_table(_df(spark, [(2, "b")]), tbl, "append", txn=("app", 0)) is None
+    assert (
+        M.write_table(_df(spark, [(3, "c")]), tbl, "append", txn=("app", 1))
+        is not None
+    )
+    # a different app's batch 0 is independent
+    assert (
+        M.write_table(_df(spark, [(4, "d")]), tbl, "append", txn=("other", 0))
+        is not None
+    )
+    assert _content(M.snapshot(spark, tbl)) == [
+        (1, "a"),
+        (2, "b"),
+        (3, "c"),
+        (4, "d"),
+    ]
+
+
+def test_commit_retries_and_loses_no_update_under_race(spark, tbl):
+    """Deterministic race: a competing writer publishes a manifest
+    between our build() and rename. The loser must detect it (writer-id
+    readback — local rename REPLACES, so exists-checks can't be
+    trusted) and rebuild against the new head; BOTH appends land."""
+    M.write_table(_df(spark, [(1, "a")]), tbl)
+    staged, schema_json = M._stage_data(_df(spark, [(2, "mine")]), tbl)
+
+    fired = {"n": 0}
+
+    def build(head):
+        if fired["n"] == 0:
+            fired["n"] += 1
+            # competing commit lands AFTER we resolved the head
+            M.write_table(_df(spark, [(9, "theirs")]), tbl, mode="append")
+        return {
+            "files": (head["files"] if head else []) + staged,
+            "schema": schema_json,
+            "txn": {},
+        }
+
+    out = M._commit(spark, tbl, build, "append")
+    # version 0 = initial write, 1 = the competing append, 2 = ours
+    # after the detected conflict and rebuild
+    assert out["version"] == 2
+    assert out["parent"] == 1
+    snap = M.snapshot(spark, tbl)
+    assert sorted((r.k, r.v) for r in snap.collect()) == [
+        (1, "a"),
+        (2, "mine"),
+        (9, "theirs"),
+    ]
+
+
+def test_vacuum_reclaims_only_dead_files(spark, tbl):
+    M.write_table(_df(spark, [(i, "x") for i in range(10)]), tbl)
+    M.write_table(_df(spark, [(99, "y")]), tbl, mode="append")
+    M.compact_table(spark, tbl, target_bytes=1 << 30)
+    before = M.snapshot(spark, tbl)
+    n_manifests_before = len(M.list_manifests(spark, tbl))
+    assert n_manifests_before == 3
+
+    out = M.vacuum_table(spark, tbl, keep_last=1)
+    assert out["deleted_manifests"] == 2
+    assert out["deleted_files"] > 0
+    assert M.list_manifests(spark, tbl) == [2]
+    # head still reads perfectly after reclamation
+    assert _content(M.snapshot(spark, tbl)) == _content(before)
+    # the dead data files are actually gone from disk
+    data_root = os.path.join(tbl, "data")
+    remaining = []
+    for d, _, files in os.walk(data_root):
+        remaining += [os.path.join(d, f) for f in files if not f.startswith((".", "_"))]
+    head = M.latest_manifest(spark, tbl)
+    assert sorted(os.path.relpath(p, tbl) for p in remaining) == sorted(head["files"])
+
+
+def test_merge_raises_on_concurrent_commit_instead_of_losing_it(spark, tbl):
+    """merge_table computes against the head it resolved; if another
+    writer commits first, blindly publishing would silently drop that
+    writer's rows — it must raise for an explicit re-run instead."""
+    M.write_table(_df(spark, [(1, "a")]), tbl)
+    batch = spark.createDataFrame([(1, "A", False)], "k bigint, v string, dead boolean")
+
+    import ensembl_database_loader_spark.sinks.manifest as mod
+
+    real_stage = mod._stage_data
+
+    def stage_and_race(df, path):
+        out = real_stage(df, path)
+        mod._stage_data = real_stage  # restore before the competing write
+        M.write_table(_df(spark, [(7, "racer")]), tbl, mode="append")
+        return out
+
+    mod._stage_data = stage_and_race
+    try:
+        with pytest.raises(RuntimeError, match="concurrent commit"):
+            M.merge_table(tbl, batch, ("k",), tombstone_col="dead")
+    finally:
+        mod._stage_data = real_stage
+    # the racer's append survived untouched
+    assert (7, "racer") in _content(M.snapshot(spark, tbl))
+
+
+def test_manifest_files_invisible_to_plain_scan(spark, tbl):
+    """Underscore naming keeps the protocol files out of any plain
+    spark.read of the data directories, and the manifest's file list is
+    relative (table moves don't break old manifests)."""
+    M.write_table(_df(spark, [(1, "a")]), tbl)
+    head = M.latest_manifest(spark, tbl)
+    assert all(rel.startswith("data/") for rel in head["files"])
+    with open(os.path.join(tbl, f"_manifest-{0:012d}.json")) as f:
+        assert json.load(f)["version"] == 0

@@ -173,3 +173,56 @@ def test_streaming_curate_from_jsonl_with_corrupt_lines(spark, tmp_path):
     )
     assert streamed == {r.id for r in one_shot.select("id").collect()}
     assert 999 not in streamed  # the corrupt line never entered curation
+
+
+def test_write_curated_batch_manifest_sink_exactly_once(spark, tmp_path):
+    """sink='manifest': a replayed micro-batch commits NOTHING (txn
+    watermark), every commit is atomic, and readers resolve complete
+    snapshots only."""
+    from ensembl_database_loader_spark.sinks.manifest import (
+        list_manifests,
+        snapshot,
+    )
+    from ensembl_database_loader_spark.streaming.ingest import write_curated_batch
+
+    out = str(tmp_path / "mtable")
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id bigint, text string")
+    for _ in range(2):  # simulate the foreachBatch replay
+        write_curated_batch(df, out, batch_id=0, exactly_once=False, sink="manifest")
+    assert snapshot(spark, out).count() == 2  # one copy, not two
+    assert len(list_manifests(spark, out)) == 1  # replay committed nothing
+
+    df2 = spark.createDataFrame([(3, "c")], "id bigint, text string")
+    write_curated_batch(df2, out, batch_id=1, exactly_once=False, sink="manifest")
+    assert {r.id for r in snapshot(spark, out).collect()} == {1, 2, 3}
+
+
+def test_streaming_curate_manifest_sink_end_to_end(spark, tmp_path):
+    """streaming_curate(sink='manifest') drains a landing dir into a
+    manifest table whose head equals the plain-sink kept set."""
+    import os
+
+    landing = str(tmp_path / "landing")
+    os.makedirs(landing)
+    docs = [
+        {"doc_id": i, "lang": "en",
+         "text": f"manifest sink document number {i} with several words"}
+        for i in range(8)
+    ]
+    with open(os.path.join(landing, "b0.jsonl"), "w") as f:
+        for d in docs:
+            f.write(json.dumps(d) + "\n")
+    out, store, ckpt = (
+        str(tmp_path / "out"), str(tmp_path / "store"), str(tmp_path / "ckpt")
+    )
+    q = streaming_curate(
+        stream_documents(spark, landing),
+        store, out, ckpt,
+        sink="manifest", min_quality=0,
+    )
+    q.awaitTermination(120)
+
+    from ensembl_database_loader_spark.sinks.manifest import snapshot
+
+    got = snapshot(spark, out)
+    assert {r.id for r in got.select("id").collect()} == set(range(8))
