@@ -304,6 +304,7 @@ def build_ann_index(
     path: str,
     n_cells: int = 16,
     centroids: list[list[float]] | None = None,
+    quantized: bool = False,
 ) -> list[list[float]]:
     """Materialize an IVF ANN index: assign every corpus row to its
     nearest centroid ONCE and persist the corpus ``partitionBy("_cell")``
@@ -320,6 +321,19 @@ def build_ann_index(
     new batches with the same persisted centroids — assignment is
     stateless given ``_ann_meta.json``).
 
+    ``quantized=True`` stores int8 vectors + a per-vector scale
+    (``operators/quantize.py``) INSTEAD of the float array — the ~4x
+    storage/IO lever that matters most here, since the index is the
+    hot serving copy of a 100 TB embedding store. Cell assignment
+    still runs on the ORIGINAL floats (centroid geometry unaffected),
+    and the query-side re-rank stays mathematically clean because the
+    symmetric per-vector scheme's scale CANCELS in cosine:
+    cos(scale*q, query) == cos(q, query) exactly — so ranking degrades
+    only by the int8 rounding of the vector itself (recall gated by
+    ``ss_ann_ivf_quant``), never by a dequantization step. TinyInt
+    elements dictionary-encode in parquet (<=255 distinct values),
+    which is where the measured byte reduction comes from.
+
     Returns the centroids used."""
     import json
     import os
@@ -327,6 +341,8 @@ def build_ann_index(
     if centroids is None:
         centroids = _grid_centroids(df, id_col, vec_col, n_cells)
     assigned = _assign_cells(df, vec_col, centroids)
+    if quantized:
+        assigned = _quantize_index_rows(assigned, id_col, vec_col)
     assigned.write.mode("overwrite").partitionBy("_cell").parquet(path)
     meta = {
         "kind": "ivf",
@@ -335,10 +351,27 @@ def build_ann_index(
         "n_cells": len(centroids),
         "dim": len(centroids[0]),
         "centroids": centroids,
+        "quantized": quantized,
     }
     with open(os.path.join(path, "_ann_meta.json"), "w") as f:
         json.dump(meta, f)
     return centroids
+
+
+def _quantize_index_rows(assigned: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """(id, q array<tinyint>, scale, _cell) — the stored shape of a
+    quantized IVF index row; the float vector is dropped."""
+    from ensembl_database_loader_spark.operators.quantize import (
+        quantize_embeddings,
+    )
+
+    q = quantize_embeddings(assigned, vec_col, q_col="q", scale_col="scale")
+    return q.select(
+        F.col(id_col),
+        F.col("q").cast("array<tinyint>").alias("q"),
+        "scale",
+        "_cell",
+    )
 
 
 def append_to_ann_index(new_df: DataFrame, path: str) -> None:
@@ -349,9 +382,13 @@ def append_to_ann_index(new_df: DataFrame, path: str) -> None:
     append for recurring ingest. New rows land inside the existing
     ``_cell=...`` partition directories, so queries keep pruning to
     n_probe cells with zero rebuild. (Re-train + rebuild only when the
-    corpus distribution drifts enough that centroid quality matters.)"""
+    corpus distribution drifts enough that centroid quality matters.)
+    A quantized index quantizes the appended rows the same way — the
+    stored shape is uniform across batches."""
     meta = ann_index_meta(path)
     assigned = _assign_cells(new_df, meta["vec_col"], meta["centroids"])
+    if meta.get("quantized"):
+        assigned = _quantize_index_rows(assigned, meta["id_col"], meta["vec_col"])
     assigned.write.mode("append").partitionBy("_cell").parquet(path)
 
 
@@ -392,7 +429,13 @@ def ivf_topk_indexed(
     if exclude_id is not None:
         idx = idx.filter(F.col(meta["id_col"]) != exclude_id)
     qcol = F.array(*[F.lit(float(x)) for x in query_vec])
-    cos = cosine(F.col(meta["vec_col"]), qcol)
+    if meta.get("quantized"):
+        # the per-vector scale cancels in cosine (cos(s*q, y) == cos(q, y)
+        # for s > 0), so the int8 codes rank directly — no dequantize
+        # column, no scale read, in the hot path
+        cos = cosine(F.transform("q", lambda x: x.cast("double")), qcol)
+    else:
+        cos = cosine(F.col(meta["vec_col"]), qcol)
     return (
         idx.select(F.col(meta["id_col"]), F.round(cos, 6).alias("cos"))
         .orderBy(F.desc("cos"), meta["id_col"])

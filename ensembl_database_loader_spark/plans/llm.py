@@ -926,6 +926,94 @@ def ss_ann_ivf_indexed(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _dir_data_bytes(path: str) -> int:
+    import os
+
+    total = 0
+    for d, _, files in os.walk(path):
+        total += sum(
+            os.path.getsize(os.path.join(d, f))
+            for f in files
+            if not f.startswith((".", "_"))
+        )
+    return total
+
+
+@probe(
+    "ss_ann_ivf_quant",
+    oracle=(
+        "SELECT TRUE AS qi_returned_k, TRUE AS qi_recall_ok, "
+        "TRUE AS qi_matches_full, TRUE AS qi_bytes_halved"
+    ),
+    tags=("llm", "similarity", "approx", "index", "quantize"),
+)
+def ss_ann_ivf_quant(spark: SparkSession, sf: str) -> DataFrame:
+    """Int8-quantized materialized IVF index
+    (``build_ann_index(quantized=True)``): the index stores
+    ``array<tinyint>`` codes + a per-vector scale instead of float
+    vectors — the 4x storage/IO lever applied to the hot serving copy.
+    The symmetric per-vector scheme's scale cancels in cosine
+    (cos(s*q, y) == cos(q, y)), so the re-rank runs directly on the
+    int8 codes: no dequantize column in the query plan, and ranking
+    error comes only from the int8 rounding itself.
+
+    Hash-gated contract (TRUE-declaring oracle): k results returned;
+    recall@5 vs the exact brute-force top-5 >= 0.6 (the bound the
+    full-precision index carries); overlap with the FULL-precision
+    indexed top-5 >= 3/5 (int8 rounding may legitimately flip
+    near-tied iid neighbours); and the quantized index's data bytes
+    are UNDER HALF the full-precision index's — measured in-probe, so
+    the storage claim is gated, not asserted (the ~4x raw-element
+    ratio lands as ~3-4x in parquet because tinyint arrays
+    dictionary-encode; COVERAGE.md records the measured ratio)."""
+    import tempfile
+
+    from ensembl_database_loader_spark.operators.similarity import (
+        build_ann_index,
+        ivf_topk_indexed,
+    )
+
+    ensure_session_confs(spark)
+    e = table(spark, sf, "embeddings").select("vec_id", "embedding")
+    root = tempfile.mkdtemp(prefix="edl_annq_")
+    full_path, quant_path = root + "/full", root + "/quant"
+    build_ann_index(e, "vec_id", "embedding", full_path, n_cells=16)
+    build_ann_index(e, "vec_id", "embedding", quant_path, n_cells=16, quantized=True)
+    bytes_halved = _dir_data_bytes(quant_path) < 0.5 * _dir_data_bytes(full_path)
+
+    qvec = list(
+        e.filter(F.col("vec_id") == 0)
+        .select(F.col("embedding").cast("array<double>"))
+        .first()[0]
+    )
+    quant = ivf_topk_indexed(
+        spark, quant_path, qvec, k=5, n_probe=4, exclude_id=0
+    ).persist()
+    full = ivf_topk_indexed(
+        spark, full_path, qvec, k=5, n_probe=4, exclude_id=0
+    ).persist()
+    exact = cosine_topk(e, "vec_id", "embedding", query_id=0, k=5).persist()
+    return (
+        quant.agg(_cnt().alias("n"))
+        .crossJoin(
+            exact.select("vec_id")
+            .intersect(quant.select("vec_id"))
+            .agg(_cnt().alias("hits_exact"))
+        )
+        .crossJoin(
+            full.select("vec_id")
+            .intersect(quant.select("vec_id"))
+            .agg(_cnt().alias("hits_full"))
+        )
+        .select(
+            (F.col("n") == 5).alias("qi_returned_k"),
+            (F.col("hits_exact") >= 3).alias("qi_recall_ok"),
+            (F.col("hits_full") >= 3).alias("qi_matches_full"),
+            F.lit(bool(bytes_halved)).alias("qi_bytes_halved"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Multimodal plumbing
 # ---------------------------------------------------------------------------

@@ -388,6 +388,17 @@ MERGE_SPECS: dict[str, list[tuple[str, list[tuple[str, str]]]]] = {
                 ("recall_ivf_ok", "recall_ivf_ok"),
             ],
         ),
+        # r8: the int8-quantized IVF index rides here — recall +
+        # full-precision agreement + measured byte-halving gates
+        (
+            "ss_ann_ivf_quant",
+            [
+                ("qi_returned_k", "qi_returned_k"),
+                ("qi_recall_ok", "qi_recall_ok"),
+                ("qi_matches_full", "qi_matches_full"),
+                ("qi_bytes_halved", "qi_bytes_halved"),
+            ],
+        ),
     ],
     "llp_mix_packing": [
         (

@@ -832,3 +832,88 @@ def test_crossdoc_boilerplate_hand_built(spark):
     assert d[1].n_boilerplate >= 2 and d[1].boilerplate_frac > 0
     assert d[4].n_boilerplate == 0 and d[4].boilerplate_frac == 0.0
     assert d[5].n_shingles == 0 and d[5].boilerplate_frac == 0.0
+
+
+def test_ann_index_quantized_storage_and_append(spark, sf_dir, tmp_path):
+    """r8: quantized IVF index — stores int8 codes + scale instead of
+    float vectors; the scale cancels in cosine so ranking degrades
+    only by int8 rounding; appends quantize uniformly; the data bytes
+    must actually halve vs the full-precision index."""
+    import os
+
+    from ensembl_database_loader_spark.operators.similarity import (
+        ann_index_meta,
+        append_to_ann_index,
+        build_ann_index,
+        ivf_topk_indexed,
+    )
+
+    e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    qvec = _query_vec(e)
+    fp, qp = str(tmp_path / "full"), str(tmp_path / "quant")
+    cents = build_ann_index(e, "vec_id", "embedding", fp, n_cells=8)
+    build_ann_index(
+        e, "vec_id", "embedding", qp, n_cells=8, centroids=cents, quantized=True
+    )
+    assert ann_index_meta(qp)["quantized"] is True
+
+    # stored shape: no float vector column, tinyint codes
+    stored = spark.read.parquet(qp)
+    assert "embedding" not in stored.columns
+    assert dict(stored.dtypes)["q"] == "array<tinyint>"
+
+    full = ivf_topk_indexed(spark, fp, qvec, k=5, exclude_id=0).collect()
+    quant = ivf_topk_indexed(spark, qp, qvec, k=5, exclude_id=0).collect()
+    overlap = {r.vec_id for r in full} & {r.vec_id for r in quant}
+    assert len(overlap) >= 3  # int8 rounding may flip near-ties only
+
+    def data_bytes(p):
+        total = 0
+        for d, _, files in os.walk(p):
+            total += sum(
+                os.path.getsize(os.path.join(d, f))
+                for f in files
+                if not f.startswith((".", "_"))
+            )
+        return total
+
+    assert data_bytes(qp) < 0.5 * data_bytes(fp)
+
+    # append path quantizes with the persisted centroids: incremental
+    # build == one-shot build, bit-identical (same codes, same cells)
+    inc = str(tmp_path / "quant_inc")
+    build_ann_index(
+        e.filter(F.col("vec_id") % 2 == 0), "vec_id", "embedding", inc,
+        centroids=cents, quantized=True,
+    )
+    append_to_ann_index(e.filter(F.col("vec_id") % 2 == 1), inc)
+    got = ivf_topk_indexed(spark, inc, qvec, k=5, exclude_id=0).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in quant]
+
+
+def test_quantize_scale_cancels_in_cosine(spark):
+    """The exactness property the int8 re-rank relies on: cosine of the
+    RAW codes equals cosine of the dequantized vector to fp precision
+    (symmetric per-vector scheme: dequant = q * scale, scale > 0)."""
+    from ensembl_database_loader_spark.functions.vectors import cosine
+    from ensembl_database_loader_spark.operators.quantize import (
+        dequantize,
+        quantize_embeddings,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [0.3, -1.7, 2.4, 0.0]), (2, [-0.01, 0.02, -0.03, 0.04])],
+        "id bigint, v array<double>",
+    )
+    q = quantize_embeddings(df, "v")
+    y = F.array(*[F.lit(x) for x in (0.5, 0.1, -0.2, 0.9)])
+    got = q.select(
+        (
+            F.abs(
+                cosine(F.transform("q", lambda x: x.cast("double")), y)
+                - cosine(dequantize("q", "scale"), y)
+            )
+            < 1e-12
+        ).alias("ok")
+    ).collect()
+    assert all(r.ok for r in got)
