@@ -619,6 +619,75 @@ def embedding_neardup_pairs(
     return block_pairs.mapInPandas(gemm, schema="id1 bigint, id2 bigint, cos double")
 
 
+def embedding_cross_pairs(
+    left: DataFrame,
+    right: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.5,
+    num_blocks: int = 4,
+    group_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Directed cross-frame near-dup pairs: (left_id, right_id, cos)
+    with cosine >= threshold, left x right ONLY (never left x left or
+    right x right) — the pair stage incremental semantic dedup needs:
+    a NEW batch against the STORED corpus without re-pairing the
+    stored corpus against itself.
+
+    Same blocked-GEMM engine as ``embedding_neardup_pairs``: each side
+    packs into ``num_blocks`` row-blocks per group, block pairs join on
+    the group columns (all block combinations — blocks exist to bound
+    the per-task GEMM, not to prune), cosines via one numpy GEMM per
+    block pair. ``group_cols`` (e.g. the IVF cell) restricts pairing to
+    same-group rows with the restriction pushed into the join key.
+    No triangle/self logic: every (left, right) pair appears exactly
+    once by construction."""
+    import numpy as np
+    import pandas as pd
+
+    def pack(df: DataFrame, side: str) -> DataFrame:
+        return (
+            df.select(
+                F.col(id_col).cast("bigint").alias("id"),
+                F.col(vec_col).cast("array<double>").alias("v"),
+                *[F.col(g) for g in group_cols],
+            )
+            .withColumn("bid", F.pmod(F.xxhash64("id"), F.lit(num_blocks)))
+            .groupBy(*group_cols, "bid")
+            .agg(F.collect_list(F.struct("id", "v")).alias(f"rows_{side}"))
+        )
+
+    l_packed, r_packed = pack(left, "l"), pack(right, "r")
+    cond = F.lit(True)
+    for g in group_cols:
+        cond = cond & (F.col(f"x.{g}") == F.col(f"y.{g}"))
+    block_pairs = (
+        l_packed.alias("x")
+        .join(r_packed.alias("y"), cond)
+        .select(F.col("x.rows_l").alias("rows_l"), F.col("y.rows_r").alias("rows_r"))
+    )
+
+    def gemm(batches):
+        for pdf in batches:
+            for row in pdf.itertuples(index=False):
+                ids_l = np.array([r["id"] for r in row.rows_l], dtype=np.int64)
+                ids_r = np.array([r["id"] for r in row.rows_r], dtype=np.int64)
+                x = np.array([r["v"] for r in row.rows_l], dtype=np.float64)
+                y = np.array([r["v"] for r in row.rows_r], dtype=np.float64)
+                xn = x / np.linalg.norm(x, axis=1, keepdims=True)
+                yn = y / np.linalg.norm(y, axis=1, keepdims=True)
+                g = xn @ yn.T
+                g = np.sign(g) * np.floor(np.abs(g) * 1e6 + 0.5) / 1e6
+                i, j = np.nonzero(g >= threshold)
+                yield pd.DataFrame(
+                    {"id_left": ids_l[i], "id_right": ids_r[j], "cos": g[i, j]}
+                )
+
+    return block_pairs.mapInPandas(
+        gemm, schema="id_left bigint, id_right bigint, cos double"
+    )
+
+
 def semantic_dedup(
     df: DataFrame,
     id_col: str,

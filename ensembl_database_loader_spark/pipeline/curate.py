@@ -426,6 +426,147 @@ def curate_increment(
 
 
 # ---------------------------------------------------------------------------
+# Incremental SEMANTIC dedup (the SemDeDup twin of the fingerprint store)
+#
+# The text path above never recomputes old signatures; this section
+# gives the embedding path the same property. The store persists, for
+# every prior-batch row, its vector and its IVF cell assignment, plus
+# the trained centroids — so a NEW batch is (1) cell-assigned with the
+# STORED centroids (one Arrow GEMM pass, stateless), (2) paired against
+# stored vectors of the SAME CELL only (embedding_cross_pairs — the old
+# corpus is never re-paired against itself), and (3) deduped within
+# itself cell-scoped. Under the monotone-id invariant the two-batch
+# result is EXACTLY the one-shot semantic_dedup(union, candidates='ivf',
+# centroids=same) result (pinned by
+# tests/test_llm_ops.py::test_semantic_increment_equals_one_shot and
+# probe dd_semantic_dedup_incr).
+# ---------------------------------------------------------------------------
+
+
+def write_semantic_store(
+    df: DataFrame,
+    store_path: str,
+    id_col: str = "doc_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    centroids: list[list[float]] | None = None,
+    mode: str = "overwrite",
+) -> list[list[float]]:
+    """Persist the semantic fingerprint store: every row's (id, vector,
+    IVF cell) at ``store_path + '/sem_vectors'`` and the centroids in
+    ``_sem_meta.json``. Store ALL rows that ENTERED semantic dedup (not
+    just survivors): keep-first drops a new row that pairs with ANY
+    smaller-id row, whether or not that row itself survived — same
+    contract as the text store's exact-stage survivors. Returns the
+    centroids used (grid init by default; pass
+    ``kmeans_centroids(...)`` for trained cells)."""
+    import json
+    import os
+
+    from ensembl_database_loader_spark.operators.similarity import (
+        _assign_cells,
+        _grid_centroids,
+    )
+
+    if centroids is None:
+        centroids = _grid_centroids(df, id_col, vec_col, n_cells)
+    assigned = _assign_cells(df, vec_col, centroids).select(
+        F.col(id_col).cast("bigint").alias("id"),
+        F.col(vec_col).cast("array<double>").alias("vec"),
+        "_cell",
+    )
+    assigned.write.mode(mode).parquet(store_path + "/sem_vectors")
+    os.makedirs(store_path, exist_ok=True)
+    with open(os.path.join(store_path, "_sem_meta.json"), "w") as f:
+        json.dump({"centroids": centroids, "n_cells": len(centroids)}, f)
+    return centroids
+
+
+def semantic_store_centroids(store_path: str) -> list[list[float]]:
+    import json
+    import os
+
+    with open(os.path.join(store_path, "_sem_meta.json")) as f:
+        return json.load(f)["centroids"]
+
+
+def semantic_dedup_increment(
+    new_df: DataFrame,
+    store_path: str,
+    id_col: str = "doc_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    num_blocks: int = 4,
+    update_store: bool = True,
+) -> DataFrame:
+    """Semantically dedup a NEW batch against the persisted semantic
+    store plus itself; returns the kept new rows (input columns
+    unchanged). Requires new ids > every stored id (monotone ingest —
+    the shared increment invariant).
+
+    Stored vectors are never re-embedded, re-assigned, or re-paired:
+    the only work against history is the same-cell cross-pair join,
+    which scales with |new batch| x (matched cells' stored rows /
+    n_cells), not with the corpus. The store is read as a pinned
+    snapshot (explicit file list) so ``update_store=True``'s append can
+    never leak into the returned lazy frame."""
+    from ensembl_database_loader_spark.operators.similarity import (
+        _assign_cells,
+        embedding_cross_pairs,
+        embedding_neardup_pairs,
+    )
+
+    spark = new_df.sparkSession
+    centroids = semantic_store_centroids(store_path)
+    old = spark.read.parquet(
+        *_snapshot_files(spark, store_path + "/sem_vectors")
+    )
+    assigned = _assign_cells(new_df, vec_col, centroids)
+
+    # new-vs-old: directed same-cell cross pairs; every stored id is
+    # smaller than every new id, so any hit drops the NEW row
+    dropped_old = (
+        embedding_cross_pairs(
+            old.select(F.col("id"), F.col("vec"), "_cell"),
+            assigned.select(
+                F.col(id_col).alias("id"),
+                F.col(vec_col).alias("vec"),
+                "_cell",
+            ),
+            "id",
+            "vec",
+            threshold=threshold,
+            num_blocks=num_blocks,
+            group_cols=("_cell",),
+        )
+        .select(F.col("id_right").alias(id_col))
+        .distinct()
+    )
+    # new-vs-new: cell-scoped keep-first within the batch
+    dropped_new = (
+        embedding_neardup_pairs(
+            assigned,
+            id_col,
+            vec_col,
+            threshold=threshold,
+            num_blocks=num_blocks,
+            group_cols=("_cell",),
+        )
+        .select(F.col("id2").alias(id_col))
+        .distinct()
+    )
+    kept = new_df.join(
+        dropped_old.unionByName(dropped_new).distinct(), id_col, "left_anti"
+    )
+    if update_store:
+        write_semantic_store(
+            new_df, store_path, id_col, vec_col,
+            centroids=centroids, mode="append",
+        )
+    return kept
+
+
+# ---------------------------------------------------------------------------
 # Corpus-stats sketch store (optional companion to the fingerprint store)
 #
 # "How many distinct tokens does the accumulated corpus have after 40

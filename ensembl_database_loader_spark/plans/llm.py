@@ -2472,3 +2472,86 @@ def ss_sketch_distinct_overlap(spark: SparkSession, sf: str) -> DataFrame:
             ),
         )
     )
+
+
+@probe(
+    "dd_semantic_dedup_incr",
+    oracle=(
+        "SELECT CAST(COUNT(*) AS BIGINT) AS sdi_store_rows, "
+        "TRUE AS sdi_matches_oneshot, TRUE AS sdi_store_drops, "
+        "TRUE AS sdi_kept_nonempty FROM embeddings WHERE vec_id < 4000"
+    ),
+    tags=("llm", "dedup", "semantic", "incremental"),
+)
+def dd_semantic_dedup_incr(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental semantic dedup (pipeline/curate.py
+    write_semantic_store / semantic_dedup_increment): batch1 deduped
+    one-shot and stored with its IVF cells + centroids; batch2 deduped
+    against the STORE (same-cell cross pairs only — stored vectors are
+    never re-paired against themselves) plus itself.
+
+    Hash-gated contract: kept1 ∪ kept2 is ROW-IDENTICAL to the
+    one-shot semantic_dedup(union, candidates='ivf', same centroids)
+    keep set (symmetric-difference-empty, the increment twin of
+    llp_incremental_dedup's gate); the store actually CAUSED drops
+    (batch2 deduped alone keeps strictly more — non-vacuous); the
+    store holds every input row (count gated in SQL); kept set
+    non-empty. Threshold 0.2 on the iid fixture gives cross-batch
+    near-pairs at every sf."""
+    import tempfile
+
+    from ensembl_database_loader_spark.operators.similarity import (
+        _grid_centroids,
+        semantic_dedup,
+    )
+    from ensembl_database_loader_spark.pipeline.curate import (
+        semantic_dedup_increment,
+        write_semantic_store,
+    )
+
+    ensure_session_confs(spark)
+    # vec_id < 4000 caps the quadratic-ish pair work at large sf (the
+    # operator's own scaling is measured separately in COVERAGE.md)
+    e = (
+        table(spark, sf, "embeddings")
+        .select("vec_id", "embedding")
+        .filter(F.col("vec_id") < 4000)
+    )
+    cut = e.count() // 2
+    b1 = e.filter(F.col("vec_id") < cut)
+    b2 = e.filter(F.col("vec_id") >= cut)
+    store = tempfile.mkdtemp(prefix="edl_semstore_") + "/sem"
+
+    cents = _grid_centroids(b1, "vec_id", "embedding", 16)
+    kept1 = semantic_dedup(
+        b1, "vec_id", "embedding", threshold=0.2,
+        candidates="ivf", centroids=cents,
+    ).select("vec_id")
+    write_semantic_store(b1, store, "vec_id", "embedding", centroids=cents)
+    kept2 = semantic_dedup_increment(
+        b2, store, "vec_id", "embedding", threshold=0.2
+    ).select("vec_id").persist()
+
+    one_shot = semantic_dedup(
+        e, "vec_id", "embedding", threshold=0.2,
+        candidates="ivf", centroids=cents,
+    ).select("vec_id")
+    inc = kept1.unionByName(kept2).persist()
+    sym_diff = inc.exceptAll(one_shot).unionAll(one_shot.exceptAll(inc))
+    # batch2 deduped with NO store: the store's cross-batch pairs must
+    # shrink the kept set (proves the increment consulted history)
+    kept2_alone = semantic_dedup(
+        b2, "vec_id", "embedding", threshold=0.2,
+        candidates="ivf", centroids=cents,
+    ).select("vec_id")
+    stored = spark.read.parquet(store + "/sem_vectors")
+    return (
+        stored.agg(_cnt().alias("sdi_store_rows"))
+        .crossJoin(sym_diff.agg((_cnt() == 0).alias("sdi_matches_oneshot")))
+        .crossJoin(
+            kept2_alone.agg(_cnt().alias("_ka"))
+            .crossJoin(kept2.agg(_cnt().alias("_ki")))
+            .select((F.col("_ka") > F.col("_ki")).alias("sdi_store_drops"))
+        )
+        .crossJoin(inc.agg((_cnt() > 0).alias("sdi_kept_nonempty")))
+    )

@@ -348,6 +348,17 @@ MERGE_SPECS: dict[str, list[tuple[str, list[tuple[str, str]]]]] = {
                 ("lsh_drops", "lsh_drops"),
             ],
         ),
+        # r8: incremental semantic dedup rides here — two-batch ==
+        # one-shot gate + proof the store caused cross-batch drops
+        (
+            "dd_semantic_dedup_incr",
+            [
+                ("sdi_store_rows", "sdi_store_rows"),
+                ("sdi_matches_oneshot", "sdi_matches_oneshot"),
+                ("sdi_store_drops", "sdi_store_drops"),
+                ("sdi_kept_nonempty", "sdi_kept_nonempty"),
+            ],
+        ),
     ],
     # r7: language-ID confusion + bigram-LM perplexity scoring share a
     # window row (both per-lang with unique keys; product <= 125 rows)

@@ -917,3 +917,57 @@ def test_quantize_scale_cancels_in_cosine(spark):
         ).alias("ok")
     ).collect()
     assert all(r.ok for r in got)
+
+
+def test_semantic_increment_equals_one_shot(spark, sf_dir, tmp_path):
+    """r8: incremental semantic dedup — batch1 deduped one-shot, its
+    rows stored with IVF cells + centroids; batch2 deduped against the
+    store + itself. kept1 ∪ kept2 must equal the one-shot
+    semantic_dedup(union, candidates='ivf', same centroids) keep set,
+    and stored vectors must never be re-paired against themselves."""
+    from ensembl_database_loader_spark.operators.similarity import (
+        _grid_centroids,
+        semantic_dedup,
+    )
+    from ensembl_database_loader_spark.pipeline.curate import (
+        semantic_dedup_increment,
+        write_semantic_store,
+    )
+
+    e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    n = e.count()
+    cut = n // 2
+    b1 = e.filter(F.col("vec_id") < cut)
+    b2 = e.filter(F.col("vec_id") >= cut)
+    store = str(tmp_path / "semstore")
+
+    cents = _grid_centroids(b1, "vec_id", "embedding", 16)
+    kept1 = semantic_dedup(
+        b1, "vec_id", "embedding", threshold=0.2,
+        candidates="ivf", centroids=cents,
+    )
+    write_semantic_store(b1, store, "vec_id", "embedding", centroids=cents)
+    kept2 = semantic_dedup_increment(
+        b2, store, "vec_id", "embedding", threshold=0.2
+    )
+
+    one_shot = semantic_dedup(
+        e, "vec_id", "embedding", threshold=0.2,
+        candidates="ivf", centroids=cents,
+    )
+    inc_ids = {r.vec_id for r in kept1.select("vec_id").collect()} | {
+        r.vec_id for r in kept2.select("vec_id").collect()
+    }
+    os_ids = {r.vec_id for r in one_shot.select("vec_id").collect()}
+    assert inc_ids == os_ids
+    # non-vacuous: the increment must actually drop batch2 rows against
+    # the STORE (not just within itself)
+    dropped2 = {r.vec_id for r in b2.select("vec_id").collect()} - {
+        r.vec_id for r in kept2.select("vec_id").collect()
+    }
+    assert dropped2, "fixture produced no cross/within-batch semantic drops"
+
+    # store composed: a third batch increments against batch1+batch2
+    # (update_store=True appended batch2's vectors)
+    sigs = spark.read.parquet(store + "/sem_vectors")
+    assert sigs.count() == n  # every input row stored, kept or not
