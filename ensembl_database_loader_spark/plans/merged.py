@@ -61,6 +61,16 @@ MERGE_SPECS: dict[str, list[tuple[str, list[tuple[str, str]]]]] = {
                 ("max_val", "dq_max_val"),
             ],
         ),
+        # r8: exact quantile profile (2 rows keyed uniquely by column)
+        (
+            "dq_profile_quantiles",
+            [
+                ("column", "dqq_column"),
+                ("q25", "dqq_q25"),
+                ("q50", "dqq_q50"),
+                ("q75", "dqq_q75"),
+            ],
+        ),
     ],
     "q18_q20_condagg_having": [
         (

@@ -1789,6 +1789,46 @@ def dq_profile(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @probe(
+    "dq_profile_quantiles",
+    oracle=(
+        'SELECT \'o_custkey\' AS "column", '
+        "ROUND(quantile_cont(o_custkey, 0.25), 4) AS q25, "
+        "ROUND(quantile_cont(o_custkey, 0.5), 4) AS q50, "
+        "ROUND(quantile_cont(o_custkey, 0.75), 4) AS q75 FROM orders "
+        "UNION ALL SELECT 'o_totalprice', "
+        "ROUND(quantile_cont(o_totalprice, 0.25), 4), "
+        "ROUND(quantile_cont(o_totalprice, 0.5), 4), "
+        "ROUND(quantile_cont(o_totalprice, 0.75), 4) FROM orders "
+        'ORDER BY "column"'
+    ),
+    tags=("profile", "quality", "quantile"),
+)
+def dq_profile_quantiles(spark: SparkSession, sf: str) -> DataFrame:
+    """Quantile profile (operators/profile.py ``quantiles=``): exact
+    p25/p50/p75 per numeric column, still ONE aggregate pass with the
+    null/distinct/min/max stats. exact=True so the DuckDB
+    ``quantile_cont`` oracle reproduces the interpolated values (both
+    engines use the SQL-standard p*(n-1) linear interpolation); the
+    100 TB default is ``percentile_approx`` — a mergeable GK sketch,
+    partial-aggregated like the HLL++ distincts. A p99/p50 spread on a
+    join key is the skew-detection input for
+    operators/skew.salted_join."""
+    from ensembl_database_loader_spark.operators.profile import profile_columns
+
+    ensure_session_confs(spark)
+    o = table(spark, sf, "orders")
+    prof = profile_columns(
+        o, ("o_custkey", "o_totalprice"), exact=True, quantiles=(0.25, 0.5, 0.75)
+    )
+    return prof.select(
+        "column",
+        F.col("quantiles")[0].alias("q25"),
+        F.col("quantiles")[1].alias("q50"),
+        F.col("quantiles")[2].alias("q75"),
+    ).orderBy("column")
+
+
+@probe(
     "llp_snapshot_merge",
     oracle=(
         # the change batch, derived deterministically from orders:

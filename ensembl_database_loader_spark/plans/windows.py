@@ -259,6 +259,118 @@ def ws2(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+#: realpath(sf_dir) -> dir holding the two time-split micro-batch files
+#: for ws4 (built once; mtimes order b0 before b1).
+_WS4_SPLIT_CACHE: dict[str, str] = {}
+
+_WS4_SPLIT = "2024-01-16 00:00:00"
+
+
+def _ws4_split_dir(spark: SparkSession, sf: str) -> str:
+    """Materialize the events fixture as TWO parquet files split at
+    ``_WS4_SPLIT`` so the file stream replays it as two ordered
+    micro-batches (maxFilesPerTrigger=1): the watermark computed from
+    batch 0 is what evicts batch-0 state during batch 1."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    src = os.path.join(sf, "events.parquet")
+    key = os.path.realpath(src)
+    d = _WS4_SPLIT_CACHE.get(key)
+    if d and os.path.isdir(d) and len(glob.glob(os.path.join(d, "b*.parquet"))) == 2:
+        return d
+    d = tempfile.mkdtemp(prefix="edl_ws4_split_")
+    e = table(spark, sf, "events")
+    for i, pred in enumerate(
+        (F.col("ts") < F.lit(_WS4_SPLIT), F.col("ts") >= F.lit(_WS4_SPLIT))
+    ):
+        stage = os.path.join(d, f"_stage{i}")
+        e.filter(pred).coalesce(1).write.mode("overwrite").parquet(stage)
+        part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+        dst = os.path.join(d, f"b{i}.parquet")
+        shutil.move(part, dst)
+        shutil.rmtree(stage, ignore_errors=True)
+        os.utime(dst, (1_700_000_000 + i * 100,) * 2)
+    _WS4_SPLIT_CACHE[key] = d
+    return d
+
+
+@probe(
+    "ws4_stream_stream_left_outer",
+    oracle=(
+        "WITH c AS (SELECT user_id, ts, value FROM events WHERE event_type = 'click'), "
+        "v AS (SELECT user_id, ts, value FROM events WHERE event_type = 'view'), "
+        # FINAL global watermark = min over both sides' max event time
+        # minus the 10-minute delay (the availableNow run ends with a
+        # no-data micro-batch that evicts state against this watermark)
+        "wm AS (SELECT LEAST((SELECT MAX(ts) FROM c), (SELECT MAX(ts) FROM v)) "
+        "- INTERVAL 10 MINUTE AS w), "
+        "matched AS (SELECT c.user_id, c.value AS cv, v.value AS vv "
+        "FROM c JOIN v ON c.user_id = v.user_id "
+        "AND v.ts BETWEEN c.ts AND c.ts + INTERVAL 10 MINUTE), "
+        # null-padded rows: unmatched clicks whose join window closed
+        # strictly before the final watermark
+        "unmatched AS (SELECT c.user_id, c.value FROM c "
+        "WHERE c.ts + INTERVAL 10 MINUTE < (SELECT w FROM wm) "
+        "AND NOT EXISTS (SELECT 1 FROM v WHERE v.user_id = c.user_id "
+        "AND v.ts BETWEEN c.ts AND c.ts + INTERVAL 10 MINUTE)) "
+        "SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM matched) AS pair_cnt, "
+        "(SELECT ROUND(SUM(cv + vv), 2) FROM matched) AS sum_matched, "
+        "(SELECT CAST(COUNT(*) AS BIGINT) FROM unmatched) AS null_cnt, "
+        "(SELECT ROUND(SUM(value), 2) FROM unmatched) AS sum_unmatched"
+    ),
+    tags=("streaming", "live-stream", "outer-join"),
+)
+def ws4(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL watermarked stream-stream LEFT OUTER join
+    (streaming/windows.stream_stream_join how='left_outer'): the events
+    fixture replayed as two time-split micro-batches. Matched pairs
+    stream out immediately; an unmatched click is held in join state
+    until the GLOBAL watermark (min of both sides') passes c_ts + gap.
+    The availableNow drain ends with a no-data micro-batch
+    (spark.sql.streaming.noDataMicroBatches.enabled, default true)
+    that evicts against the FINAL watermark, so the drained result
+    contains null rows exactly for unmatched clicks whose join window
+    closed strictly before min(max click ts, max view ts) - 10 min.
+    The oracle recomputes that watermark relationally; clicks inside
+    the trailing band stay in state past end-of-stream and are never
+    emitted (the documented left-outer trap; the mid-stream next-batch
+    emission timing is pinned in tests/test_streaming.py)."""
+    ensure_session_confs(spark)
+    d = _ws4_split_dir(spark, sf)
+    schema = table(spark, sf, "events").schema
+    stream = (
+        spark.readStream.option("maxFilesPerTrigger", 1)
+        .schema(schema)
+        .parquet(d)
+    )
+    joined = stream_stream_join(
+        stream.filter(F.col("event_type") == "click"),
+        stream.filter(F.col("event_type") == "view"),
+        how="left_outer",
+    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        out = run_available_now(
+            joined.select("user_id", "c_value", "v_user_id", "v_value"),
+            output_mode="append",
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    matched = F.col("v_user_id").isNotNull()
+    return out.agg(
+        F.count(F.when(matched, 1)).alias("pair_cnt"),
+        F.round(F.sum(F.when(matched, F.col("c_value") + F.col("v_value"))), 2).alias(
+            "sum_matched"
+        ),
+        F.count(F.when(~matched, 1)).alias("null_cnt"),
+        F.round(F.sum(F.when(~matched, F.col("c_value"))), 2).alias("sum_unmatched"),
+    )
+
+
 @probe(
     "wm6_stream_static_join",
     oracle=(

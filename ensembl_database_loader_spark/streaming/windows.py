@@ -159,8 +159,9 @@ def stream_stream_join(
     views: DataFrame,
     gap: str = "10 minutes",
     watermark: str = "10 minutes",
+    how: str = "inner",
 ) -> DataFrame:
-    """WS2: watermarked stream-stream INNER join on user with an
+    """WS2/WS4: watermarked stream-stream join on user with an
     event-time range bound — "view within ``gap`` after a click".
 
     Both sides carry a watermark and the join condition bounds the
@@ -168,7 +169,22 @@ def stream_stream_join(
     what lets Structured Streaming expire buffered state on both sides
     (an unbounded condition would grow state forever). Works
     identically on batch frames (no watermark applied), so the batch
-    self-join is the oracle."""
+    self-join is the oracle.
+
+    ``how='left_outer'`` is the semantics users trip on: an unmatched
+    click is NOT emitted when it arrives — it sits in join state until
+    the watermark passes the end of its join window (``c_ts + gap``),
+    because only then can the engine prove no matching view is still
+    coming. So null-padded rows trail the stream by up to
+    ``gap + watermark`` of event time, and clicks inside that trailing
+    band at stream end are never emitted at all (state outlives the
+    run). Batch-equivalence oracles must apply that cutoff to the
+    unmatched side; matched pairs stream out immediately like the
+    inner join. ``right_outer`` / ``full_outer`` follow symmetrically
+    and pass straight through."""
+    allowed = {"inner", "left_outer", "right_outer", "full_outer", "leftOuter", "rightOuter", "fullOuter"}
+    if how not in allowed:
+        raise ValueError(f"stream_stream_join: how={how!r} not in {sorted(allowed)}")
     c = clicks.select(
         "user_id", F.col("ts").alias("c_ts"), F.col("value").alias("c_value")
     )
@@ -186,7 +202,7 @@ def stream_stream_join(
         & (v.v_ts >= c.c_ts)
         & (v.v_ts <= F.col("c_ts") + F.expr(f"INTERVAL {gap}"))
     )
-    return c.join(v, cond, "inner")
+    return c.join(v, cond, how)
 
 
 def run_available_now(df: DataFrame, output_mode: str = "complete") -> DataFrame:

@@ -840,6 +840,40 @@ def test_profile_columns_single_pass_and_null_accounting(spark):
     assert plan.count("Exchange") <= 1  # single-partition final agg only
 
 
+def test_profile_columns_quantiles_and_guards(spark):
+    from ensembl_database_loader_spark.operators.profile import profile_columns
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0), (3, "c", 3.0), (4, "d", 4.0)],
+        "id bigint, s string, v double",
+    )
+    rows = {
+        r.column: r
+        for r in profile_columns(
+            df, exact=True, quantiles=(0.0, 0.5, 1.0)
+        ).collect()
+    }
+    assert rows["v"].quantiles == [1.0, 2.5, 4.0]
+    assert rows["id"].quantiles == [1.0, 2.5, 4.0]
+    assert rows["s"].quantiles is None  # non-numeric -> null, not error
+    # approx path still a single pass, quantile sketch included
+    plan = (
+        profile_columns(df, exact=False, quantiles=(0.5,))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Expand" not in plan
+    assert plan.count("Exchange") <= 1
+    # guards: unknown columns and out-of-range points raise ValueError
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unknown column"):
+        profile_columns(df, ("nope",))
+    with _pytest.raises(ValueError, match="quantile points"):
+        profile_columns(df, ("v",), quantiles=(-0.1,))
+
+
 def test_merge_snapshot_semantics(spark):
     from ensembl_database_loader_spark.operators.upsert import merge_snapshot
 

@@ -146,6 +146,102 @@ def test_stream_stream_join_buffers_across_batches(spark):
         shutil.rmtree(os.path.dirname(src), ignore_errors=True)
 
 
+@pytest.mark.slow
+def test_stream_stream_left_outer_emits_nulls_only_after_watermark(spark):
+    """The left-outer trap: an unmatched click is NOT emitted when it
+    arrives — it sits in join state until the GLOBAL watermark (min
+    over both sides' watermarks) passes the end of its join window
+    (c_ts + gap), and the null-padded row only surfaces in the
+    micro-batch AFTER that watermark advance. Phase A pins the
+    negative (stream ends before the watermark passes -> no null row,
+    the state outlives the run); phase B pins the positive."""
+    from ensembl_database_loader_spark.streaming.windows import (
+        run_available_now,
+        stream_stream_join,
+    )
+
+    schema = "event_id LONG, ts STRING, user_id LONG, event_type STRING, value DOUBLE, props STRING"
+
+    def run(batches):
+        src = tempfile.mkdtemp(prefix="edl_ssjo_src_") + "/f1"
+        try:
+            seen: set[str] = set()
+            for i, rows in enumerate(batches):
+                df = spark.createDataFrame(rows, schema).withColumn(
+                    "ts", F.to_timestamp("ts")
+                )
+                df.coalesce(1).write.mode("append").parquet(src)
+                new = {p for p in os.listdir(src) if p.endswith(".parquet")} - seen
+                assert len(new) == 1
+                os.utime(
+                    os.path.join(src, next(iter(new))),
+                    (1_700_000_000 + i * 100,) * 2,
+                )
+                seen |= new
+            read_schema = (
+                spark.createDataFrame([], schema)
+                .withColumn("ts", F.to_timestamp("ts"))
+                .schema
+            )
+            stream = (
+                spark.readStream.option("maxFilesPerTrigger", 1)
+                .schema(read_schema)
+                .parquet(src)
+            )
+            joined = stream_stream_join(
+                stream.filter(F.col("event_type") == "click"),
+                stream.filter(F.col("event_type") == "view"),
+                how="left_outer",
+            )
+            got = run_available_now(
+                joined.select("user_id", "c_value", "v_value"),
+                output_mode="append",
+            ).collect()
+            return sorted(((r.user_id, r.c_value, r.v_value) for r in got), key=str)
+        finally:
+            shutil.rmtree(os.path.dirname(src), ignore_errors=True)
+
+    base = [
+        # batch0: matched click (user 1) + never-matched click (user 3)
+        [
+            (1, "2024-03-01 10:00:00", 1, "click", 1.0, "{}"),
+            (2, "2024-03-01 10:00:00", 3, "click", 3.0, "{}"),
+        ],
+        # batch1: the matching view for user 1
+        [(3, "2024-03-01 10:05:00", 1, "view", 2.0, "{}")],
+    ]
+    # Phase A: watermark never passes 10:10 -> only the matched pair
+    assert run(base) == [(1, 1.0, 2.0)]
+    # Phase B: batch2 advances BOTH sides' watermarks to 10:50 (the
+    # global watermark is the MIN of the two, so a click-side stall
+    # would pin it at 09:50 and nothing would ever evict); the user-3
+    # null row is emitted in a LATER micro-batch once the advanced
+    # watermark is in effect (batch3 here; the final no-data
+    # micro-batch would also do it).
+    advanced = base + [
+        [
+            (9, "2024-03-01 11:00:00", 7, "view", 0.5, "{}"),
+            (11, "2024-03-01 11:00:00", 8, "click", 0.7, "{}"),
+        ],
+        [
+            (10, "2024-03-01 11:00:01", 17, "view", 0.5, "{}"),
+            (12, "2024-03-01 11:00:01", 18, "click", 0.7, "{}"),
+        ],
+    ]
+    assert run(advanced) == [(1, 1.0, 2.0), (3, 3.0, None)]
+
+
+def test_stream_stream_join_rejects_unknown_how(spark):
+    from ensembl_database_loader_spark.streaming.windows import stream_stream_join
+
+    df = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", 1, "click", 1.0, "{}")],
+        "event_id bigint, ts string, user_id bigint, event_type string, value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    with pytest.raises(ValueError, match="how="):
+        stream_stream_join(df, df, how="cross")
+
+
 def test_dedup_stream_batch_fallback(spark):
     """dedup_stream's batch branch (plain dropDuplicates) — kept as a
     public API path even though wm5 now fuses its own dedup+count."""
