@@ -108,6 +108,16 @@ MERGE_SPECS: dict[str, list[tuple[str, list[tuple[str, str]]]]] = {
                 ("mc_compact_ok", "mc_compact_ok"),
             ],
         ),
+        # r8: manifest-stats file skipping (scan_table) rides here too
+        (
+            "llp_manifest_skipping",
+            [
+                ("sk_n_rows", "sk_n_rows"),
+                ("sk_key_sum", "sk_key_sum"),
+                ("sk_price_cents", "sk_price_cents"),
+                ("sk_files_skipped", "sk_files_skipped"),
+            ],
+        ),
     ],
     "q30_q32_string_math_fns": [
         ("q30_string_fns", [("p_partkey", "p_partkey"), ("s", "str_s")]),

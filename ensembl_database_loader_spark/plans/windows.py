@@ -126,15 +126,16 @@ def wm5(spark: SparkSession, sf: str) -> DataFrame:
     the real streaming path). Formulated as the count-bearing groupBy
     (dropDuplicates without discarding multiplicity) so both the
     replayed count and the deduped count come out of ONE
-    partial-aggregated shuffle instead of two aggregate subtrees that
-    each rescan the union."""
+    partial-aggregated shuffle. The replay is a 2-element explode over
+    a single scan rather than union-of-two-scans — same doubled
+    multiset reaching the aggregate, half the parquet reads (measured
+    0.53 -> 0.39 s at sf0.1)."""
     ensure_session_confs(spark)
     e = table(spark, sf, "events").select("event_id")
-    g = (
-        e.unionByName(e)
-        .groupBy("event_id")
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
+    doubled = e.select(
+        "event_id", F.explode(F.array(F.lit(0), F.lit(1))).alias("_replay")
+    ).drop("_replay")
+    g = doubled.groupBy("event_id").agg(F.count(F.lit(1)).alias("c"))
     return g.agg(
         F.sum("c").cast("bigint").alias("input_cnt"),
         F.count(F.lit(1)).alias("uniq_cnt"),

@@ -217,6 +217,161 @@ def _stage_data(df: DataFrame, path: str) -> tuple[list[str], str]:
     return rel, df.schema.json()
 
 
+#: dtypes we collect file stats for (numeric kept as JSON numbers,
+#: date/timestamp rendered as sortable strings; anything else — maps,
+#: arrays, decimals (whose float rounding could mis-prune a boundary
+#: file), binaries — is skipped and its files are simply never pruned).
+_STATS_NUMERIC = {"byte", "short", "int", "integer", "bigint", "long", "float", "double"}
+_STATS_STRINGY = {"string", "date", "timestamp", "timestamp_ntz"}
+
+
+def _collect_stats(
+    spark: SparkSession,
+    root: str,
+    staged: list[str],
+    schema: StructType,
+    stats_cols: tuple[str, ...],
+) -> dict[str, dict[str, list]]:
+    """Per-file [min, max] for ``stats_cols`` over the just-staged
+    files: ONE column-pruned aggregate job (reads only the stat
+    columns, grouped by input_file_name — never a per-file job).
+    Returns {relpath: {col: [min, max]}}."""
+    fields = {f.name: f.dataType.simpleString() for f in schema.fields}
+    unknown = [c for c in stats_cols if c not in fields]
+    if unknown:
+        raise ValueError(
+            f"stats_cols {unknown!r} not in table schema {sorted(fields)!r}"
+        )
+    usable = [
+        c
+        for c in stats_cols
+        if fields[c] in _STATS_NUMERIC or fields[c] in _STATS_STRINGY
+    ]
+    if not usable or not staged:
+        return {}
+    aggs = []
+    for c in usable:
+        mn, mx = F.min(F.col(c)), F.max(F.col(c))
+        if fields[c] in _STATS_STRINGY and fields[c] != "string":
+            # sortable full-precision string form; predicate values
+            # must use the same 'yyyy-MM-dd HH:mm:ss[.SSSSSS]' shape
+            fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS" if "timestamp" in fields[c] else "yyyy-MM-dd"
+            mn, mx = F.date_format(mn, fmt), F.date_format(mx, fmt)
+        aggs += [mn.alias(f"__mn_{c}"), mx.alias(f"__mx_{c}")]
+    rows = (
+        spark.read.schema(schema)
+        .parquet(*[f"{root}/{rel}" for rel in staged])
+        .groupBy(F.input_file_name().alias("__f"))
+        .agg(*aggs)
+        .collect()
+    )
+    by_tail = {rel.split("/")[-1]: rel for rel in staged}
+    out: dict[str, dict[str, list]] = {}
+    for r in rows:
+        rel = by_tail.get(r["__f"].rstrip("/").split("/")[-1])
+        if rel is None:
+            continue  # foreign file name — never prunable, just skip
+        out[rel] = {
+            c: [_json_stat(r[f"__mn_{c}"]), _json_stat(r[f"__mx_{c}"])]
+            for c in usable
+        }
+    return out
+
+
+def _json_stat(v):
+    """Stat values must round-trip through JSON unchanged."""
+    if v is None or isinstance(v, (bool, int, float, str)):
+        return v
+    return str(v)
+
+
+_PRED_OPS = ("=", "<", "<=", ">", ">=")
+
+
+def files_matching(manifest: dict, predicates) -> list[str]:
+    """The manifest's file list, pruned by per-file [min, max] stats
+    against ``predicates`` — a sequence of ``(col, op, value)`` with op
+    in =, <, <=, >, >=. CONSERVATIVE by construction: a file is dropped
+    only when its stats PROVE no row can satisfy every predicate; files
+    without stats for a column (or with a stat/value type mismatch)
+    are always kept. Callers still apply the predicate to the rows —
+    pruning is an IO optimization, never the filter itself."""
+    for col, op, _ in predicates:
+        if op not in _PRED_OPS:
+            raise ValueError(f"unsupported predicate op {op!r} (use one of {_PRED_OPS})")
+    stats = manifest.get("stats", {})
+    out = []
+    for rel in manifest["files"]:
+        fstats = stats.get(rel, {})
+        keep = True
+        for col, op, v in predicates:
+            if col not in fstats:
+                continue
+            mn, mx = fstats[col]
+            if mn is None or mx is None:
+                # no non-null values in this file: a comparison predicate
+                # (null-rejecting by SQL semantics) can never match
+                keep = False
+                break
+            same_family = (
+                isinstance(v, (int, float)) and not isinstance(v, bool)
+                and isinstance(mn, (int, float)) and not isinstance(mn, bool)
+            ) or (isinstance(v, str) and isinstance(mn, str))
+            if not same_family:
+                continue
+            if (
+                (op == "=" and not (mn <= v <= mx))
+                or (op == "<" and not mn < v)
+                or (op == "<=" and not mn <= v)
+                or (op == ">" and not mx > v)
+                or (op == ">=" and not mx >= v)
+            ):
+                keep = False
+                break
+        if keep:
+            out.append(rel)
+    return out
+
+
+def scan_table(
+    spark: SparkSession,
+    path: str,
+    predicates=(),
+    version: int | None = None,
+) -> DataFrame:
+    """Predicate-pruned snapshot read: resolve the manifest, drop every
+    data file whose [min, max] stats prove it cannot contain a matching
+    row, read only the survivors, and STILL apply the predicates as a
+    Spark filter (row-group/page pruning inside kept files plus
+    correctness independent of stats). At 100 TB this is the difference
+    between listing-then-opening a million files and touching the
+    handful a time/key range actually hits — the same file-skipping
+    contract Delta/Iceberg readers provide, on plain parquet + JSON.
+    Stats come from ``write_table(..., stats_cols=...)``; compacting
+    with ``sort_cols`` on the filter columns tightens per-file ranges
+    and multiplies the skip rate (clustering IS the index)."""
+    root = path.rstrip("/")
+    m = (
+        read_manifest(spark, root, version)
+        if version is not None
+        else latest_manifest(spark, root)
+    )
+    if m is None:
+        raise FileNotFoundError(f"no manifest at {path} — not a committed table")
+    schema = StructType.fromJson(json.loads(m["schema"]))
+    kept = files_matching(m, predicates)
+    if not kept:
+        df = spark.createDataFrame([], schema)
+    else:
+        df = spark.read.schema(schema).parquet(*[f"{root}/{rel}" for rel in kept])
+    for col, op, v in predicates:
+        c = F.col(col)
+        df = df.filter(
+            {"=": c == v, "<": c < v, "<=": c <= v, ">": c > v, ">=": c >= v}[op]
+        )
+    return df
+
+
 def _txn_skip(head: dict | None, txn: tuple[str, int] | None) -> bool:
     """True when this (app, batch) is already reflected in the head —
     the exactly-once replay guard."""
@@ -244,6 +399,7 @@ def write_table(
     path: str,
     mode: str = "overwrite",
     txn: tuple[str, int] | None = None,
+    stats_cols: tuple[str, ...] = (),
 ) -> dict | None:
     """Commit ``df`` as the table's next snapshot.
 
@@ -258,6 +414,11 @@ def write_table(
     for app_id, nothing is committed (returns None) — the streaming
     exactly-once guard. Replay skips are detected BEFORE staging when
     possible, so a replayed batch usually costs zero Spark jobs.
+
+    ``stats_cols`` collects per-file [min, max] for those columns into
+    the manifest (one column-pruned aggregate job over the staged
+    files), enabling ``scan_table`` file skipping. Appends keep the
+    head's stats for its files and add stats for the new ones.
     """
     if mode not in ("overwrite", "append"):
         raise ValueError(f"write_table mode must be overwrite|append, got {mode!r}")
@@ -265,17 +426,23 @@ def write_table(
     if _txn_skip(latest_manifest(spark, path), txn):
         return None
     staged, schema_json = _stage_data(df, path)
+    staged_stats = _collect_stats(
+        spark, path.rstrip("/"), staged, df.schema, tuple(stats_cols)
+    )
 
     def build(head: dict | None) -> dict | None:
         if _txn_skip(head, txn):
             return None  # competing replay landed first
         files = staged
+        stats = staged_stats
         if mode == "append" and head is not None:
             files = head["files"] + staged
+            stats = {**head.get("stats", {}), **staged_stats}
         return {
             "files": files,
             "schema": schema_json,
             "txn": _merged_txn(head, txn),
+            **({"stats": stats} if stats else {}),
         }
 
     return _commit(spark, path, build, mode)
@@ -310,6 +477,7 @@ def merge_table(
     batch: DataFrame,
     key_cols: tuple[str, ...],
     tombstone_col: str | None = None,
+    stats_cols: tuple[str, ...] = (),
 ) -> dict:
     """MERGE INTO with an atomic commit: apply the change batch
     (updates / inserts / tombstone deletes — ``operators/upsert.
@@ -333,6 +501,9 @@ def merge_table(
     snap = snapshot(spark, path, base_head["version"])
     merged = merge_snapshot(snap, batch, key_cols, tombstone_col)
     staged, schema_json = _stage_data(merged, path)
+    stats = _collect_stats(
+        spark, path.rstrip("/"), staged, merged.schema, tuple(stats_cols)
+    )
 
     def build(head: dict | None) -> dict:
         if head is None or head["version"] != base_head["version"]:
@@ -341,7 +512,12 @@ def merge_table(
                 f"(expected head {base_head['version']}, "
                 f"found {head['version'] if head else None}) — re-run the merge"
             )
-        return {"files": staged, "schema": schema_json, "txn": _merged_txn(head, None)}
+        return {
+            "files": staged,
+            "schema": schema_json,
+            "txn": _merged_txn(head, None),
+            **({"stats": stats} if stats else {}),
+        }
 
     out = _commit(spark, path, build, "merge")
     assert out is not None
@@ -353,15 +529,23 @@ def compact_table(
     path: str,
     target_bytes: int = 128 << 20,
     sort_cols: tuple[str, ...] = (),
+    stats_cols: tuple[str, ...] = (),
 ) -> dict:
     """Small-file compaction as a commit: rewrite the current snapshot
-    into ~``target_bytes`` files (optionally sorted within files to
-    restore min/max clustering) and publish. Unlike ``maintenance.
-    compact_parquet``'s two-rename swap, there is NO window where the
-    table is missing or doubled: old files stay on disk until
-    ``vacuum_table``, so snapshots resolved before the compaction keep
-    reading bit-identical data. Returns the new manifest (with
-    ``files_before``/``files_after`` stats attached)."""
+    into ~``target_bytes`` files (optionally sorted to restore min/max
+    clustering) and publish. Unlike ``maintenance.compact_parquet``'s
+    two-rename swap, there is NO window where the table is missing or
+    doubled: old files stay on disk until ``vacuum_table``, so
+    snapshots resolved before the compaction keep reading bit-identical
+    data. Returns the new manifest (with ``files_before``/
+    ``files_after`` stats attached).
+
+    ``sort_cols`` uses repartitionByRange + sortWithinPartitions, so
+    each output file covers a DISJOINT range of the sort key — with
+    ``stats_cols`` on the same columns, a point/range ``scan_table``
+    predicate then skips all but ~one file (clustering is the index:
+    the compaction that fixes small files is the same one that makes
+    file skipping effective)."""
     head = latest_manifest(spark, path)
     if head is None:
         raise FileNotFoundError(f"no manifest at {path} — not a committed table")
@@ -372,17 +556,25 @@ def compact_table(
         for rel in head["files"]
     )
     n_out = max(1, math.ceil(total / target_bytes))
-    df = snapshot(spark, path, head["version"]).repartition(n_out)
+    df = snapshot(spark, path, head["version"])
     if sort_cols:
-        df = df.sortWithinPartitions(*sort_cols)
+        df = df.repartitionByRange(n_out, *sort_cols).sortWithinPartitions(*sort_cols)
+    else:
+        df = df.repartition(n_out)
     staged, schema_json = _stage_data(df, path)
+    stats = _collect_stats(spark, root, staged, df.schema, tuple(stats_cols))
 
     def build(h: dict | None) -> dict:
         if h is None or h["version"] != head["version"]:
             raise RuntimeError(
                 f"concurrent commit during compaction at {path} — re-run"
             )
-        return {"files": staged, "schema": schema_json, "txn": _merged_txn(h, None)}
+        return {
+            "files": staged,
+            "schema": schema_json,
+            "txn": _merged_txn(h, None),
+            **({"stats": stats} if stats else {}),
+        }
 
     out = _commit(spark, path, build, "compact")
     assert out is not None

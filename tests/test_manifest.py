@@ -210,3 +210,120 @@ def test_manifest_files_invisible_to_plain_scan(spark, tbl):
     assert all(rel.startswith("data/") for rel in head["files"])
     with open(os.path.join(tbl, f"_manifest-{0:012d}.json")) as f:
         assert json.load(f)["version"] == 0
+
+
+# ---------------------------------------------------------------------------
+# File-skipping stats (r8)
+# ---------------------------------------------------------------------------
+
+
+def _ranged_df(spark, lo, hi, parts=4):
+    return (
+        spark.range(lo, hi)
+        .withColumn("k", F.col("id"))
+        .withColumn("v", F.concat(F.lit("row"), F.col("id")))
+        .withColumn("ts", F.to_timestamp(F.lit("2024-01-01 00:00:00")) + F.make_interval(secs=F.col("id")))
+        .drop("id")
+        .repartitionByRange(parts, "k")
+        .sortWithinPartitions("k")
+    )
+
+
+def test_stats_collected_and_files_matching_prunes(spark, tbl):
+    """4 range-partitioned files over k in [0, 400): a point predicate
+    must keep exactly 1 file, a range predicate the overlapping ones,
+    and pruning must be conservative for unknown columns."""
+    M.write_table(_ranged_df(spark, 0, 400), tbl, stats_cols=("k", "v"))
+    head = M.latest_manifest(spark, tbl)
+    assert len(head["files"]) == 4
+    assert set(head["stats"]) == set(head["files"])
+    for st in head["stats"].values():
+        assert set(st) == {"k", "v"}
+        assert st["k"][0] <= st["k"][1]
+
+    assert len(M.files_matching(head, [("k", "=", 150)])) == 1
+    assert len(M.files_matching(head, [("k", "<", 150)])) == 2
+    assert len(M.files_matching(head, [("k", ">=", 399)])) == 1
+    assert M.files_matching(head, [("k", ">", 399)]) == []
+    # no stats for this column -> everything kept (conservative)
+    assert len(M.files_matching(head, [("ts", "=", "x")])) == 4
+    # type mismatch between value and stat -> kept (conservative)
+    assert len(M.files_matching(head, [("k", "=", "150")])) == 4
+    with pytest.raises(ValueError, match="unsupported predicate op"):
+        M.files_matching(head, [("k", "!=", 1)])
+
+
+def test_scan_table_equals_full_filter_and_skips_io(spark, tbl):
+    M.write_table(_ranged_df(spark, 0, 400), tbl, stats_cols=("k",))
+    got = M.scan_table(spark, tbl, [("k", ">=", 100), ("k", "<", 120)])
+    assert sorted(r.k for r in got.collect()) == list(range(100, 120))
+    # the pruned plan reads exactly ONE of the four files
+    files = {os.path.basename(f) for f in got.inputFiles()}
+    assert len(files) == 1
+    # empty-prune result keeps the schema and returns no rows
+    none = M.scan_table(spark, tbl, [("k", ">", 10_000)])
+    assert none.columns == ["k", "v", "ts"] and none.count() == 0
+
+
+def test_append_merges_stats_and_unknown_stats_col_raises(spark, tbl):
+    M.write_table(_ranged_df(spark, 0, 200, parts=2), tbl, stats_cols=("k",))
+    M.write_table(
+        _ranged_df(spark, 200, 400, parts=2), tbl, mode="append", stats_cols=("k",)
+    )
+    head = M.latest_manifest(spark, tbl)
+    assert len(head["files"]) == 4 and len(head["stats"]) == 4
+    assert len(M.files_matching(head, [("k", "=", 50)])) == 1
+    assert len(M.files_matching(head, [("k", "=", 350)])) == 1
+    with pytest.raises(ValueError, match="stats_cols"):
+        M.write_table(_ranged_df(spark, 0, 10), str(tbl) + "2", stats_cols=("nope",))
+
+
+def test_compact_with_sort_restores_clustering(spark, tbl):
+    """An append-heavy table whose files all overlap on k skips nothing;
+    compacting with sort_cols=k makes the ranges disjoint and a point
+    query then touches one file."""
+    import random
+
+    rnd = random.Random(7)
+    keys = list(range(400))
+    rnd.shuffle(keys)
+    for i in range(4):  # 4 appends, each spanning the WHOLE key range
+        chunk = keys[i * 100 : (i + 1) * 100]
+        df = spark.createDataFrame([(k, f"row{k}") for k in chunk], "k bigint, v string")
+        M.write_table(df.coalesce(1), tbl, mode="append", stats_cols=("k",))
+    head = M.latest_manifest(spark, tbl)
+    assert len(M.files_matching(head, [("k", "=", 42)])) == 4  # no skipping
+
+    M.compact_table(spark, tbl, target_bytes=2048, sort_cols=("k",), stats_cols=("k",))
+    head = M.latest_manifest(spark, tbl)
+    assert len(head["files"]) > 1
+    assert len(M.files_matching(head, [("k", "=", 42)])) == 1
+    got = M.scan_table(spark, tbl, [("k", "=", 42)])
+    assert [(r.k, r.v) for r in got.collect()] == [(42, "row42")]
+
+
+def test_timestamp_stats_skip_with_string_predicates(spark, tbl):
+    """Timestamps are stored as sortable 'yyyy-MM-dd HH:mm:ss.SSSSSS'
+    strings; predicates in the same shape prune files."""
+    M.write_table(_ranged_df(spark, 0, 400), tbl, stats_cols=("ts",))
+    head = M.latest_manifest(spark, tbl)
+    one = M.files_matching(head, [("ts", "=", "2024-01-01 00:02:30.000000")])
+    assert len(one) == 1
+    got = M.scan_table(
+        spark, tbl,
+        [("ts", ">=", "2024-01-01 00:02:30.000000")],
+    )
+    # residual filter compares string against timestamp: Spark casts —
+    # rows with ts >= 00:02:30 are ids 150..399
+    assert got.count() == 250
+
+
+def test_all_null_stats_prune_comparisons(spark, tbl):
+    df = spark.createDataFrame([(None, "a"), (None, "b")], "k bigint, v string")
+    M.write_table(df.coalesce(1), tbl, stats_cols=("k",))
+    head = M.latest_manifest(spark, tbl)
+    assert head["stats"][head["files"][0]]["k"] == [None, None]
+    # comparison predicates are null-rejecting: the all-null file is
+    # provably matchless and may be pruned
+    assert M.files_matching(head, [("k", "=", 1)]) == []
+    assert M.scan_table(spark, tbl, [("k", "=", 1)]).count() == 0
