@@ -71,6 +71,20 @@ MERGE_SPECS: dict[str, list[tuple[str, list[tuple[str, str]]]]] = {
                 ("q75", "dqq_q75"),
             ],
         ),
+        # r8: key-skew fingerprint (single row) — the quantile profile's
+        # routing companion
+        (
+            "dq_key_skew",
+            [
+                ("n_keys", "sk_n_keys"),
+                ("n_rows", "sk_n_rows"),
+                ("p50", "sk_p50"),
+                ("p90", "sk_p90"),
+                ("p99", "sk_p99"),
+                ("max_freq", "sk_max_freq"),
+                ("top_share", "sk_top_share"),
+            ],
+        ),
     ],
     "q18_q20_condagg_having": [
         (

@@ -1856,6 +1856,73 @@ def dq_profile_quantiles(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @probe(
+    "dq_key_skew",
+    oracle=(
+        "WITH f AS (SELECT user_id, COUNT(*) AS c FROM events GROUP BY user_id) "
+        "SELECT CAST(COUNT(*) AS BIGINT) AS n_keys, "
+        "CAST(SUM(c) AS BIGINT) AS n_rows, "
+        "ROUND(quantile_cont(c, 0.5), 2) AS p50, "
+        "ROUND(quantile_cont(c, 0.9), 2) AS p90, "
+        "ROUND(quantile_cont(c, 0.99), 2) AS p99, "
+        "CAST(MAX(c) AS BIGINT) AS max_freq, "
+        "ROUND(CAST(MAX(c) AS DOUBLE) / SUM(c), 6) AS top_share FROM f"
+    ),
+    tags=("profile", "skew", "quality"),
+)
+def dq_key_skew(spark: SparkSession, sf: str) -> DataFrame:
+    """Key-skew fingerprint (operators/skew.key_skew_profile): per-key
+    frequency quantiles + heavy-hitter share for events.user_id — the
+    measurement that routes a 100 TB join between the plain shuffle,
+    AQE skew splitting, and operators/skew.hot_key_split_join /
+    salted_join (p99/p50 spread and top_share are the decision
+    inputs; the sampled variant keeps those ratios at corpus scale).
+    Exact path here so DuckDB reproduces every value."""
+    from ensembl_database_loader_spark.operators.skew import key_skew_profile
+
+    ensure_session_confs(spark)
+    return key_skew_profile(table(spark, sf, "events"), "user_id")
+
+
+@probe(
+    "q60_skew_isolation_join",
+    oracle=(
+        "WITH dim AS (SELECT DISTINCT user_id, user_id % 7 AS grp FROM events) "
+        "SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs, "
+        "CAST(SUM(e.user_id) AS BIGINT) AS key_sum, "
+        "CAST(SUM(CAST(ROUND(e.value * 100) AS BIGINT)) AS BIGINT) AS value_cents "
+        "FROM events e JOIN dim d ON e.user_id = d.user_id"
+    ),
+    tags=("join", "skew"),
+)
+def q60_skew_isolation_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Heavy-hitter isolation join (operators/skew.hot_key_split_join):
+    events joined to a per-user dimension with hot keys (>= 50 rows on
+    the fact side) routed through a broadcast path and cold keys
+    through the normal shuffle join — the two-path skew join that
+    keeps any single key's row set out of a lone reducer task. The
+    oracle is the plain relational join: isolation must be invisible
+    in the result (multiplicity preserved exactly)."""
+    from ensembl_database_loader_spark.operators.skew import hot_key_split_join
+
+    ensure_session_confs(spark)
+    e = table(spark, sf, "events").select("user_id", "value")
+    dim = (
+        table(spark, sf, "events")
+        .select("user_id")
+        .distinct()
+        .withColumn("grp", F.col("user_id") % 7)
+    )
+    joined = hot_key_split_join(e, dim, "user_id", hot_min_rows=50)
+    return joined.agg(
+        _cnt().alias("n_pairs"),
+        F.sum("user_id").cast("bigint").alias("key_sum"),
+        F.sum(F.round(F.col("value") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("value_cents"),
+    )
+
+
+@probe(
     "llp_snapshot_merge",
     oracle=(
         # the change batch, derived deterministically from orders:

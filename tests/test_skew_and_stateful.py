@@ -130,3 +130,55 @@ def test_aqe_skew_join_splits_hot_partition(spark):
                 spark.conf.unset(c)
             else:
                 spark.conf.set(c, v)
+
+
+def test_key_skew_profile_values(spark):
+    from ensembl_database_loader_spark.operators.skew import key_skew_profile
+
+    # 1 hot key (80 rows) + 20 uniform keys (2 rows each)
+    rows = [(0,)] * 80 + [(k,) for k in range(1, 21) for _ in range(2)]
+    df = spark.createDataFrame(rows, "k bigint")
+    r = key_skew_profile(df, "k").first()
+    assert (r.n_keys, r.n_rows, r.max_freq) == (21, 120, 80)
+    assert r.p50 == 2.0
+    assert r.top_share == round(80 / 120, 6)
+    # sampled path: ratios survive, exact counts don't (just shape-check)
+    s = key_skew_profile(df, "k", sample_fraction=0.5).first()
+    assert s.n_rows < 120 and s.n_keys <= 21
+
+
+def test_hot_key_split_join_equivalence_and_plan(spark):
+    from ensembl_database_loader_spark.operators.skew import hot_key_split_join
+
+    # big side: key 7 is hot (500 rows), keys 0..49 cold (4 rows each)
+    big = spark.createDataFrame(
+        [(7, i) for i in range(500)] + [(k, i) for k in range(50) for i in range(4)],
+        "k bigint, payload bigint",
+    )
+    # even cold keys only + the hot key once (odd cold keys unmatched)
+    small = spark.createDataFrame(
+        [(k, f"dim{k}") for k in range(0, 50, 2)] + [(7, "dim7b")],
+        "k bigint, attr string",
+    )
+    plain = big.join(small, "k")
+    split = hot_key_split_join(big, small, "k", hot_min_rows=100)
+    key_fn = lambda r: (r.k, r.payload, r.attr)  # noqa: E731
+    assert sorted(map(key_fn, split.collect())) == sorted(map(key_fn, plain.collect()))
+    # the hot path must be a broadcast join (no shuffle of hot rows)
+    plan = split._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_hot_key_split_join_duplicate_small_rows(spark):
+    """Multiplicity preserved when the small side has duplicate keys
+    (each big-hot row must pair with EVERY matching small row, once)."""
+    from ensembl_database_loader_spark.operators.skew import hot_key_split_join
+
+    big = spark.createDataFrame([(1, i) for i in range(10)] + [(2, 0)], "k bigint, p bigint")
+    small = spark.createDataFrame([(1, "a"), (1, "b"), (2, "c")], "k bigint, attr string")
+    plain = sorted((r.k, r.p, r.attr) for r in big.join(small, "k").collect())
+    split = sorted(
+        (r.k, r.p, r.attr)
+        for r in hot_key_split_join(big, small, "k", hot_min_rows=5).collect()
+    )
+    assert split == plain
