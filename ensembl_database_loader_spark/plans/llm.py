@@ -1708,6 +1708,41 @@ def llp_split(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+_SHUFFLE_SHARD_ORACLE = (
+    # same knuth permutation: shard = h % 8, pos = rank by (h, id) in
+    # shard; sum(pos * id) pins the EXACT order (any transposition
+    # changes it), not just membership
+    "WITH h AS (SELECT doc_id, ((doc_id * 2654435761) % 4294967296) AS hv "
+    "FROM documents), "
+    "s AS (SELECT doc_id, CAST(hv % 8 AS INT) AS shard, "
+    "ROW_NUMBER() OVER (PARTITION BY hv % 8 ORDER BY hv, doc_id) AS pos FROM h) "
+    "SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_rows, "
+    "CAST(SUM(pos * doc_id) AS BIGINT) AS order_sum "
+    "FROM s GROUP BY shard ORDER BY shard"
+)
+
+
+@probe("llp_shuffle_shard", oracle=_SHUFFLE_SHARD_ORACLE, tags=("llm", "pipeline", "export"))
+def llp_shuffle_shard(spark: SparkSession, sf: str) -> DataFrame:
+    """Training-order global shuffle (operators/export.shuffle_shard):
+    the corpus striped over 8 shards by keyed hash with a
+    deterministic within-shard permutation — shard assignment is
+    map-side (no shuffle), the order is a shard-LOCAL sort (never a
+    global range exchange), and the whole permutation is a pure
+    function of doc ids so reruns and incremental batches agree.
+    The order_sum fingerprint (sum of pos*id per shard) gates the
+    exact row order against the oracle's window recomputation —
+    membership-only hashing would miss a wrong sort."""
+    from ensembl_database_loader_spark.operators.export import (
+        shard_order_checksum,
+        shuffle_shard,
+    )
+
+    ensure_session_confs(spark)
+    d = table(spark, sf, "documents").select("doc_id")
+    return shard_order_checksum(shuffle_shard(d, "doc_id", 8), "doc_id")
+
+
 #: Deterministic multi-line reconstruction of the single-line fixture
 #: docs: 4-token lines; line idx (1-based) gets '.' when (doc_id+idx)%3=0,
 #: a blocked ' cookie.' suffix when %5=0, else no terminal; the first

@@ -957,3 +957,65 @@ def test_profile_columns_hostile_names(spark):
     assert set(rows) == {"user's_id", "a`b", "dot.ted"}
     assert rows["a`b"].n_distinct == 3
     assert rows["user's_id"].n_nulls == 0
+
+
+def test_shuffle_shard_deterministic_permutation(spark):
+    from ensembl_database_loader_spark.operators.export import shuffle_shard
+
+    df = spark.createDataFrame([(i, f"d{i}") for i in range(500)], "doc_id bigint, text string")
+    a = shuffle_shard(df, "doc_id", 4)
+    rows = a.collect()
+    # every row kept exactly once; shard in range; pos dense per shard
+    assert sorted(r.doc_id for r in rows) == list(range(500))
+    assert {r.shard for r in rows} <= set(range(4))
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r.shard, []).append(r.pos)
+    for ps in by_shard.values():
+        assert sorted(ps) == list(range(1, len(ps) + 1))
+    # rerun (different layout) -> identical (shard, pos) per id
+    b = shuffle_shard(df.repartition(13), "doc_id", 4)
+    ma = {r.doc_id: (r.shard, r.pos) for r in rows}
+    mb = {r.doc_id: (r.shard, r.pos) for r in b.collect()}
+    assert ma == mb
+    # a sorted-by-id corpus must NOT stay id-ordered within a shard
+    first_shard = sorted(by_shard)[0]
+    ids_in_order = [
+        r.doc_id for r in sorted(rows, key=lambda r: (r.shard, r.pos)) if r.shard == first_shard
+    ]
+    assert ids_in_order != sorted(ids_in_order)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="n_shards"):
+        shuffle_shard(df, "doc_id", 0)
+
+
+def test_export_training_shards_one_ordered_file_each(spark, tmp_path):
+    from ensembl_database_loader_spark.operators.export import (
+        _shard_files,
+        export_training_shards,
+        read_shard,
+        shuffle_shard,
+    )
+
+    df = spark.createDataFrame([(i, f"d{i}") for i in range(400)], "doc_id bigint, text string")
+    path = str(tmp_path / "shards")
+    audit = export_training_shards(df, path, "doc_id", 4)
+    assert sum(r.n_rows for r in audit.collect()) == 400
+    for s in range(4):
+        assert len(_shard_files(path, s)) == 1
+    # file content is physically in pos order and matches the in-memory
+    # permutation
+    expected = {
+        s: [r.doc_id for r in sorted(shuffle_shard(df, "doc_id", 4).collect(),
+                                     key=lambda r: r.pos) if r.shard == s]
+        for s in range(4)
+    }
+    for s in range(4):
+        f = _shard_files(path, s)[0]
+        import pyarrow.parquet as pq
+
+        got = pq.read_table(f"{path}/shard={s}/{f}", columns=["doc_id"])["doc_id"].to_pylist()
+        assert got == expected[s]
+        # read_shard returns the same order
+        assert [r.doc_id for r in read_shard(spark, path, s).collect()] == expected[s]
