@@ -373,6 +373,80 @@ def ws4(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @probe(
+    "ws5_stream_stream_full_outer",
+    oracle=(
+        "WITH c AS (SELECT user_id, ts, value FROM events WHERE event_type = 'click'), "
+        "v AS (SELECT user_id, ts, value FROM events WHERE event_type = 'view'), "
+        "wm AS (SELECT LEAST((SELECT MAX(ts) FROM c), (SELECT MAX(ts) FROM v)) "
+        "- INTERVAL 10 MINUTE AS w), "
+        "matched AS (SELECT c.value AS cv, v.value AS vv FROM c JOIN v "
+        "ON c.user_id = v.user_id AND v.ts BETWEEN c.ts AND c.ts + INTERVAL 10 MINUTE), "
+        # left padding: unmatched clicks whose join window (c_ts+gap)
+        # closed strictly before the final watermark
+        "lnull AS (SELECT value FROM c WHERE ts + INTERVAL 10 MINUTE < (SELECT w FROM wm) "
+        "AND NOT EXISTS (SELECT 1 FROM v WHERE v.user_id = c.user_id "
+        "AND v.ts BETWEEN c.ts AND c.ts + INTERVAL 10 MINUTE)), "
+        # right padding: unmatched views evictable once v_ts < wm (any
+        # future click would have c_ts > wm >= v_ts and cannot match a
+        # condition requiring v_ts >= c_ts)
+        "rnull AS (SELECT value FROM v WHERE ts < (SELECT w FROM wm) "
+        "AND NOT EXISTS (SELECT 1 FROM c WHERE c.user_id = v.user_id "
+        "AND v.ts BETWEEN c.ts AND c.ts + INTERVAL 10 MINUTE)) "
+        "SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM matched) AS pair_cnt, "
+        "(SELECT ROUND(SUM(cv + vv), 2) FROM matched) AS sum_matched, "
+        "(SELECT CAST(COUNT(*) AS BIGINT) FROM lnull) AS left_null_cnt, "
+        "(SELECT ROUND(SUM(value), 2) FROM lnull) AS sum_left_unmatched, "
+        "(SELECT CAST(COUNT(*) AS BIGINT) FROM rnull) AS right_null_cnt, "
+        "(SELECT ROUND(SUM(value), 2) FROM rnull) AS sum_right_unmatched"
+    ),
+    tags=("streaming", "live-stream", "outer-join"),
+)
+def ws5(spark: SparkSession, sf: str) -> DataFrame:
+    """WS5: watermarked stream-stream FULL OUTER join over the same
+    two-micro-batch replay as ws4. The two null-padding sides expire
+    on DIFFERENT boundaries — an unmatched click pads once the
+    watermark passes the END of its window (c_ts + gap), an unmatched
+    view pads once the watermark passes v_ts itself (its window
+    extends BACKWARD: matching clicks have c_ts <= v_ts, and clicks
+    arriving after the watermark would be late) — which is precisely
+    the asymmetry the oracle encodes relationally. Matched pairs
+    stream out immediately on both paths."""
+    ensure_session_confs(spark)
+    d = _ws4_split_dir(spark, sf)
+    schema = table(spark, sf, "events").schema
+    stream = (
+        spark.readStream.option("maxFilesPerTrigger", 1)
+        .schema(schema)
+        .parquet(d)
+    )
+    joined = stream_stream_join(
+        stream.filter(F.col("event_type") == "click"),
+        stream.filter(F.col("event_type") == "view"),
+        how="full_outer",
+    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        out = run_available_now(
+            joined.select("user_id", "c_value", "v_user_id", "v_value"),
+            output_mode="append",
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    m = F.col("user_id").isNotNull() & F.col("v_user_id").isNotNull()
+    lo = F.col("user_id").isNotNull() & F.col("v_user_id").isNull()
+    ro = F.col("user_id").isNull()
+    return out.agg(
+        F.count(F.when(m, 1)).alias("pair_cnt"),
+        F.round(F.sum(F.when(m, F.col("c_value") + F.col("v_value"))), 2).alias("sum_matched"),
+        F.count(F.when(lo, 1)).alias("left_null_cnt"),
+        F.round(F.sum(F.when(lo, F.col("c_value"))), 2).alias("sum_left_unmatched"),
+        F.count(F.when(ro, 1)).alias("right_null_cnt"),
+        F.round(F.sum(F.when(ro, F.col("v_value"))), 2).alias("sum_right_unmatched"),
+    )
+
+
+@probe(
     "wm6_stream_static_join",
     oracle=(
         "WITH dim AS (SELECT DISTINCT user_id, user_id % 5 AS segment FROM events) "

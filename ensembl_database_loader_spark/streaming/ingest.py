@@ -57,6 +57,7 @@ def write_curated_batch(
     batch_id: int,
     exactly_once: bool,
     sink: str = "files",
+    stats_cols: tuple[str, ...] = (),
 ) -> None:
     """The per-micro-batch sink.
 
@@ -76,13 +77,23 @@ def write_curated_batch(
     is exactly-once regardless of the ``exactly_once`` flag, and a
     reader racing the stream always resolves a complete snapshot (the
     plain-files appends expose half-written part files). Readers use
-    ``manifest.snapshot(spark, output_path)``."""
+    ``manifest.snapshot(spark, output_path)``; with ``stats_cols`` each
+    appended batch also records per-file [min, max] stats, so
+    ``manifest.scan_table`` file skipping works on a table a stream is
+    still feeding (periodic ``compact_table(sort_cols=...)`` tightens
+    the ranges appends leave loose)."""
     if sink == "manifest":
         from ensembl_database_loader_spark.sinks.manifest import write_table
 
         # first batch bootstraps the table (manifest append == overwrite
         # on an uncommitted table, but be explicit about the schema seed)
-        write_table(kept, output_path, mode="append", txn=(_TXN_APP, batch_id))
+        write_table(
+            kept,
+            output_path,
+            mode="append",
+            txn=(_TXN_APP, batch_id),
+            stats_cols=stats_cols,
+        )
     elif exactly_once:
         kept.write.mode("overwrite").parquet(f"{output_path}/batch={batch_id}")
     else:
@@ -123,6 +134,7 @@ def streaming_curate(
     ``write_curated_batch``).
     """
     near_dup = curate_kwargs.pop("near_dup", "minhash")
+    stats_cols = tuple(curate_kwargs.pop("stats_cols", ()))
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -138,7 +150,9 @@ def streaming_curate(
                 near_dup=near_dup,
                 **curate_kwargs,
             )
-        write_curated_batch(kept, output_path, batch_id, exactly_once, sink)
+        write_curated_batch(
+            kept, output_path, batch_id, exactly_once, sink, stats_cols
+        )
 
     w = (
         stream_df.writeStream.foreachBatch(_process)

@@ -226,3 +226,32 @@ def test_streaming_curate_manifest_sink_end_to_end(spark, tmp_path):
 
     got = snapshot(spark, out)
     assert {r.id for r in got.select("id").collect()} == set(range(8))
+
+
+def test_streaming_manifest_appends_collect_skipping_stats(spark, tmp_path):
+    """stats_cols on the manifest sink: every streamed append records
+    per-file [min, max], so scan_table skips files while the table is
+    still being fed."""
+    from ensembl_database_loader_spark.sinks.manifest import (
+        files_matching,
+        latest_manifest,
+        scan_table,
+    )
+    from ensembl_database_loader_spark.streaming.ingest import write_curated_batch
+
+    out = str(tmp_path / "mtable")
+    for b, lo in enumerate((0, 100, 200)):
+        df = spark.createDataFrame(
+            [(lo + i, f"d{lo + i}") for i in range(100)], "id bigint, text string"
+        ).coalesce(1)
+        write_curated_batch(
+            df, out, batch_id=b, exactly_once=False, sink="manifest",
+            stats_cols=("id",),
+        )
+    head = latest_manifest(spark, out)
+    assert len(head["files"]) == 3 and len(head["stats"]) == 3
+    preds = [("id", ">=", 120), ("id", "<=", 150)]
+    assert len(files_matching(head, preds)) == 1
+    assert sorted(r.id for r in scan_table(spark, out, preds).collect()) == list(
+        range(120, 151)
+    )
