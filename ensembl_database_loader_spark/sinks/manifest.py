@@ -524,12 +524,57 @@ def merge_table(
     return out
 
 
+def zorder_value(df: DataFrame, cols: tuple[str, ...], bits: int = 16) -> DataFrame:
+    """Add ``_z``: the Morton (Z-order) interleaving of ``cols``.
+
+    Each column is min-max normalized to a ``bits``-wide integer (one
+    tiny 2-value-per-column aggregate supplies the bounds), then the
+    bit planes are interleaved so rows close in EVERY dimension get
+    close z-values. Sorting files by ``_z`` gives each file a tight
+    [min, max] box on ALL the z-ordered columns simultaneously — a
+    single-column sort optimizes one column's skipping and destroys
+    the others'. Pure bitwise/arithmetic Spark expressions: map-side,
+    whole-stage-codegen, no UDF."""
+    if not cols:
+        raise ValueError("zorder_value needs at least one column")
+    bounds = df.agg(
+        *[
+            x
+            for c in cols
+            for x in (
+                F.min(F.col(c).cast("double")).alias(f"__mn_{c}"),
+                F.max(F.col(c).cast("double")).alias(f"__mx_{c}"),
+            )
+        ]
+    ).first()
+    scaled = []
+    top = (1 << bits) - 1
+    for c in cols:
+        mn, mx = bounds[f"__mn_{c}"], bounds[f"__mx_{c}"]
+        if mn is None or mx is None or mx == mn:
+            scaled.append(F.lit(0).cast("bigint"))
+            continue
+        frac = (F.col(c).cast("double") - F.lit(float(mn))) / F.lit(float(mx - mn))
+        scaled.append(
+            F.least(F.lit(top), F.floor(frac * (1 << bits)).cast("bigint"))
+        )
+    z = F.lit(0).cast("bigint")
+    n = len(cols)
+    for b in range(bits):
+        for i, s in enumerate(scaled):
+            z = z + F.shiftleft(
+                F.shiftright(s, b).bitwiseAND(F.lit(1)), b * n + i
+            ).cast("bigint")
+    return df.withColumn("_z", z)
+
+
 def compact_table(
     spark: SparkSession,
     path: str,
     target_bytes: int = 128 << 20,
     sort_cols: tuple[str, ...] = (),
     stats_cols: tuple[str, ...] = (),
+    zorder_cols: tuple[str, ...] = (),
 ) -> dict:
     """Small-file compaction as a commit: rewrite the current snapshot
     into ~``target_bytes`` files (optionally sorted to restore min/max
@@ -545,7 +590,14 @@ def compact_table(
     ``stats_cols`` on the same columns, a point/range ``scan_table``
     predicate then skips all but ~one file (clustering is the index:
     the compaction that fixes small files is the same one that makes
-    file skipping effective)."""
+    file skipping effective).
+
+    ``zorder_cols`` clusters on the MORTON interleaving of several
+    columns instead (``zorder_value``): each file gets a tight stats
+    box on every listed column at once, so predicates on ANY of them
+    skip files — the multi-dimension layout a lone sort can't give."""
+    if sort_cols and zorder_cols:
+        raise ValueError("pass sort_cols or zorder_cols, not both")
     head = latest_manifest(spark, path)
     if head is None:
         raise FileNotFoundError(f"no manifest at {path} — not a committed table")
@@ -557,7 +609,14 @@ def compact_table(
     )
     n_out = max(1, math.ceil(total / target_bytes))
     df = snapshot(spark, path, head["version"])
-    if sort_cols:
+    if zorder_cols:
+        df = (
+            zorder_value(df, tuple(zorder_cols))
+            .repartitionByRange(n_out, "_z")
+            .sortWithinPartitions("_z")
+            .drop("_z")
+        )
+    elif sort_cols:
         df = df.repartitionByRange(n_out, *sort_cols).sortWithinPartitions(*sort_cols)
     else:
         df = df.repartition(n_out)

@@ -327,3 +327,47 @@ def test_all_null_stats_prune_comparisons(spark, tbl):
     # provably matchless and may be pruned
     assert M.files_matching(head, [("k", "=", 1)]) == []
     assert M.scan_table(spark, tbl, [("k", "=", 1)]).count() == 0
+
+
+def test_zorder_compact_skips_on_both_columns(spark, tbl):
+    """Two independent uniform columns: appends span the whole domain
+    (nothing skips); a z-order compaction gives every file a tight box
+    on BOTH columns, so single-column predicates on either skip files
+    — the multi-dimension win a plain sort on x would deny y."""
+    rows = [(x, y) for x in range(0, 256, 8) for y in range(0, 256, 8)]
+    df = spark.createDataFrame(rows, "x bigint, y bigint")
+    M.write_table(df.repartition(4), tbl, stats_cols=("x", "y"))
+    head = M.latest_manifest(spark, tbl)
+    n = len(head["files"])
+    assert len(M.files_matching(head, [("x", "=", 64)])) == n  # no layout
+
+    M.compact_table(
+        spark, tbl, target_bytes=1024, zorder_cols=("x", "y"), stats_cols=("x", "y")
+    )
+    head = M.latest_manifest(spark, tbl)
+    total = len(head["files"])
+    assert total >= 4
+    kept_x = len(M.files_matching(head, [("x", ">=", 0), ("x", "<", 32)]))
+    kept_y = len(M.files_matching(head, [("y", ">=", 0), ("y", "<", 32)]))
+    assert kept_x < total and kept_y < total
+    # correctness: the pruned scan equals the full filter
+    got = M.scan_table(spark, tbl, [("x", ">=", 0), ("x", "<", 32)])
+    expect = sorted((x, y) for x, y in rows if x < 32)
+    assert sorted((r.x, r.y) for r in got.collect()) == expect
+    with pytest.raises(ValueError, match="not both"):
+        M.compact_table(spark, tbl, sort_cols=("x",), zorder_cols=("y",))
+
+
+def test_zorder_value_constant_and_null_columns(spark):
+    from pyspark.sql import functions as F  # noqa: F811
+
+    df = spark.createDataFrame(
+        [(1, 5, None), (2, 5, None), (3, 5, None)], "a bigint, c bigint, n bigint"
+    )
+    out = M.zorder_value(df, ("a", "c", "n"), bits=8).collect()
+    # constant and all-null dimensions collapse to 0 and don't disturb
+    # the varying dimension's ordering
+    zs = {r.a: r._z for r in out}
+    assert zs[1] < zs[2] < zs[3]
+    with pytest.raises(ValueError, match="at least one"):
+        M.zorder_value(df, ())
