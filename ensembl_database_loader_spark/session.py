@@ -28,6 +28,15 @@ RUNTIME_CONFS: dict[str, str] = {
     # mutable, result-neutral (no probe's output depends on partition
     # count); a cluster deployment overrides via SPARK_GRAFT_SHUFFLE.
     "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_SHUFFLE", "32"),
+    # Runtime bloom-filter semi-join reduction: on a selective shuffle
+    # join the filtered side builds a bloom filter over its join keys
+    # and the big side probes it BEFORE its shuffle — at 100 TB this
+    # drops most shuffle bytes of a big-big join whose other side is
+    # filtered. (Spark default-enables it; pinned here because the
+    # whole-suite bloom injection is a deliberate posture, and
+    # plan-gated in tests/test_plan_quality.py.)
+    "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+    "spark.sql.optimizer.runtimeFilter.semiJoinReduction.enabled": "false",
 }
 
 BUILD_CONFS: dict[str, str] = {

@@ -371,3 +371,45 @@ def test_zorder_value_constant_and_null_columns(spark):
     assert zs[1] < zs[2] < zs[3]
     with pytest.raises(ValueError, match="at least one"):
         M.zorder_value(df, ())
+
+
+def test_table_diff_change_feed(spark, tbl):
+    """insert/update/delete classification between two versions; the
+    CDC read a downstream consumer uses to catch up incrementally."""
+    M.write_table(
+        spark.createDataFrame(
+            [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+            "k bigint, v string, price double",
+        ),
+        tbl,
+    )
+    batch = spark.createDataFrame(
+        [(2, "B", 20.0, False), (3, "c", 30.0, True), (4, "d", 40.0, False)],
+        "k bigint, v string, price double, dead boolean",
+    )
+    M.merge_table(tbl, batch, ("k",), tombstone_col="dead")
+    diff = {
+        r.k: (r.change_type, r.v)
+        for r in M.table_diff(spark, tbl, 0, 1, ("k",)).collect()
+    }
+    # 1 unchanged (absent), 2 updated, 3 deleted (old row), 4 inserted
+    assert diff == {2: ("update", "B"), 3: ("delete", "c"), 4: ("insert", "d")}
+    # reversed direction inverts the feed
+    rev = {
+        r.k: r.change_type for r in M.table_diff(spark, tbl, 1, 0, ("k",)).collect()
+    }
+    assert rev == {2: "update", 3: "insert", 4: "delete"}
+    with pytest.raises(ValueError, match="at least one key"):
+        M.table_diff(spark, tbl, 0, 1, ())
+
+
+def test_table_diff_null_keys_and_values(spark, tbl):
+    M.write_table(
+        spark.createDataFrame([(None, "x"), (1, None)], "k bigint, v string"), tbl
+    )
+    M.write_table(
+        spark.createDataFrame([(None, "y"), (1, None)], "k bigint, v string"), tbl
+    )
+    diff = M.table_diff(spark, tbl, 0, 1, ("k",)).collect()
+    # null key matches null key (eqNullSafe); null v equal on both sides
+    assert [(r.k, r.v, r.change_type) for r in diff] == [(None, "y", "update")]

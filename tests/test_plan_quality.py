@@ -546,3 +546,52 @@ def test_token_budget_histogram_broadcasts_and_windows_stay_small(spark):
     # cumsum on the token column (the histogram's own window lives
     # inside the cached relation)
     assert len(re.findall(r"Window \[sum\(n_tokens", plan)) == 1
+
+
+def test_runtime_bloom_filter_reduces_selective_shuffle_join(spark):
+    """r8: with the session's bloom posture, a shuffle join whose one
+    side is selectively filtered injects a bloom_filter_agg on the
+    filtered side and probes it on the big side BEFORE its shuffle —
+    at 100 TB that drops most of the big side's shuffle bytes. The
+    local thresholds are lowered to make the 10 GB application-side
+    default observable at fixture scale."""
+    from pyspark.sql import functions as F
+
+    from ensembl_database_loader_spark.catalog import table as cat_table
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force shuffle join
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = cat_table(spark, SF, "lineitem").select("l_orderkey", "l_quantity")
+        o = cat_table(spark, SF, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        ).select("o_orderkey")
+        j = li.join(o, li.l_orderkey == o.o_orderkey).agg(
+            F.count(F.lit(1)).alias("cnt")
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "bloom_filter_agg" in plan
+        # and the reduction is semantics-free
+        n = j.first().cnt
+        for k, v in prev.items():
+            if v is not None:
+                spark.conf.set(k, v)
+            else:
+                spark.conf.unset(k)
+        li2 = cat_table(spark, SF, "lineitem").select("l_orderkey", "l_quantity")
+        o2 = cat_table(spark, SF, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        ).select("o_orderkey")
+        assert li2.join(o2, li2.l_orderkey == o2.o_orderkey).count() == n
+    finally:
+        for k, v in prev.items():
+            if v is not None:
+                spark.conf.set(k, v)
+            else:
+                spark.conf.unset(k)
