@@ -2094,6 +2094,90 @@ def llp_manifest_commit(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @probe(
+    "llp_incremental_rollup",
+    oracle=(
+        # the source after the merge, re-aggregated from scratch — the
+        # incremental fold must land on exactly this
+        "WITH sub AS (SELECT o_orderkey AS k, o_orderpriority AS g, "
+        "CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents "
+        "FROM orders WHERE o_orderkey <= 4000), "
+        "batch AS ("
+        "SELECT k, g, cents + 7 AS cents, (k % 97 = 0) AS dead "
+        "FROM sub WHERE k % 10 = 0 "
+        "UNION ALL SELECT k + 100000, g, cents, FALSE FROM sub WHERE k <= 400"
+        "), merged AS ("
+        "SELECT * FROM sub WHERE k NOT IN (SELECT k FROM batch) "
+        "UNION ALL SELECT k, g, cents FROM batch WHERE NOT dead) "
+        "SELECT g, CAST(COUNT(*) AS BIGINT) AS cnt, "
+        "CAST(SUM(cents) AS BIGINT) AS sum_cents, "
+        "TRUE AS iv_incremental_ok, TRUE AS iv_replay_noop "
+        "FROM merged GROUP BY g ORDER BY g"
+    ),
+    tags=("manifest", "rollup", "ivm", "pipeline"),
+)
+def llp_incremental_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental view maintenance (sinks/ivm.refresh_rollup): a
+    per-priority rollup of a manifest table maintained through a MERGE
+    by folding ONLY the change feed (table_diff with update
+    preimages; +1 insert/update-post, -1 delete/update-pre) — work
+    proportional to the changes, never a source rescan. The oracle
+    re-aggregates the merged source from scratch: the fold must land
+    on it exactly (cents are BIGINT so the fold is bit-exact).
+    ``iv_incremental_ok`` gates that the second refresh really was a
+    delta fold (txn watermark advanced 0 -> 1); ``iv_replay_noop``
+    gates exactly-once (a replayed refresh commits nothing)."""
+    import tempfile
+
+    from ensembl_database_loader_spark.sinks.ivm import refresh_rollup
+    from ensembl_database_loader_spark.sinks.manifest import (
+        latest_manifest,
+        merge_table,
+        snapshot,
+        write_table,
+    )
+
+    ensure_session_confs(spark)
+    base = tempfile.mkdtemp(prefix="edl_ivm_")
+    src, roll = f"{base}/src", f"{base}/roll"
+    sub = (
+        table(spark, sf, "orders")
+        .filter(F.col("o_orderkey") <= 4000)
+        .select(
+            F.col("o_orderkey").alias("k"),
+            F.col("o_orderpriority").alias("g"),
+            F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        )
+    )
+    write_table(sub, src)
+    refresh_rollup(spark, src, roll, ("k",), ("g",), ("cents",))  # bootstrap at v0
+
+    updates = sub.filter(F.col("k") % 10 == 0).select(
+        "k", "g", (F.col("cents") + 7).alias("cents"),
+        (F.col("k") % 97 == 0).alias("dead"),
+    )
+    inserts = sub.filter(F.col("k") <= 400).select(
+        (F.col("k") + 100_000).alias("k"), "g", "cents", F.lit(False).alias("dead")
+    )
+    merge_table(src, updates.unionByName(inserts), ("k",), tombstone_col="dead")
+    folded = refresh_rollup(spark, src, roll, ("k",), ("g",), ("cents",))
+    incremental_ok = (
+        folded is not None
+        and int(folded["txn"]["ivm_source_version"]) == 1
+        and folded["operation"] == "overwrite"
+    )
+    replay_noop = refresh_rollup(spark, src, roll, ("k",), ("g",), ("cents",)) is None
+    return (
+        snapshot(spark, roll)
+        .select(
+            "g", "cnt", F.col("sum_cents").cast("bigint").alias("sum_cents"),
+            F.lit(bool(incremental_ok)).alias("iv_incremental_ok"),
+            F.lit(bool(replay_noop)).alias("iv_replay_noop"),
+        )
+        .orderBy("g")
+    )
+
+
+@probe(
     "llp_manifest_skipping",
     oracle=(
         "SELECT CAST(COUNT(*) AS BIGINT) AS sk_n_rows, "

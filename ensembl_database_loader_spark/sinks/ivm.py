@@ -1,0 +1,108 @@
+"""Incremental view maintenance (IVM) on manifest tables: keep a
+grouped rollup in sync with a changing source WITHOUT rescanning it.
+
+The reference recomputes its per-database summary from scratch after
+every load (``EmailSummary.pm`` re-aggregates the whole job table); at
+100 TB a full re-aggregation per refresh is the dominant cost of any
+dashboard rollup. The classic answer is delta maintenance for
+decomposable aggregates: read only the CHANGE FEED between the last
+processed source version and the head (``manifest.table_diff`` with
+update preimages), turn each change into a signed contribution
+(+1 insert/update-postimage, -1 delete/update-preimage), aggregate the
+deltas, and fold them into the stored rollup — work proportional to
+the CHANGES, not the table.
+
+Exactness: count and sum are exactly maintainable (avg = sum/cnt at
+read time). With floating-point measures the fold can drift by ulps
+versus a recompute — store exact-typed measures (bigint counts, cents,
+decimals) for bit-identical refreshes; min/max are NOT delta-
+maintainable (a deleted max needs a rescan) and are out of scope.
+
+The rollup is itself a manifest table whose txn watermark records the
+last folded source version, so a replayed refresh commits nothing
+(exactly-once), and a crash between diff and commit just re-runs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ensembl_database_loader_spark.sinks.manifest import (
+    latest_manifest,
+    snapshot,
+    table_diff,
+    write_table,
+)
+
+#: txn app id under which the rollup records the folded source version
+_IVM_APP = "ivm_source_version"
+
+
+def _rollup_agg(df: DataFrame, group_cols, sum_cols, cnt_expr, val) -> DataFrame:
+    return df.groupBy(*group_cols).agg(
+        F.sum(cnt_expr).cast("bigint").alias("cnt"),
+        *[F.sum(val(c)).alias(f"sum_{c}") for c in sum_cols],
+    )
+
+
+def refresh_rollup(
+    spark: SparkSession,
+    source_path: str,
+    rollup_path: str,
+    key_cols: tuple[str, ...],
+    group_cols: tuple[str, ...],
+    sum_cols: tuple[str, ...] = (),
+) -> dict | None:
+    """Bring the rollup at ``rollup_path`` — ``(group_cols..., cnt,
+    sum_<c>...)`` — up to the source table's head snapshot.
+
+    First call bootstraps with a full aggregation; every later call
+    folds only the source's change feed since the version recorded in
+    the rollup's txn watermark. Returns the committed manifest, or
+    None when the rollup is already at the head (including replays —
+    the txn guard makes refresh exactly-once)."""
+    head = latest_manifest(spark, source_path)
+    if head is None:
+        raise FileNotFoundError(f"no manifest at {source_path} — not a committed table")
+    head_v = head["version"]
+    rollup_head = latest_manifest(spark, rollup_path)
+    last = (rollup_head or {}).get("txn", {}).get(_IVM_APP)
+
+    if rollup_head is None or last is None:
+        full = _rollup_agg(
+            snapshot(spark, source_path, head_v),
+            group_cols, sum_cols, F.lit(1), lambda c: F.col(c),
+        )
+        return write_table(
+            full, rollup_path, mode="overwrite", txn=(_IVM_APP, head_v)
+        )
+
+    last = int(last)
+    if last >= head_v:
+        return None  # already at (or past — replay) the head
+
+    diff = table_diff(
+        spark, source_path, last, head_v, key_cols, include_preimage=True
+    )
+    sign = F.when(
+        F.col("change_type").isin("insert", "update"), F.lit(1)
+    ).otherwise(F.lit(-1))
+    delta = _rollup_agg(
+        diff, group_cols, sum_cols, sign, lambda c: sign * F.col(c)
+    )
+    old = snapshot(spark, rollup_path, rollup_head["version"])
+    folded = (
+        old.unionByName(delta)
+        .groupBy(*group_cols)
+        .agg(
+            F.sum("cnt").cast("bigint").alias("cnt"),
+            *[F.sum(f"sum_{c}").alias(f"sum_{c}") for c in sum_cols],
+        )
+        # a group whose every row was deleted folds to cnt 0 — drop it
+        # (its exact-typed sums are necessarily 0 too)
+        .filter(F.col("cnt") > 0)
+    )
+    return write_table(
+        folded, rollup_path, mode="overwrite", txn=(_IVM_APP, head_v)
+    )

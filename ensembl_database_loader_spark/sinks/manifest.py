@@ -690,6 +690,7 @@ def table_diff(
     from_version: int,
     to_version: int,
     key_cols: tuple[str, ...],
+    include_preimage: bool = False,
 ) -> DataFrame:
     """Row-level change feed between two committed snapshots: every key
     classified ``insert`` / ``delete`` / ``update`` (unchanged rows are
@@ -698,6 +699,11 @@ def table_diff(
     version history into an incremental downstream feed (a consumer
     that processed ``from_version`` catches up without rescanning the
     whole table).
+
+    ``include_preimage=True`` additionally emits the OLD row of every
+    update as ``update_preimage`` (the new row keeps type ``update``)
+    — what incremental aggregate maintenance needs to retract the old
+    contribution before adding the new one.
 
     One full-outer key join between the two snapshots; non-key columns
     compare by a null-safe xxhash64 so the plan never widens to a
@@ -743,9 +749,19 @@ def table_diff(
         .when(is_delete, F.lit("delete"))
         .when(is_update, F.lit("update"))
     )
-    return j.select(*out_cols, change.alias("change_type")).filter(
+    feed = j.select(*out_cols, change.alias("change_type")).filter(
         F.col("change_type").isNotNull()
     )
+    if not include_preimage:
+        return feed
+    pre = (
+        j.filter(is_update)
+        .select(
+            *[o[f"_o_{c}"].alias(c) for c in old.columns],
+            F.lit("update_preimage").alias("change_type"),
+        )
+    )
+    return feed.unionByName(pre)
 
 
 def table_history(spark: SparkSession, path: str) -> DataFrame:

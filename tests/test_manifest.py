@@ -413,3 +413,81 @@ def test_table_diff_null_keys_and_values(spark, tbl):
     diff = M.table_diff(spark, tbl, 0, 1, ("k",)).collect()
     # null key matches null key (eqNullSafe); null v equal on both sides
     assert [(r.k, r.v, r.change_type) for r in diff] == [(None, "y", "update")]
+
+
+def test_table_diff_update_preimage(spark, tbl):
+    M.write_table(
+        spark.createDataFrame([(1, "a"), (2, "b")], "k bigint, v string"), tbl
+    )
+    M.write_table(
+        spark.createDataFrame([(1, "A"), (3, "c")], "k bigint, v string"), tbl
+    )
+    rows = sorted(
+        (r.k, r.v, r.change_type)
+        for r in M.table_diff(spark, tbl, 0, 1, ("k",), include_preimage=True).collect()
+    )
+    assert rows == [
+        (1, "A", "update"),
+        (1, "a", "update_preimage"),
+        (2, "b", "delete"),
+        (3, "c", "insert"),
+    ]
+
+
+def test_incremental_rollup_equals_full_recompute(spark, tmp_path):
+    from ensembl_database_loader_spark.sinks.ivm import refresh_rollup
+
+    src = str(tmp_path / "src")
+    roll = str(tmp_path / "roll")
+
+    def full(df):
+        return sorted(
+            (r.g, r.cnt, r.sum_cents)
+            for r in df.groupBy("g")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("cnt"),
+                F.sum("cents").alias("sum_cents"),
+            )
+            .collect()
+        )
+
+    def rollup_now():
+        return sorted(
+            (r.g, r.cnt, r.sum_cents) for r in M.snapshot(spark, roll).collect()
+        )
+
+    # v0: bootstrap
+    M.write_table(
+        spark.createDataFrame(
+            [(i, f"g{i % 3}", i * 100) for i in range(30)],
+            "k bigint, g string, cents bigint",
+        ),
+        src,
+    )
+    assert refresh_rollup(spark, src, roll, ("k",), ("g",), ("cents",)) is not None
+    assert rollup_now() == full(M.snapshot(spark, src))
+    # replay: already at head -> no-op commit
+    assert refresh_rollup(spark, src, roll, ("k",), ("g",), ("cents",)) is None
+
+    # v1: merge updates + deletes + inserts, refresh folds only deltas
+    batch = spark.createDataFrame(
+        # update k%5==0 (+7 cents), delete k%7==0, insert 5 new keys
+        [(k, f"g{k % 3}", k * 100 + 7, False) for k in range(0, 30, 5)]
+        + [(k, f"g{k % 3}", k * 100, True) for k in range(0, 30, 7) if k % 5 != 0]
+        + [(100 + k, "gNEW", 11, False) for k in range(5)],
+        "k bigint, g string, cents bigint, dead boolean",
+    )
+    M.merge_table(src, batch, ("k",), tombstone_col="dead")
+    assert refresh_rollup(spark, src, roll, ("k",), ("g",), ("cents",)) is not None
+    assert rollup_now() == full(M.snapshot(spark, src))
+
+    # v2: delete an entire group -> its rollup row must disappear
+    kill = spark.createDataFrame(
+        [(100 + k, "gNEW", 11, True) for k in range(5)],
+        "k bigint, g string, cents bigint, dead boolean",
+    )
+    M.merge_table(src, kill, ("k",), tombstone_col="dead")
+    assert refresh_rollup(spark, src, roll, ("k",), ("g",), ("cents",)) is not None
+    got = rollup_now()
+    assert got == full(M.snapshot(spark, src))
+    assert not any(g == "gNEW" for g, _, _ in got)
