@@ -95,6 +95,11 @@ def main() -> int:
         "--event-reps", default="1,5,20",
         help="replica counts for event analytics (users scale, per-user density constant)",
     )
+    ap.add_argument(
+        "--r8-reps", default="",
+        help="replica counts for the r8 ops (shuffle-shard export, hot-key "
+        "isolation join, manifest skipping, incremental rollup); empty = skip",
+    )
     args = ap.parse_args()
 
     spark = get_spark(app_name="scaling-bench")
@@ -322,6 +327,118 @@ def main() -> int:
         print(json.dumps(rec), flush=True)
 
         ev.unpersist()
+
+    # r8 ops: scale evidence for the export permutation, the two-path
+    # skew join, manifest file skipping, and CDC-folded rollups
+    if args.r8_reps:
+        import shutil
+        import tempfile
+
+        from ensembl_database_loader_spark.operators.export import shuffle_shard
+        from ensembl_database_loader_spark.operators.skew import hot_key_split_join
+        from ensembl_database_loader_spark.sinks.ivm import refresh_rollup
+        from ensembl_database_loader_spark.sinks import manifest as M
+
+        for k in [int(x) for x in args.r8_reps.split(",") if x]:
+            c = scaled_corpus(spark, args.sf_dir, k).select("doc_id").cache()
+            n = c.count()
+
+            # deterministic global shuffle: shard-local sorts only
+            t0 = time.perf_counter()
+            sh = shuffle_shard(c, "doc_id", 64)
+            row = sh.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("pos") * F.col("doc_id")).alias("chk"),
+            ).collect()[0]
+            dt = time.perf_counter() - t0
+            rec = {"op": "llp_shuffle_shard", "n_docs": n, "sec": round(dt, 2),
+                   "shards": 64}  # fmt: skip
+            out.append(rec)
+            print(json.dumps(rec), flush=True)
+            c.unpersist()
+
+            # two-path skew join: ONE key holds ~20% of a scaled fact
+            fact_n = 500_000 * k
+            fact = (
+                spark.range(fact_n)
+                .select(
+                    F.when(F.col("id") % 5 == 0, F.lit(7))
+                    .otherwise(F.pmod(F.col("id"), F.lit(10_000)))
+                    .alias("k"),
+                    F.col("id").alias("payload"),
+                )
+                .cache()
+            )
+            fact.count()
+            dim = spark.range(10_000).select(
+                F.col("id").alias("k"), (F.col("id") % 97).alias("attr")
+            )
+            t0 = time.perf_counter()
+            iso = hot_key_split_join(fact, dim, "k", hot_min_rows=50_000)
+            cnt = iso.count()
+            dt = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            plain_cnt = fact.join(dim, "k").count()
+            dt_plain = time.perf_counter() - t0
+            rec = {"op": "q60_skew_isolation_join", "n_rows": fact_n,
+                   "sec": round(dt, 2), "sec_plain": round(dt_plain, 2),
+                   "equal": cnt == plain_cnt}  # fmt: skip
+            out.append(rec)
+            print(json.dumps(rec), flush=True)
+            fact.unpersist()
+
+            # manifest skipping: range-clustered commit, point-range read
+            d = tempfile.mkdtemp(prefix="edl_scale_skip_")
+            tblp = f"{d}/tbl"
+            src = spark.range(fact_n).select(
+                F.col("id").alias("kk"), (F.col("id") % 1000).alias("v")
+            )
+            M.write_table(
+                src.repartitionByRange(32, "kk").sortWithinPartitions("kk"),
+                tblp, stats_cols=("kk",),
+            )
+            head = M.latest_manifest(spark, tblp)
+            preds = [("kk", ">=", fact_n // 2), ("kk", "<", fact_n // 2 + 1000)]
+            kept = len(M.files_matching(head, preds))
+            t0 = time.perf_counter()
+            pruned_n = M.scan_table(spark, tblp, preds).count()
+            dt = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            full_n = (
+                M.snapshot(spark, tblp)
+                .filter((F.col("kk") >= fact_n // 2) & (F.col("kk") < fact_n // 2 + 1000))
+                .count()
+            )
+            dt_full = time.perf_counter() - t0
+            rec = {"op": "llp_manifest_skipping", "n_rows": fact_n,
+                   "sec": round(dt, 2), "sec_fullscan": round(dt_full, 2),
+                   "files_kept": kept, "files_total": len(head["files"]),
+                   "equal": pruned_n == full_n}  # fmt: skip
+            out.append(rec)
+            print(json.dumps(rec), flush=True)
+
+            # CDC-folded rollup: refresh cost tracks the DELTA (n/100
+            # changed rows), not the table
+            rollp = f"{d}/roll"
+            t0 = time.perf_counter()
+            refresh_rollup(spark, tblp, rollp, ("kk",), ("v",))
+            dt_boot = time.perf_counter() - t0
+            batch = (
+                M.snapshot(spark, tblp)
+                .filter(F.col("kk") % 100 == 0)
+                .select("kk", (F.col("v") + 1).alias("v"), F.lit(False).alias("dead"))
+            )
+            M.merge_table(tblp, batch, ("kk",), tombstone_col="dead")
+            t0 = time.perf_counter()
+            refresh_rollup(spark, tblp, rollp, ("kk",), ("v",))
+            dt_fold = time.perf_counter() - t0
+            rec = {"op": "llp_incremental_rollup", "n_rows": fact_n,
+                   "sec_bootstrap": round(dt_boot, 2),
+                   "sec_fold": round(dt_fold, 2),
+                   "delta_rows": fact_n // 100}  # fmt: skip
+            out.append(rec)
+            print(json.dumps(rec), flush=True)
+            shutil.rmtree(d, ignore_errors=True)
 
     spark.stop()
     return 0
