@@ -132,6 +132,18 @@ MERGE_SPECS: dict[str, list[tuple[str, list[tuple[str, str]]]]] = {
                 ("sk_files_skipped", "sk_files_skipped"),
             ],
         ),
+        # r8: row-level DELETE/UPDATE (copy-on-write, stats-pruned)
+        (
+            "llp_manifest_delete",
+            [
+                ("du_n_rows", "du_n_rows"),
+                ("du_key_sum", "du_key_sum"),
+                ("du_price_cents", "du_price_cents"),
+                ("du_del_rows", "du_del_rows"),
+                ("du_upd_rows", "du_upd_rows"),
+                ("du_pruned_ok", "du_pruned_ok"),
+            ],
+        ),
     ],
     "q30_q32_string_math_fns": [
         ("q30_string_fns", [("p_partkey", "p_partkey"), ("s", "str_s")]),

@@ -2230,3 +2230,92 @@ def llp_manifest_skipping(spark: SparkSession, sf: str) -> DataFrame:
         .alias("sk_price_cents"),
         F.lit(bool(skipped)).alias("sk_files_skipped"),
     )
+
+
+@probe(
+    "llp_manifest_delete",
+    oracle=(
+        # the delete+update cycle recomputed relationally: orders'
+        # k<=4000 subset, DELETE k in [500, 1500], then UPDATE price+=10
+        # on k>3000
+        "WITH sub AS (SELECT o_orderkey AS k, ROUND(o_totalprice, 2) AS price "
+        "FROM orders WHERE o_orderkey <= 4000), "
+        "del AS (SELECT * FROM sub WHERE NOT (k >= 500 AND k <= 1500)), "
+        "upd AS (SELECT k, CASE WHEN k < 300 THEN ROUND(price + 10, 2) "
+        "ELSE price END AS price FROM del) "
+        "SELECT CAST(COUNT(*) AS BIGINT) AS du_n_rows, "
+        "CAST(SUM(k) AS BIGINT) AS du_key_sum, "
+        "CAST(SUM(CAST(ROUND(price * 100) AS BIGINT)) AS BIGINT) "
+        "AS du_price_cents, "
+        "(SELECT CAST(COUNT(*) AS BIGINT) FROM sub "
+        "WHERE k >= 500 AND k <= 1500) AS du_del_rows, "
+        "(SELECT CAST(COUNT(*) AS BIGINT) FROM del WHERE k < 300) "
+        "AS du_upd_rows, "
+        "TRUE AS du_pruned_ok FROM upd"
+    ),
+    tags=("manifest", "delete", "update", "pipeline"),
+)
+def llp_manifest_delete(spark: SparkSession, sf: str) -> DataFrame:
+    """Row-level DELETE/UPDATE on the manifest lake
+    (sinks/manifest.delete_rows / update_rows): copy-on-write commits
+    that rewrite ONLY the files whose manifest stats admit a matching
+    row and carry every other file forward by reference. The probe
+    commits orders' k<=4000 subset as 8 range-clustered files with key
+    stats, DELETEs the k in [500, 1500] range, UPDATEs price += 10 on
+    k < 300, and gates
+
+    - content: the final snapshot equals the relational DELETE+UPDATE
+      recomputation (n_rows / key_sum / price_cents);
+    - accounting: ``rows_affected`` of both commits equals the oracle's
+      subquery counts;
+    - pruning: BOTH commits left files untouched (``du_pruned_ok``) —
+      at 100 TB this is the difference between a GDPR delete that
+      rewrites ~1 file and one that rewrites the table (merge_table's
+      tombstone path rewrites the whole snapshot; this is the
+      stats-pruned complement).
+
+    Reference analogue: the loader's coarsest delete is DROP DATABASE
+    before reload (Database.pm:56-63) — same "readers see old or new,
+    never a mix" contract, made row-granular."""
+    import tempfile
+
+    from ensembl_database_loader_spark.sinks.manifest import (
+        delete_rows,
+        update_rows,
+        write_table,
+    )
+
+    ensure_session_confs(spark)
+    path = tempfile.mkdtemp(prefix="edl_del_") + "/tbl"
+    base = (
+        table(spark, sf, "orders")
+        .filter(F.col("o_orderkey") <= 4000)
+        .select(
+            F.col("o_orderkey").alias("k"), F.round("o_totalprice", 2).alias("price")
+        )
+    )
+    write_table(
+        base.repartitionByRange(8, "k").sortWithinPartitions("k"),
+        path,
+        stats_cols=("k",),
+    )
+    d = delete_rows(spark, path, prune=[("k", ">=", 500), ("k", "<=", 1500)])
+    u = update_rows(
+        spark,
+        path,
+        {"price": "round(price + 10, 2)"},
+        prune=[("k", "<", 300)],
+    )
+    pruned_ok = d["files_untouched"] > 0 and u["files_untouched"] > 0
+    from ensembl_database_loader_spark.sinks.manifest import snapshot
+
+    return snapshot(spark, path).agg(
+        _cnt().alias("du_n_rows"),
+        F.sum("k").cast("bigint").alias("du_key_sum"),
+        F.sum(F.round(F.col("price") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("du_price_cents"),
+        F.lit(d["rows_affected"]).cast("bigint").alias("du_del_rows"),
+        F.lit(u["rows_affected"]).cast("bigint").alias("du_upd_rows"),
+        F.lit(bool(pruned_ok)).alias("du_pruned_ok"),
+    )

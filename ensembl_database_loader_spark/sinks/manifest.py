@@ -56,9 +56,9 @@ import re
 import uuid
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import StructType
+from pyspark.sql.types import StructField, StructType
 
 _MANIFEST_RE = re.compile(r"^_manifest-(\d{12})\.json$")
 _DIGITS = 12
@@ -231,11 +231,12 @@ def _collect_stats(
     staged: list[str],
     schema: StructType,
     stats_cols: tuple[str, ...],
-) -> dict[str, dict[str, list]]:
-    """Per-file [min, max] for ``stats_cols`` over the just-staged
-    files: ONE column-pruned aggregate job (reads only the stat
-    columns, grouped by input_file_name — never a per-file job).
-    Returns {relpath: {col: [min, max]}}."""
+) -> tuple[dict[str, dict[str, list]], dict[str, int]]:
+    """Per-file [min, max] for ``stats_cols`` plus per-file ROW COUNTS
+    over the just-staged files: ONE column-pruned aggregate job (reads
+    only the stat columns — with no stat columns it scans zero data
+    columns — grouped by input_file_name; never a per-file job).
+    Returns ({relpath: {col: [min, max]}}, {relpath: n_rows})."""
     fields = {f.name: f.dataType.simpleString() for f in schema.fields}
     unknown = [c for c in stats_cols if c not in fields]
     if unknown:
@@ -247,9 +248,9 @@ def _collect_stats(
         for c in stats_cols
         if fields[c] in _STATS_NUMERIC or fields[c] in _STATS_STRINGY
     ]
-    if not usable or not staged:
-        return {}
-    aggs = []
+    if not staged:
+        return {}, {}
+    aggs = [F.count(F.lit(1)).alias("__n")]
     for c in usable:
         mn, mx = F.min(F.col(c)), F.max(F.col(c))
         if fields[c] in _STATS_STRINGY and fields[c] != "string":
@@ -267,15 +268,26 @@ def _collect_stats(
     )
     by_tail = {rel.split("/")[-1]: rel for rel in staged}
     out: dict[str, dict[str, list]] = {}
+    counts: dict[str, int] = {}
     for r in rows:
         rel = by_tail.get(r["__f"].rstrip("/").split("/")[-1])
         if rel is None:
             continue  # foreign file name — never prunable, just skip
-        out[rel] = {
-            c: [_json_stat(r[f"__mn_{c}"]), _json_stat(r[f"__mx_{c}"])]
-            for c in usable
-        }
-    return out
+        counts[rel] = int(r["__n"])
+        if usable:
+            out[rel] = {
+                c: [_json_stat(r[f"__mn_{c}"]), _json_stat(r[f"__mx_{c}"])]
+                for c in usable
+            }
+    # files absent from the aggregate rows are EMPTY (Spark can write a
+    # zero-row part file): record them as 0 so the metadata count is
+    # complete, and with all-null "no row can match" stats
+    for rel in staged:
+        if rel not in counts:
+            counts[rel] = 0
+            if usable:
+                out[rel] = {c: [None, None] for c in usable}
+    return out, counts
 
 
 def _json_stat(v):
@@ -394,12 +406,65 @@ def _merged_txn(head: dict | None, txn: tuple[str, int] | None) -> dict:
 # ---------------------------------------------------------------------------
 
 
+def _evolved_schema(head_json: str, staged_json: str, schema_mode: str) -> str:
+    """The schema an append commits.
+
+    ``strict`` (default) requires the staged schema to match the
+    table's exactly (names, order, types — nullability is ignored, it
+    relaxes on any parquet round-trip) and keeps the head's json.
+    ``merge`` unions them Delta-mergeSchema-style: shared columns must
+    agree on type; columns new to the batch are APPENDED (older files
+    read them as null), columns missing from the batch stay (the new
+    files read them as null). Anything else — a type change — raises:
+    silent coercion over petabytes of immutable files is exactly the
+    bug a table format exists to prevent."""
+    if head_json == staged_json:
+        return head_json
+    head_s = StructType.fromJson(json.loads(head_json))
+    new_s = StructType.fromJson(json.loads(staged_json))
+    head_t = {f.name: f.dataType for f in head_s.fields}
+    new_t = {f.name: f.dataType for f in new_s.fields}
+    conflicts = sorted(
+        n for n in head_t.keys() & new_t.keys() if head_t[n] != new_t[n]
+    )
+    if conflicts:
+        raise ValueError(
+            "append schema changes column types "
+            + str([
+                (n, head_t[n].simpleString(), new_t[n].simpleString())
+                for n in conflicts
+            ])
+            + " — rewrite the table (mode='overwrite') to change a type"
+        )
+    if schema_mode == "strict":
+        if set(head_t) == set(new_t) and [f.name for f in head_s.fields] == [
+            f.name for f in new_s.fields
+        ]:
+            return head_json  # nullability-only drift
+        raise ValueError(
+            f"append schema {sorted(new_t)} != table schema {sorted(head_t)} "
+            "— pass schema_mode='merge' to evolve (adds nullable columns)"
+        )
+    if schema_mode != "merge":
+        raise ValueError(f"schema_mode must be strict|merge, got {schema_mode!r}")
+    merged = StructType(
+        [StructField(f.name, f.dataType, True) for f in head_s.fields]
+        + [
+            StructField(f.name, f.dataType, True)
+            for f in new_s.fields
+            if f.name not in head_t
+        ]
+    )
+    return merged.json()
+
+
 def write_table(
     df: DataFrame,
     path: str,
     mode: str = "overwrite",
     txn: tuple[str, int] | None = None,
     stats_cols: tuple[str, ...] = (),
+    schema_mode: str = "strict",
 ) -> dict | None:
     """Commit ``df`` as the table's next snapshot.
 
@@ -418,15 +483,21 @@ def write_table(
     ``stats_cols`` collects per-file [min, max] for those columns into
     the manifest (one column-pruned aggregate job over the staged
     files), enabling ``scan_table`` file skipping. Appends keep the
-    head's stats for its files and add stats for the new ones.
-    """
+    head's stats for its files and add stats for the new ones. The
+    same job records per-file ROW COUNTS (every commit path does), so
+    ``table_row_count`` answers COUNT(*) from manifest metadata alone.
+
+    ``schema_mode`` guards appends: ``strict`` (default) rejects any
+    schema drift; ``merge`` evolves by union — new columns are
+    appended as nullable (old files read them as null), shared columns
+    must keep their exact type (``_evolved_schema``)."""
     if mode not in ("overwrite", "append"):
         raise ValueError(f"write_table mode must be overwrite|append, got {mode!r}")
     spark = df.sparkSession
     if _txn_skip(latest_manifest(spark, path), txn):
         return None
     staged, schema_json = _stage_data(df, path)
-    staged_stats = _collect_stats(
+    staged_stats, staged_rows = _collect_stats(
         spark, path.rstrip("/"), staged, df.schema, tuple(stats_cols)
     )
 
@@ -435,17 +506,57 @@ def write_table(
             return None  # competing replay landed first
         files = staged
         stats = staged_stats
+        rows = staged_rows
+        schema_out = schema_json
         if mode == "append" and head is not None:
             files = head["files"] + staged
             stats = {**head.get("stats", {}), **staged_stats}
+            rows = {**head.get("rows", {}), **staged_rows}
+            schema_out = _evolved_schema(head["schema"], schema_json, schema_mode)
         return {
             "files": files,
-            "schema": schema_json,
+            "schema": schema_out,
             "txn": _merged_txn(head, txn),
             **({"stats": stats} if stats else {}),
+            **({"rows": rows} if rows else {}),
         }
 
     return _commit(spark, path, build, mode)
+
+
+def table_row_count(
+    spark: SparkSession, path: str, version: int | None = None
+) -> int:
+    """COUNT(*) from manifest metadata alone — zero data files opened.
+
+    Every commit path records per-file row counts (the count rides the
+    stats aggregate when stats are collected, or a footer-metadata-only
+    count job otherwise), so the table's cardinality is the sum of the
+    manifest's ``rows`` map. Falls back to one real metadata count over
+    any file the manifest lacks an entry for (e.g. a table written
+    before this field existed) — never a wrong answer, just a slower
+    one. At 100 TB this is the difference between an O(manifest) driver
+    sum and a million-file scan for the most common query there is."""
+    root = path.rstrip("/")
+    m = (
+        read_manifest(spark, root, version)
+        if version is not None
+        else latest_manifest(spark, root)
+    )
+    if m is None:
+        raise FileNotFoundError(f"no manifest at {path} — not a committed table")
+    rows = m.get("rows", {})
+    known = [rel for rel in m["files"] if rel in rows]
+    missing = [rel for rel in m["files"] if rel not in rows]
+    total = sum(int(rows[rel]) for rel in known)
+    if missing:
+        schema = StructType.fromJson(json.loads(m["schema"]))
+        total += (
+            spark.read.schema(schema)
+            .parquet(*[f"{root}/{rel}" for rel in missing])
+            .count()
+        )
+    return total
 
 
 def snapshot(
@@ -501,7 +612,7 @@ def merge_table(
     snap = snapshot(spark, path, base_head["version"])
     merged = merge_snapshot(snap, batch, key_cols, tombstone_col)
     staged, schema_json = _stage_data(merged, path)
-    stats = _collect_stats(
+    stats, row_counts = _collect_stats(
         spark, path.rstrip("/"), staged, merged.schema, tuple(stats_cols)
     )
 
@@ -517,6 +628,7 @@ def merge_table(
             "schema": schema_json,
             "txn": _merged_txn(head, None),
             **({"stats": stats} if stats else {}),
+            **({"rows": row_counts} if row_counts else {}),
         }
 
     out = _commit(spark, path, build, "merge")
@@ -621,7 +733,7 @@ def compact_table(
     else:
         df = df.repartition(n_out)
     staged, schema_json = _stage_data(df, path)
-    stats = _collect_stats(spark, root, staged, df.schema, tuple(stats_cols))
+    stats, row_counts = _collect_stats(spark, root, staged, df.schema, tuple(stats_cols))
 
     def build(h: dict | None) -> dict:
         if h is None or h["version"] != head["version"]:
@@ -633,6 +745,7 @@ def compact_table(
             "schema": schema_json,
             "txn": _merged_txn(h, None),
             **({"stats": stats} if stats else {}),
+            **({"rows": row_counts} if row_counts else {}),
         }
 
     out = _commit(spark, path, build, "compact")
@@ -640,6 +753,190 @@ def compact_table(
     out["files_before"] = len(head["files"])
     out["files_after"] = len(staged)
     return out
+
+
+def _prune_to_where(prune) -> str:
+    """AND-combined SQL form of a ``(col, op, value)`` triple list."""
+    parts = []
+    for col, op, v in prune:
+        if op not in _PRED_OPS:
+            raise ValueError(f"unsupported predicate op {op!r} (use one of {_PRED_OPS})")
+        lit = "'" + v.replace("'", "''") + "'" if isinstance(v, str) else repr(v)
+        parts.append(f"(`{col}` {op} {lit})")
+    return " AND ".join(parts)
+
+
+def _rewrite_rows(
+    spark: SparkSession,
+    path: str,
+    where: str | None,
+    prune,
+    transform: Callable[[DataFrame, Column], DataFrame],
+    operation: str,
+    stats_cols: tuple[str, ...] | None,
+) -> dict | None:
+    """Shared copy-on-write core of ``delete_rows`` / ``update_rows``.
+
+    Resolves the head, stats-prunes the file list to the CANDIDATE
+    files that could hold a matching row, rewrites only those through
+    ``transform(df, hit)`` (``hit`` = the condition coalesced to false,
+    so null-condition rows are untouched — SQL DELETE/UPDATE
+    semantics), and commits untouched-files + rewritten-files as the
+    next snapshot. Returns None (no commit, no Spark write) when
+    pruning proves no file can match or the condition hits zero rows.
+    """
+    root = path.rstrip("/")
+    head = latest_manifest(spark, root)
+    if head is None:
+        raise FileNotFoundError(f"no manifest at {path} — not a committed table")
+    if where is None:
+        if not prune:
+            raise ValueError("pass where=, prune=, or both")
+        where = _prune_to_where(prune)
+    schema = StructType.fromJson(json.loads(head["schema"]))
+    cand = files_matching(head, tuple(prune)) if prune else list(head["files"])
+    cand_set = set(cand)
+    untouched = [f for f in head["files"] if f not in cand_set]
+    if not cand:
+        return None
+    df = spark.read.schema(schema).parquet(*[f"{root}/{rel}" for rel in cand])
+    hit = F.coalesce(F.expr(where), F.lit(False))
+    # one column-pruned pass over the candidate files: how many rows
+    # the condition actually hits — both the zero-hit fast path (skip
+    # the rewrite entirely) and the rows_affected accounting
+    n_hit = int(df.agg(F.sum(hit.cast("bigint"))).first()[0] or 0)
+    if n_hit == 0:
+        return None
+    staged, _ = _stage_data(transform(df, hit), path)
+    if stats_cols is None:
+        # default: keep the table's existing stat columns alive on the
+        # rewritten files (union of columns any head file has stats for)
+        inferred: set[str] = set()
+        for fstats in head.get("stats", {}).values():
+            inferred.update(fstats)
+        stats_cols = tuple(sorted(c for c in inferred if c in {f.name for f in schema.fields}))
+    staged_stats, staged_rows = _collect_stats(
+        spark, root, staged, schema, tuple(stats_cols)
+    )
+
+    def build(h: dict | None) -> dict:
+        if h is None or h["version"] != head["version"]:
+            raise RuntimeError(
+                f"concurrent commit during {operation} at {path} "
+                f"(expected head {head['version']}, "
+                f"found {h['version'] if h else None}) — re-run"
+            )
+        stats = {
+            rel: s
+            for rel, s in h.get("stats", {}).items()
+            if rel not in cand_set
+        }
+        stats.update(staged_stats)
+        row_counts = {
+            rel: n
+            for rel, n in h.get("rows", {}).items()
+            if rel not in cand_set
+        }
+        row_counts.update(staged_rows)
+        return {
+            "files": untouched + staged,
+            "schema": head["schema"],
+            "txn": _merged_txn(h, None),
+            **({"stats": stats} if stats else {}),
+            **({"rows": row_counts} if row_counts else {}),
+        }
+
+    out = _commit(spark, path, build, operation)
+    assert out is not None
+    out["files_rewritten"] = len(cand)
+    out["files_untouched"] = len(untouched)
+    out["rows_affected"] = n_hit
+    return out
+
+
+def delete_rows(
+    spark: SparkSession,
+    path: str,
+    where: str | None = None,
+    prune=(),
+    stats_cols: tuple[str, ...] | None = None,
+) -> dict | None:
+    """Row-level DELETE as a copy-on-write commit — the GDPR-delete /
+    bad-shard-purge path a 100 TB lake needs without rewriting the
+    table. ``merge_table`` can tombstone keys, but it recomputes and
+    rewrites the WHOLE snapshot; this rewrites only the files that can
+    contain a matching row.
+
+    - ``where``: SQL boolean expression; rows where it is TRUE are
+      deleted (NULL/FALSE rows are kept — SQL DELETE semantics).
+    - ``prune``: optional ``(col, op, value)`` triples (scan_table's
+      mini-language) used ONLY for file skipping via manifest stats.
+      They must be IMPLIED by ``where`` (every matching row satisfies
+      them) or deletes hiding in pruned-away files would be missed —
+      the caller's contract, same as any partition-predicate hint.
+      With ``where=None`` the condition IS the AND of the triples, so
+      the one-argument form is always sound. On a table compacted with
+      ``sort_cols``/``zorder_cols`` on the delete key, a key-range
+      delete rewrites ~1 file and carries the rest forward untouched.
+    - Untouched files are REFERENCED by the new manifest, not copied:
+      the commit costs one job over candidate files only, and pinned
+      readers of older snapshots are unaffected (files are only ever
+      reclaimed by ``vacuum_table``).
+
+    Returns the published manifest (with ``files_rewritten`` /
+    ``files_untouched`` / ``rows_affected``), or None when no row
+    matched (no commit at all — a no-op delete leaves no version).
+
+    Reference analogue: the loader's coarsest delete is DROP DATABASE
+    before reload (``Database.pm:56-63``); this is the row-granular
+    version with the same "readers see old or new, never a mix"
+    contract."""
+    return _rewrite_rows(
+        spark, path, where, tuple(prune),
+        lambda df, hit: df.filter(~hit), "delete", stats_cols,
+    )
+
+
+def update_rows(
+    spark: SparkSession,
+    path: str,
+    set_exprs: dict[str, str],
+    where: str | None = None,
+    prune=(),
+    stats_cols: tuple[str, ...] | None = None,
+) -> dict | None:
+    """Row-level UPDATE as a copy-on-write commit: rows where ``where``
+    is TRUE get each ``set_exprs[col]`` (a SQL expression over the
+    row's old values, cast back to the column's declared type so the
+    schema is preserved exactly); all other rows — and all files the
+    ``prune`` stats prove can't match — are carried forward untouched.
+    Same pruning contract, no-op behavior, and return shape as
+    ``delete_rows``."""
+    field_types = None
+
+    def apply_sets(df: DataFrame, hit):
+        nonlocal field_types
+        field_types = {f.name: f.dataType for f in df.schema.fields}
+        unknown = sorted(set(set_exprs) - set(field_types))
+        if unknown:
+            raise ValueError(
+                f"update_rows set columns {unknown!r} not in table schema "
+                f"{sorted(field_types)!r}"
+            )
+        return df.select(
+            *[
+                F.when(hit, F.expr(set_exprs[c]).cast(field_types[c]))
+                .otherwise(F.col(c))
+                .alias(c)
+                if c in set_exprs
+                else F.col(c)
+                for c in df.columns
+            ]
+        )
+
+    return _rewrite_rows(
+        spark, path, where, tuple(prune), apply_sets, "update", stats_cols
+    )
 
 
 def vacuum_table(spark: SparkSession, path: str, keep_last: int = 1) -> dict:

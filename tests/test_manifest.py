@@ -491,3 +491,175 @@ def test_incremental_rollup_equals_full_recompute(spark, tmp_path):
     got = rollup_now()
     assert got == full(M.snapshot(spark, src))
     assert not any(g == "gNEW" for g, _, _ in got)
+
+
+# ---------------------------------------------------------------------------
+# Row-level DELETE / UPDATE (r8)
+# ---------------------------------------------------------------------------
+
+
+def test_delete_rows_prunes_and_carries_untouched_files(spark, tbl):
+    """A key-range delete on a range-clustered table must rewrite only
+    the one file whose stats admit a match; the other files are carried
+    into the new manifest as the SAME physical paths (referenced, not
+    copied), and pinned readers of the old version are unaffected."""
+    M.write_table(_ranged_df(spark, 0, 400), tbl, stats_cols=("k",))
+    head0 = M.latest_manifest(spark, tbl)
+    out = M.delete_rows(spark, tbl, prune=[("k", ">=", 100), ("k", "<", 120)])
+    assert out["rows_affected"] == 20
+    assert out["files_rewritten"] == 1
+    assert out["files_untouched"] == 3
+    carried = set(head0["files"]) & set(out["files"])
+    assert len(carried) == 3  # same rel paths survive the commit
+    got = sorted(r.k for r in M.snapshot(spark, tbl).collect())
+    assert got == [k for k in range(400) if not (100 <= k < 120)]
+    # stat columns inferred from the head: rewritten files keep k stats
+    assert all("k" in st for st in out["stats"].values())
+    # time travel still sees the pre-delete content
+    assert M.snapshot(spark, tbl, version=0).count() == 400
+    hist = [(r.version, r.operation) for r in M.table_history(spark, tbl).collect()]
+    assert hist[-1] == (1, "delete")
+
+
+def test_delete_rows_null_condition_and_noop(spark, tbl):
+    """NULL-condition rows are kept (SQL DELETE semantics); a delete
+    that hits nothing commits nothing — no new version, and a prune
+    that PROVES no file matches skips even the probe job."""
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "b")], "k bigint, v string"
+    )
+    M.write_table(df, tbl, stats_cols=("k",))
+    out = M.delete_rows(spark, tbl, where="v = 'a'")
+    assert out["rows_affected"] == 1
+    assert _content(M.snapshot(spark, tbl)) == [(2, None), (3, "b")]
+    # zero hits -> None, version count unchanged
+    assert M.delete_rows(spark, tbl, where="v = 'zzz'") is None
+    # stats prove emptiness -> None before any Spark job
+    assert M.delete_rows(spark, tbl, prune=[("k", ">", 1000)]) is None
+    assert len(M.list_manifests(spark, tbl)) == 2
+    with pytest.raises(ValueError, match="pass where=, prune=, or both"):
+        M.delete_rows(spark, tbl)
+
+
+def test_update_rows_applies_sets_and_preserves_schema(spark, tbl):
+    M.write_table(_ranged_df(spark, 0, 400), tbl, stats_cols=("k",))
+    out = M.update_rows(
+        spark, tbl, {"v": "concat(v, '!')"}, prune=[("k", "<", 100)]
+    )
+    assert out["files_rewritten"] == 1 and out["files_untouched"] == 3
+    assert out["rows_affected"] == 100
+    snap = M.snapshot(spark, tbl)
+    # names and types survive exactly (nullability relaxes on the
+    # parquet round-trip, as for any committed write)
+    assert snap.dtypes == _ranged_df(spark, 0, 1).dtypes
+    rows = {r.k: r.v for r in snap.collect()}
+    assert rows[5] == "row5!" and rows[200] == "row200"
+    # set expression may reference other columns; cast back to the
+    # column's declared type keeps the schema exact
+    M.update_rows(spark, tbl, {"k": "k + 0.5"}, where="k = 0")
+    assert M.snapshot(spark, tbl).schema["k"].dataType.simpleString() == "bigint"
+    with pytest.raises(ValueError, match="not in table schema"):
+        M.update_rows(spark, tbl, {"zzz": "1"}, where="k = 1")
+
+
+def test_delete_update_feed_cdc_and_raise_on_race(spark, tbl):
+    """table_diff across a delete/update version pair classifies the
+    rows; a concurrent commit between head-resolve and publish raises
+    instead of silently dropping the racer's rows."""
+    M.write_table(_df(spark, [(1, "a"), (2, "b"), (3, "c")]), tbl)
+    M.delete_rows(spark, tbl, where="k = 2")
+    M.update_rows(spark, tbl, {"v": "upper(v)"}, where="k = 3")
+    d1 = {(r.change_type, r.k) for r in M.table_diff(spark, tbl, 0, 1, ("k",)).collect()}
+    assert d1 == {("delete", 2)}
+    d2 = {(r.change_type, r.k, r.v) for r in M.table_diff(spark, tbl, 1, 2, ("k",)).collect()}
+    assert d2 == {("update", 3, "C")}
+
+    import ensembl_database_loader_spark.sinks.manifest as mod
+
+    real_stage = mod._stage_data
+
+    def stage_and_race(df, path):
+        out = real_stage(df, path)
+        mod._stage_data = real_stage
+        M.write_table(_df(spark, [(7, "racer")]), tbl, mode="append")
+        return out
+
+    mod._stage_data = stage_and_race
+    try:
+        with pytest.raises(RuntimeError, match="concurrent commit during delete"):
+            M.delete_rows(spark, tbl, where="k = 1")
+    finally:
+        mod._stage_data = real_stage
+    assert (7, "racer") in _content(M.snapshot(spark, tbl))
+
+
+# ---------------------------------------------------------------------------
+# Schema evolution + metadata row counts (r8)
+# ---------------------------------------------------------------------------
+
+
+def test_append_schema_strict_rejects_merge_evolves(spark, tbl):
+    """strict appends reject drift; schema_mode='merge' unions —
+    new columns appended as nullable (old files read null), missing
+    columns stay (new files read null), type changes always raise."""
+    M.write_table(_df(spark, [(1, "a")]), tbl)
+    wider = spark.createDataFrame(
+        [(2, "b", 9.5)], "k bigint, v string, score double"
+    )
+    with pytest.raises(ValueError, match="schema_mode='merge'"):
+        M.write_table(wider, tbl, mode="append")
+    M.write_table(wider, tbl, mode="append", schema_mode="merge")
+    snap = M.snapshot(spark, tbl)
+    assert snap.columns == ["k", "v", "score"]
+    rows = {r.k: (r.v, r.score) for r in snap.collect()}
+    assert rows[1] == ("a", None) and rows[2] == ("b", 9.5)
+
+    # a batch MISSING a column is fine under merge (reads back null)
+    narrower = spark.createDataFrame([(3,)], "k bigint")
+    M.write_table(narrower, tbl, mode="append", schema_mode="merge")
+    got = {r.k: r.v for r in M.snapshot(spark, tbl).collect()}
+    assert got[3] is None
+    # type change is never evolvable
+    retyped = spark.createDataFrame([("x", "y")], "k string, v string")
+    with pytest.raises(ValueError, match="changes column types"):
+        M.write_table(retyped, tbl, mode="append", schema_mode="merge")
+    with pytest.raises(ValueError, match="changes column types"):
+        M.write_table(retyped, tbl, mode="append")
+    # identical schema still appends under strict, naturally
+    M.write_table(
+        spark.createDataFrame([(4, "d", 1.0)], "k bigint, v string, score double"),
+        tbl,
+        mode="append",
+    )
+    assert M.snapshot(spark, tbl).count() == 4
+
+
+def test_table_row_count_is_metadata_only(spark, tbl):
+    M.write_table(_ranged_df(spark, 0, 400), tbl, stats_cols=("k",))
+    M.write_table(_ranged_df(spark, 400, 450), tbl, mode="append")
+    head = M.latest_manifest(spark, tbl)
+    # every file carries a row count in the manifest itself
+    assert set(head["rows"]) == set(head["files"])
+    assert sum(head["rows"].values()) == 450
+    assert M.table_row_count(spark, tbl) == 450
+    # survives delete/update/merge/compact commits
+    M.delete_rows(spark, tbl, prune=[("k", "<", 100)])
+    assert M.table_row_count(spark, tbl) == 350
+    M.compact_table(spark, tbl, target_bytes=1 << 30)
+    assert M.table_row_count(spark, tbl) == 350
+    # time travel counts the pinned version
+    assert M.table_row_count(spark, tbl, version=0) == 400
+    # a manifest missing the field falls back to a real count
+    import json as _json
+    import os as _os
+
+    mp = _os.path.join(tbl, f"_manifest-{len(M.list_manifests(spark, tbl)) - 1:012d}.json")
+    m = _json.load(open(mp))
+    m.pop("rows")
+    with open(mp, "w") as fh:
+        _json.dump(m, fh)
+    # drop the local-FS checksum sidecar our out-of-band edit broke
+    crc = _os.path.join(tbl, "." + _os.path.basename(mp) + ".crc")
+    if _os.path.exists(crc):
+        _os.remove(crc)
+    assert M.table_row_count(spark, tbl) == 350
