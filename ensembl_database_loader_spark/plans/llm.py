@@ -2590,3 +2590,75 @@ def dd_semantic_dedup_incr(spark: SparkSession, sf: str) -> DataFrame:
         )
         .crossJoin(inc.agg((_cnt() > 0).alias("sdi_kept_nonempty")))
     )
+
+
+_CLF_ORACLE = (
+    # the planted label (>=2 of the three heuristic indicators) and the
+    # knuth split recomputed relationally; the classifier's holdout
+    # accuracy gate is a boolean (training is iterative — not
+    # SQL-expressible — but on a linearly separable planting the
+    # learned boundary must reproduce the labels)
+    f"WITH q AS (SELECT doc_id, {_toks('text')} AS toks, length(text) AS n "
+    "FROM documents), "
+    "s AS (SELECT doc_id, "
+    "(CASE WHEN n BETWEEN 100 AND 400 THEN 1 ELSE 0 END) "
+    "+ (CASE WHEN CAST(len(list_distinct(toks)) AS DOUBLE) / greatest(len(toks), 1) >= 0.5 "
+    "THEN 1 ELSE 0 END) "
+    "+ (CASE WHEN CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), "
+    "list_transform(toks, t -> CAST(length(t) AS BIGINT))), (a, b) -> a + b) AS DOUBLE) "
+    "/ greatest(len(toks), 1) BETWEEN 3.0 AND 10.0 THEN 1 ELSE 0 END) AS qs "
+    "FROM q), "
+    "lab AS (SELECT CASE WHEN qs >= 2 THEN 1 ELSE 0 END AS y, "
+    "((doc_id * 2654435761) % 4294967296) % 10 AS b FROM s) "
+    "SELECT CAST(SUM(CASE WHEN b < 8 THEN 1 ELSE 0 END) AS BIGINT) AS clf_n_train, "
+    "CAST(SUM(CASE WHEN b >= 8 THEN 1 ELSE 0 END) AS BIGINT) AS clf_n_holdout, "
+    "CAST(SUM(CASE WHEN b >= 8 THEN y ELSE 0 END) AS BIGINT) AS clf_holdout_pos, "
+    "TRUE AS clf_acc_ok FROM lab"
+)
+
+
+@probe("tx_quality_classifier", oracle=_CLF_ORACLE, tags=("llm", "text", "model"))
+def tx_quality_classifier(spark: SparkSession, sf: str) -> DataFrame:
+    """Trained quality classifier (operators/classifier.py) — the
+    model-based filter step (CCNet/fastText-style) after the heuristic
+    filters. Features are single-pass codegen expressions; training is
+    MLlib logistic regression (distributed LBFGS: one treeAggregate
+    per iteration, only the coefficient vector on the driver); serving
+    is the exported JSON model applied as a codegen
+    ``sigmoid(b + w.x)`` column — no MLlib, no UDF at inference.
+
+    The probe plants a separable labeling (>= 2 of the 3 heuristic
+    quality indicators — the ll5 signals), splits 80/20 on the knuth
+    hash, trains on the 80, and gates (a) the split/label accounting
+    against the relational recomputation and (b) >= 95% holdout
+    accuracy of the CODEGEN-SERVED scores — which also pins that the
+    exported coefficients mean what the trainer learned."""
+    from ensembl_database_loader_spark.operators.classifier import (
+        quality_features,
+        quality_score_expr,
+        train_quality_classifier,
+    )
+    from ensembl_database_loader_spark.operators.mixing import keyed_hash
+
+    ensure_session_confs(spark)
+    d = quality_features(table(spark, sf, "documents"), "text")
+    d = d.withColumn(
+        "y",
+        (
+            F.col("f_len_in_bounds") + F.col("f_diversity_ok") + F.col("f_mtl_ok")
+            >= 2
+        ).cast("double"),
+    ).withColumn("b", keyed_hash("doc_id", 10))
+    model = train_quality_classifier(d.filter(F.col("b") < 8), "y")
+    hold = F.col("b") >= 8
+    pred_ok = (
+        (quality_score_expr(model) >= 0.5).cast("int") == F.col("y").cast("int")
+    ).cast("int")
+    return d.agg(
+        F.sum(F.when(~hold, 1).otherwise(0)).cast("bigint").alias("clf_n_train"),
+        F.sum(F.when(hold, 1).otherwise(0)).cast("bigint").alias("clf_n_holdout"),
+        F.sum(F.when(hold, F.col("y")).otherwise(0.0))
+        .cast("bigint")
+        .alias("clf_holdout_pos"),
+        (F.avg(F.when(hold, pred_ok)) >= 0.95).alias("clf_acc_ok"),
+    )

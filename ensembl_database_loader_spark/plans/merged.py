@@ -250,6 +250,16 @@ MERGE_SPECS: dict[str, list[tuple[str, list[tuple[str, str]]]]] = {
                 ("distinct_clean_md5", "sd_distinct_clean_md5"),
             ],
         ),
+        # r8: trained quality classifier (train + codegen serving)
+        (
+            "tx_quality_classifier",
+            [
+                ("clf_n_train", "clf_n_train"),
+                ("clf_n_holdout", "clf_n_holdout"),
+                ("clf_holdout_pos", "clf_holdout_pos"),
+                ("clf_acc_ok", "clf_acc_ok"),
+            ],
+        ),
     ],
     "mm_decode_frames": [
         (
