@@ -106,3 +106,114 @@ def corpus_overlap_estimate(
         union.alias("est_union"),
         (inter / F.greatest(union, F.lit(1))).alias("est_jaccard"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Frequent items (Misra-Gries) — mergeable heavy-hitters summaries
+# ---------------------------------------------------------------------------
+
+#: Summary convention: a frequent-items summary is a tiny DataFrame of
+#: ``(item string nullable, weight bigint)`` with AT MOST k non-null
+#: rows (lower-bound counts) and null-item rows carrying accumulated
+#: ERROR mass. The null-row convention makes summaries CLOSED under
+#: concatenation: union any number of stored summaries and re-combine
+#: — no side-channel error scalar to thread through storage.
+
+
+def _mg_combine(summaries: DataFrame, k: int) -> DataFrame:
+    """Combine Misra-Gries summaries (Agarwal et al., "Mergeable
+    Summaries"): sum weights per item, subtract the (k+1)-th largest
+    combined weight from every counter, drop the non-positive, and add
+    that subtrahend to the error row. Preserves the MG invariants —
+    <= k survivors, ``true - err <= weight <= true``, total err
+    <= n/(k+1). The summary frame is k x #inputs rows, so the global
+    sort is a few thousand rows — the one place a single-partition
+    window is the RIGHT plan."""
+    from pyspark.sql import Window
+
+    spark = summaries.sparkSession
+    err_in = (
+        summaries.filter(F.col("item").isNull())
+        .agg(F.coalesce(F.sum("weight"), F.lit(0)).cast("bigint"))
+        .first()[0]
+    )
+    s = (
+        summaries.filter(F.col("item").isNotNull())
+        .groupBy("item")
+        .agg(F.sum("weight").cast("bigint").alias("weight"))
+    )
+    ranked = s.withColumn(
+        "rn", F.row_number().over(Window.orderBy(F.desc("weight"), F.asc("item")))
+    )
+    row_k1 = ranked.filter(F.col("rn") == k + 1).select("weight").first()
+    decrement = int(row_k1[0]) if row_k1 is not None else 0
+    out = (
+        s.select("item", (F.col("weight") - F.lit(decrement)).alias("weight"))
+        .filter(F.col("weight") > 0)
+    )
+    err_row = spark.createDataFrame(
+        [(None, int(err_in) + decrement)], "item string, weight bigint"
+    )
+    return out.unionByName(err_row)
+
+
+def frequent_items(df: DataFrame, col: str, k: int = 64) -> DataFrame:
+    """Misra-Gries heavy hitters over ``col``: a mergeable summary of
+    at most ``k`` items with LOWER-BOUND counts plus an error row
+    (item null) bounding the undercount.
+
+    Guarantees (the classic MG contract, layout-independent):
+    ``true - err <= weight <= true`` for every surviving item, every
+    item with true frequency > err survives, and ``err <= n/(k+1)``.
+    WHICH low-frequency items survive beyond the guarantee depends on
+    partitioning — only the contract is deterministic, which is what
+    the probe gates.
+
+    Execution shape: one Arrow-batched pass builds a <= k-counter
+    summary PER PARTITION (dict state carried across the partition's
+    record batches — never more than k counters in memory, the whole
+    point of MG over an exact groupBy at 100 TB), the tiny k x
+    #partitions candidate frame combines in one step, and nothing
+    item-granular ever shuffles. Exact heavy-hitter counting shuffles
+    the full item domain; this shuffles k rows per partition.
+
+    Pairs with ``skew.key_skew_profile``: the profile says HOW skewed a
+    key column is, this names the hot keys — cheap enough to run on
+    every ingest batch and store next to the HLL sketches."""
+    import pandas as pd
+
+    if k < 1:
+        raise ValueError("k must be >= 1")
+
+    src = df.select(F.col(col).cast("string").alias("item"))
+
+    def summarize(batches):
+        counters: dict[str, int] = {}
+        err = 0
+        for pdf in batches:
+            for item, c in pdf["item"].value_counts(dropna=True).items():
+                counters[item] = counters.get(item, 0) + int(c)
+            if len(counters) > k:
+                vals = sorted(counters.values(), reverse=True)
+                w = vals[k]  # (k+1)-th largest
+                counters = {i: c - w for i, c in counters.items() if c > w}
+                err += w
+        yield pd.DataFrame(
+            {
+                "item": list(counters.keys()) + [None],
+                "weight": list(counters.values()) + [err],
+            }
+        )
+
+    summaries = src.mapInPandas(summarize, "item string, weight bigint")
+    return _mg_combine(summaries, k)
+
+
+def merge_frequent_items(summaries: DataFrame, k: int = 64) -> DataFrame:
+    """Merge STORED frequent-items summaries (e.g. one per ingest
+    batch, appended to parquet) into one — same combine as
+    ``frequent_items``, so "top tokens across all 40 ingest runs" is a
+    few-thousand-row job over the summaries, with NO rescan of the
+    corpora, and the merged error row still bounds the undercount of
+    the concatenated input."""
+    return _mg_combine(summaries, k)

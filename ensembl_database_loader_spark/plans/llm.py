@@ -2662,3 +2662,65 @@ def tx_quality_classifier(spark: SparkSession, sf: str) -> DataFrame:
         .alias("clf_holdout_pos"),
         (F.avg(F.when(hold, pred_ok)) >= 0.95).alias("clf_acc_ok"),
     )
+
+
+_FREQ_ORACLE = (
+    # exact token total in SQL; the sketch quantities are gated by
+    # TRUE-declared contracts (the sketches.py pattern): WHICH
+    # beyond-guarantee candidates survive is layout-dependent, the MG
+    # contract itself is not
+    f"WITH t AS (SELECT {_toks('text')} AS toks FROM documents) "
+    "SELECT CAST(SUM(len(toks)) AS BIGINT) AS fi_n_tokens, "
+    "TRUE AS fi_err_ok, TRUE AS fi_bounds_ok, TRUE AS fi_heavy_found FROM t"
+)
+
+
+@probe("dq_freq_items", oracle=_FREQ_ORACLE, tags=("sketch", "approx", "dq"))
+def dq_freq_items(spark: SparkSession, sf: str) -> DataFrame:
+    """Misra-Gries heavy hitters (operators/sketches.frequent_items)
+    over the exploded token stream of the documents table: <= k
+    counters per partition (Arrow pass, nothing item-granular ever
+    shuffles), a k x #partitions candidate frame combined in one step.
+    Gates the full MG contract against the exact counts computed at
+    probe scale: every weight is a lower bound within err of truth,
+    every token with true count > err survives, and err <= n/(k+1) —
+    the proven mergeable-summaries bound."""
+    from ensembl_database_loader_spark.functions.text import tokens
+    from ensembl_database_loader_spark.operators.sketches import frequent_items
+
+    ensure_session_confs(spark)
+    k = 32
+    toks = table(spark, sf, "documents").select(
+        F.explode(tokens("text")).alias("tok")
+    )
+    sk = frequent_items(toks, "tok", k=k)
+    exact = toks.groupBy("tok").agg(_cnt().alias("cnt"))
+    items = sk.filter(F.col("item").isNotNull())
+    errdf = sk.filter(F.col("item").isNull()).agg(
+        F.coalesce(F.sum("weight"), F.lit(0)).cast("bigint").alias("err")
+    )
+    bounds = (
+        items.join(exact, items.item == exact.tok, "left")
+        .crossJoin(errdf)
+        .agg(
+            F.min(
+                (F.col("weight") <= F.col("cnt"))
+                & (F.col("weight") >= F.col("cnt") - F.col("err"))
+            ).alias("fi_bounds_ok")
+        )
+    )
+    heavy = (
+        exact.crossJoin(errdf)
+        .filter(F.col("cnt") > F.col("err"))
+        .join(items, F.col("tok") == F.col("item"), "left_anti")
+        .agg((_cnt() == 0).alias("fi_heavy_found"))
+    )
+    head = (
+        toks.agg(_cnt().alias("n"))
+        .crossJoin(errdf)
+        .select(
+            F.col("n").cast("bigint").alias("fi_n_tokens"),
+            (F.col("err") <= F.col("n") / F.lit(k + 1)).alias("fi_err_ok"),
+        )
+    )
+    return head.crossJoin(bounds).crossJoin(heavy)

@@ -120,3 +120,81 @@ def test_corpus_sketch_store_records_empty_batches(spark, tmp_path):
     assert row.n_batches == 2  # the empty run is still accounted
     assert row.n_docs == 1 and row.n_tokens == 2
     assert row.distinct_tokens_est == 2
+
+
+# ---------------------------------------------------------------------------
+# Frequent items (Misra-Gries)
+# ---------------------------------------------------------------------------
+
+
+def _zipfish(spark, n_hot=5, hot=2000, cold=3000):
+    """5 hot items (2000x each) over a long cold tail (1x each)."""
+    hots = spark.range(n_hot * hot).select(
+        F.concat(F.lit("hot"), (F.col("id") % n_hot)).alias("v")
+    )
+    colds = spark.range(cold).select(F.concat(F.lit("cold"), "id").alias("v"))
+    return hots.unionAll(colds).repartition(8)
+
+
+def test_frequent_items_mg_contract(spark):
+    from ensembl_database_loader_spark.operators.sketches import frequent_items
+
+    df = _zipfish(spark)
+    n = df.count()
+    out = frequent_items(df, "v", k=16).collect()
+    items = {r.item: r.weight for r in out if r.item is not None}
+    err = sum(r.weight for r in out if r.item is None)
+    assert len(items) <= 16
+    # total error within the proven MG bound
+    assert err <= n // (16 + 1)
+    # every hot item (true count 2000 > err) must survive, with
+    # lower-bound counts inside [true - err, true]
+    for i in range(5):
+        w = items.get(f"hot{i}")
+        assert w is not None
+        assert 2000 - err <= w <= 2000
+    # all weights are lower bounds (true count of a cold item is 1)
+    for item, w in items.items():
+        true = 2000 if item.startswith("hot") else 1
+        assert w <= true
+
+
+def test_frequent_items_store_merge_equals_contract(spark):
+    """Per-batch summaries appended to a store, merged later: the
+    merged summary still satisfies the MG contract over the
+    CONCATENATED input — no rescan of the batches."""
+    import tempfile as _tf
+
+    from ensembl_database_loader_spark.operators.sketches import (
+        frequent_items,
+        merge_frequent_items,
+    )
+
+    b1 = _zipfish(spark, n_hot=3, hot=1500, cold=2000)
+    b2 = _zipfish(spark, n_hot=5, hot=900, cold=1500)  # hot0-2 overlap
+    store = _tf.mkdtemp(prefix="mg_store_") + "/freq"
+    frequent_items(b1, "v", k=16).write.mode("append").parquet(store)
+    frequent_items(b2, "v", k=16).write.mode("append").parquet(store)
+
+    merged = merge_frequent_items(spark.read.parquet(store), k=16).collect()
+    items = {r.item: r.weight for r in merged if r.item is not None}
+    err = sum(r.weight for r in merged if r.item is None)
+    n = b1.count() + b2.count()
+    assert len(items) <= 16
+    assert err <= n // (16 + 1)
+    for i in range(3):  # true combined count 2400 across both batches
+        w = items.get(f"hot{i}")
+        assert w is not None and 2400 - err <= w <= 2400
+
+
+def test_frequent_items_exactness_when_domain_fits(spark):
+    """k >= #distinct -> the sketch IS the exact count (err 0)."""
+    from ensembl_database_loader_spark.operators.sketches import frequent_items
+
+    df = spark.createDataFrame(
+        [("a",)] * 5 + [("b",)] * 3 + [("c",)] * 1, "v string"
+    ).repartition(4)
+    out = frequent_items(df, "v", k=8).collect()
+    items = {r.item: r.weight for r in out if r.item is not None}
+    err = sum(r.weight for r in out if r.item is None)
+    assert err == 0 and items == {"a": 5, "b": 3, "c": 1}
