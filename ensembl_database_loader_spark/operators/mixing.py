@@ -139,3 +139,78 @@ def split_corpus(
     for name, b_lo, b_hi in reversed(bounds):
         expr = F.when((h >= b_lo) & (h < b_hi), F.lit(name)).otherwise(expr)
     return df.withColumn("split", expr)
+
+
+def sample_exact_k(
+    df: DataFrame,
+    id_col: str,
+    k: int,
+    strata_col: str | None = None,
+    prefilter_margin: float = 4.0,
+) -> DataFrame:
+    """EXACT-size deterministic sample: the ``k`` rows with the
+    smallest ``knuth32(id)`` hash (ties broken by id). Rate-based
+    sampling (``deterministic_sample``) can't hit a size target —
+    Binomial(n, rate) wobbles — while ``df.limit(k)`` without an order
+    is layout-dependent. Hash-order top-k is both: exactly k rows, the
+    SAME k rows on any cluster size, partition layout, or engine
+    (DuckDB computes the identical hash), and a rerun over the corpus
+    plus an appended batch keeps every previously-chosen row whose
+    hash still ranks (the sample is a pure function of the id set).
+
+    Global form (``strata_col=None``): ``ORDER BY hash LIMIT k`` —
+    Spark plans TakeOrderedAndProject, a per-partition k-row heap +
+    single k·P-row merge. No global sort, no full shuffle; O(k) memory
+    per partition, so k up to ~10M is fine at 100 TB.
+
+    Stratified form: exactly ``k`` rows PER stratum. The naive plan
+    (row_number window per stratum) sorts every stratum's full row
+    set; instead we exploit hash uniformity: the k-th smallest of n
+    uniform 32-bit hashes concentrates at ``k/n · 2^32``, so a
+    map-side pre-filter at ``margin · k/n · 2^32`` (per-stratum n from
+    one cheap count, broadcast back) shrinks the windowed sort input
+    from n to ~margin·k rows per stratum. Exactness is NOT
+    probabilistic: the filter keeps ALL rows below the cutoff, so if a
+    stratum retains >= k survivors its top-k is provably the true
+    top-k; any stratum left short (Chernoff-tail rare at margin 4, or
+    a caller-forced tiny margin) is detected by comparing survivor
+    counts and re-windowed UNFILTERED — the driver-side check reads
+    one tiny aggregate (#strata rows).
+
+    Returns ``df``'s columns unchanged (no helper columns leak)."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    h = knuth32(id_col)
+    order = [h.asc(), F.col(id_col).asc()]
+    if strata_col is None:
+        return df.orderBy(*order).limit(k)
+
+    from pyspark.sql import Window
+
+    counts = df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("_n"))
+    cutoff = F.least(
+        F.lit(float(HASH_SPACE)),
+        F.lit(prefilter_margin * k) / F.col("_n") * F.lit(float(HASH_SPACE)),
+    )
+    tagged = df.join(F.broadcast(counts), strata_col).withColumn(
+        "_keep", h < cutoff
+    )
+    surv = tagged.filter("_keep").select(*df.columns)
+    # exactness gate: strata whose pre-filter kept < min(k, n) rows
+    # re-run unfiltered (tiny driver-side read: one row per stratum)
+    audit = (
+        tagged.groupBy(strata_col, "_n")
+        .agg(F.sum(F.col("_keep").cast("bigint")).alias("_kept"))
+        .collect()
+    )
+    short = [r[strata_col] for r in audit if r["_kept"] < min(k, r["_n"])]
+    if short:
+        surv = surv.filter(~F.col(strata_col).isin(short)).unionByName(
+            df.filter(F.col(strata_col).isin(short))
+        )
+    w = Window.partitionBy(strata_col).orderBy(*order)
+    return (
+        surv.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )

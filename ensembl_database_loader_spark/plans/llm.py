@@ -2724,3 +2724,54 @@ def dq_freq_items(spark: SparkSession, sf: str) -> DataFrame:
         )
     )
     return head.crossJoin(bounds).crossJoin(heavy)
+
+
+_EXACTK_ORACLE = (
+    # identical hash arithmetic: DuckDB's direct (id*K) % 2^32 equals
+    # Spark's overflow-free two-halves knuth32 for every non-negative
+    # doc_id (< 2^32 here), so the sample is row-level EXACT
+    "WITH h AS (SELECT lang, doc_id, "
+    "((doc_id * 2654435761) % 4294967296) AS hv FROM documents), "
+    "s AS (SELECT lang, doc_id, ROW_NUMBER() OVER "
+    "(PARTITION BY lang ORDER BY hv, doc_id) AS rn FROM h), "
+    "g AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY hv, doc_id) AS rn "
+    "FROM h), "
+    "sl AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS ks_n, "
+    "CAST(SUM(doc_id) AS BIGINT) AS ks_id_sum FROM s WHERE rn <= 20 "
+    "GROUP BY lang), "
+    "gl AS (SELECT CAST(COUNT(*) AS BIGINT) AS g_n, "
+    "CAST(SUM(doc_id) AS BIGINT) AS g_id_sum FROM g WHERE rn <= 50) "
+    "SELECT lang, ks_n, ks_id_sum, g_n, g_id_sum "
+    "FROM sl CROSS JOIN gl ORDER BY lang"
+)
+
+
+@probe("llp_sample_exact_k", oracle=_EXACTK_ORACLE, tags=("llm", "pipeline", "curation"))
+def llp_sample_exact_k(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact-size deterministic sampling
+    (operators/mixing.sample_exact_k): the k rows with the smallest
+    knuth32(id) — exactly k, the SAME k on any layout/cluster/engine,
+    incremental-append stable. Global form plans
+    TakeOrderedAndProject (per-partition k-heap, no global sort —
+    plan-gated in tests); stratified form pre-filters map-side at
+    margin·k/n·2^32 per stratum so the per-stratum window sorts
+    ~margin·k rows instead of n, with a provable (not probabilistic)
+    unfiltered fallback for any stratum the filter leaves short. The
+    id-sum fingerprint makes the oracle row-level exact."""
+    from ensembl_database_loader_spark.operators.mixing import sample_exact_k
+
+    ensure_session_confs(spark)
+    d = table(spark, sf, "documents").select("doc_id", "lang")
+    strat = (
+        sample_exact_k(d, "doc_id", 20, strata_col="lang")
+        .groupBy("lang")
+        .agg(
+            _cnt().alias("ks_n"),
+            F.sum("doc_id").cast("bigint").alias("ks_id_sum"),
+        )
+    )
+    glob = sample_exact_k(d, "doc_id", 50).agg(
+        _cnt().alias("g_n"),
+        F.sum("doc_id").cast("bigint").alias("g_id_sum"),
+    )
+    return strat.crossJoin(glob).orderBy("lang")

@@ -326,6 +326,18 @@ MERGE_SPECS: dict[str, list[tuple[str, list[tuple[str, str]]]]] = {
                 ("theta_ok", "sk_theta_ok"),
             ],
         ),
+        # r8: Misra-Gries frequent items (mergeable heavy hitters)
+        # joins the sketch window — exact token total in SQL, the MG
+        # contract (bounds/survivors/error cap) gated Spark-side
+        (
+            "dq_freq_items",
+            [
+                ("fi_n_tokens", "fi_n_tokens"),
+                ("fi_err_ok", "fi_err_ok"),
+                ("fi_bounds_ok", "fi_bounds_ok"),
+                ("fi_heavy_found", "fi_heavy_found"),
+            ],
+        ),
     ],
     "q38_q39_udf_family": [
         (
@@ -499,6 +511,19 @@ MERGE_SPECS: dict[str, list[tuple[str, list[tuple[str, str]]]]] = {
                 ("kept_tokens", "tb_kept_tokens"),
                 ("kept_id_sum", "tb_kept_id_sum"),
                 ("overshoot_bounded", "tb_overshoot_bounded"),
+            ],
+        ),
+        # r8: exact-k deterministic sampling (hash-order top-k) — the
+        # size-targeted sibling of the rate-based mix sample; id-sum
+        # fingerprint makes the window hash row-level exact
+        (
+            "llp_sample_exact_k",
+            [
+                ("lang", "ks_lang"),
+                ("ks_n", "ks_n"),
+                ("ks_id_sum", "ks_id_sum"),
+                ("g_n", "ks_g_n"),
+                ("g_id_sum", "ks_g_id_sum"),
             ],
         ),
     ],

@@ -1019,3 +1019,87 @@ def test_export_training_shards_one_ordered_file_each(spark, tmp_path):
         assert got == expected[s]
         # read_shard returns the same order
         assert [r.doc_id for r in read_shard(spark, path, s).collect()] == expected[s]
+
+
+# ---------------------------------------------------------------------------
+# Exact-k deterministic sampling
+# ---------------------------------------------------------------------------
+
+
+def _exact_k_reference(rows, k):
+    """Reference: k smallest (knuth32(id), id) pairs, python-side."""
+    key = lambda i: ((i * 2654435761) % 2**32, i)  # noqa: E731
+    return sorted(rows, key=key)[:k]
+
+
+def test_sample_exact_k_global_matches_reference(spark):
+    from ensembl_database_loader_spark.operators.mixing import sample_exact_k
+
+    ids = list(range(0, 5000, 7))
+    df = spark.createDataFrame([(i,) for i in ids], "id bigint").repartition(8)
+    got = sorted(r.id for r in sample_exact_k(df, "id", 100).collect())
+    assert got == sorted(_exact_k_reference(ids, 100))
+    # exact size, layout-independent: a different layout → same rows
+    got2 = sorted(
+        r.id for r in sample_exact_k(df.repartition(3), "id", 100).collect()
+    )
+    assert got2 == got
+
+
+def test_sample_exact_k_global_plan_is_topk(spark):
+    """The global form must plan TakeOrderedAndProject (per-partition
+    k-heap + merge), never a global Sort."""
+    from ensembl_database_loader_spark.operators.mixing import sample_exact_k
+
+    df = spark.range(10_000).select(F.col("id"))
+    plan = sample_exact_k(df, "id", 50)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_sample_exact_k_stratified_exact_and_prefilter_safe(spark):
+    from ensembl_database_loader_spark.operators.mixing import sample_exact_k
+
+    rows = [(i, "a" if i % 3 else "b") for i in range(2000)]
+    df = spark.createDataFrame(rows, "id bigint, s string").repartition(8)
+    out = sample_exact_k(df, "id", 25, strata_col="s").collect()
+    by = {}
+    for r in out:
+        by.setdefault(r.s, []).append(r.id)
+    for s in ("a", "b"):
+        want = _exact_k_reference([i for i, g in rows if g == s], 25)
+        assert sorted(by[s]) == sorted(want)
+    # a margin too small to survive forces the unfiltered fallback —
+    # result must be identical (exactness is never probabilistic)
+    out2 = sample_exact_k(
+        df, "id", 25, strata_col="s", prefilter_margin=0.01
+    ).collect()
+    by2 = {}
+    for r in out2:
+        by2.setdefault(r.s, []).append(r.id)
+    assert {s: sorted(v) for s, v in by2.items()} == {
+        s: sorted(v) for s, v in by.items()
+    }
+
+
+def test_sample_exact_k_stratum_smaller_than_k_kept_whole(spark):
+    from ensembl_database_loader_spark.operators.mixing import sample_exact_k
+
+    rows = [(i, "big") for i in range(500)] + [(10_000 + i, "tiny") for i in range(3)]
+    df = spark.createDataFrame(rows, "id bigint, s string").repartition(4)
+    out = sample_exact_k(df, "id", 50, strata_col="s").collect()
+    tiny = sorted(r.id for r in out if r.s == "tiny")
+    assert tiny == [10_000, 10_001, 10_002]  # whole stratum, no padding
+    assert sum(1 for r in out if r.s == "big") == 50
+    assert sorted(type(df).columns.fget(df)) == sorted(
+        ["id", "s"]
+    )  # no helper columns leaked
+
+
+def test_sample_exact_k_guards(spark):
+    import pytest as _pt
+
+    from ensembl_database_loader_spark.operators.mixing import sample_exact_k
+
+    df = spark.range(10)
+    with _pt.raises(ValueError, match="k must be >= 1"):
+        sample_exact_k(df, "id", 0)
