@@ -2775,3 +2775,59 @@ def llp_sample_exact_k(spark: SparkSession, sf: str) -> DataFrame:
         F.sum("doc_id").cast("bigint").alias("g_id_sum"),
     )
     return strat.crossJoin(glob).orderBy("lang")
+
+
+_TCHK_ORACLE = (
+    # the mutation set is SQL-expressible, so the drill-down's side
+    # counts are oracle-EXACT, not just TRUE-gated: side a = every
+    # dropped-or-changed original row, side b = every changed new row
+    "SELECT CAST(COUNT(*) AS BIGINT) AS tc_n_rows, "
+    "CAST(COUNT(*) FILTER (WHERE l_orderkey % 1000 IN (7, 13)) AS BIGINT)"
+    " AS tc_only_a, "
+    "CAST(COUNT(*) FILTER (WHERE l_orderkey % 1000 = 13) AS BIGINT)"
+    " AS tc_only_b, "
+    "TRUE AS tc_equal_ok, TRUE AS tc_mut_detected FROM lineitem"
+)
+
+
+@probe("dq_table_checksum", oracle=_TCHK_ORACLE, tags=("dq", "integrity"))
+def dq_table_checksum(spark: SparkSession, sf: str) -> DataFrame:
+    """Distributed table integrity (operators/integrity.py) — the
+    row-level analogue of the reference's file-checksum verify
+    (LoadFiles.pm:171-199): two tables compare by exchanging one
+    order-independent (count, modular-sum, bit-xor) fingerprint row
+    per hash bucket; drill-down re-scans ONLY mismatched buckets
+    (map-side fp filter) and diffs with multiset exceptAll. Gated
+    here: layout-invariance (repartitioned copy == original), a
+    synthetic drop+mutate detected, and the drill-down's exact
+    side-a/side-b row counts vs the relational recomputation."""
+    from ensembl_database_loader_spark.operators.integrity import (
+        checksum_diff_rows,
+        checksum_mismatches,
+    )
+
+    ensure_session_confs(spark)
+    a = table(spark, sf, "lineitem")
+    m = F.col("l_orderkey") % 1000
+    b = a.filter(m != 7).withColumn(
+        "l_quantity",
+        F.when(m == 13, F.col("l_quantity") + 1).otherwise(F.col("l_quantity")),
+    )
+    d = checksum_diff_rows(a, b, n_buckets=64)
+    sides = d.agg(
+        _cnt(F.col("side") == "a").alias("tc_only_a"),
+        _cnt(F.col("side") == "b").alias("tc_only_b"),
+    )
+    flags = a.agg(_cnt().alias("tc_n_rows")).crossJoin(
+        spark.range(1).select(
+            F.lit(
+                checksum_mismatches(a, a.repartition(7), 64).count() == 0
+            ).alias("tc_equal_ok"),
+            F.lit(
+                checksum_mismatches(a, b, 64).count() > 0
+            ).alias("tc_mut_detected"),
+        )
+    )
+    return flags.crossJoin(sides).select(
+        "tc_n_rows", "tc_only_a", "tc_only_b", "tc_equal_ok", "tc_mut_detected"
+    )

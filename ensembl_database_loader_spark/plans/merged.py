@@ -356,6 +356,19 @@ MERGE_SPECS: dict[str, list[tuple[str, list[tuple[str, str]]]]] = {
                 ("cnt", "z_cnt"),
             ],
         ),
+        # r8: distributed table checksum — the row-level analogue of
+        # the file-checksum UDFs this window already gates; drill-down
+        # side counts are oracle-exact
+        (
+            "dq_table_checksum",
+            [
+                ("tc_n_rows", "tc_n_rows"),
+                ("tc_only_a", "tc_only_a"),
+                ("tc_only_b", "tc_only_b"),
+                ("tc_equal_ok", "tc_equal_ok"),
+                ("tc_mut_detected", "tc_mut_detected"),
+            ],
+        ),
     ],
     # round-6 corpus-construction flagships: decontamination + PII scrub
     # and mixing + packing ride the window as composites so the driver

@@ -1,0 +1,90 @@
+"""Distributed table integrity (operators/integrity.py): checksum
+equality is layout-invariant; any row/cell/multiset difference is
+detected and drill-down names the exact rows."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ensembl_database_loader_spark.operators.integrity import (
+    checksum_diff_rows,
+    checksum_mismatches,
+    table_checksum,
+)
+
+
+def _tbl(spark, rows):
+    return spark.createDataFrame(rows, "k bigint, v string")
+
+
+def _cs(df, n=64):
+    return sorted(
+        (r.bucket, r.n_rows, r.sum_fp, r.xor_fp)
+        for r in table_checksum(df, n).collect()
+    )
+
+
+def test_checksum_invariant_under_layout_and_column_order(spark):
+    rows = [(i, f"v{i % 7}") for i in range(500)]
+    a = _tbl(spark, rows).repartition(8)
+    b = _tbl(spark, list(reversed(rows))).repartition(3)
+    assert _cs(a) == _cs(b)
+    # column order is canonicalized (sorted names)
+    c = _tbl(spark, rows).select("v", "k")
+    assert _cs(a) == _cs(c)
+    assert checksum_mismatches(a, b, 64).count() == 0
+
+
+def test_checksum_detects_single_cell_mutation(spark):
+    rows = [(i, f"v{i}") for i in range(300)]
+    a = _tbl(spark, rows)
+    mutated = [(i, "vX" if i == 137 else f"v{i}") for i in range(300)]
+    b = _tbl(spark, mutated)
+    bad = checksum_mismatches(a, b, 64).collect()
+    # the old and new row fingerprints land in <= 2 buckets
+    assert 1 <= len(bad) <= 2
+    d = checksum_diff_rows(a, b, 64).collect()
+    assert {(r.side, r.k, r.v) for r in d} == {
+        ("a", 137, "v137"),
+        ("b", 137, "vX"),
+    }
+
+
+def test_checksum_detects_multiset_edit(spark):
+    """Duplicate one row + drop another: counts per bucket may even
+    agree, but sum+xor can't both — the case XOR alone misses."""
+    rows = [(i, "x") for i in range(100)]
+    a = _tbl(spark, rows)
+    b = _tbl(spark, [r for r in rows if r[0] != 5] + [(7, "x")])
+    assert checksum_mismatches(a, b, 4).count() >= 1
+    d = checksum_diff_rows(a, b, 4).collect()
+    got = sorted((r.side, r.k) for r in d)
+    # multiset semantics: the extra (7, x) copy reports on side b once
+    assert got == [("a", 5), ("b", 7)]
+
+
+def test_checksum_missing_bucket_and_nulls(spark):
+    a = spark.createDataFrame([(1, None), (2, "b")], "k bigint, v string")
+    empty = a.limit(0)
+    # every populated bucket mismatches against an empty table
+    assert checksum_mismatches(a, empty, 8).count() == a.select(
+        F.pmod(F.xxhash64("k", "v"), F.lit(8))
+    ).distinct().count()
+    # null cells fingerprint deterministically
+    assert _cs(a, 8) == _cs(a.repartition(2), 8)
+
+
+def test_checksum_diff_rows_empty_when_equal(spark):
+    a = _tbl(spark, [(i, "z") for i in range(50)])
+    out = checksum_diff_rows(a, a.repartition(5), 16)
+    assert out.count() == 0
+    assert out.columns == ["side", "k", "v"]
+
+
+def test_checksum_guards(spark):
+    a = _tbl(spark, [(1, "a")])
+    with pytest.raises(ValueError, match="n_buckets"):
+        table_checksum(a, 0)
+    with pytest.raises(ValueError, match="column sets differ"):
+        checksum_diff_rows(a, a.select(F.col("k").alias("kk"), "v"))
