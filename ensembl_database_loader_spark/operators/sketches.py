@@ -217,3 +217,90 @@ def merge_frequent_items(summaries: DataFrame, k: int = 64) -> DataFrame:
     corpora, and the merged error row still bounds the undercount of
     the concatenated input."""
     return _mg_combine(summaries, k)
+
+
+# ---------------------------------------------------------------------------
+# Quantile histograms — mergeable log-bucket value summaries
+# ---------------------------------------------------------------------------
+
+#: Bucket-id offset: keeps positive-value magnitudes strictly positive
+#: so sign(bucket) encodes sign(value) and bucket order == value order
+#: (negatives < zero-bucket 0 < positives).
+_QH_OFF = 2**32
+
+
+def quantile_histogram(df: DataFrame, col: str, precision: int = 32) -> DataFrame:
+    """Mergeable quantile summary: a log-bucket histogram ``(bucket
+    bigint, n bigint)`` with ``precision`` buckets per octave —
+    relative value-error ``2^(1/precision) - 1`` (~2.2% at 32).
+
+    Why not ``percentile_approx``: its GK sketch answers one query and
+    leaves nothing storable. This histogram persists to parquet next
+    to the batch (a few hundred rows — buckets only exist where data
+    does), and merging stored summaries is a plain ``SUM`` per bucket:
+    EXACT, unlike HLL unions — a merged histogram is bit-identical to
+    one built over the concatenated input, so incremental == one-shot
+    is an equality gate, not a tolerance. "p99 doc length across all
+    ingest runs" reads the summaries, never the corpora.
+
+    Bucket map (pure codegen, one groupBy): x>0 →
+    ``floor(log2(x)*precision) + OFF``; x<0 mirrored negative; x=0 →
+    bucket 0; nulls dropped. ``sign(bucket)`` preserves value order,
+    so quantiles read off the cumulative histogram."""
+    if precision < 1:
+        raise ValueError("precision must be >= 1")
+    x = F.col(col).cast("double")
+    mag = F.floor(F.log2(F.abs(x)) * F.lit(precision))
+    bucket = (
+        F.when(x > 0, mag + F.lit(_QH_OFF))
+        .when(x < 0, -(mag + F.lit(_QH_OFF)))
+        .otherwise(F.lit(0))
+    )
+    return (
+        df.filter(x.isNotNull())
+        .groupBy(bucket.cast("bigint").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def merge_quantile_histograms(hists: DataFrame) -> DataFrame:
+    """Merge stored histograms: SUM per bucket — exact, associative,
+    no error growth ever (counts are counts)."""
+    return hists.groupBy("bucket").agg(F.sum("n").cast("bigint").alias("n"))
+
+
+def histogram_quantiles(
+    hist: DataFrame, probs: tuple[float, ...] = (0.5,), precision: int = 32
+) -> DataFrame:
+    """Quantile estimates from a (merged) histogram: for each p in
+    ``probs``, the geometric midpoint of the bucket holding rank
+    ``ceil(p * n)`` — within a ``2^(1/precision)`` factor of the true
+    quantile value. The cumulative window runs over the TINY bucket
+    frame (hundreds of rows), the one place a single-partition window
+    is the right plan — item rows never re-enter. Returns ``(p double,
+    est double)``."""
+    from pyspark.sql import Window
+
+    cum = hist.withColumn(
+        "_cum", F.sum("n").over(Window.orderBy("bucket"))
+    ).crossJoin(hist.agg(F.sum("n").alias("_tot")))
+    mag = F.abs(F.col("bucket")) - F.lit(_QH_OFF)
+    rep = (
+        F.when(F.col("bucket") == 0, F.lit(0.0))
+        .otherwise(
+            F.signum(F.col("bucket"))
+            * F.pow(F.lit(2.0), (mag + F.lit(0.5)) / F.lit(precision))
+        )
+    )
+    out = None
+    for p in probs:
+        rank = F.greatest(F.ceil(F.lit(float(p)) * F.col("_tot")), F.lit(1))
+        row = (
+            cum.filter(F.col("_cum") >= rank)
+            .orderBy("bucket")
+            .limit(1)
+            .select(F.lit(float(p)).alias("p"), rep.alias("est"))
+        )
+        out = row if out is None else out.unionByName(row)
+    assert out is not None
+    return out

@@ -2831,3 +2831,65 @@ def dq_table_checksum(spark: SparkSession, sf: str) -> DataFrame:
     return flags.crossJoin(sides).select(
         "tc_n_rows", "tc_only_a", "tc_only_b", "tc_equal_ok", "tc_mut_detected"
     )
+
+
+_QHIST_ORACLE = (
+    "SELECT CAST(COUNT(*) AS BIGINT) AS qh_n, TRUE AS qh_p50_ok, "
+    "TRUE AS qh_p99_ok, TRUE AS qh_merge_exact FROM lineitem"
+)
+
+
+@probe("dq_quantile_hist", oracle=_QHIST_ORACLE, tags=("sketch", "approx", "dq"))
+def dq_quantile_hist(spark: SparkSession, sf: str) -> DataFrame:
+    """Mergeable log-bucket quantile histogram
+    (operators/sketches.quantile_histogram) over lineitem prices: one
+    groupBy to a few-hundred-row summary, storable per batch, merged
+    by plain SUM — EXACTLY equal to the one-shot histogram (counts are
+    counts; contrast the HLL union's 2% bound), completing the sketch
+    trio (HLL distincts, MG heavy hitters, histogram quantiles).
+    Gates: the p50/p99 estimates' buckets provably CONTAIN the true
+    rank statistic (two conditional counts — no sort anywhere), and
+    split-merge == one-shot bucket-for-bucket."""
+    from ensembl_database_loader_spark.operators.sketches import (
+        histogram_quantiles,
+        merge_quantile_histograms,
+        quantile_histogram,
+    )
+
+    ensure_session_confs(spark)
+    prec = 32
+    bound = 2.0 ** (1.0 / prec)
+    li = table(spark, sf, "lineitem").select(
+        F.col("l_extendedprice").cast("double").alias("x"),
+        F.col("l_orderkey"),
+    )
+    hist = quantile_histogram(li, "x", precision=prec)
+    ests = {
+        r.p: r.est
+        for r in histogram_quantiles(hist, (0.5, 0.99), prec).collect()
+    }
+
+    def _contains(p: float, est: float):
+        # bucket-containment contract: #(x < est/bound) < ceil(p*n)
+        # <= #(x <= est*bound) — exact conditional counts, no sort
+        rank = F.greatest(F.ceil(F.lit(p) * F.count(F.lit(1))), F.lit(1))
+        below = F.sum(F.when(F.col("x") < est / bound, 1).otherwise(0))
+        upto = F.sum(F.when(F.col("x") <= est * bound, 1).otherwise(0))
+        return (below < rank) & (rank <= upto)
+
+    flags = li.agg(
+        F.count(F.lit(1)).cast("bigint").alias("qh_n"),
+        _contains(0.5, ests[0.5]).alias("qh_p50_ok"),
+        _contains(0.99, ests[0.99]).alias("qh_p99_ok"),
+    )
+    h1 = quantile_histogram(li.filter(F.col("l_orderkey") % 2 == 0), "x", prec)
+    h2 = quantile_histogram(li.filter(F.col("l_orderkey") % 2 == 1), "x", prec)
+    merged = merge_quantile_histograms(h1.unionByName(h2))
+    mism = (
+        merged.join(hist, ["bucket", "n"], "full_outer")
+        .filter(merged.bucket.isNull() | hist.bucket.isNull())
+        .count()
+    )
+    return flags.crossJoin(
+        spark.range(1).select(F.lit(mism == 0).alias("qh_merge_exact"))
+    ).select("qh_n", "qh_p50_ok", "qh_p99_ok", "qh_merge_exact")

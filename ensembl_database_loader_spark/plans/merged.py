@@ -338,6 +338,18 @@ MERGE_SPECS: dict[str, list[tuple[str, list[tuple[str, str]]]]] = {
                 ("fi_heavy_found", "fi_heavy_found"),
             ],
         ),
+        # r8: mergeable log-bucket quantile histogram — completes the
+        # storable-sketch trio (HLL distincts, MG heavy hitters,
+        # histogram quantiles); merge is bucket-for-bucket EXACT
+        (
+            "dq_quantile_hist",
+            [
+                ("qh_n", "qh_n"),
+                ("qh_p50_ok", "qh_p50_ok"),
+                ("qh_p99_ok", "qh_p99_ok"),
+                ("qh_merge_exact", "qh_merge_exact"),
+            ],
+        ),
     ],
     "q38_q39_udf_family": [
         (

@@ -198,3 +198,82 @@ def test_frequent_items_exactness_when_domain_fits(spark):
     items = {r.item: r.weight for r in out if r.item is not None}
     err = sum(r.weight for r in out if r.item is None)
     assert err == 0 and items == {"a": 5, "b": 3, "c": 1}
+
+
+# ---------------------------------------------------------------------------
+# Quantile histograms
+# ---------------------------------------------------------------------------
+
+
+def test_quantile_histogram_relative_error_bound(spark):
+    from ensembl_database_loader_spark.operators.sketches import (
+        histogram_quantiles,
+        quantile_histogram,
+    )
+
+    vals = [float(i) ** 1.7 + 1 for i in range(1, 4000)]
+    df = spark.createDataFrame([(v,) for v in vals], "x double").repartition(8)
+    p = 32
+    hist = quantile_histogram(df, "x", precision=p)
+    got = {
+        r.p: r.est
+        for r in histogram_quantiles(hist, (0.25, 0.5, 0.9, 0.99), p).collect()
+    }
+    svals = sorted(vals)
+    bound = 2 ** (1 / p)
+    for q, est in got.items():
+        exact = svals[min(len(svals) - 1, max(0, int(q * len(svals)) - 1))]
+        assert exact / bound <= est <= exact * bound, (q, est, exact)
+
+
+def test_quantile_histogram_merge_is_exact(spark):
+    """Merged per-batch histograms == one-shot histogram, EXACT —
+    counts are counts (contrast the HLL union's 2%-bound)."""
+    import tempfile as _tf
+
+    from ensembl_database_loader_spark.operators.sketches import (
+        merge_quantile_histograms,
+        quantile_histogram,
+    )
+
+    b1 = spark.range(1, 2000).select((F.col("id") * 3.7).alias("x"))
+    b2 = spark.range(500, 3000).select((F.col("id") * 0.9).alias("x"))
+    store = _tf.mkdtemp(prefix="qh_store_") + "/qh"
+    quantile_histogram(b1, "x").write.mode("append").parquet(store)
+    quantile_histogram(b2, "x").write.mode("append").parquet(store)
+    merged = {
+        r.bucket: r.n
+        for r in merge_quantile_histograms(spark.read.parquet(store)).collect()
+    }
+    oneshot = {
+        r.bucket: r.n
+        for r in quantile_histogram(b1.unionAll(b2), "x").collect()
+    }
+    assert merged == oneshot
+
+
+def test_quantile_histogram_signs_zero_nulls(spark):
+    from ensembl_database_loader_spark.operators.sketches import (
+        histogram_quantiles,
+        quantile_histogram,
+    )
+
+    rows = [(-100.0,), (-1.0,), (0.0,), (0.0,), (None,), (5.0,), (1000.0,)]
+    df = spark.createDataFrame(rows, "x double")
+    hist = quantile_histogram(df, "x")
+    assert hist.agg(F.sum("n")).first()[0] == 6  # null dropped
+    # bucket order == value order: median of the 6 values is 0
+    est = histogram_quantiles(hist, (0.5,)).first().est
+    assert est == 0.0
+    # p=1.0 lands in the top bucket (~1000 within the bound)
+    top = histogram_quantiles(hist, (1.0,)).first().est
+    assert 1000 / 2 ** (1 / 32) <= top <= 1000 * 2 ** (1 / 32)
+
+
+def test_quantile_histogram_guard(spark):
+    import pytest as _pt
+
+    from ensembl_database_loader_spark.operators.sketches import quantile_histogram
+
+    with _pt.raises(ValueError, match="precision"):
+        quantile_histogram(spark.range(3).select(F.col("id").cast("double").alias("x")), "x", 0)
