@@ -637,3 +637,78 @@ def corpus_distinct_stats(spark: SparkSession, store_path: str) -> DataFrame:
         )
         .crossJoin(merged)
     )
+
+
+def write_corpus_freq_items(
+    kept: DataFrame,
+    store_path: str,
+    batch_label: str,
+    text_col: str = "text",
+    k: int = 64,
+) -> None:
+    """Append this run's Misra-Gries token summary (<= k items + an
+    error row; operators/sketches.frequent_items) to
+    ``store_path + '/freq_items'``. Nothing item-granular shuffles —
+    the stored rows are the k-counter partition summaries' combine."""
+    from ensembl_database_loader_spark.operators.sketches import frequent_items
+
+    toks = kept.select(F.explode_outer(tokens(text_col)).alias("w"))
+    sk = frequent_items(toks.filter(F.col("w").isNotNull()), "w", k=k)
+    sk.select(F.lit(batch_label).alias("batch"), "*").write.mode(
+        "append"
+    ).parquet(store_path + "/freq_items")
+
+
+def corpus_top_tokens(
+    spark: SparkSession, store_path: str, k: int = 64
+) -> DataFrame:
+    """Heavy-hitter tokens across EVERY batch ever ingested, from the
+    stored summaries only (no history rescan): the merged MG summary
+    still carries the concatenated-input guarantees — lower-bound
+    weights within the error row of truth."""
+    from ensembl_database_loader_spark.operators.sketches import (
+        merge_frequent_items,
+    )
+
+    sk = spark.read.parquet(*_snapshot_files(spark, store_path + "/freq_items"))
+    return merge_frequent_items(sk.select("item", "weight"), k=k)
+
+
+def write_corpus_len_hist(
+    kept: DataFrame,
+    store_path: str,
+    batch_label: str,
+    text_col: str = "text",
+    precision: int = 32,
+) -> None:
+    """Append this run's document-token-length histogram
+    (operators/sketches.quantile_histogram) to
+    ``store_path + '/len_hist'`` — a few hundred (bucket, n) rows."""
+    from ensembl_database_loader_spark.operators.sketches import (
+        quantile_histogram,
+    )
+
+    lens = kept.select(F.size(tokens(text_col)).cast("double").alias("len"))
+    quantile_histogram(lens, "len", precision=precision).select(
+        F.lit(batch_label).alias("batch"), "*"
+    ).write.mode("append").parquet(store_path + "/len_hist")
+
+
+def corpus_length_quantiles(
+    spark: SparkSession,
+    store_path: str,
+    probs: tuple[float, ...] = (0.5, 0.9, 0.99),
+    precision: int = 32,
+) -> DataFrame:
+    """Doc-length quantiles of the ACCUMULATED corpus from stored
+    histograms only — the merge is bucket-exact, so this equals the
+    one-shot histogram over all batches' documents."""
+    from ensembl_database_loader_spark.operators.sketches import (
+        histogram_quantiles,
+        merge_quantile_histograms,
+    )
+
+    h = spark.read.parquet(*_snapshot_files(spark, store_path + "/len_hist"))
+    return histogram_quantiles(
+        merge_quantile_histograms(h.select("bucket", "n")), probs, precision
+    )

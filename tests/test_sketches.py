@@ -277,3 +277,49 @@ def test_quantile_histogram_guard(spark):
 
     with _pt.raises(ValueError, match="precision"):
         quantile_histogram(spark.range(3).select(F.col("id").cast("double").alias("x")), "x", 0)
+
+
+def test_corpus_store_freq_items_and_len_hist(spark, tmp_path):
+    """The r8 store companions: per-batch MG token summaries and
+    length histograms, cumulative answers from stored rows only."""
+    from ensembl_database_loader_spark.functions.text import tokens as tok_fn
+    from ensembl_database_loader_spark.pipeline.curate import (
+        corpus_length_quantiles,
+        corpus_top_tokens,
+        write_corpus_freq_items,
+        write_corpus_len_hist,
+    )
+
+    store = str(tmp_path / "store")
+    b1 = spark.range(0, 300).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("common common rare"), F.col("id").cast("string")
+        ).alias("text"),
+    )
+    b2 = spark.range(300, 500).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("common other words here x"), F.col("id").cast("string")
+        ).alias("text"),
+    )
+    for label, b in (("r1", b1), ("r2", b2)):
+        write_corpus_freq_items(b, store, label, k=16)
+        write_corpus_len_hist(b, store, label)
+
+    top = corpus_top_tokens(spark, store, k=16).collect()
+    items = {r.item: r.weight for r in top if r.item is not None}
+    err = sum(r.weight for r in top if r.item is None)
+    n_tokens = (
+        b1.unionByName(b2).select(F.explode(tok_fn("text")).alias("w")).count()
+    )
+    assert err <= n_tokens // 17
+    # 'common' appears 2*300 + 200 = 800 times — must survive in-bounds
+    assert items.get("common") is not None
+    assert 800 - err <= items["common"] <= 800
+
+    q = {r.p: r.est for r in corpus_length_quantiles(spark, store).collect()}
+    # doc lengths are 3 (b1) and 5 (b2) tokens; p50 of 500 docs is 3
+    bound = 2 ** (1 / 32)
+    assert 3 / bound <= q[0.5] <= 3 * bound
+    assert 5 / bound <= q[0.99] <= 5 * bound
