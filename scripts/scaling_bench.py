@@ -100,6 +100,11 @@ def main() -> int:
         help="replica counts for the r8 ops (shuffle-shard export, hot-key "
         "isolation join, manifest skipping, incremental rollup); empty = skip",
     )
+    ap.add_argument(
+        "--r8b-reps", default="",
+        help="replica counts for the r8b ops (MG frequent items, exact-k "
+        "sampling, table checksum); empty = skip",
+    )
     args = ap.parse_args()
 
     spark = get_spark(app_name="scaling-bench")
@@ -439,6 +444,54 @@ def main() -> int:
             out.append(rec)
             print(json.dumps(rec), flush=True)
             shutil.rmtree(d, ignore_errors=True)
+
+    if args.r8b_reps:
+        from ensembl_database_loader_spark.functions.text import tokens
+        from ensembl_database_loader_spark.operators.integrity import (
+            checksum_mismatches,
+        )
+        from ensembl_database_loader_spark.operators.mixing import sample_exact_k
+        from ensembl_database_loader_spark.operators.sketches import frequent_items
+
+        for k in [int(x) for x in args.r8b_reps.split(",") if x]:
+            # MG heavy hitters — <= k counters per partition, a
+            # k x #partitions combine; cost must track the SCAN, not
+            # the token domain
+            ct = scaled_corpus(spark, args.sf_dir, k).cache()
+            n = ct.count()
+            t0 = time.perf_counter()
+            toks = ct.select(F.explode(tokens("text")).alias("w"))
+            fi = frequent_items(toks, "w", k=64).collect()
+            dt = time.perf_counter() - t0
+            rec = {"op": "dq_freq_items", "n_docs": n, "sec": round(dt, 2),
+                   "survivors": sum(1 for r in fi if r.item is not None)}  # fmt: skip
+            out.append(rec)
+            print(json.dumps(rec), flush=True)
+
+            # stratified exact-k — pre-filter must keep the
+            # per-stratum window input ~margin*k regardless of n
+            t0 = time.perf_counter()
+            got = sample_exact_k(ct, "doc_id", 1000, strata_col="lang").count()
+            dt = time.perf_counter() - t0
+            rec = {"op": "llp_sample_exact_k", "n_docs": n,
+                   "sec": round(dt, 2), "sampled": got}  # fmt: skip
+            out.append(rec)
+            print(json.dumps(rec), flush=True)
+            ct.unpersist()
+
+            # table checksum — two scans reduced to 1024-row
+            # summaries; compare cost is flat in table size
+            fact_n = 500_000 * k
+            big = spark.range(fact_n).select(
+                F.col("id").alias("k"), (F.col("id") * 31 % 9973).alias("v")
+            )
+            t0 = time.perf_counter()
+            bad = checksum_mismatches(big, big.repartition(17), 1024).count()
+            dt = time.perf_counter() - t0
+            rec = {"op": "dq_table_checksum", "n_rows": fact_n,
+                   "sec": round(dt, 2), "mismatches": bad}  # fmt: skip
+            out.append(rec)
+            print(json.dumps(rec), flush=True)
 
     spark.stop()
     return 0
