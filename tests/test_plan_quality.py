@@ -595,3 +595,23 @@ def test_runtime_bloom_filter_reduces_selective_shuffle_join(spark):
                 spark.conf.set(k, v)
             else:
                 spark.conf.unset(k)
+
+
+def test_sample_exact_k_plans_partial_group_limit(spark):
+    """Stratified exact-k sampling rides TWO scale levers: our
+    map-side hash pre-filter shrinks the sort input to ~margin*k rows
+    per stratum, and Spark's WindowGroupLimit rule inserts a PARTIAL
+    per-partition top-k before the shuffle, bounding shuffle bytes to
+    k rows per input partition per stratum. Pin both: the partial
+    group-limit node and the pushed pre-filter."""
+    from pyspark.sql import functions as F
+
+    from ensembl_database_loader_spark.operators.mixing import sample_exact_k
+
+    df = spark.range(50_000).select(
+        F.col("id"), (F.col("id") % 5).cast("string").alias("s")
+    )
+    out = sample_exact_k(df, "id", 10, strata_col="s")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan and "Partial" in plan
+    assert "pmod" in plan  # the hash pre-filter survived into the plan
