@@ -132,9 +132,15 @@ def streaming_curate(
     manifest table at ``output_path`` with a per-batch txn watermark —
     exactly-once AND atomically visible to concurrent readers (see
     ``write_curated_batch``).
+
+    ``sketch_root=<path>`` additionally records each batch's mergeable
+    corpus summaries (HLL distinct tokens, MG heavy hitters, length
+    histogram) as exactly-once manifest commits — see
+    ``record_batch_sketches`` / ``streaming_corpus_stats``.
     """
     near_dup = curate_kwargs.pop("near_dup", "minhash")
     stats_cols = tuple(curate_kwargs.pop("stats_cols", ()))
+    sketch_root = curate_kwargs.pop("sketch_root", None)
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -153,6 +159,11 @@ def streaming_curate(
         write_curated_batch(
             kept, output_path, batch_id, exactly_once, sink, stats_cols
         )
+        if sketch_root is not None:
+            record_batch_sketches(
+                kept, sketch_root, batch_id,
+                text_col=curate_kwargs.get("text_col", "text"),
+            )
 
     w = (
         stream_df.writeStream.foreachBatch(_process)
@@ -162,3 +173,111 @@ def streaming_curate(
     if available_now:
         w = w.trigger(availableNow=True)
     return w.start()
+
+
+# ---------------------------------------------------------------------------
+# Per-micro-batch corpus sketches (exactly-once via manifest txn)
+# ---------------------------------------------------------------------------
+
+_SKETCH_TXN_APP = "streaming_sketches"
+
+
+def record_batch_sketches(
+    kept: DataFrame, sketch_root: str, batch_id: int, text_col: str = "text"
+) -> None:
+    """Append one micro-batch's mergeable summaries — HLL distinct
+    tokens, Misra-Gries heavy hitters, doc-length histogram — as THREE
+    manifest-table commits under ``sketch_root`` (``/tokens``,
+    ``/freq``, ``/lenhist``).
+
+    The batch-file sketch store (pipeline/curate.write_corpus_sketch*)
+    appends plain parquet, which is at-least-once under foreachBatch
+    replay — harmless for HLL (union is idempotent) but WRONG for MG
+    weights and histogram counts, which double. Committing through
+    ``manifest.write_table(txn=(app, batch_id))`` makes every summary
+    append exactly-once: a replayed batch hits the stored watermark
+    and commits nothing. Each commit is a few-hundred-row write."""
+    from pyspark.sql import functions as F
+
+    from ensembl_database_loader_spark.functions.text import tokens
+    from ensembl_database_loader_spark.operators.sketches import (
+        frequent_items,
+        quantile_histogram,
+    )
+    from ensembl_database_loader_spark.sinks.manifest import write_table
+
+    txn = (_SKETCH_TXN_APP, batch_id)
+    bid = F.lit(int(batch_id)).alias("batch")
+    toks = kept.select(F.explode_outer(tokens(text_col)).alias("w"))
+    sk = F.hll_sketch_agg(F.col("w"), F.lit(14))
+    hll_row = toks.agg(
+        sk.alias("hll_sketch"),
+        F.count(F.col("w")).cast("bigint").alias("n_tokens"),
+    ).crossJoin(kept.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs")))
+    write_table(hll_row.select(bid, "*"), sketch_root + "/tokens",
+                mode="append", txn=txn)
+    mg = frequent_items(toks.filter(F.col("w").isNotNull()), "w", k=64)
+    write_table(mg.select(bid, "*"), sketch_root + "/freq",
+                mode="append", txn=txn)
+    lens = kept.select(F.size(tokens(text_col)).cast("double").alias("len"))
+    write_table(quantile_histogram(lens, "len").select(bid, "*"),
+                sketch_root + "/lenhist", mode="append", txn=txn)
+
+
+def streaming_corpus_stats(spark: SparkSession, sketch_root: str) -> DataFrame:
+    """Cumulative accounting over every micro-batch sketched so far —
+    ``n_batches, n_docs, n_tokens, distinct_tokens_est`` — from the
+    manifest snapshots only (no corpus rescan, atomically consistent
+    with the latest commit)."""
+    from pyspark.sql import functions as F
+
+    from ensembl_database_loader_spark.operators.sketches import (
+        merge_distinct_sketches,
+    )
+    from ensembl_database_loader_spark.sinks.manifest import snapshot
+
+    t = snapshot(spark, sketch_root + "/tokens")
+    merged = merge_distinct_sketches(
+        t.filter(F.col("hll_sketch").isNotNull())
+    ).select(F.coalesce(F.col("distinct_est"), F.lit(0)).alias("distinct_tokens_est"))
+    return (
+        t.agg(
+            F.count(F.lit(1)).alias("n_batches"),
+            F.sum("n_docs").cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+        ).crossJoin(merged)
+    )
+
+
+def streaming_top_tokens(
+    spark: SparkSession, sketch_root: str, k: int = 64
+) -> DataFrame:
+    """Heavy hitters across all micro-batches, MG contract intact."""
+    from ensembl_database_loader_spark.operators.sketches import (
+        merge_frequent_items,
+    )
+    from ensembl_database_loader_spark.sinks.manifest import snapshot
+
+    return merge_frequent_items(
+        snapshot(spark, sketch_root + "/freq").select("item", "weight"), k=k
+    )
+
+
+def streaming_length_quantiles(
+    spark: SparkSession,
+    sketch_root: str,
+    probs: tuple[float, ...] = (0.5, 0.9, 0.99),
+) -> DataFrame:
+    """Doc-length quantiles of everything ingested — exact merge."""
+    from ensembl_database_loader_spark.operators.sketches import (
+        histogram_quantiles,
+        merge_quantile_histograms,
+    )
+    from ensembl_database_loader_spark.sinks.manifest import snapshot
+
+    return histogram_quantiles(
+        merge_quantile_histograms(
+            snapshot(spark, sketch_root + "/lenhist").select("bucket", "n")
+        ),
+        probs,
+    )

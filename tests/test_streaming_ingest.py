@@ -255,3 +255,69 @@ def test_streaming_manifest_appends_collect_skipping_stats(spark, tmp_path):
     assert sorted(r.id for r in scan_table(spark, out, preds).collect()) == list(
         range(120, 151)
     )
+
+
+def test_streaming_sketches_recorded_and_replay_safe(spark, tmp_path):
+    """sketch_root records per-batch mergeable summaries exactly-once:
+    two stream drops accumulate; a REPLAYED batch id commits nothing
+    (manifest txn watermark), so MG weights and histogram counts never
+    double."""
+    import json as _json
+
+    from ensembl_database_loader_spark.streaming.ingest import (
+        record_batch_sketches,
+        streaming_corpus_stats,
+        streaming_length_quantiles,
+        streaming_top_tokens,
+    )
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    store = str(tmp_path / "store")
+    out = str(tmp_path / "curated")
+    ckpt = str(tmp_path / "ckpt")
+    skroot = str(tmp_path / "sketches")
+
+    with open(landing / "b1.jsonl", "w") as f:
+        f.writelines(_json.dumps(r) + "\n" for r in _docs(0))
+    _drain(
+        streaming_curate(
+            stream_documents(spark, str(landing)), store, out, ckpt,
+            sketch_root=skroot,
+        )
+    )
+    b2 = [
+        {**r, "text": r["text"].replace("tok", "b2tok")} for r in _docs(100)
+    ]  # textually fresh — exact dups of b1 would be curated away
+    with open(landing / "b2.jsonl", "w") as f:
+        f.writelines(_json.dumps(r) + "\n" for r in b2)
+    _drain(
+        streaming_curate(
+            stream_documents(spark, str(landing)), store, out, ckpt,
+            sketch_root=skroot,
+        )
+    )
+
+    row = streaming_corpus_stats(spark, skroot).collect()[0]
+    assert row.n_batches == 2
+    assert row.n_docs == 12 and row.n_tokens == 480
+    # 12 docs x 40 distinct per-doc-suffixed tokens = 480 distinct
+    assert abs(row.distinct_tokens_est - 480) / 480 < 0.05
+
+    q = {r.p: r.est for r in streaming_length_quantiles(spark, skroot).collect()}
+    bound = 2 ** (1 / 32)
+    assert 40 / bound <= q[0.5] <= 40 * bound  # every doc is 40 tokens
+
+    # REPLAY batch 1's sketch append: watermark must swallow it
+    before = sorted(
+        (r.item, r.weight)
+        for r in streaming_top_tokens(spark, skroot).collect()
+    )
+    kept_again = spark.createDataFrame(_docs(0))
+    record_batch_sketches(kept_again, skroot, 0)
+    after = sorted(
+        (r.item, r.weight)
+        for r in streaming_top_tokens(spark, skroot).collect()
+    )
+    assert after == before
+    assert streaming_corpus_stats(spark, skroot).collect()[0].n_batches == 2
