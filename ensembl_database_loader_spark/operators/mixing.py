@@ -218,3 +218,34 @@ def sample_exact_k(
         .filter(F.col("_rn") <= k)
         .drop("_rn")
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str | Column,
+    modulus: int = HASH_SPACE,
+) -> DataFrame:
+    """Per-row weighted Poisson sampling: keep a row with probability
+    ``weight_col`` (its own column — e.g. a quality score in [0, 1]),
+    decided as ``knuth32(id) < w * 2^32``. The corpus-downsampling
+    primitive quality-weighted mixing needs: unlike ``rand() < w`` the
+    decision is a pure function of (id, w) — reproducible across
+    reruns, layouts, engines, and incremental batches — and unlike
+    stratified rates the weight can vary continuously per row.
+
+    Exact cross-engine: ``w * 2^32`` is one IEEE double multiply and
+    the hash is integer, so DuckDB's ``knuth(id) < w * 4294967296``
+    decides identically for every row. Zero shuffle — a map-side
+    filter in whole-stage codegen, pushable into the scan.
+
+    Weights outside [0, 1] clamp (w <= 0 never keeps, w >= 1 always
+    keeps). For unbiased downstream estimates keep the returned
+    ``_inv_weight`` (Horvitz-Thompson 1/w) or drop it."""
+    w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    wc = F.least(F.greatest(w.cast("double"), F.lit(0.0)), F.lit(1.0))
+    kept = df.filter(knuth32(id_col) < wc * F.lit(float(modulus)))
+    return kept.withColumn(
+        "_inv_weight",
+        F.lit(1.0) / F.greatest(wc, F.lit(1.0 / float(modulus))),
+    )

@@ -2900,3 +2900,34 @@ def dq_quantile_hist(spark: SparkSession, sf: str) -> DataFrame:
     return flags.crossJoin(
         spark.range(1).select(F.lit(mism == 0).alias("qh_merge_exact"))
     ).select("qh_n", "qh_p50_ok", "qh_p99_ok", "qh_merge_exact")
+
+
+_WSAMPLE_ORACLE = (
+    # identical IEEE arithmetic both sides: integer hash, one double
+    # multiply — the sample is row-level exact cross-engine
+    "SELECT CAST(COUNT(*) AS BIGINT) AS ws_n, "
+    "CAST(SUM(doc_id) AS BIGINT) AS ws_id_sum FROM documents "
+    "WHERE ((doc_id * 2654435761) % 4294967296) < "
+    "(doc_id % 100) / 100.0 * 4294967296"
+)
+
+
+@probe("llp_weighted_sample", oracle=_WSAMPLE_ORACLE, tags=("llm", "pipeline", "curation"))
+def llp_weighted_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-row weighted Poisson sampling
+    (operators/mixing.weighted_sample): keep probability is the row's
+    own weight column (here a synthetic quality score (doc_id%100)/100)
+    — the quality-weighted downsampling step between heuristic filters
+    and mixing. Pure map-side codegen filter, zero shuffle, decision a
+    pure function of (id, weight) so reruns/layouts/engines agree
+    row-for-row (id-sum gated)."""
+    from ensembl_database_loader_spark.operators.mixing import weighted_sample
+
+    ensure_session_confs(spark)
+    d = table(spark, sf, "documents").select(
+        "doc_id", ((F.col("doc_id") % 100) / 100.0).alias("w")
+    )
+    return weighted_sample(d, "doc_id", "w").agg(
+        _cnt().alias("ws_n"),
+        F.sum("doc_id").cast("bigint").alias("ws_id_sum"),
+    )

@@ -551,6 +551,15 @@ MERGE_SPECS: dict[str, list[tuple[str, list[tuple[str, str]]]]] = {
                 ("g_id_sum", "ks_g_id_sum"),
             ],
         ),
+        # r8: per-row weighted Poisson sampling (quality-weighted
+        # downsampling) — id-sum row-level exact
+        (
+            "llp_weighted_sample",
+            [
+                ("ws_n", "ws_n"),
+                ("ws_id_sum", "ws_id_sum"),
+            ],
+        ),
     ],
 }
 

@@ -1103,3 +1103,40 @@ def test_sample_exact_k_guards(spark):
     df = spark.range(10)
     with _pt.raises(ValueError, match="k must be >= 1"):
         sample_exact_k(df, "id", 0)
+
+
+def test_weighted_sample_deterministic_and_exact(spark):
+    from ensembl_database_loader_spark.operators.mixing import weighted_sample
+
+    rows = [(i, (i % 10) / 10.0) for i in range(5000)]
+    df = spark.createDataFrame(rows, "id bigint, w double").repartition(8)
+    got = sorted(r.id for r in weighted_sample(df, "id", "w").collect())
+    # python reference: identical arithmetic
+    ref = sorted(
+        i for i, w in rows if ((i * 2654435761) % 2**32) < w * 2**32
+    )
+    assert got == ref
+    # layout-independent
+    got2 = sorted(
+        r.id for r in weighted_sample(df.repartition(3), "id", "w").collect()
+    )
+    assert got2 == ref
+    # w=0 never keeps, w=1 always keeps, out-of-range clamps
+    edge = spark.createDataFrame(
+        [(1, 0.0), (2, 1.0), (3, -5.0), (4, 7.0)], "id bigint, w double"
+    )
+    kept = {r.id: r._inv_weight for r in weighted_sample(edge, "id", "w").collect()}
+    assert set(kept) == {2, 4}
+    assert kept[2] == 1.0 and kept[4] == 1.0  # clamped weight -> HT weight 1
+
+
+def test_weighted_sample_rate_tracks_weight(spark):
+    from pyspark.sql import functions as FF
+
+    from ensembl_database_loader_spark.operators.mixing import weighted_sample
+
+    df = spark.range(20_000).select(
+        FF.col("id"), FF.lit(0.3).alias("w")
+    )
+    n = weighted_sample(df, "id", "w").count()
+    assert abs(n / 20_000 - 0.3) < 0.02  # hash uniformity
