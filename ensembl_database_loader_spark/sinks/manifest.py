@@ -1073,3 +1073,65 @@ def table_history(spark: SparkSession, path: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "version bigint, operation string, n_files bigint"
     ).orderBy(F.col("version"))
+
+
+def orphan_files(spark: SparkSession, path: str) -> list[str]:
+    """Data files under ``data/`` that NO manifest (any retained
+    version) references — debris from writers that crashed or errored
+    between staging and commit. The commit protocol makes these
+    inevitable by design (data is fully written BEFORE the manifest
+    publishes, so an abort strands its staged files) and harmless to
+    correctness (readers only ever open manifest-listed files); this
+    names them so ``remove_orphans`` can reclaim the storage. Returns
+    table-root-relative paths."""
+    root = path.rstrip("/")
+    if not list_manifests(spark, root):
+        raise FileNotFoundError(f"no manifest at {path} — not a committed table")
+    referenced: set[str] = set()
+    for v in list_manifests(spark, root):
+        referenced.update(read_manifest(spark, root, v)["files"])
+    fs, _, jvm = _fs(spark, root)
+    data_dir = jvm.org.apache.hadoop.fs.Path(f"{root}/data")
+    found: list[str] = []
+    if fs.exists(data_dir):
+        for commit in fs.listStatus(data_dir):
+            if not commit.isDirectory():
+                continue
+            cname = commit.getPath().getName()
+            for st in fs.listStatus(commit.getPath()):
+                n = st.getPath().getName()
+                if n.startswith(("_", ".")):
+                    continue
+                rel = f"data/{cname}/{n}"
+                if rel not in referenced:
+                    found.append(rel)
+    return sorted(found)
+
+
+def remove_orphans(
+    spark: SparkSession, path: str, grace_ms: int = 24 * 3600 * 1000
+) -> dict:
+    """Delete orphaned staged files older than ``grace_ms``
+    (modification time) — the Iceberg remove-orphan-files discipline.
+    The grace period protects writers CURRENTLY between staging and
+    commit: their files look orphaned until the manifest publishes, so
+    never run with a grace shorter than the longest plausible
+    stage-to-commit window (default 24h; the staging itself is one
+    Spark write, but a stalled executor or slow FS can stretch it).
+    Returns ``{'deleted': n, 'skipped_recent': m}``."""
+    root = path.rstrip("/")
+    now_ms = _now_epoch_ms(spark)
+    fs, _, jvm = _fs(spark, root)
+    deleted = skipped = 0
+    for rel in orphan_files(spark, root):
+        p = jvm.org.apache.hadoop.fs.Path(f"{root}/{rel}")
+        if now_ms - fs.getFileStatus(p).getModificationTime() < grace_ms:
+            skipped += 1
+            continue
+        fs.delete(p, False)
+        deleted += 1
+    return {"deleted": deleted, "skipped_recent": skipped}
+
+
+def _now_epoch_ms(spark: SparkSession) -> int:
+    return spark._jvm.java.lang.System.currentTimeMillis()

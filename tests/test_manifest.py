@@ -663,3 +663,37 @@ def test_table_row_count_is_metadata_only(spark, tbl):
     if _os.path.exists(crc):
         _os.remove(crc)
     assert M.table_row_count(spark, tbl) == 350
+
+
+def test_orphan_files_detection_and_removal(spark, tbl):
+    """Files staged by a crashed writer (written under data/ but never
+    named by any manifest) are found by orphan_files and reclaimed by
+    remove_orphans — but only past the grace period, and never a
+    manifest-referenced file."""
+    M.write_table(_df(spark, [(1, "a"), (2, "b")]), tbl)
+    M.write_table(_df(spark, [(3, "c")]), tbl, mode="append")
+    assert M.orphan_files(spark, tbl) == []
+
+    # simulate a crash between staging and commit: stage files directly
+    crash_dir = os.path.join(tbl, "data", "deadbeefcrash")
+    _df(spark, [(99, "zz")]).write.parquet(crash_dir)
+    orphans = M.orphan_files(spark, tbl)
+    assert orphans and all(o.startswith("data/deadbeefcrash/") for o in orphans)
+
+    # inside the grace period nothing is deleted
+    res = M.remove_orphans(spark, tbl, grace_ms=10 * 60 * 1000)
+    assert res["deleted"] == 0 and res["skipped_recent"] == len(orphans)
+    assert M.orphan_files(spark, tbl) == orphans
+
+    # past the grace period the debris goes; live data is untouched
+    res = M.remove_orphans(spark, tbl, grace_ms=0)
+    assert res["deleted"] == len(orphans) and res["skipped_recent"] == 0
+    assert M.orphan_files(spark, tbl) == []
+    assert _content(M.snapshot(spark, tbl)) == [(1, "a"), (2, "b"), (3, "c")]
+    # every retained version still resolves (vacuum semantics intact)
+    assert _content(M.snapshot(spark, tbl, version=0)) == [(1, "a"), (2, "b")]
+
+
+def test_orphan_files_requires_committed_table(spark, tmp_path):
+    with pytest.raises(FileNotFoundError):
+        M.orphan_files(spark, str(tmp_path / "nope"))
