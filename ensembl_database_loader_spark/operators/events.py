@@ -106,3 +106,43 @@ def conversion_funnel(
             for i, qc in enumerate(qual_cols)
         ]
     )
+
+
+def cohort_retention(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    period_us: int = 7 * 86_400_000_000,
+) -> DataFrame:
+    """Cohort retention: users grouped by the period of their FIRST
+    event; for each (cohort, offset) the distinct users from that
+    cohort active ``offset`` periods later — the classic retention
+    triangle. Returns ``(cohort bigint, offset bigint, n_users
+    bigint)`` with period indexes as integer epoch multiples
+    (``floor(unix_micros / period_us)``) so the arithmetic is exact
+    integer math, identical across engines.
+
+    Plan shape: the per-user first-event period comes from a window
+    MIN over the same user-hash shuffle the log already needs — no
+    self-join of the log with a firsts table — then one aggregate
+    per (cohort, offset) with a partial-agg distinct. Two shuffles
+    total at any scale; the naive formulation (log JOIN firsts) pays
+    a third, log-sized shuffle.
+
+    The one per-user sort this shares with sessionize/funnels makes
+    the user column the natural clustering key for the event lake
+    (compact_table(sort_cols=('user_id',)) upstream makes ALL of
+    these operators near-shuffle-free)."""
+    # DIV, not /+cast: genuinely BIGINT-exact (and floor semantics
+    # matching the oracle's //) at any timestamp magnitude
+    per = F.expr(f"unix_micros({ts_col}) DIV {int(period_us)}")
+    withc = df.select(
+        F.col(user_col).alias("_u"), per.alias("_p")
+    ).withColumn("_cohort", F.min("_p").over(Window.partitionBy("_u")))
+    return (
+        withc.groupBy(
+            F.col("_cohort").alias("cohort"),
+            (F.col("_p") - F.col("_cohort")).alias("offset"),
+        )
+        .agg(F.count_distinct(F.col("_u")).cast("bigint").alias("n_users"))
+    )

@@ -108,8 +108,13 @@ def checksum_diff_rows(
     cols = sorted(a.columns)
     if not bad:
         return a.select(F.lit("a").alias("side"), *cols).limit(0)
+    # when most buckets differ the filter prunes nothing — skip the
+    # giant isin() literal and diff the whole tables directly
+    prune = len(bad) <= n_buckets // 2
 
     def slice_(df: DataFrame) -> DataFrame:
+        if not prune:
+            return df.select(*cols)
         with_fp, _ = _fingerprint(df)
         return (
             with_fp.filter(F.pmod("_fp", F.lit(n_buckets)).isin(bad))

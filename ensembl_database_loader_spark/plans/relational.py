@@ -2319,3 +2319,35 @@ def llp_manifest_delete(spark: SparkSession, sf: str) -> DataFrame:
         F.lit(u["rows_affected"]).cast("bigint").alias("du_upd_rows"),
         F.lit(bool(pruned_ok)).alias("du_pruned_ok"),
     )
+
+
+@probe(
+    "q61_cohort_retention",
+    oracle=(
+        "WITH e AS (SELECT user_id, epoch_us(ts) // 604800000000 AS p "
+        "FROM events), "
+        "c AS (SELECT user_id, p, MIN(p) OVER (PARTITION BY user_id) AS "
+        "cohort FROM e) "
+        "SELECT cohort, p - cohort AS off_k, "
+        "CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users "
+        "FROM c GROUP BY cohort, p - cohort ORDER BY cohort, off_k"
+    ),
+    tags=("window", "events"),
+)
+def q61(spark: SparkSession, sf: str) -> DataFrame:
+    """Cohort retention triangle (operators/events.cohort_retention):
+    users cohorted by the epoch-week of their first event, distinct
+    actives per (cohort, offset). The first-event period is a window
+    MIN over the SAME user-hash shuffle the log needs anyway — no
+    log-sized join with a firsts table — then one partial-agg
+    distinct per cell. Epoch-week indexes are pure BIGINT DIV, so both
+    engines bucket identically."""
+    from ensembl_database_loader_spark.operators.events import cohort_retention
+
+    ensure_session_confs(spark)
+    e = table(spark, sf, "events")
+    return (
+        cohort_retention(e, "user_id", "ts")
+        .select("cohort", F.col("offset").alias("off_k"), "n_users")
+        .orderBy("cohort", "off_k")
+    )

@@ -139,3 +139,38 @@ def test_events_operators_reject_column_collisions(spark):
     df2 = df.withColumnRenamed("sess", "__cf_q0")
     with pytest.raises(ValueError, match="clash"):
         conversion_funnel(df2, "u", "ty", "ts", "tb", ("a",))
+
+
+def test_cohort_retention_triangle(spark):
+    """Hand-built retention: users u1/u2 join week 0, u3 joins week 1;
+    u1 returns weeks 1 and 2, u2 never returns, u3 returns week 2."""
+    from ensembl_database_loader_spark.operators.events import cohort_retention
+
+    wk = 7 * 86_400_000_000
+    rows = [
+        ("u1", 0), ("u1", wk), ("u1", 2 * wk),
+        ("u2", 100),
+        ("u3", wk + 5), ("u3", 2 * wk + 5),
+    ]
+    df = spark.createDataFrame(rows, "user_id string, tsu bigint").select(
+        "user_id", F.timestamp_micros("tsu").alias("ts")
+    )
+    got = {
+        (r.cohort, r.offset): r.n_users
+        for r in cohort_retention(df, "user_id", "ts").collect()
+    }
+    assert got == {
+        (0, 0): 2,  # u1, u2
+        (0, 1): 1,  # u1
+        (0, 2): 1,  # u1
+        (1, 0): 1,  # u3
+        (1, 1): 1,  # u3
+    }
+    # plan: exactly two exchanges (user hash for the window, cell hash
+    # for the aggregate) — no log-sized join
+    plan = (
+        cohort_retention(df, "user_id", "ts")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange") <= 3  # 2 + possible AQE final coalesce
+    assert "Join" not in plan
