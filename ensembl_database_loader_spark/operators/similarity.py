@@ -767,3 +767,89 @@ def semantic_dedup(
     # collapse in the id2-distinct — no separate pair-dedup shuffle
     dropped = pairs.select(F.col("id2").alias(id_col)).distinct()
     return df.join(dropped, id_col, "left_anti")
+
+
+def mmr_rerank(
+    cands: DataFrame,
+    query_col: str,
+    id_col: str,
+    qvec_col: str,
+    vec_col: str,
+    k: int = 5,
+    lam: float = 0.5,
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking of per-query candidate
+    sets: greedily pick the candidate maximizing ``lam * cos(q, d) -
+    (1 - lam) * max_{s in selected} cos(d, s)`` — the standard
+    relevance-vs-diversity trade for RAG retrieval (lam=1 is plain
+    top-k; lower lam punishes candidates redundant with what's already
+    selected). Ties break on the smaller id, so the selection is fully
+    deterministic.
+
+    Input is one row per (query, candidate) carrying BOTH vectors —
+    the natural shape coming out of ``ivf_topk_indexed``/
+    ``lsh_topk_indexed`` joined back to the corpus for vectors.
+    Execution: one hash shuffle on the query column, then each query
+    group re-ranks in ONE vectorized numpy pass (an m x d candidate
+    matrix; each greedy step is a matvec) inside applyInPandas —
+    MMR's sequential greedy loop cannot be a join/window composition,
+    but per group it is k tiny matvecs over an executor-local matrix.
+    Candidate sets are bounded (m = ANN top-m, typically <= a few
+    hundred), so no group ever exceeds executor memory regardless of
+    corpus size. Returns (query, id, rank 1-based, mmr_score)."""
+    import numpy as np
+    import pandas as pd
+
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if not 0.0 <= lam <= 1.0:
+        raise ValueError("lam must be in [0, 1]")
+
+    src = cands.select(
+        F.col(query_col).alias("q"),
+        F.col(id_col).alias("id"),
+        F.col(qvec_col).alias("qv"),
+        F.col(vec_col).alias("dv"),
+    )
+
+    def _mmr(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("id").reset_index(drop=True)
+        D = np.stack(pdf["dv"].to_numpy()).astype("float64")
+        qv = np.asarray(pdf["qv"].iloc[0], dtype="float64")
+        Dn = D / np.maximum(np.linalg.norm(D, axis=1, keepdims=True), 1e-12)
+        qn = qv / max(np.linalg.norm(qv), 1e-12)
+        rel = Dn @ qn
+        n = len(pdf)
+        selected: list[int] = []
+        scores: list[float] = []
+        red = np.full(n, -np.inf)  # max sim to the selected set so far
+        avail = np.ones(n, bool)
+        for step in range(min(k, n)):
+            # first step has no redundancy term (selected set empty)
+            score = lam * rel if step == 0 else lam * rel - (1 - lam) * red
+            score = np.where(avail, score, -np.inf)
+            i = int(np.argmax(score))  # argmax takes the FIRST max: id order
+            selected.append(i)
+            scores.append(float(score[i]))
+            avail[i] = False
+            red = np.maximum(red, Dn @ Dn[i])
+        return pd.DataFrame(
+            {
+                "q": pdf["q"].iloc[selected].to_numpy(),
+                "id": pdf["id"].iloc[selected].to_numpy(),
+                "rank": np.arange(1, len(selected) + 1),
+                "mmr_score": scores,
+            }
+        )
+
+    out_schema = "q long, id long, rank int, mmr_score double"
+    return (
+        src.groupBy("q")
+        .applyInPandas(_mmr, out_schema)
+        .select(
+            F.col("q").alias(query_col),
+            F.col("id").alias(id_col),
+            "rank",
+            F.round("mmr_score", 6).alias("mmr_score"),
+        )
+    )

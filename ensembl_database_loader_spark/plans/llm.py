@@ -2931,3 +2931,85 @@ def llp_weighted_sample(spark: SparkSession, sf: str) -> DataFrame:
         _cnt().alias("ws_n"),
         F.sum("doc_id").cast("bigint").alias("ws_id_sum"),
     )
+
+
+_MMR_Q = 17  # fixed query vec_id for the MMR probe
+
+_MMR_ORACLE = (
+    # the rank-1 MMR pick IS the plain cosine argmax (no redundancy
+    # term on an empty selected set) — SQL-exact; the greedy tail is
+    # contract-gated Spark-side
+    "WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 17), "
+    "c AS (SELECT vec_id, "
+    + _COS.format(a="embedding", b="qv")
+    + " AS cos FROM embeddings, q WHERE vec_id <> 17) "
+    "SELECT CAST(10 AS BIGINT) AS mm_k, "
+    "CAST((SELECT vec_id FROM c ORDER BY cos DESC, vec_id LIMIT 1) AS BIGINT)"
+    " AS mm_top1_id, "
+    "TRUE AS mm_subset_ok, TRUE AS mm_diverse_ok"
+)
+
+
+@probe("ss_mmr_rerank", oracle=_MMR_ORACLE, tags=("similarity", "rag"))
+def ss_mmr_rerank(spark: SparkSession, sf: str) -> DataFrame:
+    """MMR diversity re-ranking (operators/similarity.mmr_rerank) over
+    a brute-force top-50 candidate pool: one applyInPandas group per
+    query, each greedy step a vectorized matvec on the executor-local
+    candidate matrix. Gates: the rank-1 pick equals the SQL cosine
+    argmax EXACTLY, the selection stays inside the candidate pool, and
+    the MMR-selected set's mean pairwise cosine is no higher than the
+    plain top-k's (the diversity property that justifies the operator
+    — strictly lower whenever near-dups rank high)."""
+    from ensembl_database_loader_spark.operators.similarity import (
+        cosine_topk,
+        mmr_rerank,
+    )
+
+    ensure_session_confs(spark)
+    k, m = 10, 50
+    e = table(spark, sf, "embeddings").select("vec_id", "embedding")
+    pool = cosine_topk(e, "vec_id", "embedding", _MMR_Q, k=m).select("vec_id")
+    qv = e.filter(F.col("vec_id") == _MMR_Q).select(
+        F.col("embedding").alias("qv")
+    )
+    cands = (
+        e.join(pool.hint("broadcast"), "vec_id")
+        .crossJoin(F.broadcast(qv))
+        .select(F.lit(_MMR_Q).alias("q"), "vec_id", "qv", "embedding")
+    )
+    sel = mmr_rerank(cands, "q", "vec_id", "qv", "embedding", k=k, lam=0.5)
+    top1 = (
+        sel.filter(F.col("rank") == 1)
+        .select(F.col("vec_id").cast("bigint").alias("mm_top1_id"))
+    )
+    subset = (
+        sel.join(pool, "vec_id", "left_anti")
+        .agg((_cnt() == 0).alias("mm_subset_ok"))
+    )
+
+    def _mean_pair_cos(ids_df):
+        v = e.join(ids_df.hint("broadcast"), "vec_id").select(
+            F.col("vec_id").alias("i"), F.col("embedding").alias("va")
+        )
+        w = v.select(F.col("i").alias("j"), F.col("va").alias("vb"))
+        from ensembl_database_loader_spark.functions.vectors import cosine
+
+        return (
+            v.crossJoin(w)
+            .filter(F.col("i") < F.col("j"))
+            .agg(F.avg(cosine(F.col("va"), F.col("vb"))).alias("m"))
+        )
+
+    plain_k = cosine_topk(e, "vec_id", "embedding", _MMR_Q, k=k).select("vec_id")
+    mmr_mean = _mean_pair_cos(sel.select("vec_id")).select(
+        F.col("m").alias("mmr_m")
+    )
+    plain_mean = _mean_pair_cos(plain_k).select(F.col("m").alias("plain_m"))
+    diverse = (
+        mmr_mean.crossJoin(plain_mean)
+        .select(
+            (F.col("mmr_m") <= F.col("plain_m") + 1e-9).alias("mm_diverse_ok")
+        )
+    )
+    head = sel.agg(_cnt().alias("mm_k"))
+    return head.crossJoin(top1).crossJoin(subset).crossJoin(diverse)

@@ -503,6 +503,18 @@ MERGE_SPECS: dict[str, list[tuple[str, list[tuple[str, str]]]]] = {
                 ("qi_bytes_halved", "qi_bytes_halved"),
             ],
         ),
+        # r8: MMR diversity re-ranking rides the retrieval window —
+        # rank-1 == SQL cosine argmax exactly, pool-subset + diversity
+        # contracts
+        (
+            "ss_mmr_rerank",
+            [
+                ("mm_k", "mm_k"),
+                ("mm_top1_id", "mm_top1_id"),
+                ("mm_subset_ok", "mm_subset_ok"),
+                ("mm_diverse_ok", "mm_diverse_ok"),
+            ],
+        ),
     ],
     "llp_mix_packing": [
         (

@@ -971,3 +971,107 @@ def test_semantic_increment_equals_one_shot(spark, sf_dir, tmp_path):
     # (update_store=True appended batch2's vectors)
     sigs = spark.read.parquet(store + "/sem_vectors")
     assert sigs.count() == n  # every input row stored, kept or not
+
+
+# ---------------------------------------------------------------------------
+# MMR re-ranking
+# ---------------------------------------------------------------------------
+
+
+def _py_mmr(cands, qv, k, lam):
+    """cands: {id: vec}. Pure-python greedy reference."""
+    import math
+
+    def norm(v):
+        n = math.sqrt(sum(x * x for x in v)) or 1e-12
+        return [x / n for x in v]
+
+    def dot(a, b):
+        return sum(x * y for x, y in zip(a, b))
+
+    qn = norm(qv)
+    nv = {i: norm(v) for i, v in cands.items()}
+    rel = {i: dot(v, qn) for i, v in nv.items()}
+    sel, red = [], {i: None for i in cands}
+    for _ in range(min(k, len(cands))):
+        best, best_s = None, -float("inf")
+        for i in sorted(cands):
+            if i in sel:
+                continue
+            s = lam * rel[i] - (
+                (1 - lam) * red[i] if red[i] is not None else 0.0
+            )
+            if s > best_s:
+                best, best_s = i, s
+        sel.append(best)
+        for i in cands:
+            s = dot(nv[i], nv[best])
+            red[i] = s if red[i] is None else max(red[i], s)
+    return sel
+
+
+def test_mmr_rerank_matches_reference_and_diversifies(spark):
+    from ensembl_database_loader_spark.operators.similarity import mmr_rerank
+
+    # query points east; candidates 1 and 2 are near-duplicates just
+    # NORTH of the axis, 3 mirrors 1 south of it, 4 points north.
+    # Plain top-2 takes the dup pair; at lam=0.5 candidate 2's
+    # redundancy with the already-picked 1 (cos ~0.9999) exceeds its
+    # relevance edge over 3 (whose redundancy with 1 is only ~0.81),
+    # so MMR must pick the mirror instead of the dup
+    cands = {
+        1: [0.95, 0.31],
+        2: [0.94, 0.33],
+        3: [0.95, -0.31],
+        4: [0.0, 1.0],
+    }
+    qv = [1.0, 0.0]
+    rows = [(7, i, qv, v) for i, v in cands.items()]
+    df = spark.createDataFrame(
+        rows, "q long, id long, qv array<double>, dv array<double>"
+    ).repartition(4)
+    got = [
+        r.id
+        for r in mmr_rerank(df, "q", "id", "qv", "dv", k=3, lam=0.5)
+        .orderBy("rank")
+        .collect()
+    ]
+    assert got == _py_mmr(cands, qv, 3, 0.5)
+    assert got[0] == 1 and got[1] == 3  # diversity beat the near-dup
+
+    # lam=1.0 degenerates to plain relevance order (1 and 3 tie on
+    # cosine — id breaks it — and the near-dup 2 comes right back)
+    got_rel = [
+        r.id
+        for r in mmr_rerank(df, "q", "id", "qv", "dv", k=4, lam=1.0)
+        .orderBy("rank")
+        .collect()
+    ]
+    assert got_rel == _py_mmr(cands, qv, 4, 1.0) == [1, 3, 2, 4]
+
+
+def test_mmr_rerank_multi_query_and_guards(spark):
+    import pytest as _pt
+
+    from ensembl_database_loader_spark.operators.similarity import mmr_rerank
+
+    rows = []
+    for q in range(5):
+        qv = [1.0, float(q)]
+        for i in range(10):
+            rows.append((q, i, qv, [float(i % 3), float(i % 5)]))
+    df = spark.createDataFrame(
+        rows, "q long, id long, qv array<double>, dv array<double>"
+    )
+    out = mmr_rerank(df, "q", "id", "qv", "dv", k=4, lam=0.3)
+    per_q = {
+        r.q: r.cnt
+        for r in out.groupBy("q").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    assert per_q == {q: 4 for q in range(5)}
+    ranks = {r.rank for r in out.filter(F.col("q") == 0).collect()}
+    assert ranks == {1, 2, 3, 4}
+    with _pt.raises(ValueError, match="k must be"):
+        mmr_rerank(df, "q", "id", "qv", "dv", k=0)
+    with _pt.raises(ValueError, match="lam"):
+        mmr_rerank(df, "q", "id", "qv", "dv", k=1, lam=1.5)
