@@ -304,3 +304,96 @@ def histogram_quantiles(
         out = row if out is None else out.unionByName(row)
     assert out is not None
     return out
+
+
+def grouped_frequent_items(
+    df: DataFrame, group_col: str, col: str, k: int = 64
+) -> DataFrame:
+    """Per-group Misra-Gries heavy hitters: ``frequent_items`` with an
+    independent <= k-counter summary per ``group_col`` value ("top
+    tokens per lang/source"). Same contract per group: weights are
+    lower bounds within the group's error row of truth, any item with
+    true in-group count > err survives, err <= n_group/(k+1).
+
+    Per-partition state is k counters x #groups-in-partition — bounded
+    when the group column is low-cardinality (langs, sources), which
+    is the use case; for high-cardinality groups use an exact groupBy
+    (the domain is then the bottleneck either way). The combine is one
+    window over the (groups x k x partitions)-row summary frame,
+    partitioned by group — still nothing item-granular shuffles.
+    Returns ``(group, item nullable, weight)`` with null-item error
+    rows per group."""
+    import pandas as pd
+
+    from pyspark.sql import Window
+
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    src = df.select(
+        F.col(group_col).cast("string").alias("g"),
+        F.col(col).cast("string").alias("item"),
+    )
+
+    def summarize(batches):
+        state: dict[str, dict[str, int]] = {}
+        errs: dict[str, int] = {}
+        for pdf in batches:
+            pdf = pdf.dropna()
+            for (g, item), c in (
+                pdf.groupby(["g", "item"], sort=False).size().items()
+            ):
+                d = state.setdefault(g, {})
+                d[item] = d.get(item, 0) + int(c)
+                if len(d) > k:
+                    vals = sorted(d.values(), reverse=True)
+                    w = vals[k]
+                    state[g] = {i: c2 - w for i, c2 in d.items() if c2 > w}
+                    errs[g] = errs.get(g, 0) + w
+        rows = []
+        for g, d in state.items():
+            rows.extend((g, i, w) for i, w in d.items())
+            rows.append((g, None, errs.get(g, 0)))
+        for g, e in errs.items():
+            if g not in state:
+                rows.append((g, None, e))
+        yield pd.DataFrame(rows, columns=["g", "item", "weight"])
+
+    summaries = src.mapInPandas(summarize, "g string, item string, weight bigint")
+    err_in = (
+        summaries.filter(F.col("item").isNull())
+        .groupBy("g")
+        .agg(F.coalesce(F.sum("weight"), F.lit(0)).cast("bigint").alias("err0"))
+    )
+    s = (
+        summaries.filter(F.col("item").isNotNull())
+        .groupBy("g", "item")
+        .agg(F.sum("weight").cast("bigint").alias("weight"))
+    )
+    w = Window.partitionBy("g").orderBy(F.desc("weight"), F.asc("item"))
+    ranked = s.withColumn("rn", F.row_number().over(w))
+    dec = (
+        ranked.filter(F.col("rn") == k + 1)
+        .select("g", F.col("weight").alias("dec"))
+    )
+    out = (
+        s.join(dec, "g", "left")
+        .select(
+            "g",
+            "item",
+            (F.col("weight") - F.coalesce("dec", F.lit(0))).alias("weight"),
+        )
+        .filter(F.col("weight") > 0)
+    )
+    err_row = (
+        err_in.join(dec, "g", "full_outer")
+        .select(
+            "g",
+            F.lit(None).cast("string").alias("item"),
+            (
+                F.coalesce("err0", F.lit(0)) + F.coalesce("dec", F.lit(0))
+            ).cast("bigint").alias("weight"),
+        )
+    )
+    return out.unionByName(err_row).select(
+        F.col("g").alias(group_col), "item", "weight"
+    )

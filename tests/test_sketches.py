@@ -323,3 +323,48 @@ def test_corpus_store_freq_items_and_len_hist(spark, tmp_path):
     bound = 2 ** (1 / 32)
     assert 3 / bound <= q[0.5] <= 3 * bound
     assert 5 / bound <= q[0.99] <= 5 * bound
+
+
+def test_grouped_frequent_items_contract_per_group(spark):
+    from ensembl_database_loader_spark.operators.sketches import (
+        grouped_frequent_items,
+    )
+
+    rows = []
+    # group A: hot item 800x over a 1200-cold tail; group B: two hots
+    rows += [("A", "hotA")] * 800 + [("A", f"cA{i}") for i in range(1200)]
+    rows += [("B", "hotB1")] * 500 + [("B", "hotB2")] * 400
+    rows += [("B", f"cB{i}") for i in range(700)]
+    df = spark.createDataFrame(rows, "g string, v string").repartition(8)
+    out = grouped_frequent_items(df, "g", "v", k=16).collect()
+    by = {}
+    errs = {}
+    for r in out:
+        if r.item is None:
+            errs[r.g] = errs.get(r.g, 0) + r.weight
+        else:
+            by.setdefault(r.g, {})[r.item] = r.weight
+    nA, nB = 800 + 1200, 500 + 400 + 700
+    assert errs["A"] <= nA // 17 and errs["B"] <= nB // 17
+    assert len(by["A"]) <= 16 and len(by["B"]) <= 16
+    assert 800 - errs["A"] <= by["A"]["hotA"] <= 800
+    assert 500 - errs["B"] <= by["B"]["hotB1"] <= 500
+    assert 400 - errs["B"] <= by["B"]["hotB2"] <= 400
+    # groups never bleed into each other
+    assert all(i.startswith(("hotA", "cA")) for i in by["A"])
+
+
+def test_grouped_frequent_items_exact_when_domain_fits(spark):
+    from ensembl_database_loader_spark.operators.sketches import (
+        grouped_frequent_items,
+    )
+
+    df = spark.createDataFrame(
+        [("x", "a")] * 4 + [("x", "b")] * 2 + [("y", "a")] * 3,
+        "g string, v string",
+    ).repartition(3)
+    out = grouped_frequent_items(df, "g", "v", k=8).collect()
+    items = {(r.g, r.item): r.weight for r in out if r.item is not None}
+    errs = {r.g: r.weight for r in out if r.item is None}
+    assert items == {("x", "a"): 4, ("x", "b"): 2, ("y", "a"): 3}
+    assert errs == {"x": 0, "y": 0}
