@@ -140,3 +140,42 @@ def connected_components(
             F.least(F.col("id"), F.coalesce("_nbr", F.col("id"))).alias("component"),
         )
     )
+
+
+def dedup_keep_best(
+    df: DataFrame,
+    edges: DataFrame,
+    id_col: str,
+    quality_col: str,
+    src_col: str = "id1",
+    dst_col: str = "id2",
+) -> DataFrame:
+    """Cluster-canonical dedup: ONE survivor per near-dup cluster —
+    the highest ``quality_col`` (ties -> smallest id) — instead of the
+    keep-smallest-id rule the curation funnel uses. The choice real
+    pipelines make when a quality score exists: keep-first keeps
+    whichever near-duplicate happened to crawl first; keep-best keeps
+    the cleanest copy.
+
+    Plan: clusters from large-star/small-star (O(log n) rounds), one
+    broadcast-or-shuffle join to attach components, one per-component
+    row_number window — and a rank<=1 filter Spark executes with a
+    PARTIAL per-partition WindowGroupLimit, so shuffle bytes per
+    component are one row per input partition, not the cluster's row
+    set. Isolated docs (no edge) are their own cluster and always
+    survive. Returns ``df``'s columns, survivors only."""
+    from pyspark.sql import Window
+
+    comp = connected_components(
+        df.select(F.col(id_col).alias("id")), edges, "id", src_col, dst_col
+    )
+    # drop comp's join key by reference — id_col may itself be "id"
+    j = df.join(comp, df[id_col] == comp["id"], "inner").drop(comp["id"])
+    w = Window.partitionBy("component").orderBy(
+        F.col(quality_col).desc(), F.col(id_col).asc()
+    )
+    return (
+        j.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(*df.columns)
+    )

@@ -474,12 +474,18 @@ _COMPONENTS_ORACLE = (
     "SELECT id, id FROM c "
     "UNION SELECT e.dst, r.l FROM r JOIN sym e ON e.src = r.v) "
     "SELECT v AS id, MIN(l) AS component FROM r GROUP BY v), "
-    "clusters AS (SELECT component, COUNT(*) AS sz FROM reach GROUP BY component) "
+    "clusters AS (SELECT component, COUNT(*) AS sz FROM reach GROUP BY component), "
+    # r8: keep-best-per-cluster — survivor = argmax pseudo-quality
+    # (id*31)%97, id tie-break; row-level exact via the id sum
+    "win AS (SELECT r.id, ROW_NUMBER() OVER (PARTITION BY r.component "
+    "ORDER BY (r.id * 31) % 97 DESC, r.id) AS rn FROM reach r) "
     "SELECT (SELECT COUNT(*) FROM reach) AS n_nodes, "
     "(SELECT COUNT(*) FROM clusters) AS n_components, "
     "(SELECT MAX(sz) FROM clusters) AS max_cluster, "
     "(SELECT COUNT(*) FROM clusters WHERE sz > 1) AS nontrivial_components, "
-    "(SELECT CAST(SUM(component) AS BIGINT) FROM reach) AS sum_component"
+    "(SELECT CAST(SUM(component) AS BIGINT) FROM reach) AS sum_component, "
+    "(SELECT CAST(COUNT(*) AS BIGINT) FROM win WHERE rn = 1) AS kb_n_kept, "
+    "(SELECT CAST(SUM(id) AS BIGINT) FROM win WHERE rn = 1) AS kb_id_sum"
 )
 
 
@@ -490,9 +496,14 @@ def dd_components(spark: SparkSession, sf: str) -> DataFrame:
     >= 0.8 near-dup pair graph — the transitive closure the keep-first
     funnel rule approximates. Oracle = DuckDB recursive-CTE reachability
     over the identical edge set, so per-node component labels must
-    agree exactly (checked via count/size/sum aggregates)."""
+    agree exactly (checked via count/size/sum aggregates). r8: the
+    same probe gates keep-best-per-cluster dedup
+    (operators/components.dedup_keep_best) — survivor = argmax of a
+    pseudo-quality (id*31)%97 with id tie-break — row-level exact via
+    the survivor id sum."""
     from ensembl_database_loader_spark.operators.components import (
         connected_components,
+        dedup_keep_best,
     )
 
     ensure_session_confs(spark)
@@ -502,6 +513,15 @@ def dd_components(spark: SparkSession, sf: str) -> DataFrame:
         c.select(F.col("doc_id").alias("id")), edges.select("id1", "id2")
     )
     clusters = labels.groupBy("component").agg(_cnt().alias("sz"))
+    kb = dedup_keep_best(
+        c.select("doc_id", ((F.col("doc_id") * 31) % 97).alias("q")),
+        edges.select("id1", "id2"),
+        "doc_id",
+        "q",
+    ).agg(
+        _cnt().alias("kb_n_kept"),
+        F.sum("doc_id").cast("bigint").alias("kb_id_sum"),
+    )
     return (
         labels.agg(_cnt().alias("n_nodes"), F.sum("component").cast("bigint").alias("sum_component"))
         .crossJoin(
@@ -511,6 +531,7 @@ def dd_components(spark: SparkSession, sf: str) -> DataFrame:
                 _cnt(F.col("sz") > 1).alias("nontrivial_components"),
             )
         )
+        .crossJoin(kb)
     )
 
 

@@ -1075,3 +1075,29 @@ def test_mmr_rerank_multi_query_and_guards(spark):
         mmr_rerank(df, "q", "id", "qv", "dv", k=0)
     with _pt.raises(ValueError, match="lam"):
         mmr_rerank(df, "q", "id", "qv", "dv", k=1, lam=1.5)
+
+
+def test_dedup_keep_best_canonical_per_cluster(spark):
+    """Keep-best: the highest-quality doc survives per cluster (tie ->
+    smaller id); isolated docs always survive; column set preserved."""
+    from ensembl_database_loader_spark.operators.components import (
+        dedup_keep_best,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, 10.0), (2, 30.0), (3, 20.0), (4, 5.0), (5, 7.0), (6, 7.0)],
+        "id bigint, q double",
+    ).repartition(3)
+    # clusters: {1,2,3} (chain), {5,6}; 4 isolated
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], "id1 bigint, id2 bigint"
+    )
+    kept = dedup_keep_best(docs, edges, "id", "q")
+    assert kept.columns == ["id", "q"]
+    got = sorted(r.id for r in kept.collect())
+    # cluster1 -> id 2 (q=30); cluster2 -> id 5 (tie 7.0, smaller id);
+    # isolated 4 survives
+    assert got == [2, 4, 5]
+    # plan gates: partial group-limit bounds the shuffle per component
+    plan = kept._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
