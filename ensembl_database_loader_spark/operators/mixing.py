@@ -224,7 +224,6 @@ def weighted_sample(
     df: DataFrame,
     id_col: str,
     weight_col: str | Column,
-    modulus: int = HASH_SPACE,
 ) -> DataFrame:
     """Per-row weighted Poisson sampling: keep a row with probability
     ``weight_col`` (its own column — e.g. a quality score in [0, 1]),
@@ -244,8 +243,8 @@ def weighted_sample(
     ``_inv_weight`` (Horvitz-Thompson 1/w) or drop it."""
     w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
     wc = F.least(F.greatest(w.cast("double"), F.lit(0.0)), F.lit(1.0))
-    kept = df.filter(knuth32(id_col) < wc * F.lit(float(modulus)))
+    kept = df.filter(knuth32(id_col) < wc * F.lit(float(HASH_SPACE)))
     return kept.withColumn(
         "_inv_weight",
-        F.lit(1.0) / F.greatest(wc, F.lit(1.0 / float(modulus))),
+        F.lit(1.0) / F.greatest(wc, F.lit(1.0 / float(HASH_SPACE))),
     )
