@@ -149,6 +149,7 @@ def dedup_keep_best(
     quality_col: str,
     src_col: str = "id1",
     dst_col: str = "id2",
+    components: DataFrame | None = None,
 ) -> DataFrame:
     """Cluster-canonical dedup: ONE survivor per near-dup cluster —
     the highest ``quality_col`` (ties -> smallest id) — instead of the
@@ -163,11 +164,19 @@ def dedup_keep_best(
     PARTIAL per-partition WindowGroupLimit, so shuffle bytes per
     component are one row per input partition, not the cluster's row
     set. Isolated docs (no edge) are their own cluster and always
-    survive. Returns ``df``'s columns, survivors only."""
+    survive. Returns ``df``'s columns, survivors only.
+
+    Pass ``components`` (an (id, component) frame, e.g. already
+    computed for cluster accounting) to skip re-running the iterative
+    labeling — the O(log n)-round phase dominates the operator."""
     from pyspark.sql import Window
 
-    comp = connected_components(
-        df.select(F.col(id_col).alias("id")), edges, "id", src_col, dst_col
+    comp = (
+        components.select(F.col("id"), "component")
+        if components is not None
+        else connected_components(
+            df.select(F.col(id_col).alias("id")), edges, "id", src_col, dst_col
+        )
     )
     # drop comp's join key by reference — id_col may itself be "id"
     j = df.join(comp, df[id_col] == comp["id"], "inner").drop(comp["id"])

@@ -511,13 +511,22 @@ def dd_components(spark: SparkSession, sf: str) -> DataFrame:
     edges = ngram_jaccard_pairs(c, "doc_id", "text", "lang", n=3, threshold=0.8)
     labels = connected_components(
         c.select(F.col("doc_id").alias("id")), edges.select("id1", "id2")
-    )
+    ).persist()
+    labels.count()  # materialize the cache BEFORE the branches race it
     clusters = labels.groupBy("component").agg(_cnt().alias("sz"))
+    # reuse the labels — dedup_keep_best would otherwise re-run the
+    # iterative phase (measured 2.5x probe cost without this) — and
+    # feed it from the labels' id set: the pseudo-quality is a pure
+    # function of id, so re-scanning the fixture corpus buys nothing
     kb = dedup_keep_best(
-        c.select("doc_id", ((F.col("doc_id") * 31) % 97).alias("q")),
+        labels.select(
+            F.col("id").alias("doc_id"),
+            ((F.col("id") * 31) % 97).alias("q"),
+        ),
         edges.select("id1", "id2"),
         "doc_id",
         "q",
+        components=labels,
     ).agg(
         _cnt().alias("kb_n_kept"),
         F.sum("doc_id").cast("bigint").alias("kb_id_sum"),
