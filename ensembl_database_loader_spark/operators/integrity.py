@@ -125,3 +125,19 @@ def checksum_diff_rows(
     only_a = sa.exceptAll(sb).select(F.lit("a").alias("side"), *cols)
     only_b = sb.exceptAll(sa).select(F.lit("b").alias("side"), *cols)
     return only_a.unionByName(only_b)
+
+
+def snapshot_checksum(
+    spark, table_path: str, version: int | None = None, n_buckets: int = 1024
+) -> DataFrame:
+    """``table_checksum`` of a manifest table's pinned snapshot — the
+    integrity layer meeting the commit layer. The operational check
+    this enables: after ``compact_table`` / Z-order clustering (which
+    rewrite every byte but must preserve content) compare the new
+    head's checksum against the pre-maintenance version's — both
+    snapshots stay readable until vacuum, so the verification needs no
+    saved state, just the two version numbers. A multiset difference
+    (lost/duplicated rows in a rewrite) flips some bucket row."""
+    from ensembl_database_loader_spark.sinks.manifest import snapshot
+
+    return table_checksum(snapshot(spark, table_path, version=version), n_buckets)

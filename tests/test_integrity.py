@@ -88,3 +88,31 @@ def test_checksum_guards(spark):
         table_checksum(a, 0)
     with pytest.raises(ValueError, match="column sets differ"):
         checksum_diff_rows(a, a.select(F.col("k").alias("kk"), "v"))
+
+
+def test_snapshot_checksum_pins_maintenance_rewrites(spark, tmp_path):
+    """Compaction and Z-order rewrite every file but must preserve the
+    multiset of rows — checksum(head) == checksum(pre-version); a
+    row-level DELETE must change it."""
+    from ensembl_database_loader_spark.operators.integrity import (
+        snapshot_checksum,
+    )
+    from ensembl_database_loader_spark.sinks import manifest as M
+
+    tbl = str(tmp_path / "tbl")
+    df = spark.range(2000).select(
+        F.col("id").alias("k"), (F.col("id") % 13).alias("v")
+    )
+    M.write_table(df.repartition(8), tbl, stats_cols=("k",))
+    v0 = M.latest_manifest(spark, tbl)["version"]
+
+    def cs(version=None):
+        return sorted(
+            tuple(r) for r in snapshot_checksum(spark, tbl, version).collect()
+        )
+
+    M.compact_table(spark, tbl, sort_cols=("k",))
+    assert cs() == cs(v0)  # rewrite preserved content exactly
+
+    M.delete_rows(spark, tbl, prune=[("k", "=", 137)])
+    assert cs() != cs(v0)  # a real content change is visible
