@@ -3043,3 +3043,52 @@ def ss_mmr_rerank(spark: SparkSession, sf: str) -> DataFrame:
     )
     head = sel.agg(_cnt().alias("mm_k"))
     return head.crossJoin(top1).crossJoin(subset).crossJoin(diverse)
+
+
+_PARA_ORACLE = """
+WITH s AS (SELECT doc_id, string_split(text, ' ') AS parts FROM documents),
+p AS (SELECT doc_id,
+             unnest(parts) AS para,
+             unnest(generate_series(1, len(parts))) AS pos
+      FROM s),
+k AS (SELECT doc_id, pos, para,
+             ROW_NUMBER() OVER (PARTITION BY para ORDER BY doc_id, pos) AS rn
+      FROM p)
+SELECT doc_id,
+       CAST(COUNT(*) FILTER (WHERE rn = 1) AS BIGINT) AS paras_kept,
+       CAST(COUNT(*) - COUNT(*) FILTER (WHERE rn = 1) AS BIGINT)
+           AS paras_removed,
+       md5(COALESCE(string_agg(para, ' ' ORDER BY pos)
+                    FILTER (WHERE rn = 1), '')) AS text_md5
+FROM k GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+@probe("dd_paragraph_dedup", oracle=_PARA_ORACLE, tags=("llm", "dedup", "text"))
+def dd_paragraph_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Paragraph-granularity corpus dedup (operators/paradedup.
+    dedup_paragraphs): only the FIRST corpus-wide occurrence of each
+    paragraph survives, documents are stitched back in order. The
+    fixture's documents carry no newlines, so the separator is ' ' —
+    word-level, the degenerate case that maximizes repeats and makes
+    the first-occurrence rule bite hard (vocabulary is tiny). Row-level
+    exact: per-doc kept/removed counts plus the md5 of every rebuilt
+    text against DuckDB's window recomputation. The engine never runs
+    the oracle's per-paragraph ROW_NUMBER sort — first occurrences come
+    from a partial-aggregated min(struct(id, pos)), so the boilerplate
+    paragraph repeated in half the corpus reduces map-side instead of
+    sorting on one reducer."""
+    from ensembl_database_loader_spark.operators.paradedup import dedup_paragraphs
+
+    ensure_session_confs(spark)
+    docs = table(spark, sf, "documents")
+    out = dedup_paragraphs(docs, id_col="doc_id", text_col="text", sep=" ")
+    return (
+        out.select(
+            "doc_id",
+            "paras_kept",
+            "paras_removed",
+            F.md5(F.col("text")).alias("text_md5"),
+        )
+        .orderBy("doc_id")
+    )

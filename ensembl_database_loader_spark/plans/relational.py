@@ -2351,3 +2351,62 @@ def q61(spark: SparkSession, sf: str) -> DataFrame:
         .select("cohort", F.col("offset").alias("off_k"), "n_users")
         .orderBy("cohort", "off_k")
     )
+
+
+@probe(
+    "q62_interval_overlap_join",
+    oracle=(
+        "WITH l AS (SELECT event_id, user_id, epoch_us(ts) // 1000000 AS s, "
+        "epoch_us(ts) // 1000000 + event_id % 240 AS e "
+        "FROM events WHERE event_type = 'click'), "
+        "r AS (SELECT event_id, user_id, epoch_us(ts) // 1000000 AS s, "
+        "epoch_us(ts) // 1000000 + event_id % 360 AS e "
+        "FROM events WHERE event_type = 'purchase') "
+        "SELECT CAST(COUNT(*) AS BIGINT) AS pairs, "
+        "CAST(SUM(l.event_id + r.event_id) AS BIGINT) AS id_sum, "
+        "CAST(SUM(LEAST(l.e, r.e) - GREATEST(l.s, r.s)) AS BIGINT) AS overlap_len "
+        "FROM l JOIN r ON l.user_id = r.user_id AND l.s <= r.e AND r.s <= l.e"
+    ),
+    tags=("join", "events"),
+)
+def q62(spark: SparkSession, sf: str) -> DataFrame:
+    """Binned interval-overlap join (operators/intervals.interval_join):
+    click intervals vs purchase intervals per user, overlap pairs found
+    by an EQUI-join on (user_id, bin) with emit-once + overlap residuals
+    — never the theta-join the ORACLE runs (fine at sf0.01, million²
+    comparisons per hot key at corpus scale). id_sum pins row identity,
+    overlap_len pins the geometry, both engines on pure BIGINT epoch
+    seconds. Deterministic spans come from event_id % k, not value."""
+    from ensembl_database_loader_spark.operators.intervals import interval_join
+
+    ensure_session_confs(spark)
+    ev = table(spark, sf, "events")
+    sec = F.col("ts").cast("long")
+
+    def side(kind: str, mod: int) -> DataFrame:
+        return ev.where(F.col("event_type") == kind).select(
+            "event_id",
+            "user_id",
+            sec.alias("s"),
+            (sec + F.col("event_id") % mod).alias("e"),
+        )
+
+    j = interval_join(
+        side("click", 240),
+        side("purchase", 360),
+        left_start="s",
+        left_end="e",
+        right_start="s",
+        right_end="e",
+        by=("user_id",),
+        bin_width=256,
+    )
+    return j.agg(
+        F.count(F.lit(1)).cast("bigint").alias("pairs"),
+        F.sum(F.col("l_event_id") + F.col("r_event_id")).cast("bigint").alias("id_sum"),
+        F.sum(
+            F.least(F.col("l_e"), F.col("r_e")) - F.greatest(F.col("l_s"), F.col("r_s"))
+        )
+        .cast("bigint")
+        .alias("overlap_len"),
+    )

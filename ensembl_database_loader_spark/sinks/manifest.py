@@ -50,6 +50,7 @@ read to resolve; listing cost is O(manifests), bounded by vacuum.
 
 from __future__ import annotations
 
+import base64
 import json
 import math
 import re
@@ -225,23 +226,47 @@ _STATS_NUMERIC = {"byte", "short", "int", "integer", "bigint", "long", "float", 
 _STATS_STRINGY = {"string", "date", "timestamp", "timestamp_ntz"}
 
 
+#: dtypes per-file bloom filters accept: exact-typed equality probes
+#: only make sense on discrete key-like columns (the query literal is
+#: cast to the column's exact type so the hash matches the collection
+#: pass bit-for-bit; float equality is excluded — an equality probe on
+#: a float column is almost always a bug, not a lookup).
+_BLOOM_TYPES = {"byte", "short", "int", "integer", "bigint", "long", "string", "date"}
+
+
 def _collect_stats(
     spark: SparkSession,
     root: str,
     staged: list[str],
     schema: StructType,
     stats_cols: tuple[str, ...],
-) -> tuple[dict[str, dict[str, list]], dict[str, int]]:
-    """Per-file [min, max] for ``stats_cols`` plus per-file ROW COUNTS
-    over the just-staged files: ONE column-pruned aggregate job (reads
-    only the stat columns — with no stat columns it scans zero data
-    columns — grouped by input_file_name; never a per-file job).
-    Returns ({relpath: {col: [min, max]}}, {relpath: n_rows})."""
+    bloom_spec: dict[str, dict] | None = None,
+) -> tuple[dict[str, dict[str, list]], dict[str, int], dict[str, dict[str, str]]]:
+    """Per-file [min, max] for ``stats_cols``, per-file ROW COUNTS, and
+    (when ``bloom_spec`` maps columns to {bits, hashes}) per-file BLOOM
+    FILTERS, over the just-staged files: ONE column-pruned aggregate
+    job (reads only the stat/bloom columns — with neither it scans zero
+    data columns — grouped by input_file_name; never a per-file job).
+    Bloom bit positions are ``pmod(xxhash64(col, seed_i), bits)`` —
+    computed by the ENGINE, so the query side can reproduce them
+    exactly with the same expression on a literal. The per-seed
+    position sets are bounded by min(rows, bits), so the collected
+    state is capped regardless of file size.
+    Returns ({rel: {col: [min, max]}}, {rel: n_rows}, {rel: {col: b64}})."""
+    bloom_spec = bloom_spec or {}
     fields = {f.name: f.dataType.simpleString() for f in schema.fields}
     unknown = [c for c in stats_cols if c not in fields]
     if unknown:
         raise ValueError(
             f"stats_cols {unknown!r} not in table schema {sorted(fields)!r}"
+        )
+    bad_bloom = [
+        c for c in bloom_spec if c not in fields or fields[c] not in _BLOOM_TYPES
+    ]
+    if bad_bloom:
+        raise ValueError(
+            f"bloom_cols {bad_bloom!r} must be existing columns with a type in "
+            f"{sorted(_BLOOM_TYPES)} (got schema {sorted(fields)!r})"
         )
     usable = [
         c
@@ -249,7 +274,7 @@ def _collect_stats(
         if fields[c] in _STATS_NUMERIC or fields[c] in _STATS_STRINGY
     ]
     if not staged:
-        return {}, {}
+        return {}, {}, {}
     aggs = [F.count(F.lit(1)).alias("__n")]
     for c in usable:
         mn, mx = F.min(F.col(c)), F.max(F.col(c))
@@ -259,6 +284,19 @@ def _collect_stats(
             fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS" if "timestamp" in fields[c] else "yyyy-MM-dd"
             mn, mx = F.date_format(mn, fmt), F.date_format(mx, fmt)
         aggs += [mn.alias(f"__mn_{c}"), mx.alias(f"__mx_{c}")]
+    for c, meta in bloom_spec.items():
+        bits, hashes = int(meta["bits"]), int(meta["hashes"])
+        for i in range(hashes):
+            aggs.append(
+                F.collect_set(
+                    F.when(
+                        F.col(c).isNotNull(),
+                        F.pmod(F.xxhash64(F.col(c), F.lit(i)), F.lit(bits)).cast(
+                            "int"
+                        ),
+                    )
+                ).alias(f"__bl{i}_{c}")
+            )
     rows = (
         spark.read.schema(schema)
         .parquet(*[f"{root}/{rel}" for rel in staged])
@@ -269,6 +307,7 @@ def _collect_stats(
     by_tail = {rel.split("/")[-1]: rel for rel in staged}
     out: dict[str, dict[str, list]] = {}
     counts: dict[str, int] = {}
+    blooms: dict[str, dict[str, str]] = {}
     for r in rows:
         rel = by_tail.get(r["__f"].rstrip("/").split("/")[-1])
         if rel is None:
@@ -279,15 +318,75 @@ def _collect_stats(
                 c: [_json_stat(r[f"__mn_{c}"]), _json_stat(r[f"__mx_{c}"])]
                 for c in usable
             }
+        if bloom_spec:
+            blooms[rel] = {}
+            for c, meta in bloom_spec.items():
+                pos: set[int] = set()
+                for i in range(int(meta["hashes"])):
+                    pos.update(r[f"__bl{i}_{c}"] or [])
+                blooms[rel][c] = _bloom_b64(pos, int(meta["bits"]))
     # files absent from the aggregate rows are EMPTY (Spark can write a
     # zero-row part file): record them as 0 so the metadata count is
-    # complete, and with all-null "no row can match" stats
+    # complete, with all-null "no row can match" stats and an all-zero
+    # bloom (no probe can hit an empty file)
     for rel in staged:
         if rel not in counts:
             counts[rel] = 0
             if usable:
                 out[rel] = {c: [None, None] for c in usable}
-    return out, counts
+            if bloom_spec:
+                blooms[rel] = {
+                    c: _bloom_b64(set(), int(meta["bits"]))
+                    for c, meta in bloom_spec.items()
+                }
+    return out, counts, blooms
+
+
+def _bloom_b64(positions: set[int], bits: int) -> str:
+    """Pack set-bit positions into a base64 bitmap (``bits``/8 bytes
+    before encoding; an all-null column yields the all-zero bitmap,
+    which correctly prunes every equality probe)."""
+    buf = bytearray(bits // 8)
+    for p in positions:
+        buf[p >> 3] |= 1 << (p & 7)
+    return base64.b64encode(bytes(buf)).decode("ascii")
+
+
+def _bloom_contains(b64: str, positions: list[int]) -> bool:
+    """True unless some probe position's bit is unset (definite miss)."""
+    buf = base64.b64decode(b64.encode("ascii"))
+    return all(buf[p >> 3] & (1 << (p & 7)) for p in positions)
+
+
+def _bloom_positions(
+    spark: SparkSession, dtype: str, value, bits: int, hashes: int
+):
+    """The query-side twin of the collection pass: the same
+    ``pmod(xxhash64(lit, seed_i), bits)`` expression the aggregate used,
+    evaluated by the ENGINE on the literal cast to the column's EXACT
+    type (xxhash64 hashes the physical type — an int32 and an int64 of
+    the same value hash differently, so a Python-side reimplementation
+    would silently prune wrong). One trivial 1-row local job; returns
+    None (no pruning) when the literal doesn't cast (try_cast, so a
+    malformed literal disables pruning instead of raising under ANSI —
+    the row filter still reports it)."""
+    lit = F.lit(value).try_cast(dtype)
+    row = (
+        spark.range(1)
+        .select(
+            lit.isNull().alias("__isnull"),
+            *[
+                F.pmod(F.xxhash64(lit, F.lit(i)), F.lit(bits))
+                .cast("int")
+                .alias(f"__p{i}")
+                for i in range(hashes)
+            ],
+        )
+        .first()
+    )
+    if row["__isnull"]:
+        return None
+    return [row[f"__p{i}"] for i in range(hashes)]
 
 
 def _json_stat(v):
@@ -295,6 +394,35 @@ def _json_stat(v):
     if v is None or isinstance(v, (bool, int, float, str)):
         return v
     return str(v)
+
+
+#: default bloom sizing: 128 Kibit = 16 KiB/bitmap (~22 KiB base64 in
+#: the manifest). With 4 hashes that holds ~18k distinct keys per file
+#: at ~2% false-positive rate; size up via bloom_bits for bigger files.
+_BLOOM_DEFAULT_BITS = 131072
+_BLOOM_DEFAULT_HASHES = 4
+
+
+def _bloom_effective_spec(
+    head: dict | None,
+    bloom_cols: tuple[str, ...],
+    bits: int,
+    hashes: int,
+) -> dict[str, dict]:
+    """The table's bloom column spec for a new commit: the head's
+    ``bloom_meta`` (an append/rewrite must not silently drop the
+    table's bloom capability) plus any newly requested columns. A
+    column's (bits, hashes) are FIXED at introduction — every file's
+    bitmap must stay probe-compatible — so re-passing a column with
+    different sizing keeps the original."""
+    if bits <= 0 or bits % 8:
+        raise ValueError(f"bloom_bits must be a positive multiple of 8, got {bits}")
+    if hashes <= 0:
+        raise ValueError(f"bloom_hashes must be positive, got {hashes}")
+    spec = dict((head or {}).get("bloom_meta", {}))
+    for c in bloom_cols:
+        spec.setdefault(c, {"bits": int(bits), "hashes": int(hashes)})
+    return spec
 
 
 _PRED_OPS = ("=", "<", "<=", ">", ">=")
@@ -361,7 +489,12 @@ def scan_table(
     contract Delta/Iceberg readers provide, on plain parquet + JSON.
     Stats come from ``write_table(..., stats_cols=...)``; compacting
     with ``sort_cols`` on the filter columns tightens per-file ranges
-    and multiplies the skip rate (clustering IS the index)."""
+    and multiplies the skip rate (clustering IS the index). EQUALITY
+    predicates additionally consult per-file bloom filters
+    (``write_table(..., bloom_cols=...)``) — the point-lookup index for
+    keys whose per-file [min, max] spans everything; a miss is
+    definite, a hit is probabilistic, and rows are still filtered, so
+    false positives only cost IO."""
     root = path.rstrip("/")
     m = (
         read_manifest(spark, root, version)
@@ -372,6 +505,25 @@ def scan_table(
         raise FileNotFoundError(f"no manifest at {path} — not a committed table")
     schema = StructType.fromJson(json.loads(m["schema"]))
     kept = files_matching(m, predicates)
+    bloom_meta = m.get("bloom_meta", {})
+    if kept and bloom_meta:
+        fields = {f.name: f.dataType.simpleString() for f in schema.fields}
+        blooms = m.get("blooms", {})
+        for col, op, v in predicates:
+            if op != "=" or col not in bloom_meta or col not in fields:
+                continue
+            meta = bloom_meta[col]
+            pos = _bloom_positions(
+                spark, fields[col], v, int(meta["bits"]), int(meta["hashes"])
+            )
+            if pos is None:
+                continue  # literal doesn't cast to the column type — keep all
+            kept = [
+                rel
+                for rel in kept
+                if (b := blooms.get(rel, {}).get(col)) is None
+                or _bloom_contains(b, pos)
+            ]
     if not kept:
         df = spark.createDataFrame([], schema)
     else:
@@ -465,6 +617,9 @@ def write_table(
     txn: tuple[str, int] | None = None,
     stats_cols: tuple[str, ...] = (),
     schema_mode: str = "strict",
+    bloom_cols: tuple[str, ...] = (),
+    bloom_bits: int = _BLOOM_DEFAULT_BITS,
+    bloom_hashes: int = _BLOOM_DEFAULT_HASHES,
 ) -> dict | None:
     """Commit ``df`` as the table's next snapshot.
 
@@ -490,15 +645,31 @@ def write_table(
     ``schema_mode`` guards appends: ``strict`` (default) rejects any
     schema drift; ``merge`` evolves by union — new columns are
     appended as nullable (old files read them as null), shared columns
-    must keep their exact type (``_evolved_schema``)."""
+    must keep their exact type (``_evolved_schema``).
+
+    ``bloom_cols`` collects a per-file BLOOM FILTER for those columns
+    (riding the same single stats job), enabling ``scan_table`` file
+    skipping on EQUALITY predicates where [min, max] can't help — a
+    point lookup on a high-cardinality hash-like key (doc_id, user_id)
+    overlaps every file's range, but only the files that actually hold
+    the key pass its bloom. Appends inherit the table's bloom columns
+    automatically (the spec lives in the manifest's ``bloom_meta``),
+    so one declaration at table creation covers every later writer."""
     if mode not in ("overwrite", "append"):
         raise ValueError(f"write_table mode must be overwrite|append, got {mode!r}")
     spark = df.sparkSession
-    if _txn_skip(latest_manifest(spark, path), txn):
+    head0 = latest_manifest(spark, path)
+    if _txn_skip(head0, txn):
         return None
+    bloom_spec = _bloom_effective_spec(
+        head0 if mode == "append" else None,
+        tuple(bloom_cols),
+        bloom_bits,
+        bloom_hashes,
+    )
     staged, schema_json = _stage_data(df, path)
-    staged_stats, staged_rows = _collect_stats(
-        spark, path.rstrip("/"), staged, df.schema, tuple(stats_cols)
+    staged_stats, staged_rows, staged_blooms = _collect_stats(
+        spark, path.rstrip("/"), staged, df.schema, tuple(stats_cols), bloom_spec
     )
 
     def build(head: dict | None) -> dict | None:
@@ -507,11 +678,17 @@ def write_table(
         files = staged
         stats = staged_stats
         rows = staged_rows
+        blooms = staged_blooms
+        meta = bloom_spec
         schema_out = schema_json
         if mode == "append" and head is not None:
             files = head["files"] + staged
             stats = {**head.get("stats", {}), **staged_stats}
             rows = {**head.get("rows", {}), **staged_rows}
+            blooms = {**head.get("blooms", {}), **staged_blooms}
+            # a competing writer may have introduced a column first; its
+            # sizing wins so the table stays internally consistent
+            meta = {**bloom_spec, **head.get("bloom_meta", {})}
             schema_out = _evolved_schema(head["schema"], schema_json, schema_mode)
         return {
             "files": files,
@@ -519,6 +696,8 @@ def write_table(
             "txn": _merged_txn(head, txn),
             **({"stats": stats} if stats else {}),
             **({"rows": rows} if rows else {}),
+            **({"bloom_meta": meta} if meta else {}),
+            **({"blooms": blooms} if blooms else {}),
         }
 
     return _commit(spark, path, build, mode)
@@ -609,11 +788,14 @@ def merge_table(
     base_head = latest_manifest(spark, path)
     if base_head is None:
         raise FileNotFoundError(f"no manifest at {path} — not a committed table")
+    bloom_spec = _bloom_effective_spec(
+        base_head, (), _BLOOM_DEFAULT_BITS, _BLOOM_DEFAULT_HASHES
+    )
     snap = snapshot(spark, path, base_head["version"])
     merged = merge_snapshot(snap, batch, key_cols, tombstone_col)
     staged, schema_json = _stage_data(merged, path)
-    stats, row_counts = _collect_stats(
-        spark, path.rstrip("/"), staged, merged.schema, tuple(stats_cols)
+    stats, row_counts, blooms = _collect_stats(
+        spark, path.rstrip("/"), staged, merged.schema, tuple(stats_cols), bloom_spec
     )
 
     def build(head: dict | None) -> dict:
@@ -629,6 +811,8 @@ def merge_table(
             "txn": _merged_txn(head, None),
             **({"stats": stats} if stats else {}),
             **({"rows": row_counts} if row_counts else {}),
+            **({"bloom_meta": bloom_spec} if bloom_spec else {}),
+            **({"blooms": blooms} if blooms else {}),
         }
 
     out = _commit(spark, path, build, "merge")
@@ -732,8 +916,13 @@ def compact_table(
         df = df.repartitionByRange(n_out, *sort_cols).sortWithinPartitions(*sort_cols)
     else:
         df = df.repartition(n_out)
+    bloom_spec = _bloom_effective_spec(
+        head, (), _BLOOM_DEFAULT_BITS, _BLOOM_DEFAULT_HASHES
+    )
     staged, schema_json = _stage_data(df, path)
-    stats, row_counts = _collect_stats(spark, root, staged, df.schema, tuple(stats_cols))
+    stats, row_counts, blooms = _collect_stats(
+        spark, root, staged, df.schema, tuple(stats_cols), bloom_spec
+    )
 
     def build(h: dict | None) -> dict:
         if h is None or h["version"] != head["version"]:
@@ -746,6 +935,8 @@ def compact_table(
             "txn": _merged_txn(h, None),
             **({"stats": stats} if stats else {}),
             **({"rows": row_counts} if row_counts else {}),
+            **({"bloom_meta": bloom_spec} if bloom_spec else {}),
+            **({"blooms": blooms} if blooms else {}),
         }
 
     out = _commit(spark, path, build, "compact")
@@ -815,8 +1006,11 @@ def _rewrite_rows(
         for fstats in head.get("stats", {}).values():
             inferred.update(fstats)
         stats_cols = tuple(sorted(c for c in inferred if c in {f.name for f in schema.fields}))
-    staged_stats, staged_rows = _collect_stats(
-        spark, root, staged, schema, tuple(stats_cols)
+    bloom_spec = _bloom_effective_spec(
+        head, (), _BLOOM_DEFAULT_BITS, _BLOOM_DEFAULT_HASHES
+    )
+    staged_stats, staged_rows, staged_blooms = _collect_stats(
+        spark, root, staged, schema, tuple(stats_cols), bloom_spec
     )
 
     def build(h: dict | None) -> dict:
@@ -838,12 +1032,20 @@ def _rewrite_rows(
             if rel not in cand_set
         }
         row_counts.update(staged_rows)
+        blooms = {
+            rel: b
+            for rel, b in h.get("blooms", {}).items()
+            if rel not in cand_set
+        }
+        blooms.update(staged_blooms)
         return {
             "files": untouched + staged,
             "schema": head["schema"],
             "txn": _merged_txn(h, None),
             **({"stats": stats} if stats else {}),
             **({"rows": row_counts} if row_counts else {}),
+            **({"bloom_meta": bloom_spec} if bloom_spec else {}),
+            **({"blooms": blooms} if blooms else {}),
         }
 
     out = _commit(spark, path, build, operation)

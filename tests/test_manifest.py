@@ -697,3 +697,113 @@ def test_orphan_files_detection_and_removal(spark, tbl):
 def test_orphan_files_requires_committed_table(spark, tmp_path):
     with pytest.raises(FileNotFoundError):
         M.orphan_files(spark, str(tmp_path / "nope"))
+
+
+def test_bloom_skips_point_lookups_minmax_cannot(spark, tbl):
+    # round-robin layout: every file's [min, max] spans the whole key
+    # domain, so stats pruning keeps everything — the bloom is the only
+    # thing that can cut the file list for an equality probe
+    df = spark.range(0, 4000).select(
+        F.col("id").alias("k"), F.concat(F.lit("u"), F.col("id")).alias("v")
+    ).repartition(8)
+    m = M.write_table(df, tbl, stats_cols=("k",), bloom_cols=("k", "v"),
+                      bloom_bits=65536)
+    assert m["bloom_meta"] == {
+        "k": {"bits": 65536, "hashes": 4},
+        "v": {"bits": 65536, "hashes": 4},
+    }
+    assert set(m["blooms"]) == set(m["files"])
+    # stats alone keep all 8 files; bloom narrows to the true holder(s)
+    assert len(M.files_matching(m, [("k", "=", 1234)])) == 8
+    hit = M.scan_table(spark, tbl, predicates=[("k", "=", 1234)])
+    assert [(r.k, r.v) for r in hit.collect()] == [(1234, "u1234")]
+    assert len(hit.inputFiles()) < 8  # definite misses dropped
+    # string-typed probe goes through the same path
+    sv = M.scan_table(spark, tbl, predicates=[("v", "=", "u77")])
+    assert sv.count() == 1 and len(sv.inputFiles()) < 8
+    # absent key: typically zero files; rows definitely zero
+    miss = M.scan_table(spark, tbl, predicates=[("k", "=", 999_999)])
+    assert miss.count() == 0
+
+
+def test_bloom_inherited_by_append_merge_compact_delete(spark, tbl):
+    df = spark.range(0, 1000).select(
+        F.col("id").alias("k"), F.concat(F.lit("u"), F.col("id")).alias("v")
+    ).repartition(4)
+    M.write_table(df, tbl, bloom_cols=("k",), bloom_bits=32768)
+    # append WITHOUT bloom args: spec comes from the head's bloom_meta
+    m2 = M.write_table(
+        spark.range(1000, 2000).select(
+            F.col("id").alias("k"), F.concat(F.lit("u"), F.col("id")).alias("v")
+        ).repartition(4),
+        tbl, mode="append",
+    )
+    assert m2["bloom_meta"]["k"] == {"bits": 32768, "hashes": 4}
+    assert set(m2["blooms"]) == set(m2["files"])  # old AND new files
+    probe = M.scan_table(spark, tbl, predicates=[("k", "=", 1500)])
+    assert probe.count() == 1 and len(probe.inputFiles()) < len(m2["files"])
+    # merge keeps the capability on the rewritten snapshot
+    m3 = M.merge_table(
+        tbl, spark.createDataFrame([(1500, "UPD")], "k bigint, v string"), ("k",)
+    )
+    assert set(m3["blooms"]) == set(m3["files"])
+    assert M.scan_table(spark, tbl, predicates=[("k", "=", 1500)]).first().v == "UPD"
+    # compact rewrites every file; bitmaps must be recomputed, not lost
+    m4 = M.compact_table(spark, tbl, target_bytes=16 << 10)
+    assert set(m4["blooms"]) == set(m4["files"])
+    # row-level delete: rewritten files get fresh bitmaps, carried files
+    # keep theirs, and the deleted key stops matching its own bloom read
+    M.delete_rows(spark, tbl, where="k = 1500")
+    m5 = M.latest_manifest(spark, tbl)
+    assert set(m5["blooms"]) == set(m5["files"])
+    assert M.scan_table(spark, tbl, predicates=[("k", "=", 1500)]).count() == 0
+    assert M.scan_table(spark, tbl, predicates=[("k", "=", 999)]).count() == 1
+
+
+def test_bloom_conservative_and_guards(spark, tbl):
+    df = _df(spark, [(1, "a"), (2, "b")])
+    # unsupported type / unknown column raise at write time
+    with pytest.raises(ValueError, match="bloom_cols"):
+        M.write_table(
+            df.withColumn("f", F.col("k") / 2), tbl, bloom_cols=("f",)
+        )
+    with pytest.raises(ValueError, match="bloom_cols"):
+        M.write_table(df, tbl, bloom_cols=("nope",))
+    with pytest.raises(ValueError, match="bloom_bits"):
+        M.write_table(df, tbl, bloom_cols=("k",), bloom_bits=100)
+    M.write_table(df, tbl, bloom_cols=("k",))
+    # a column with a bloom but a non-equality predicate is untouched
+    assert M.scan_table(spark, tbl, predicates=[("k", ">", 1)]).count() == 1
+    # sizing is fixed at introduction: re-passing with different bits keeps v0's
+    m2 = M.write_table(_df(spark, [(3, "c")]), tbl, mode="append",
+                       bloom_cols=("k",), bloom_bits=1024)
+    assert m2["bloom_meta"]["k"]["bits"] == M._BLOOM_DEFAULT_BITS
+
+
+def test_bloom_all_null_column_prunes_everything(spark, tbl):
+    df = spark.createDataFrame([(None, "a"), (None, "b")], "k bigint, v string")
+    M.write_table(df, tbl, bloom_cols=("k",))
+    got = M.scan_table(spark, tbl, predicates=[("k", "=", 1)])
+    assert got.count() == 0 and not got.inputFiles()
+
+
+def test_bloom_pre_bloom_files_are_kept_conservatively(spark, tbl):
+    # v0 written before the table had bloom columns: its files carry no
+    # bitmaps, so an equality probe must keep them (conservative), while
+    # post-introduction files still prune
+    M.write_table(_df(spark, [(1, "a"), (2, "b")]), tbl)
+    M.write_table(
+        spark.range(100, 1100).select(
+            F.col("id").alias("k"), F.lit("x").alias("v")
+        ).repartition(4),
+        tbl, mode="append", bloom_cols=("k",), bloom_bits=32768,
+    )
+    m = M.latest_manifest(spark, tbl)
+    without = set(m["files"]) - set(m.get("blooms", {}))
+    assert without  # the v0 file(s) really lack bitmaps
+    got = M.scan_table(spark, tbl, predicates=[("k", "=", 1)])
+    assert [(r.k, r.v) for r in got.collect()] == [(1, "a")]
+    read = set(got.inputFiles())
+    # every bloom-less file was read; at least one bloomed file was skipped
+    assert all(any(rel in f for f in read) for rel in without)
+    assert len(read) < len(m["files"])
