@@ -89,21 +89,28 @@ def dedup_paragraphs(
     # merge distinct paragraphs; 256 bits makes collision negligible, so
     # grouping by the digest is exact without shuffling paragraph text
     # into the aggregate
-    paras = split_paragraphs(df, id_col, text_col, sep).withColumn(
-        "_h", F.sha2("para", 256)
-    )
+    # collision-proof internal aliases: '__pd_id' never collides with a
+    # payload column, and only the alias is dropped at the end — so
+    # id_col='id', or a payload column literally named 'id' alongside
+    # doc_id, passes through untouched
+    paras = split_paragraphs(df, id_col, text_col, sep).select(
+        F.col("id").alias("__pd_id"), "pos", "para"
+    ).withColumn("_h", F.sha2("para", 256))
     firsts = paras.groupBy("_h").agg(
-        F.min(F.struct("id", "pos")).alias("_first")
+        F.min(F.struct(F.col("__pd_id").alias("id"), "pos")).alias("_first")
     )
     kept = (
         paras.join(firsts.hint("shuffle_hash"), "_h")
         .where(
             (F.length("para") < F.lit(min_chars))
-            | ((F.col("id") == F.col("_first.id")) & (F.col("pos") == F.col("_first.pos")))
+            | (
+                (F.col("__pd_id") == F.col("_first.id"))
+                & (F.col("pos") == F.col("_first.pos"))
+            )
         )
-        .select("id", "pos", "para")
+        .select("__pd_id", "pos", "para")
     )
-    rebuilt = kept.groupBy("id").agg(
+    rebuilt = kept.groupBy("__pd_id").agg(
         F.array_join(
             F.transform(
                 F.array_sort(F.collect_list(F.struct("pos", "para"))),
@@ -115,9 +122,9 @@ def dedup_paragraphs(
     )
     n_paras = F.size(F.split(F.col(text_col), re.escape(sep))).cast("bigint")
     return (
-        df.join(rebuilt, df[id_col] == rebuilt["id"], "left")
+        df.join(rebuilt, df[id_col] == rebuilt["__pd_id"], "left")
         .withColumn("paras_kept", F.coalesce("paras_kept", F.lit(0).cast("bigint")))
         .withColumn("paras_removed", n_paras - F.col("paras_kept"))
         .withColumn(text_col, F.coalesce("_new_text", F.lit("")))
-        .drop("id", "_new_text")
+        .drop("__pd_id", "_new_text")
     )

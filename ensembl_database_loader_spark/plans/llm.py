@@ -3055,11 +3055,13 @@ k AS (SELECT doc_id, pos, para,
              ROW_NUMBER() OVER (PARTITION BY para ORDER BY doc_id, pos) AS rn
       FROM p)
 SELECT doc_id,
-       CAST(COUNT(*) FILTER (WHERE rn = 1) AS BIGINT) AS paras_kept,
-       CAST(COUNT(*) - COUNT(*) FILTER (WHERE rn = 1) AS BIGINT)
+       CAST(COUNT(*) FILTER (WHERE rn = 1 OR len(para) < 1) AS BIGINT)
+           AS paras_kept,
+       CAST(COUNT(*)
+            - COUNT(*) FILTER (WHERE rn = 1 OR len(para) < 1) AS BIGINT)
            AS paras_removed,
        md5(COALESCE(string_agg(para, ' ' ORDER BY pos)
-                    FILTER (WHERE rn = 1), '')) AS text_md5
+                    FILTER (WHERE rn = 1 OR len(para) < 1), '')) AS text_md5
 FROM k GROUP BY doc_id ORDER BY doc_id
 """
 

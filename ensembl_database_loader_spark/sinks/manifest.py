@@ -353,9 +353,17 @@ def _bloom_b64(positions: set[int], bits: int) -> str:
 
 
 def _bloom_contains(b64: str, positions: list[int]) -> bool:
-    """True unless some probe position's bit is unset (definite miss)."""
+    """True unless some probe position's bit is unset (definite miss).
+
+    A bitmap shorter than a probe position implies its sizing disagrees
+    with ``bloom_meta`` (a corrupt/hand-edited manifest, or a commit
+    race an older writer didn't guard) — degrade to "keep the file"
+    rather than failing the scan or, worse, pruning on garbage."""
     buf = base64.b64decode(b64.encode("ascii"))
-    return all(buf[p >> 3] & (1 << (p & 7)) for p in positions)
+    return all(
+        (p >> 3) >= len(buf) or buf[p >> 3] & (1 << (p & 7))
+        for p in positions
+    )
 
 
 def _bloom_positions(
@@ -685,10 +693,32 @@ def write_table(
             files = head["files"] + staged
             stats = {**head.get("stats", {}), **staged_stats}
             rows = {**head.get("rows", {}), **staged_rows}
-            blooms = {**head.get("blooms", {}), **staged_blooms}
             # a competing writer may have introduced a column first; its
             # sizing wins so the table stays internally consistent
             meta = {**bloom_spec, **head.get("bloom_meta", {})}
+            # staged bitmaps were computed with THIS writer's pre-race
+            # sizing; where the winning sizing differs, the bitmap's bit
+            # positions are probe-incompatible — drop those columns'
+            # staged bitmaps (missing bitmap = scan keeps the file, the
+            # conservative outcome) instead of publishing garbage that
+            # would silently prune files that hold the key
+            mismatched = {
+                c
+                for c, m in meta.items()
+                if c in bloom_spec
+                and (
+                    int(m["bits"]) != int(bloom_spec[c]["bits"])
+                    or int(m["hashes"]) != int(bloom_spec[c]["hashes"])
+                )
+            }
+            safe_staged = staged_blooms
+            if mismatched:
+                safe_staged = {
+                    rel: {c: b for c, b in bm.items() if c not in mismatched}
+                    for rel, bm in staged_blooms.items()
+                }
+                safe_staged = {rel: bm for rel, bm in safe_staged.items() if bm}
+            blooms = {**head.get("blooms", {}), **safe_staged}
             schema_out = _evolved_schema(head["schema"], schema_json, schema_mode)
         return {
             "files": files,

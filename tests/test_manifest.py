@@ -807,3 +807,50 @@ def test_bloom_pre_bloom_files_are_kept_conservatively(spark, tbl):
     # every bloom-less file was read; at least one bloomed file was skipped
     assert all(any(rel in f for f in read) for rel in without)
     assert len(read) < len(m["files"])
+
+
+def test_bloom_contains_short_bitmap_keeps_file():
+    import base64
+
+    b64 = base64.b64encode(bytes(1)).decode("ascii")  # 8-bit all-zero bitmap
+    # a probe position beyond the bitmap implies sizing disagreement —
+    # degrade to "keep the file", never IndexError
+    assert M._bloom_contains(b64, [100]) is True
+    # in-range unset bits still prune (the bitmap's real information)
+    assert M._bloom_contains(b64, [3]) is False
+    assert M._bloom_contains(b64, [100, 3]) is False
+
+
+def test_bloom_sizing_race_drops_incompatible_staged_bitmaps(
+    spark, tbl, monkeypatch
+):
+    # Writer A reads a head without bloom sizing for k, stages bitmaps
+    # at its own 8192 bits, then loses the commit race to a writer that
+    # introduced k at 16384 bits. A's build retry must adopt the winning
+    # sizing AND drop its probe-incompatible staged bitmaps (missing
+    # bitmap = conservative keep) instead of publishing garbage.
+    M.write_table(_df(spark, [(1, "a")]), tbl)  # v0: no blooms
+    m1 = M.write_table(
+        _df(spark, [(2, "b")]), tbl, mode="append",
+        bloom_cols=("k",), bloom_bits=16384,
+    )  # v1: the competing writer that wins
+    stale = M.read_manifest(spark, tbl, 0)
+    monkeypatch.setattr(M, "latest_manifest", lambda *_a, **_k: stale)
+    m2 = M.write_table(
+        _df(spark, [(3, "c")]), tbl, mode="append",
+        bloom_cols=("k",), bloom_bits=8192,
+    )
+    monkeypatch.undo()
+    # the winning sizing is recorded
+    assert m2["bloom_meta"]["k"]["bits"] == 16384
+    staged = set(m2["files"]) - set(m1["files"])
+    assert staged
+    # no staged file carries a bitmap computed with the losing sizing
+    for rel in staged:
+        assert "k" not in m2.get("blooms", {}).get(rel, {})
+    # v1's own bitmap survived untouched
+    assert any("k" in m2["blooms"].get(rel, {}) for rel in m1["files"]
+               if rel not in staged)
+    # scans stay correct: the key in the bitmap-less staged file is found
+    got = M.scan_table(spark, tbl, predicates=[("k", "=", 3)])
+    assert [(r.k, r.v) for r in got.collect()] == [(3, "c")]

@@ -112,3 +112,25 @@ def test_split_paragraphs_positions_and_guards(spark):
         dedup_paragraphs(df, min_chars=-1)
     with pytest.raises(ValueError, match="not in"):
         dedup_paragraphs(df, text_col="nope")
+
+
+def test_id_col_named_id_survives(spark):
+    # id_col="id": the output must keep the user's id column (a prior
+    # version dropped every column literally named 'id')
+    df = spark.createDataFrame(
+        [(1, SEP.join(["x", "y"])), (2, SEP.join(["y", "z"]))],
+        "id bigint, text string",
+    )
+    got = {r.id: r.text for r in dedup_paragraphs(df, id_col="id").collect()}
+    assert got == {1: SEP.join(["x", "y"]), 2: "z"}
+
+
+def test_payload_column_named_id_passes_through(spark):
+    # a payload column literally named 'id' alongside doc_id must not
+    # be silently deleted
+    df = spark.createDataFrame(
+        [(1, SEP.join(["x", "y"]), 101), (2, SEP.join(["y", "z"]), 102)],
+        "doc_id bigint, text string, id bigint",
+    )
+    rows = {r.doc_id: (r.id, r.text) for r in dedup_paragraphs(df).collect()}
+    assert rows == {1: (101, SEP.join(["x", "y"])), 2: (102, "z")}
