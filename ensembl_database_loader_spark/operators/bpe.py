@@ -183,3 +183,121 @@ def encode_words(
         return s.map(enc)
 
     return word_freq.select("word", "freq", _enc("word").alias("syms"))
+
+
+def token_vocabulary(
+    word_freq: DataFrame, merges: list[tuple[str, str]]
+) -> DataFrame:
+    """(token, token_id) — the trained tokenizer's id table: the
+    corpus's base characters first (sorted, ids 0..B-1 — deterministic
+    across engines/layouts), then the merge products in TRAINING RANK
+    order (ids B..B+M-1), the standard BPE id assignment. Built from
+    one tiny distinct-chars aggregate plus the driver-side merge list;
+    the result is vocabulary-sized (thousands), the canonical broadcast
+    dimension."""
+    spark = word_freq.sparkSession
+    base = sorted(
+        r.ch
+        for r in word_freq.select(
+            F.explode(_chars("word")).alias("ch")
+        ).distinct().collect()
+    )
+    products = [a + b for a, b in merges]
+    # a merge product can collide with nothing: products have length
+    # >= 2, base symbols length 1; products are distinct because each
+    # merge introduces a new symbol
+    rows = [(t, i) for i, t in enumerate(base + products)]
+    return spark.createDataFrame(rows, "token string, token_id int")
+
+
+def encode_corpus(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    keep_tokens: bool = False,
+) -> DataFrame:
+    """Every document encoded to BPE ``token_ids`` (``array<int>``) —
+    the corpus-scale serving pass that completes the tokenize→pack→
+    export chain (``pack_concat`` / ``export_training_shards`` consume
+    the ``n_tokens`` this adds).
+
+    Spark shape — the encoder NEVER runs per occurrence: the corpus
+    collapses to its distinct-word table (Zipf: orders of magnitude
+    smaller), each distinct word is encoded ONCE (Arrow-batched UDF,
+    ``encode_words``), symbols map to ids through the vocabulary (a
+    broadcast join — the vocab is thousands of rows), and documents
+    reassemble by joining occurrences to their word's id array
+    (``shuffle_hash``: the distinct-word side is UDF-opaque and can be
+    large, so never let a misestimate build it driver-side) and
+    flattening in (word position, symbol position) order. Three
+    shuffles total, all linear; no Python touches corpus-sized data.
+
+    Documents whose normalized text has no words keep their row with
+    an empty ``token_ids`` and ``n_tokens = 0``.
+
+    ``keep_tokens=True`` adds the symbol-string array ``tokens`` (the
+    decode of ``token_ids`` — concatenating it reconstructs the
+    normalized text with separators removed, the round-trip contract
+    probes gate)."""
+    for c in (id_col, text_col):
+        if c not in df.columns:
+            raise ValueError(f"column {c!r} not in {df.columns}")
+    words = df.select(
+        F.col(id_col).alias("__bpe_id"),
+        F.posexplode(
+            F.filter(tokens(text_col), lambda w: w != "")
+        ).alias("__bpe_pos", "word"),
+    )
+    wf = words.groupBy("word").agg(F.count(F.lit(1)).alias("freq"))
+    vocab = token_vocabulary(wf, merges)
+    enc = encode_words(wf, merges)
+    word_ids = (
+        enc.select("word", F.posexplode("syms").alias("spos", "token"))
+        .join(F.broadcast(vocab), "token")
+        .groupBy("word")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("spos", "token_id", "token"))
+                ),
+                lambda x: F.struct(
+                    x["token_id"].alias("tid"), x["token"].alias("tok")
+                ),
+            ).alias("_wtoks")
+        )
+    )
+    per_doc = (
+        words.join(word_ids.hint("shuffle_hash"), "word")
+        .groupBy("__bpe_id")
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("__bpe_pos"), F.col("_wtoks")))
+                    ),
+                    lambda x: x["_wtoks"],
+                )
+            ).alias("_toks")
+        )
+    )
+    out = (
+        df.join(per_doc, df[id_col] == per_doc["__bpe_id"], "left")
+        .withColumn(
+            "token_ids",
+            F.coalesce(
+                F.transform("_toks", lambda x: x["tid"]),
+                F.array().cast("array<int>"),
+            ),
+        )
+        .withColumn("n_tokens", F.size("token_ids").cast("bigint"))
+    )
+    if keep_tokens:
+        out = out.withColumn(
+            "tokens",
+            F.coalesce(
+                F.transform("_toks", lambda x: x["tok"]),
+                F.array().cast("array<string>"),
+            ),
+        )
+    return out.drop("__bpe_id", "_toks")

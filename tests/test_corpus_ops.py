@@ -4,6 +4,7 @@ contamination, deterministic mixing, sequence packing, PII redaction."""
 from __future__ import annotations
 
 import pandas as pd
+import pytest
 from pyspark.sql import functions as F
 
 from ensembl_database_loader_spark.operators.contamination import (
@@ -1140,3 +1141,72 @@ def test_weighted_sample_rate_tracks_weight(spark):
     )
     n = weighted_sample(df, "id", "w").count()
     assert abs(n / 20_000 - 0.3) < 0.02  # hash uniformity
+
+
+def test_encode_corpus_token_ids_roundtrip(spark):
+    from ensembl_database_loader_spark.operators.bpe import (
+        encode_corpus,
+        token_vocabulary,
+        train_bpe,
+        word_frequencies,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat", "a"),
+            (2, "The BAT  and the cat chat", "b"),   # case/space normalize
+            (3, "", "c"),                            # empty -> 0 tokens
+            (4, "aaa aaaa aa", "d"),
+        ],
+        "doc_id bigint, text string, src string",
+    )
+    wf = word_frequencies(docs, "text")
+    merges = train_bpe(wf, 8)
+    vocab = {r.token: r.token_id for r in token_vocabulary(wf, merges).collect()}
+    inv = {i: t for t, i in vocab.items()}
+    # id table: base chars get the low ids sorted, products follow in rank order
+    base = sorted(t for t in vocab if len(t) == 1)
+    assert [vocab[t] for t in base] == list(range(len(base)))
+    prods = [a + b for a, b in merges]
+    assert [vocab[p] for p in prods] == list(
+        range(len(base), len(base) + len(prods))
+    )
+
+    got = {
+        r.doc_id: r
+        for r in encode_corpus(docs, merges, keep_tokens=True).collect()
+    }
+    assert set(got) == {1, 2, 3, 4}
+    for r in got.values():
+        # ids decode to the tokens column; concatenation reconstructs the
+        # normalized text with separators removed
+        assert [inv[i] for i in r.token_ids] == list(r.tokens)
+        norm = " ".join(r.text.lower().split())
+        assert "".join(r.tokens) == norm.replace(" ", "")
+        assert r.n_tokens == len(r.token_ids)
+        assert r.src in "abcd"  # payload passthrough
+    assert got[3].token_ids == [] and got[3].n_tokens == 0
+
+
+def test_encode_corpus_matches_per_word_encoding(spark):
+    from ensembl_database_loader_spark.operators.bpe import (
+        encode_corpus,
+        encode_words,
+        train_bpe,
+        word_frequencies,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma {'x' * (i % 5 + 1)} alpha") for i in range(30)],
+        "doc_id bigint, text string",
+    )
+    wf = word_frequencies(docs, "text")
+    merges = train_bpe(wf, 6)
+    per_word = {r.word: list(r.syms) for r in encode_words(wf, merges).collect()}
+    got = encode_corpus(docs.repartition(7), merges, keep_tokens=True).collect()
+    for r in got:
+        expect = [s for w in r.text.lower().split() for s in per_word[w]]
+        assert list(r.tokens) == expect
+
+    with pytest.raises(ValueError, match="not in"):
+        encode_corpus(docs, merges, text_col="nope")
