@@ -1665,6 +1665,57 @@ def tx_bpe(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+_BPE_ENCODE_ORACLE = (
+    "SELECT doc_id, "
+    f"md5(replace({{norm}}, ' ', '')) AS rt_md5, "
+    "TRUE AS ids_in_vocab, TRUE AS counts_bounded "
+    "FROM documents ORDER BY doc_id"
+).format(norm=_norm("coalesce(text, '')"))
+
+
+@probe("tx_bpe_encode", oracle=_BPE_ENCODE_ORACLE, tags=("llm", "text"))
+def tx_bpe_encode(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus-level BPE encoding to token ids (operators/bpe.
+    encode_corpus): every document tokenized with the 12-merge
+    vocabulary trained by the tx_bpe_train path. Row-level exact gates:
+    the decoded token concatenation reconstructs each document's
+    normalized separator-free text (md5 vs DuckDB's direct
+    recomputation — encoding partitions the text, nothing lost or
+    invented), every id lies in [0, vocab_size), and the token count is
+    bounded by [n_words, n_nonspace_chars] (each word yields >= 1 and
+    <= len(word) symbols). The encoder runs per DISTINCT word, not per
+    occurrence; documents reassemble via one shuffle_hash join +
+    ordered flatten — no Python touches corpus-sized data."""
+    from ensembl_database_loader_spark.operators.bpe import (
+        encode_corpus,
+        token_vocabulary,
+        train_bpe,
+        word_frequencies,
+    )
+    from ensembl_database_loader_spark.functions.text import tokens as _tok
+
+    ensure_session_confs(spark)
+    d = table(spark, sf, "documents")
+    wf = word_frequencies(d, "text").persist()
+    merges = train_bpe(wf, 12)
+    vocab_size = token_vocabulary(wf, merges).count()
+    enc = encode_corpus(d, merges, keep_tokens=True)
+    n_words = F.size(F.filter(_tok("text"), lambda w: w != ""))
+    n_chars = F.length(F.regexp_replace(normalize_text("text"), " ", ""))
+    return enc.select(
+        "doc_id",
+        F.md5(F.concat_ws("", "tokens")).alias("rt_md5"),
+        F.forall(
+            "token_ids",
+            lambda i: (i >= 0) & (i < F.lit(int(vocab_size))),
+        ).alias("ids_in_vocab"),
+        (
+            (F.col("n_tokens") >= n_words.cast("bigint"))
+            & (F.col("n_tokens") <= n_chars.cast("bigint"))
+        ).alias("counts_bounded"),
+    ).orderBy("doc_id")
+
+
 _SEMDEDUP_ORACLE = (
     "WITH e AS (SELECT vec_id, label, "
     "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings), "
