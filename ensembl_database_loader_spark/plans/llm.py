@@ -2368,6 +2368,87 @@ def tx_lm_perplexity(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+_KN_ORACLE = (
+    # identical KN statistics (lang='en' training slice), identical
+    # IEEE expression sequence, per-doc mean, per-lang aggregate
+    f"WITH tdoc AS (SELECT doc_id, lang, {_toks('text')} AS toks FROM documents), "
+    "bi AS (SELECT w1, w2, COUNT(*) AS bc FROM "
+    "(SELECT toks[i] AS w1, toks[i + 1] AS w2 FROM tdoc, "
+    "unnest(generate_series(1, len(toks) - 1)) AS u(i) WHERE lang = 'en') "
+    "GROUP BY w1, w2), "
+    "ctx AS (SELECT w1, CAST(SUM(bc) AS BIGINT) AS c1, COUNT(*) AS n1f "
+    "FROM bi GROUP BY w1), "
+    "cont AS (SELECT w2, COUNT(*) AS n1b FROM bi GROUP BY w2), "
+    "bb AS (SELECT COUNT(*) AS b FROM bi), "
+    "vv AS (SELECT COUNT(DISTINCT w) AS v FROM "
+    f"(SELECT unnest({_toks('text')}) AS w FROM documents WHERE lang = 'en') "
+    "WHERE w <> ''), "
+    "bg AS (SELECT doc_id, lang, toks[i] AS w1, toks[i + 1] AS w2 FROM tdoc, "
+    "unnest(generate_series(1, len(toks) - 1)) AS u(i)), "
+    "sc AS (SELECT doc_id, lang, ln(CASE WHEN c1 IS NOT NULL THEN "
+    "GREATEST(COALESCE(bc, 0) - 0.75, 0.0) / c1 "
+    "+ 0.75 * n1f / c1 * ((COALESCE(n1b, 0) + 1.0) / (b + v)) "
+    "ELSE (COALESCE(n1b, 0) + 1.0) / (b + v) END) AS lp "
+    "FROM bg LEFT JOIN bi USING (w1, w2) LEFT JOIN ctx USING (w1) "
+    "LEFT JOIN cont USING (w2) CROSS JOIN bb CROSS JOIN vv), "
+    "doc AS (SELECT doc_id, lang, AVG(lp) AS mlp FROM sc GROUP BY doc_id, lang), "
+    "per AS (SELECT lang, COUNT(*) AS cnt, AVG(mlp) AS raw FROM doc GROUP BY lang) "
+    "SELECT lang, CAST(cnt AS BIGINT) AS scored_docs, "
+    "ROUND(raw + 1e-9, 2) AS avg_logprob, "
+    "((SELECT lang FROM per ORDER BY raw DESC, lang LIMIT 1) = 'en') AS en_best "
+    "FROM per ORDER BY lang"
+)
+
+
+@probe("tx_lm_kneser_ney", oracle=_KN_ORACLE, tags=("llm", "text", "quality"))
+def tx_lm_kneser_ney(spark: SparkSession, sf: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram scoring (operators/lm.
+    train_kn_bigram_lm / score_kn_logprob) — the smoothing KenLM
+    actually uses for the CCNet filter, beside the add-alpha baseline
+    of tx_lm_perplexity: absolute discounting on seen bigrams, backoff
+    mass D*N1+(w1,.)/c(w1) routed to the CONTINUATION distribution
+    N1+(., w2)/(B+V-uniform-floored), full continuation fallback for
+    unseen contexts. Every statistic is a BIGINT count; the probability
+    expression is mirrored character-for-character in the oracle so
+    both engines run the identical IEEE sequence, and the per-language
+    means + the en_best discrimination contract hash-gate the result."""
+    from ensembl_database_loader_spark.operators.lm import (
+        score_kn_logprob,
+        train_kn_bigram_lm,
+    )
+
+    ensure_session_confs(spark)
+    d = table(spark, sf, "documents")
+    bi, ctx, cont, n_types, vocab = train_kn_bigram_lm(
+        d.filter(F.col("lang") == "en")
+    )
+    scored = score_kn_logprob(
+        d, "doc_id", "text", bi, ctx, cont, n_types, vocab
+    )
+    per = (
+        scored.filter(F.col("mean_logprob").isNotNull())
+        .groupBy("lang")
+        .agg(
+            _cnt().alias("scored_docs"),
+            F.avg("mean_logprob").alias("_raw"),
+        )
+        .persist()
+    )
+    best = per.orderBy(F.desc("_raw"), "lang").limit(1).select(
+        (F.col("lang") == "en").alias("en_best")
+    )
+    return (
+        per.crossJoin(best)
+        .select(
+            "lang",
+            F.col("scored_docs").cast("bigint"),
+            F.round(F.col("_raw") + F.lit(1e-9), 2).alias("avg_logprob"),
+            "en_best",
+        )
+        .orderBy("lang")
+    )
+
+
 _CONCAT_PACK_ORACLE = (
     # per-shard concat stream: same knuth shard + (hash, id) order +
     # cumsum arithmetic, all BIGINT — row-level exact

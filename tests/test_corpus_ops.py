@@ -1210,3 +1210,78 @@ def test_encode_corpus_matches_per_word_encoding(spark):
 
     with pytest.raises(ValueError, match="not in"):
         encode_corpus(docs, merges, text_col="nope")
+
+
+def test_kn_bigram_lm_matches_python_reference(spark):
+    import math
+
+    from ensembl_database_loader_spark.operators.lm import (
+        score_kn_logprob,
+        train_kn_bigram_lm,
+    )
+
+    ref_texts = ["a b a b c", "b a a b", "c c a b"]
+    ref = spark.createDataFrame([(t,) for t in ref_texts], "text string")
+    bi, ctx, cont, B, V = train_kn_bigram_lm(ref)
+
+    # independent pure-python KN statistics
+    def toks(t):
+        return t.lower().split()
+
+    bc: dict = {}
+    for t in ref_texts:
+        w = toks(t)
+        for i in range(len(w) - 1):
+            bc[(w[i], w[i + 1])] = bc.get((w[i], w[i + 1]), 0) + 1
+    c1 = {}
+    n1f = {}
+    n1b = {}
+    for (a, b), c in bc.items():
+        c1[a] = c1.get(a, 0) + c
+        n1f[a] = n1f.get(a, 0) + 1
+        n1b[b] = n1b.get(b, 0) + 1
+    vocab = {w for t in ref_texts for w in toks(t)}
+    assert (B, V) == (len(bc), len(vocab))
+    assert {(r.w1, r.w2): r.bc for r in bi.collect()} == bc
+    assert {r.w1: (r.c1, r.n1f) for r in ctx.collect()} == {
+        a: (c1[a], n1f[a]) for a in c1
+    }
+    assert {r.w2: r.n1b for r in cont.collect()} == n1b
+
+    D = 0.75
+
+    def p(w1, w2):
+        pcont = (n1b.get(w2, 0) + 1.0) / (B + V)
+        if w1 not in c1:
+            return pcont
+        return (
+            max(bc.get((w1, w2), 0) - D, 0.0) / c1[w1]
+            + D * n1f[w1] / c1[w1] * pcont
+        )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c"),              # all seen
+            (2, "a z b"),              # OOV word: continuation + unseen ctx
+            (3, "q"),                  # single token: NULL score
+            (4, "c a"),                # seen ctx, unseen bigram (discount->0)
+        ],
+        "id bigint, text string",
+    )
+    got = {
+        r.id: (r.mean_logprob, r.n_bigrams)
+        for r in score_kn_logprob(
+            docs, "id", "text", bi, ctx, cont, B, V
+        ).collect()
+    }
+    for did, text in [(1, "a b c"), (2, "a z b"), (4, "c a")]:
+        w = toks(text)
+        want = sum(
+            math.log(p(w[i], w[i + 1])) for i in range(len(w) - 1)
+        ) / (len(w) - 1)
+        assert got[did][1] == len(w) - 1
+        assert abs(got[did][0] - want) < 1e-12, did
+    assert got[3] == (None, None)
+
+    with pytest.raises(ValueError, match="discount"):
+        score_kn_logprob(docs, "id", "text", bi, ctx, cont, B, V, discount=1.5)
