@@ -1,0 +1,147 @@
+"""Link-analysis ranking over an edge table — fixed-point PageRank,
+the second iterative-algorithm class beside the connected-components
+closure (``operators/components.py``). In a training-data pipeline
+this is the crawl-frontier / source-authority score (rank domains by
+who links to them, weight crawl budget toward authoritative sources);
+in analytics it ranks entities by reference structure.
+
+Why FIXED-POINT integer arithmetic: the usual double-typed PageRank
+sums float contributions in shuffle-partition order, so two runs (or
+two engines) disagree in the last ulps and the result is only
+approximately reproducible. Scaling ranks to BIGINT "nano-rank" units
+makes every iteration a pure integer computation — ``DIV`` and ``+``
+only — so the result is BIT-IDENTICAL across runs, layouts, cluster
+sizes, and engines (the DuckDB oracle replays the same integer ops and
+must hash-match exactly). The truncation error per iteration is
+< 1 unit per edge — at scale=1e12 that is ~1e-12 of total mass,
+irrelevant next to the damping fixpoint itself.
+
+Semantics (standard simplified PageRank): ranks start uniform
+(``scale DIV n``); each iteration every node keeps
+``(100-damping_pct)%`` of the uniform base and receives
+``damping_pct%`` of the integer-split ranks of its in-neighbors
+(``rank DIV out_degree``). Dangling-node mass (no out-edges) drops out
+of circulation rather than being redistributed — the common
+map-reduce simplification, stated here because the oracle mirrors it.
+
+Spark shape per iteration: ONE shuffle join (current ranks onto the
+static degree-annotated edge table, ``shuffle_hash`` — both sides are
+graph-sized) and one partial-aggregated groupBy(dst). The edge table
+is joined-with-degrees ONCE before the loop and localCheckpointed;
+ranks are localCheckpointed every other round to truncate lineage (the
+components.py idiom — without it the plan doubles per round). At 100 TB
+pre-partition the edge table by ``src`` so the per-iteration join
+reuses the partitioning; the rank frame is nodes-sized (much smaller
+than edges) and follows the exchange.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def out_degrees(edges: DataFrame, src: str = "src") -> DataFrame:
+    """(node, deg) — out-degree of every node with at least one
+    out-edge. One partial-aggregated shuffle."""
+    return (
+        edges.groupBy(F.col(src).alias("node"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
+    )
+
+
+def pagerank_fixed(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 3,
+    scale: int = 10**12,
+    damping_pct: int = 85,
+) -> DataFrame:
+    """(node, rank) after ``iterations`` rounds of integer fixed-point
+    PageRank; ``rank`` is in ``scale`` units (sum over nodes <= scale,
+    shrinking by the dangling mass each round). Deterministic and
+    engine-exact: every operation is BIGINT ``+`` / ``DIV``."""
+    if iterations < 1:
+        raise ValueError(f"iterations must be >= 1, got {iterations}")
+    if not 0 < damping_pct < 100:
+        raise ValueError(f"damping_pct must be in (1, 99), got {damping_pct}")
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    # static across iterations: every edge annotated with its source's
+    # out-degree; checkpoint so the loop never recomputes the scan
+    ed = (
+        e.join(
+            out_degrees(e).withColumnRenamed("node", "src").hint("shuffle_hash"),
+            "src",
+        )
+        .localCheckpoint()
+    )
+    nodes = nodes.localCheckpoint()
+    n = nodes.count()
+    base = int(scale) // n  # uniform start AND the per-round teleport mass
+    keep = 100 - damping_pct
+    ranks = nodes.withColumn("rank", F.lit(base).cast("bigint"))
+    for i in range(iterations):
+        sums = (
+            ed.join(
+                ranks.withColumnRenamed("node", "src").hint("shuffle_hash"),
+                "src",
+            )
+            .select("dst", F.expr("rank DIV deg").alias("_c"))
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("_c").cast("bigint").alias("_m"))
+        )
+        ranks = (
+            nodes.join(sums, "node", "left")
+            .select(
+                "node",
+                F.expr(
+                    f"({keep} * {base}L + {damping_pct} * coalesce(_m, 0L)) DIV 100"
+                ).alias("rank"),
+            )
+        )
+        if i % 2 == 1 and i < iterations - 1:
+            ranks = ranks.localCheckpoint()
+    return ranks
+
+
+def pagerank_oracle_sql(
+    edges_sql: str,
+    iterations: int = 3,
+    scale: int = 10**12,
+    damping_pct: int = 85,
+) -> str:
+    """The DuckDB twin of ``pagerank_fixed`` — the same integer
+    recurrence unrolled into CTEs (``//`` on non-negative BIGINTs ==
+    Spark's ``DIV``), parameterized by the SQL producing the
+    (src, dst) edge set. Built programmatically so probe SQL can't
+    drift from the engine's iteration count."""
+    keep = 100 - damping_pct
+    parts = [
+        f"WITH ed AS (SELECT src, dst FROM ({edges_sql}))",
+        "nodes AS (SELECT DISTINCT node FROM "
+        "(SELECT src AS node FROM ed UNION ALL SELECT dst FROM ed))",
+        "deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM ed GROUP BY src)",
+        "nn AS (SELECT COUNT(*) AS n FROM nodes)",
+        f"rk0 AS (SELECT node, CAST({scale} // n AS BIGINT) AS rank "
+        "FROM nodes CROSS JOIN nn)",
+    ]
+    for i in range(1, iterations + 1):
+        parts.append(
+            f"rk{i} AS (SELECT nodes.node, CAST(({keep} * ({scale} // n) "
+            f"+ {damping_pct} * COALESCE(s.m, 0)) // 100 AS BIGINT) AS rank "
+            "FROM nodes CROSS JOIN nn LEFT JOIN "
+            "(SELECT e.dst AS node, CAST(SUM(r.rank // d.deg) AS BIGINT) AS m "
+            f"FROM ed e JOIN rk{i - 1} r ON e.src = r.node "
+            "JOIN deg d ON e.src = d.src GROUP BY e.dst) s "
+            "ON nodes.node = s.node)"
+        )
+    return (
+        ", ".join(parts)
+        + f" SELECT node, rank FROM rk{iterations}"
+    )

@@ -2410,3 +2410,53 @@ def q62(spark: SparkSession, sf: str) -> DataFrame:
         .cast("bigint")
         .alias("overlap_len"),
     )
+
+
+_PR_EDGES_SQL = (
+    "WITH p AS (SELECT DISTINCT l.l_suppkey AS s, o.o_custkey AS c "
+    "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey) "
+    "SELECT s AS src, 1000000 + c AS dst FROM p "
+    "UNION ALL SELECT 1000000 + c AS src, s AS dst FROM p"
+)
+
+
+def _pr_oracle() -> str:
+    from ensembl_database_loader_spark.operators.graph import pagerank_oracle_sql
+
+    return (
+        "SELECT node, rank FROM ("
+        + pagerank_oracle_sql(_PR_EDGES_SQL, iterations=3)
+        + ") ORDER BY rank DESC, node LIMIT 20"
+    )
+
+
+@probe("q63_pagerank", oracle=_pr_oracle(), tags=("iterative", "graph"))
+def q63_pagerank(spark: SparkSession, sf: str) -> DataFrame:
+    """Fixed-point integer PageRank (operators/graph.pagerank_fixed)
+    over the supplier<->customer trade graph (distinct lineitem-order
+    pairs, both directions, customers offset by 1e6): 3 rounds of the
+    BIGINT recurrence — per round ONE shuffle_hash join of ranks onto
+    the degree-annotated static edge table plus one partial-aggregated
+    groupBy(dst). Because every operation is integer ``+``/``DIV``, the
+    top-20 ranks are BIT-IDENTICAL to the oracle's unrolled CTE replay
+    (no float summation-order noise) — the determinism contract that
+    makes iterative link analysis auditable across engines."""
+    from ensembl_database_loader_spark.operators.graph import pagerank_fixed
+
+    ensure_session_confs(spark)
+    li = table(spark, sf, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = table(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    pairs = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .select(F.col("l_suppkey").alias("s"), F.col("o_custkey").alias("c"))
+        .distinct()
+    )
+    edges = pairs.select(
+        F.col("s").alias("src"), (F.lit(1000000) + F.col("c")).alias("dst")
+    ).unionByName(
+        pairs.select(
+            (F.lit(1000000) + F.col("c")).alias("src"), F.col("s").alias("dst")
+        )
+    )
+    ranks = pagerank_fixed(edges, iterations=3)
+    return ranks.orderBy(F.desc("rank"), "node").limit(20)
