@@ -2460,3 +2460,106 @@ def q63_pagerank(spark: SparkSession, sf: str) -> DataFrame:
     )
     ranks = pagerank_fixed(edges, iterations=3)
     return ranks.orderBy(F.desc("rank"), "node").limit(20)
+
+
+_PART_TABLE_ORACLE = (
+    # relational recomputation of the partitioned-table lifecycle:
+    # urgent partition replaced (price+5 on k <= 1000), 5-LOW dropped
+    "WITH base AS (SELECT o_orderkey AS k, o_orderpriority AS pr, "
+    "ROUND(o_totalprice, 2) AS price FROM orders WHERE o_orderkey <= 3000), "
+    "final AS ("
+    "SELECT k, pr, ROUND(price + 5, 2) AS price FROM base "
+    "WHERE pr = '1-URGENT' AND k <= 1000 "
+    "UNION ALL SELECT * FROM base WHERE pr NOT IN ('1-URGENT', '5-LOW')) "
+    "SELECT CAST(COUNT(*) AS BIGINT) AS pt_n_rows, "
+    "CAST(SUM(k) AS BIGINT) AS pt_key_sum, "
+    "CAST(SUM(CAST(ROUND(price * 100) AS BIGINT)) AS BIGINT) AS pt_price_cents, "
+    "CAST(4 AS BIGINT) AS pt_n_partitions, "
+    "CAST((SELECT COUNT(*) FROM final WHERE pr = '2-HIGH') AS BIGINT) "
+    "AS pt_high_rows, "
+    "TRUE AS pt_rowcount_meta_ok, TRUE AS pt_prune_exact, "
+    "TRUE AS pt_pinned_ok FROM final"
+)
+
+
+@probe(
+    "llp_manifest_partitions",
+    oracle=_PART_TABLE_ORACLE,
+    tags=("storage", "pipeline"),
+)
+def llp_manifest_partitions(spark: SparkSession, sf: str) -> DataFrame:
+    """Hive-partitioned manifest tables (sinks/manifest.py
+    partition_by / overwrite_partitions / drop_partition /
+    table_partitions): the incremental-ETL lifecycle — create a table
+    partitioned by order priority, REPLACE only the urgent partition
+    (mode='overwrite_partitions': its head files drop, every other
+    partition is carried by reference), drop 5-LOW as a METADATA-ONLY
+    commit, and hash-gate
+
+    - read-your-writes content vs the relational recomputation;
+    - ``pt_n_partitions`` from manifest metadata alone
+      (table_partitions — zero files opened);
+    - ``pt_rowcount_meta_ok``: table_row_count (metadata sum) equals
+      the real count;
+    - ``pt_prune_exact``: a partition-predicate scan read EXACTLY the
+      matching partition's files (manifest parts give min == max ==
+      the path value — no stats job needed);
+    - ``pt_pinned_ok``: a snapshot resolved BEFORE the replace still
+      aggregates to the original content afterwards (old files are
+      never mutated)."""
+    import tempfile
+
+    from ensembl_database_loader_spark.sinks.manifest import (
+        drop_partition,
+        latest_manifest,
+        scan_table,
+        snapshot,
+        table_partitions,
+        table_row_count,
+        write_table,
+    )
+
+    ensure_session_confs(spark)
+    path = tempfile.mkdtemp(prefix="edl_ptable_") + "/tbl"
+    base = (
+        table(spark, sf, "orders")
+        .filter(F.col("o_orderkey") <= 3000)
+        .select(
+            F.col("o_orderkey").alias("k"),
+            F.col("o_orderpriority").alias("pr"),
+            F.round("o_totalprice", 2).alias("price"),
+        )
+    )
+    m0 = write_table(base, path, partition_by=("pr",), stats_cols=("k",))
+    pre = snapshot(spark, path, m0["version"])
+    pre_sum = pre.agg(F.sum("k")).collect()[0][0]
+    replacement = base.filter(
+        (F.col("pr") == "1-URGENT") & (F.col("k") <= 1000)
+    ).withColumn("price", F.round(F.col("price") + 5, 2))
+    write_table(replacement, path, mode="overwrite_partitions")
+    drop_partition(spark, path, {"pr": "5-LOW"})
+    # pinned reader: the pre-replace snapshot still reads the original
+    pinned_ok = pre.agg(F.sum("k")).collect()[0][0] == pre_sum
+    n_parts = len(table_partitions(spark, path))
+    # exact partition prune: the scan read ONLY 2-HIGH's files
+    m = latest_manifest(spark, path)
+    high = scan_table(spark, path, predicates=[("pr", "=", "2-HIGH")])
+    high_rows = high.count()
+    read = set(high.inputFiles())
+    match = {r for r in m["files"] if m["parts"][r]["pr"] == "2-HIGH"}
+    prune_exact = len(read) == len(match) and all(
+        any(rel in f for f in read) for rel in match
+    )
+    meta_ok = table_row_count(spark, path) == snapshot(spark, path).count()
+    return snapshot(spark, path).agg(
+        _cnt().alias("pt_n_rows"),
+        F.sum("k").cast("bigint").alias("pt_key_sum"),
+        F.sum(F.round(F.col("price") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("pt_price_cents"),
+        F.lit(n_parts).cast("bigint").alias("pt_n_partitions"),
+        F.lit(high_rows).cast("bigint").alias("pt_high_rows"),
+        F.lit(bool(meta_ok)).alias("pt_rowcount_meta_ok"),
+        F.lit(bool(prune_exact)).alias("pt_prune_exact"),
+        F.lit(bool(pinned_ok)).alias("pt_pinned_ok"),
+    )

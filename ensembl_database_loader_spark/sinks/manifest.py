@@ -54,6 +54,7 @@ import base64
 import json
 import math
 import re
+import urllib.parse
 import uuid
 from collections.abc import Callable
 
@@ -107,6 +108,63 @@ def _list_data_files(spark: SparkSession, data_dir: str) -> list[str]:
         for n in _list_names(spark, data_dir)
         if not n.startswith(("_", "."))
     ]
+
+
+def _list_data_files_recursive(spark: SparkSession, data_dir: str) -> list[str]:
+    """Relative data-file paths under one commit's data directory,
+    descending through hive ``col=value`` partition directories."""
+    fs, hroot, jvm = _fs(spark, data_dir)
+    out: list[str] = []
+
+    def walk(hpath, prefix: str) -> None:
+        for st in fs.listStatus(hpath):
+            name = st.getPath().getName()
+            if name.startswith(("_", ".")):
+                continue
+            rel = f"{prefix}{name}"
+            if st.isDirectory():
+                walk(st.getPath(), f"{rel}/")
+            else:
+                out.append(rel)
+
+    walk(hroot, "")
+    return out
+
+
+#: Spark's hive-layout sentinel for a null partition value
+_HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
+
+
+def _partition_values(rel: str, partition_by: tuple[str, ...]) -> dict:
+    """{col: raw string or None} parsed from a staged file's hive path
+    segments (``data/<uuid>/p=3/q=x%20y/part-...``). Values are stored
+    as the URL-unescaped strings Spark wrote; typing happens at prune
+    time against the table schema."""
+    vals: dict[str, str | None] = {}
+    for seg in rel.split("/")[:-1]:
+        if "=" not in seg:
+            continue
+        k, _, v = seg.partition("=")
+        if k in partition_by:
+            vals[k] = None if v == _HIVE_NULL else urllib.parse.unquote(v)
+    return vals
+
+
+def _typed_part(raw: str | None, dtype: str):
+    """A partition value string cast to the column's family so it
+    compares correctly in ``files_matching`` (int family -> int, float
+    family -> float, everything else stays a string — dates/timestamps
+    compare lexicographically in their hive form, same as file stats).
+    A value that doesn't parse returns the raw string (conservative:
+    the same_family check then keeps the file for numeric probes)."""
+    if raw is None:
+        return None
+    try:
+        if dtype in _STATS_NUMERIC:
+            return float(raw) if dtype in ("float", "double") else int(raw)
+    except ValueError:
+        return raw
+    return raw
 
 
 # ---------------------------------------------------------------------------
@@ -204,18 +262,72 @@ def _commit(
     )
 
 
-def _stage_data(df: DataFrame, path: str) -> tuple[list[str], str]:
+def _stage_data(
+    df: DataFrame, path: str, partition_by: tuple[str, ...] = ()
+) -> tuple[list[str], str]:
     """Write ``df``'s data files under a fresh ``data/<uuid>/`` commit
     directory nobody reads directly; returns (relative file paths,
-    schema json). The ONLY Spark job in the write path."""
+    schema json). The ONLY Spark job in the write path. With
+    ``partition_by`` the files land in hive ``col=value`` directories
+    (partition columns live in the PATH, not the files — readers
+    reconstruct them via ``basePath``)."""
     root = path.rstrip("/")
     commit_dir = f"data/{uuid.uuid4().hex}"
-    df.write.parquet(f"{root}/{commit_dir}")
-    rel = [
-        f"{commit_dir}/{n}"
-        for n in sorted(_list_data_files(df.sparkSession, f"{root}/{commit_dir}"))
-    ]
+    if partition_by:
+        df.write.partitionBy(*partition_by).parquet(f"{root}/{commit_dir}")
+        rel = [
+            f"{commit_dir}/{n}"
+            for n in sorted(
+                _list_data_files_recursive(
+                    df.sparkSession, f"{root}/{commit_dir}"
+                )
+            )
+        ]
+    else:
+        df.write.parquet(f"{root}/{commit_dir}")
+        rel = [
+            f"{commit_dir}/{n}"
+            for n in sorted(
+                _list_data_files(df.sparkSession, f"{root}/{commit_dir}")
+            )
+        ]
     return rel, df.schema.json()
+
+
+def _read_files(
+    spark: SparkSession, m: dict, root: str, rels: list[str]
+) -> DataFrame:
+    """Read manifest-listed data files with the table's declared schema
+    and column ORDER. For a partitioned table the partition columns are
+    reconstructed from the hive paths (``basePath``), then re-selected
+    into declared order (Spark appends partition columns last)."""
+    schema = StructType.fromJson(json.loads(m["schema"]))
+    if not rels:
+        return spark.createDataFrame([], schema)
+    if not m.get("partition_by"):
+        return spark.read.schema(schema).parquet(
+            *[f"{root}/{rel}" for rel in rels]
+        )
+    # hive-partition reconstruction needs ONE basePath per directory
+    # tree; files span several data/<uuid>/ commit dirs, so read each
+    # commit's files with ITS basePath and union (scans concatenate —
+    # no shuffle, and Spark still merges them into one FileScan per
+    # branch)
+    by_commit: dict[str, list[str]] = {}
+    for rel in rels:
+        parts = rel.split("/")
+        by_commit.setdefault("/".join(parts[:2]), []).append(rel)
+    out: DataFrame | None = None
+    for commit_dir, group in sorted(by_commit.items()):
+        df = (
+            spark.read.schema(schema)
+            .option("basePath", f"{root}/{commit_dir}")
+            .parquet(*[f"{root}/{rel}" for rel in group])
+            .select(*[f.name for f in schema.fields])
+        )
+        out = df if out is None else out.unionByName(df)
+    assert out is not None
+    return out
 
 
 #: dtypes we collect file stats for (numeric kept as JSON numbers,
@@ -304,12 +416,21 @@ def _collect_stats(
         .agg(*aggs)
         .collect()
     )
-    by_tail = {rel.split("/")[-1]: rel for rel in staged}
+    # Match result rows back to staged rels by the path suffix UNDER the
+    # commit dir — tail names alone are NOT unique in a partitioned
+    # stage (one task writes the same part-NNNNN name into several hive
+    # dirs). input_file_name returns a URI (literal '%' re-encoded as
+    # '%25'), so one unquote restores the on-disk literal path.
+    commit = staged[0].split("/", 2)[1]
+    marker = f"/{commit}/"
+    by_suffix = {rel.split("/", 2)[2]: rel for rel in staged}
     out: dict[str, dict[str, list]] = {}
     counts: dict[str, int] = {}
     blooms: dict[str, dict[str, str]] = {}
     for r in rows:
-        rel = by_tail.get(r["__f"].rstrip("/").split("/")[-1])
+        p = urllib.parse.unquote(r["__f"].rstrip("/"))
+        i = p.rfind(marker)
+        rel = by_suffix.get(p[i + len(marker):]) if i >= 0 else None
         if rel is None:
             continue  # foreign file name — never prunable, just skip
         counts[rel] = int(r["__n"])
@@ -448,9 +569,22 @@ def files_matching(manifest: dict, predicates) -> list[str]:
         if op not in _PRED_OPS:
             raise ValueError(f"unsupported predicate op {op!r} (use one of {_PRED_OPS})")
     stats = manifest.get("stats", {})
+    # partition values prune exactly like single-value stats: a file's
+    # partition column has min == max == its hive path value
+    parts = manifest.get("parts", {})
+    part_types: dict[str, str] = {}
+    if parts:
+        part_types = {
+            f.name: f.dataType.simpleString()
+            for f in StructType.fromJson(json.loads(manifest["schema"])).fields
+            if f.name in set(manifest.get("partition_by", ()))
+        }
     out = []
     for rel in manifest["files"]:
-        fstats = stats.get(rel, {})
+        fstats = dict(stats.get(rel, {}))
+        for c, raw in parts.get(rel, {}).items():
+            tv = _typed_part(raw, part_types.get(c, "string"))
+            fstats.setdefault(c, [tv, tv])
         keep = True
         for col, op, v in predicates:
             if col not in fstats:
@@ -532,10 +666,7 @@ def scan_table(
                 if (b := blooms.get(rel, {}).get(col)) is None
                 or _bloom_contains(b, pos)
             ]
-    if not kept:
-        df = spark.createDataFrame([], schema)
-    else:
-        df = spark.read.schema(schema).parquet(*[f"{root}/{rel}" for rel in kept])
+    df = _read_files(spark, m, root, kept)
     for col, op, v in predicates:
         c = F.col(col)
         df = df.filter(
@@ -628,6 +759,7 @@ def write_table(
     bloom_cols: tuple[str, ...] = (),
     bloom_bits: int = _BLOOM_DEFAULT_BITS,
     bloom_hashes: int = _BLOOM_DEFAULT_HASHES,
+    partition_by: tuple[str, ...] = (),
 ) -> dict | None:
     """Commit ``df`` as the table's next snapshot.
 
@@ -636,6 +768,20 @@ def write_table(
     are fully written BEFORE the manifest publishes, so readers see the
     old snapshot until the commit instant and the new one after —
     never a mix.
+
+    ``partition_by`` lays files out in hive ``col=value`` directories
+    and records each file's partition values in the manifest, so
+    ``scan_table`` prunes partition predicates EXACTLY (min == max ==
+    the path value) with zero stats jobs, ``table_partitions`` lists
+    partitions from metadata alone, and ``drop_partition`` removes one
+    as a metadata-only commit. The layout is declared at table creation
+    and inherited by every append (passing a different layout raises).
+    ``mode='overwrite_partitions'`` is the incremental-ETL write: only
+    the partitions PRESENT in ``df`` are replaced (their head files
+    drop, everything else is carried by reference) — the daily-reload
+    pattern that otherwise needs a read-modify-write of the whole
+    table. Partition columns live in paths, not files, so they cannot
+    carry file stats or blooms (declare other columns for those).
 
     ``txn=(app_id, batch_id)`` makes the commit idempotent under
     replay: if the head manifest already reflects a batch >= batch_id
@@ -663,21 +809,56 @@ def write_table(
     the key pass its bloom. Appends inherit the table's bloom columns
     automatically (the spec lives in the manifest's ``bloom_meta``),
     so one declaration at table creation covers every later writer."""
-    if mode not in ("overwrite", "append"):
-        raise ValueError(f"write_table mode must be overwrite|append, got {mode!r}")
+    if mode not in ("overwrite", "append", "overwrite_partitions"):
+        raise ValueError(
+            "write_table mode must be overwrite|append|overwrite_partitions, "
+            f"got {mode!r}"
+        )
     spark = df.sparkSession
     head0 = latest_manifest(spark, path)
     if _txn_skip(head0, txn):
         return None
+    pb = tuple(partition_by)
+    head_pb = tuple((head0 or {}).get("partition_by", ()))
+    if mode != "overwrite" and head0 is not None:
+        if pb and pb != head_pb:
+            raise ValueError(
+                f"table is partitioned by {head_pb!r}; cannot {mode} with "
+                f"partition_by={pb!r}"
+            )
+        pb = head_pb  # layout is a table property — appends inherit it
+    if mode == "overwrite_partitions" and not pb:
+        raise ValueError(
+            "overwrite_partitions requires a partitioned table "
+            "(declare partition_by at creation)"
+        )
+    if pb:
+        missing_pc = [c for c in pb if c not in df.columns]
+        if missing_pc:
+            raise ValueError(f"partition_by {missing_pc!r} not in {df.columns}")
+        clash = sorted(set(pb) & (set(stats_cols) | set(bloom_cols)))
+        if clash:
+            raise ValueError(
+                f"partition columns {clash!r} cannot carry stats/blooms — "
+                "their value is exact from the path already"
+            )
     bloom_spec = _bloom_effective_spec(
-        head0 if mode == "append" else None,
+        head0 if mode != "overwrite" else None,
         tuple(bloom_cols),
         bloom_bits,
         bloom_hashes,
     )
-    staged, schema_json = _stage_data(df, path)
+    staged, schema_json = _stage_data(df, path, pb)
+    # partition columns live in paths, not files: the stats job reads
+    # the staged leaves with the schema MINUS partition columns
+    stats_schema = StructType(
+        [f for f in df.schema.fields if f.name not in set(pb)]
+    )
     staged_stats, staged_rows, staged_blooms = _collect_stats(
-        spark, path.rstrip("/"), staged, df.schema, tuple(stats_cols), bloom_spec
+        spark, path.rstrip("/"), staged, stats_schema, tuple(stats_cols), bloom_spec
+    )
+    staged_parts = (
+        {rel: _partition_values(rel, pb) for rel in staged} if pb else {}
     )
 
     def build(head: dict | None) -> dict | None:
@@ -689,10 +870,54 @@ def write_table(
         blooms = staged_blooms
         meta = bloom_spec
         schema_out = schema_json
-        if mode == "append" and head is not None:
-            files = head["files"] + staged
-            stats = {**head.get("stats", {}), **staged_stats}
-            rows = {**head.get("rows", {}), **staged_rows}
+        parts = staged_parts
+        if mode != "overwrite" and head is not None:
+            if tuple(head.get("partition_by", ())) != pb:
+                # a competing overwrite changed the table's layout while
+                # we staged under the old one — our files are laid out
+                # wrong for the new table; retrying can't fix that
+                raise RuntimeError(
+                    f"partition layout changed concurrently at {path} "
+                    f"({head.get('partition_by')!r} != {pb!r}) — re-run"
+                )
+            head_files = head["files"]
+            if mode == "overwrite_partitions":
+                replaced = {
+                    tuple(sorted(v.items())) for v in staged_parts.values()
+                }
+                head_parts = head.get("parts", {})
+                head_files = [
+                    rel
+                    for rel in head_files
+                    if tuple(sorted(head_parts.get(rel, {}).items()))
+                    not in replaced
+                ]
+            carried = set(head_files)
+            files = head_files + staged
+            stats = {
+                **{
+                    r: s
+                    for r, s in head.get("stats", {}).items()
+                    if r in carried
+                },
+                **staged_stats,
+            }
+            rows = {
+                **{
+                    r: n
+                    for r, n in head.get("rows", {}).items()
+                    if r in carried
+                },
+                **staged_rows,
+            }
+            parts = {
+                **{
+                    r: v
+                    for r, v in head.get("parts", {}).items()
+                    if r in carried
+                },
+                **staged_parts,
+            }
             # a competing writer may have introduced a column first; its
             # sizing wins so the table stays internally consistent
             meta = {**bloom_spec, **head.get("bloom_meta", {})}
@@ -718,7 +943,14 @@ def write_table(
                     for rel, bm in staged_blooms.items()
                 }
                 safe_staged = {rel: bm for rel, bm in safe_staged.items() if bm}
-            blooms = {**head.get("blooms", {}), **safe_staged}
+            blooms = {
+                **{
+                    r: b
+                    for r, b in head.get("blooms", {}).items()
+                    if r in carried
+                },
+                **safe_staged,
+            }
             schema_out = _evolved_schema(head["schema"], schema_json, schema_mode)
         return {
             "files": files,
@@ -728,6 +960,8 @@ def write_table(
             **({"rows": rows} if rows else {}),
             **({"bloom_meta": meta} if meta else {}),
             **({"blooms": blooms} if blooms else {}),
+            **({"partition_by": list(pb)} if pb else {}),
+            **({"parts": parts} if parts else {}),
         }
 
     return _commit(spark, path, build, mode)
@@ -759,13 +993,103 @@ def table_row_count(
     missing = [rel for rel in m["files"] if rel not in rows]
     total = sum(int(rows[rel]) for rel in known)
     if missing:
-        schema = StructType.fromJson(json.loads(m["schema"]))
-        total += (
-            spark.read.schema(schema)
-            .parquet(*[f"{root}/{rel}" for rel in missing])
-            .count()
-        )
+        total += _read_files(spark, m, root, missing).count()
     return total
+
+
+def table_partitions(
+    spark: SparkSession, path: str, version: int | None = None
+) -> list[dict]:
+    """The table's partitions from manifest metadata alone — zero data
+    files opened: one dict per distinct partition-value tuple with
+    ``values`` (column -> string-or-None, the hive path form),
+    ``n_files``, and ``n_rows`` (None when any member file predates row
+    counting). Sorted by the stringified values for determinism. At
+    100 TB this is the partition listing a catalog query (SHOW
+    PARTITIONS) answers without touching storage."""
+    root = path.rstrip("/")
+    m = (
+        read_manifest(spark, root, version)
+        if version is not None
+        else latest_manifest(spark, root)
+    )
+    if m is None:
+        raise FileNotFoundError(f"no manifest at {path} — not a committed table")
+    if not m.get("partition_by"):
+        raise ValueError(f"table at {path} is not partitioned")
+    parts = m.get("parts", {})
+    rows = m.get("rows", {})
+    agg: dict[tuple, dict] = {}
+    for rel in m["files"]:
+        key = tuple(sorted(parts.get(rel, {}).items()))
+        e = agg.setdefault(
+            key, {"values": dict(key), "n_files": 0, "n_rows": 0}
+        )
+        e["n_files"] += 1
+        if e["n_rows"] is not None:
+            e["n_rows"] = (
+                e["n_rows"] + int(rows[rel]) if rel in rows else None
+            )
+    return [agg[k] for k in sorted(agg, key=str)]
+
+
+def drop_partition(
+    spark: SparkSession, path: str, values: dict
+) -> dict | None:
+    """Remove every file of the partition(s) matching ``values``
+    ({col: value-string or None}) as a METADATA-ONLY commit — no data
+    file is read, rewritten, or deleted (``vacuum_table`` reclaims
+    later, so pinned readers keep working). ``values`` may cover a
+    prefix of the partition columns (drop a whole date across
+    sub-partitions). Returns the new manifest, or None when nothing
+    matched (no empty commit). The GDPR/retention fast path on a
+    partitioned table: O(manifest) where ``delete_rows`` is O(files
+    rewritten)."""
+    head = latest_manifest(spark, path)
+    if head is None:
+        raise FileNotFoundError(f"no manifest at {path} — not a committed table")
+    pb = head.get("partition_by", ())
+    bad = sorted(set(values) - set(pb))
+    if not pb or bad:
+        raise ValueError(
+            f"drop_partition keys {sorted(values)!r} must be partition "
+            f"columns {list(pb)!r}"
+        )
+    parts = head.get("parts", {})
+    want = {k: (None if v is None else str(v)) for k, v in values.items()}
+
+    def matches(rel: str) -> bool:
+        p = parts.get(rel, {})
+        return all(k in p and p[k] == v for k, v in want.items())
+
+    dropped = [rel for rel in head["files"] if matches(rel)]
+    if not dropped:
+        return None
+    kept = [rel for rel in head["files"] if rel not in set(dropped)]
+
+    def build(h: dict | None) -> dict:
+        if h is None or h["version"] != head["version"]:
+            raise RuntimeError(
+                f"concurrent commit during drop_partition at {path} — re-run"
+            )
+        keep = set(kept)
+        return {
+            "files": kept,
+            "schema": h["schema"],
+            "txn": _merged_txn(h, None),
+            **{
+                k: {r: v for r, v in h[k].items() if r in keep}
+                for k in ("stats", "rows", "blooms", "parts")
+                if h.get(k)
+            },
+            **({"bloom_meta": h["bloom_meta"]} if h.get("bloom_meta") else {}),
+            "partition_by": list(pb),
+        }
+
+    out = _commit(spark, path, build, "drop_partition")
+    assert out is not None
+    out["files_dropped"] = len(dropped)
+    return out
 
 
 def snapshot(
@@ -784,12 +1108,20 @@ def snapshot(
     )
     if m is None:
         raise FileNotFoundError(f"no manifest at {path} — not a committed table")
-    schema = StructType.fromJson(json.loads(m["schema"]))
-    if not m["files"]:
-        return spark.createDataFrame([], schema)
-    return spark.read.schema(schema).parquet(
-        *[f"{root}/{rel}" for rel in m["files"]]
-    )
+    return _read_files(spark, m, root, m["files"])
+
+
+def _reject_partitioned(head: dict | None, path: str, op: str) -> None:
+    """Rewrite ops re-stage the snapshot UNpartitioned, which would
+    silently drop the table's layout (and its exact pruning) — refuse
+    with a clear error instead. Partitioned tables get their own cheap
+    paths: overwrite_partitions and drop_partition."""
+    if head and head.get("partition_by"):
+        raise ValueError(
+            f"{op} does not support partitioned tables (partition_by="
+            f"{head['partition_by']!r} at {path}); use "
+            "mode='overwrite_partitions' / drop_partition instead"
+        )
 
 
 def merge_table(
@@ -816,6 +1148,7 @@ def merge_table(
 
     spark = batch.sparkSession
     base_head = latest_manifest(spark, path)
+    _reject_partitioned(base_head, path, "merge_table")
     if base_head is None:
         raise FileNotFoundError(f"no manifest at {path} — not a committed table")
     bloom_spec = _bloom_effective_spec(
@@ -925,6 +1258,7 @@ def compact_table(
     if sort_cols and zorder_cols:
         raise ValueError("pass sort_cols or zorder_cols, not both")
     head = latest_manifest(spark, path)
+    _reject_partitioned(head, path, "compact_table")
     if head is None:
         raise FileNotFoundError(f"no manifest at {path} — not a committed table")
     root = path.rstrip("/")
@@ -1008,6 +1342,7 @@ def _rewrite_rows(
     """
     root = path.rstrip("/")
     head = latest_manifest(spark, root)
+    _reject_partitioned(head, path, operation)
     if head is None:
         raise FileNotFoundError(f"no manifest at {path} — not a committed table")
     if where is None:
@@ -1330,10 +1665,10 @@ def orphan_files(spark: SparkSession, path: str) -> list[str]:
             if not commit.isDirectory():
                 continue
             cname = commit.getPath().getName()
-            for st in fs.listStatus(commit.getPath()):
-                n = st.getPath().getName()
-                if n.startswith(("_", ".")):
-                    continue
+            # recursive: partitioned commits nest hive col=value dirs
+            for n in _list_data_files_recursive(
+                spark, f"{root}/data/{cname}"
+            ):
                 rel = f"data/{cname}/{n}"
                 if rel not in referenced:
                     found.append(rel)

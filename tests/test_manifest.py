@@ -854,3 +854,131 @@ def test_bloom_sizing_race_drops_incompatible_staged_bitmaps(
     # scans stay correct: the key in the bitmap-less staged file is found
     got = M.scan_table(spark, tbl, predicates=[("k", "=", 3)])
     assert [(r.k, r.v) for r in got.collect()] == [(3, "c")]
+
+
+# --- hive-partitioned tables (r9) ------------------------------------------
+
+
+def _pdf(spark, rows):
+    return spark.createDataFrame(rows, "k bigint, p string, v string")
+
+
+def test_partitioned_roundtrip_and_parts_metadata(spark, tbl):
+    df = _pdf(spark, [(1, "a", "x"), (2, "b", "y"), (3, "a", "z")])
+    m = M.write_table(df, tbl, partition_by=("p",), stats_cols=("k",))
+    assert m["partition_by"] == ["p"]
+    # every file carries its hive path value in the manifest
+    assert set(m["parts"]) == set(m["files"])
+    assert {tuple(v.items()) for v in m["parts"].values()} == {
+        (("p", "a"),), (("p", "b"),)
+    }
+    got = M.snapshot(spark, tbl)
+    # declared column ORDER survives the basePath partition-col reorder
+    assert got.columns == ["k", "p", "v"]
+    assert sorted((r.k, r.p, r.v) for r in got.collect()) == [
+        (1, "a", "x"), (2, "b", "y"), (3, "a", "z")
+    ]
+
+
+def test_partition_pruning_exact_and_typed(spark, tbl):
+    df = spark.createDataFrame(
+        [(i, i % 4, f"v{i}") for i in range(40)], "k bigint, p int, v string"
+    )
+    M.write_table(df, tbl, partition_by=("p",))
+    m = M.latest_manifest(spark, tbl)
+    got = M.scan_table(spark, tbl, predicates=[("p", "=", 2)])
+    assert sorted(r.k for r in got.collect()) == [i for i in range(40) if i % 4 == 2]
+    read = set(got.inputFiles())
+    match = {rel for rel in m["files"] if m["parts"][rel]["p"] == "2"}
+    assert all(any(rel in f for f in read) for rel in match)
+    assert len(read) == len(match)  # exact prune: ONLY p=2 files read
+    # typed range predicate on the int partition column
+    got2 = M.scan_table(spark, tbl, predicates=[("p", ">=", 3)])
+    assert sorted(r.k for r in got2.collect()) == [i for i in range(40) if i % 4 == 3]
+    assert len(set(got2.inputFiles())) == len(
+        {rel for rel in m["files"] if m["parts"][rel]["p"] == "3"}
+    )
+
+
+def test_partition_null_and_special_chars(spark, tbl):
+    df = _pdf(spark, [(1, None, "x"), (2, "a b/c", "y")])
+    M.write_table(df, tbl, partition_by=("p",))
+    m = M.latest_manifest(spark, tbl)
+    vals = {v["p"] for v in m["parts"].values()}
+    assert vals == {None, "a b/c"}  # hive-escaped path round-trips
+    got = sorted((r.k, r.p) for r in M.snapshot(spark, tbl).collect())
+    assert got == [(1, None), (2, "a b/c")]
+    # equality predicate never matches the null-partition file
+    eq = M.scan_table(spark, tbl, predicates=[("p", "=", "a b/c")])
+    assert [r.k for r in eq.collect()] == [2]
+    assert len(set(eq.inputFiles())) == 1
+
+
+def test_overwrite_partitions_replaces_only_present(spark, tbl):
+    M.write_table(
+        _pdf(spark, [(1, "a", "x"), (2, "b", "y"), (3, "c", "z")]),
+        tbl, partition_by=("p",),
+    )
+    m1 = M.latest_manifest(spark, tbl)
+    b_c_files = {
+        rel for rel in m1["files"] if m1["parts"][rel]["p"] in ("b", "c")
+    }
+    m2 = M.write_table(
+        _pdf(spark, [(10, "a", "new"), (11, "a", "new2")]),
+        tbl, mode="overwrite_partitions",
+    )
+    # partition a fully replaced; b and c carried BY REFERENCE
+    assert b_c_files < set(m2["files"])
+    assert sorted(
+        (r.k, r.p, r.v) for r in M.snapshot(spark, tbl).collect()
+    ) == [(2, "b", "y"), (3, "c", "z"), (10, "a", "new"), (11, "a", "new2")]
+    # metadata row count stays exact with zero files opened
+    assert M.table_row_count(spark, tbl) == 4
+    # time travel still sees the pre-replace snapshot
+    assert sorted(r.k for r in M.snapshot(spark, tbl, version=m1["version"]).collect()) == [1, 2, 3]
+
+
+def test_table_partitions_and_drop_partition(spark, tbl):
+    M.write_table(
+        _pdf(spark, [(1, "a", "x"), (2, "a", "y"), (3, "b", "z"), (4, None, "w")]),
+        tbl, partition_by=("p",),
+    )
+    parts = M.table_partitions(spark, tbl)
+    as_map = {tuple(e["values"].items()): (e["n_files"], e["n_rows"]) for e in parts}
+    assert as_map[(("p", "a"),)][1] == 2
+    assert as_map[(("p", "b"),)][1] == 1
+    assert as_map[(("p", None),)][1] == 1
+    d = M.drop_partition(spark, tbl, {"p": "a"})
+    assert d["files_dropped"] >= 1
+    assert sorted(r.k for r in M.snapshot(spark, tbl).collect()) == [3, 4]
+    # null partition drops too; no-match returns None (no empty commit)
+    assert M.drop_partition(spark, tbl, {"p": None})["files_dropped"] >= 1
+    assert M.drop_partition(spark, tbl, {"p": "zzz"}) is None
+    assert sorted(r.k for r in M.snapshot(spark, tbl).collect()) == [3]
+    with pytest.raises(ValueError, match="partition columns"):
+        M.drop_partition(spark, tbl, {"k": 1})
+
+
+def test_partitioned_guards(spark, tbl):
+    df = _pdf(spark, [(1, "a", "x")])
+    with pytest.raises(ValueError, match="cannot carry stats"):
+        M.write_table(df, tbl, partition_by=("p",), stats_cols=("p",))
+    with pytest.raises(ValueError, match="not in"):
+        M.write_table(df, tbl, partition_by=("nope",))
+    M.write_table(df, tbl, partition_by=("p",))
+    # appends inherit the layout; conflicting layout raises
+    m = M.write_table(_pdf(spark, [(2, "b", "y")]), tbl, mode="append")
+    assert m["partition_by"] == ["p"] and len(m["parts"]) == len(m["files"])
+    with pytest.raises(ValueError, match="partitioned by"):
+        M.write_table(df, tbl, mode="append", partition_by=("v",))
+    with pytest.raises(ValueError, match="overwrite_partitions requires"):
+        M.write_table(df, str(tbl) + "_np", mode="overwrite_partitions")
+    # rewrite ops refuse (their restage would drop the layout)
+    for op in ("merge", "compact", "delete"):
+        with pytest.raises(ValueError, match="partitioned tables"):
+            if op == "merge":
+                M.merge_table(tbl, df, key_cols=("k",))
+            elif op == "compact":
+                M.compact_table(spark, tbl)
+            else:
+                M.delete_rows(spark, tbl, where="k = 1")
