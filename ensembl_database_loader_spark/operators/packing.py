@@ -224,3 +224,98 @@ def pack_concat(
         .drop("_h")
     )
     return out
+
+
+def materialize_examples(
+    df: DataFrame,
+    id_col: str,
+    tokens_col: str,
+    seq_len: int,
+    n_shards: int = 64,
+    eos=None,
+) -> DataFrame:
+    """Cut the ACTUAL fixed-length training examples out of each
+    shard's concatenated token stream — the materialization step after
+    ``pack_concat``'s offset arithmetic: where pack_concat says which
+    example indices a document touches, this emits the examples
+    themselves, ``(shard, example, tokens, n_tokens, n_docs,
+    complete)``, with documents spanning example boundaries (zero
+    padding waste — the GPT-style packing contract).
+
+    ``tokens_col`` is the document's token ARRAY (BPE ids from
+    ``bpe.encode_corpus`` or any other element type — the slicing is
+    type-agnostic); ``eos`` (appended per document when not None) must
+    be the same element type. Only the stream's final example can be
+    shorter than ``seq_len`` (``complete = false``).
+
+    Spark shape: the per-document fragment list is pure JVM array
+    arithmetic (``transform(sequence(first_ex, last_ex), slice(...))``
+    over the pack_concat offsets — no Python, no per-token rows), then
+    ONE shuffle groups fragments by (shard, example) and flattens them
+    in stream order. Fragment count per document is
+    ceil(len/seq_len)+1, so the exploded frame is barely larger than
+    the corpus; per-example state is bounded by seq_len."""
+    if seq_len < 1:
+        raise ValueError(f"seq_len must be >= 1, got {seq_len}")
+    work = pack_concat(
+        df.select(
+            F.col(id_col).alias("__me_id"),
+            F.col(tokens_col).alias("__me_toks"),
+            F.size(tokens_col).cast("bigint").alias("__me_n"),
+        ),
+        "__me_id",
+        "__me_n",
+        seq_len,
+        n_shards=n_shards,
+        eos_tokens=0 if eos is None else 1,
+    )
+    ext = (
+        F.col("__me_toks")
+        if eos is None
+        else F.concat("__me_toks", F.array(F.lit(eos)))
+    )
+    start = F.col("start_offset")
+    L = F.size(ext).cast("bigint")
+    frags = F.transform(
+        F.sequence(
+            F.expr(f"start_offset DIV {int(seq_len)}"),
+            F.expr(
+                f"(start_offset + __me_len - 1) DIV {int(seq_len)}"
+            ),
+        ),
+        lambda e: F.struct(
+            e.alias("ex"),
+            F.greatest(e * seq_len, start).alias("fpos"),
+            F.slice(
+                ext,
+                (F.greatest(e * seq_len - start, F.lit(0)) + 1).cast("int"),
+                (
+                    F.least((e + 1) * seq_len, start + L)
+                    - F.greatest(e * seq_len, start)
+                ).cast("int"),
+            ).alias("part"),
+        ),
+    )
+    exploded = (
+        work.withColumn("__me_len", L)
+        .filter(F.col("__me_len") > 0)
+        .select("shard", F.explode(frags).alias("f"))
+        .select("shard", "f.ex", "f.fpos", "f.part")
+    )
+    per_ex = exploded.groupBy("shard", F.col("ex").alias("example")).agg(
+        F.flatten(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("fpos", "part"))),
+                lambda x: x["part"],
+            )
+        ).alias("tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+    )
+    return per_ex.select(
+        "shard",
+        "example",
+        "tokens",
+        F.size("tokens").cast("bigint").alias("n_tokens"),
+        "n_docs",
+        (F.size("tokens") == seq_len).alias("complete"),
+    )

@@ -2449,6 +2449,69 @@ def tx_lm_kneser_ney(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+_MATERIALIZE_ORACLE = (
+    # replay the pack_concat stream per shard (same knuth shard + (hash,
+    # id) order + cumsum), then cut it into 128-token windows from
+    # per-token rows: md5 of each window's space-joined tokens is
+    # row-level exact
+    f"WITH t AS (SELECT doc_id, {_toks('text')} AS words, "
+    f"len({_toks('text')}) AS n FROM documents), "
+    "h AS (SELECT doc_id, words, n, "
+    "(doc_id * 2654435761) % 4294967296 AS hh, "
+    "CAST(((doc_id * 2654435761) % 4294967296) % 8 AS INTEGER) AS shard FROM t), "
+    "s AS (SELECT *, COALESCE(SUM(n + 1) OVER (PARTITION BY shard "
+    "ORDER BY hh, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) "
+    "AS start_offset FROM h), "
+    "tok AS (SELECT shard, start_offset + i - 1 AS pos, words[i] AS w "
+    "FROM s, unnest(generate_series(1, n)) AS u(i) "
+    "UNION ALL SELECT shard, start_offset + n AS pos, '<e>' FROM s) "
+    "SELECT shard, CAST(pos // 128 AS BIGINT) AS example, "
+    "CAST(COUNT(*) AS BIGINT) AS n_tokens, "
+    "md5(string_agg(w, ' ' ORDER BY pos)) AS tok_md5, "
+    "(COUNT(*) = 128) AS complete "
+    "FROM tok GROUP BY shard, pos // 128 ORDER BY shard, example"
+)
+
+
+@probe(
+    "llp_tokenized_examples",
+    oracle=_MATERIALIZE_ORACLE,
+    tags=("llm", "pipeline", "packing"),
+)
+def llp_tokenized_examples(spark: SparkSession, sf: str) -> DataFrame:
+    """Fixed-length training-example materialization (operators/
+    packing.materialize_examples): each shard's documents concatenate
+    (with an eos sentinel) into one token stream and the ACTUAL
+    128-token examples are cut out, documents spanning boundaries —
+    the artifact a trainer consumes, downstream of pack_concat's
+    offset arithmetic. Row-level exact per (shard, example): token
+    count, the md5 of the example's space-joined tokens (the oracle
+    rebuilds every window from per-token rows — content, order, and
+    boundary splits must all agree), and that only a shard's final
+    example is incomplete. The engine never builds per-token rows:
+    fragments are JVM array slices (ceil(len/seq_len)+1 per doc), one
+    shuffle groups them by (shard, example)."""
+    from ensembl_database_loader_spark.functions.text import tokens as _tok
+    from ensembl_database_loader_spark.operators.packing import (
+        materialize_examples,
+    )
+
+    ensure_session_confs(spark)
+    d = table(spark, sf, "documents").select(
+        "doc_id", _tok("text").alias("toks")
+    )
+    ex = materialize_examples(
+        d, "doc_id", "toks", seq_len=128, n_shards=8, eos="<e>"
+    )
+    return ex.select(
+        "shard",
+        F.col("example").cast("bigint").alias("example"),
+        "n_tokens",
+        F.md5(F.concat_ws(" ", "tokens")).alias("tok_md5"),
+        "complete",
+    ).orderBy("shard", "example")
+
+
 _CONCAT_PACK_ORACLE = (
     # per-shard concat stream: same knuth shard + (hash, id) order +
     # cumsum arithmetic, all BIGINT — row-level exact

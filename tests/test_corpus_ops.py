@@ -1285,3 +1285,47 @@ def test_kn_bigram_lm_matches_python_reference(spark):
 
     with pytest.raises(ValueError, match="discount"):
         score_kn_logprob(docs, "id", "text", bi, ctx, cont, B, V, discount=1.5)
+
+
+def test_materialize_examples_matches_python_reference(spark):
+    from ensembl_database_loader_spark.operators.mixing import KNUTH
+    from ensembl_database_loader_spark.operators.packing import (
+        materialize_examples,
+    )
+
+    docs = [(i, [i * 100 + j for j in range((i * 7) % 23 + 1)]) for i in range(40)]
+    df = spark.createDataFrame(docs, "id bigint, toks array<int>")
+    SEQ, SHARDS, EOS = 16, 4, -1
+    got = {
+        (r.shard, r.example): (list(r.tokens), r.n_tokens, r.n_docs, r.complete)
+        for r in materialize_examples(
+            df.repartition(5), "id", "toks", SEQ, n_shards=SHARDS, eos=EOS
+        ).collect()
+    }
+
+    # reference: rebuild each shard's stream in (knuth hash, id) order
+    streams: dict = {s: [] for s in range(SHARDS)}
+    docs_at: dict = {s: [] for s in range(SHARDS)}
+    order = sorted(docs, key=lambda d: ((d[0] * KNUTH) % 2**32, d[0]))
+    for i, toks in order:
+        s = (i * KNUTH) % 2**32 % SHARDS
+        docs_at[s].append((len(streams[s]), len(toks) + 1))
+        streams[s].extend(toks + [EOS])
+    want = {}
+    for s, stream in streams.items():
+        for e in range((len(stream) + SEQ - 1) // SEQ):
+            part = stream[e * SEQ : (e + 1) * SEQ]
+            nd = sum(
+                1
+                for st, ln in docs_at[s]
+                if st < (e + 1) * SEQ and st + ln > e * SEQ
+            )
+            want[(s, e)] = (part, len(part), nd, len(part) == SEQ)
+    assert got == want
+    # only the final example of a shard may be incomplete
+    for (s, e), (_, n, _, complete) in got.items():
+        if not complete:
+            assert e == max(ex for sh, ex in got if sh == s)
+
+    with pytest.raises(ValueError, match="seq_len"):
+        materialize_examples(df, "id", "toks", 0)
