@@ -58,6 +58,7 @@ def write_curated_batch(
     exactly_once: bool,
     sink: str = "files",
     stats_cols: tuple[str, ...] = (),
+    partition_by: tuple[str, ...] = (),
 ) -> None:
     """The per-micro-batch sink.
 
@@ -93,6 +94,10 @@ def write_curated_batch(
             mode="append",
             txn=(_TXN_APP, batch_id),
             stats_cols=stats_cols,
+            # first batch declares the hive layout; later appends pass
+            # the identical tuple, which write_table accepts (a drifted
+            # layout raises — the table is the source of truth)
+            partition_by=partition_by,
         )
     elif exactly_once:
         kept.write.mode("overwrite").parquet(f"{output_path}/batch={batch_id}")
@@ -133,6 +138,11 @@ def streaming_curate(
     exactly-once AND atomically visible to concurrent readers (see
     ``write_curated_batch``).
 
+    ``partition_by=<cols>`` (manifest sink) lays the table out in hive
+    partitions declared by the FIRST batch and inherited by every later
+    append — a streaming table whose partition predicates prune exactly
+    from the manifest while the stream is still feeding it.
+
     ``sketch_root=<path>`` additionally records each batch's mergeable
     corpus summaries (HLL distinct tokens, MG heavy hitters, length
     histogram) as exactly-once manifest commits — see
@@ -140,6 +150,7 @@ def streaming_curate(
     """
     near_dup = curate_kwargs.pop("near_dup", "minhash")
     stats_cols = tuple(curate_kwargs.pop("stats_cols", ()))
+    partition_by = tuple(curate_kwargs.pop("partition_by", ()))
     sketch_root = curate_kwargs.pop("sketch_root", None)
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
@@ -157,7 +168,8 @@ def streaming_curate(
                 **curate_kwargs,
             )
         write_curated_batch(
-            kept, output_path, batch_id, exactly_once, sink, stats_cols
+            kept, output_path, batch_id, exactly_once, sink, stats_cols,
+            partition_by,
         )
         if sketch_root is not None:
             record_batch_sketches(

@@ -321,3 +321,39 @@ def test_streaming_sketches_recorded_and_replay_safe(spark, tmp_path):
     )
     assert after == before
     assert streaming_corpus_stats(spark, skroot).collect()[0].n_batches == 2
+
+
+def test_streaming_manifest_sink_partitioned_layout(spark, tmp_path):
+    """partition_by on the manifest sink: the first batch declares the
+    hive layout, later appends inherit it, and partition predicates
+    prune exactly while the 'stream' is mid-feed."""
+    from ensembl_database_loader_spark.sinks.manifest import (
+        latest_manifest,
+        scan_table,
+        table_partitions,
+    )
+    from ensembl_database_loader_spark.streaming.ingest import write_curated_batch
+
+    out = str(tmp_path / "ptable")
+    b0 = spark.createDataFrame(
+        [(1, "en", "a"), (2, "fr", "b")], "id bigint, lang string, text string"
+    )
+    b1 = spark.createDataFrame(
+        [(3, "en", "c")], "id bigint, lang string, text string"
+    )
+    write_curated_batch(
+        b0, out, batch_id=0, exactly_once=False, sink="manifest",
+        partition_by=("lang",),
+    )
+    write_curated_batch(
+        b1, out, batch_id=1, exactly_once=False, sink="manifest",
+        partition_by=("lang",),
+    )
+    m = latest_manifest(spark, out)
+    assert m["partition_by"] == ["lang"]
+    parts = {tuple(e["values"].items()): e["n_rows"] for e in table_partitions(spark, out)}
+    assert parts == {(("lang", "en"),): 2, (("lang", "fr"),): 1}
+    got = scan_table(spark, out, predicates=[("lang", "=", "en")])
+    assert sorted(r.id for r in got.collect()) == [1, 3]
+    en_files = {r for r in m["files"] if m["parts"][r]["lang"] == "en"}
+    assert len(set(got.inputFiles())) == len(en_files)
