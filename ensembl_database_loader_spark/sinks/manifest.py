@@ -1310,6 +1310,117 @@ def compact_table(
     return out
 
 
+def compact_partition(
+    spark: SparkSession,
+    path: str,
+    values: dict,
+    target_bytes: int = 128 << 20,
+    sort_cols: tuple[str, ...] = (),
+    stats_cols: tuple[str, ...] = (),
+) -> dict | None:
+    """Small-file compaction scoped to ONE partition of a hive-
+    partitioned table — the maintenance loop a streaming-fed partition
+    needs (every micro-batch appends a file; this folds them back to
+    ~``target_bytes``). ``values`` must name every partition column
+    (exactly one partition compacts per call — at 100 TB you compact
+    the partitions whose file counts drifted, never the whole table).
+    Only that partition's files rewrite; every other file is carried by
+    reference, so the commit is as cheap as the partition is small.
+    Returns None when the partition has fewer than two files (nothing
+    to fold). ``sort_cols`` restores min/max clustering within the
+    partition for stats-based skipping inside it."""
+    head = latest_manifest(spark, path)
+    if head is None:
+        raise FileNotFoundError(f"no manifest at {path} — not a committed table")
+    pb = tuple(head.get("partition_by", ()))
+    if not pb or set(values) != set(pb):
+        raise ValueError(
+            f"compact_partition values must name exactly the partition "
+            f"columns {list(pb)!r}, got {sorted(values)!r}"
+        )
+    clash = sorted(set(pb) & set(stats_cols))
+    if clash:
+        raise ValueError(
+            f"partition columns {clash!r} cannot carry stats — their "
+            "value is exact from the path already"
+        )
+    root = path.rstrip("/")
+    parts = head.get("parts", {})
+    want = {k: (None if v is None else str(v)) for k, v in values.items()}
+    matched = [
+        rel
+        for rel in head["files"]
+        if all(parts.get(rel, {}).get(k) == v for k, v in want.items())
+    ]
+    if len(matched) < 2:
+        return None
+    fs, _, jvm = _fs(spark, root)
+    total = sum(
+        fs.getFileStatus(jvm.org.apache.hadoop.fs.Path(f"{root}/{rel}")).getLen()
+        for rel in matched
+    )
+    n_out = max(1, math.ceil(total / target_bytes))
+    df = _read_files(spark, head, root, matched)
+    if sort_cols:
+        df = df.repartitionByRange(n_out, *sort_cols).sortWithinPartitions(
+            *sort_cols
+        )
+    else:
+        df = df.repartition(n_out)
+    bloom_spec = _bloom_effective_spec(
+        head, (), _BLOOM_DEFAULT_BITS, _BLOOM_DEFAULT_HASHES
+    )
+    staged, _schema_json = _stage_data(df, path, pb)
+    stats_schema = StructType(
+        [f for f in df.schema.fields if f.name not in set(pb)]
+    )
+    staged_stats, staged_rows, staged_blooms = _collect_stats(
+        spark, root, staged, stats_schema, tuple(stats_cols), bloom_spec
+    )
+    staged_parts = {rel: _partition_values(rel, pb) for rel in staged}
+
+    def build(h: dict | None) -> dict:
+        if h is None or h["version"] != head["version"]:
+            raise RuntimeError(
+                f"concurrent commit during compact_partition at {path} — re-run"
+            )
+        gone = set(matched)
+        kept = [rel for rel in h["files"] if rel not in gone]
+        keep = set(kept)
+        return {
+            "files": kept + staged,
+            "schema": h["schema"],
+            "txn": _merged_txn(h, None),
+            "stats": {
+                **{r: s for r, s in h.get("stats", {}).items() if r in keep},
+                **staged_stats,
+            },
+            "rows": {
+                **{r: n for r, n in h.get("rows", {}).items() if r in keep},
+                **staged_rows,
+            },
+            **(
+                {"bloom_meta": h["bloom_meta"], "blooms": {
+                    **{r: b for r, b in h.get("blooms", {}).items() if r in keep},
+                    **staged_blooms,
+                }}
+                if h.get("bloom_meta")
+                else {}
+            ),
+            "partition_by": list(pb),
+            "parts": {
+                **{r: v for r, v in parts.items() if r in keep},
+                **staged_parts,
+            },
+        }
+
+    out = _commit(spark, path, build, "compact_partition")
+    assert out is not None
+    out["files_before"] = len(matched)
+    out["files_after"] = len(staged)
+    return out
+
+
 def _prune_to_where(prune) -> str:
     """AND-combined SQL form of a ``(col, op, value)`` triple list."""
     parts = []

@@ -982,3 +982,30 @@ def test_partitioned_guards(spark, tbl):
                 M.compact_table(spark, tbl)
             else:
                 M.delete_rows(spark, tbl, where="k = 1")
+
+
+def test_compact_partition_folds_only_that_partition(spark, tbl):
+    M.write_table(_pdf(spark, [(1, "a", "x")]), tbl, partition_by=("p",))
+    M.write_table(_pdf(spark, [(2, "a", "y"), (5, "b", "q")]), tbl, mode="append")
+    M.write_table(_pdf(spark, [(3, "a", "z")]), tbl, mode="append")
+    m0 = M.latest_manifest(spark, tbl)
+    a_files = {r for r in m0["files"] if m0["parts"][r]["p"] == "a"}
+    b_files = {r for r in m0["files"] if m0["parts"][r]["p"] == "b"}
+    assert len(a_files) == 3
+    out = M.compact_partition(spark, tbl, {"p": "a"}, sort_cols=("k",))
+    assert out["files_before"] == 3 and out["files_after"] == 1
+    m1 = M.latest_manifest(spark, tbl)
+    # b carried BY REFERENCE; a replaced by one file with parts recorded
+    assert b_files < set(m1["files"])
+    new_a = {r for r in m1["files"] if m1["parts"][r]["p"] == "a"}
+    assert len(new_a) == 1 and not (new_a & a_files)
+    assert sorted((r.k, r.p, r.v) for r in M.snapshot(spark, tbl).collect()) == [
+        (1, "a", "x"), (2, "a", "y"), (3, "a", "z"), (5, "b", "q")
+    ]
+    assert M.table_row_count(spark, tbl) == 4  # rows map stayed exact
+    # single-file partition: nothing to fold
+    assert M.compact_partition(spark, tbl, {"p": "b"}) is None
+    with pytest.raises(ValueError, match="exactly the partition"):
+        M.compact_partition(spark, tbl, {"q": "a"})
+    with pytest.raises(ValueError, match="cannot carry stats"):
+        M.compact_partition(spark, tbl, {"p": "a"}, stats_cols=("p",))
