@@ -252,8 +252,14 @@ def encode_corpus(
     wf = words.groupBy("word").agg(F.count(F.lit(1)).alias("freq"))
     vocab = token_vocabulary(wf, merges)
     enc = encode_words(wf, merges)
+    # posexplode_OUTER, not posexplode: the plain form lets Catalyst
+    # infer `size(syms) > 0` and push that UDF-referencing filter BELOW
+    # the distinct-word aggregate — running the encoder on every word
+    # OCCURRENCE (corpus-sized) instead of once per distinct word. The
+    # outer form carries no such constraint (and is semantically
+    # identical here: every non-empty word encodes to >= 1 symbol).
     word_ids = (
-        enc.select("word", F.posexplode("syms").alias("spos", "token"))
+        enc.select("word", F.posexplode_outer("syms").alias("spos", "token"))
         .join(F.broadcast(vocab), "token")
         .groupBy("word")
         .agg(

@@ -105,6 +105,11 @@ def main() -> int:
         help="replica counts for the r8b ops (MG frequent items, exact-k "
         "sampling, table checksum); empty = skip",
     )
+    ap.add_argument(
+        "--r9-reps", default="",
+        help="replica counts for the r9 ops (corpus BPE encode, tokenized "
+        "example materialization, fixed-point PageRank); empty = skip",
+    )
     args = ap.parse_args()
 
     spark = get_spark(app_name="scaling-bench")
@@ -492,6 +497,98 @@ def main() -> int:
                    "sec": round(dt, 2), "mismatches": bad}  # fmt: skip
             out.append(rec)
             print(json.dumps(rec), flush=True)
+
+    if args.r9_reps:
+        from ensembl_database_loader_spark.functions.text import tokens
+        from ensembl_database_loader_spark.operators.bpe import (
+            encode_corpus,
+            train_bpe,
+            word_frequencies,
+        )
+        from ensembl_database_loader_spark.operators.graph import pagerank_fixed
+        from ensembl_database_loader_spark.operators.packing import (
+            materialize_examples,
+        )
+
+        # train ONCE on the base corpus — serving scale is what's
+        # measured; replica word-suffixes keep per-replica vocab
+        # disjoint so the distinct-word table grows k-fold too (the
+        # encoder's worst case: no cross-replica reuse)
+        base_merges = train_bpe(
+            word_frequencies(table(spark, args.sf_dir, "documents"), "text"),
+            12,
+        )
+        for k in [int(x) for x in args.r9_reps.split(",") if x]:
+            ct = scaled_corpus(spark, args.sf_dir, k).cache()
+            n = ct.count()
+
+            t0 = time.perf_counter()
+            enc = encode_corpus(ct, base_merges, "doc_id", "text")
+            row = enc.agg(
+                F.sum("n_tokens").alias("toks"),
+                F.count(F.lit(1)).alias("docs"),
+            ).collect()[0]
+            dt = time.perf_counter() - t0
+            rec = {"op": "tx_bpe_encode", "n_docs": n, "sec": round(dt, 2),
+                   "total_tokens": int(row.toks)}  # fmt: skip
+            out.append(rec)
+            print(json.dumps(rec), flush=True)
+
+            t0 = time.perf_counter()
+            ex = materialize_examples(
+                ct.select("doc_id", tokens("text").alias("toks")),
+                "doc_id", "toks", seq_len=512, n_shards=64, eos="<e>",
+            )
+            exn = ex.count()
+            dt = time.perf_counter() - t0
+            rec = {"op": "llp_tokenized_examples", "n_docs": n,
+                   "sec": round(dt, 2), "examples": exn}  # fmt: skip
+            out.append(rec)
+            print(json.dumps(rec), flush=True)
+            ct.unpersist()
+
+            # PageRank: k disjoint replicas of the trade graph (same
+            # structure, k x nodes/edges) — 3 integer rounds should be
+            # linear in edge count
+            li = table(spark, args.sf_dir, "lineitem").select(
+                "l_orderkey", "l_suppkey"
+            )
+            o = table(spark, args.sf_dir, "orders").select(
+                "o_orderkey", "o_custkey"
+            )
+            pairs = (
+                li.join(o, li["l_orderkey"] == o["o_orderkey"])
+                .select(
+                    F.col("l_suppkey").alias("s"), F.col("o_custkey").alias("c")
+                )
+                .distinct()
+            )
+            reps = spark.range(k).select((F.col("id") * 10_000_000).alias("off"))
+            pr_pairs = pairs.crossJoin(reps).select(
+                (F.col("s") + F.col("off")).alias("s"),
+                (F.col("c") + F.col("off") + 1_000_000).alias("c"),
+            )
+            edges = pr_pairs.select(
+                F.col("s").alias("src"), F.col("c").alias("dst")
+            ).unionByName(
+                pr_pairs.select(
+                    F.col("c").alias("src"), F.col("s").alias("dst")
+                )
+            ).cache()
+            ne = edges.count()
+            t0 = time.perf_counter()
+            top = (
+                pagerank_fixed(edges, iterations=3)
+                .orderBy(F.desc("rank"), "node")
+                .limit(20)
+                .collect()
+            )
+            dt = time.perf_counter() - t0
+            rec = {"op": "q63_pagerank", "n_edges": ne, "sec": round(dt, 2),
+                   "top1_rank": int(top[0].rank)}  # fmt: skip
+            out.append(rec)
+            print(json.dumps(rec), flush=True)
+            edges.unpersist()
 
     spark.stop()
     return 0

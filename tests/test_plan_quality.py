@@ -615,3 +615,37 @@ def test_sample_exact_k_plans_partial_group_limit(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan and "Partial" in plan
     assert "pmod" in plan  # the hash pre-filter survived into the plan
+
+
+def test_pagerank_iteration_joins_are_hash_not_broadcast_or_loop(spark):
+    """Each PageRank round must join ranks onto the edge table with a
+    hash join keyed on src — never a nested loop, and never a broadcast
+    of the rank frame (nodes-sized == graph-sized at 100 TB; a
+    misestimated broadcast would OOM the driver)."""
+    plan = plan_of(spark, "q63_pagerank")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    assert "ShuffledHashJoin" in plan
+
+
+def test_encode_corpus_python_only_on_distinct_words(spark):
+    """The BPE encoder UDF runs once per DISTINCT word: exactly one
+    Arrow-eval node in the whole corpus-encode plan, and the document
+    reassembly join is hash-keyed (the distinct-word side must never
+    broadcast on a misestimate)."""
+    import re
+
+    plan = plan_of(spark, "tx_bpe_encode")
+    nodes = re.findall(r"^\(\d+\) ArrowEvalPython", plan, re.M)
+    assert len(nodes) == 1, plan
+    assert "ShuffledHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_materialize_examples_single_group_shuffle(spark):
+    """Example materialization must stay fragment-granular: no
+    per-token explode (the fragment explode is ceil(len/seq)+1 rows per
+    doc), partial aggregation absent (collect_list is not partial) but
+    the ONLY wide operations are the pack_concat window shuffle and the
+    (shard, example) group — no join at all."""
+    plan = plan_of(spark, "llp_tokenized_examples")
+    assert "Join" not in plan and "CartesianProduct" not in plan
