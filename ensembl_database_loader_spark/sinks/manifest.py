@@ -1112,10 +1112,12 @@ def snapshot(
 
 
 def _reject_partitioned(head: dict | None, path: str, op: str) -> None:
-    """Rewrite ops re-stage the snapshot UNpartitioned, which would
-    silently drop the table's layout (and its exact pruning) — refuse
-    with a clear error instead. Partitioned tables get their own cheap
-    paths: overwrite_partitions and drop_partition."""
+    """merge_table / compact_table re-stage the WHOLE snapshot
+    unpartitioned, which would silently drop the table's layout (and
+    its exact pruning) — refuse with a clear error instead. Partitioned
+    tables get their own cheap paths (overwrite_partitions,
+    drop_partition, compact_partition), and row-level delete_rows /
+    update_rows restage partitioned and work unchanged."""
     if head and head.get("partition_by"):
         raise ValueError(
             f"{op} does not support partitioned tables (partition_by="
@@ -1453,20 +1455,23 @@ def _rewrite_rows(
     """
     root = path.rstrip("/")
     head = latest_manifest(spark, root)
-    _reject_partitioned(head, path, operation)
     if head is None:
         raise FileNotFoundError(f"no manifest at {path} — not a committed table")
+    pb = tuple(head.get("partition_by", ()))
     if where is None:
         if not prune:
             raise ValueError("pass where=, prune=, or both")
         where = _prune_to_where(prune)
     schema = StructType.fromJson(json.loads(head["schema"]))
+    # files_matching folds partition values in as exact min == max
+    # pseudo-stats, so a prune on a partition column scopes the rewrite
+    # to that partition's files with zero stats jobs
     cand = files_matching(head, tuple(prune)) if prune else list(head["files"])
     cand_set = set(cand)
     untouched = [f for f in head["files"] if f not in cand_set]
     if not cand:
         return None
-    df = spark.read.schema(schema).parquet(*[f"{root}/{rel}" for rel in cand])
+    df = _read_files(spark, head, root, cand)
     hit = F.coalesce(F.expr(where), F.lit(False))
     # one column-pruned pass over the candidate files: how many rows
     # the condition actually hits — both the zero-hit fast path (skip
@@ -1474,19 +1479,34 @@ def _rewrite_rows(
     n_hit = int(df.agg(F.sum(hit.cast("bigint"))).first()[0] or 0)
     if n_hit == 0:
         return None
-    staged, _ = _stage_data(transform(df, hit), path)
+    staged, _ = _stage_data(transform(df, hit), path, pb)
     if stats_cols is None:
         # default: keep the table's existing stat columns alive on the
         # rewritten files (union of columns any head file has stats for)
         inferred: set[str] = set()
         for fstats in head.get("stats", {}).values():
             inferred.update(fstats)
-        stats_cols = tuple(sorted(c for c in inferred if c in {f.name for f in schema.fields}))
+        stats_cols = tuple(sorted(
+            c for c in inferred
+            if c in {f.name for f in schema.fields} and c not in set(pb)
+        ))
+    clash = sorted(set(pb) & set(stats_cols))
+    if clash:
+        raise ValueError(
+            f"partition columns {clash!r} cannot carry stats — their "
+            "value is exact from the path already"
+        )
     bloom_spec = _bloom_effective_spec(
         head, (), _BLOOM_DEFAULT_BITS, _BLOOM_DEFAULT_HASHES
     )
+    stats_schema = StructType(
+        [f for f in schema.fields if f.name not in set(pb)]
+    )
     staged_stats, staged_rows, staged_blooms = _collect_stats(
-        spark, root, staged, schema, tuple(stats_cols), bloom_spec
+        spark, root, staged, stats_schema, tuple(stats_cols), bloom_spec
+    )
+    staged_parts = (
+        {rel: _partition_values(rel, pb) for rel in staged} if pb else {}
     )
 
     def build(h: dict | None) -> dict:
@@ -1514,6 +1534,12 @@ def _rewrite_rows(
             if rel not in cand_set
         }
         blooms.update(staged_blooms)
+        parts = {
+            rel: v
+            for rel, v in h.get("parts", {}).items()
+            if rel not in cand_set
+        }
+        parts.update(staged_parts)
         return {
             "files": untouched + staged,
             "schema": head["schema"],
@@ -1522,6 +1548,8 @@ def _rewrite_rows(
             **({"rows": row_counts} if row_counts else {}),
             **({"bloom_meta": bloom_spec} if bloom_spec else {}),
             **({"blooms": blooms} if blooms else {}),
+            **({"partition_by": list(pb)} if pb else {}),
+            **({"parts": parts} if parts else {}),
         }
 
     out = _commit(spark, path, build, operation)

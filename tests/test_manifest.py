@@ -185,8 +185,8 @@ def test_merge_raises_on_concurrent_commit_instead_of_losing_it(spark, tbl):
 
     real_stage = mod._stage_data
 
-    def stage_and_race(df, path):
-        out = real_stage(df, path)
+    def stage_and_race(df, path, partition_by=()):
+        out = real_stage(df, path, partition_by)
         mod._stage_data = real_stage  # restore before the competing write
         M.write_table(_df(spark, [(7, "racer")]), tbl, mode="append")
         return out
@@ -578,8 +578,8 @@ def test_delete_update_feed_cdc_and_raise_on_race(spark, tbl):
 
     real_stage = mod._stage_data
 
-    def stage_and_race(df, path):
-        out = real_stage(df, path)
+    def stage_and_race(df, path, partition_by=()):
+        out = real_stage(df, path, partition_by)
         mod._stage_data = real_stage
         M.write_table(_df(spark, [(7, "racer")]), tbl, mode="append")
         return out
@@ -973,15 +973,46 @@ def test_partitioned_guards(spark, tbl):
         M.write_table(df, tbl, mode="append", partition_by=("v",))
     with pytest.raises(ValueError, match="overwrite_partitions requires"):
         M.write_table(df, str(tbl) + "_np", mode="overwrite_partitions")
-    # rewrite ops refuse (their restage would drop the layout)
-    for op in ("merge", "compact", "delete"):
-        with pytest.raises(ValueError, match="partitioned tables"):
-            if op == "merge":
-                M.merge_table(tbl, df, key_cols=("k",))
-            elif op == "compact":
-                M.compact_table(spark, tbl)
-            else:
-                M.delete_rows(spark, tbl, where="k = 1")
+    # whole-table restage ops refuse (they would drop the layout);
+    # row-level delete/update restage partitioned and are allowed
+    with pytest.raises(ValueError, match="partitioned tables"):
+        M.merge_table(tbl, df, key_cols=("k",))
+    with pytest.raises(ValueError, match="partitioned tables"):
+        M.compact_table(spark, tbl)
+
+
+def test_partitioned_row_level_delete_update(spark, tmp_path):
+    tbl = str(tmp_path / "ptbl")
+    df = spark.createDataFrame(
+        [(i, ["a", "b", "c"][i % 3], f"v{i}") for i in range(30)],
+        "k bigint, p string, v string",
+    )
+    M.write_table(df, tbl, partition_by=("p",), stats_cols=("k",))
+    m0 = M.latest_manifest(spark, tbl)
+    # partition-pruned delete: only p='a' files rewrite, others carried
+    d = M.delete_rows(
+        spark, tbl, where="k < 9", prune=[("p", "=", "a")]
+    )
+    assert d["files_untouched"] >= 1
+    left = sorted(r.k for r in M.snapshot(spark, tbl).collect())
+    assert left == sorted(
+        i for i in range(30) if not (i % 3 == 0 and i < 9)
+    )
+    m1 = M.latest_manifest(spark, tbl)
+    # untouched partitions carried BY REFERENCE, layout + parts intact
+    b_files = {r for r in m0["files"] if m0["parts"][r]["p"] == "b"}
+    assert b_files < set(m1["files"])
+    assert m1["partition_by"] == ["p"] and set(m1["parts"]) == set(m1["files"])
+    assert M.table_row_count(spark, tbl) == len(left)
+    # update MOVING rows across partitions: p='b' rows become p='z'
+    u = M.update_rows(spark, tbl, {"p": "'z'"}, prune=[("p", "=", "b")])
+    assert u["rows_affected"] == 10
+    m2 = M.latest_manifest(spark, tbl)
+    vals = {v["p"] for v in m2["parts"].values()}
+    assert "z" in vals and "b" not in vals
+    assert sorted(r.k for r in M.scan_table(
+        spark, tbl, predicates=[("p", "=", "z")]
+    ).collect()) == [i for i in range(30) if i % 3 == 1]
 
 
 def test_compact_partition_folds_only_that_partition(spark, tbl):
