@@ -2563,3 +2563,90 @@ def llp_manifest_partitions(spark: SparkSession, sf: str) -> DataFrame:
         F.lit(bool(prune_exact)).alias("pt_prune_exact"),
         F.lit(bool(pinned_ok)).alias("pt_pinned_ok"),
     )
+
+
+@probe(
+    "q64_window_distribution",
+    oracle=(
+        # distribution-family window functions over supplier balances
+        # per nation: ntile quartiles, percent_rank, cume_dist — all
+        # rank-derived (deterministic: acctbal has a unique tie-break
+        # via s_suppkey in the ORDER BY)
+        "SELECT s_nationkey, s_suppkey, "
+        "CAST(ntile(4) OVER w AS BIGINT) AS quartile, "
+        "ROUND(percent_rank() OVER w, 4) AS pct_rank, "
+        "ROUND(cume_dist() OVER w, 4) AS cume "
+        "FROM supplier "
+        "WINDOW w AS (PARTITION BY s_nationkey "
+        "ORDER BY s_acctbal DESC, s_suppkey) "
+        "ORDER BY s_nationkey, s_suppkey"
+    ),
+    tags=("window",),
+)
+def q64_window_distribution(spark: SparkSession, sf: str) -> DataFrame:
+    """Distribution window family (ntile / percent_rank / cume_dist) —
+    the rank-derived trio beside q23-q25's rank/lag/frame coverage.
+    One window shuffle on the partition key; the ORDER BY carries a
+    unique tie-break (s_suppkey) so every engine computes identical
+    ranks, and the doubles are pure rank arithmetic (rounded 4dp)."""
+    from pyspark.sql import Window
+
+    ensure_session_confs(spark)
+    w = Window.partitionBy("s_nationkey").orderBy(
+        F.desc("s_acctbal"), "s_suppkey"
+    )
+    return (
+        table(spark, sf, "supplier")
+        .select(
+            "s_nationkey",
+            "s_suppkey",
+            F.ntile(4).over(w).cast("bigint").alias("quartile"),
+            F.round(F.percent_rank().over(w), 4).alias("pct_rank"),
+            F.round(F.cume_dist().over(w), 4).alias("cume"),
+        )
+        .orderBy("s_nationkey", "s_suppkey")
+    )
+
+
+@probe(
+    "q65_fuzzy_levenshtein_join",
+    oracle=(
+        # best fuzzy match per misspelled probe name against the nation
+        # dim: min edit distance, name tie-break — a bounded dim-side
+        # fuzzy join (the record-linkage primitive)
+        "WITH probes AS (SELECT * FROM (VALUES ('CANDA'), ('GERMAN'), "
+        "('JAPPAN'), ('BRAZIL'), ('UNTED STATES')) p(q)), "
+        "d AS (SELECT q, n_name, levenshtein(q, n_name) AS dist "
+        "FROM probes CROSS JOIN nation), "
+        "r AS (SELECT q, n_name, dist, "
+        "ROW_NUMBER() OVER (PARTITION BY q ORDER BY dist, n_name) AS rn "
+        "FROM d) "
+        "SELECT q, n_name AS best_match, CAST(dist AS BIGINT) AS dist "
+        "FROM r WHERE rn = 1 ORDER BY q"
+    ),
+    tags=("join", "text"),
+)
+def q65_fuzzy_levenshtein_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Fuzzy dimension lookup via edit distance: each misspelled probe
+    name matches the nation with the minimum levenshtein distance
+    (name tie-break). The dim side broadcasts (25 rows); the distance
+    is JVM codegen — the record-linkage primitive that at scale runs
+    as broadcast-cross against a bounded dimension, never fact x fact."""
+    from pyspark.sql import Window
+
+    ensure_session_confs(spark)
+    probes = spark.createDataFrame(
+        [("CANDA",), ("GERMAN",), ("JAPPAN",), ("BRAZIL",), ("UNTED STATES",)],
+        "q string",
+    )
+    d = probes.crossJoin(
+        F.broadcast(table(spark, sf, "nation").select("n_name"))
+    ).select("q", "n_name", F.levenshtein("q", "n_name").alias("dist"))
+    w = Window.partitionBy("q").orderBy("dist", "n_name")
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("q", F.col("n_name").alias("best_match"),
+                F.col("dist").cast("bigint").alias("dist"))
+        .orderBy("q")
+    )
