@@ -2650,3 +2650,46 @@ def q65_fuzzy_levenshtein_join(spark: SparkSession, sf: str) -> DataFrame:
                 F.col("dist").cast("bigint").alias("dist"))
         .orderBy("q")
     )
+
+
+def _hits_oracle() -> str:
+    from ensembl_database_loader_spark.operators.graph import hits_oracle_sql
+
+    return (
+        "SELECT node, hub, authority FROM ("
+        + hits_oracle_sql(
+            "SELECT DISTINCT l.l_suppkey AS src, 1000000 + o.o_custkey AS dst "
+            "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey",
+            iterations=3,
+        )
+        + ") ORDER BY authority DESC, hub DESC, node LIMIT 20"
+    )
+
+
+@probe("q66_hits", oracle=_hits_oracle(), tags=("iterative", "graph"))
+def q66_hits(spark: SparkSession, sf: str) -> DataFrame:
+    """Integer fixed-point HITS (operators/graph.hits_fixed) over the
+    DIRECTED supplier->customer trade graph: suppliers accumulate hub
+    mass, customers authority mass, through 3 rounds of the pure-BIGINT
+    mutual recurrence (shared-divisor normalization preserves raw-sum
+    ordering exactly). Bit-identical to the oracle's generated unrolled
+    CTE replay — same auditability contract as q63_pagerank, for the
+    second classic link-analysis scoring."""
+    from ensembl_database_loader_spark.operators.graph import hits_fixed
+
+    ensure_session_confs(spark)
+    li = table(spark, sf, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = table(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    edges = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .select(
+            F.col("l_suppkey").alias("src"),
+            (F.lit(1000000) + F.col("o_custkey")).alias("dst"),
+        )
+        .distinct()
+    )
+    return (
+        hits_fixed(edges, iterations=3)
+        .orderBy(F.desc("authority"), F.desc("hub"), "node")
+        .limit(20)
+    )

@@ -76,3 +76,56 @@ def test_pagerank_guards_and_degrees(spark):
         pagerank_fixed(df, iterations=0)
     with pytest.raises(ValueError, match="damping_pct"):
         pagerank_fixed(df, damping_pct=100)
+
+
+def _hits_reference(edges, iterations, scale=10**9):
+    nodes = sorted({n for e in edges for n in e})
+    h = {v: scale for v in nodes}
+    a = {}
+    for _ in range(iterations):
+        raw_a = {v: 0 for v in nodes}
+        for s, d in edges:
+            raw_a[d] += h[s]
+        div = max(sum(raw_a.values()) // scale, 1)
+        a = {v: raw_a[v] // div for v in nodes}
+        raw_h = {v: 0 for v in nodes}
+        for s, d in edges:
+            raw_h[s] += a[d]
+        div = max(sum(raw_h.values()) // scale, 1)
+        h = {v: raw_h[v] // div for v in nodes}
+    return h, a
+
+
+def test_hits_matches_integer_reference(spark):
+    from ensembl_database_loader_spark.operators.graph import hits_fixed
+
+    for iters in (1, 3):
+        got = {
+            r.node: (r.hub, r.authority)
+            for r in hits_fixed(_df(spark, EDGES), iterations=iters).collect()
+        }
+        h, a = _hits_reference(EDGES, iters)
+        assert got == {v: (h[v], a[v]) for v in h}, iters
+    # pure source (5) ends with zero authority; pure-sink behavior:
+    h, a = _hits_reference(EDGES, 3)
+    assert a[5] == 0
+    with pytest.raises(ValueError, match="iterations"):
+        hits_fixed(_df(spark, EDGES), iterations=0)
+
+
+def test_hits_layout_independent(spark):
+    x = {
+        r.node: (r.hub, r.authority)
+        for r in hits_fixed_df(spark, 13).collect()
+    }
+    y = {
+        r.node: (r.hub, r.authority)
+        for r in hits_fixed_df(spark, 3).collect()
+    }
+    assert x == y
+
+
+def hits_fixed_df(spark, parts):
+    from ensembl_database_loader_spark.operators.graph import hits_fixed
+
+    return hits_fixed(_df(spark, EDGES).repartition(parts), iterations=2)
