@@ -2693,3 +2693,141 @@ def q66_hits(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy(F.desc("authority"), F.desc("hub"), "node")
         .limit(20)
     )
+
+
+@probe(
+    "q67_gapfill_forward_fill",
+    oracle=(
+        # per-user daily revenue with missing days generated and
+        # forward-filled — identical BIGINT day indexes and cents
+        "WITH d AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day, "
+        "CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS rev "
+        "FROM events GROUP BY 1, 2), "
+        "b AS (SELECT user_id, MIN(day) AS d0, MAX(day) AS d1 FROM d GROUP BY 1), "
+        "s AS (SELECT user_id, unnest(generate_series(d0, d1)) AS day FROM b), "
+        "j AS (SELECT s.user_id, s.day, d.rev FROM s "
+        "LEFT JOIN d ON s.user_id = d.user_id AND s.day = d.day) "
+        "SELECT user_id, day, (rev IS NULL) AS is_gap, "
+        "CAST(last_value(rev IGNORE NULLS) OVER "
+        "(PARTITION BY user_id ORDER BY day) AS BIGINT) AS filled_cents "
+        "FROM j ORDER BY user_id, day"
+    ),
+    tags=("window", "events"),
+)
+def q67_gapfill_forward_fill(spark: SparkSession, sf: str) -> DataFrame:
+    """Time-series gap filling + forward fill — the dashboard/feature
+    prep every event log needs: each user's missing days are GENERATED
+    (sequence + explode over the per-user [min, max] day span — a
+    narrow fan-out, no calendar table join) and the last seen value
+    carries forward (last_value IGNORE NULLS over the day order). Day
+    indexes are BIGINT epoch DIV, revenue is integer cents, the fill
+    frame is the SQL-default running window — row-level exact across
+    engines."""
+    from pyspark.sql import Window
+
+    ensure_session_confs(spark)
+    day = F.expr("unix_micros(ts) DIV 86400000000")
+    d = (
+        table(spark, sf, "events")
+        .select("user_id", day.alias("day"),
+                F.round(F.col("value") * 100).cast("bigint").alias("cents"))
+        .groupBy("user_id", "day")
+        .agg(F.sum("cents").cast("bigint").alias("rev"))
+    )
+    span = d.groupBy("user_id").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    days = span.select(
+        "user_id", F.explode(F.sequence("d0", "d1")).alias("day")
+    )
+    j = days.join(d, ["user_id", "day"], "left")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return j.select(
+        "user_id",
+        "day",
+        F.col("rev").isNull().alias("is_gap"),
+        F.last("rev", ignorenulls=True).over(w).cast("bigint")
+        .alias("filled_cents"),
+    ).orderBy("user_id", "day")
+
+
+@probe(
+    "q68_argmax_aggregates",
+    oracle=(
+        # arg_max/arg_min with a collision-free composite integer key
+        # (cents * 100000 + suppkey) — deterministic even under acctbal
+        # ties
+        "WITH s AS (SELECT s_nationkey, s_name, "
+        "CAST(ROUND(s_acctbal * 100) AS BIGINT) * 100000 + s_suppkey AS k "
+        "FROM supplier) "
+        "SELECT s_nationkey, arg_max(s_name, k) AS richest, "
+        "arg_min(s_name, k) AS poorest, "
+        "CAST(COUNT(*) AS BIGINT) AS n_suppliers "
+        "FROM s GROUP BY s_nationkey ORDER BY s_nationkey"
+    ),
+    tags=("agg",),
+)
+def q68_argmax_aggregates(spark: SparkSession, sf: str) -> DataFrame:
+    """max_by / min_by (SQL arg_max/arg_min) — the 'row with the
+    extreme value' aggregate that replaces the groupBy + self-join (or
+    window + rank filter) idiom with ONE partial-aggregated pass. The
+    ordering key is a collision-free composite integer (cents scaled +
+    suppkey), so ties cannot make the argmax engine-dependent."""
+    ensure_session_confs(spark)
+    k = (
+        F.round(F.col("s_acctbal") * 100).cast("bigint") * 100000
+        + F.col("s_suppkey")
+    )
+    return (
+        table(spark, sf, "supplier")
+        .select("s_nationkey", "s_name", k.alias("k"))
+        .groupBy("s_nationkey")
+        .agg(
+            F.max_by("s_name", "k").alias("richest"),
+            F.min_by("s_name", "k").alias("poorest"),
+            F.count(F.lit(1)).cast("bigint").alias("n_suppliers"),
+        )
+        .orderBy("s_nationkey")
+    )
+
+
+@probe(
+    "q69_variant_json",
+    oracle=(
+        "SELECT event_type, "
+        "CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) "
+        "AS BIGINT) AS k_sum, "
+        "CAST(COUNT(DISTINCT json_extract_string(props, '$.k')) AS BIGINT) "
+        "AS k_distinct, "
+        "CAST(COUNT(*) FILTER (WHERE json_extract_string(props, '$.k') "
+        "IS NULL) AS BIGINT) AS k_missing "
+        "FROM events GROUP BY event_type ORDER BY event_type"
+    ),
+    tags=("json",),
+)
+def q69_variant_json(spark: SparkSession, sf: str) -> DataFrame:
+    """Spark 4 VARIANT ingestion of semi-structured event properties:
+    parse_json once into the binary variant encoding, then
+    variant_get typed extraction — the columnar-shredding path that
+    beats per-query string JSON parsing (q35's get_json_object) when
+    many expressions touch the same payload. Aggregates per event
+    type; DuckDB replays over the raw JSON strings."""
+    ensure_session_confs(spark)
+    v = F.parse_json("props")
+    k = F.try_variant_get(v, "$.k", "bigint")
+    return (
+        table(spark, sf, "events")
+        .select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.sum("k").cast("bigint").alias("k_sum"),
+            F.countDistinct("k").cast("bigint").alias("k_distinct"),
+            F.count(F.when(F.col("k").isNull(), 1)).cast("bigint")
+            .alias("k_missing"),
+        )
+        .orderBy("event_type")
+    )
