@@ -308,3 +308,64 @@ def test_fast_path_matches_spark_writer_dialect(spark, tmp_path):
     src.coalesce(1).write.options(**opts).csv(out)
     back = spark.read.options(**opts).schema("r_regionkey INT, r_name STRING").csv(out)
     assert sorted(map(tuple, back.collect())) == sorted(map(tuple, src.collect()))
+
+
+# --- Spark 4 Python DataSource (r9) ----------------------------------------
+
+
+def test_python_datasource_matches_read_dump_table(spark, tmp_path):
+    from ensembl_database_loader_spark.sources.dump_datasource import (
+        MySQLDumpDataSource,
+    )
+    from ensembl_database_loader_spark.sources.mysql_dump import read_dump_table
+
+    d = build_dump(str(tmp_path), "dsdb")
+    try:
+        spark.dataSource.register(MySQLDumpDataSource)
+    except Exception:  # already registered by an earlier test in the session
+        pass
+    for table in ("region", "orders"):
+        via_ds = (
+            spark.read.format("mysql_dump")
+            .option("path", d)
+            .option("table", table)
+            .load()
+        )
+        ref = read_dump_table(
+            spark, scan_dump_dir(d), table, strict_escapes=True
+        )
+        assert via_ds.schema == ref.schema
+        assert sorted(map(tuple, via_ds.collect())) == sorted(
+            map(tuple, ref.collect())
+        )
+    # split tables become one partition per part file
+    orders = (
+        spark.read.format("mysql_dump")
+        .option("path", d).option("table", "orders").load()
+    )
+    assert orders.rdd.getNumPartitions() == 2
+    # typed values incl. zero-date nulls arrive through the source
+    rows = {r.o_orderkey: r for r in orders.collect()}
+    assert rows[2].o_orderdate is None and rows[2].o_placed_at is None
+    assert rows[3].o_totalprice is None
+    import decimal
+
+    assert rows[1].o_totalprice == decimal.Decimal("173665.47")
+
+
+def test_python_datasource_guards(spark, tmp_path):
+    from ensembl_database_loader_spark.sources.dump_datasource import (
+        MySQLDumpDataSource,
+    )
+
+    d = build_dump(str(tmp_path), "dsdb2")
+    try:
+        spark.dataSource.register(MySQLDumpDataSource)
+    except Exception:
+        pass
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="not in DDL"):
+        spark.read.format("mysql_dump").option("path", d).option(
+            "table", "nope"
+        ).load().collect()
