@@ -2831,3 +2831,193 @@ def q69_variant_json(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@probe(
+    "q70_tpch_q7_shape",
+    oracle=(
+        # TPC-H Q7 (volume shipping): bilateral trade between two
+        # nations by ship year — the two-role dimension join (nation
+        # joined TWICE under different keys) + symmetric OR predicate
+        "SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation, "
+        "CAST(year(l.l_shipdate) AS BIGINT) AS l_year, "
+        "ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue "
+        "FROM lineitem l "
+        "JOIN supplier s ON s.s_suppkey = l.l_suppkey "
+        "JOIN orders o ON o.o_orderkey = l.l_orderkey "
+        "JOIN customer c ON c.c_custkey = o.o_custkey "
+        "JOIN nation n1 ON n1.n_nationkey = s.s_nationkey "
+        "JOIN nation n2 ON n2.n_nationkey = c.c_nationkey "
+        "WHERE (n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7') "
+        "OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3') "
+        "GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"
+    ),
+    tags=("join", "tpch"),
+)
+def q70_tpch_q7_shape(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q7 shape: the nation dimension joined TWICE under
+    different roles (supplier's vs customer's), a symmetric OR
+    predicate across the two roles, per-year revenue. Both nation
+    copies broadcast; the fact-side joins shuffle on their keys."""
+    ensure_session_confs(spark)
+    li = table(spark, sf, "lineitem")
+    s = table(spark, sf, "supplier")
+    o = table(spark, sf, "orders")
+    c = table(spark, sf, "customer")
+    n = table(spark, sf, "nation").select("n_nationkey", "n_name")
+    n1 = n.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = n.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    return (
+        li.join(s, s["s_suppkey"] == li["l_suppkey"])
+        .join(o, o["o_orderkey"] == li["l_orderkey"])
+        .join(c, c["c_custkey"] == o["o_custkey"])
+        .join(F.broadcast(n1), F.col("n1_key") == s["s_nationkey"])
+        .join(F.broadcast(n2), F.col("n2_key") == c["c_nationkey"])
+        .filter(
+            ((F.col("supp_nation") == "NATION_3") & (F.col("cust_nation") == "NATION_7"))
+            | ((F.col("supp_nation") == "NATION_7") & (F.col("cust_nation") == "NATION_3"))
+        )
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("bigint").alias("l_year"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+@probe(
+    "q71_tpch_q8_shape",
+    oracle=(
+        # TPC-H Q8 (market share): one nation's share of regional trade
+        # volume per year — conditional-sum ratio over a 6-table join
+        "WITH v AS (SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year, "
+        "l.l_extendedprice * (1 - l.l_discount) AS volume, "
+        "n2.n_name AS supp_nation "
+        "FROM lineitem l "
+        "JOIN part p ON p.p_partkey = l.l_partkey AND p.p_type = 'PROMO' "
+        "JOIN supplier s ON s.s_suppkey = l.l_suppkey "
+        "JOIN orders o ON o.o_orderkey = l.l_orderkey "
+        "JOIN customer c ON c.c_custkey = o.o_custkey "
+        "JOIN nation n1 ON n1.n_nationkey = c.c_nationkey "
+        "JOIN region r ON r.r_regionkey = n1.n_regionkey "
+        "AND r.r_name = 'REGION_1' "
+        "JOIN nation n2 ON n2.n_nationkey = s.s_nationkey) "
+        "SELECT o_year, "
+        "ROUND(SUM(CASE WHEN supp_nation = 'NATION_5' THEN volume ELSE 0 END) "
+        "/ SUM(volume) + 1e-9, 4) AS mkt_share "
+        "FROM v GROUP BY o_year ORDER BY o_year"
+    ),
+    tags=("join", "tpch"),
+)
+def q71_tpch_q8_shape(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q8 shape (market share): a 6-table join with the nation
+    dim again in two roles (customer's region filter, supplier's
+    share attribution) feeding a conditional-sum ratio per year — the
+    canonical CBO/broadcast-ordering stressor beyond Q5. Dims
+    broadcast; the ratio rounds at 4dp over a 1e-9 nudge (sums agree
+    across engines well past that)."""
+    ensure_session_confs(spark)
+    li = table(spark, sf, "lineitem")
+    p = table(spark, sf, "part").filter(F.col("p_type") == "PROMO")
+    s = table(spark, sf, "supplier")
+    o = table(spark, sf, "orders")
+    c = table(spark, sf, "customer")
+    n = table(spark, sf, "nation")
+    r = table(spark, sf, "region").filter(F.col("r_name") == "REGION_1")
+    n1 = n.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_reg")
+    )
+    n2 = n.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("supp_nation")
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    v = (
+        li.join(F.broadcast(p), p["p_partkey"] == li["l_partkey"])
+        .join(s, s["s_suppkey"] == li["l_suppkey"])
+        .join(o, o["o_orderkey"] == li["l_orderkey"])
+        .join(c, c["c_custkey"] == o["o_custkey"])
+        .join(F.broadcast(n1), F.col("n1_key") == c["c_nationkey"])
+        .join(F.broadcast(r), r["r_regionkey"] == F.col("n1_reg"))
+        .join(F.broadcast(n2), F.col("n2_key") == s["s_nationkey"])
+        .select(
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+            vol.alias("volume"),
+            "supp_nation",
+        )
+    )
+    return (
+        v.groupBy("o_year")
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(F.col("supp_nation") == "NATION_5", F.col("volume"))
+                    .otherwise(F.lit(0.0))
+                )
+                / F.sum("volume")
+                + F.lit(1e-9),
+                4,
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+@probe(
+    "q72_nullsafe_join",
+    oracle=(
+        # null-safe equality join (<=> / IS NOT DISTINCT FROM): null
+        # keys MATCH each other instead of dropping — the
+        # dimension-with-unknown-bucket pattern
+        "WITH l AS (SELECT o_orderkey, "
+        "CASE WHEN o_orderkey % 7 = 0 THEN NULL "
+        "ELSE o_orderkey % 5 END AS grp FROM orders WHERE o_orderkey <= 2000), "
+        "d AS (SELECT * FROM (VALUES (0, 'g0'), (1, 'g1'), (2, 'g2'), "
+        "(3, 'g3'), (4, 'g4'), (NULL, 'unknown')) t(grp, label)) "
+        "SELECT d.label, CAST(COUNT(l.o_orderkey) AS BIGINT) AS n, "
+        "CAST(COALESCE(SUM(l.o_orderkey), 0) AS BIGINT) AS key_sum "
+        "FROM l JOIN d ON l.grp IS NOT DISTINCT FROM d.grp "
+        "GROUP BY d.label ORDER BY d.label"
+    ),
+    tags=("join",),
+)
+def q72_nullsafe_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Null-safe equality join (Spark ``eqNullSafe`` == SQL ``<=>`` ==
+    ``IS NOT DISTINCT FROM``): the null bucket JOINS to its dimension
+    row instead of silently dropping — the unknown-member pattern every
+    dimensional model hits. Still a hash join (null-safe equality is
+    hashable), never a nested loop."""
+    ensure_session_confs(spark)
+    l = (
+        table(spark, sf, "orders")
+        .filter(F.col("o_orderkey") <= 2000)
+        .select(
+            "o_orderkey",
+            F.when(F.col("o_orderkey") % 7 == 0, F.lit(None))
+            .otherwise(F.col("o_orderkey") % 5)
+            .alias("grp"),
+        )
+    )
+    d = spark.createDataFrame(
+        [(0, "g0"), (1, "g1"), (2, "g2"), (3, "g3"), (4, "g4"), (None, "unknown")],
+        "grp bigint, label string",
+    )
+    return (
+        l.join(F.broadcast(d), l["grp"].eqNullSafe(d["grp"]))
+        .groupBy("label")
+        .agg(
+            F.count("o_orderkey").cast("bigint").alias("n"),
+            F.coalesce(F.sum("o_orderkey"), F.lit(0)).cast("bigint")
+            .alias("key_sum"),
+        )
+        .orderBy("label")
+    )
