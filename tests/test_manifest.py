@@ -1040,3 +1040,34 @@ def test_compact_partition_folds_only_that_partition(spark, tbl):
         M.compact_partition(spark, tbl, {"q": "a"})
     with pytest.raises(ValueError, match="cannot carry stats"):
         M.compact_partition(spark, tbl, {"p": "a"}, stats_cols=("p",))
+
+
+def test_multi_column_partitions_prefix_drop_and_combined_prune(spark, tmp_path):
+    tbl = str(tmp_path / "mp")
+    df = spark.createDataFrame(
+        [(i, f"d{i % 2}", ["x", "y"][i % 2 == 0], i * 10) for i in range(24)],
+        "k bigint, day string, src string, v bigint",
+    )
+    M.write_table(df, tbl, partition_by=("day", "src"), stats_cols=("k",))
+    m = M.latest_manifest(spark, tbl)
+    assert m["partition_by"] == ["day", "src"]
+    assert all(set(p) == {"day", "src"} for p in m["parts"].values())
+    # partition prune on BOTH columns combined with a stats prune on k
+    got = M.scan_table(
+        spark, tbl,
+        predicates=[("day", "=", "d1"), ("src", "=", "x"), ("k", ">=", 13)],
+    )
+    want = [i for i in range(24) if i % 2 == 1 and i >= 13]
+    assert sorted(r.k for r in got.collect()) == want
+    read = set(got.inputFiles())
+    d1x = {r for r in m["files"]
+           if m["parts"][r] == {"day": "d1", "src": "x"}}
+    assert read and len(read) <= len(d1x)
+    # prefix drop: one call removes a whole day across sub-partitions
+    out = M.drop_partition(spark, tbl, {"day": "d0"})
+    assert out["files_dropped"] >= 1
+    assert sorted(r.k for r in M.snapshot(spark, tbl).collect()) == [
+        i for i in range(24) if i % 2 == 1
+    ]
+    parts = M.table_partitions(spark, tbl)
+    assert all(e["values"]["day"] == "d1" for e in parts)
