@@ -1697,7 +1697,12 @@ def tx_bpe_encode(spark: SparkSession, sf: str) -> DataFrame:
     ensure_session_confs(spark)
     d = table(spark, sf, "documents")
     wf = word_frequencies(d, "text").persist()
-    merges = train_bpe(wf, 12)
+    # parallel-BPE batched passes: the probe's gates (roundtrip
+    # partition, vocab membership, count bounds) hold for ANY merge
+    # list, so the 12 merges train in ~3 counting passes instead of 12
+    # sequential driver round-trips (exact-sequential equality is
+    # tx_bpe_train's contract, not this probe's)
+    merges = train_bpe(wf, 12, merges_per_pass=4)
     vocab_size = token_vocabulary(wf, merges).count()
     enc = encode_corpus(d, merges, keep_tokens=True)
     n_words = F.size(F.filter(_tok("text"), lambda w: w != ""))
