@@ -217,3 +217,91 @@ def build_training_corpus(
             mixed.agg(F.count(F.lit(1)).alias("n_budget"))
         )
     return packed, report
+
+
+def tokenize_and_materialize(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    merges: list | None = None,
+    num_merges: int = 512,
+    merges_per_pass: int = 8,
+    seq_len: int = 2048,
+    n_shards: int = 64,
+    eos_id: int | None = None,
+    output_path: str | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """The tokenizer-serving tail of the pipeline: curated documents ->
+    BPE token ids -> fixed ``seq_len`` training examples, optionally
+    exported as one physically example-ordered parquet file per
+    ``shard=K/`` directory (the artifact a trainer streams without a
+    read-time sort). Composes the r9 operators end to end:
+    ``bpe.encode_corpus`` (per-DISTINCT-word encoding),
+    ``packing.materialize_examples`` (fragment-granular boundary
+    spanning), deterministic knuth sharding throughout.
+
+    Returns ``(examples, report)``: ``examples`` is (shard, example,
+    tokens array<int>, n_tokens, n_docs, complete); ``report`` is one
+    row — n_docs, vocab_size, eos_id, total_doc_tokens, n_examples,
+    n_complete, and the conservation contract ``tokens_conserved``
+    (example tokens == doc tokens + one eos per doc — nothing lost or
+    invented by the cut).
+
+    ``merges=None`` trains the vocabulary here (parallel-BPE batched
+    passes by default — at a 50k vocab the exact-sequential trainer is
+    50k driver round-trips; pass ``merges_per_pass=1`` when exact
+    Sennrich order matters, or pass pre-trained ``merges`` to skip
+    training entirely). ``eos_id=None`` uses vocab_size (one past the
+    last real token id)."""
+    from ensembl_database_loader_spark.operators.bpe import (
+        encode_corpus,
+        token_vocabulary,
+        train_bpe,
+        word_frequencies,
+    )
+    from ensembl_database_loader_spark.operators.packing import (
+        materialize_examples,
+    )
+
+    wf = word_frequencies(docs, text_col).persist()
+    if merges is None:
+        merges = train_bpe(wf, num_merges, merges_per_pass=merges_per_pass)
+    vocab_size = token_vocabulary(wf, merges).count()
+    eos = int(eos_id) if eos_id is not None else int(vocab_size)
+    enc = encode_corpus(docs, merges, id_col, text_col).persist()
+    ex = materialize_examples(
+        enc, id_col, "token_ids", seq_len, n_shards=n_shards, eos=eos
+    ).persist()
+    totals = enc.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_doc_tokens"),
+    )
+    ex_totals = ex.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_examples"),
+        F.sum(F.col("complete").cast("int")).cast("bigint").alias("n_complete"),
+        F.sum("n_tokens").cast("bigint").alias("_ex_tokens"),
+    )
+    report = totals.crossJoin(ex_totals).select(
+        "n_docs",
+        F.lit(int(vocab_size)).cast("bigint").alias("vocab_size"),
+        F.lit(eos).cast("bigint").alias("eos_id"),
+        "total_doc_tokens",
+        "n_examples",
+        "n_complete",
+        (
+            F.col("_ex_tokens")
+            == F.col("total_doc_tokens") + F.col("n_docs")
+        ).alias("tokens_conserved"),
+    )
+    if output_path is not None:
+        # one physically example-ordered file per shard=K/ directory —
+        # the export_training_shards layout, for token examples
+        (
+            ex.repartition(n_shards, "shard")
+            .sortWithinPartitions("example")
+            .write.partitionBy("shard")
+            .mode("overwrite")
+            .parquet(output_path)
+        )
+    return ex, report

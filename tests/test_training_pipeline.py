@@ -185,3 +185,58 @@ def test_doc_cap_keep_unlisted_passthrough(spark):
     assert per["a"] == 5       # capped
     assert per["b"] == 30      # unlisted passes whole
     assert per[None] == 30     # null stratum passes too
+
+
+def test_tokenize_and_materialize_end_to_end(spark, tmp_path):
+    from ensembl_database_loader_spark.pipeline.training import (
+        tokenize_and_materialize,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"word{j % 17}" for j in range(i % 40 + 5)))
+         for i in range(60)],
+        "doc_id bigint, text string",
+    )
+    out = str(tmp_path / "tokshards")
+    ex, report = tokenize_and_materialize(
+        docs, num_merges=8, seq_len=32, n_shards=4, output_path=out
+    )
+    r = report.collect()[0]
+    assert r.n_docs == 60 and r.tokens_conserved
+    assert r.eos_id == r.vocab_size
+    rows = ex.collect()
+    # eos appears exactly once per doc; all ids in [0, vocab]
+    flat = [t for row in rows for t in row.tokens]
+    assert flat.count(r.eos_id) == 60
+    assert all(0 <= t <= r.vocab_size for t in flat)
+    assert sum(row.n_tokens for row in rows) == r.total_doc_tokens + 60
+    # only a shard's final example may be incomplete
+    by_shard = {}
+    for row in rows:
+        by_shard.setdefault(row.shard, []).append(row)
+    for s, rs in by_shard.items():
+        last = max(x.example for x in rs)
+        for x in rs:
+            assert x.complete or x.example == last
+    # the export is one example-ordered file per shard directory
+    back = spark.read.parquet(out)
+    assert back.count() == r.n_examples
+    import glob
+    import os
+
+    for d in glob.glob(os.path.join(out, "shard=*")):
+        files = [f for f in os.listdir(d) if f.endswith(".parquet")]
+        assert len(files) == 1
+    # pre-trained merges path: identical result, no retraining
+    from ensembl_database_loader_spark.operators.bpe import (
+        train_bpe,
+        word_frequencies,
+    )
+
+    merges = train_bpe(word_frequencies(docs, "text"), 8, merges_per_pass=8)
+    ex2, _ = tokenize_and_materialize(
+        docs, merges=merges, seq_len=32, n_shards=4
+    )
+    a = sorted((x.shard, x.example, tuple(x.tokens)) for x in rows)
+    b = sorted((x.shard, x.example, tuple(x.tokens)) for x in ex2.collect())
+    assert a == b
