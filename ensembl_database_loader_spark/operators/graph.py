@@ -1,9 +1,10 @@
-"""Link-analysis ranking over an edge table — fixed-point PageRank,
-the second iterative-algorithm class beside the connected-components
-closure (``operators/components.py``). In a training-data pipeline
-this is the crawl-frontier / source-authority score (rank domains by
-who links to them, weight crawl budget toward authoritative sources);
-in analytics it ranks entities by reference structure.
+"""Link-analysis ranking over an edge table — fixed-point PageRank and
+HITS, the second iterative-algorithm class beside the
+connected-components closure (``operators/components.py``). In a
+training-data pipeline this is the crawl-frontier / source-authority
+score (rank domains by who links to them, weight crawl budget toward
+authoritative sources); in analytics it ranks entities by reference
+structure.
 
 Why FIXED-POINT integer arithmetic: the usual double-typed PageRank
 sums float contributions in shuffle-partition order, so two runs (or
