@@ -3021,3 +3021,101 @@ def q72_nullsafe_join(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+_PART_MAINT_ORACLE = (
+    # relational recompute of the partition-maintenance lifecycle:
+    # 5-LOW rows under k=500 deleted, 2-HIGH prices +3, compaction
+    # content-neutral
+    "WITH base AS (SELECT o_orderkey AS k, o_orderpriority AS pr, "
+    "ROUND(o_totalprice, 2) AS price FROM orders WHERE o_orderkey <= 3000), "
+    "final AS (SELECT k, pr, "
+    "CASE WHEN pr = '2-HIGH' THEN ROUND(price + 3, 2) ELSE price END AS price "
+    "FROM base WHERE NOT (pr = '5-LOW' AND k < 500)) "
+    "SELECT CAST(COUNT(*) AS BIGINT) AS pm_n_rows, "
+    "CAST(SUM(k) AS BIGINT) AS pm_key_sum, "
+    "CAST(SUM(CAST(ROUND(price * 100) AS BIGINT)) AS BIGINT) "
+    "AS pm_price_cents, "
+    "CAST(1 AS BIGINT) AS pm_urgent_files, "
+    "TRUE AS pm_rowcount_meta_ok, TRUE AS pm_delete_scoped, "
+    "TRUE AS pm_update_scoped FROM final"
+)
+
+
+@probe(
+    "llp_manifest_partition_maintenance",
+    oracle=_PART_MAINT_ORACLE,
+    tags=("storage", "pipeline"),
+)
+def llp_manifest_partition_maintenance(spark: SparkSession, sf: str) -> DataFrame:
+    """Partitioned-table MAINTENANCE lifecycle (sinks/manifest.py):
+    two appends leave multiple small files per partition, then
+
+    - ``compact_partition`` folds ONE partition (1-URGENT) back to a
+      single sorted file, content-neutrally, carrying every other file
+      by reference;
+    - partition-scoped row-level DELETE (5-LOW, k < 500): the
+      partition prune bounds the rewrite to that partition's files
+      (``pm_delete_scoped`` gates files_untouched > 0);
+    - partition-scoped UPDATE (2-HIGH prices +3) restaged through the
+      hive layout (``pm_update_scoped``);
+    - metadata row count stays exact through all three commits.
+
+    Content hash-gated against the relational recompute."""
+    import tempfile
+
+    from ensembl_database_loader_spark.sinks.manifest import (
+        compact_partition,
+        delete_rows,
+        latest_manifest,
+        snapshot,
+        table_row_count,
+        update_rows,
+        write_table,
+    )
+
+    ensure_session_confs(spark)
+    path = tempfile.mkdtemp(prefix="edl_pmaint_") + "/tbl"
+    base = (
+        table(spark, sf, "orders")
+        .filter(F.col("o_orderkey") <= 3000)
+        .select(
+            F.col("o_orderkey").alias("k"),
+            F.col("o_orderpriority").alias("pr"),
+            F.round("o_totalprice", 2).alias("price"),
+        )
+    )
+    write_table(
+        base.filter(F.col("k") <= 1500), path, partition_by=("pr",),
+        stats_cols=("k",),
+    )
+    write_table(base.filter(F.col("k") > 1500), path, mode="append")
+    c = compact_partition(spark, path, {"pr": "1-URGENT"}, sort_cols=("k",),
+                          stats_cols=("k",))
+    m = latest_manifest(spark, path)
+    urgent_files = sum(
+        1 for r in m["files"] if m["parts"][r]["pr"] == "1-URGENT"
+    )
+    d = delete_rows(
+        spark, path, where="k < 500", prune=[("pr", "=", "5-LOW")]
+    )
+    u = update_rows(
+        spark, path, {"price": "round(price + 3, 2)"},
+        prune=[("pr", "=", "2-HIGH")],
+    )
+    delete_scoped = (
+        c is not None and d is not None and d["files_untouched"] > 0
+    )
+    update_scoped = u is not None and u["files_untouched"] > 0
+    meta_ok = table_row_count(spark, path) == snapshot(spark, path).count()
+    return snapshot(spark, path).agg(
+        _cnt().alias("pm_n_rows"),
+        F.sum("k").cast("bigint").alias("pm_key_sum"),
+        F.sum(F.round(F.col("price") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("pm_price_cents"),
+        F.lit(urgent_files).cast("bigint").alias("pm_urgent_files"),
+        F.lit(bool(meta_ok)).alias("pm_rowcount_meta_ok"),
+        F.lit(bool(delete_scoped)).alias("pm_delete_scoped"),
+        F.lit(bool(update_scoped)).alias("pm_update_scoped"),
+    )

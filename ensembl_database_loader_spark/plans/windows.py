@@ -462,3 +462,72 @@ def wm6(spark: SparkSession, sf: str) -> DataFrame:
     ensure_session_confs(spark)
     e = table(spark, sf, "events")
     return stream_static_join(e, user_segments(e)).orderBy("segment")
+
+
+_REPLAY_ORACLE = (
+    "SELECT CAST(COUNT(*) AS BIGINT) AS rp_n, "
+    "CAST(COUNT(DISTINCT event_id) AS BIGINT) AS rp_distinct, "
+    "CAST(SUM(event_id) AS BIGINT) AS rp_id_sum, "
+    "CAST(SUM(user_id) AS BIGINT) AS rp_user_sum FROM events"
+)
+
+
+@probe(
+    "ws6_replay_source_stream",
+    oracle=_REPLAY_ORACLE,
+    tags=("streaming", "source"),
+)
+def ws6_replay_source_stream(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming Python DataSource end-to-end (sources/
+    replay_datasource.py): the parquet event log replays through a REAL
+    StreamingQuery in deterministic 4000-row micro-batches into a
+    memory sink; the drained sink's aggregates must equal the direct
+    relational read EXACTLY (every event exactly once, none invented —
+    the offset bookkeeping is the thing under test). Python streaming
+    sources don't support Trigger.AvailableNow, so the probe drives a
+    processing-time trigger and polls the sink to the known row count."""
+    import time as _time
+    import uuid as _uuid
+
+    from ensembl_database_loader_spark.sources.replay_datasource import (
+        EventReplayDataSource,
+    )
+
+    ensure_session_confs(spark)
+    try:
+        spark.dataSource.register(EventReplayDataSource)
+    except Exception:
+        pass  # already registered in this session
+    path = f"{sf.rstrip('/')}/events.parquet"
+    expect = spark.read.parquet(path).count()
+    name = f"edl_replay_{_uuid.uuid4().hex[:8]}"
+    import tempfile
+
+    ckpt = tempfile.mkdtemp(prefix="edl_replay_ckpt_")
+    q = (
+        spark.readStream.format("event_replay")
+        .option("path", path)
+        .option("batch_rows", 4000)
+        .load()
+        .writeStream.format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ckpt)
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        deadline = _time.time() + 180
+        while _time.time() < deadline:
+            n = spark.sql(f"SELECT COUNT(*) FROM {name}").collect()[0][0]
+            if n >= expect:
+                break
+            _time.sleep(0.3)
+    finally:
+        q.stop()
+        q.awaitTermination(30)
+    return spark.sql(
+        f"SELECT CAST(COUNT(*) AS BIGINT) AS rp_n, "
+        f"CAST(COUNT(DISTINCT event_id) AS BIGINT) AS rp_distinct, "
+        f"CAST(SUM(event_id) AS BIGINT) AS rp_id_sum, "
+        f"CAST(SUM(user_id) AS BIGINT) AS rp_user_sum FROM {name}"
+    )
