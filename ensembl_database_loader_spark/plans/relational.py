@@ -3085,11 +3085,14 @@ def llp_manifest_partition_maintenance(spark: SparkSession, sf: str) -> DataFram
             F.round("o_totalprice", 2).alias("price"),
         )
     )
+    # split by key parity, not a key range: both batches are non-empty
+    # at EVERY fixture scale, so each partition really has two files
+    # for the compaction to fold
     write_table(
-        base.filter(F.col("k") <= 1500), path, partition_by=("pr",),
+        base.filter(F.col("k") % 2 == 0), path, partition_by=("pr",),
         stats_cols=("k",),
     )
-    write_table(base.filter(F.col("k") > 1500), path, mode="append")
+    write_table(base.filter(F.col("k") % 2 == 1), path, mode="append")
     c = compact_partition(spark, path, {"pr": "1-URGENT"}, sort_cols=("k",),
                           stats_cols=("k",))
     m = latest_manifest(spark, path)
