@@ -1884,6 +1884,90 @@ def dq_key_skew(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @probe(
+    "dq_expectations",
+    oracle=(
+        # one metric CTE (the oracle twin of the engine's single
+        # aggregate pass) + one FK anti-count, one UNION ALL branch per
+        # rule; "column" quoted (reserved word, the dq_profile idiom)
+        "WITH m AS (SELECT "
+        "CAST(COUNT(*) AS BIGINT) AS n_rows, "
+        "CAST(COUNT(*) FILTER (WHERE o_orderkey IS NULL) AS BIGINT) AS nn_viol, "
+        "CAST(COUNT(*) FILTER (WHERE o_orderkey IS NOT NULL) AS BIGINT) AS uq_kept, "
+        "CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS uq_distinct, "
+        "CAST(COUNT(*) FILTER (WHERE o_totalprice IS NOT NULL AND "
+        "(o_totalprice < 1000.0 OR o_totalprice > 400000.0)) AS BIGINT) AS ir_viol, "
+        "CAST(COUNT(*) FILTER (WHERE o_orderstatus IS NOT NULL AND "
+        "o_orderstatus NOT IN ('O', 'F')) AS BIGINT) AS vi_viol, "
+        "CAST(COUNT(*) FILTER (WHERE o_orderpriority IS NOT NULL AND "
+        "NOT regexp_matches(o_orderpriority, '^[1-5]-')) AS BIGINT) AS rx_viol, "
+        "CAST(ROUND(AVG(o_totalprice), 2) AS VARCHAR) AS mean_str "
+        "FROM orders), "
+        "fk AS (SELECT CAST(COUNT(*) AS BIGINT) AS viol FROM orders o "
+        "WHERE o.o_custkey IS NOT NULL AND NOT EXISTS "
+        "(SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)) "
+        "SELECT 'fk:o_custkey->customer.c_custkey' AS rule, "
+        "'referential' AS kind, 'o_custkey' AS \"column\", "
+        "viol AS violations, CAST(viol AS VARCHAR) AS observed, "
+        "viol = 0 AS passed FROM fk "
+        "UNION ALL SELECT 'in_range:o_totalprice', 'in_range', "
+        "'o_totalprice', ir_viol, CAST(ir_viol AS VARCHAR), ir_viol = 0 FROM m "
+        "UNION ALL SELECT 'mean:o_totalprice', 'mean', 'o_totalprice', "
+        "CAST(0 AS BIGINT), mean_str, TRUE FROM m "
+        "UNION ALL SELECT 'not_null:o_orderkey', 'not_null', 'o_orderkey', "
+        "nn_viol, CAST(nn_viol AS VARCHAR), nn_viol = 0 FROM m "
+        "UNION ALL SELECT 'regex:o_orderpriority', 'regex', "
+        "'o_orderpriority', rx_viol, CAST(rx_viol AS VARCHAR), rx_viol = 0 FROM m "
+        "UNION ALL SELECT 'row_count', 'row_count', '', "
+        "CAST(0 AS BIGINT), CAST(n_rows AS VARCHAR), TRUE FROM m "
+        "UNION ALL SELECT 'unique:o_orderkey', 'unique', 'o_orderkey', "
+        "uq_kept - uq_distinct, CAST(uq_distinct AS VARCHAR), "
+        "uq_kept = uq_distinct FROM m "
+        "UNION ALL SELECT 'values_in:o_orderstatus', 'values_in', "
+        "'o_orderstatus', vi_viol, CAST(vi_viol AS VARCHAR), vi_viol = 0 FROM m "
+        "ORDER BY rule"
+    ),
+    tags=("quality", "expectations"),
+)
+def dq_expectations(spark: SparkSession, sf: str) -> DataFrame:
+    """Declarative expectation suite (operators/expectations.py): eight
+    rule kinds — not_null, key uniqueness, numeric range, accepted
+    values, regex, row-count band, mean band, and an FK referential
+    check against customer — evaluated as ONE partial-aggregated pass
+    over orders plus one LEFT ANTI join for the FK rule, returning one
+    verdict row per rule. This is the pre-commit data contract a 100 TB
+    ingest runs before publishing a batch (Deequ analogue; reference
+    parallel: the DatabaseFactory.pm coverage assert, generalized). A
+    40-rule suite costs the same single scan as one rule; ``passed``
+    makes pipeline gating a plain filter."""
+    from ensembl_database_loader_spark.operators.expectations import (
+        expect_in_range,
+        expect_mean_between,
+        expect_not_null,
+        expect_referential,
+        expect_regex,
+        expect_row_count,
+        expect_unique,
+        expect_values_in,
+        run_expectations,
+    )
+
+    ensure_session_confs(spark)
+    o = table(spark, sf, "orders")
+    cust = table(spark, sf, "customer")
+    suite = [
+        expect_not_null("o_orderkey"),
+        expect_unique("o_orderkey"),
+        expect_in_range("o_totalprice", 1000.0, 400000.0),
+        expect_values_in("o_orderstatus", ("O", "F")),
+        expect_regex("o_orderpriority", "^[1-5]-"),
+        expect_row_count(1, 100_000_000),
+        expect_mean_between("o_totalprice", 0.0, 1_000_000.0, ndigits=2),
+        expect_referential("o_custkey", "customer", "c_custkey"),
+    ]
+    return run_expectations(o, suite, refs={"customer": cust})
+
+
+@probe(
     "q60_skew_isolation_join",
     oracle=(
         "WITH dim AS (SELECT DISTINCT user_id, user_id % 7 AS grp FROM events) "
