@@ -282,3 +282,242 @@ def hits_oracle_sql(
         f"LEFT JOIN h{n} ON nodes.node = h{n}.node "
         f"LEFT JOIN a{n} ON nodes.node = a{n}.node"
     )
+
+
+# ---------------------------------------------------------------------------
+# Triangle counting (degree-ordered orientation)
+# ---------------------------------------------------------------------------
+
+
+def undirected_canonical(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Canonical undirected edge set ``(a, b)`` with ``a < b``:
+    self-loops dropped, both directions and duplicates collapsed. One
+    partial-aggregated distinct."""
+    return (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+
+
+def triangle_count(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """One row ``(n_nodes, n_edges, triangles)`` — exact undirected
+    triangle count (all BIGINT, engine-exact).
+
+    Why DEGREE-ORDERED orientation (the compact-forward idiom): a
+    naive wedge join keyed on raw node ids explodes on hubs — a node
+    of degree d contributes d^2/2 wedges, and web/co-occurrence
+    graphs are power-law, so the biggest key dominates the whole
+    shuffle. Orienting every edge from the (degree, id)-SMALLER
+    endpoint to the larger caps every node's OUT-degree at O(sqrt(m)):
+    wedge count drops from sum(d^2) to at most m^1.5 — the best
+    possible for exact counting — and, because the cap is per-node,
+    the wedge join cannot have a skewed key. Each triangle is counted
+    exactly once (its three vertices have a unique orientation order).
+
+    Spark shape: one distinct (canonicalize), one degree groupBy, two
+    shuffle_hash joins to annotate endpoint ranks, then the wedge
+    self-join on the oriented source and ONE closure join of wedges
+    against the oriented edge set on the composite (lo, hi) key. At
+    100 TB pre-partition the oriented edges by ``u``; the closure join
+    reuses the wedge shuffle's partitioning under AQE.
+    """
+    und = undirected_canonical(edges, src, dst)
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionByName(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
+    )
+    # annotate both endpoints with (deg, id) rank, orient small -> big
+    ann = (
+        und.join(
+            deg.select(F.col("node").alias("a"), F.col("deg").alias("da")).hint(
+                "shuffle_hash"
+            ),
+            "a",
+        )
+        .join(
+            deg.select(F.col("node").alias("b"), F.col("deg").alias("db")).hint(
+                "shuffle_hash"
+            ),
+            "b",
+        )
+    )
+    a_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    oriented = ann.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+        F.when(a_first, F.col("db")).otherwise(F.col("da")).alias("dv"),
+    ).localCheckpoint()  # referenced three times below; cut the lineage
+    e1, e2 = oriented.alias("e1"), oriented.alias("e2")
+    # wedges from a shared oriented source, ordered by the SAME
+    # (deg, id) rank so the closing edge is oriented v1 -> v2
+    v1_first = (F.col("e1.dv") < F.col("e2.dv")) | (
+        (F.col("e1.dv") == F.col("e2.dv")) & (F.col("e1.v") < F.col("e2.v"))
+    )
+    wedges = (
+        e1.join(e2.hint("shuffle_hash"), F.col("e1.u") == F.col("e2.u"))
+        .where(F.col("e1.v") < F.col("e2.v"))
+        .select(
+            F.when(v1_first, F.col("e1.v")).otherwise(F.col("e2.v")).alias("u"),
+            F.when(v1_first, F.col("e2.v")).otherwise(F.col("e1.v")).alias("v"),
+        )
+    )
+    tri = wedges.join(
+        oriented.select("u", "v").hint("shuffle_hash"), ["u", "v"]
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("triangles"))
+    counts = und.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_edges")
+    ).crossJoin(deg.agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes")))
+    return counts.crossJoin(tri).select("n_nodes", "n_edges", "triangles")
+
+
+def triangle_oracle_sql(edges_sql: str) -> str:
+    """DuckDB twin of ``triangle_count``: the orientation scheme is an
+    engine-side performance device, so the oracle counts each triangle
+    once via the simpler id-ordered triple join (a < b < c) — same
+    exact result, auditable SQL."""
+    return (
+        f"WITH raw AS (SELECT src, dst FROM ({edges_sql})), "
+        "und AS (SELECT DISTINCT LEAST(src, dst) AS a, "
+        "GREATEST(src, dst) AS b FROM raw WHERE src <> dst), "
+        "nodes AS (SELECT DISTINCT node FROM "
+        "(SELECT a AS node FROM und UNION ALL SELECT b FROM und)) "
+        "SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM nodes) AS n_nodes, "
+        "(SELECT CAST(COUNT(*) AS BIGINT) FROM und) AS n_edges, "
+        "(SELECT CAST(COUNT(*) AS BIGINT) FROM und e1 "
+        "JOIN und e2 ON e2.a = e1.a AND e2.b > e1.b "
+        "JOIN und e3 ON e3.a = e1.b AND e3.b = e2.b) AS triangles"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Personalized PageRank (seed-restart)
+# ---------------------------------------------------------------------------
+
+
+def personalized_pagerank_fixed(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    seed_col: str = "node",
+    iterations: int = 3,
+    scale: int = 10**12,
+    damping_pct: int = 85,
+) -> DataFrame:
+    """(node, rank) after ``iterations`` rounds of integer fixed-point
+    PERSONALIZED PageRank: identical recurrence to ``pagerank_fixed``
+    except the teleport mass lands only on the seed set (uniformly,
+    ``scale DIV n_seeds`` each) instead of on every node — the
+    random-walk-with-restart relevance score ("rank domains by
+    proximity to these trusted sources", the TrustRank shape a crawl
+    pipeline uses to weight frontier budget toward a vetted seed list).
+
+    Same bit-exact BIGINT discipline and the same documented
+    dangling-mass simplification as ``pagerank_fixed``; seeds that
+    never appear in the edge set still hold their teleport mass (they
+    are unioned into the node set). Spark shape per round is unchanged:
+    ONE shuffle_hash join + one partial-aggregated groupBy; the seed
+    base column rides the checkpointed node frame, adding nothing to
+    the per-round cost."""
+    if iterations < 1:
+        raise ValueError(f"iterations must be >= 1, got {iterations}")
+    if not 0 < damping_pct < 100:
+        raise ValueError(f"damping_pct must be in (1, 99), got {damping_pct}")
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    sd = seeds.select(F.col(seed_col).alias("node")).distinct()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .unionByName(sd)
+        .distinct()
+    )
+    ed = (
+        e.join(
+            out_degrees(e).withColumnRenamed("node", "src").hint("shuffle_hash"),
+            "src",
+        )
+        .localCheckpoint()
+    )
+    n_seeds = sd.count()
+    if n_seeds == 0:
+        raise ValueError("personalized_pagerank_fixed: empty seed set")
+    seed_base = int(scale) // n_seeds
+    nodes = (
+        nodes.join(sd.withColumn("_is_seed", F.lit(True)), "node", "left")
+        .select(
+            "node",
+            F.when(F.col("_is_seed"), F.lit(seed_base))
+            .otherwise(F.lit(0))
+            .cast("bigint")
+            .alias("base"),
+        )
+        .localCheckpoint()
+    )
+    keep = 100 - damping_pct
+    ranks = nodes.select("node", F.col("base").alias("rank"))
+    for i in range(iterations):
+        sums = (
+            ed.join(
+                ranks.withColumnRenamed("node", "src").hint("shuffle_hash"),
+                "src",
+            )
+            .select("dst", F.expr("rank DIV deg").alias("_c"))
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("_c").cast("bigint").alias("_m"))
+        )
+        ranks = nodes.join(sums, "node", "left").select(
+            "node",
+            F.expr(
+                f"({keep} * base + {damping_pct} * coalesce(_m, 0L)) DIV 100"
+            ).alias("rank"),
+        )
+        if i % 2 == 1 and i < iterations - 1:
+            ranks = ranks.localCheckpoint()
+    return ranks
+
+
+def personalized_pagerank_oracle_sql(
+    edges_sql: str,
+    seeds_sql: str,
+    iterations: int = 3,
+    scale: int = 10**12,
+    damping_pct: int = 85,
+) -> str:
+    """DuckDB twin of ``personalized_pagerank_fixed``: the same
+    integer recurrence unrolled, generated from the same parameters
+    (the pagerank_oracle_sql auditability contract)."""
+    keep = 100 - damping_pct
+    parts = [
+        f"WITH ed AS MATERIALIZED (SELECT src, dst FROM ({edges_sql}))",
+        f"sd AS MATERIALIZED (SELECT DISTINCT node FROM ({seeds_sql}))",
+        "nodes AS MATERIALIZED (SELECT DISTINCT node FROM "
+        "(SELECT src AS node FROM ed UNION ALL SELECT dst FROM ed "
+        "UNION ALL SELECT node FROM sd))",
+        "deg AS MATERIALIZED (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg "
+        "FROM ed GROUP BY src)",
+        f"base AS MATERIALIZED (SELECT n.node, CAST(CASE WHEN s.node IS NOT "
+        f"NULL THEN {scale} // (SELECT COUNT(*) FROM sd) ELSE 0 END "
+        "AS BIGINT) AS base FROM nodes n LEFT JOIN sd s ON n.node = s.node)",
+        "rk0 AS MATERIALIZED (SELECT node, base AS rank FROM base)",
+    ]
+    for i in range(1, iterations + 1):
+        parts.append(
+            f"rk{i} AS MATERIALIZED (SELECT b.node, "
+            f"CAST(({keep} * b.base + {damping_pct} * COALESCE(s.m, 0)) "
+            "// 100 AS BIGINT) AS rank FROM base b LEFT JOIN "
+            "(SELECT e.dst AS node, CAST(SUM(r.rank // d.deg) AS BIGINT) AS m "
+            f"FROM ed e JOIN rk{i - 1} r ON e.src = r.node "
+            "JOIN deg d ON e.src = d.src GROUP BY e.dst) s "
+            "ON b.node = s.node)"
+        )
+    return ", ".join(parts) + f" SELECT node, rank FROM rk{iterations}"

@@ -2779,6 +2779,113 @@ def q66_hits(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+_TRI_EDGES_SQL = (
+    # co-purchase graph: parts joined by appearing in the same order
+    # (capped to the first 2000 orders so the probe's pair expansion is
+    # bounded at every SF — per-order pair count is <= C(7,2) in these
+    # fixtures, so edges scale linearly with the cap)
+    "SELECT a.l_partkey AS src, b.l_partkey AS dst "
+    "FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey "
+    "AND a.l_partkey < b.l_partkey WHERE a.l_orderkey <= 2000"
+)
+
+
+def _tri_oracle() -> str:
+    from ensembl_database_loader_spark.operators.graph import triangle_oracle_sql
+
+    return triangle_oracle_sql(_TRI_EDGES_SQL)
+
+
+@probe("q73_triangles", oracle=_tri_oracle(), tags=("graph",))
+def q73_triangles(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact triangle count (operators/graph.triangle_count) over the
+    part co-purchase graph (parts sharing an order). The engine uses
+    DEGREE-ORDERED orientation — every edge points from its
+    (degree, id)-smaller endpoint, capping any node's out-degree at
+    O(sqrt(m)) so the wedge join has no skewed key and the total wedge
+    count is bounded by m^1.5 instead of sum(deg^2); on a power-law
+    co-occurrence graph that is the difference between a bounded
+    shuffle and a hub blowing up the stage. The oracle counts the same
+    triangles via the simple id-ordered triple join — orientation is
+    performance, not semantics, and the counts must agree exactly."""
+    from ensembl_database_loader_spark.operators.graph import triangle_count
+
+    ensure_session_confs(spark)
+    li = table(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.where(F.col("l_orderkey") <= 2000).alias("a")
+    b = li.where(F.col("l_orderkey") <= 2000).alias("b")
+    edges = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    ).select(
+        F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+    )
+    return triangle_count(edges)
+
+
+_PPR_SEEDS_SQL = (
+    "SELECT DISTINCT l_suppkey AS node FROM lineitem WHERE l_suppkey <= 5"
+)
+
+
+def _ppr_oracle() -> str:
+    from ensembl_database_loader_spark.operators.graph import (
+        personalized_pagerank_oracle_sql,
+    )
+
+    return (
+        "SELECT node, rank FROM ("
+        + personalized_pagerank_oracle_sql(
+            _PR_EDGES_SQL, _PPR_SEEDS_SQL, iterations=3
+        )
+        + ") WHERE rank > 0 ORDER BY rank DESC, node LIMIT 20"
+    )
+
+
+@probe(
+    "q74_personalized_pagerank", oracle=_ppr_oracle(), tags=("iterative", "graph")
+)
+def q74_personalized_pagerank(spark: SparkSession, sf: str) -> DataFrame:
+    """Personalized PageRank (operators/graph.personalized_pagerank_fixed)
+    on the q63 trade graph with suppliers 1-5 as the trusted seed set:
+    teleport mass restarts at the seeds only, so rank measures
+    random-walk PROXIMITY to the seeds — the TrustRank/crawl-budget
+    weighting a pipeline uses to favor frontier URLs reachable from a
+    vetted source list. Same bit-exact BIGINT recurrence and generated
+    unrolled-CTE oracle as q63; top-20 positive ranks hash-gated."""
+    from ensembl_database_loader_spark.operators.graph import (
+        personalized_pagerank_fixed,
+    )
+
+    ensure_session_confs(spark)
+    li = table(spark, sf, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = table(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    pairs = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .select(F.col("l_suppkey").alias("s"), F.col("o_custkey").alias("c"))
+        .distinct()
+    )
+    edges = pairs.select(
+        F.col("s").alias("src"), (F.lit(1000000) + F.col("c")).alias("dst")
+    ).unionByName(
+        pairs.select(
+            (F.lit(1000000) + F.col("c")).alias("src"), F.col("s").alias("dst")
+        )
+    )
+    seeds = (
+        li.select(F.col("l_suppkey").alias("node"))
+        .where(F.col("node") <= 5)
+        .distinct()
+    )
+    ranks = personalized_pagerank_fixed(edges, seeds, iterations=3)
+    return (
+        ranks.where(F.col("rank") > 0)
+        .orderBy(F.desc("rank"), "node")
+        .limit(20)
+    )
+
+
 @probe(
     "q67_gapfill_forward_fill",
     oracle=(

@@ -129,3 +129,135 @@ def hits_fixed_df(spark, parts):
     from ensembl_database_loader_spark.operators.graph import hits_fixed
 
     return hits_fixed(_df(spark, EDGES).repartition(parts), iterations=2)
+
+
+# ---------------------------------------------------------------------------
+# Triangle counting
+# ---------------------------------------------------------------------------
+
+
+def _tri_reference(edges):
+    und = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+    nodes = sorted({n for e in und for n in e})
+    tris = 0
+    for i, a in enumerate(nodes):
+        for b in nodes[i + 1:]:
+            if (a, b) not in und:
+                continue
+            for c in nodes:
+                if c > b and (a, c) in und and (b, c) in und:
+                    tris += 1
+    return len(nodes), len(und), tris
+
+
+def test_triangle_count_matches_reference(spark):
+    from ensembl_database_loader_spark.operators.graph import triangle_count
+
+    # a clique of 4 (4 triangles), a pendant, a separate triangle,
+    # duplicate/reversed/self edges that must collapse
+    edges = [
+        (1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),   # K4
+        (4, 5),                                           # pendant
+        (6, 7), (7, 8), (8, 6),                           # triangle
+        (2, 1), (1, 2), (3, 3),                           # noise
+    ]
+    row = triangle_count(_df(spark, edges)).collect()[0]
+    n_nodes, n_edges, tris = _tri_reference(edges)
+    assert (row.n_nodes, row.n_edges, row.triangles) == (n_nodes, n_edges, tris)
+    assert row.triangles == 5
+
+
+def test_triangle_count_layout_independent_no_triangles(spark):
+    from ensembl_database_loader_spark.operators.graph import triangle_count
+
+    # bipartite graph: zero triangles regardless of partitioning
+    edges = [(i, 100 + (i % 3)) for i in range(1, 20)]
+    a = triangle_count(_df(spark, edges)).collect()[0]
+    b = triangle_count(_df(spark, edges).repartition(5)).collect()[0]
+    assert a == b
+    assert a.triangles == 0
+
+
+def test_triangle_count_skewed_hub(spark):
+    from ensembl_database_loader_spark.operators.graph import triangle_count
+
+    # star hub + rim cycle: hub degree 40, triangles = 40 (hub with each
+    # rim edge) — exercises the orientation path where the hub is the
+    # LARGEST-degree endpoint of every edge
+    hub = 0
+    rim = list(range(1, 41))
+    edges = [(hub, r) for r in rim]
+    edges += [(rim[i], rim[(i + 1) % len(rim)]) for i in range(len(rim))]
+    row = triangle_count(_df(spark, edges)).collect()[0]
+    assert (row.n_nodes, row.n_edges, row.triangles) == (41, 80, 40)
+    assert _tri_reference(edges) == (41, 80, 40)
+
+
+# ---------------------------------------------------------------------------
+# Personalized PageRank
+# ---------------------------------------------------------------------------
+
+
+def _ppr_reference(edges, seeds, iterations, scale=10**12, damping_pct=85):
+    nodes = sorted({n for e in edges for n in e} | set(seeds))
+    deg: dict = {}
+    for s, _ in edges:
+        deg[s] = deg.get(s, 0) + 1
+    seed_base = scale // len(set(seeds))
+    base = {v: (seed_base if v in set(seeds) else 0) for v in nodes}
+    keep = 100 - damping_pct
+    rank = dict(base)
+    for _ in range(iterations):
+        sums = {v: 0 for v in nodes}
+        for s, d in edges:
+            sums[d] += rank[s] // deg[s]
+        rank = {
+            v: (keep * base[v] + damping_pct * sums[v]) // 100 for v in nodes
+        }
+    return rank
+
+
+def test_personalized_pagerank_matches_reference(spark):
+    from ensembl_database_loader_spark.operators.graph import (
+        personalized_pagerank_fixed,
+    )
+
+    seeds = [1, 4]
+    sd = spark.createDataFrame([(s,) for s in seeds], "node bigint")
+    for iters in (1, 3):
+        got = {
+            r.node: r.rank
+            for r in personalized_pagerank_fixed(
+                _df(spark, EDGES), sd, iterations=iters
+            ).collect()
+        }
+        assert got == _ppr_reference(EDGES, seeds, iters), iters
+    # non-seed mass comes only through the walk: node 5 has no
+    # in-edges and is no seed -> rank exactly 0
+    got3 = _ppr_reference(EDGES, seeds, 3)
+    assert got3[5] == 0
+
+
+def test_personalized_pagerank_offgraph_seed_and_guards(spark):
+    from ensembl_database_loader_spark.operators.graph import (
+        personalized_pagerank_fixed,
+    )
+    import pytest as _pt
+
+    # seed 99 has no edges: appears in the output holding teleport mass
+    sd = spark.createDataFrame([(1,), (99,)], "node bigint")
+    got = {
+        r.node: r.rank
+        for r in personalized_pagerank_fixed(
+            _df(spark, EDGES), sd, iterations=2
+        ).collect()
+    }
+    assert got == _ppr_reference(EDGES, [1, 99], 2)
+    assert got[99] > 0
+    with _pt.raises(ValueError, match="empty seed set"):
+        personalized_pagerank_fixed(
+            _df(spark, EDGES),
+            spark.createDataFrame([], "node bigint"),
+        )
+    with _pt.raises(ValueError, match="iterations"):
+        personalized_pagerank_fixed(_df(spark, EDGES), sd, iterations=0)
