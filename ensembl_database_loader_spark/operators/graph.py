@@ -521,3 +521,87 @@ def personalized_pagerank_oracle_sql(
             "ON b.node = s.node)"
         )
     return ", ".join(parts) + f" SELECT node, rank FROM rk{iterations}"
+
+
+# ---------------------------------------------------------------------------
+# Label propagation (deterministic synchronous majority vote)
+# ---------------------------------------------------------------------------
+
+
+def label_propagation_fixed(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 3,
+) -> DataFrame:
+    """(node, label) after ``iterations`` SYNCHRONOUS rounds of
+    majority label propagation over the undirected graph — community
+    detection for domain clustering / near-dup corpus grouping (which
+    sources form a tightly-linked cluster?).
+
+    Classic LPA is order-dependent (asynchronous updates + random tie
+    break); this variant is the deterministic twin: all nodes update
+    simultaneously from the PREVIOUS round's labels, and ties break to
+    the SMALLEST label — so the result is engine-exact, replayable in
+    SQL, and independent of partitioning (pinned by tests). Labels
+    start as node ids; an isolated node would keep its own id (cannot
+    occur here: the node set is induced by the edge set).
+
+    Spark shape per round: ONE shuffle_hash join (labels onto the
+    symmetric checkpointed edge table) + a (node, label) partial-
+    aggregated count + an argmax groupBy — no window, no sort; the
+    argmax is max(struct(cnt, -label)). Fixed iteration count, not
+    convergence polling: each round is a full materialization barrier
+    anyway, and bounded rounds are the 100 TB posture (LPA oscillates
+    under synchronous updates; bounded replay keeps it auditable)."""
+    if iterations < 1:
+        raise ValueError(f"iterations must be >= 1, got {iterations}")
+    und = undirected_canonical(edges, src, dst)
+    sym = (
+        und.select(F.col("a").alias("u"), F.col("b").alias("v"))
+        .unionByName(und.select(F.col("b").alias("u"), F.col("a").alias("v")))
+        .localCheckpoint()
+    )
+    nodes = sym.select(F.col("u").alias("node")).distinct().localCheckpoint()
+    labels = nodes.withColumn("label", F.col("node").cast("bigint"))
+    for i in range(iterations):
+        votes = (
+            sym.join(
+                labels.withColumnRenamed("node", "u").hint("shuffle_hash"), "u"
+            )
+            .groupBy(F.col("v").alias("node"), "label")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        )
+        labels = (
+            votes.groupBy("node")
+            .agg(F.max(F.struct(F.col("cnt"), (-F.col("label")).alias("nl"))).alias("m"))
+            .select("node", (-F.col("m.nl")).cast("bigint").alias("label"))
+        )
+        if i % 2 == 1 and i < iterations - 1:
+            labels = labels.localCheckpoint()
+    return labels
+
+
+def label_propagation_oracle_sql(edges_sql: str, iterations: int = 3) -> str:
+    """DuckDB twin of ``label_propagation_fixed``: the same synchronous
+    min-tie majority vote unrolled round by round (ROW_NUMBER ordered
+    by cnt DESC, label ASC replays the argmax exactly)."""
+    parts = [
+        f"WITH raw AS MATERIALIZED (SELECT src, dst FROM ({edges_sql}))",
+        "und AS MATERIALIZED (SELECT DISTINCT LEAST(src, dst) AS a, "
+        "GREATEST(src, dst) AS b FROM raw WHERE src <> dst)",
+        "sym AS MATERIALIZED (SELECT a AS u, b AS v FROM und "
+        "UNION ALL SELECT b, a FROM und)",
+        "lb0 AS MATERIALIZED (SELECT DISTINCT u AS node, "
+        "CAST(u AS BIGINT) AS label FROM sym)",
+    ]
+    for i in range(1, iterations + 1):
+        parts.append(
+            f"lb{i} AS MATERIALIZED (SELECT node, label FROM ("
+            "SELECT s.v AS node, l.label, "
+            "ROW_NUMBER() OVER (PARTITION BY s.v "
+            "ORDER BY COUNT(*) DESC, l.label ASC) AS rn "
+            f"FROM sym s JOIN lb{i - 1} l ON s.u = l.node "
+            "GROUP BY s.v, l.label) WHERE rn = 1)"
+        )
+    return ", ".join(parts) + f" SELECT node, label FROM lb{iterations}"

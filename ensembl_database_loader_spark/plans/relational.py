@@ -2886,6 +2886,54 @@ def q74_personalized_pagerank(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _lpa_oracle() -> str:
+    from ensembl_database_loader_spark.operators.graph import (
+        label_propagation_oracle_sql,
+    )
+
+    return (
+        "SELECT label, CAST(COUNT(*) AS BIGINT) AS community_size FROM ("
+        + label_propagation_oracle_sql(_TRI_EDGES_SQL, iterations=3)
+        + ") GROUP BY label ORDER BY community_size DESC, label LIMIT 20"
+    )
+
+
+@probe(
+    "q75_label_propagation", oracle=_lpa_oracle(), tags=("iterative", "graph")
+)
+def q75_label_propagation(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic synchronous label propagation
+    (operators/graph.label_propagation_fixed) over the q73 co-purchase
+    graph: 3 majority-vote rounds (ties to the smallest label), then
+    the community-size histogram's top 20. Synchronous + min-tie makes
+    classic order-dependent LPA engine-exact — the oracle replays the
+    identical vote with ROW_NUMBER — so community assignments are
+    auditable and layout-independent, the same contract as the other
+    iterative graph probes."""
+    from ensembl_database_loader_spark.operators.graph import (
+        label_propagation_fixed,
+    )
+
+    ensure_session_confs(spark)
+    li = table(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.where(F.col("l_orderkey") <= 2000).alias("a")
+    b = li.where(F.col("l_orderkey") <= 2000).alias("b")
+    edges = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    ).select(
+        F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+    )
+    labels = label_propagation_fixed(edges, iterations=3)
+    return (
+        labels.groupBy("label")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("community_size"))
+        .orderBy(F.desc("community_size"), "label")
+        .limit(20)
+    )
+
+
 @probe(
     "q67_gapfill_forward_fill",
     oracle=(

@@ -261,3 +261,74 @@ def test_personalized_pagerank_offgraph_seed_and_guards(spark):
         )
     with _pt.raises(ValueError, match="iterations"):
         personalized_pagerank_fixed(_df(spark, EDGES), sd, iterations=0)
+
+
+# ---------------------------------------------------------------------------
+# Label propagation
+# ---------------------------------------------------------------------------
+
+
+def _lpa_reference(edges, iterations):
+    und = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+    adj: dict = {}
+    for a, b in und:
+        adj.setdefault(a, []).append(b)
+        adj.setdefault(b, []).append(a)
+    label = {v: v for v in adj}
+    for _ in range(iterations):
+        new = {}
+        for v, nbrs in adj.items():
+            counts: dict = {}
+            for n in nbrs:
+                counts[label[n]] = counts.get(label[n], 0) + 1
+            # majority, ties to smallest label
+            new[v] = max(counts, key=lambda c: (counts[c], -c))
+        label = new
+    return label
+
+
+def test_label_propagation_matches_reference(spark):
+    from ensembl_database_loader_spark.operators.graph import (
+        label_propagation_fixed,
+    )
+
+    # two dense communities joined by one bridge edge + noise edges
+    edges = (
+        [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]          # K4 on 1-4
+        + [(10, 11), (10, 12), (11, 12), (10, 13), (11, 13), (12, 13)]  # K4 on 10-13
+        + [(4, 10)]                                                # bridge
+        + [(2, 1), (3, 3)]                                         # noise
+    )
+    for iters in (1, 2, 4):
+        got = {
+            r.node: r.label
+            for r in label_propagation_fixed(
+                _df(spark, edges), iterations=iters
+            ).collect()
+        }
+        assert got == _lpa_reference(edges, iters), iters
+    # after enough rounds the two cliques converge to their min labels
+    final = _lpa_reference(edges, 4)
+    assert {final[v] for v in (1, 2, 3)} == {1}
+
+
+def test_label_propagation_layout_independent(spark):
+    from ensembl_database_loader_spark.operators.graph import (
+        label_propagation_fixed,
+    )
+    import pytest as _pt
+
+    edges = [(i, (i * 7) % 23 + 100) for i in range(1, 40)]
+    a = sorted(
+        (r.node, r.label)
+        for r in label_propagation_fixed(_df(spark, edges), iterations=3).collect()
+    )
+    b = sorted(
+        (r.node, r.label)
+        for r in label_propagation_fixed(
+            _df(spark, edges).repartition(9), iterations=3
+        ).collect()
+    )
+    assert a == b == sorted(_lpa_reference(edges, 3).items())
+    with _pt.raises(ValueError, match="iterations"):
+        label_propagation_fixed(_df(spark, edges), iterations=0)
