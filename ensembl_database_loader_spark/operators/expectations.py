@@ -318,3 +318,86 @@ def assert_expectations(
         )
         raise AssertionError(f"expectations failed: {lines}")
     return report
+
+
+#: rule kinds decidable per ROW (routable); the rest are batch-level
+ROW_KINDS = ("not_null", "in_range", "values_in", "regex", "referential")
+
+
+def tag_violations(
+    df: DataFrame,
+    expectations: list[Expectation] | tuple[Expectation, ...],
+    refs: dict[str, DataFrame] | None = None,
+    out_col: str = "violations",
+) -> DataFrame:
+    """Row-level routing form: every input row annotated with
+    ``out_col: array<string>`` — the names of the ROW-decidable rules
+    it violates (empty array = clean row). Aggregate-kind rules
+    (unique / row_count / mean) are batch-level verdicts and are
+    rejected here — split a mixed suite with ``row_rules()`` /
+    ``batch_rules()``.
+
+    Predicate rules compile to ONE projection (no shuffle, stays in
+    whole-stage codegen); each referential rule adds one LEFT join
+    against the referenced key set (AQE broadcasts small dims) to flag
+    dangling FKs per row.
+    """
+    refs = refs or {}
+    bad = [e.name for e in expectations if e.kind not in ROW_KINDS]
+    if bad:
+        raise ValueError(
+            f"tag_violations: rule(s) {bad!r} are batch-level; "
+            f"row-routable kinds are {ROW_KINDS}"
+        )
+    if out_col in df.columns:
+        raise ValueError(f"tag_violations: column {out_col!r} already exists")
+    for e in expectations:
+        if e.column not in df.columns:
+            raise ValueError(
+                f"tag_violations: rule {e.name!r} references unknown column "
+                f"{e.column!r}; frame has {list(df.columns)!r}"
+            )
+        if e.kind == "referential" and e.params["ref"] not in refs:
+            raise ValueError(
+                f"tag_violations: rule {e.name!r} references table "
+                f"{e.params['ref']!r} not in refs {sorted(refs)!r}"
+            )
+
+    out = df
+    flags: list[F.Column] = []
+    for i, e in enumerate(expectations):
+        c = F.col(e.column)
+        if e.kind == "not_null":
+            cond = c.isNull()
+        elif e.kind == "in_range":
+            lo, hi = e.params["lo"], e.params["hi"]
+            cond = c.isNotNull() & ((c < F.lit(lo)) | (c > F.lit(hi)))
+        elif e.kind == "values_in":
+            cond = c.isNotNull() & ~c.isin(*e.params["values"])
+        elif e.kind == "regex":
+            cond = c.isNotNull() & ~c.rlike(e.params["pattern"])
+        else:  # referential: flag rows whose non-null FK has no match
+            mark = f"__ref_ok_{i}"
+            ref_keys = (
+                refs[e.params["ref"]]
+                .select(F.col(e.params["ref_column"]).alias(e.column))
+                .distinct()
+                .withColumn(mark, F.lit(True))
+            )
+            out = out.join(ref_keys, e.column, "left")
+            cond = c.isNotNull() & F.col(mark).isNull()
+        flags.append(F.when(cond, F.lit(e.name)))
+    marks = [x for x in out.columns if x.startswith("__ref_ok_")]
+    return out.withColumn(
+        out_col,
+        F.array_compact(F.array(*flags)) if flags
+        else F.array().cast("array<string>"),
+    ).drop(*marks)
+
+
+def row_rules(expectations) -> list[Expectation]:
+    return [e for e in expectations if e.kind in ROW_KINDS]
+
+
+def batch_rules(expectations) -> list[Expectation]:
+    return [e for e in expectations if e.kind not in ROW_KINDS]

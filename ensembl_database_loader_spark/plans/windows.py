@@ -531,3 +531,142 @@ def ws6_replay_source_stream(spark: SparkSession, sf: str) -> DataFrame:
         f"CAST(SUM(event_id) AS BIGINT) AS rp_id_sum, "
         f"CAST(SUM(user_id) AS BIGINT) AS rp_user_sum FROM {name}"
     )
+
+
+_VALIDATE_ORACLE = (
+    # relational recomputation of the row-routed validation: rules are
+    # row-decidable, so batch boundaries cannot change the routing
+    "WITH tagged AS (SELECT event_id, value, event_type, "
+    "(event_type IS NOT NULL AND event_type NOT IN "
+    "('click', 'purchase', 'signup', 'view')) AS v_type, "
+    "(value IS NOT NULL AND (value < 0.0 OR value > 300.0)) AS v_range, "
+    "(event_id IS NULL) AS v_null FROM events) "
+    "SELECT CAST(COUNT(*) FILTER (WHERE NOT (v_type OR v_range OR v_null)) "
+    "AS BIGINT) AS good_rows, "
+    "CAST(SUM(event_id) FILTER (WHERE NOT (v_type OR v_range OR v_null)) "
+    "AS BIGINT) AS good_id_sum, "
+    "CAST(COUNT(*) FILTER (WHERE v_type OR v_range OR v_null) AS BIGINT) "
+    "AS quarantined_rows, "
+    "CAST(COUNT(*) FILTER (WHERE v_type) AS BIGINT) AS viol_event_type, "
+    "CAST(COUNT(*) FILTER (WHERE v_range) AS BIGINT) AS viol_value, "
+    "CAST(COUNT(*) FILTER (WHERE v_null) AS BIGINT) AS viol_event_id "
+    "FROM tagged"
+)
+
+
+@probe(
+    "ws7_streaming_validation_gate",
+    oracle=_VALIDATE_ORACLE,
+    tags=("streaming", "quality", "expectations", "live-stream"),
+)
+def ws7_streaming_validation_gate(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming expectation gate end-to-end (streaming/validate.py):
+    the event log replays through the event_replay Python DataSource in
+    deterministic 4000-row micro-batches; every batch is checked
+    against a 3-rule suite (accepted event types, value range, non-null
+    id) and row-routed — clean rows to the GOOD manifest table,
+    offenders to QUARANTINE tagged with the broken rules, per-batch
+    verdicts to the report table, all exactly-once manifest commits.
+    Because the rules are row-decidable the routing is
+    BATCH-INDEPENDENT, so the drained tables must match the oracle's
+    direct relational recomputation exactly — the live data-quality
+    gate provably equals its batch contract. Quarantine per-rule counts
+    come from the cumulative report summary (the triage dashboard)."""
+    import tempfile
+    import time as _time
+
+    from ensembl_database_loader_spark.operators.expectations import (
+        expect_in_range,
+        expect_not_null,
+        expect_values_in,
+    )
+    from ensembl_database_loader_spark.sinks.manifest import (
+        snapshot,
+        table_row_count,
+    )
+    from ensembl_database_loader_spark.sources.replay_datasource import (
+        EventReplayDataSource,
+    )
+    from ensembl_database_loader_spark.streaming.validate import (
+        streaming_validate,
+        validation_summary,
+    )
+
+    ensure_session_confs(spark)
+    try:
+        spark.dataSource.register(EventReplayDataSource)
+    except Exception:
+        pass  # already registered in this session
+    path = f"{sf.rstrip('/')}/events.parquet"
+    expect_n = spark.read.parquet(path).count()
+    # row routing is batch-independent, so the batch size is a pure
+    # throughput knob: cap the replay at 2 micro-batches per SF (each
+    # batch costs a source materialization + three manifest commits;
+    # multi-batch exactness itself is pinned by the pytest gate, which
+    # drives many small batches through the same code)
+    batch_rows = max(4000, -(-expect_n // 2))
+    root = tempfile.mkdtemp(prefix="edl_ws7_")
+    good_p, quar_p, rep_p = f"{root}/good", f"{root}/quarantine", f"{root}/report"
+
+    suite = [
+        expect_values_in("event_type", ("click", "purchase", "signup", "view")),
+        expect_in_range("value", 0.0, 300.0),
+        expect_not_null("event_id"),
+    ]
+    stream = (
+        spark.readStream.format("event_replay")
+        .option("path", path)
+        .option("batch_rows", batch_rows)
+        .load()
+        .select("event_id", "user_id", "event_type", "value")
+    )
+    q = streaming_validate(
+        stream, suite, good_p, quar_p, rep_p, f"{root}/ckpt",
+        available_now=False,
+    )
+    # python streaming sources don't support availableNow: poll the
+    # manifest row counts (metadata-only) until EVERY batch's commits
+    # have landed, then stop. The report table is committed LAST per
+    # batch, so gating on its row count (n_rules per non-empty batch)
+    # guarantees no stop() races an in-flight commit of the final batch
+    # (an early stop cancels the write and the report never appears).
+    n_batches = -(-expect_n // batch_rows)  # ceil
+    try:
+        deadline = _time.time() + 180
+        while _time.time() < deadline:
+            try:
+                routed = table_row_count(spark, good_p) + table_row_count(
+                    spark, quar_p
+                )
+                reported = table_row_count(spark, rep_p)
+            except FileNotFoundError:
+                routed, reported = 0, 0
+            if routed >= expect_n and reported >= len(suite) * n_batches:
+                break
+            _time.sleep(0.3)
+    finally:
+        q.stop()
+        q.awaitTermination(30)
+
+    good = snapshot(spark, good_p).agg(
+        F.count(F.lit(1)).cast("bigint").alias("good_rows"),
+        F.sum("event_id").cast("bigint").alias("good_id_sum"),
+    )
+    quar = snapshot(spark, quar_p).agg(
+        F.count(F.lit(1)).cast("bigint").alias("quarantined_rows")
+    )
+    per_rule = (
+        validation_summary(spark, rep_p)
+        .groupBy()
+        .pivot(
+            "rule",
+            ["values_in:event_type", "in_range:value", "not_null:event_id"],
+        )
+        .sum("total_violations")
+        .select(
+            F.col("`values_in:event_type`").cast("bigint").alias("viol_event_type"),
+            F.col("`in_range:value`").cast("bigint").alias("viol_value"),
+            F.col("`not_null:event_id`").cast("bigint").alias("viol_event_id"),
+        )
+    )
+    return good.crossJoin(quar).crossJoin(per_rule)
