@@ -248,3 +248,70 @@ def weighted_sample(
         "_inv_weight",
         F.lit(1.0) / F.greatest(wc, F.lit(1.0 / float(HASH_SPACE))),
     )
+
+
+def temperature_mixture(
+    df: DataFrame,
+    domain_col: str,
+    alpha: float = 0.5,
+    size_col: str | Column | None = None,
+    token_budget: int | None = None,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Temperature-scaled domain sampling weights: per domain,
+    ``share_alpha ∝ n_d^alpha`` — the alpha-smoothed mixture the
+    multilingual/multi-domain training literature uses to up-weight
+    low-resource domains without letting head domains starve everything
+    (alpha=1 reproduces the natural distribution, alpha=0 is uniform,
+    ~0.3-0.7 the usual band).
+
+    ``size_col`` measures domain size (token counts; default: row
+    count). Output per domain: ``n_rows, n_units, share_natural,
+    share_alpha`` (both rounded to ``ndigits``), and with
+    ``token_budget`` also ``epochs`` — ``budget * share_alpha / n_d``,
+    the repetition factor the smoothed mixture implies (the number a
+    curator checks against a max-epoch cap before upsampling a tiny
+    domain into memorization).
+
+    Scale shape: ONE partial-aggregated groupBy over the corpus; the
+    two scalar totals ride a crossJoin of one-row frames (broadcast,
+    never a driver collect). The weights frame is domains-sized —
+    downstream sampling joins it broadcast."""
+    if not 0.0 <= alpha <= 1.0:
+        raise ValueError(f"alpha must be in [0, 1], got {alpha}")
+    size = (
+        F.count(F.lit(1)) if size_col is None
+        else F.sum(size_col if isinstance(size_col, Column) else F.col(size_col))
+    )
+    per = df.groupBy(F.col(domain_col).alias("domain")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        size.cast("bigint").alias("n_units"),
+    )
+    w = F.pow(F.col("n_units").cast("double"), F.lit(float(alpha)))
+    per = per.withColumn("_w", w)
+    tot = per.agg(
+        F.sum("n_units").cast("bigint").alias("_tot_units"),
+        F.sum("_w").alias("_tot_w"),
+    )
+    out = per.crossJoin(tot).select(
+        "domain",
+        "n_rows",
+        "n_units",
+        F.round(F.col("n_units") / F.col("_tot_units"), ndigits).alias(
+            "share_natural"
+        ),
+        F.round(F.col("_w") / F.col("_tot_w"), ndigits).alias("share_alpha"),
+        *(
+            [
+                F.round(
+                    F.lit(int(token_budget))
+                    * (F.col("_w") / F.col("_tot_w"))
+                    / F.col("n_units"),
+                    4,
+                ).alias("epochs")
+            ]
+            if token_budget is not None
+            else []
+        ),
+    )
+    return out.orderBy("domain")

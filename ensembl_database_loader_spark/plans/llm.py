@@ -1794,6 +1794,53 @@ def llp_split(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+_TEMP_MIX_ORACLE = (
+    # identical expression order to the engine: w = n_units^0.5, share =
+    # w / sum(w), epochs = budget * share / n_units — both engines round
+    # the final doubles, so libm last-ulp noise cannot leak
+    "WITH per AS (SELECT source AS domain, CAST(COUNT(*) AS BIGINT) AS n_rows, "
+    f"CAST(SUM(len({_toks('text')})) AS BIGINT) AS n_units "
+    "FROM documents GROUP BY source), "
+    "t AS (SELECT CAST(SUM(n_units) AS BIGINT) AS tu, "
+    "SUM(POWER(CAST(n_units AS DOUBLE), 0.5)) AS tw FROM per) "
+    "SELECT domain, n_rows, n_units, "
+    "ROUND(CAST(n_units AS DOUBLE) / tu, 6) AS share_natural, "
+    "ROUND(POWER(CAST(n_units AS DOUBLE), 0.5) / tw, 6) AS share_alpha, "
+    "ROUND(1000000 * (POWER(CAST(n_units AS DOUBLE), 0.5) / tw) / n_units, 4) "
+    "AS epochs FROM per, t ORDER BY domain"
+)
+
+
+@probe(
+    "llp_temperature_mixture",
+    oracle=_TEMP_MIX_ORACLE,
+    tags=("llm", "pipeline", "mixing"),
+)
+def llp_temperature_mixture(spark: SparkSession, sf: str) -> DataFrame:
+    """Temperature-scaled domain mixture
+    (operators/mixing.temperature_mixture): per-source token counts ->
+    alpha=0.5-smoothed sampling shares (upweight low-resource domains,
+    cap the head) + the epoch factor a 1M-token budget implies per
+    domain — the standard alpha-sampling knob of multilingual/
+    multi-domain training, computed in ONE partial-aggregated pass with
+    broadcast scalar totals. The oracle replays the identical
+    expression order so the rounded doubles agree exactly."""
+    from ensembl_database_loader_spark.functions.text import tokens
+    from ensembl_database_loader_spark.operators.mixing import (
+        temperature_mixture,
+    )
+
+    ensure_session_confs(spark)
+    d = table(spark, sf, "documents")
+    return temperature_mixture(
+        d,
+        "source",
+        alpha=0.5,
+        size_col=F.size(tokens("text")),
+        token_budget=1_000_000,
+    )
+
+
 _SHUFFLE_SHARD_ORACLE = (
     # same knuth permutation: shard = h % 8, pos = rank by (h, id) in
     # shard; sum(pos * id) pins the EXACT order (any transposition

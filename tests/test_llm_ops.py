@@ -1101,3 +1101,50 @@ def test_dedup_keep_best_canonical_per_cluster(spark):
     # plan gates: partial group-limit bounds the shuffle per component
     plan = kept._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan
+
+
+def test_temperature_mixture_shares_and_epochs(spark):
+    """alpha=0 -> uniform, alpha=1 -> natural; shares sum to 1; epochs
+    = budget * share / n_units; guards."""
+    import pytest
+
+    from ensembl_database_loader_spark.operators.mixing import (
+        temperature_mixture,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 100)] * 4 + [("b", 50)] * 2 + [("c", 10)] * 1,
+        "dom string, toks int",
+    )
+    # natural (alpha=1): shares proportional to token mass 400/100/10
+    nat = {
+        r.domain: r.share_alpha
+        for r in temperature_mixture(df, "dom", alpha=1.0, size_col="toks").collect()
+    }
+    assert nat == {"a": round(400 / 510, 6), "b": round(100 / 510, 6),
+                   "c": round(10 / 510, 6)}
+    # uniform (alpha=0)
+    uni = {
+        r.domain: r.share_alpha
+        for r in temperature_mixture(df, "dom", alpha=0.0, size_col="toks").collect()
+    }
+    assert all(v == round(1 / 3, 6) for v in uni.values())
+    # alpha=0.5 compresses the range: head share shrinks, tail grows
+    mid = {
+        r.domain: r.share_alpha
+        for r in temperature_mixture(df, "dom", alpha=0.5, size_col="toks").collect()
+    }
+    assert uni["a"] < mid["a"] < nat["a"]
+    assert nat["c"] < mid["c"] < uni["c"]
+    # epochs: budget * share / n_units, here with row counts as units
+    rows = temperature_mixture(
+        df, "dom", alpha=0.5, token_budget=700
+    ).collect()
+    by = {r.domain: r for r in rows}
+    assert by["a"].n_rows == 4 and by["a"].n_units == 4
+    import math
+
+    tw = math.sqrt(4) + math.sqrt(2) + math.sqrt(1)
+    assert by["c"].epochs == round(700 * (1 / tw) / 1, 4)
+    with pytest.raises(ValueError, match="alpha"):
+        temperature_mixture(df, "dom", alpha=1.5)
