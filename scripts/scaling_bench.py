@@ -106,6 +106,11 @@ def main() -> int:
         "sampling, table checksum); empty = skip",
     )
     ap.add_argument(
+        "--r9c-reps", default="",
+        help="replica counts for the r9c graph ops (triangles, LPA) over "
+             "the co-purchase graph",
+    )
+    ap.add_argument(
         "--r9-reps", default="",
         help="replica counts for the r9 ops (corpus BPE encode, tokenized "
         "example materialization, fixed-point PageRank); empty = skip",
@@ -586,6 +591,61 @@ def main() -> int:
             dt = time.perf_counter() - t0
             rec = {"op": "q63_pagerank", "n_edges": ne, "sec": round(dt, 2),
                    "top1_rank": int(top[0].rank)}  # fmt: skip
+            out.append(rec)
+            print(json.dumps(rec), flush=True)
+            edges.unpersist()
+
+    if args.r9c_reps:
+        from ensembl_database_loader_spark.operators.graph import (
+            label_propagation_fixed,
+            triangle_count,
+        )
+
+        # co-purchase graph (parts sharing an order), k disjoint
+        # replicas with offset ids — triangles/communities scale k-fold
+        li = table(spark, args.sf_dir, "lineitem").select(
+            "l_orderkey", "l_partkey"
+        )
+        a, b = li.alias("a"), li.alias("b")
+        base_edges = a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        ).select(
+            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+        )
+        for k in [int(x) for x in args.r9c_reps.split(",") if x]:
+            reps = spark.range(k).select((F.col("id") * 10_000_000).alias("off"))
+            edges = base_edges.crossJoin(reps).select(
+                (F.col("src") + F.col("off")).alias("src"),
+                (F.col("dst") + F.col("off")).alias("dst"),
+            ).cache()
+            ne = edges.count()
+
+            t0 = time.perf_counter()
+            row = triangle_count(edges).collect()[0]
+            dt = time.perf_counter() - t0
+            rec = {"op": "q73_triangles", "n_raw_edges": ne,
+                   "sec": round(dt, 2), "triangles": int(row.triangles),
+                   "und_edges": int(row.n_edges)}  # fmt: skip
+            out.append(rec)
+            print(json.dumps(rec), flush=True)
+
+            t0 = time.perf_counter()
+            comm = (
+                label_propagation_fixed(edges, iterations=3)
+                .groupBy("label")
+                .count()
+                .agg(
+                    F.count(F.lit(1)).alias("n_comm"),
+                    F.max("count").alias("largest"),
+                )
+                .collect()[0]
+            )
+            dt = time.perf_counter() - t0
+            rec = {"op": "q75_label_propagation", "n_raw_edges": ne,
+                   "sec": round(dt, 2), "n_communities": int(comm.n_comm),
+                   "largest": int(comm.largest)}  # fmt: skip
             out.append(rec)
             print(json.dumps(rec), flush=True)
             edges.unpersist()
