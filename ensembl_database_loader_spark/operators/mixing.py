@@ -315,3 +315,67 @@ def temperature_mixture(
         ),
     )
     return out.orderBy("domain")
+
+
+def upsample_corpus(
+    df: DataFrame,
+    id_col: str,
+    rates: DataFrame,
+    domain_col: str,
+    rate_col: str = "epochs",
+    modulus: int = 1_000_000,
+) -> DataFrame:
+    """Materialize per-domain repetition rates into an actual training
+    corpus: each row is emitted ``floor(rate)`` times plus one more iff
+    its keyed-hash unit falls below the fractional part — so a domain
+    with epochs=2.3 contributes every row twice and a deterministic 30%
+    of rows a third time. This is the other half of
+    ``temperature_mixture``: the mixture computes the epochs, this
+    turns them into rows (with an ``epoch`` index column, so downstream
+    shuffling can interleave repetitions rather than clump them).
+
+    Deterministic and layout-independent (the knuth32 unit is a pure
+    function of the id), decidable per row (an incremental batch
+    upsamples consistently with history — no global state), and exact:
+    per-domain output counts are reproducible cross-engine because the
+    fractional threshold is quantized to ``modulus`` units before the
+    comparison (a raw double threshold would let libm last-ulp noise
+    flip boundary rows between engines).
+
+    Scale shape: ONE broadcast join of the domains-sized rates frame +
+    a codegen explode — no shuffle of the corpus at all. Rates must be
+    non-negative; rows in domains absent from ``rates`` are dropped
+    (rate 0), the mixture contract."""
+    r = rates.select(
+        F.col(domain_col),
+        F.col(rate_col).cast("double").alias("_rate"),
+    )
+    # quantized fractional threshold + integer floor, computed ONCE on
+    # the tiny rates frame
+    r = r.select(
+        domain_col,
+        F.floor("_rate").cast("bigint").alias("_full"),
+        F.round((F.col("_rate") - F.floor("_rate")) * modulus, 0)
+        .cast("bigint")
+        .alias("_frac_units"),
+    )
+    unit = keyed_hash(id_col, modulus)
+    copies = (
+        F.col("_full")
+        + F.when(unit < F.col("_frac_units"), F.lit(1)).otherwise(F.lit(0))
+    ).cast("int")
+    out = (
+        df.join(F.broadcast(r), domain_col)
+        .withColumn("_copies", copies)
+        .withColumn(
+            "epoch",
+            F.explode(
+                F.when(
+                    F.col("_copies") > 0,
+                    F.sequence(F.lit(1), F.col("_copies")),
+                ).otherwise(F.array().cast("array<int>"))
+            ),
+        )
+        .drop("_full", "_frac_units", "_copies")
+    )
+    return out

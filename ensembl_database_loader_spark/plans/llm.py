@@ -1841,6 +1841,81 @@ def llp_temperature_mixture(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+_UPSAMPLE_ORACLE = (
+    # epochs exactly as llp_temperature_mixture (budget 5M), then the
+    # engine's quantized-threshold repetition replayed row by row
+    "WITH per AS (SELECT source AS domain, "
+    f"CAST(SUM(len({_toks('text')})) AS BIGINT) AS n_units "
+    "FROM documents GROUP BY source), "
+    "t AS (SELECT SUM(POWER(CAST(n_units AS DOUBLE), 0.5)) AS tw FROM per), "
+    "rates AS (SELECT domain, ROUND(5000000 * "
+    "(POWER(CAST(n_units AS DOUBLE), 0.5) / tw) / n_units, 4) AS epochs "
+    "FROM per, t), "
+    "r2 AS (SELECT domain, CAST(FLOOR(epochs) AS BIGINT) AS f, "
+    "CAST(ROUND((epochs - FLOOR(epochs)) * 1000000, 0) AS BIGINT) AS fu "
+    "FROM rates), "
+    "docs AS (SELECT doc_id, source, "
+    "((doc_id * 2654435761) % 4294967296) % 1000000 AS u FROM documents), "
+    "c AS (SELECT d.doc_id, d.source, "
+    "r2.f + CASE WHEN d.u < r2.fu THEN 1 ELSE 0 END AS copies "
+    "FROM docs d JOIN r2 ON d.source = r2.domain), "
+    "e AS (SELECT doc_id, source, "
+    "unnest(generate_series(1, CAST(copies AS INT))) AS epoch "
+    "FROM c WHERE copies > 0) "
+    "SELECT source, CAST(COUNT(*) AS BIGINT) AS n_out, "
+    "CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs, "
+    "CAST(SUM(epoch) AS BIGINT) AS epoch_sum, "
+    "CAST(SUM(doc_id) AS BIGINT) AS id_sum "
+    "FROM e GROUP BY source ORDER BY source"
+)
+
+
+@probe(
+    "llp_mixture_upsample",
+    oracle=_UPSAMPLE_ORACLE,
+    tags=("llm", "pipeline", "mixing"),
+)
+def llp_mixture_upsample(spark: SparkSession, sf: str) -> DataFrame:
+    """The mixture loop CLOSED (operators/mixing.temperature_mixture ->
+    upsample_corpus): alpha=0.5 epoch factors for a 5M-token budget
+    materialized into actual repeated rows — floor(epochs) copies per
+    doc plus one more for a deterministic keyed-hash fraction, epoch
+    index attached so downstream shuffling interleaves repetitions.
+    Zero corpus shuffle (broadcast rates + codegen explode); per-domain
+    output counts, multiplicities (epoch_sum), and membership (id_sum)
+    are row-level exact vs the oracle's full replay — the quantized
+    fractional threshold is what makes a float-rate sampler
+    reproducible cross-engine."""
+    from ensembl_database_loader_spark.functions.text import tokens
+    from ensembl_database_loader_spark.operators.mixing import (
+        temperature_mixture,
+        upsample_corpus,
+    )
+
+    ensure_session_confs(spark)
+    d = table(spark, sf, "documents")
+    mix = temperature_mixture(
+        d, "source", alpha=0.5, size_col=F.size(tokens("text")),
+        token_budget=5_000_000,
+    )
+    up = upsample_corpus(
+        d,
+        "doc_id",
+        mix.select(F.col("domain").alias("source"), "epochs"),
+        "source",
+    )
+    return (
+        up.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_out"),
+            F.count_distinct("doc_id").cast("bigint").alias("n_docs"),
+            F.sum("epoch").cast("bigint").alias("epoch_sum"),
+            F.sum("doc_id").cast("bigint").alias("id_sum"),
+        )
+        .orderBy("source")
+    )
+
+
 _SHUFFLE_SHARD_ORACLE = (
     # same knuth permutation: shard = h % 8, pos = rank by (h, id) in
     # shard; sum(pos * id) pins the EXACT order (any transposition

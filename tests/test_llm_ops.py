@@ -1148,3 +1148,53 @@ def test_temperature_mixture_shares_and_epochs(spark):
     assert by["c"].epochs == round(700 * (1 / tw) / 1, 4)
     with pytest.raises(ValueError, match="alpha"):
         temperature_mixture(df, "dom", alpha=1.5)
+
+
+def test_upsample_corpus_exact_repetition(spark):
+    """floor copies for everyone, one extra for a deterministic
+    hash-fraction; epoch indexes 1..copies; zero-rate domains drop;
+    layout independence."""
+    from ensembl_database_loader_spark.operators.mixing import (
+        keyed_hash,
+        upsample_corpus,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "a" if i % 2 == 0 else "b") for i in range(1, 201)],
+        "doc_id bigint, dom string",
+    )
+    rates = spark.createDataFrame(
+        [("a", 2.3), ("b", 0.5), ("c", 1.0)], "dom string, epochs double"
+    )
+    out = upsample_corpus(df, "doc_id", rates, "dom")
+    rows = out.collect()
+    # python reference with the same quantized-threshold arithmetic
+    units = {
+        r.doc_id: r.u
+        for r in df.select(
+            "doc_id", keyed_hash("doc_id", 1_000_000).alias("u")
+        ).collect()
+    }
+    import math
+
+    def copies(i, rate):
+        full = math.floor(rate)
+        frac_units = round((rate - full) * 1_000_000)
+        return full + (1 if units[i] < frac_units else 0)
+
+    expect = {}
+    for i in range(1, 201):
+        rate = 2.3 if i % 2 == 0 else 0.5
+        expect[i] = copies(i, rate)
+    got = {}
+    for r in rows:
+        got[r.doc_id] = got.get(r.doc_id, 0) + 1
+        assert 1 <= r.epoch <= expect[r.doc_id]
+    assert got == {i: c for i, c in expect.items() if c > 0}
+    # every domain-a row appears at least twice (floor(2.3) = 2)
+    assert all(c >= 2 for i, c in expect.items() if i % 2 == 0)
+    # layout independence
+    out2 = upsample_corpus(df.repartition(7), "doc_id", rates, "dom")
+    assert sorted((r.doc_id, r.epoch) for r in out2.collect()) == sorted(
+        (r.doc_id, r.epoch) for r in rows
+    )
