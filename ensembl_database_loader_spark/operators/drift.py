@@ -1,0 +1,169 @@
+"""Distribution-drift detection between two table snapshots (reference
+vs current): Population Stability Index per column — the monitor a
+recurring ingest runs to catch a crawl source silently changing shape
+(price scale shifts, a category appears/vanishes, nulls spike) before
+the batch poisons the corpus. Complements operators/expectations.py:
+expectations check CONTRACTS (known bounds), drift checks SHAPE against
+history without needing bounds up front.
+
+PSI = sum over bins of (p_cur - p_ref) * ln(p_cur / p_ref); the usual
+reading: < 0.1 stable, 0.1-0.2 moderate shift, > 0.2 investigate.
+
+Determinism (what makes this oracle-able cross-engine):
+- numeric bins are FIXED-WIDTH over the reference's [min, max] —
+  ``floor((x - mn) * bins / (mx - mn))`` clamped — the identical IEEE
+  expression both engines replay exactly (quantile-edge binning would
+  hinge on interpolated doubles whose last ulp differs between
+  engines and can flip boundary rows); out-of-range current values
+  clamp into the edge bins, nulls get their own bin (a null-rate spike
+  IS drift),
+- categorical bins are the value itself,
+- both shares are Laplace-smoothed ((c + s) / (n + s*B), B = the
+  column's observed bin count across BOTH snapshots) so new/vanished
+  bins contribute a finite, replayable penalty instead of ln(0),
+- the final PSI is rounded.
+
+Scale shape: each snapshot is scanned ONCE however many columns are
+monitored — a melt (posexplode of per-column (column, bin) pairs, pure
+codegen) followed by ONE partial-aggregated groupBy(column, bin) per
+snapshot; the bin frames are (n_cols * bins)-sized, so everything
+after the two scans is broadcast-tiny. Reference min/max ride a
+one-row crossJoin (no driver collect).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: bin label for null values (kept distinct from any real bin/category)
+_NULL_BIN = "__null__"
+
+
+def _melt(
+    df: DataFrame,
+    num_cols: tuple[str, ...],
+    cat_cols: tuple[str, ...],
+    edges: DataFrame,
+    bins: int,
+) -> DataFrame:
+    """(column, bin) long frame: numeric columns fixed-width-binned
+    against the reference edges, categorical columns binned by value,
+    nulls to the null bin. One codegen projection + posexplode."""
+    pairs = []
+    for c in num_cols:
+        mn, mx = F.col(f"__mn_{c}"), F.col(f"__mx_{c}")
+        x = F.col(c).cast("double")
+        raw = F.floor((x - mn) * bins / (mx - mn))
+        bucket = F.least(F.lit(bins - 1), F.greatest(F.lit(0), raw))
+        label = F.when(x.isNull() | mn.isNull(), F.lit(_NULL_BIN)).otherwise(
+            F.concat(F.lit("b"), F.format_string("%03d", bucket.cast("int")))
+        )
+        # degenerate reference (mn == mx): everything into bin 0
+        label = F.when(
+            x.isNotNull() & mn.isNotNull() & (mn == mx), F.lit("b000")
+        ).otherwise(label)
+        pairs.append(F.struct(F.lit(c).alias("column"), label.alias("bin")))
+    for c in cat_cols:
+        label = F.coalesce(F.col(c).cast("string"), F.lit(_NULL_BIN))
+        pairs.append(F.struct(F.lit(c).alias("column"), label.alias("bin")))
+    return (
+        df.crossJoin(F.broadcast(edges))
+        .select(F.explode(F.array(*pairs)).alias("p"))
+        .select("p.column", "p.bin")
+    )
+
+
+def psi_drift(
+    ref: DataFrame,
+    cur: DataFrame,
+    num_cols: tuple[str, ...] = (),
+    cat_cols: tuple[str, ...] = (),
+    bins: int = 10,
+    smoothing: float = 0.5,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Per-column PSI between ``ref`` and ``cur``: ``(column, psi,
+    n_ref, n_cur, n_bins)`` ordered by column. See module docstring for
+    the determinism contract."""
+    num_cols, cat_cols = tuple(num_cols), tuple(cat_cols)
+    if not num_cols and not cat_cols:
+        raise ValueError("psi_drift: no columns to monitor")
+    for c in num_cols + cat_cols:
+        for side, df in (("ref", ref), ("cur", cur)):
+            if c not in df.columns:
+                raise ValueError(
+                    f"psi_drift: column {c!r} missing from {side} frame"
+                )
+    if bins < 2:
+        raise ValueError(f"psi_drift: bins must be >= 2, got {bins}")
+
+    # one-row min/max frame, localCheckpointed: BOTH melts crossJoin it,
+    # and without the cut each reference re-runs the full ref scan
+    # (three scans of a 100 TB reference instead of the one this agg
+    # needs)
+    edges = (
+        ref.agg(
+            *[
+                f
+                for c in num_cols
+                for f in (
+                    F.min(F.col(c).cast("double")).alias(f"__mn_{c}"),
+                    F.max(F.col(c).cast("double")).alias(f"__mx_{c}"),
+                )
+            ]
+        ).localCheckpoint()
+        if num_cols
+        else ref.sparkSession.range(1).select(F.lit(1).alias("__one"))
+    )
+
+    rbin = _melt(ref, num_cols, cat_cols, edges, bins).groupBy(
+        "column", "bin"
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c_ref"))
+    cbin = _melt(cur, num_cols, cat_cols, edges, bins).groupBy(
+        "column", "bin"
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c_cur"))
+
+    both = (
+        rbin.join(cbin, ["column", "bin"], "full_outer")
+        .select(
+            "column",
+            "bin",
+            F.coalesce("c_ref", F.lit(0)).alias("c_ref"),
+            F.coalesce("c_cur", F.lit(0)).alias("c_cur"),
+        )
+    )
+    # per-column totals as a WINDOW over the tiny bin frame, not a
+    # second groupBy reference — referencing `both` twice would double
+    # the whole upstream subtree (each base table re-scanned; caught by
+    # the plan test)
+    from pyspark.sql import Window
+
+    s = float(smoothing)
+    w = Window.partitionBy("column")
+    j = both.select(
+        "column",
+        "bin",
+        "c_ref",
+        "c_cur",
+        F.sum("c_ref").over(w).cast("bigint").alias("n_ref"),
+        F.sum("c_cur").over(w).cast("bigint").alias("n_cur"),
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n_bins"),
+    )
+    p_ref = (F.col("c_ref") + F.lit(s)) / (
+        F.col("n_ref") + F.lit(s) * F.col("n_bins")
+    )
+    p_cur = (F.col("c_cur") + F.lit(s)) / (
+        F.col("n_cur") + F.lit(s) * F.col("n_bins")
+    )
+    contrib = (p_cur - p_ref) * F.log(p_cur / p_ref)
+    return (
+        j.groupBy("column")
+        .agg(
+            F.round(F.sum(contrib), ndigits).alias("psi"),
+            F.max("n_ref").alias("n_ref"),
+            F.max("n_cur").alias("n_cur"),
+            F.max("n_bins").alias("n_bins"),
+        )
+        .orderBy("column")
+    )

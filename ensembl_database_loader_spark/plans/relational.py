@@ -1967,6 +1967,82 @@ def dq_expectations(spark: SparkSession, sf: str) -> DataFrame:
     return run_expectations(o, suite, refs={"customer": cust})
 
 
+_PSI_EXPR = (
+    "(((c_cur + 0.5) / (n_cur + 0.5 * n_bins)) - "
+    "((c_ref + 0.5) / (n_ref + 0.5 * n_bins))) * "
+    "LN(((c_cur + 0.5) / (n_cur + 0.5 * n_bins)) / "
+    "((c_ref + 0.5) / (n_ref + 0.5 * n_bins)))"
+)
+
+_NUM_BIN = (
+    "CASE WHEN {x} IS NULL THEN '__null__' "
+    "WHEN mn = mx THEN 'b000' "
+    "ELSE printf('b%03d', CAST(LEAST(9, GREATEST(0, "
+    "FLOOR(((CAST({x} AS DOUBLE) - mn) * 10.0) / (mx - mn)))) AS INT)) END"
+)
+
+
+@probe(
+    "dq_drift_psi",
+    oracle=(
+        # identical arithmetic to operators/drift.py: fixed-width bins
+        # over the REFERENCE's min/max, Laplace-smoothed shares,
+        # window totals, rounded PSI
+        "WITH ref AS (SELECT * FROM orders WHERE o_orderkey % 2 = 0), "
+        "cur AS (SELECT * FROM orders WHERE o_orderkey % 2 = 1), "
+        "e AS (SELECT MIN(CAST(o_totalprice AS DOUBLE)) AS mn, "
+        "MAX(CAST(o_totalprice AS DOUBLE)) AS mx FROM ref), "
+        "rm AS (SELECT 'o_totalprice' AS col, "
+        + _NUM_BIN.format(x="o_totalprice")
+        + " AS bin FROM ref, e "
+        "UNION ALL SELECT 'o_orderpriority', "
+        "COALESCE(o_orderpriority, '__null__') FROM ref), "
+        "cm AS (SELECT 'o_totalprice' AS col, "
+        + _NUM_BIN.format(x="o_totalprice")
+        + " AS bin FROM cur, e "
+        "UNION ALL SELECT 'o_orderpriority', "
+        "COALESCE(o_orderpriority, '__null__') FROM cur), "
+        "rb AS (SELECT col, bin, COUNT(*) AS c_ref FROM rm GROUP BY 1, 2), "
+        "cb AS (SELECT col, bin, COUNT(*) AS c_cur FROM cm GROUP BY 1, 2), "
+        "b AS (SELECT COALESCE(rb.col, cb.col) AS col, "
+        "COALESCE(rb.bin, cb.bin) AS bin, COALESCE(c_ref, 0) AS c_ref, "
+        "COALESCE(c_cur, 0) AS c_cur FROM rb FULL OUTER JOIN cb "
+        "ON rb.col = cb.col AND rb.bin = cb.bin), "
+        "t AS (SELECT col, c_ref, c_cur, "
+        "SUM(c_ref) OVER (PARTITION BY col) AS n_ref, "
+        "SUM(c_cur) OVER (PARTITION BY col) AS n_cur, "
+        "COUNT(*) OVER (PARTITION BY col) AS n_bins FROM b) "
+        f'SELECT col AS "column", ROUND(SUM({_PSI_EXPR}), 6) AS psi, '
+        "CAST(MAX(n_ref) AS BIGINT) AS n_ref, "
+        "CAST(MAX(n_cur) AS BIGINT) AS n_cur, "
+        "CAST(MAX(n_bins) AS BIGINT) AS n_bins "
+        "FROM t GROUP BY col ORDER BY col"
+    ),
+    tags=("quality", "drift"),
+)
+def dq_drift_psi(spark: SparkSession, sf: str) -> DataFrame:
+    """Distribution-drift monitor (operators/drift.psi_drift): PSI for
+    a numeric column (fixed-width bins over the REFERENCE snapshot's
+    min/max — the binning whose IEEE arithmetic both engines replay
+    exactly, unlike quantile edges) and a categorical column, between
+    the even- and odd-key halves of orders. Each snapshot is scanned
+    ONCE for any number of monitored columns (melt + one
+    partial-aggregated groupBy; totals via a window over the tiny bin
+    frame — a second groupBy reference would re-scan the 100 TB
+    inputs, pinned by tests/test_drift.py). Complements
+    dq_expectations: contracts catch known-bound violations, PSI
+    catches shape changes nobody wrote a bound for."""
+    from ensembl_database_loader_spark.operators.drift import psi_drift
+
+    ensure_session_confs(spark)
+    o = table(spark, sf, "orders")
+    ref = o.where(F.col("o_orderkey") % 2 == 0)
+    cur = o.where(F.col("o_orderkey") % 2 == 1)
+    return psi_drift(
+        ref, cur, num_cols=("o_totalprice",), cat_cols=("o_orderpriority",)
+    )
+
+
 @probe(
     "q60_skew_isolation_join",
     oracle=(
