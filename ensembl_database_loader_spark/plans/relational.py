@@ -3288,156 +3288,6 @@ def q71_tpch_q8_shape(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @probe(
-    "q76_tpch_q3_shape",
-    oracle=(
-        # TPC-H Q3 (shipping priority): top unshipped orders by revenue
-        # for one market segment — integer cents make the top-10 cutoff
-        # engine-exact (a rounded-double sort could tie-break
-        # differently across engines)
-        "SELECT l.l_orderkey, "
-        "CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100) "
-        "AS BIGINT)) AS BIGINT) AS revenue_cents, "
-        "strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate "
-        "FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey "
-        "JOIN lineitem l ON l.l_orderkey = o.o_orderkey "
-        "WHERE c.c_mktsegment = 'BUILDING' "
-        "AND o.o_orderdate < TIMESTAMP '1998-06-01' "
-        "AND l.l_shipdate > TIMESTAMP '1998-06-01' "
-        "GROUP BY l.l_orderkey, o.o_orderdate "
-        "ORDER BY revenue_cents DESC, l.l_orderkey LIMIT 10"
-    ),
-    tags=("join", "tpch", "topk"),
-)
-def q76_tpch_q3_shape(spark: SparkSession, sf: str) -> DataFrame:
-    """TPC-H Q3 shape: segment filter on the customer dim (broadcast),
-    two fact joins with date predicates pushed to both parquet scans,
-    group-by-order revenue, top-10 via TakeOrderedAndProject (no global
-    sort). Revenue in integer cents so the top-k cutoff is bit-exact
-    cross-engine."""
-    ensure_session_confs(spark)
-    c = table(spark, sf, "customer").where(F.col("c_mktsegment") == "BUILDING")
-    o = table(spark, sf, "orders").where(
-        F.col("o_orderdate") < "1998-06-01"
-    )
-    li = table(spark, sf, "lineitem").where(
-        F.col("l_shipdate") > "1998-06-01"
-    )
-    cents = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)
-    return (
-        li.join(o, li["l_orderkey"] == o["o_orderkey"])
-        .join(F.broadcast(c), c["c_custkey"] == o["o_custkey"])
-        .groupBy(
-            "l_orderkey",
-            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
-        )
-        .agg(F.sum(cents.cast("bigint")).cast("bigint").alias("revenue_cents"))
-        .select("l_orderkey", "revenue_cents", "o_orderdate")
-        .orderBy(F.desc("revenue_cents"), "l_orderkey")
-        .limit(10)
-    )
-
-
-@probe(
-    "q77_tpch_q5_shape",
-    oracle=(
-        # TPC-H Q5 (local supplier volume): revenue per nation for one
-        # region and one year, counting only INTRA-nation trades
-        # (supplier and customer share the nation) — the 6-table join
-        "SELECT n.n_name AS nation, "
-        "CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100) "
-        "AS BIGINT)) AS BIGINT) AS revenue_cents "
-        "FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey "
-        "JOIN lineitem l ON l.l_orderkey = o.o_orderkey "
-        "JOIN supplier s ON s.s_suppkey = l.l_suppkey "
-        "AND s.s_nationkey = c.c_nationkey "
-        "JOIN nation n ON n.n_nationkey = s.s_nationkey "
-        "JOIN region r ON r.r_regionkey = n.n_regionkey "
-        "WHERE r.r_name = 'ASIA' "
-        "AND o.o_orderdate >= TIMESTAMP '1997-01-01' "
-        "AND o.o_orderdate < TIMESTAMP '1998-01-01' "
-        "GROUP BY n.n_name ORDER BY n.n_name"
-    ),
-    tags=("join", "tpch"),
-)
-def q77_tpch_q5_shape(spark: SparkSession, sf: str) -> DataFrame:
-    """TPC-H Q5 shape: the 6-table star join with the classic implicit
-    constraint made explicit — supplier and customer must share a
-    nation (the join predicate that turns a cross-nation explosion into
-    local volume). Region/nation broadcast; the year predicate pushes
-    to the orders scan."""
-    ensure_session_confs(spark)
-    c = table(spark, sf, "customer").select("c_custkey", "c_nationkey")
-    o = table(spark, sf, "orders").where(
-        (F.col("o_orderdate") >= "1997-01-01")
-        & (F.col("o_orderdate") < "1998-01-01")
-    )
-    li = table(spark, sf, "lineitem")
-    s = table(spark, sf, "supplier").select("s_suppkey", "s_nationkey")
-    n = table(spark, sf, "nation").select(
-        "n_nationkey", "n_name", "n_regionkey"
-    )
-    r = table(spark, sf, "region").where(F.col("r_name") == "ASIA")
-    cents = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)
-    return (
-        li.join(o, li["l_orderkey"] == o["o_orderkey"])
-        .join(c, c["c_custkey"] == o["o_custkey"])
-        .join(
-            s,
-            (s["s_suppkey"] == li["l_suppkey"])
-            & (s["s_nationkey"] == c["c_nationkey"]),
-        )
-        .join(F.broadcast(n), n["n_nationkey"] == s["s_nationkey"])
-        .join(F.broadcast(r), r["r_regionkey"] == n["n_regionkey"])
-        .groupBy(F.col("n_name").alias("nation"))
-        .agg(F.sum(cents.cast("bigint")).cast("bigint").alias("revenue_cents"))
-        .orderBy("nation")
-    )
-
-
-@probe(
-    "q78_tpch_q10_shape",
-    oracle=(
-        # TPC-H Q10 (returned items): customers ranked by revenue lost
-        # to returns in one quarter — top-20 in integer cents
-        "SELECT c.c_custkey, c.c_name, n.n_name AS nation, "
-        "CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100) "
-        "AS BIGINT)) AS BIGINT) AS revenue_cents "
-        "FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey "
-        "JOIN lineitem l ON l.l_orderkey = o.o_orderkey "
-        "JOIN nation n ON n.n_nationkey = c.c_nationkey "
-        "WHERE l.l_returnflag = 'R' "
-        "AND o.o_orderdate >= TIMESTAMP '1997-10-01' "
-        "AND o.o_orderdate < TIMESTAMP '1998-01-01' "
-        "GROUP BY 1, 2, 3 ORDER BY revenue_cents DESC, c.c_custkey LIMIT 20"
-    ),
-    tags=("join", "tpch", "topk"),
-)
-def q78_tpch_q10_shape(spark: SparkSession, sf: str) -> DataFrame:
-    """TPC-H Q10 shape: returned-item revenue per customer for one
-    quarter, top-20. The returnflag predicate pushes to the lineitem
-    scan, the quarter to orders; nation broadcasts; top-k is
-    TakeOrderedAndProject on the cents-exact revenue."""
-    ensure_session_confs(spark)
-    c = table(spark, sf, "customer").select("c_custkey", "c_name", "c_nationkey")
-    o = table(spark, sf, "orders").where(
-        (F.col("o_orderdate") >= "1997-10-01")
-        & (F.col("o_orderdate") < "1998-01-01")
-    )
-    li = table(spark, sf, "lineitem").where(F.col("l_returnflag") == "R")
-    n = table(spark, sf, "nation").select("n_nationkey", "n_name")
-    cents = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)
-    return (
-        li.join(o, li["l_orderkey"] == o["o_orderkey"])
-        .join(c, c["c_custkey"] == o["o_custkey"])
-        .join(F.broadcast(n), n["n_nationkey"] == c["c_nationkey"])
-        .groupBy("c_custkey", "c_name", F.col("n_name").alias("nation"))
-        .agg(F.sum(cents.cast("bigint")).cast("bigint").alias("revenue_cents"))
-        .orderBy(F.desc("revenue_cents"), "c_custkey")
-        .limit(20)
-    )
-
-
-@probe(
     "q72_nullsafe_join",
     oracle=(
         # null-safe equality join (<=> / IS NOT DISTINCT FROM): null
