@@ -605,3 +605,85 @@ def label_propagation_oracle_sql(edges_sql: str, iterations: int = 3) -> str:
             "GROUP BY s.v, l.label) WHERE rn = 1)"
         )
     return ", ".join(parts) + f" SELECT node, label FROM lb{iterations}"
+
+
+# ---------------------------------------------------------------------------
+# Bounded BFS (k-hop reachability / min-distance)
+# ---------------------------------------------------------------------------
+
+
+def bfs_distances(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    seed_col: str = "node",
+    max_hops: int = 3,
+) -> DataFrame:
+    """(node, dist) — minimum hop distance from the seed set along
+    DIRECTED edges, bounded at ``max_hops`` (nodes further away are
+    absent). The k-hop neighborhood primitive: crawl-frontier expansion
+    from a seed list, blast-radius queries over a dependency graph, and
+    the standard Spark workaround for the recursive CTE SQL lacks —
+    bounded unrolling is also the 100 TB posture (each hop is a full
+    shuffle round; unbounded fixpoints on a high-diameter graph are a
+    scheduling hazard, and components.py's doubling closure covers the
+    unbounded-connectivity case).
+
+    Per hop: ONE shuffle_hash join (frontier onto the checkpointed edge
+    table) + a distinct + a LEFT ANTI join against the visited set —
+    only the FRONTIER (newly discovered nodes) joins the next round, so
+    per-hop cost tracks frontier size, not graph size. Visited/frontier
+    localCheckpoint each hop (the iterative-lineage idiom)."""
+    if max_hops < 0:
+        raise ValueError(f"max_hops must be >= 0, got {max_hops}")
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    e = e.localCheckpoint()
+    frontier = (
+        seeds.select(F.col(seed_col).alias("node"))
+        .distinct()
+        .withColumn("dist", F.lit(0).cast("bigint"))
+        .localCheckpoint()
+    )
+    visited = frontier
+    for hop in range(1, max_hops + 1):
+        nxt = (
+            e.join(
+                frontier.select(F.col("node").alias("src")).hint("shuffle_hash"),
+                "src",
+            )
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .withColumn("dist", F.lit(hop).cast("bigint"))
+        )
+        frontier = nxt.localCheckpoint()
+        if frontier.isEmpty():
+            break
+        visited = visited.unionByName(frontier).localCheckpoint()
+    return visited
+
+
+def bfs_oracle_sql(edges_sql: str, seeds_sql: str, max_hops: int = 3) -> str:
+    """DuckDB twin of ``bfs_distances``: the same hop-bounded expansion
+    unrolled — each level is (neighbors of the previous frontier) minus
+    everything already visited."""
+    parts = [
+        f"WITH ed AS MATERIALIZED (SELECT src, dst FROM ({edges_sql}))",
+        f"v0 AS MATERIALIZED (SELECT DISTINCT node, CAST(0 AS BIGINT) AS dist "
+        f"FROM ({seeds_sql}))",
+    ]
+    prev_all = "v0"
+    for h in range(1, max_hops + 1):
+        parts.append(
+            f"f{h} AS MATERIALIZED (SELECT DISTINCT e.dst AS node, "
+            f"CAST({h} AS BIGINT) AS dist FROM ed e "
+            f"JOIN {prev_all} p ON e.src = p.node AND p.dist = {h - 1} "
+            f"WHERE e.dst NOT IN (SELECT node FROM {prev_all}))"
+        )
+        parts.append(
+            f"v{h} AS MATERIALIZED (SELECT * FROM {prev_all} "
+            f"UNION ALL SELECT * FROM f{h})"
+        )
+        prev_all = f"v{h}"
+    return ", ".join(parts) + f" SELECT node, dist FROM {prev_all}"

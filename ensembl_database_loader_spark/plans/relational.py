@@ -3010,6 +3010,61 @@ def q75_label_propagation(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _bfs_oracle() -> str:
+    from ensembl_database_loader_spark.operators.graph import bfs_oracle_sql
+
+    return (
+        "SELECT dist, CAST(COUNT(*) AS BIGINT) AS n_nodes, "
+        "CAST(SUM(node) AS BIGINT) AS id_sum FROM ("
+        + bfs_oracle_sql(_PR_EDGES_SQL, _PPR_SEEDS_SQL, max_hops=3)
+        + ") GROUP BY dist ORDER BY dist"
+    )
+
+
+@probe("q76_khop_bfs", oracle=_bfs_oracle(), tags=("iterative", "graph"))
+def q76_khop_bfs(spark: SparkSession, sf: str) -> DataFrame:
+    """Bounded BFS (operators/graph.bfs_distances): minimum hop
+    distance from seed suppliers 1-5 over the bidirectional trade
+    graph, capped at 3 hops — the k-hop neighborhood / crawl-frontier
+    expansion primitive and the bounded-unrolling answer to the
+    recursive CTE Spark SQL lacks. Per hop one shuffle_hash join of the
+    FRONTIER (not the visited set) onto the checkpointed edges + an
+    anti-join against visited, so cost tracks discovery, not graph
+    size. Per-distance node counts and id sums hash-gated against the
+    oracle's unrolled-level replay."""
+    from ensembl_database_loader_spark.operators.graph import bfs_distances
+
+    ensure_session_confs(spark)
+    li = table(spark, sf, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = table(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    pairs = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .select(F.col("l_suppkey").alias("s"), F.col("o_custkey").alias("c"))
+        .distinct()
+    )
+    edges = pairs.select(
+        F.col("s").alias("src"), (F.lit(1000000) + F.col("c")).alias("dst")
+    ).unionByName(
+        pairs.select(
+            (F.lit(1000000) + F.col("c")).alias("src"), F.col("s").alias("dst")
+        )
+    )
+    seeds = (
+        li.select(F.col("l_suppkey").alias("node"))
+        .where(F.col("node") <= 5)
+        .distinct()
+    )
+    d = bfs_distances(edges, seeds, max_hops=3)
+    return (
+        d.groupBy("dist")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+            F.sum("node").cast("bigint").alias("id_sum"),
+        )
+        .orderBy("dist")
+    )
+
+
 @probe(
     "q67_gapfill_forward_fill",
     oracle=(

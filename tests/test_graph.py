@@ -332,3 +332,61 @@ def test_label_propagation_layout_independent(spark):
     assert a == b == sorted(_lpa_reference(edges, 3).items())
     with _pt.raises(ValueError, match="iterations"):
         label_propagation_fixed(_df(spark, edges), iterations=0)
+
+
+# ---------------------------------------------------------------------------
+# Bounded BFS
+# ---------------------------------------------------------------------------
+
+
+def _bfs_reference(edges, seeds, max_hops):
+    adj: dict = {}
+    for s, d in edges:
+        adj.setdefault(s, set()).add(d)
+    dist = {v: 0 for v in set(seeds)}
+    frontier = set(seeds)
+    for h in range(1, max_hops + 1):
+        nxt = set()
+        for v in frontier:
+            for n in adj.get(v, ()):
+                if n not in dist:
+                    nxt.add(n)
+        for n in nxt:
+            dist[n] = h
+        frontier = nxt
+        if not frontier:
+            break
+    return dist
+
+
+def test_bfs_distances_matches_reference(spark):
+    from ensembl_database_loader_spark.operators.graph import bfs_distances
+
+    # chain 1->2->3->4->5, shortcut 1->3, unreachable 10->11,
+    # back-edge 4->1 (must not shorten anything)
+    edges = [(1, 2), (2, 3), (3, 4), (4, 5), (1, 3), (10, 11), (4, 1)]
+    sd = spark.createDataFrame([(1,)], "node bigint")
+    for hops in (0, 1, 2, 3):
+        got = {
+            r.node: r.dist
+            for r in bfs_distances(_df(spark, edges), sd, max_hops=hops).collect()
+        }
+        assert got == _bfs_reference(edges, [1], hops), hops
+    got3 = _bfs_reference(edges, [1], 3)
+    assert got3 == {1: 0, 2: 1, 3: 1, 4: 2, 5: 3}  # shortcut wins; 10/11 absent
+
+
+def test_bfs_multi_seed_early_stop_and_guards(spark):
+    from ensembl_database_loader_spark.operators.graph import bfs_distances
+    import pytest as _pt
+
+    edges = [(1, 2), (3, 2), (2, 4)]
+    sd = spark.createDataFrame([(1,), (3,)], "node bigint")
+    # max_hops far beyond the diameter: early-exit on empty frontier
+    got = {
+        r.node: r.dist
+        for r in bfs_distances(_df(spark, edges), sd, max_hops=10).collect()
+    }
+    assert got == {1: 0, 3: 0, 2: 1, 4: 2}
+    with _pt.raises(ValueError, match="max_hops"):
+        bfs_distances(_df(spark, edges), sd, max_hops=-1)
