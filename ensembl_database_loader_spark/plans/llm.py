@@ -1916,6 +1916,113 @@ def llp_mixture_upsample(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+_SCD2_ORACLE = (
+    # three deterministic dimension loads derived from customer; the
+    # oracle computes each history segment's lifetime by comparing
+    # consecutive snapshots directly (same = IS NOT DISTINCT FROM on
+    # the tracked pair), which is exactly what SCD2 records
+    "WITH base AS (SELECT c_custkey AS k, "
+    "CAST(ROUND(c_acctbal * 100) AS BIGINT) AS bal, c_mktsegment AS seg "
+    "FROM customer), "
+    "b1 AS (SELECT * FROM base), "
+    "b2 AS (SELECT k, bal + CASE WHEN k % 10 = 0 THEN 1000 ELSE 0 END AS bal, seg "
+    "FROM base WHERE k % 97 <> 0 "
+    "UNION ALL SELECT k + 1000000, bal, seg FROM base WHERE k % 50 = 0), "
+    "b3 AS (SELECT k, bal + CASE WHEN k % 10 = 0 THEN 1000 ELSE 0 END AS bal, "
+    "CASE WHEN k % 25 = 0 THEN 'MOVED' ELSE seg END AS seg "
+    "FROM base WHERE k % 97 <> 0 "
+    "UNION ALL SELECT k + 1000000, bal, seg FROM base WHERE k % 50 = 0), "
+    "seg1 AS (SELECT b1.k, b1.bal, b1.seg, "
+    "CASE WHEN b2.k IS NULL OR NOT (b1.bal IS NOT DISTINCT FROM b2.bal "
+    "AND b1.seg IS NOT DISTINCT FROM b2.seg) THEN CAST(2 AS BIGINT) "
+    "WHEN b3.k IS NULL OR NOT (b1.bal IS NOT DISTINCT FROM b3.bal "
+    "AND b1.seg IS NOT DISTINCT FROM b3.seg) THEN CAST(3 AS BIGINT) "
+    "ELSE NULL END AS vt FROM b1 "
+    "LEFT JOIN b2 ON b1.k = b2.k LEFT JOIN b3 ON b1.k = b3.k), "
+    "open2 AS (SELECT b2.k, b2.bal, b2.seg FROM b2 LEFT JOIN b1 "
+    "ON b2.k = b1.k WHERE b1.k IS NULL OR NOT (b2.bal IS NOT DISTINCT "
+    "FROM b1.bal AND b2.seg IS NOT DISTINCT FROM b1.seg)), "
+    "seg2 AS (SELECT o.k, o.bal, o.seg, "
+    "CASE WHEN b3.k IS NULL OR NOT (o.bal IS NOT DISTINCT FROM b3.bal "
+    "AND o.seg IS NOT DISTINCT FROM b3.seg) THEN CAST(3 AS BIGINT) "
+    "ELSE NULL END AS vt FROM open2 o LEFT JOIN b3 ON o.k = b3.k), "
+    "seg3 AS (SELECT b3.k, b3.bal, b3.seg, CAST(NULL AS BIGINT) AS vt "
+    "FROM b3 LEFT JOIN b2 ON b3.k = b2.k WHERE b2.k IS NULL OR NOT "
+    "(b3.bal IS NOT DISTINCT FROM b2.bal AND b3.seg IS NOT DISTINCT "
+    "FROM b2.seg)), "
+    "hist AS (SELECT CAST(1 AS BIGINT) AS valid_from, vt, k, bal FROM seg1 "
+    "UNION ALL SELECT 2, vt, k, bal FROM seg2 "
+    "UNION ALL SELECT 3, vt, k, bal FROM seg3) "
+    "SELECT valid_from, COALESCE(vt, 0) AS valid_to_or_open, "
+    "CAST(COUNT(*) AS BIGINT) AS n_rows, "
+    "CAST(SUM(k) AS BIGINT) AS key_sum, "
+    "CAST(SUM(bal) AS BIGINT) AS bal_cents "
+    "FROM hist GROUP BY 1, 2 ORDER BY 1, 2"
+)
+
+
+@probe(
+    "llp_scd2_history",
+    oracle=_SCD2_ORACLE,
+    tags=("llm", "pipeline", "warehouse"),
+)
+def llp_scd2_history(spark: SparkSession, sf: str) -> DataFrame:
+    """Type-2 slowly-changing-dimension merge
+    (operators/upsert.scd2_merge): three full dimension loads derived
+    from customer — bootstrap, then balance bumps + deletions + new
+    keys, then segment moves — folded into a versioned history (every
+    change closes a row and opens its successor; absence closes; the
+    unchanged current slice carries over untouched). ONE
+    dimension-keyed full-outer join per load, closed rows never
+    reshuffled. The oracle derives every segment's lifetime by
+    comparing consecutive snapshots with IS NOT DISTINCT FROM — interval
+    bookkeeping (valid_from, valid_to) is hash-exact per bucket, keys
+    and balance cents included."""
+    from ensembl_database_loader_spark.operators.upsert import scd2_merge
+
+    ensure_session_confs(spark)
+    base = table(spark, sf, "customer").select(
+        F.col("c_custkey").alias("k"),
+        F.round(F.col("c_acctbal") * 100).cast("bigint").alias("bal"),
+        F.col("c_mktsegment").alias("seg"),
+    )
+    b1 = base
+    surviving = base.where(F.col("k") % 97 != 0)
+    bumped = surviving.select(
+        "k",
+        (F.col("bal")
+         + F.when(F.col("k") % 10 == 0, 1000).otherwise(0)).alias("bal"),
+        "seg",
+    )
+    newbies = base.where(F.col("k") % 50 == 0).select(
+        (F.col("k") + 1000000).alias("k"), "bal", "seg"
+    )
+    b2 = bumped.unionByName(newbies)
+    b3 = bumped.select(
+        "k",
+        "bal",
+        F.when(F.col("k") % 25 == 0, F.lit("MOVED")).otherwise(F.col("seg"))
+        .alias("seg"),
+    ).unionByName(newbies)
+
+    h = scd2_merge(None, b1, ("k",), ("bal", "seg"), 1)
+    h = scd2_merge(h, b2, ("k",), ("bal", "seg"), 2)
+    h = scd2_merge(h, b3, ("k",), ("bal", "seg"), 3)
+    return (
+        h.groupBy(
+            "valid_from",
+            F.coalesce(F.col("valid_to"), F.lit(0)).cast("bigint")
+            .alias("valid_to_or_open"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum("k").cast("bigint").alias("key_sum"),
+            F.sum("bal").cast("bigint").alias("bal_cents"),
+        )
+        .orderBy("valid_from", "valid_to_or_open")
+    )
+
+
 _SHUFFLE_SHARD_ORACLE = (
     # same knuth permutation: shard = h % 8, pos = rank by (h, id) in
     # shard; sum(pos * id) pins the EXACT order (any transposition

@@ -1329,3 +1329,56 @@ def test_materialize_examples_matches_python_reference(spark):
 
     with pytest.raises(ValueError, match="seq_len"):
         materialize_examples(df, "id", "toks", 0)
+
+
+def test_scd2_merge_full_lifecycle(spark):
+    """Bootstrap -> change -> delete -> resurrect across three loads;
+    as-of reads reproduce every historical snapshot exactly."""
+    from ensembl_database_loader_spark.operators.upsert import (
+        scd2_as_of,
+        scd2_merge,
+    )
+
+    def dim(rows):
+        return spark.createDataFrame(rows, "k int, val string, grp int")
+
+    # v1: bootstrap
+    h = scd2_merge(None, dim([(1, "a", 10), (2, "b", 20), (3, "c", 30)]),
+                   ("k",), ("val", "grp"), 1)
+    # v2: k=1 changes val, k=2 unchanged, k=3 deleted, k=4 new
+    h = scd2_merge(h, dim([(1, "a2", 10), (2, "b", 20), (4, "d", 40)]),
+                   ("k",), ("val", "grp"), 2)
+    # v3: k=3 resurrected, k=1 value flips to null-ish group change
+    h = scd2_merge(h, dim([(1, "a2", None), (2, "b", 20), (4, "d", 40),
+                           (3, "c3", 30)]),
+                   ("k",), ("val", "grp"), 3)
+    rows = {(r.k, r.valid_from): (r.val, r.grp, r.valid_to)
+            for r in h.collect()}
+    assert rows == {
+        (1, 1): ("a", 10, 2), (1, 2): ("a2", 10, 3), (1, 3): ("a2", None, None),
+        (2, 1): ("b", 20, None),
+        (3, 1): ("c", 30, 2), (3, 3): ("c3", 30, None),
+        (4, 2): ("d", 40, None),
+    }
+    # as-of reads
+    as_of_1 = {(r.k, r.val, r.grp) for r in scd2_as_of(h, 1).collect()}
+    assert as_of_1 == {(1, "a", 10), (2, "b", 20), (3, "c", 30)}
+    as_of_2 = {(r.k, r.val, r.grp) for r in scd2_as_of(h, 2).collect()}
+    assert as_of_2 == {(1, "a2", 10), (2, "b", 20), (4, "d", 40)}
+    as_of_3 = {(r.k, r.val, r.grp) for r in scd2_as_of(h, 3).collect()}
+    assert as_of_3 == {(1, "a2", None), (2, "b", 20), (4, "d", 40),
+                       (3, "c3", 30)}
+
+
+def test_scd2_merge_null_tracked_change_and_null_keys(spark):
+    """A tracked value flipping to/from NULL is a change (null-safe
+    compare); null-key batch rows are dropped, not opened."""
+    from ensembl_database_loader_spark.operators.upsert import scd2_merge
+
+    def dim(rows):
+        return spark.createDataFrame(rows, "k int, val string")
+
+    h = scd2_merge(None, dim([(1, None)]), ("k",), ("val",), 1)
+    h = scd2_merge(h, dim([(1, "x"), (None, "junk")]), ("k",), ("val",), 2)
+    rows = sorted((r.k, r.valid_from, r.val, r.valid_to) for r in h.collect())
+    assert rows == [(1, 1, None, 2), (1, 2, "x", None)]
