@@ -98,11 +98,18 @@ def psi_drift(
     if bins < 2:
         raise ValueError(f"psi_drift: bins must be >= 2, got {bins}")
 
-    # one-row min/max frame, localCheckpointed: BOTH melts crossJoin it,
-    # and without the cut each reference re-runs the full ref scan
-    # (three scans of a 100 TB reference instead of the one this agg
-    # needs)
-    edges = (
+    edges = profile_edges(ref, num_cols)
+    rbin = bin_counts(ref, num_cols, cat_cols, edges, bins, "c_ref")
+    cbin = bin_counts(cur, num_cols, cat_cols, edges, bins, "c_cur")
+    return psi_from_bins(rbin, cbin, smoothing=smoothing, ndigits=ndigits)
+
+
+def profile_edges(ref: DataFrame, num_cols: tuple[str, ...]) -> DataFrame:
+    """One-row min/max frame for the numeric columns, localCheckpointed:
+    BOTH melts crossJoin it, and without the cut each reference re-runs
+    the full ref scan (three scans of a 100 TB reference instead of the
+    one this agg needs)."""
+    return (
         ref.agg(
             *[
                 f
@@ -117,13 +124,34 @@ def psi_drift(
         else ref.sparkSession.range(1).select(F.lit(1).alias("__one"))
     )
 
-    rbin = _melt(ref, num_cols, cat_cols, edges, bins).groupBy(
-        "column", "bin"
-    ).agg(F.count(F.lit(1)).cast("bigint").alias("c_ref"))
-    cbin = _melt(cur, num_cols, cat_cols, edges, bins).groupBy(
-        "column", "bin"
-    ).agg(F.count(F.lit(1)).cast("bigint").alias("c_cur"))
 
+def bin_counts(
+    df: DataFrame,
+    num_cols: tuple[str, ...],
+    cat_cols: tuple[str, ...],
+    edges: DataFrame,
+    bins: int,
+    count_col: str,
+) -> DataFrame:
+    """(column, bin, <count_col>) — the storable distribution profile
+    (the serialized form streaming_drift pins as its reference)."""
+    return (
+        _melt(df, tuple(num_cols), tuple(cat_cols), edges, bins)
+        .groupBy("column", "bin")
+        .agg(F.count(F.lit(1)).cast("bigint").alias(count_col))
+    )
+
+
+def psi_from_bins(
+    rbin: DataFrame,
+    cbin: DataFrame,
+    smoothing: float = 0.5,
+    ndigits: int = 6,
+) -> DataFrame:
+    """PSI per column from two bin-count frames ``(column, bin, c_ref)``
+    and ``(column, bin, c_cur)`` — the pure-arithmetic tail, reusable
+    against a STORED reference profile (no rescan of the reference
+    corpus ever again)."""
     both = (
         rbin.join(cbin, ["column", "bin"], "full_outer")
         .select(
@@ -139,6 +167,7 @@ def psi_drift(
     # the plan test)
     from pyspark.sql import Window
 
+    ndigits = int(ndigits)
     s = float(smoothing)
     w = Window.partitionBy("column")
     j = both.select(
@@ -167,3 +196,64 @@ def psi_drift(
         )
         .orderBy("column")
     )
+
+
+# ---------------------------------------------------------------------------
+# Stored reference profiles (the streaming monitor's pinned baseline)
+# ---------------------------------------------------------------------------
+
+
+def save_drift_profile(
+    ref: DataFrame,
+    path: str,
+    num_cols: tuple[str, ...] = (),
+    cat_cols: tuple[str, ...] = (),
+    bins: int = 10,
+) -> None:
+    """Profile the reference ONCE and persist it as three manifest
+    tables under ``path`` (``/bins``, ``/edges``, ``/meta``) — every
+    later drift check (batch or streaming) compares against the stored
+    bin counts without ever rescanning the reference corpus."""
+    num_cols, cat_cols = tuple(num_cols), tuple(cat_cols)
+    if not num_cols and not cat_cols:
+        raise ValueError("save_drift_profile: no columns to monitor")
+    if bins < 2:
+        raise ValueError(f"save_drift_profile: bins must be >= 2, got {bins}")
+    from ensembl_database_loader_spark.sinks.manifest import write_table
+
+    edges = profile_edges(ref, num_cols)
+    rbin = bin_counts(ref, num_cols, cat_cols, edges, bins, "c_ref")
+    write_table(rbin, f"{path}/bins", mode="overwrite")
+    write_table(edges, f"{path}/edges", mode="overwrite")
+    spark = ref.sparkSession
+    meta = spark.createDataFrame(
+        [(",".join(num_cols), ",".join(cat_cols), int(bins))],
+        "num_cols string, cat_cols string, bins int",
+    )
+    write_table(meta, f"{path}/meta", mode="overwrite")
+
+
+def load_drift_profile(spark, path: str):
+    """(rbin, edges, num_cols, cat_cols, bins) from a saved profile.
+    The edges row localCheckpoints (it crossJoins every batch melt)."""
+    from ensembl_database_loader_spark.sinks.manifest import snapshot
+
+    meta = snapshot(spark, f"{path}/meta").collect()[0]
+    num_cols = tuple(c for c in meta["num_cols"].split(",") if c)
+    cat_cols = tuple(c for c in meta["cat_cols"].split(",") if c)
+    rbin = snapshot(spark, f"{path}/bins")
+    edges = snapshot(spark, f"{path}/edges").localCheckpoint()
+    return rbin, edges, num_cols, cat_cols, int(meta["bins"])
+
+
+def psi_against_profile(
+    cur: DataFrame,
+    profile,
+    smoothing: float = 0.5,
+    ndigits: int = 6,
+) -> DataFrame:
+    """PSI of ``cur`` against a loaded profile tuple — the stored
+    reference is never rescanned, ``cur`` is scanned once."""
+    rbin, edges, num_cols, cat_cols, bins = profile
+    cbin = bin_counts(cur, num_cols, cat_cols, edges, bins, "c_cur")
+    return psi_from_bins(rbin, cbin, smoothing=smoothing, ndigits=ndigits)

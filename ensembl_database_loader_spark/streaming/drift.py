@@ -1,0 +1,82 @@
+"""Streaming drift monitor: every micro-batch's per-column PSI against
+a PINNED reference profile (operators/drift.save_drift_profile),
+appended to a report table as exactly-once manifest commits — the live
+companion of the batch PSI check, and the third leg of the streaming
+quality stack (validate.py gates CONTRACTS, this watches SHAPE).
+
+The reference profile is loaded ONCE at stream start (bin counts +
+min/max edges — a few hundred rows); each micro-batch costs one scan of
+the batch (melt + partial-agg bin counts) plus tiny-frame arithmetic.
+The reference corpus itself is never touched again.
+
+Report rows: (batch, column, psi, n_ref, n_cur, n_bins, drifted) with
+``drifted = psi > threshold`` — the alarm a pipeline pages on when a
+crawl source silently changes shape mid-stream.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ensembl_database_loader_spark.operators.drift import (
+    load_drift_profile,
+    psi_against_profile,
+)
+
+_TXN_APP = "streaming_drift"
+
+
+def streaming_drift(
+    stream_df: DataFrame,
+    profile_path: str,
+    report_path: str,
+    checkpoint_dir: str,
+    threshold: float = 0.2,
+    available_now: bool = True,
+):
+    """Start the drift-monitor stream; returns the StreamingQuery.
+
+    The profile is resolved from its manifest snapshot at START time
+    (monitor restarts pick up a re-pinned baseline); each batch appends
+    one report row per monitored column, exactly-once under replay."""
+
+    profile_holder: list = []  # resolved lazily on the first batch
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        from ensembl_database_loader_spark.sinks.manifest import write_table
+
+        if not profile_holder:
+            profile_holder.append(
+                load_drift_profile(batch_df.sparkSession, profile_path)
+            )
+        rep = psi_against_profile(batch_df, profile_holder[0])
+        rep = rep.select(
+            F.lit(int(batch_id)).alias("batch"),
+            "column",
+            "psi",
+            "n_ref",
+            "n_cur",
+            "n_bins",
+            (F.col("psi") > F.lit(float(threshold))).alias("drifted"),
+        )
+        write_table(rep, report_path, mode="append", txn=(_TXN_APP, batch_id))
+
+    w = (
+        stream_df.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()
+
+
+def drift_history(spark: SparkSession, report_path: str) -> DataFrame:
+    """The monitor's full report so far, ordered (batch, column) — the
+    drift dashboard's input."""
+    from ensembl_database_loader_spark.sinks.manifest import snapshot
+
+    return snapshot(spark, report_path).orderBy("batch", "column")

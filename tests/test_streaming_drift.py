@@ -1,0 +1,105 @@
+"""streaming/drift.py — live PSI monitoring against a pinned profile:
+an in-distribution batch stays quiet, a shifted batch alarms, replay
+commits nothing twice, and the batch PSI equals psi_drift exactly."""
+
+from __future__ import annotations
+
+import json
+import time
+
+from ensembl_database_loader_spark.operators.drift import (
+    load_drift_profile,
+    psi_against_profile,
+    psi_drift,
+    save_drift_profile,
+)
+from ensembl_database_loader_spark.streaming.drift import (
+    drift_history,
+    streaming_drift,
+)
+from ensembl_database_loader_spark.streaming.ingest import stream_documents
+
+
+def _rows(vals_langs):
+    return [
+        {"doc_id": i, "lang": lang, "text": "x", "score": float(v)}
+        for i, (v, lang) in enumerate(vals_langs)
+    ]
+
+
+def test_profile_roundtrip_equals_direct_psi(spark, tmp_path):
+    ref = spark.createDataFrame(
+        [(float(i % 40), "l%d" % (i % 3)) for i in range(200)],
+        "score double, lang string",
+    )
+    cur = spark.createDataFrame(
+        [(float(i % 40) + 15.0, "l%d" % (i % 4)) for i in range(120)],
+        "score double, lang string",
+    )
+    prof_path = str(tmp_path / "prof")
+    save_drift_profile(ref, prof_path, ("score",), ("lang",), bins=10)
+    prof = load_drift_profile(spark, prof_path)
+    via_profile = {
+        r.column: (r.psi, r.n_ref, r.n_cur)
+        for r in psi_against_profile(cur, prof).collect()
+    }
+    direct = {
+        r.column: (r.psi, r.n_ref, r.n_cur)
+        for r in psi_drift(ref, cur, ("score",), ("lang",)).collect()
+    }
+    assert via_profile == direct
+
+
+def test_streaming_drift_alarm_and_replay(spark, tmp_path):
+    import shutil
+
+    ref = spark.createDataFrame(
+        [(float(i % 40), "en" if i % 2 else "de") for i in range(400)],
+        "score double, lang string",
+    )
+    prof_path = str(tmp_path / "prof")
+    save_drift_profile(ref, prof_path, ("score",), ("lang",), bins=10)
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    rep_path = str(tmp_path / "report")
+    ckpt = str(tmp_path / "ckpt")
+
+    def _run():
+        s = stream_documents(
+            spark,
+            str(landing),
+            schema="doc_id bigint, lang string, text string, score double",
+        )
+        q = streaming_drift(s, prof_path, rep_path, ckpt, threshold=0.2)
+        q.awaitTermination(120)
+
+    # batch 0: in-distribution
+    with open(landing / "b1.jsonl", "w") as f:
+        f.writelines(
+            json.dumps(r) + "\n"
+            for r in _rows([(i % 40, "en" if i % 2 else "de") for i in range(100)])
+        )
+    _run()
+    # batch 1: score shifted far right, language mix collapsed
+    time.sleep(1.1)
+    with open(landing / "b2.jsonl", "w") as f:
+        f.writelines(
+            json.dumps(r) + "\n"
+            for r in _rows([(i % 40 + 100, "zz") for i in range(100)])
+        )
+    _run()
+
+    hist = {
+        (r.batch, r.column): (r.psi, r.drifted)
+        for r in drift_history(spark, rep_path).collect()
+    }
+    assert len(hist) == 4  # 2 batches x 2 columns
+    assert not hist[(0, "score")][1] and not hist[(0, "lang")][1]
+    assert hist[(1, "score")][1] and hist[(1, "lang")][1]
+    assert hist[(1, "score")][0] > 0.2
+
+    # fresh-checkpoint replay: txn watermark rejects duplicate commits
+    shutil.rmtree(ckpt)
+    _run()
+    assert drift_history(spark, rep_path).count() == 4
