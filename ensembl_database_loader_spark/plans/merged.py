@@ -85,6 +85,29 @@ MERGE_SPECS: dict[str, list[tuple[str, list[tuple[str, str]]]]] = {
                 ("top_share", "sk_top_share"),
             ],
         ),
+        # r9: declarative expectation suite (8 rows keyed uniquely by
+        # rule name) — the data-contract gate rides the DQ window row
+        (
+            "dq_expectations",
+            [
+                ("rule", "ex_rule"),
+                ("kind", "ex_kind"),
+                ("violations", "ex_violations"),
+                ("observed", "ex_observed"),
+                ("passed", "ex_passed"),
+            ],
+        ),
+        # r9: PSI drift monitor (2 rows keyed uniquely by column)
+        (
+            "dq_drift_psi",
+            [
+                ("column", "dr_column"),
+                ("psi", "dr_psi"),
+                ("n_ref", "dr_n_ref"),
+                ("n_cur", "dr_n_cur"),
+                ("n_bins", "dr_n_bins"),
+            ],
+        ),
     ],
     "q18_q20_condagg_having": [
         (
