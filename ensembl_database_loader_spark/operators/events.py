@@ -146,3 +146,64 @@ def cohort_retention(
         )
         .agg(F.count_distinct(F.col("_u")).cast("bigint").alias("n_users"))
     )
+
+
+def rolling_anomalies(
+    df: DataFrame,
+    ts_col: str = "ts",
+    key_col: str | None = "event_type",
+    trailing: int = 7,
+    z_threshold: float = 3.0,
+    ndigits: int = 4,
+) -> DataFrame:
+    """Volume-anomaly detection over the event log: per (key, day)
+    counts z-scored against the TRAILING ``trailing``-day window (the
+    day itself excluded — an anomaly must not suppress its own alarm by
+    inflating the baseline). The monitor an ingest pipeline pages on
+    when a source doubles or goes dark: complements the SHAPE monitors
+    (PSI drift) with a VOLUME monitor.
+
+    Output per (key, day): ``(key, day, cnt, base_mean, base_std, z,
+    anomalous, n_base)`` — ``z`` null while the baseline window is
+    shorter than 2 days or flat (std 0), ``anomalous`` true when
+    ``|z| > z_threshold``. Day is the BIGINT epoch-day index and counts
+    are BIGINT, so everything except the rounded mean/std/z is
+    engine-exact.
+
+    Scale shape: ONE partial-aggregated groupBy(key, day) collapses the
+    100 TB log to (keys x days) rows; the window functions then run on
+    that tiny frame (per-key sort of day counts — thousands of rows,
+    not events)."""
+    if trailing < 2:
+        raise ValueError(f"trailing must be >= 2, got {trailing}")
+    day = (F.unix_micros(F.col(ts_col)) / F.lit(86_400_000_000)).cast("bigint")
+    keys = [F.col(key_col).alias("key")] if key_col else [F.lit("all").alias("key")]
+    daily = (
+        df.select(*keys, day.alias("day"))
+        .groupBy("key", "day")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    w = (
+        Window.partitionBy("key")
+        .orderBy("day")
+        .rowsBetween(-trailing, -1)
+    )
+    base_mean = F.avg("cnt").over(w)
+    base_std = F.stddev_samp("cnt").over(w)
+    n_base = F.count("cnt").over(w)
+    z = (F.col("cnt") - base_mean) / base_std
+    out = daily.select(
+        "key",
+        "day",
+        "cnt",
+        F.round(base_mean, ndigits).alias("base_mean"),
+        F.round(base_std, ndigits).alias("base_std"),
+        F.when(
+            (n_base >= 2) & (base_std > 0), F.round(z, ndigits)
+        ).alias("z"),
+        n_base.cast("bigint").alias("n_base"),
+    )
+    return out.withColumn(
+        "anomalous",
+        F.coalesce(F.abs(F.col("z")) > F.lit(float(z_threshold)), F.lit(False)),
+    )

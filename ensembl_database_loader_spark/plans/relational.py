@@ -3066,6 +3066,46 @@ def q76_khop_bfs(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @probe(
+    "q77_volume_anomaly",
+    oracle=(
+        # identical expression order: z from UNROUNDED mean/std, then
+        # rounded; the anomaly flag compares the ROUNDED z
+        "WITH daily AS (SELECT event_type AS key, "
+        "epoch_us(ts) // 86400000000 AS day, "
+        "CAST(COUNT(*) AS BIGINT) AS cnt FROM events GROUP BY 1, 2), "
+        "s AS (SELECT key, day, cnt, "
+        "AVG(cnt) OVER w AS m, STDDEV_SAMP(cnt) OVER w AS sd, "
+        "COUNT(cnt) OVER w AS nb FROM daily WINDOW w AS "
+        "(PARTITION BY key ORDER BY day "
+        "ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)) "
+        "SELECT key, day, cnt, ROUND(m, 4) AS base_mean, "
+        "ROUND(sd, 4) AS base_std, "
+        "CASE WHEN nb >= 2 AND sd > 0 THEN ROUND((cnt - m) / sd, 4) END AS z, "
+        "CAST(nb AS BIGINT) AS n_base, "
+        "COALESCE(ABS(CASE WHEN nb >= 2 AND sd > 0 "
+        "THEN ROUND((cnt - m) / sd, 4) END) > 3.0, FALSE) AS anomalous "
+        "FROM s ORDER BY key, day"
+    ),
+    tags=("events", "window", "quality"),
+)
+def q77_volume_anomaly(spark: SparkSession, sf: str) -> DataFrame:
+    """Volume-anomaly monitor (operators/events.rolling_anomalies):
+    per-(event_type, day) counts z-scored against the TRAILING 7-day
+    window (the day itself excluded so an anomaly can't suppress its
+    own alarm) — the ingest-volume pager that complements the PSI shape
+    monitor. ONE partial-aggregated groupBy collapses the 100 TB log to
+    (keys × days) rows before any window runs; day indexes and counts
+    are BIGINT so only the rounded mean/std/z are floating."""
+    from ensembl_database_loader_spark.operators.events import (
+        rolling_anomalies,
+    )
+
+    ensure_session_confs(spark)
+    e = table(spark, sf, "events")
+    return rolling_anomalies(e).orderBy("key", "day")
+
+
+@probe(
     "q67_gapfill_forward_fill",
     oracle=(
         # per-user daily revenue with missing days generated and
