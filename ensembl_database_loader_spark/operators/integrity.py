@@ -141,3 +141,85 @@ def snapshot_checksum(
     from ensembl_database_loader_spark.sinks.manifest import snapshot
 
     return table_checksum(snapshot(spark, table_path, version=version), n_buckets)
+
+
+def join_fanout_profile(
+    left: DataFrame,
+    right: DataFrame,
+    keys: tuple[str, ...],
+) -> DataFrame:
+    """Pre-flight profile of an equi-join: per-side row counts, key
+    multiplicities, and the EXACT output cardinality the join would
+    produce (``sum over shared keys of left_mult * right_mult``) —
+    computed from two partial-aggregated key-count frames and one
+    keys-sized join, i.e. at distinct-key cost instead of running the
+    join. The guard a 100 TB pipeline runs before a join it believes
+    is 1:N — an unexpected M:N (duplicate dimension rows, a bad merge
+    key) multiplies output by the product of the duplicates and is
+    the classic fan-out incident.
+
+    One row: ``(n_left, n_right, n_keys_left, n_keys_right,
+    n_keys_both, max_left_mult, max_right_mult, max_pair_fanout,
+    est_output_rows)`` — all BIGINT, engine-exact. Null keys never join
+    (SQL equality) and are excluded from multiplicities."""
+    ks = list(keys)
+    if not ks:
+        raise ValueError("join_fanout_profile: at least one key required")
+
+    def counts(df: DataFrame, side: str) -> DataFrame:
+        d = df
+        for k in ks:
+            d = d.where(F.col(k).isNotNull())
+        return d.groupBy(*ks).agg(
+            F.count(F.lit(1)).cast("bigint").alias(f"c_{side}")
+        )
+
+    lc, rc = counts(left, "l"), counts(right, "r")
+    both = lc.join(rc, ks)
+    pair = both.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_keys_both"),
+        F.max(F.col("c_l") * F.col("c_r")).cast("bigint").alias("max_pair_fanout"),
+        F.sum(F.col("c_l") * F.col("c_r")).cast("bigint").alias("est_output_rows"),
+    )
+    ltot = lc.agg(
+        F.sum("c_l").cast("bigint").alias("n_left"),
+        F.count(F.lit(1)).cast("bigint").alias("n_keys_left"),
+        F.max("c_l").cast("bigint").alias("max_left_mult"),
+    )
+    rtot = rc.agg(
+        F.sum("c_r").cast("bigint").alias("n_right"),
+        F.count(F.lit(1)).cast("bigint").alias("n_keys_right"),
+        F.max("c_r").cast("bigint").alias("max_right_mult"),
+    )
+    return (
+        ltot.crossJoin(rtot)
+        .crossJoin(pair)
+        .select(
+            "n_left", "n_right", "n_keys_left", "n_keys_right",
+            "n_keys_both", "max_left_mult", "max_right_mult",
+            F.coalesce("max_pair_fanout", F.lit(0)).alias("max_pair_fanout"),
+            F.coalesce("est_output_rows", F.lit(0)).alias("est_output_rows"),
+        )
+    )
+
+
+def assert_join_safe(
+    left: DataFrame,
+    right: DataFrame,
+    keys: tuple[str, ...],
+    max_fanout: int = 1,
+    max_blowup: float = 1.5,
+) -> dict:
+    """Gate form: raise if any single key pair would fan out more than
+    ``max_fanout`` rows, or the join output would exceed ``max_blowup
+    * max(n_left, n_right)``. Returns the profile as a dict when safe
+    (one tiny collect — the profile is a single row)."""
+    row = join_fanout_profile(left, right, keys).collect()[0].asDict()
+    limit = max_blowup * max(row["n_left"], row["n_right"])
+    if row["max_pair_fanout"] > max_fanout or row["est_output_rows"] > limit:
+        raise AssertionError(
+            f"join on {list(keys)} is unsafe: max pair fanout "
+            f"{row['max_pair_fanout']} (allowed {max_fanout}), estimated "
+            f"output {row['est_output_rows']} rows (allowed {limit:.0f}): {row}"
+        )
+    return row

@@ -2044,6 +2044,46 @@ def dq_drift_psi(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @probe(
+    "dq_join_fanout",
+    oracle=(
+        "WITH lc AS (SELECT l_orderkey AS k, CAST(COUNT(*) AS BIGINT) AS c_l "
+        "FROM lineitem WHERE l_orderkey IS NOT NULL GROUP BY 1), "
+        "rc AS (SELECT o_orderkey AS k, CAST(COUNT(*) AS BIGINT) AS c_r "
+        "FROM orders WHERE o_orderkey IS NOT NULL GROUP BY 1), "
+        "b AS (SELECT lc.c_l, rc.c_r FROM lc JOIN rc ON lc.k = rc.k) "
+        "SELECT (SELECT CAST(SUM(c_l) AS BIGINT) FROM lc) AS n_left, "
+        "(SELECT CAST(SUM(c_r) AS BIGINT) FROM rc) AS n_right, "
+        "(SELECT CAST(COUNT(*) AS BIGINT) FROM lc) AS n_keys_left, "
+        "(SELECT CAST(COUNT(*) AS BIGINT) FROM rc) AS n_keys_right, "
+        "(SELECT CAST(COUNT(*) AS BIGINT) FROM b) AS n_keys_both, "
+        "(SELECT CAST(MAX(c_l) AS BIGINT) FROM lc) AS max_left_mult, "
+        "(SELECT CAST(MAX(c_r) AS BIGINT) FROM rc) AS max_right_mult, "
+        "(SELECT CAST(COALESCE(MAX(c_l * c_r), 0) AS BIGINT) FROM b) "
+        "AS max_pair_fanout, "
+        "(SELECT CAST(COALESCE(SUM(c_l * c_r), 0) AS BIGINT) FROM b) "
+        "AS est_output_rows"
+    ),
+    tags=("quality", "join"),
+)
+def dq_join_fanout(spark: SparkSession, sf: str) -> DataFrame:
+    """Join pre-flight profile (operators/integrity.join_fanout_profile):
+    the EXACT output cardinality and per-side key multiplicities of
+    lineitem JOIN orders, computed at distinct-key cost from two
+    partial-aggregated count frames — the guard that catches an
+    accidental M:N fan-out (duplicate dim rows, wrong merge key) BEFORE
+    a 100 TB join multiplies it out. assert_join_safe wraps this as the
+    run-refusing gate."""
+    from ensembl_database_loader_spark.operators.integrity import (
+        join_fanout_profile,
+    )
+
+    ensure_session_confs(spark)
+    li = table(spark, sf, "lineitem").select(F.col("l_orderkey").alias("k"))
+    o = table(spark, sf, "orders").select(F.col("o_orderkey").alias("k"))
+    return join_fanout_profile(li, o, ("k",))
+
+
+@probe(
     "q60_skew_isolation_join",
     oracle=(
         "WITH dim AS (SELECT DISTINCT user_id, user_id % 7 AS grp FROM events) "

@@ -116,3 +116,52 @@ def test_snapshot_checksum_pins_maintenance_rewrites(spark, tmp_path):
 
     M.delete_rows(spark, tbl, prune=[("k", "=", 137)])
     assert cs() != cs(v0)  # a real content change is visible
+
+
+def test_join_fanout_profile_exact_and_gate(spark):
+    """Profile equals the actual join's cardinality on an M:N case;
+    the gate passes 1:N and rejects M:N / blowup; null keys excluded."""
+    import pytest
+
+    from ensembl_database_loader_spark.operators.integrity import (
+        assert_join_safe,
+        join_fanout_profile,
+    )
+
+    left = spark.createDataFrame(
+        [(1, "a")] * 3 + [(2, "b")] * 2 + [(3, "c")] + [(None, "n")],
+        "k int, v string",
+    )
+    right = spark.createDataFrame(
+        [(1, "x")] * 2 + [(2, "y")] + [(4, "z")] + [(None, "m")] * 5,
+        "k int, w string",
+    )
+    prof = join_fanout_profile(left, right, ("k",)).collect()[0]
+    actual = left.join(right, "k").count()
+    assert prof.est_output_rows == actual == 3 * 2 + 2 * 1
+    assert prof.max_pair_fanout == 6
+    assert (prof.n_left, prof.n_right) == (6, 4)  # null-key rows excluded
+    assert (prof.n_keys_left, prof.n_keys_right, prof.n_keys_both) == (3, 3, 2)
+    assert (prof.max_left_mult, prof.max_right_mult) == (3, 2)
+
+    # 1:N against a unique dimension passes
+    dim = spark.createDataFrame([(1, "d1"), (2, "d2"), (3, "d3")], "k int, d string")
+    ok = assert_join_safe(left, dim, ("k",), max_fanout=3, max_blowup=1.5)
+    assert ok["est_output_rows"] == 6
+    # the M:N explodes past the fanout gate
+    with pytest.raises(AssertionError, match="unsafe"):
+        assert_join_safe(left, right, ("k",), max_fanout=3)
+    with pytest.raises(ValueError, match="at least one key"):
+        join_fanout_profile(left, right, ())
+
+
+def test_join_fanout_disjoint_keys(spark):
+    from ensembl_database_loader_spark.operators.integrity import (
+        join_fanout_profile,
+    )
+
+    a = spark.createDataFrame([(1,), (2,)], "k int")
+    b = spark.createDataFrame([(3,), (4,)], "k int")
+    prof = join_fanout_profile(a, b, ("k",)).collect()[0]
+    assert prof.n_keys_both == 0
+    assert prof.est_output_rows == 0 and prof.max_pair_fanout == 0
