@@ -52,3 +52,53 @@ def with_pii_redaction(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.select(
         "*", *pii_counts(text_col), redact_text(text_col).alias("redacted")
     )
+
+
+def pseudonymize(
+    df: DataFrame,
+    cols: tuple[str, ...],
+    secret: str,
+    token_len: int = 16,
+) -> DataFrame:
+    """Deterministic keyed pseudonymization: each listed column's value
+    is replaced by ``substr(sha2(secret || ':' || column_name || ':' ||
+    value, 256), 1, token_len)`` — the PII-safe export transform that
+    PRESERVES JOINABILITY: the same value under the same secret always
+    maps to the same token, so foreign keys still line up across
+    pseudonymized tables (re-identification requires the secret; rotate
+    it to unlink releases). The column NAME is folded into the hash so
+    equal values in unrelated columns don't produce linkable tokens —
+    pass the same logical name on both sides of an FK (rename first)
+    when cross-table joinability is wanted.
+
+    Nulls stay null (a null is not an identity). Pure codegen
+    projection — no shuffle, no Python; sha2 is identical in DuckDB
+    (sha256) so tokens are engine-exact.
+
+    Truncation note: ``token_len`` hex chars = 4*token_len bits; at the
+    default 64 bits a birthday collision needs ~2^32 distinct values —
+    raise it for corpora beyond billions of identities."""
+    if not cols:
+        raise ValueError("pseudonymize: at least one column required")
+    missing = [c for c in cols if c not in df.columns]
+    if missing:
+        raise ValueError(
+            f"pseudonymize: unknown column(s) {missing!r}; "
+            f"frame has {list(df.columns)!r}"
+        )
+    if not 8 <= int(token_len) <= 64:
+        raise ValueError(f"token_len must be in [8, 64], got {token_len}")
+    out = df
+    for c in cols:
+        token = F.substring(
+            F.sha2(
+                F.concat_ws(":", F.lit(secret), F.lit(c), F.col(c).cast("string")),
+                256,
+            ),
+            1,
+            int(token_len),
+        )
+        out = out.withColumn(
+            c, F.when(F.col(c).isNotNull(), token)
+        )
+    return out

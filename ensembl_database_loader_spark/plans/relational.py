@@ -2084,6 +2084,76 @@ def dq_join_fanout(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @probe(
+    "tx_pseudonymize",
+    oracle=(
+        "WITH po AS (SELECT substr(sha256('k1:custkey:' || "
+        "CAST(o_custkey AS VARCHAR)), 1, 16) AS tok FROM orders "
+        "WHERE o_custkey IS NOT NULL), "
+        "pc AS (SELECT DISTINCT substr(sha256('k1:custkey:' || "
+        "CAST(c_custkey AS VARCHAR)), 1, 16) AS tok FROM customer "
+        "WHERE c_custkey IS NOT NULL), "
+        "raw AS (SELECT CAST(COUNT(*) AS BIGINT) AS c FROM orders o "
+        "JOIN customer c ON o.o_custkey = c.c_custkey) "
+        "SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM po JOIN pc USING (tok)) "
+        "AS token_join_rows, "
+        "(SELECT c FROM raw) AS raw_join_rows, "
+        "(SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) FROM po) "
+        "AS n_order_tokens, "
+        "(SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT) FROM orders) "
+        "AS n_order_keys, "
+        "(SELECT MIN(tok) FROM pc) AS min_token, "
+        "(SELECT MAX(tok) FROM pc) AS max_token"
+    ),
+    tags=("privacy", "text"),
+)
+def tx_pseudonymize(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic keyed pseudonymization (operators/redact.
+    pseudonymize): customer keys in orders AND customer replaced by
+    keyed sha2 tokens under one secret — the PII-safe export transform.
+    The gates prove the properties that matter: the token-space join
+    reproduces EXACTLY the raw FK join's cardinality (joinability
+    preserved), token cardinality equals key cardinality (no
+    collisions at this scale), and the min/max token strings are
+    engine-exact (sha256 is sha256). Pure codegen projection — the
+    scrub costs a map stage, never a shuffle."""
+    from ensembl_database_loader_spark.operators.redact import pseudonymize
+
+    ensure_session_confs(spark)
+    po = pseudonymize(
+        table(spark, sf, "orders").select(F.col("o_custkey").alias("custkey")),
+        ("custkey",),
+        "k1",
+    ).where(F.col("custkey").isNotNull())
+    pc = pseudonymize(
+        table(spark, sf, "customer").select(F.col("c_custkey").alias("custkey")),
+        ("custkey",),
+        "k1",
+    ).where(F.col("custkey").isNotNull()).distinct()
+    token_join = po.join(pc, "custkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("token_join_rows")
+    )
+    raw_join = (
+        table(spark, sf, "orders")
+        .join(
+            table(spark, sf, "customer"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("raw_join_rows"))
+    )
+    order_stats = po.agg(
+        F.count_distinct("custkey").cast("bigint").alias("n_order_tokens")
+    ).crossJoin(
+        table(spark, sf, "orders").agg(
+            F.count_distinct("o_custkey").cast("bigint").alias("n_order_keys")
+        )
+    )
+    tok_range = pc.agg(
+        F.min("custkey").alias("min_token"), F.max("custkey").alias("max_token")
+    )
+    return token_join.crossJoin(raw_join).crossJoin(order_stats).crossJoin(tok_range)
+
+
+@probe(
     "q60_skew_isolation_join",
     oracle=(
         "WITH dim AS (SELECT DISTINCT user_id, user_id % 7 AS grp FROM events) "
