@@ -323,3 +323,153 @@ def sample_frames(
             yield pd.DataFrame({"id": ids, "frame_idx": idxs, "frame_bytes": chunks})
 
     return df.mapInPandas(frames, schema=FRAME_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Perceptual image near-dup (aHash + banded Hamming join)
+# ---------------------------------------------------------------------------
+
+
+def encode_pattern_bmp24(bits64: int, cell_px: int = 2) -> bytes:
+    """A real 24-bit BMP of an 8x8 black/white cell pattern (cell (r, c)
+    white iff bit ``r*8 + c`` of ``bits64`` is set; rows indexed from
+    the BOTTOM, matching BMP's bottom-up pixel order so the decoder's
+    bit mapping is the identity). The deterministic image family the
+    perceptual-dedup tests use: aHash recovers exactly these 64 bits."""
+    width = height = 8 * cell_px
+    stride = (width * 3 + 3) & ~3
+    image_size = stride * height
+    file_header = struct.pack("<2sIHHI", b"BM", 14 + 40 + image_size, 0, 0, 54)
+    info_header = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, image_size, 2835, 2835, 0, 0
+    )
+    rows = []
+    for py in range(height):  # py = 0 is the BOTTOM pixel row
+        cell_r = py // cell_px
+        row = bytearray()
+        for px in range(width):
+            cell_c = px // cell_px
+            v = 255 if (bits64 >> (cell_r * 8 + cell_c)) & 1 else 0
+            row += bytes((v, v, v))
+        row += b"\x00" * (stride - width * 3)
+        rows.append(bytes(row))
+    return file_header + info_header + b"".join(rows)
+
+
+def ahash64(data: bytes) -> int:
+    """Perceptual average-hash of a 24-bit BMP: mean-pool the grayscale
+    image to an 8x8 grid (any divisible size), threshold each cell
+    against the GLOBAL mean, bit ``r*8 + c`` = cell brighter than mean
+    (rows from the bottom, the encode_pattern_bmp24 convention).
+    Returned as a SIGNED 64-bit int (two's complement) so it rides
+    Spark's BIGINT and the banded-Hamming machinery directly."""
+    if data[:2] != b"BM":
+        raise ValueError("not a BMP: bad magic")
+    (offset,) = struct.unpack_from("<I", data, 10)
+    header_size, width, height = struct.unpack_from("<Iii", data, 14)
+    planes, bitcount = struct.unpack_from("<HH", data, 26)
+    (compression,) = struct.unpack_from("<I", data, 30)
+    if header_size < 40 or bitcount != 24 or compression != 0 or planes != 1:
+        raise ValueError("unsupported BMP variant")
+    height = abs(height)
+    if width % 8 or height % 8:
+        raise ValueError(f"dimensions not 8-divisible: {width}x{height}")
+    stride = (width * 3 + 3) & ~3
+    cw, ch = width // 8, height // 8
+    sums = [[0] * 8 for _ in range(8)]
+    for py in range(height):
+        base = offset + py * stride
+        row = data[base : base + width * 3]
+        cr = py // ch
+        for px in range(width):
+            sums[cr][px // cw] += row[3 * px] + row[3 * px + 1] + row[3 * px + 2]
+    total = sum(map(sum, sums))
+    mean = total / 64.0
+    u = 0
+    for r in range(8):
+        for c in range(8):
+            if sums[r][c] > mean:
+                u |= 1 << (r * 8 + c)
+    return u - (1 << 64) if u >= (1 << 63) else u
+
+
+def _pattern_bits(doc_id: int) -> int:
+    """62 pseudo-random bits from md5(id) with bit0 forced 0 and bit1
+    forced 1 (never all-black/all-white, so the aHash threshold always
+    separates)."""
+    import hashlib
+
+    h = hashlib.md5(f"pat:{doc_id}".encode()).digest()
+    u = int.from_bytes(h[:8], "little")
+    return (u | 2) & ~1 & ((1 << 64) - 1)
+
+
+def build_pattern_media(
+    df: DataFrame,
+    id_col: str,
+    variant_offset: int = 500_000,
+    flip_cells: int = 2,
+    cell_px: int = 2,
+) -> DataFrame:
+    """(id, image) — one pattern BMP per input row PLUS a near-dup
+    variant at ``id + variant_offset`` with ``flip_cells`` cells flipped
+    (cells >= 2; the two forced cells stay put). The planted ground
+    truth for perceptual dedup: every (id, id+offset) pair is a
+    near-dup at Hamming exactly ``flip_cells``; unrelated patterns are
+    ~32 apart. Arrow-batched generation, one output row pair per doc."""
+    import pandas as pd
+
+    if not 1 <= flip_cells <= 8:
+        raise ValueError(f"flip_cells must be in [1, 8], got {flip_cells}")
+
+    def gen(batches):
+        for b in batches:
+            ids, blobs = [], []
+            for i in b[id_col]:
+                i = int(i)
+                bits = _pattern_bits(i)
+                ids.append(i)
+                blobs.append(encode_pattern_bmp24(bits, cell_px))
+                # deterministic flip cells in [2, 63]; the k-stride 17
+                # guarantees distinct positions mod 62 for flip_cells
+                # <= 8, so the variant's Hamming is exactly flip_cells
+                flipped = bits
+                for k in range(flip_cells):
+                    flipped ^= 1 << (2 + ((i * 31 + k * 17) % 62))
+                ids.append(i + variant_offset)
+                blobs.append(encode_pattern_bmp24(flipped, cell_px))
+            yield pd.DataFrame({"id": ids, "image": blobs})
+
+    return df.select(id_col).mapInPandas(gen, "id bigint, image binary")
+
+
+def with_ahash(df: DataFrame, bytes_col: str = "image", out_col: str = "simhash") -> DataFrame:
+    """BIGINT perceptual hash column via an Arrow-batched UDF."""
+    import pandas as pd
+
+    @F.pandas_udf("bigint")
+    def _h(s):  # type: ignore[no-untyped-def]
+        return pd.Series([ahash64(bytes(x)) if x is not None else None for x in s])
+
+    return df.withColumn(out_col, _h(F.col(bytes_col)))
+
+
+def image_neardup_pairs(
+    media: DataFrame,
+    id_col: str = "id",
+    bytes_col: str = "image",
+    max_hamming: int = 4,
+) -> DataFrame:
+    """(id1, id2, hamming) image near-dup pairs: aHash each image
+    (Arrow batch), then the SAME banded-Hamming machinery the text
+    simhash uses (operators/dedup.banded_hamming_pairs) — pigeonhole
+    band join, never all-pairs. Text and images dedup through one
+    engine; only the fingerprint function differs."""
+    from ensembl_database_loader_spark.operators.dedup import (
+        banded_hamming_pairs,
+    )
+
+    fps = with_ahash(media, bytes_col).select(
+        F.col(id_col).alias("id"), "simhash", F.lit(0).alias("blk")
+    )
+    return banded_hamming_pairs(fps, 64, max_hamming)

@@ -1159,6 +1159,55 @@ def mm_resize(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @probe(
+    "mm_image_neardup",
+    oracle=(
+        # analytic ground truth: the generator PLANTS one variant per
+        # doc at exactly Hamming 2 (two cells flipped), and unrelated
+        # 62-bit patterns sit ~32 apart (P[<=4] ~ 1e-13 per pair), so
+        # the recovered pair set must be exactly the planted one
+        "SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs, "
+        "CAST(SUM(doc_id) AS BIGINT) AS id1_sum, "
+        "CAST(SUM(doc_id + 500000) AS BIGINT) AS id2_sum, "
+        "CAST(MIN(2) AS INT) AS min_hamming, "
+        "CAST(MAX(2) AS INT) AS max_hamming "
+        "FROM documents WHERE doc_id < 5000"
+    ),
+    tags=("llm", "multimodal", "dedup"),
+)
+def mm_image_neardup(spark: SparkSession, sf: str) -> DataFrame:
+    """Perceptual image near-dup (multimodal/binaryops.py): real
+    pattern BMPs (one per doc + a two-cell-flipped variant), aHash-64
+    per image (mean-pooled 8x8 grayscale thresholded at the global
+    mean — invariant to resizing, pinned by test), then the SAME
+    pigeonhole banded-Hamming join text simhash uses
+    (operators/dedup.banded_hamming_pairs) — text and images dedup
+    through ONE engine, only the fingerprint function differs, and
+    candidates stay band-bucketed (never all-pairs) at corpus scale.
+    The pair set, id sums, and both Hamming extremes must equal the
+    planted ground truth exactly."""
+    from ensembl_database_loader_spark.multimodal.binaryops import (
+        build_pattern_media,
+        image_neardup_pairs,
+    )
+
+    ensure_session_confs(spark)
+    docs = (
+        table(spark, sf, "documents")
+        .select("doc_id")
+        .where(F.col("doc_id") < 5000)  # bounded image count at every SF
+    )
+    media = build_pattern_media(docs, "doc_id", variant_offset=500_000)
+    pairs = image_neardup_pairs(media, max_hamming=4)
+    return pairs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.sum("id1").cast("bigint").alias("id1_sum"),
+        F.sum("id2").cast("bigint").alias("id2_sum"),
+        F.min("hamming").cast("int").alias("min_hamming"),
+        F.max("hamming").cast("int").alias("max_hamming"),
+    )
+
+
+@probe(
     "mm_decode_plumbing",
     oracle=(
         "WITH b AS (SELECT octet_length(encode(text)) AS olen, "
