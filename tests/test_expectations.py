@@ -166,3 +166,55 @@ def test_single_pass_plan(frame):
     plan = report._jdf.queryExecution().optimizedPlan().toString()
     # one LocalRelation/scan feeding one Aggregate; no union of scans
     assert plan.count("Aggregate") == 1
+
+
+def test_report_counts_equal_row_tags_property(spark):
+    """For every ROW-decidable rule, the suite report's violation count
+    must equal the number of rows tag_violations marks — across a
+    randomized grid of frames (hypothesis-lite: seeded exhaustive
+    variants, kept deterministic for CI)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from ensembl_database_loader_spark.operators.expectations import (
+        expect_in_range,
+        expect_regex,
+        expect_not_null,
+        expect_values_in,
+        run_expectations,
+        tag_violations,
+    )
+
+    rng = random.Random(42)
+    for trial in range(6):
+        rows = [
+            (
+                rng.choice([None, rng.randint(-5, 30)]),
+                rng.choice([None, "ok", "bad", "zz9", "Al"]),
+            )
+            for _ in range(rng.randint(1, 60))
+        ]
+        df = spark.createDataFrame(rows, "x int, s string")
+        suite = [
+            expect_not_null("x"),
+            expect_in_range("x", 0, 20),
+            expect_values_in("s", ["ok", "bad"]),
+            expect_regex("s", "^[a-z]+$"),
+        ]
+        report = {
+            r["rule"]: r["violations"]
+            for r in run_expectations(df, suite).collect()
+        }
+        tagged = tag_violations(df, suite)
+        tag_counts = {
+            r["v"]: r["cnt"]
+            for r in tagged.select(F.explode("violations").alias("v"))
+            .groupBy("v")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .collect()
+        }
+        for e in suite:
+            assert report[e.name] == tag_counts.get(e.name, 0), (
+                trial, e.name, rows,
+            )
