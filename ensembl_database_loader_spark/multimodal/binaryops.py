@@ -473,3 +473,132 @@ def image_neardup_pairs(
         F.col(id_col).alias("id"), "simhash", F.lit(0).alias("blk")
     )
     return banded_hamming_pairs(fps, 64, max_hamming)
+
+
+# ---------------------------------------------------------------------------
+# Perceptual audio near-dup (amplitude-envelope hash + banded Hamming)
+# ---------------------------------------------------------------------------
+
+
+def encode_envelope_wav16(
+    bits64: int, samples_per_window: int = 32, framerate: int = 8000,
+    loud: int = 12000, quiet: int = 800,
+) -> bytes:
+    """A real 16-bit mono PCM WAV whose AMPLITUDE ENVELOPE encodes 64
+    bits: window ``w`` alternates +/-``loud`` when bit ``w`` is set,
+    +/-``quiet`` otherwise (a square carrier, so the signal is audible
+    audio, not a bit dump). The deterministic audio family the
+    perceptual-dedup tests use."""
+    import io
+    import wave
+
+    frames = []
+    for w in range(64):
+        amp = loud if (bits64 >> w) & 1 else quiet
+        for s in range(samples_per_window):
+            frames.append(amp if s % 2 == 0 else -amp)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as f:
+        f.setnchannels(1)
+        f.setsampwidth(2)
+        f.setframerate(framerate)
+        f.writeframes(struct.pack(f"<{len(frames)}h", *frames))
+    return buf.getvalue()
+
+
+def audiohash64(data: bytes) -> int:
+    """Perceptual amplitude-envelope hash of a 16-bit mono WAV: split
+    the samples into 64 equal windows, mean absolute amplitude per
+    window, threshold at the global mean — bit ``w`` = window louder
+    than average. Robust to sample-rate/duration changes that preserve
+    the envelope (a resampled clip pools to the same 64 means — pinned
+    by test). SIGNED 64-bit return, ready for the banded-Hamming
+    engine."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(data), "rb") as f:
+        if f.getsampwidth() != 2 or f.getnchannels() != 1:
+            raise ValueError("only 16-bit mono PCM supported")
+        n = f.getnframes()
+        raw = f.readframes(n)
+    if n < 64:
+        raise ValueError(f"too short for a 64-window envelope: {n} frames")
+    samples = struct.unpack(f"<{n}h", raw)
+    sums = [0] * 64
+    counts = [0] * 64
+    for i, s in enumerate(samples):
+        w = i * 64 // n
+        sums[w] += abs(s)
+        counts[w] += 1
+    means = [sums[w] / counts[w] for w in range(64)]
+    gmean = sum(means) / 64.0
+    u = 0
+    for w in range(64):
+        if means[w] > gmean:
+            u |= 1 << w
+    return u - (1 << 64) if u >= (1 << 63) else u
+
+
+def build_envelope_media(
+    df: DataFrame,
+    id_col: str,
+    variant_offset: int = 500_000,
+    flip_windows: int = 2,
+    samples_per_window: int = 32,
+) -> DataFrame:
+    """(id, audio) — one envelope WAV per input row PLUS a near-dup
+    variant at ``id + variant_offset`` with ``flip_windows`` windows
+    flipped (the audio twin of build_pattern_media; same planted
+    ground truth: variants at Hamming exactly ``flip_windows``,
+    unrelated envelopes ~32 apart)."""
+    import pandas as pd
+
+    if not 1 <= flip_windows <= 8:
+        raise ValueError(f"flip_windows must be in [1, 8], got {flip_windows}")
+
+    def gen(batches):
+        for b in batches:
+            ids, blobs = [], []
+            for i in b[id_col]:
+                i = int(i)
+                bits = _pattern_bits(i)  # same forced-bit hygiene
+                ids.append(i)
+                blobs.append(encode_envelope_wav16(bits, samples_per_window))
+                flipped = bits
+                for k in range(flip_windows):
+                    flipped ^= 1 << (2 + ((i * 31 + k * 17) % 62))
+                ids.append(i + variant_offset)
+                blobs.append(encode_envelope_wav16(flipped, samples_per_window))
+            yield pd.DataFrame({"id": ids, "audio": blobs})
+
+    return df.select(id_col).mapInPandas(gen, "id bigint, audio binary")
+
+
+def audio_neardup_pairs(
+    media: DataFrame,
+    id_col: str = "id",
+    bytes_col: str = "audio",
+    max_hamming: int = 4,
+) -> DataFrame:
+    """(id1, id2, hamming) audio near-dup pairs through the SAME banded
+    Hamming engine as text simhash and image aHash — the third modality
+    on one dedup machinery."""
+    import pandas as pd
+
+    from ensembl_database_loader_spark.operators.dedup import (
+        banded_hamming_pairs,
+    )
+
+    @F.pandas_udf("bigint")
+    def _h(s):  # type: ignore[no-untyped-def]
+        return pd.Series(
+            [audiohash64(bytes(x)) if x is not None else None for x in s]
+        )
+
+    fps = media.select(
+        F.col(id_col).alias("id"),
+        _h(F.col(bytes_col)).alias("simhash"),
+        F.lit(0).alias("blk"),
+    )
+    return banded_hamming_pairs(fps, 64, max_hamming)

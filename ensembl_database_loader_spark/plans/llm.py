@@ -1208,6 +1208,49 @@ def mm_image_neardup(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @probe(
+    "mm_audio_neardup",
+    oracle=(
+        # the audio twin of mm_image_neardup's analytic ground truth
+        "SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs, "
+        "CAST(SUM(doc_id) AS BIGINT) AS id1_sum, "
+        "CAST(SUM(doc_id + 500000) AS BIGINT) AS id2_sum, "
+        "CAST(MIN(2) AS INT) AS min_hamming, "
+        "CAST(MAX(2) AS INT) AS max_hamming "
+        "FROM documents WHERE doc_id < 3000"
+    ),
+    tags=("llm", "multimodal", "dedup"),
+)
+def mm_audio_neardup(spark: SparkSession, sf: str) -> DataFrame:
+    """Perceptual AUDIO near-dup (multimodal/binaryops.py): real 16-bit
+    PCM WAVs whose amplitude envelope is the identity signal
+    (duration/sample-rate invariant — a resampled clip hashes
+    identically, pinned by test), amplitude-envelope hash per clip,
+    then the SAME banded-Hamming engine as text simhash and image
+    aHash — the third modality on one dedup machinery. Planted
+    two-window-flipped variants must be recovered exactly."""
+    from ensembl_database_loader_spark.multimodal.binaryops import (
+        audio_neardup_pairs,
+        build_envelope_media,
+    )
+
+    ensure_session_confs(spark)
+    docs = (
+        table(spark, sf, "documents")
+        .select("doc_id")
+        .where(F.col("doc_id") < 3000)  # bounded clip count at every SF
+    )
+    media = build_envelope_media(docs, "doc_id", variant_offset=500_000)
+    pairs = audio_neardup_pairs(media, max_hamming=4)
+    return pairs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.sum("id1").cast("bigint").alias("id1_sum"),
+        F.sum("id2").cast("bigint").alias("id2_sum"),
+        F.min("hamming").cast("int").alias("min_hamming"),
+        F.max("hamming").cast("int").alias("max_hamming"),
+    )
+
+
+@probe(
     "mm_decode_plumbing",
     oracle=(
         "WITH b AS (SELECT octet_length(encode(text)) AS olen, "
