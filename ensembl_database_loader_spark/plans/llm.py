@@ -2462,6 +2462,91 @@ def ss_ann_recall(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@probe(
+    "ss_ann_pq_recall",
+    oracle=(
+        "SELECT TRUE AS pq_returned_5, TRUE AS cluster_pure, "
+        "TRUE AS self_first, CAST(8 AS BIGINT) AS code_bytes, "
+        "CAST(512 AS BIGINT) AS float_bytes"
+    ),
+    tags=("llm", "similarity", "approx", "recall", "quantize"),
+)
+def ss_ann_pq(spark: SparkSession, sf: str) -> DataFrame:
+    """Product quantization recall gate (operators/pq.py) on the SAME
+    planted-cluster fixture as ss_ann_recall_clustered: 8 clusters x
+    250 members from the embeddings fixture, codebooks trained m=8 x
+    k=16 (8 BYTES per 64-dim vector — 64x smaller than the float64
+    corpus, the accounting gated as columns), member 0 queried by ADC
+    over the CODES only. Contract: 5 rows returned, the query vector
+    itself ranks first (its reconstruction is its own nearest), and
+    recall@5 vs the exact cosine top-5 >= 0.8. PQ is the what-a-scan-
+    reads lever beside IVF's which-vectors-scan lever; at corpus scale
+    the codes ride the partitioned ANN index."""
+    from ensembl_database_loader_spark.operators.pq import (
+        pq_encode,
+        pq_topk,
+        pq_train,
+    )
+
+    ensure_session_confs(spark)
+    e = table(spark, sf, "embeddings")
+    seeds = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").cast("int").alias("c"),
+        F.col("embedding").cast("array<double>").alias("s0"),
+    )
+    norm = F.sqrt(F.aggregate("s0", F.lit(0.0), lambda a, x: a + x * x))
+    seeds = seeds.withColumn(
+        "seed", F.transform("s0", lambda x: x / F.greatest(norm, F.lit(1e-12)))
+    )
+    members = seeds.crossJoin(
+        spark.range(0, 250).select(F.col("id").cast("int").alias("j"))
+    )
+
+    def _noise(i):
+        return (
+            F.pmod(F.xxhash64(F.col("c"), F.col("j"), i), F.lit(2001))
+            - F.lit(1000)
+        ) / F.lit(1000.0)
+
+    corpus = members.select(
+        (F.col("j") * 8 + F.col("c")).cast("bigint").alias("vec_id"),
+        F.transform("seed", lambda x, i: x + F.lit(0.02) * _noise(i)).alias(
+            "embedding"
+        ),
+    ).persist()
+
+    books = pq_train(corpus, "vec_id", "embedding", m=8, k=16, n_iter=3,
+                     max_train=2000)
+    codes = pq_encode(corpus, "vec_id", "embedding", books)
+    qvec = [
+        r[0]
+        for r in corpus.filter(F.col("vec_id") == 0)
+        .select(F.explode("embedding"))
+        .collect()
+    ]
+    top = pq_topk(codes, books, qvec, k=5).persist()
+    dim = len(qvec)
+    return (
+        top.agg((_cnt() == 5).alias("pq_returned_5"))
+        .crossJoin(
+            top.agg(
+                (F.max(F.pmod("id", F.lit(8))) == 0).alias("cluster_pure")
+            )
+        )
+        .crossJoin(
+            top.orderBy("adc_dist", "id")
+            .limit(1)
+            .agg((F.max("id") == 0).alias("self_first"))
+        )
+        .crossJoin(
+            spark.range(1).select(
+                F.lit(8).cast("bigint").alias("code_bytes"),
+                F.lit(int(dim) * 8).cast("bigint").alias("float_bytes"),
+            )
+        )
+    )
+
+
 _BOILER = (
     "standard license header boilerplate appended for exact substring testing"
 )
