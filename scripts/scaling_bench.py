@@ -106,6 +106,10 @@ def main() -> int:
         "sampling, table checksum); empty = skip",
     )
     ap.add_argument(
+        "--r9d-reps", default="",
+        help="replica counts for PQ encode/ADC-search scaling",
+    )
+    ap.add_argument(
         "--r9c-reps", default="",
         help="replica counts for the r9c graph ops (triangles, LPA) over "
              "the co-purchase graph",
@@ -654,6 +658,50 @@ def main() -> int:
             out.append(rec)
             print(json.dumps(rec), flush=True)
             edges.unpersist()
+
+    if args.r9d_reps:
+        from ensembl_database_loader_spark.operators.pq import (
+            pq_encode,
+            pq_topk,
+            pq_train,
+        )
+
+        # codebooks train ONCE on the base fixture (serving scale is
+        # what's measured); encoding and ADC search scale with replicas
+        base = table(spark, args.sf_dir, "embeddings").select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+        )
+        books = pq_train(base, "vec_id", "embedding", m=8, k=16, n_iter=3)
+        qvec = [
+            r[0]
+            for r in base.orderBy("vec_id").limit(1)
+            .select(F.explode("embedding"))
+            .collect()
+        ]
+        for k in [int(x) for x in args.r9d_reps.split(",") if x]:
+            vs = scaled_vectors(spark, args.sf_dir, k).select(
+                "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+            ).cache()
+            n = vs.count()
+
+            t0 = time.perf_counter()
+            codes = pq_encode(vs, "vec_id", "embedding", books).cache()
+            nc = codes.count()
+            dt = time.perf_counter() - t0
+            rec = {"op": "ss_pq_encode", "n_vecs": n, "sec": round(dt, 2),
+                   "encoded": nc}  # fmt: skip
+            out.append(rec)
+            print(json.dumps(rec), flush=True)
+
+            t0 = time.perf_counter()
+            top = pq_topk(codes, books, qvec, k=10).collect()
+            dt = time.perf_counter() - t0
+            rec = {"op": "ss_pq_topk", "n_vecs": n, "sec": round(dt, 2),
+                   "top1": int(top[0].id)}  # fmt: skip
+            out.append(rec)
+            print(json.dumps(rec), flush=True)
+            codes.unpersist()
+            vs.unpersist()
 
     spark.stop()
     return 0
