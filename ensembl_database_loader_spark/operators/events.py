@@ -155,6 +155,7 @@ def rolling_anomalies(
     trailing: int = 7,
     z_threshold: float = 3.0,
     ndigits: int = 4,
+    densify: bool = True,
 ) -> DataFrame:
     """Volume-anomaly detection over the event log: per (key, day)
     counts z-scored against the TRAILING ``trailing``-day window (the
@@ -162,6 +163,16 @@ def rolling_anomalies(
     inflating the baseline). The monitor an ingest pipeline pages on
     when a source doubles or goes dark: complements the SHAPE monitors
     (PSI drift) with a VOLUME monitor.
+
+    ``densify`` (default) fills the (key, day) grid so CALENDAR days
+    with zero events appear as cnt=0 rows — without it a source that
+    goes fully dark produces no row to alarm on, and the ROWS-based
+    trailing window silently widens across calendar gaps. Each key's
+    grid runs from its own first observed day to the GLOBAL last
+    observed day (other sources still emitting prove the feed itself is
+    alive), so a key dark at the tail of the log IS flagged. The fill
+    is one lead() + sequence-explode over the already-aggregated daily
+    frame — a single pass, no self-join, no second scan of the log.
 
     Output per (key, day): ``(key, day, cnt, base_mean, base_std, z,
     anomalous, n_base)`` — ``z`` null while the baseline window is
@@ -171,9 +182,9 @@ def rolling_anomalies(
     engine-exact.
 
     Scale shape: ONE partial-aggregated groupBy(key, day) collapses the
-    100 TB log to (keys x days) rows; the window functions then run on
-    that tiny frame (per-key sort of day counts — thousands of rows,
-    not events)."""
+    100 TB log to (keys x days) rows; densification and the window
+    functions then run on that tiny frame (per-key sort of day counts —
+    thousands of rows, not events)."""
     if trailing < 2:
         raise ValueError(f"trailing must be >= 2, got {trailing}")
     day = (F.unix_micros(F.col(ts_col)) / F.lit(86_400_000_000)).cast("bigint")
@@ -183,6 +194,34 @@ def rolling_anomalies(
         .groupBy("key", "day")
         .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
     )
+    if densify:
+        # each observed day emits itself plus the gap days before the
+        # key's next observed day (or the global max day for the last
+        # row) as cnt=0 — one window pass, the daily frame referenced
+        # ONCE (no doubled upstream aggregate)
+        wk = Window.partitionBy("key").orderBy("day")
+        wg = Window.partitionBy()
+        upper = F.coalesce(
+            F.lead("day").over(wk) - F.lit(1), F.max("day").over(wg)
+        )
+        daily = (
+            daily.withColumn("_to", upper)
+            .select(
+                "key",
+                "cnt",
+                F.posexplode(F.sequence(F.col("day"), F.col("_to"))).alias(
+                    "_i", "_day"
+                ),
+            )
+            .select(
+                "key",
+                F.col("_day").alias("day"),
+                F.when(F.col("_i") == 0, F.col("cnt"))
+                .otherwise(F.lit(0))
+                .cast("bigint")
+                .alias("cnt"),
+            )
+        )
     w = (
         Window.partitionBy("key")
         .orderBy("day")

@@ -62,10 +62,15 @@ def train_bigram_lm(
     """(unigram_counts(w, uc), bigram_counts(w1, w2, bc), vocab_size)
     over the reference corpus. Two partial-aggregated shuffles; the
     vocabulary size is the one scalar collected (broadcast-dim
-    pattern)."""
+    pattern). The empty token (``tokens`` on empty/whitespace-only text
+    yields ``['']``) is excluded from the unigram table and V — same
+    convention as ``train_kn_bigram_lm`` and ``bpe.word_frequencies``,
+    so the two trainers agree on the vocabulary and add-alpha mass is
+    never spent on a non-word."""
     t = tokens(text_col)
     uni = (
         ref.select(F.explode(t).alias("w"))
+        .filter(F.col("w") != "")
         .groupBy("w")
         .agg(F.count(F.lit(1)).cast("bigint").alias("uc"))
     )

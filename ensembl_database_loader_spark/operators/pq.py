@@ -38,6 +38,30 @@ def _split(dim: int, m: int) -> list[tuple[int, int]]:
     return [(s * w, (s + 1) * w) for s in range(m)]
 
 
+def lloyd_codebooks(x, m: int, k: int, n_iter: int = 5) -> list:
+    """Per-sub-space Lloyd on an already-prepared (n, dim) float64
+    matrix (normalized vectors, or RESIDUALS for an IVF-PQ index) —
+    the shared deterministic trainer of ``pq_train`` and
+    ``similarity.build_ann_index(quantized='pq')``: row-0..k-1 init,
+    fixed iteration count, empty cells keep their previous centroid."""
+    if x.shape[0] < k:
+        raise ValueError(f"need >= k={k} training vectors, got {x.shape[0]}")
+    spans = _split(int(x.shape[1]), m)
+    books = []
+    for lo, hi in spans:
+        sub = x[:, lo:hi]
+        cents = sub[:k].copy()  # id-ordered init
+        for _ in range(n_iter):
+            d = ((sub[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = d.argmin(axis=1)
+            for c in range(k):
+                mask = assign == c
+                if mask.any():
+                    cents[c] = sub[mask].mean(axis=0)
+        books.append(cents.tolist())
+    return books
+
+
 def pq_train(
     df: DataFrame,
     id_col: str,
@@ -67,23 +91,7 @@ def pq_train(
     x = np.array([r._v for r in rows], dtype=np.float64)
     if normalize:
         x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
-    dim = x.shape[1]
-    spans = _split(dim, m)
-    if len(rows) < k:
-        raise ValueError(f"pq_train: need >= k={k} training vectors, got {len(rows)}")
-    books = []
-    for lo, hi in spans:
-        sub = x[:, lo:hi]
-        cents = sub[:k].copy()  # id-ordered init
-        for _ in range(n_iter):
-            d = ((sub[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
-            assign = d.argmin(axis=1)
-            for c in range(k):
-                mask = assign == c
-                if mask.any():
-                    cents[c] = sub[mask].mean(axis=0)
-        books.append(cents.tolist())
-    return books
+    return lloyd_codebooks(x, m, k, n_iter)
 
 
 def pq_encode(
@@ -171,18 +179,42 @@ def pq_reconstruction_mse(
     normalize: bool = True,
 ) -> float:
     """Mean squared reconstruction error over the frame — the training
-    diagnostic (more centroids / sub-spaces must not increase it)."""
-    import numpy as np
+    diagnostic (more centroids / sub-spaces must not increase it).
 
-    rows = df.select(F.col(vec_col).cast("array<double>")).collect()
-    x = np.array([r[0] for r in rows], dtype=np.float64)
-    if normalize:
-        x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
-    books = [np.array(b) for b in codebooks]
-    m, w = len(books), books[0].shape[1]
-    err = 0.0
-    for si in range(m):
-        sub = x[:, si * w : (si + 1) * w]
-        d = ((sub[:, None, :] - books[si][None, :, :]) ** 2).sum(axis=2)
-        err += d.min(axis=1).sum()
-    return float(err / x.shape[0])
+    Computed DISTRIBUTED: one Arrow-batched pass attaches each row's
+    summed min sub-space distance (the same numpy math ``pq_encode``
+    runs, just keeping the min instead of the argmin) and one partial
+    aggregate averages — no vector row is ever collected to the driver,
+    so the diagnostic runs at encoded-corpus scale (the round-9 version
+    collected the whole frame). Value is identical to the collect form
+    up to float summation order in the final average."""
+    import numpy as np
+    import pandas as pd
+
+    books = [np.array(b, dtype=np.float64) for b in codebooks]
+    m = len(books)
+    w = books[0].shape[1]
+    dim = m * w
+
+    @F.pandas_udf("double")
+    def _err(s):  # type: ignore[no-untyped-def]
+        x = np.array(s.tolist(), dtype=np.float64)
+        if x.ndim != 2 or x.shape[1] != dim:
+            raise ValueError(f"expected {dim}-dim vectors")
+        if normalize:
+            x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+        e = np.zeros(x.shape[0], dtype=np.float64)
+        for si in range(m):
+            sub = x[:, si * w : (si + 1) * w]
+            d = ((sub[:, None, :] - books[si][None, :, :]) ** 2).sum(axis=2)
+            e += d.min(axis=1)
+        return pd.Series(e)
+
+    row = (
+        df.select(_err(F.col(vec_col).cast("array<double>")).alias("_e"))
+        .agg(F.avg("_e"))
+        .first()
+    )
+    if row[0] is None:
+        raise ValueError("pq_reconstruction_mse: empty frame")
+    return float(row[0])

@@ -304,7 +304,11 @@ def build_ann_index(
     path: str,
     n_cells: int = 16,
     centroids: list[list[float]] | None = None,
-    quantized: bool = False,
+    quantized: bool | str = False,
+    pq_m: int = 8,
+    pq_k: int = 16,
+    pq_residual: bool = True,
+    pq_max_train: int = 20_000,
 ) -> list[list[float]]:
     """Materialize an IVF ANN index: assign every corpus row to its
     nearest centroid ONCE and persist the corpus ``partitionBy("_cell")``
@@ -321,27 +325,63 @@ def build_ann_index(
     new batches with the same persisted centroids — assignment is
     stateless given ``_ann_meta.json``).
 
-    ``quantized=True`` stores int8 vectors + a per-vector scale
-    (``operators/quantize.py``) INSTEAD of the float array — the ~4x
-    storage/IO lever that matters most here, since the index is the
-    hot serving copy of a 100 TB embedding store. Cell assignment
-    still runs on the ORIGINAL floats (centroid geometry unaffected),
-    and the query-side re-rank stays mathematically clean because the
-    symmetric per-vector scheme's scale CANCELS in cosine:
+    ``quantized=True`` (or ``'int8'``) stores int8 vectors + a
+    per-vector scale (``operators/quantize.py``) INSTEAD of the float
+    array — the ~4x storage/IO lever that matters most here, since the
+    index is the hot serving copy of a 100 TB embedding store. Cell
+    assignment still runs on the ORIGINAL floats (centroid geometry
+    unaffected), and the query-side re-rank stays mathematically clean
+    because the symmetric per-vector scheme's scale CANCELS in cosine:
     cos(scale*q, query) == cos(q, query) exactly — so ranking degrades
     only by the int8 rounding of the vector itself (recall gated by
     ``ss_ann_ivf_quant``), never by a dequantization step. TinyInt
     elements dictionary-encode in parquet (<=255 distinct values),
     which is where the measured byte reduction comes from.
 
+    ``quantized='pq'`` composes IVF with PRODUCT QUANTIZATION — the
+    standard billion-vector layout (IVF prunes WHICH cells a query
+    scans; PQ shrinks WHAT the scan reads): each row stores only its
+    ``pq_m`` sub-space code indices (tinyint — 8 BYTES per vector at
+    the defaults, 64x smaller than the float64 array), the codebooks
+    ride in ``_ann_meta.json``, and ``pq_topk_indexed`` ADC-scans the
+    probed cells' codes then re-ranks top candidates against
+    full-precision vectors fetched by id. ``pq_residual`` (default)
+    trains and encodes on the RESIDUAL (normalized vector minus its
+    cell's normalized centroid) — residual magnitudes are much smaller
+    than vector magnitudes, so the same 8-byte budget buys finer
+    quantization (recall gated >= the non-residual path by
+    ``ss_ann_pq_indexed``). Training is the deterministic
+    first-``pq_max_train``-by-id sample (``pq.pq_train``'s contract);
+    at 100 TB pass a representative frame — encoding stays one Arrow
+    GEMM pass over the corpus either way.
+
     Returns the centroids used."""
     import json
     import os
 
+    if quantized not in (False, True, "int8", "pq"):
+        raise ValueError(
+            f"quantized must be False, True/'int8', or 'pq', got {quantized!r}"
+        )
     if centroids is None:
         centroids = _grid_centroids(df, id_col, vec_col, n_cells)
     assigned = _assign_cells(df, vec_col, centroids)
-    if quantized:
+    pq_meta = None
+    if quantized == "pq":
+        books = _pq_train_cells(
+            assigned, id_col, vec_col, centroids,
+            m=pq_m, k=pq_k, residual=pq_residual, max_train=pq_max_train,
+        )
+        pq_meta = {
+            "m": pq_m,
+            "k": pq_k,
+            "residual": bool(pq_residual),
+            "codebooks": books,
+        }
+        assigned = _pq_encode_index_rows(
+            assigned, id_col, vec_col, books, centroids, pq_residual
+        )
+    elif quantized:
         assigned = _quantize_index_rows(assigned, id_col, vec_col)
     assigned.write.mode("overwrite").partitionBy("_cell").parquet(path)
     meta = {
@@ -352,6 +392,7 @@ def build_ann_index(
         "dim": len(centroids[0]),
         "centroids": centroids,
         "quantized": quantized,
+        **({"pq": pq_meta} if pq_meta else {}),
     }
     with open(os.path.join(path, "_ann_meta.json"), "w") as f:
         json.dump(meta, f)

@@ -2713,7 +2713,7 @@ _LM_ORACLE = (
     f"WITH tdoc AS (SELECT doc_id, lang, {_toks('text')} AS toks FROM documents), "
     "uni AS (SELECT w, COUNT(*) AS uc FROM "
     f"(SELECT unnest({_toks('text')}) AS w FROM documents WHERE lang = 'en') "
-    "GROUP BY w), "
+    "WHERE w <> '' GROUP BY w), "
     "vv AS (SELECT COUNT(*) AS v FROM uni), "
     "bi AS (SELECT w1, w2, COUNT(*) AS bc FROM "
     "(SELECT toks[i] AS w1, toks[i + 1] AS w2 FROM tdoc, "

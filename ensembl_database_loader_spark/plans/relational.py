@@ -3179,13 +3179,21 @@ def q76_khop_bfs(spark: SparkSession, sf: str) -> DataFrame:
     "q77_volume_anomaly",
     oracle=(
         # identical expression order: z from UNROUNDED mean/std, then
-        # rounded; the anomaly flag compares the ROUNDED z
+        # rounded; the anomaly flag compares the ROUNDED z. The grid is
+        # DENSIFIED (zero-count calendar days materialized, each key's
+        # first day .. the global last day) exactly like the operator.
         "WITH daily AS (SELECT event_type AS key, "
         "epoch_us(ts) // 86400000000 AS day, "
         "CAST(COUNT(*) AS BIGINT) AS cnt FROM events GROUP BY 1, 2), "
+        "b AS (SELECT key, MIN(day) AS d0 FROM daily GROUP BY 1), "
+        "spine AS (SELECT key, unnest(generate_series(d0, "
+        "(SELECT MAX(day) FROM daily))) AS day FROM b), "
+        "dense AS (SELECT spine.key, spine.day, "
+        "CAST(COALESCE(cnt, 0) AS BIGINT) AS cnt FROM spine "
+        "LEFT JOIN daily ON spine.key = daily.key AND spine.day = daily.day), "
         "s AS (SELECT key, day, cnt, "
         "AVG(cnt) OVER w AS m, STDDEV_SAMP(cnt) OVER w AS sd, "
-        "COUNT(cnt) OVER w AS nb FROM daily WINDOW w AS "
+        "COUNT(cnt) OVER w AS nb FROM dense WINDOW w AS "
         "(PARTITION BY key ORDER BY day "
         "ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)) "
         "SELECT key, day, cnt, ROUND(m, 4) AS base_mean, "

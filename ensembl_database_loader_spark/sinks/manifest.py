@@ -298,26 +298,60 @@ def _read_files(
     spark: SparkSession, m: dict, root: str, rels: list[str]
 ) -> DataFrame:
     """Read manifest-listed data files with the table's declared schema
-    and column ORDER. For a partitioned table the partition columns are
-    reconstructed from the hive paths (``basePath``), then re-selected
-    into declared order (Spark appends partition columns last)."""
+    and column ORDER. For a partitioned table the partition columns
+    (which live in the hive PATHS, not the files) are reconstructed by
+    whichever strategy yields the fewer scan branches:
+
+    - per PARTITION VALUE: every file of one partition tuple reads in
+      one plain multi-file scan (no basePath needed — the values are
+      constant within the group) and the partition columns attach as
+      typed LITERALS from the manifest's ``parts`` map. Branch count is
+      bounded by the partitions touched — a streaming-fed table that
+      accumulated one commit per micro-batch still plans O(partitions),
+      not O(commits).
+    - per COMMIT DIRECTORY: hive reconstruction with that commit's
+      ``basePath`` (one basePath can only serve one directory tree).
+      Fewer branches when one backfill commit wrote many partitions,
+      and the fallback for manifests predating the ``parts`` map.
+    """
     schema = StructType.fromJson(json.loads(m["schema"]))
     if not rels:
         return spark.createDataFrame([], schema)
-    if not m.get("partition_by"):
+    pb = tuple(m.get("partition_by") or ())
+    if not pb:
         return spark.read.schema(schema).parquet(
             *[f"{root}/{rel}" for rel in rels]
         )
-    # hive-partition reconstruction needs ONE basePath per directory
-    # tree; files span several data/<uuid>/ commit dirs, so read each
-    # commit's files with ITS basePath and union (scans concatenate —
-    # no shuffle, and Spark still merges them into one FileScan per
-    # branch)
     by_commit: dict[str, list[str]] = {}
     for rel in rels:
         parts = rel.split("/")
         by_commit.setdefault("/".join(parts[:2]), []).append(rel)
-    out: DataFrame | None = None
+    parts_map = m.get("parts", {})
+    by_value: dict[tuple, list[str]] = {}
+    complete = True
+    for rel in rels:
+        v = parts_map.get(rel)
+        if v is None or set(v) != set(pb):
+            complete = False
+            break
+        by_value.setdefault(tuple(sorted(v.items())), []).append(rel)
+    if complete and len(by_value) < len(by_commit):
+        data_fields = [f for f in schema.fields if f.name not in set(pb)]
+        data_schema = StructType(data_fields)
+        types = {f.name: f.dataType for f in schema.fields if f.name in set(pb)}
+        out: DataFrame | None = None
+        for key in sorted(by_value, key=str):
+            vals = dict(key)
+            df = spark.read.schema(data_schema).parquet(
+                *[f"{root}/{rel}" for rel in by_value[key]]
+            )
+            for c in pb:
+                df = df.withColumn(c, F.lit(vals[c]).cast(types[c]))
+            out_df = df.select(*[f.name for f in schema.fields])
+            out = out_df if out is None else out.unionByName(out_df)
+        assert out is not None
+        return out
+    out = None
     for commit_dir, group in sorted(by_commit.items()):
         df = (
             spark.read.schema(schema)
@@ -1452,6 +1486,14 @@ def _rewrite_rows(
     semantics), and commits untouched-files + rewritten-files as the
     next snapshot. Returns None (no commit, no Spark write) when
     pruning proves no file can match or the condition hits zero rows.
+
+    The ``prune`` triples are CONJOINED into the effective row
+    condition (``where AND prune``), so the file filter and the row
+    filter always agree by construction: a stats-based prune that
+    skips a file can never skip rows the condition would have touched,
+    and a prune NOT implied by ``where`` simply scopes the operation
+    (it never silently widens or narrows it relative to the files
+    read).
     """
     root = path.rstrip("/")
     head = latest_manifest(spark, root)
@@ -1462,6 +1504,8 @@ def _rewrite_rows(
         if not prune:
             raise ValueError("pass where=, prune=, or both")
         where = _prune_to_where(prune)
+    elif prune:
+        where = f"({where}) AND {_prune_to_where(prune)}"
     schema = StructType.fromJson(json.loads(head["schema"]))
     # files_matching folds partition values in as exact min == max
     # pseudo-stats, so a prune on a partition column scopes the rewrite
@@ -1576,14 +1620,17 @@ def delete_rows(
     - ``where``: SQL boolean expression; rows where it is TRUE are
       deleted (NULL/FALSE rows are kept — SQL DELETE semantics).
     - ``prune``: optional ``(col, op, value)`` triples (scan_table's
-      mini-language) used ONLY for file skipping via manifest stats.
-      They must be IMPLIED by ``where`` (every matching row satisfies
-      them) or deletes hiding in pruned-away files would be missed —
-      the caller's contract, same as any partition-predicate hint.
-      With ``where=None`` the condition IS the AND of the triples, so
-      the one-argument form is always sound. On a table compacted with
-      ``sort_cols``/``zorder_cols`` on the delete key, a key-range
-      delete rewrites ~1 file and carries the rest forward untouched.
+      mini-language) used for file skipping via manifest stats AND
+      conjoined into the effective row condition (``where AND
+      prune``), so the file filter and the row filter always agree —
+      a prune scopes the delete (only rows satisfying both go), it can
+      never cause rows hiding in pruned-away files to be silently
+      missed relative to what the rewrite actually removes. With
+      ``where=None`` the condition IS the AND of the triples. On a
+      table compacted with ``sort_cols``/``zorder_cols`` on the delete
+      key, a key-range delete rewrites ~1 file and carries the rest
+      forward untouched; on a partitioned table a partition-column
+      prune scopes the rewrite to that partition exactly.
     - Untouched files are REFERENCED by the new manifest, not copied:
       the commit costs one job over candidate files only, and pinned
       readers of older snapshots are unaffected (files are only ever
@@ -1616,8 +1663,8 @@ def update_rows(
     row's old values, cast back to the column's declared type so the
     schema is preserved exactly); all other rows — and all files the
     ``prune`` stats prove can't match — are carried forward untouched.
-    Same pruning contract, no-op behavior, and return shape as
-    ``delete_rows``."""
+    Same pruning contract (prune conjoins into the row condition),
+    no-op behavior, and return shape as ``delete_rows``."""
     field_types = None
 
     def apply_sets(df: DataFrame, hit):
