@@ -264,6 +264,97 @@ def ivf_topk(
     )
 
 
+def ivf_topk_many(
+    queries: DataFrame,
+    corpus: DataFrame,
+    qid_col: str,
+    qvec_col: str,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    centroids: list[list[float]] | None = None,
+    exclude_self: bool = False,
+) -> DataFrame:
+    """BATCH-query IVF top-k: every query in ``queries`` answered in
+    ONE plan — (qid, id, cos, rank) with rank 1..k per query — instead
+    of O(queries) separate corpus scans (what a loop over ``ivf_topk``
+    costs; the shape contamination-kNN and retrieval sweeps need).
+
+    Plan: one Arrow GEMM pass assigns each QUERY its ``n_probe``
+    nearest cells (a small queries x n_cells matmul, then
+    posexplode), one identical pass assigns each CORPUS row its cell
+    (``_assign_cells`` — the same math as ``ivf_topk``/
+    ``build_ann_index``, so probed candidates match the single-query
+    path exactly), the exploded query side BROADCASTS into a hash join
+    on ``_cell`` (queries are the small side by assumption — a few
+    thousand rows replicated n_probe ways), cosine computes JVM-side
+    per candidate pair, and one window per qid takes the top-k. Total:
+    one corpus scan, zero corpus self-joins, one shuffle of the
+    candidate pairs (~n_probe/n_cells of the corpus per query) keyed
+    by qid for the window sort. Each corpus row lives in exactly one
+    cell and each query probes distinct cells, so no pair duplicates.
+
+    Results for any single query are IDENTICAL to ``ivf_topk`` with
+    the same centroids (probe ``ss_ann_batch`` hash-gates the parity);
+    ties break on the corpus id. ``exclude_self`` drops candidates
+    whose corpus id equals the query id (the self-match when queries
+    are drawn from the corpus)."""
+    import numpy as np
+    import pandas as pd
+
+    if qid_col == id_col:
+        raise ValueError(
+            f"qid_col and id_col must differ in the output, both {qid_col!r}"
+            " — alias one side first"
+        )
+    if centroids is None:
+        centroids = _grid_centroids(corpus, id_col, vec_col, n_cells)
+    cn0 = np.asarray(centroids, dtype=np.float64)
+    cn = cn0 / np.maximum(np.linalg.norm(cn0, axis=1, keepdims=True), 1e-12)
+    n_probe = min(int(n_probe), cn.shape[0])
+
+    @F.pandas_udf("array<int>")
+    def _probes(s):  # type: ignore[no-untyped-def]
+        x = np.array(s.tolist(), dtype=np.float64)
+        xn = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+        sims = xn @ cn.T
+        # argsort descending = the same probe order ivf_topk uses
+        order = np.argsort(-sims, axis=1)[:, :n_probe].astype(np.int32)
+        return pd.Series(list(order))
+
+    qcells = (
+        queries.select(
+            F.col(qid_col).alias("_qid"),
+            F.col(qvec_col).cast("array<double>").alias("_qvec"),
+        )
+        .withColumn("_probe_cells", _probes(F.col("_qvec")))
+        .select("_qid", "_qvec", F.explode("_probe_cells").alias("_cell"))
+    )
+    assigned = _assign_cells(
+        corpus.select(F.col(id_col), F.col(vec_col)), vec_col, centroids
+    )
+    pairs = assigned.join(F.broadcast(qcells), "_cell")
+    if exclude_self:
+        pairs = pairs.filter(F.col(id_col) != F.col("_qid"))
+    cos = cosine(F.col(vec_col), F.col("_qvec"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("_qid").orderBy(F.desc("_cos"), F.col(id_col).asc())
+    return (
+        pairs.select("_qid", F.col(id_col), F.round(cos, 6).alias("_cos"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= int(k))
+        .select(
+            F.col("_qid").alias(qid_col),
+            F.col(id_col),
+            F.col("_cos").alias("cos"),
+            "rank",
+        )
+    )
+
+
 def _assign_cells(df: DataFrame, vec_col: str, centroids) -> DataFrame:
     """Attach `_cell` = argmax cosine(vec, centroid) in one Arrow GEMM
     pass (the shared assignment step of ivf_topk / build_ann_index —
@@ -415,6 +506,197 @@ def _quantize_index_rows(assigned: DataFrame, id_col: str, vec_col: str) -> Data
     )
 
 
+def _pq_train_cells(
+    assigned: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids,
+    m: int,
+    k: int,
+    residual: bool,
+    max_train: int,
+) -> list:
+    """PQ codebooks for an IVF-PQ index: Lloyd on the deterministic
+    first-``max_train``-by-id sample of NORMALIZED vectors — minus each
+    row's normalized cell centroid when ``residual`` (the residual
+    space all cells share: ||xn - qn|| == ||(xn - c) - (qn - c)||, so
+    one codebook set serves every cell while quantizing the much
+    smaller residual magnitudes)."""
+    import numpy as np
+
+    from ensembl_database_loader_spark.operators.pq import lloyd_codebooks
+
+    if k > 127:
+        raise ValueError(f"pq_k must fit tinyint codes (<= 127), got {k}")
+    rows = (
+        assigned.select(
+            F.col(id_col).alias("_id"),
+            F.col(vec_col).cast("array<double>").alias("_v"),
+            "_cell",
+        )
+        .orderBy("_id")
+        .limit(int(max_train))
+        .collect()
+    )
+    if not rows:
+        raise ValueError("build_ann_index(quantized='pq'): empty corpus")
+    x = np.array([r._v for r in rows], dtype=np.float64)
+    x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    if residual:
+        cn = np.asarray(centroids, dtype=np.float64)
+        cn = cn / np.maximum(np.linalg.norm(cn, axis=1, keepdims=True), 1e-12)
+        x = x - cn[np.array([r._cell for r in rows], dtype=np.int64)]
+    return lloyd_codebooks(x, m, k, n_iter=5)
+
+
+def _pq_encode_index_rows(
+    assigned: DataFrame,
+    id_col: str,
+    vec_col: str,
+    codebooks: list,
+    centroids,
+    residual: bool,
+) -> DataFrame:
+    """(id, codes array<tinyint>, _cell) — the stored shape of an
+    IVF-PQ index row (8 bytes/vector at m=8); the float vector is
+    dropped. One Arrow pass; with ``residual`` each vector encodes
+    relative to its cell's normalized centroid."""
+    import numpy as np
+    import pandas as pd
+
+    books = [np.array(b, dtype=np.float64) for b in codebooks]
+    m = len(books)
+    w = books[0].shape[1]
+    dim = m * w
+    cn = np.asarray(centroids, dtype=np.float64)
+    cn = cn / np.maximum(np.linalg.norm(cn, axis=1, keepdims=True), 1e-12)
+
+    @F.pandas_udf("array<tinyint>")
+    def _enc(vs, cs):  # type: ignore[no-untyped-def]
+        x = np.array(vs.tolist(), dtype=np.float64)
+        if x.ndim != 2 or x.shape[1] != dim:
+            raise ValueError(f"expected {dim}-dim vectors")
+        x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+        if residual:
+            x = x - cn[cs.to_numpy(dtype=np.int64)]
+        codes = np.empty((x.shape[0], m), dtype=np.int8)
+        for si in range(m):
+            sub = x[:, si * w : (si + 1) * w]
+            d = ((sub[:, None, :] - books[si][None, :, :]) ** 2).sum(axis=2)
+            codes[:, si] = d.argmin(axis=1).astype(np.int8)
+        return pd.Series(list(codes))
+
+    return assigned.select(
+        F.col(id_col),
+        _enc(F.col(vec_col), F.col("_cell")).alias("codes"),
+        "_cell",
+    )
+
+
+def pq_topk_indexed(
+    spark,
+    path: str,
+    query_vec: list[float],
+    k: int = 5,
+    n_probe: int = 4,
+    refine: int = 50,
+    corpus: DataFrame | None = None,
+    exclude_id: int | None = None,
+) -> DataFrame:
+    """Top-k over an IVF-PQ index (``build_ann_index(quantized='pq')``)
+    — the billion-vector serving path: the scan touches only the
+    ``n_probe`` probed cell PARTITIONS (PartitionFilters pruning, same
+    gate as ``ivf_topk_indexed``) and reads only 8-byte CODE rows
+    (what-a-scan-reads lever), scoring each by asymmetric distance —
+    ``m`` table gathers against per-probed-cell lookup tables built
+    driver-side from the full-precision query (with residual encoding
+    the table for cell c quantizes ``qn - centroid_c``; since database
+    residuals subtract the SAME centroid, ADC still estimates the true
+    L2 in the original space).
+
+    With ``corpus`` the top-``refine`` ADC candidates re-rank against
+    full-precision vectors fetched by id — one column-pruned scan with
+    a BROADCAST semi-join on the tiny candidate set (at 100 TB keep the
+    corpus id-clustered/bloom-indexed, e.g. a manifest table with
+    ``bloom_cols=(id,)``, so the fetch prunes to a handful of files);
+    returns (id, cos). Without ``corpus`` the ADC order itself returns
+    as (id, adc_dist) — recall is lower but no float vector is ever
+    read. Recall gated by ``ss_ann_pq_indexed`` on the clustered
+    fixture; reference analogue: priority-pruned routing,
+    Prioritise.pm:70-81."""
+    import numpy as np
+
+    meta = ann_index_meta(path)
+    if meta.get("quantized") != "pq" or "pq" not in meta:
+        raise ValueError(
+            f"index at {path} is not PQ-quantized "
+            f"(quantized={meta.get('quantized')!r}) — use ivf_topk_indexed"
+        )
+    pq = meta["pq"]
+    books = [np.array(b, dtype=np.float64) for b in pq["codebooks"]]
+    m, w = len(books), books[0].shape[1]
+    cn = np.asarray(meta["centroids"], dtype=np.float64)
+    cn = cn / np.maximum(np.linalg.norm(cn, axis=1, keepdims=True), 1e-12)
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = q / max(float(np.linalg.norm(q)), 1e-12)
+    probe_cells = [int(i) for i in np.argsort(-(cn @ qn))[:n_probe]]
+
+    # (cell -> (m, k) ADC table) for the probed cells only
+    tables = {}
+    for c in probe_cells:
+        qr = qn - cn[c] if pq["residual"] else qn
+        tables[c] = np.stack(
+            [
+                ((books[si] - qr[si * w : (si + 1) * w][None, :]) ** 2).sum(axis=1)
+                for si in range(m)
+            ]
+        )
+
+    import pandas as pd
+
+    gather = np.arange(m)
+
+    @F.pandas_udf("double")
+    def _adc(codes, cells):  # type: ignore[no-untyped-def]
+        cc = np.array(codes.tolist(), dtype=np.int64)
+        cell_arr = cells.to_numpy(dtype=np.int64)
+        out = np.empty(len(cc), dtype=np.float64)
+        for c, t in tables.items():
+            mask = cell_arr == c
+            if mask.any():
+                out[mask] = t[gather[None, :], cc[mask]].sum(axis=1)
+        return pd.Series(out)
+
+    idx = spark.read.parquet(path).filter(F.col("_cell").isin(probe_cells))
+    id_col = meta["id_col"]
+    if exclude_id is not None:
+        idx = idx.filter(F.col(id_col) != exclude_id)
+    scored = idx.select(
+        F.col(id_col), _adc(F.col("codes"), F.col("_cell")).alias("adc_dist")
+    )
+    if corpus is None:
+        return (
+            scored.orderBy(F.col("adc_dist").asc(), F.col(id_col).asc())
+            .limit(int(k))
+            .select(id_col, F.round("adc_dist", 6).alias("adc_dist"))
+        )
+    cand = (
+        scored.orderBy(F.col("adc_dist").asc(), F.col(id_col).asc())
+        .limit(int(refine))
+        .select(id_col)
+    )
+    vec_col = meta["vec_col"]
+    qcol = F.array(*[F.lit(float(x)) for x in query_vec])
+    cos = cosine(F.col(vec_col), qcol)
+    return (
+        corpus.select(F.col(id_col), F.col(vec_col))
+        .join(F.broadcast(cand), id_col)
+        .select(F.col(id_col), F.round(cos, 6).alias("cos"))
+        .orderBy(F.desc("cos"), id_col)
+        .limit(int(k))
+    )
+
+
 def append_to_ann_index(new_df: DataFrame, path: str) -> None:
     """Append a NEW batch into an existing IVF index: assignment uses
     the index's PERSISTED centroids (``_ann_meta.json``), so the append
@@ -425,10 +707,22 @@ def append_to_ann_index(new_df: DataFrame, path: str) -> None:
     n_probe cells with zero rebuild. (Re-train + rebuild only when the
     corpus distribution drifts enough that centroid quality matters.)
     A quantized index quantizes the appended rows the same way — the
-    stored shape is uniform across batches."""
+    stored shape is uniform across batches (an IVF-PQ index encodes
+    the new rows with the PERSISTED codebooks, so old and new codes
+    stay mutually comparable)."""
     meta = ann_index_meta(path)
     assigned = _assign_cells(new_df, meta["vec_col"], meta["centroids"])
-    if meta.get("quantized"):
+    if meta.get("quantized") == "pq":
+        pq = meta["pq"]
+        assigned = _pq_encode_index_rows(
+            assigned,
+            meta["id_col"],
+            meta["vec_col"],
+            pq["codebooks"],
+            meta["centroids"],
+            pq["residual"],
+        )
+    elif meta.get("quantized"):
         assigned = _quantize_index_rows(assigned, meta["id_col"], meta["vec_col"])
     assigned.write.mode("append").partitionBy("_cell").parquet(path)
 
@@ -460,6 +754,10 @@ def ivf_topk_indexed(
     import numpy as np
 
     meta = ann_index_meta(path)
+    if meta.get("quantized") == "pq":
+        raise ValueError(
+            f"index at {path} is PQ-quantized — use pq_topk_indexed"
+        )
     cn = np.asarray(meta["centroids"], dtype=np.float64)
     cn = cn / np.maximum(np.linalg.norm(cn, axis=1, keepdims=True), 1e-12)
     q = np.asarray(query_vec, dtype=np.float64)

@@ -538,6 +538,29 @@ MERGE_SPECS: dict[str, list[tuple[str, list[tuple[str, str]]]]] = {
                 ("mm_diverse_ok", "mm_diverse_ok"),
             ],
         ),
+        # r10: IVF x PQ materialized index — ADC + refine recall,
+        # residual >= plain, measured float > int8 > pq byte ladder
+        (
+            "ss_ann_pq_indexed",
+            [
+                ("pqix_returned_k", "pqix_returned_k"),
+                ("pqix_cluster_pure", "pqix_cluster_pure"),
+                ("pqix_refine_recall_ok", "pqix_refine_recall_ok"),
+                ("pqix_residual_fidelity", "pqix_residual_fidelity"),
+                ("pqix_bytes_lt_int8", "pqix_bytes_lt_int8"),
+            ],
+        ),
+        # r10: batch-query ANN — 100 queries in one plan, row-identical
+        # to the single-query loop + an independent numpy mirror
+        (
+            "ss_ann_batch",
+            [
+                ("bq_n_queries_ok", "bq_n_queries_ok"),
+                ("bq_n_pairs_ok", "bq_n_pairs_ok"),
+                ("bq_matches_loop", "bq_matches_loop"),
+                ("bq_matches_mirror", "bq_matches_mirror"),
+            ],
+        ),
     ],
     "llp_mix_packing": [
         (

@@ -1,0 +1,187 @@
+"""IVF x PQ materialized index (similarity.build_ann_index
+quantized='pq') and batch-query ANN (ivf_topk_many): recall on a
+planted-cluster corpus, residual-vs-plain encoding, stored shape,
+append path, guards, and batch/single-query parity."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from ensembl_database_loader_spark.operators.similarity import (
+    ann_index_meta,
+    append_to_ann_index,
+    build_ann_index,
+    cosine_topk,
+    ivf_topk,
+    ivf_topk_indexed,
+    ivf_topk_many,
+    pq_topk_indexed,
+)
+
+DIM = 16
+N_CLUSTERS = 8
+PER_CLUSTER = 40
+
+
+def _seed_vec(c: int):
+    return [math.sin(c * 17.3 + i * 1.37) for i in range(DIM)]
+
+
+@pytest.fixture(scope="module")
+def clustered(spark):
+    """vec_id = j * N_CLUSTERS + c -> member j of cluster c; members are
+    seed + small deterministic noise, so exact top-k of any member stays
+    within its cluster."""
+    rows = []
+    for c in range(N_CLUSTERS):
+        s = _seed_vec(c)
+        n = math.sqrt(sum(x * x for x in s))
+        s = [x / n for x in s]
+        for j in range(PER_CLUSTER):
+            noise = [
+                (((c * 1009 + j * 131 + i * 7) % 201) - 100) / 100.0 * 0.02
+                for i in range(DIM)
+            ]
+            rows.append(
+                (j * N_CLUSTERS + c, [a + b for a, b in zip(s, noise)])
+            )
+    return spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<double>"
+    ).persist()
+
+
+def _recall(top_df, exact_ids):
+    got = {r[0] for r in top_df.collect()}
+    return len(got & exact_ids) / len(exact_ids)
+
+
+def test_pq_index_recall_and_shape(spark, clustered, tmp_path):
+    path = str(tmp_path / "pq_idx")
+    build_ann_index(
+        clustered, "vec_id", "embedding", path,
+        n_cells=N_CLUSTERS, quantized="pq", pq_m=4, pq_k=16,
+        pq_residual=True,
+    )
+    meta = ann_index_meta(path)
+    assert meta["quantized"] == "pq" and meta["pq"]["residual"] is True
+    assert len(meta["pq"]["codebooks"]) == 4
+
+    # stored rows are (id, codes tinyint[4], _cell) -- no float vector
+    stored = spark.read.parquet(path)
+    assert dict(stored.dtypes)["codes"] == "array<tinyint>"
+    assert "embedding" not in stored.columns
+
+    qvec = list(
+        clustered.filter(F.col("vec_id") == 0).first()["embedding"]
+    )
+    exact = {
+        r[0]
+        for r in cosine_topk(clustered, "vec_id", "embedding", 0, 5).collect()
+    }
+    # ADC-only path
+    adc = pq_topk_indexed(spark, path, qvec, k=5, n_probe=2, exclude_id=0)
+    assert adc.count() == 5
+    assert _recall(adc, exact) >= 0.8
+    # refine path: re-rank against full-precision vectors fetched by id
+    ref = pq_topk_indexed(
+        spark, path, qvec, k=5, n_probe=2, refine=25,
+        corpus=clustered, exclude_id=0,
+    )
+    assert _recall(ref, exact) >= 0.8
+    # re-ranked cosines are the TRUE cosines (match the exact operator)
+    exact_rows = {
+        r["vec_id"]: r["cos"]
+        for r in cosine_topk(clustered, "vec_id", "embedding", 0, 25).collect()
+    }
+    for r in ref.collect():
+        assert abs(r["cos"] - exact_rows[r["vec_id"]]) < 1e-9
+
+
+def test_pq_residual_beats_or_ties_plain(spark, clustered, tmp_path):
+    """Residual encoding must not lose recall vs plain PQ at the same
+    byte budget (the standard-composition claim)."""
+    qvec = list(clustered.filter(F.col("vec_id") == 0).first()["embedding"])
+    exact = {
+        r[0]
+        for r in cosine_topk(clustered, "vec_id", "embedding", 0, 5).collect()
+    }
+    recalls = {}
+    for residual in (False, True):
+        path = str(tmp_path / f"pq_{residual}")
+        build_ann_index(
+            clustered, "vec_id", "embedding", path,
+            n_cells=N_CLUSTERS, quantized="pq", pq_m=4, pq_k=16,
+            pq_residual=residual,
+        )
+        top = pq_topk_indexed(spark, path, qvec, k=5, n_probe=2, exclude_id=0)
+        recalls[residual] = _recall(top, exact)
+    assert recalls[True] >= recalls[False]
+    assert recalls[True] >= 0.8
+
+
+def test_pq_index_append_and_guards(spark, clustered, tmp_path):
+    path = str(tmp_path / "pq_app")
+    build_ann_index(
+        clustered.filter(F.col("vec_id") != 8), "vec_id", "embedding", path,
+        n_cells=N_CLUSTERS, quantized="pq", pq_m=4, pq_k=16,
+    )
+    # append member 1 of cluster 0 encoded with the PERSISTED codebooks
+    append_to_ann_index(clustered.filter(F.col("vec_id") == 8), path)
+    qvec = list(clustered.filter(F.col("vec_id") == 0).first()["embedding"])
+    top = pq_topk_indexed(spark, path, qvec, k=39, n_probe=1, exclude_id=0)
+    ids = {r[0] for r in top.collect()}
+    assert 8 in ids  # the appended row is queryable
+    # wrong-path guards
+    with pytest.raises(ValueError, match="use pq_topk_indexed"):
+        ivf_topk_indexed(spark, path, qvec, k=5)
+    flat = str(tmp_path / "flat_idx")
+    build_ann_index(clustered, "vec_id", "embedding", flat, n_cells=4)
+    with pytest.raises(ValueError, match="not PQ-quantized"):
+        pq_topk_indexed(spark, flat, qvec, k=5)
+    with pytest.raises(ValueError, match="quantized must be"):
+        build_ann_index(
+            clustered, "vec_id", "embedding", flat, n_cells=4,
+            quantized="bogus",
+        )
+    with pytest.raises(ValueError, match="tinyint"):
+        build_ann_index(
+            clustered, "vec_id", "embedding", flat, n_cells=4,
+            quantized="pq", pq_k=128,
+        )
+
+
+def test_ivf_topk_many_matches_single_query_loop(spark, clustered):
+    """Every batch row must equal the single-query operator's result —
+    same centroids, same probes, same tie-break."""
+    queries = clustered.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    batch = ivf_topk_many(
+        queries, clustered, "qid", "qvec", "vec_id", "embedding",
+        k=3, n_cells=N_CLUSTERS, n_probe=2, exclude_self=True,
+    )
+    got = {
+        (r.qid, r.rank): (r.vec_id, r.cos) for r in batch.collect()
+    }
+    assert len(got) == 10 * 3
+    for qid in range(10):
+        single = ivf_topk(
+            clustered, "vec_id", "embedding", query_id=qid, k=3,
+            n_cells=N_CLUSTERS, n_probe=2,
+        ).collect()
+        for rank, r in enumerate(single, start=1):
+            assert got[(qid, rank)] == (r.vec_id, r.cos), (
+                f"qid={qid} rank={rank}: batch {got[(qid, rank)]} "
+                f"vs single ({r.vec_id}, {r.cos})"
+            )
+
+
+def test_ivf_topk_many_guards(spark, clustered):
+    q = clustered.select(
+        F.col("vec_id").alias("vec_id"), F.col("embedding").alias("qvec")
+    )
+    with pytest.raises(ValueError, match="must differ"):
+        ivf_topk_many(q, clustered, "vec_id", "qvec", "vec_id", "embedding")

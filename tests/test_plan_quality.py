@@ -714,3 +714,37 @@ def test_bfs_frontier_joins_are_hash(spark):
     plan = plan_of(spark, "q76_khop_bfs")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoop" not in plan
+
+
+def test_pq_index_query_scan_is_partition_pruned(spark, tmp_path):
+    """The IVF-PQ serving path's contract: a pq_topk_indexed ADC scan
+    must read ONLY its n_probe probed cell directories (the _cell
+    filter reaches the scan as a PartitionFilter), and the scan reads
+    CODES, not float vectors (ReadSchema carries the tinyint codes
+    column and no embedding column)."""
+    from pyspark.sql import functions as F
+
+    from ensembl_database_loader_spark.catalog import table as cat_table
+    from ensembl_database_loader_spark.operators.similarity import (
+        build_ann_index,
+        pq_topk_indexed,
+    )
+
+    e = cat_table(spark, SF, "embeddings").select("vec_id", "embedding")
+    path = str(tmp_path / "pq_idx")
+    build_ann_index(
+        e, "vec_id", "embedding", path, n_cells=16, quantized="pq",
+        pq_m=8, pq_k=16,
+    )
+    qvec = list(
+        e.filter(F.col("vec_id") == 0)
+        .select(F.col("embedding").cast("array<double>"))
+        .first()[0]
+    )
+    q = pq_topk_indexed(spark, path, qvec, k=5, n_probe=4, exclude_id=0)
+    q.collect()
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "_cell" in plan.split("PartitionFilters")[1].split("]")[0]
+    read_schema = plan.split("ReadSchema:")[1].split("\n")[0]
+    assert "codes" in read_schema and "embedding" not in read_schema
