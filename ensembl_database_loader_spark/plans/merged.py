@@ -155,6 +155,20 @@ MERGE_SPECS: dict[str, list[tuple[str, list[tuple[str, str]]]]] = {
                 ("sk_files_skipped", "sk_files_skipped"),
             ],
         ),
+        # r10: file-level CDC reads — incremental rollup folded from
+        # read_changes lands on the from-scratch recompute (5 rows
+        # keyed uniquely by cdc_g)
+        (
+            "llp_manifest_cdc",
+            [
+                ("g", "cdc_g"),
+                ("cnt", "cdc_cnt"),
+                ("sum_cents", "cdc_sum_cents"),
+                ("cdc_parity_ok", "cdc_parity_ok"),
+                ("cdc_files_ok", "cdc_files_ok"),
+                ("cdc_only_new_rows", "cdc_only_new_rows"),
+            ],
+        ),
         # r8: row-level DELETE/UPDATE (copy-on-write, stats-pruned)
         (
             "llp_manifest_delete",

@@ -2448,6 +2448,118 @@ def llp_incremental_rollup(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @probe(
+    "llp_manifest_cdc",
+    oracle=(
+        # from-scratch recompute of the final snapshot's rollup: the
+        # CDC-folded rollup must land on exactly this
+        "WITH sub AS (SELECT o_orderkey AS k, o_orderpriority AS g, "
+        "CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents "
+        "FROM orders WHERE o_orderkey <= 3000) "
+        "SELECT g, CAST(COUNT(*) AS BIGINT) AS cnt, "
+        "CAST(SUM(cents) AS BIGINT) AS sum_cents, "
+        "TRUE AS cdc_parity_ok, TRUE AS cdc_files_ok, "
+        "TRUE AS cdc_only_new_rows "
+        "FROM sub GROUP BY g ORDER BY g"
+    ),
+    tags=("manifest", "cdc", "incremental", "pipeline"),
+)
+def llp_manifest_cdc(spark: SparkSession, sf: str) -> DataFrame:
+    """File-level CDC reads on the manifest lake
+    (``sinks/manifest.read_changes``/``changed_files``): an append-only
+    source committed in three versions (v0 base + two appends); a
+    consumer that processed v0 catches up by reading ONLY the files
+    ADDED after v0 — never the snapshot. The probe maintains a
+    per-priority rollup INCREMENTALLY (bootstrap aggregate of v0 +
+    one delta fold of ``read_changes(v0, v2)``) and the oracle
+    recomputes the final snapshot's rollup from scratch: the folded
+    rows must land on it exactly (BIGINT cents, bit-exact fold).
+
+    TRUE-gated alongside: ``cdc_parity_ok`` — snapshot(v0) UNION
+    changes(v0->v2) is ROW-IDENTICAL to snapshot(v2) (symmetric
+    exceptAll empty); ``cdc_files_ok`` — the added-file list is
+    exactly the union of the two appends' staged files with nothing
+    removed (metadata-only check); ``cdc_only_new_rows`` — the delta
+    read's row count equals the appended rows (the O(new data)
+    contract: no old file is rescanned)."""
+    import tempfile
+
+    from ensembl_database_loader_spark.sinks.manifest import (
+        changed_files,
+        read_changes,
+        read_manifest,
+        snapshot,
+        write_table,
+    )
+
+    ensure_session_confs(spark)
+    path = tempfile.mkdtemp(prefix="edl_cdc_") + "/src"
+    sub = (
+        table(spark, sf, "orders")
+        .filter(F.col("o_orderkey") <= 3000)
+        .select(
+            F.col("o_orderkey").alias("k"),
+            F.col("o_orderpriority").alias("g"),
+            F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        )
+    )
+    m0 = write_table(sub.filter(F.col("k") % 3 == 0), path)
+    m1 = write_table(sub.filter(F.col("k") % 3 == 1), path, mode="append")
+    m2 = write_table(sub.filter(F.col("k") % 3 == 2), path, mode="append")
+    v0, v2 = m0["version"], m2["version"]
+
+    diff = changed_files(spark, path, v0, v2)
+    staged_after_v0 = sorted(
+        (set(m1["files"]) - set(m0["files"]))
+        | (set(m2["files"]) - set(m1["files"]))
+    )
+    files_ok = diff["added"] == staged_after_v0 and diff["removed"] == []
+
+    snap0 = snapshot(spark, path, v0).persist()
+    snap2 = snapshot(spark, path, v2).persist()
+    changes = read_changes(spark, path, v0, v2).persist()
+
+    replay = snap0.unionAll(changes)
+    sym = replay.exceptAll(snap2).unionAll(snap2.exceptAll(replay))
+
+    def _roll(df):
+        return df.groupBy("g").agg(
+            _cnt().alias("cnt"), F.sum("cents").cast("bigint").alias("sum_cents")
+        )
+
+    folded = (
+        _roll(snap0)
+        .unionByName(_roll(changes))
+        .groupBy("g")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("cnt"),
+            F.sum("sum_cents").cast("bigint").alias("sum_cents"),
+        )
+    )
+    return (
+        folded.crossJoin(sym.agg((_cnt() == 0).alias("cdc_parity_ok")))
+        .crossJoin(
+            changes.agg(_cnt().alias("_nc"))
+            .crossJoin(snap0.agg(_cnt().alias("_n0")))
+            .crossJoin(snap2.agg(_cnt().alias("_n2")))
+            .select(
+                (F.col("_nc") == F.col("_n2") - F.col("_n0")).alias(
+                    "cdc_only_new_rows"
+                )
+            )
+        )
+        .select(
+            "g",
+            "cnt",
+            "sum_cents",
+            "cdc_parity_ok",
+            F.lit(bool(files_ok)).alias("cdc_files_ok"),
+            "cdc_only_new_rows",
+        )
+        .orderBy("g")
+    )
+
+
+@probe(
     "llp_manifest_skipping",
     oracle=(
         "SELECT CAST(COUNT(*) AS BIGINT) AS sk_n_rows, "

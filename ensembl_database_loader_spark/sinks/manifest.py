@@ -1814,6 +1814,56 @@ def table_diff(
     return feed.unionByName(pre)
 
 
+def changed_files(
+    spark: SparkSession, path: str, from_version: int, to_version: int
+) -> dict[str, list[str]]:
+    """File-level diff between two committed snapshots:
+    ``{'added': [...], 'removed': [...]}`` (table-root-relative, sorted)
+    — pure manifest metadata, zero data files opened. The primitive
+    under ``read_changes``; also the input a storage replicator or
+    cache invalidator wants (ship exactly these files)."""
+    root = path.rstrip("/")
+    m_from = read_manifest(spark, root, from_version)
+    m_to = read_manifest(spark, root, to_version)
+    f_from, f_to = set(m_from["files"]), set(m_to["files"])
+    return {
+        "added": sorted(f_to - f_from),
+        "removed": sorted(f_from - f_to),
+    }
+
+
+def read_changes(
+    spark: SparkSession, path: str, from_version: int, to_version: int
+) -> DataFrame:
+    """The rows of every data file ADDED between ``from_version``
+    (exclusive) and ``to_version`` (inclusive) — the O(new data)
+    incremental read: a consumer that processed ``from_version``
+    catches up by scanning ONLY the added files, never the snapshot
+    (``table_diff`` by contrast full-outer-joins two whole snapshots
+    to classify rows — use it when commits REWRITE files; for
+    append-only histories — ``mode='append'`` writers, streaming
+    micro-batch ingest — added files ARE the inserted rows, so this
+    read is the exact row-level delta at file-scan cost).
+
+    Reads with ``to_version``'s schema (an evolved append's new
+    columns come back, older files' rows null-fill them). Removed
+    files are NOT read — pair with ``changed_files`` when the
+    consumer must also retract (a rewriting commit lists the old file
+    in 'removed' and its surviving rows in 'added').
+
+    At 100 TB this is the difference between an incremental rollup
+    that scans one micro-batch's files and one that rescans the lake:
+    work proportional to the delta, the same contract the reference's
+    per-database reload keeps at database granularity
+    (``LoadFiles.pm:56-64`` — reload touches one database, never the
+    mirror). Parity gated by ``llp_manifest_cdc``: base + sum of
+    changes == final snapshot, row-for-row."""
+    root = path.rstrip("/")
+    m_to = read_manifest(spark, root, to_version)
+    added = changed_files(spark, root, from_version, to_version)["added"]
+    return _read_files(spark, m_to, root, added)
+
+
 def table_history(spark: SparkSession, path: str) -> DataFrame:
     """One row per committed version: (version, operation, n_files) —
     the audit trail the reference keeps as per-database job rows

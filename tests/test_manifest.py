@@ -1071,3 +1071,57 @@ def test_multi_column_partitions_prefix_drop_and_combined_prune(spark, tmp_path)
     ]
     parts = M.table_partitions(spark, tbl)
     assert all(e["values"]["day"] == "d1" for e in parts)
+
+
+def test_read_changes_append_only_parity(spark, tbl):
+    """For an append-only history, base + changes == final snapshot
+    row-for-row, changed_files lists exactly the appended files with
+    nothing removed, and the delta read touches only new rows."""
+    m0 = M.write_table(_df(spark, [(1, "a"), (2, "b")]), tbl)
+    m1 = M.write_table(_df(spark, [(3, "c")]), tbl, mode="append")
+    m2 = M.write_table(_df(spark, [(4, "d"), (5, "e")]), tbl, mode="append")
+    diff = M.changed_files(spark, tbl, m0["version"], m2["version"])
+    assert diff["removed"] == []
+    assert set(diff["added"]) == (
+        set(m2["files"]) - set(m0["files"])
+    ) and len(diff["added"]) > 0
+    changes = M.read_changes(spark, tbl, m0["version"], m2["version"])
+    assert _content(changes) == [(3, "c"), (4, "d"), (5, "e")]
+    base_plus = M.snapshot(spark, tbl, m0["version"]).unionAll(changes)
+    assert _content(base_plus) == _content(M.snapshot(spark, tbl))
+
+
+def test_read_changes_rewriting_commit_and_schema_evolution(spark, tbl):
+    """A rewriting commit (delete_rows) surfaces its rewritten file in
+    'added' and the old file in 'removed'; an evolved append's new
+    column null-fills older files' rows in the delta read."""
+    m0 = M.write_table(_df(spark, [(1, "a"), (2, "b")]), tbl)
+    d = M.delete_rows(spark, tbl, where="k = 1")
+    v1 = d["version"]
+    diff = M.changed_files(spark, tbl, m0["version"], v1)
+    assert len(diff["added"]) >= 1 and len(diff["removed"]) >= 1
+    assert _content(M.read_changes(spark, tbl, m0["version"], v1)) == [
+        (2, "b")
+    ]
+    # evolved append: new column w
+    m2 = M.write_table(
+        spark.createDataFrame([(9, "z", 1.5)], "k bigint, v string, w double"),
+        tbl, mode="append", schema_mode="merge",
+    )
+    ch = M.read_changes(spark, tbl, v1, m2["version"])
+    assert ch.columns == ["k", "v", "w"]
+    assert [(r.k, r.v, r.w) for r in ch.collect()] == [(9, "z", 1.5)]
+
+
+def test_read_changes_partitioned(spark, tbl):
+    df = spark.createDataFrame(
+        [(1, "x", "p1"), (2, "y", "p2")], "k bigint, v string, p string"
+    )
+    m0 = M.write_table(df, tbl, partition_by=("p",))
+    m1 = M.write_table(
+        spark.createDataFrame([(3, "z", "p1")], "k bigint, v string, p string"),
+        tbl, mode="append",
+    )
+    ch = M.read_changes(spark, tbl, m0["version"], m1["version"])
+    assert ch.columns == ["k", "v", "p"]
+    assert [(r.k, r.v, r.p) for r in ch.collect()] == [(3, "z", "p1")]
