@@ -670,3 +670,167 @@ def ws7_streaming_validation_gate(spark: SparkSession, sf: str) -> DataFrame:
         )
     )
     return good.crossJoin(quar).crossJoin(per_rule)
+
+
+_DRIFT_GATE_ORACLE = (
+    # relational recompute: the clean batch (the reference data itself)
+    # row-routes by the 3 rules; the drifted batch (value*10 + 500)
+    # quarantines wholesale, so quarantine = clean-batch offenders +
+    # one full copy of the log
+    "WITH base AS (SELECT event_id, event_type, value FROM events), "
+    "t AS (SELECT *, (event_type IS NOT NULL AND event_type NOT IN "
+    "('click', 'purchase', 'signup', 'view')) AS v_type, "
+    "(value IS NOT NULL AND (value < 0.0 OR value > 300.0)) AS v_range, "
+    "(event_id IS NULL) AS v_null FROM base) "
+    "SELECT CAST(COUNT(*) FILTER (WHERE NOT (v_type OR v_range OR v_null)) "
+    "AS BIGINT) AS gd_good_rows, "
+    "CAST(SUM(event_id) FILTER (WHERE NOT (v_type OR v_range OR v_null)) "
+    "AS BIGINT) AS gd_good_id_sum, "
+    "CAST(COUNT(*) FILTER (WHERE v_type OR v_range OR v_null) "
+    "+ (SELECT COUNT(*) FROM base) AS BIGINT) AS gd_quar_rows, "
+    "TRUE AS gd_clean_batch_ok, TRUE AS gd_drift_flags_ok "
+    "FROM t"
+)
+
+
+@probe(
+    "ws8_streaming_drift_gate",
+    oracle=_DRIFT_GATE_ORACLE,
+    tags=("streaming", "quality", "drift", "live-stream"),
+)
+def ws8_streaming_drift_gate(spark: SparkSession, sf: str) -> DataFrame:
+    """SHAPE monitor composed INTO the quality gate end-to-end
+    (streaming/drift.streaming_drift_gate): a reference PSI profile is
+    pinned from the event log; a two-batch feed replays through the
+    event_replay Python DataSource — batch 0 is the log itself
+    (in-distribution), batch 1 the same rows with ``value*10 + 500``
+    (a silently re-scaled source). The gate PSI-checks each micro-batch
+    against the pinned profile BEFORE row-routing: the clean batch
+    row-routes through the 3-rule expectation suite exactly like ws7,
+    the drifted batch quarantines WHOLESALE (every row tagged
+    drift:value on top of its own rule tags), and each batch's four
+    tables (good/quarantine/report/drift) land as ONE atomic group
+    commit, exactly-once under replay.
+
+    Hash-gated against the relational oracle: good rows/id-sum = the
+    clean batch's rule-passing rows; quarantine = clean-batch offenders
+    + the whole drifted batch. TRUE-gated: batch 0 drifts on NO
+    monitored column (the reference data itself — PSI is exactly 0);
+    batch 1 drifts on ``value`` but NOT on ``event_type`` (whose
+    distribution is unchanged — the monitor localizes WHAT drifted)."""
+    import tempfile
+    import time as _time
+    import uuid as _uuid
+
+    from pyspark.sql import Window
+
+    from ensembl_database_loader_spark.operators.drift import (
+        save_drift_profile,
+    )
+    from ensembl_database_loader_spark.operators.expectations import (
+        expect_in_range,
+        expect_not_null,
+        expect_values_in,
+    )
+    from ensembl_database_loader_spark.sinks.catalog_commit import read_group
+    from ensembl_database_loader_spark.sources.replay_datasource import (
+        EventReplayDataSource,
+    )
+    from ensembl_database_loader_spark.streaming.drift import (
+        streaming_drift_gate,
+    )
+
+    ensure_session_confs(spark)
+    try:
+        spark.dataSource.register(EventReplayDataSource)
+    except Exception:
+        pass  # already registered in this session
+    root = tempfile.mkdtemp(prefix="edl_ws8_")
+    base = (
+        spark.read.parquet(f"{sf.rstrip('/')}/events.parquet")
+        .select("event_id", "event_type", "value")
+    )
+    n = base.count()
+    prof_path = f"{root}/profile"
+    save_drift_profile(
+        base, prof_path, num_cols=("value",), cat_cols=("event_type",)
+    )
+
+    seq = (F.row_number().over(Window.orderBy("event_id")) - 1).cast("bigint")
+    normal = base.select(seq.alias("seq"), "event_id", "event_type", "value")
+    drifted = base.select(
+        (seq + n).alias("seq"),
+        "event_id",
+        "event_type",
+        (F.col("value") * 10 + 500).alias("value"),
+    )
+    # the replay source reads ONE parquet file (pq.read_table): write
+    # the fixture-sized feed driver-side via pyarrow
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    feed_path = f"{root}/feed.parquet"
+    pq.write_table(
+        pa.Table.from_pandas(
+            normal.unionByName(drifted).toPandas(), preserve_index=False
+        ),
+        feed_path,
+    )
+
+    suite = [
+        expect_values_in("event_type", ("click", "purchase", "signup", "view")),
+        expect_in_range("value", 0.0, 300.0),
+        expect_not_null("event_id"),
+    ]
+    stream = (
+        spark.readStream.format("event_replay")
+        .option("path", feed_path)
+        .option("id_col", "seq")
+        .option("batch_rows", n)
+        .load()
+        .select("event_id", "event_type", "value")
+    )
+    gate_root = f"{root}/gate"
+    q = streaming_drift_gate(
+        stream, prof_path, suite, gate_root, f"{root}/ckpt",
+        threshold=0.2, available_now=False,
+    )
+    # python streaming sources don't support availableNow: poll the
+    # group catalog (each batch's four tables land in ONE atomic group
+    # commit, so counts are never torn) until both batches routed
+    try:
+        deadline = _time.time() + 180
+        while _time.time() < deadline:
+            try:
+                g = read_group(spark, gate_root)
+                routed = g["good"].count() + g["quarantine"].count()
+                drift_rows = g["drift"].count()
+            except FileNotFoundError:
+                routed, drift_rows = 0, 0
+            if routed >= 2 * n and drift_rows >= 4:
+                break
+            _time.sleep(0.3)
+    finally:
+        q.stop()
+        q.awaitTermination(30)
+
+    g = read_group(spark, gate_root)
+    flags = {
+        (r["batch"], r["column"]): r["drifted"] for r in g["drift"].collect()
+    }
+    clean_ok = not flags[(0, "value")] and not flags[(0, "event_type")]
+    drift_ok = flags[(1, "value")] and not flags[(1, "event_type")]
+    good = g["good"].agg(
+        F.count(F.lit(1)).cast("bigint").alias("gd_good_rows"),
+        F.sum("event_id").cast("bigint").alias("gd_good_id_sum"),
+    )
+    quar = g["quarantine"].agg(
+        F.count(F.lit(1)).cast("bigint").alias("gd_quar_rows")
+    )
+    return good.crossJoin(quar).select(
+        "gd_good_rows",
+        "gd_good_id_sum",
+        "gd_quar_rows",
+        F.lit(bool(clean_ok)).alias("gd_clean_batch_ok"),
+        F.lit(bool(drift_ok)).alias("gd_drift_flags_ok"),
+    )

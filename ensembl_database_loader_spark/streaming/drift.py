@@ -80,3 +80,104 @@ def drift_history(spark: SparkSession, report_path: str) -> DataFrame:
     from ensembl_database_loader_spark.sinks.manifest import snapshot
 
     return snapshot(spark, report_path).orderBy("batch", "column")
+
+
+_GATE_TXN_APP = "streaming_drift_gate"
+
+
+def streaming_drift_gate(
+    stream_df: DataFrame,
+    profile_path: str,
+    expectations,
+    root: str,
+    checkpoint_dir: str,
+    threshold: float = 0.2,
+    refs=None,
+    available_now: bool = True,
+):
+    """The SHAPE monitor composed INTO the quality gate: every
+    micro-batch is first PSI-checked against the pinned reference
+    profile; a batch where any monitored column drifts past
+    ``threshold`` quarantines WHOLESALE (every row tagged
+    ``drift:<column>`` — a batch whose distribution broke is not
+    trustworthy row by row, the same whole-batch posture
+    validate_batch takes for failed batch-level rules), while a
+    non-drifted batch row-routes through the expectation suite exactly
+    as ``streaming_validate`` does. Four tables land under ``root``
+    (``good``, ``quarantine``, ``report`` — the expectation verdicts —
+    and ``drift`` — the per-column PSI rows with the drifted flag) in
+    ONE atomic group commit per batch (sinks/catalog_commit.py), so a
+    reader never sees a cycle's routed rows without the drift verdict
+    that routed them, and a replayed batch commits nothing.
+
+    Per-batch cost: one batch scan for the PSI bin counts (the pinned
+    profile is never rescanned), one aggregate pass for the
+    expectation report, one codegen routing projection, one group
+    commit. Probe ``ws8_streaming_drift_gate`` gates the end-to-end
+    routing under a planted drift batch against a relational oracle."""
+    from ensembl_database_loader_spark.streaming.validate import (
+        validate_batch,
+    )
+
+    expectations = list(expectations)
+    profile_holder: list = []  # resolved lazily on the first batch
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        from ensembl_database_loader_spark.sinks.catalog_commit import (
+            commit_group,
+        )
+
+        spark = batch_df.sparkSession
+        if not profile_holder:
+            profile_holder.append(load_drift_profile(spark, profile_path))
+        batch_df = batch_df.localCheckpoint()
+        psi = psi_against_profile(batch_df, profile_holder[0]).select(
+            F.lit(int(batch_id)).alias("batch"),
+            "column",
+            "psi",
+            "n_ref",
+            "n_cur",
+            "n_bins",
+            (F.col("psi") > F.lit(float(threshold))).alias("drifted"),
+        )
+        # tiny collect: one row per monitored column
+        drifted_cols = sorted(
+            r["column"] for r in psi.collect() if r["drifted"]
+        )
+        good, quarantine, report = validate_batch(
+            batch_df, expectations, refs=refs
+        )
+        if drifted_cols:
+            # whole-batch quarantine, keeping each row's own rule tags
+            # (a drifted batch's rows carry BOTH the drift reasons and
+            # any row-rule violations — the triage queue sees both)
+            reasons = F.array(
+                *[F.lit(f"drift:{c}") for c in drifted_cols]
+            )
+            quarantine = good.unionByName(quarantine).withColumn(
+                "violations", F.concat(F.col("violations"), reasons)
+            )
+            good = good.where(F.lit(False))
+        commit_group(
+            spark,
+            root,
+            {
+                "good": good,
+                "quarantine": quarantine,
+                "report": report.withColumn("batch", F.lit(int(batch_id))),
+                "drift": psi,
+            },
+            mode="append",
+            txn=(_GATE_TXN_APP, batch_id),
+        )
+
+    w = (
+        stream_df.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()

@@ -103,3 +103,81 @@ def test_streaming_drift_alarm_and_replay(spark, tmp_path):
     shutil.rmtree(ckpt)
     _run()
     assert drift_history(spark, rep_path).count() == 4
+
+
+def test_streaming_drift_gate_quarantines_drifted_batch(spark, tmp_path):
+    """Composition gate: a clean batch row-routes by the expectation
+    suite; a drifted batch quarantines WHOLESALE with drift:<col> tags
+    concatenated onto each row's own rule tags; the four tables land
+    atomically per batch; fresh-checkpoint replay commits nothing."""
+    import shutil
+
+    from ensembl_database_loader_spark.operators.expectations import (
+        expect_in_range,
+    )
+    from ensembl_database_loader_spark.sinks.catalog_commit import read_group
+    from ensembl_database_loader_spark.streaming.drift import (
+        streaming_drift_gate,
+    )
+
+    ref = spark.createDataFrame(
+        [(float(i % 40), "en" if i % 2 else "de") for i in range(400)],
+        "score double, lang string",
+    )
+    prof_path = str(tmp_path / "prof")
+    save_drift_profile(ref, prof_path, ("score",), ("lang",), bins=10)
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    root = str(tmp_path / "gate")
+    ckpt = str(tmp_path / "ckpt")
+    suite = [expect_in_range("score", 0.0, 40.0)]
+
+    def _run():
+        s = stream_documents(
+            spark,
+            str(landing),
+            schema="doc_id bigint, lang string, text string, score double",
+        )
+        q = streaming_drift_gate(s, prof_path, suite, root, ckpt,
+                                 threshold=0.2)
+        q.awaitTermination(120)
+
+    # batch 0: in-distribution, 4 rule offenders (score = -5)
+    vals = [(i % 40, "en" if i % 2 else "de") for i in range(96)]
+    vals += [(-5, "en")] * 4
+    with open(landing / "b1.jsonl", "w") as f:
+        f.writelines(json.dumps(r) + "\n" for r in _rows(vals))
+    _run()
+    # batch 1: shifted far right -> drift on score AND lang collapsed
+    time.sleep(1.1)
+    with open(landing / "b2.jsonl", "w") as f:
+        f.writelines(
+            json.dumps(r) + "\n"
+            for r in _rows([(i % 40 + 100, "zz") for i in range(50)])
+        )
+    _run()
+
+    g = read_group(spark, root)
+    good = g["good"].collect()
+    quar = g["quarantine"].collect()
+    drift = {(r.batch, r.column): r.drifted for r in g["drift"].collect()}
+    assert len(good) == 96 and all(r.violations == [] for r in good)
+    assert len(quar) == 4 + 50
+    tags = {tuple(sorted(r.violations)) for r in quar if r.score == -5.0}
+    assert tags == {("in_range:score",)}
+    drifted_rows = [r for r in quar if r.score >= 100]
+    assert len(drifted_rows) == 50
+    assert all(
+        "drift:score" in r.violations and "drift:lang" in r.violations
+        for r in drifted_rows
+    )
+    assert not drift[(0, "score")] and drift[(1, "score")]
+    # expectation report covers both batches
+    assert g["report"].count() == 2
+
+    # fresh-checkpoint replay: the group txn rejects duplicate commits
+    shutil.rmtree(ckpt)
+    _run()
+    g2 = read_group(spark, root)
+    assert g2["good"].count() == 96 and g2["quarantine"].count() == 54
