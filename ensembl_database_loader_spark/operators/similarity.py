@@ -355,6 +355,89 @@ def ivf_topk_many(
     )
 
 
+def ivf_topk_many_indexed(
+    spark,
+    path: str,
+    queries: DataFrame,
+    qid_col: str,
+    qvec_col: str,
+    k: int = 5,
+    n_probe: int = 4,
+    exclude_self: bool = False,
+) -> DataFrame:
+    """``ivf_topk_many`` against a MATERIALIZED index
+    (``build_ann_index`` — float or int8): the scan prunes to the
+    UNION of every query's probed cells (PartitionFilters — at
+    n_probe/n_cells coverage a 100-query batch still touches a
+    fraction of the index, and never re-assigns the corpus), the
+    exploded query side broadcasts into a hash join on ``_cell``, and
+    one window per query takes the top-k. Per-query results are
+    IDENTICAL to ``ivf_topk_indexed`` with the same index (int8
+    indexes rank on the codes directly — the per-vector scale cancels
+    in cosine). ``exclude_self`` drops candidates whose index id
+    equals the query id. Returns (qid, id, cos, rank)."""
+    import numpy as np
+    import pandas as pd
+
+    meta = ann_index_meta(path)
+    if meta.get("quantized") == "pq":
+        raise ValueError(
+            f"index at {path} is PQ-quantized — batch PQ serving needs "
+            "the ADC path (query pq_topk_indexed per query)"
+        )
+    id_col = meta["id_col"]
+    if qid_col == id_col:
+        raise ValueError(
+            f"qid_col and id_col must differ in the output, both {qid_col!r}"
+            " — alias the query side first"
+        )
+    cn0 = np.asarray(meta["centroids"], dtype=np.float64)
+    cn = cn0 / np.maximum(np.linalg.norm(cn0, axis=1, keepdims=True), 1e-12)
+    n_probe = min(int(n_probe), cn.shape[0])
+
+    @F.pandas_udf("array<int>")
+    def _probes(s):  # type: ignore[no-untyped-def]
+        x = np.array(s.tolist(), dtype=np.float64)
+        xn = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+        order = np.argsort(-(xn @ cn.T), axis=1)[:, :n_probe].astype(np.int32)
+        return pd.Series(list(order))
+
+    qcells = (
+        queries.select(
+            F.col(qid_col).alias("_qid"),
+            F.col(qvec_col).cast("array<double>").alias("_qvec"),
+        )
+        .withColumn("_probe_cells", _probes(F.col("_qvec")))
+        .select("_qid", "_qvec", F.explode("_probe_cells").alias("_cell"))
+        .localCheckpoint()  # tiny; read twice (cell-union + join side)
+    )
+    union_cells = sorted(
+        r["_cell"] for r in qcells.select("_cell").distinct().collect()
+    )
+    idx = spark.read.parquet(path).filter(F.col("_cell").isin(union_cells))
+    pairs = idx.join(F.broadcast(qcells), "_cell")
+    if exclude_self:
+        pairs = pairs.filter(F.col(id_col) != F.col("_qid"))
+    if meta.get("quantized"):
+        cos = cosine(F.transform("q", lambda x: x.cast("double")), F.col("_qvec"))
+    else:
+        cos = cosine(F.col(meta["vec_col"]), F.col("_qvec"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("_qid").orderBy(F.desc("_cos"), F.col(id_col).asc())
+    return (
+        pairs.select("_qid", F.col(id_col), F.round(cos, 6).alias("_cos"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= int(k))
+        .select(
+            F.col("_qid").alias(qid_col),
+            F.col(id_col),
+            F.col("_cos").alias("cos"),
+            "rank",
+        )
+    )
+
+
 def _assign_cells(df: DataFrame, vec_col: str, centroids) -> DataFrame:
     """Attach `_cell` = argmax cosine(vec, centroid) in one Arrow GEMM
     pass (the shared assignment step of ivf_topk / build_ann_index —

@@ -29,7 +29,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ensembl_database_loader_spark.sinks.manifest import (
+    changed_files,
     latest_manifest,
+    read_changes,
     snapshot,
     table_diff,
     write_table,
@@ -82,15 +84,30 @@ def refresh_rollup(
     if last >= head_v:
         return None  # already at (or past — replay) the head
 
-    diff = table_diff(
-        spark, source_path, last, head_v, key_cols, include_preimage=True
-    )
-    sign = F.when(
-        F.col("change_type").isin("insert", "update"), F.lit(1)
-    ).otherwise(F.lit(-1))
-    delta = _rollup_agg(
-        diff, group_cols, sum_cols, sign, lambda c: sign * F.col(c)
-    )
+    # Append-only fast path: when no file was removed between the two
+    # versions (data files are immutable uuid paths, so ANY rewriting
+    # commit — merge/delete/update/compact/overwrite — removes at
+    # least one), every added file's rows are pure inserts; fold them
+    # directly from the file-level delta (manifest.read_changes — one
+    # scan of the NEW files) with no key join at all. table_diff by
+    # contrast full-outer-joins two whole snapshots — right for
+    # rewriting histories, 2x-snapshot-scan overkill for the
+    # streaming-ingest history that dominates at 100 TB.
+    if not changed_files(spark, source_path, last, head_v)["removed"]:
+        delta = _rollup_agg(
+            read_changes(spark, source_path, last, head_v),
+            group_cols, sum_cols, F.lit(1), lambda c: F.col(c),
+        )
+    else:
+        diff = table_diff(
+            spark, source_path, last, head_v, key_cols, include_preimage=True
+        )
+        sign = F.when(
+            F.col("change_type").isin("insert", "update"), F.lit(1)
+        ).otherwise(F.lit(-1))
+        delta = _rollup_agg(
+            diff, group_cols, sum_cols, sign, lambda c: sign * F.col(c)
+        )
     old = snapshot(spark, rollup_path, rollup_head["version"])
     folded = (
         old.unionByName(delta)

@@ -1814,6 +1814,59 @@ def table_diff(
     return feed.unionByName(pre)
 
 
+def restore_table(spark: SparkSession, path: str, version: int) -> dict:
+    """Roll the table back to ``version`` as a NEW commit (metadata
+    only — the old snapshot's files are re-referenced, nothing is
+    copied or rewritten, and history is preserved: the bad commits stay
+    inspectable and the restore itself is one more version, exactly the
+    Delta RESTORE semantics). The restored manifest carries the old
+    version's schema/stats/blooms/partition layout verbatim and the
+    HEAD's txn watermarks (a restore must not re-open exactly-once
+    windows — replayed streaming batches stay rejected).
+
+    Requires the target version's files to still exist — run restores
+    before ``vacuum_table`` reclaims them (vacuum keeps the last N
+    versions; a restore older than that raises here with a clear
+    message instead of a mid-scan file-not-found)."""
+    root = path.rstrip("/")
+    target = read_manifest(spark, root, version)
+    head = latest_manifest(spark, root)
+    assert head is not None
+    fs, _, jvm = _fs(spark, root)
+    missing = [
+        rel
+        for rel in target["files"]
+        if not fs.exists(jvm.org.apache.hadoop.fs.Path(f"{root}/{rel}"))
+    ]
+    if missing:
+        raise FileNotFoundError(
+            f"cannot restore {path} to v{version}: {len(missing)} of its "
+            f"data files were vacuumed (first: {missing[0]!r})"
+        )
+
+    def build(h: dict | None) -> dict:
+        if h is None or h["version"] != head["version"]:
+            raise RuntimeError(
+                f"concurrent commit during restore at {path} — re-run"
+            )
+        return {
+            "files": target["files"],
+            "schema": target["schema"],
+            "txn": _merged_txn(h, None),
+            **{
+                k: target[k]
+                for k in ("stats", "rows", "bloom_meta", "blooms",
+                          "partition_by", "parts")
+                if target.get(k)
+            },
+        }
+
+    out = _commit(spark, path, build, "restore")
+    assert out is not None
+    out["restored_from"] = version
+    return out
+
+
 def changed_files(
     spark: SparkSession, path: str, from_version: int, to_version: int
 ) -> dict[str, list[str]]:

@@ -185,3 +185,45 @@ def test_ivf_topk_many_guards(spark, clustered):
     )
     with pytest.raises(ValueError, match="must differ"):
         ivf_topk_many(q, clustered, "vec_id", "qvec", "vec_id", "embedding")
+
+
+def test_ivf_topk_many_indexed_matches_single_query(spark, clustered, tmp_path):
+    """Batch-over-index: per-query rows identical to ivf_topk_indexed
+    (float AND int8 indexes); the scan prunes to the union of probed
+    cells; PQ indexes are rejected with a pointer to the ADC path."""
+    from ensembl_database_loader_spark.operators.similarity import (
+        ivf_topk_many_indexed,
+    )
+
+    queries = clustered.filter(F.col("vec_id") < 6).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    qvecs = {
+        r.qid: list(r.qvec) for r in queries.collect()
+    }
+    for quant in (False, "int8"):
+        path = str(tmp_path / f"idx_{quant}")
+        build_ann_index(
+            clustered, "vec_id", "embedding", path,
+            n_cells=N_CLUSTERS, quantized=quant,
+        )
+        batch = ivf_topk_many_indexed(
+            spark, path, queries, "qid", "qvec",
+            k=3, n_probe=2, exclude_self=True,
+        )
+        got = {(r.qid, r.rank): (r.vec_id, r.cos) for r in batch.collect()}
+        assert len(got) == 6 * 3
+        for qid, qv in qvecs.items():
+            single = ivf_topk_indexed(
+                spark, path, qv, k=3, n_probe=2, exclude_id=qid
+            ).collect()
+            for rank, r in enumerate(single, start=1):
+                assert got[(qid, rank)] == (r.vec_id, r.cos)
+    # PQ index rejected
+    pq_path = str(tmp_path / "idx_pq")
+    build_ann_index(
+        clustered, "vec_id", "embedding", pq_path,
+        n_cells=N_CLUSTERS, quantized="pq", pq_m=4, pq_k=16,
+    )
+    with pytest.raises(ValueError, match="ADC path"):
+        ivf_topk_many_indexed(spark, pq_path, queries, "qid", "qvec")

@@ -1125,3 +1125,93 @@ def test_read_changes_partitioned(spark, tbl):
     ch = M.read_changes(spark, tbl, m0["version"], m1["version"])
     assert ch.columns == ["k", "v", "p"]
     assert [(r.k, r.v, r.p) for r in ch.collect()] == [(3, "z", "p1")]
+
+
+def test_refresh_rollup_append_only_fast_path(spark, tbl, monkeypatch):
+    """An append-only refresh folds read_changes (one scan of the new
+    files, no key join) — table_diff must NOT be called; a rewriting
+    history falls back to the keyed change feed. Both land on the
+    from-scratch aggregate exactly."""
+    from ensembl_database_loader_spark.sinks import ivm
+
+    src = tbl + "_src"
+    roll = tbl + "_roll"
+    df = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20)], "k bigint, g string, cents bigint"
+    )
+    M.write_table(df, src)
+    ivm.refresh_rollup(spark, src, roll, ("k",), ("g",), ("cents",))
+
+    def _boom(*a, **kw):
+        raise AssertionError("table_diff called on an append-only refresh")
+
+    monkeypatch.setattr(ivm, "table_diff", _boom)
+    M.write_table(
+        spark.createDataFrame(
+            [(3, "a", 5), (1, "a", 100)], "k bigint, g string, cents bigint"
+        ),
+        src, mode="append",
+    )
+    out = ivm.refresh_rollup(spark, src, roll, ("k",), ("g",), ("cents",))
+    assert out is not None
+    got = {
+        r.g: (r.cnt, r.sum_cents)
+        for r in M.snapshot(spark, roll).collect()
+    }
+    # row-fact semantics: the duplicate-key append row counts as a row
+    assert got == {"a": (3, 115), "b": (1, 20)}
+    monkeypatch.undo()
+
+    # a rewriting commit (delete) must fall back to table_diff
+    called = {}
+    real_diff = ivm.table_diff
+
+    def _spy(*a, **kw):
+        called["yes"] = True
+        return real_diff(*a, **kw)
+
+    monkeypatch.setattr(ivm, "table_diff", _spy)
+    M.delete_rows(spark, src, where="k = 2")
+    ivm.refresh_rollup(spark, src, roll, ("k",), ("g",), ("cents",))
+    assert called.get("yes")
+    got = {
+        r.g: (r.cnt, r.sum_cents)
+        for r in M.snapshot(spark, roll).collect()
+    }
+    assert got == {"a": (3, 115)}
+
+
+def test_restore_table_rolls_back_metadata_only(spark, tbl):
+    """Restore re-references the old snapshot's files as a new commit:
+    content equals the old version, history grows (no rewrite), txn
+    watermarks survive (exactly-once windows stay closed), and a
+    restore past vacuum raises cleanly."""
+    M.write_table(_df(spark, [(1, "a"), (2, "b")]), tbl)
+    M.write_table(
+        _df(spark, [(3, "c")]), tbl, mode="append", txn=("app", 7)
+    )
+    M.write_table(_df(spark, [(9, "z")]), tbl)  # bad overwrite (v2)
+    out = M.restore_table(spark, tbl, 1)
+    assert out["restored_from"] == 1 and out["operation"] == "restore"
+    assert _content(M.snapshot(spark, tbl)) == [(1, "a"), (2, "b"), (3, "c")]
+    # history preserved: v0..v3 all present
+    assert M.list_manifests(spark, tbl) == [0, 1, 2, 3]
+    # the head's txn watermark carried through the restore
+    assert M.latest_manifest(spark, tbl)["txn"] == {"app": 7}
+    # replayed batch still rejected after restore
+    assert (
+        M.write_table(_df(spark, [(4, "d")]), tbl, mode="append",
+                      txn=("app", 7))
+        is None
+    )
+    # a restore target whose data files are gone must raise clearly
+    # (simulate a vacuumed file: delete one of v2's data files)
+    import os
+
+    import pytest as _pytest
+
+    v2_files = M.read_manifest(spark, tbl, 2)["files"]
+    only_v2 = [f for f in v2_files if f not in set(out["files"])]
+    os.remove(os.path.join(tbl, only_v2[0]))
+    with _pytest.raises(FileNotFoundError, match="vacuumed"):
+        M.restore_table(spark, tbl, 2)
