@@ -3903,3 +3903,89 @@ def dd_paragraph_dedup(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+_DSIR_POLY = (
+    "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+    "list_transform(generate_series(1, length(gram)), "
+    "i -> CAST(unicode(substr(gram, i, 1)) AS BIGINT))), "
+    "(acc, b) -> (acc * 31 + b) % 1000000007)"
+)
+
+_DSIR_ORACLE = (
+    # full recompute: same grams (unigrams sans empty + bigrams), same
+    # poly-hash buckets, same Laplace-smoothed log-ratios, same rounded
+    # top-20% selection with id tie-break
+    f"WITH tdoc AS (SELECT doc_id, lang, {_toks('text')} AS toks FROM documents), "
+    "g0 AS (SELECT doc_id, lang, list_concat("
+    "list_filter(toks, w -> w <> ''), "
+    "CASE WHEN len(toks) < 2 THEN CAST([] AS VARCHAR[]) ELSE "
+    "list_transform(generate_series(1, len(toks) - 1), "
+    "i -> toks[i] || ' ' || toks[i + 1]) END) AS grams FROM tdoc), "
+    "g AS (SELECT doc_id, lang, unnest(grams) AS gram FROM g0), "
+    f"b AS (SELECT doc_id, lang, {_DSIR_POLY} % 2048 AS bucket FROM g), "
+    "tc AS (SELECT bucket, COUNT(*) AS ct FROM b WHERE lang = 'en' GROUP BY 1), "
+    "rc AS (SELECT bucket, COUNT(*) AS cr FROM b GROUP BY 1), "
+    "tot AS (SELECT (SELECT COUNT(*) FROM b WHERE lang = 'en') AS nt, "
+    "(SELECT COUNT(*) FROM b) AS nr), "
+    "sc AS (SELECT doc_id, SUM("
+    "ln((COALESCE(ct, 0) + 0.5) / (nt + 0.5 * 2048)) "
+    "- ln((COALESCE(cr, 0) + 0.5) / (nr + 0.5 * 2048))) AS logw "
+    "FROM b LEFT JOIN tc USING (bucket) LEFT JOIN rc USING (bucket) "
+    "CROSS JOIN tot GROUP BY doc_id), "
+    "rk AS (SELECT doc_id, logw, ROW_NUMBER() OVER "
+    "(ORDER BY ROUND(logw, 6) DESC, doc_id) AS rn FROM sc), "
+    "kept AS (SELECT doc_id, logw FROM rk "
+    "WHERE rn <= (SELECT COUNT(*) * 0.2 FROM documents)), "
+    "per AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS ds_kept, "
+    "CAST(SUM(doc_id) AS BIGINT) AS ds_id_sum, "
+    "ROUND(AVG(logw) + 1e-9, 2) AS ds_avg_logw "
+    "FROM kept JOIN documents USING (doc_id) GROUP BY lang) "
+    "SELECT lang, ds_kept, ds_id_sum, ds_avg_logw, "
+    "((SELECT lang FROM per ORDER BY ds_kept DESC, lang LIMIT 1) = 'en') "
+    "AS ds_en_top FROM per ORDER BY lang"
+)
+
+
+@probe("tx_dsir_select", oracle=_DSIR_ORACLE, tags=("llm", "text", "sampling", "quality"))
+def tx_dsir_select(spark: SparkSession, sf: str) -> DataFrame:
+    """DSIR-style importance resampling (operators/dsir.py — Xie et al.
+    2023): hashed-n-gram bucket distributions fitted for the TARGET
+    (English slice) and the RAW corpus, every document scored by its
+    summed smoothed log probability ratio, the top 20% selected
+    deterministically by (rounded weight, id). The full pipeline —
+    grams, poly-hash buckets, Laplace ratios, ranking — is recomputed
+    from scratch by the oracle, so the kept SET is row-level exact
+    (per-lang id sums), not just count-gated. The discrimination
+    contract (`ds_en_top`): the selected slice is majority-target —
+    DSIR's premise, and the model-free counterpart of the bigram-LM
+    filter's `en_best` gate. Probabilities are exact BIGINT-count
+    rationals; ln() is the only double step."""
+    from ensembl_database_loader_spark.operators.dsir import dsir_select
+
+    ensure_session_confs(spark)
+    d = table(spark, sf, "documents")
+    k = int(d.count() * 0.2)
+    kept = dsir_select(
+        d.select("doc_id", "lang", "text"),
+        "doc_id",
+        "text",
+        d.filter(F.col("lang") == "en"),
+        k=k,
+        num_buckets=2048,
+    ).persist()
+    per = (
+        kept.groupBy("lang")
+        .agg(
+            _cnt().alias("ds_kept"),
+            F.sum("doc_id").cast("bigint").alias("ds_id_sum"),
+            F.round(F.avg("logw") + F.lit(1e-9), 2).alias("ds_avg_logw"),
+        )
+        .persist()
+    )
+    top = per.orderBy(F.desc("ds_kept"), "lang").limit(1).select(
+        (F.col("lang") == "en").alias("ds_en_top")
+    )
+    return per.crossJoin(top).select(
+        "lang", "ds_kept", "ds_id_sum", "ds_avg_logw", "ds_en_top"
+    ).orderBy("lang")
