@@ -780,6 +780,148 @@ def pq_topk_indexed(
     )
 
 
+def pq_topk_many_indexed(
+    spark,
+    path: str,
+    queries: list[tuple[int, list[float]]],
+    k: int = 5,
+    n_probe: int = 4,
+    refine: int = 0,
+    corpus: DataFrame | None = None,
+    exclude_self: bool = False,
+) -> DataFrame:
+    """BATCH queries over an IVF-PQ index: every query's ADC scan runs
+    in ONE pruned pass over the union of all probed cell partitions —
+    each code row scores against exactly the queries probing ITS cell
+    (per-cell query lists + (m x k) ADC tables ride the UDF closure;
+    ~1 KB per (query, probe) pair, so thousands of queries broadcast
+    fine), then one window per query takes the top-k. ``queries`` is a
+    driver-side list of (qid, vector) — the query batch is
+    broadcast-dim by definition; the CORPUS is never collected.
+
+    ``refine`` > 0 re-ranks each query's top-``refine`` ADC candidates
+    against full-precision vectors from ``corpus`` (one column-pruned
+    scan + broadcast join on the tiny candidate set, cosine per pair,
+    window top-k) — the served IVF-PQ composition at batch width.
+    Returns (qid, id, adc_dist|cos, rank). Per-query results match
+    ``pq_topk_indexed`` with the same parameters."""
+    import numpy as np
+    import pandas as pd
+
+    meta = ann_index_meta(path)
+    if meta.get("quantized") != "pq" or "pq" not in meta:
+        raise ValueError(
+            f"index at {path} is not PQ-quantized — use ivf_topk_many_indexed"
+        )
+    if not queries:
+        raise ValueError("queries must be a non-empty list of (qid, vector)")
+    pq = meta["pq"]
+    books = [np.array(b, dtype=np.float64) for b in pq["codebooks"]]
+    m, w = len(books), books[0].shape[1]
+    cn = np.asarray(meta["centroids"], dtype=np.float64)
+    cn = cn / np.maximum(np.linalg.norm(cn, axis=1, keepdims=True), 1e-12)
+    n_probe = min(int(n_probe), cn.shape[0])
+
+    # per-cell: [(qid, (m x k) ADC table), ...] for the queries probing it
+    by_cell: dict[int, list] = {}
+    qvecs: dict[int, list[float]] = {}
+    for qid, vec in queries:
+        qid = int(qid)
+        if qid in qvecs:
+            raise ValueError(f"duplicate qid {qid} in query batch")
+        qvecs[qid] = [float(x) for x in vec]
+        q = np.asarray(vec, dtype=np.float64)
+        qn = q / max(float(np.linalg.norm(q)), 1e-12)
+        for c in (int(i) for i in np.argsort(-(cn @ qn))[:n_probe]):
+            qr = qn - cn[c] if pq["residual"] else qn
+            table = np.stack(
+                [
+                    ((books[si] - qr[si * w : (si + 1) * w][None, :]) ** 2)
+                    .sum(axis=1)
+                    for si in range(m)
+                ]
+            )
+            by_cell.setdefault(c, []).append((qid, table))
+
+    gather = np.arange(m)
+
+    @F.pandas_udf("array<struct<qid: bigint, adc: double>>")
+    def _adc_many(codes, cells):  # type: ignore[no-untyped-def]
+        cc = np.array(codes.tolist(), dtype=np.int64)
+        cell_arr = cells.to_numpy(dtype=np.int64)
+        out = []
+        # score each row against every query probing its cell; rows of
+        # one cell batch through each query's table in one gather
+        per_row: list[list] = [[] for _ in range(len(cc))]
+        for c, qlist in by_cell.items():
+            mask = cell_arr == c
+            if not mask.any():
+                continue
+            idxs = np.nonzero(mask)[0]
+            sub = cc[mask]
+            for qid, t in qlist:
+                d = t[gather[None, :], sub].sum(axis=1)
+                for i, ri in enumerate(idxs):
+                    per_row[ri].append({"qid": qid, "adc": float(d[i])})
+        return pd.Series(per_row)
+
+    id_col = meta["id_col"]
+    idx = spark.read.parquet(path).filter(
+        F.col("_cell").isin(sorted(by_cell))
+    )
+    pairs = (
+        idx.select(
+            F.col(id_col),
+            F.explode(_adc_many(F.col("codes"), F.col("_cell"))).alias("_p"),
+        )
+        .select(id_col, F.col("_p.qid").alias("_qid"), F.col("_p.adc").alias("_adc"))
+    )
+    if exclude_self:
+        pairs = pairs.filter(F.col(id_col) != F.col("_qid"))
+    from pyspark.sql import Window
+
+    w_adc = Window.partitionBy("_qid").orderBy(
+        F.col("_adc").asc(), F.col(id_col).asc()
+    )
+    ranked = pairs.withColumn("rank", F.row_number().over(w_adc))
+    if not refine:
+        return (
+            ranked.filter(F.col("rank") <= int(k))
+            .select(
+                F.col("_qid").alias("qid"),
+                F.col(id_col),
+                F.round("_adc", 6).alias("adc_dist"),
+                "rank",
+            )
+        )
+    if corpus is None:
+        raise ValueError("refine > 0 needs the corpus to fetch vectors from")
+    cand = ranked.filter(F.col("rank") <= int(refine)).select("_qid", id_col)
+    qv = spark.createDataFrame(
+        [(qid, v) for qid, v in qvecs.items()],
+        f"_qid bigint, _qvec array<double>",
+    )
+    vec_col = meta["vec_col"]
+    cos = cosine(F.col(vec_col), F.col("_qvec"))
+    w_cos = Window.partitionBy("_qid").orderBy(
+        F.desc("_cos"), F.col(id_col).asc()
+    )
+    return (
+        corpus.select(F.col(id_col), F.col(vec_col))
+        .join(F.broadcast(cand), id_col)
+        .join(F.broadcast(qv), "_qid")
+        .select("_qid", F.col(id_col), F.round(cos, 6).alias("_cos"))
+        .withColumn("rank", F.row_number().over(w_cos))
+        .filter(F.col("rank") <= int(k))
+        .select(
+            F.col("_qid").alias("qid"),
+            F.col(id_col),
+            F.col("_cos").alias("cos"),
+            "rank",
+        )
+    )
+
+
 def append_to_ann_index(new_df: DataFrame, path: str) -> None:
     """Append a NEW batch into an existing IVF index: assignment uses
     the index's PERSISTED centroids (``_ann_meta.json``), so the append

@@ -227,3 +227,56 @@ def test_ivf_topk_many_indexed_matches_single_query(spark, clustered, tmp_path):
     )
     with pytest.raises(ValueError, match="ADC path"):
         ivf_topk_many_indexed(spark, pq_path, queries, "qid", "qvec")
+
+
+def test_pq_topk_many_indexed_matches_single_query(spark, clustered, tmp_path):
+    """Batch ADC over the PQ index: per-query rows identical to
+    pq_topk_indexed, both ADC-only and with refine re-rank; guards."""
+    from ensembl_database_loader_spark.operators.similarity import (
+        pq_topk_many_indexed,
+    )
+
+    path = str(tmp_path / "pq_batch")
+    build_ann_index(
+        clustered, "vec_id", "embedding", path,
+        n_cells=N_CLUSTERS, quantized="pq", pq_m=4, pq_k=16,
+    )
+    qrows = clustered.filter(F.col("vec_id") < 6).collect()
+    queries = [(r.vec_id, list(r.embedding)) for r in qrows]
+
+    batch = pq_topk_many_indexed(
+        spark, path, queries, k=3, n_probe=2, exclude_self=True
+    )
+    got = {(r.qid, r.rank): (r.vec_id, r.adc_dist) for r in batch.collect()}
+    assert len(got) == 6 * 3
+    for qid, qv in queries:
+        single = pq_topk_indexed(
+            spark, path, qv, k=3, n_probe=2, exclude_id=qid
+        ).collect()
+        for rank, r in enumerate(single, start=1):
+            assert got[(qid, rank)] == (r.vec_id, r.adc_dist)
+
+    ref = pq_topk_many_indexed(
+        spark, path, queries, k=3, n_probe=2, refine=20,
+        corpus=clustered, exclude_self=True,
+    )
+    gotr = {(r.qid, r.rank): (r.vec_id, r.cos) for r in ref.collect()}
+    assert len(gotr) == 6 * 3
+    for qid, qv in queries:
+        single = pq_topk_indexed(
+            spark, path, qv, k=3, n_probe=2, refine=20,
+            corpus=clustered, exclude_id=qid,
+        ).collect()
+        for rank, r in enumerate(single, start=1):
+            assert gotr[(qid, rank)] == (r.vec_id, r.cos)
+
+    with pytest.raises(ValueError, match="non-empty"):
+        pq_topk_many_indexed(spark, path, [])
+    with pytest.raises(ValueError, match="duplicate qid"):
+        pq_topk_many_indexed(spark, path, [(1, queries[0][1])] * 2)
+    with pytest.raises(ValueError, match="needs the corpus"):
+        pq_topk_many_indexed(spark, path, queries, refine=10)
+    flat = str(tmp_path / "flat2")
+    build_ann_index(clustered, "vec_id", "embedding", flat, n_cells=4)
+    with pytest.raises(ValueError, match="ivf_topk_many_indexed"):
+        pq_topk_many_indexed(spark, flat, queries)
