@@ -48,21 +48,43 @@ from ensembl_database_loader_spark.functions.text import poly_hash
 _KNUTH = 2654435761
 
 
-def _grams(text_col: str):
-    """array<string> of unigrams (empty token dropped) + bigrams of the
-    normalized token stream — the DSIR feature set."""
+def _grams_of(tok_col: str):
+    """array<string> of unigrams (empty token dropped) + bigrams over a
+    PRE-TOKENIZED array column — the DSIR feature set. Taking the token
+    array (not the raw text) keeps the normalize+split to ONE
+    evaluation per row; inlining it here would re-run the regex split
+    five times inside the same expression (measured ~2x end-to-end)."""
     return F.expr(
-        "concat("
-        f"filter(split(regexp_replace(lower(trim({text_col})), "
-        "'\\\\s+', ' '), ' '), w -> w != ''), "
-        f"CASE WHEN size(split(regexp_replace(lower(trim({text_col})), "
-        "'\\\\s+', ' '), ' ')) < 2 THEN array() ELSE "
-        f"transform(sequence(1, size(split(regexp_replace(lower(trim({text_col})), "
-        "'\\\\s+', ' '), ' ')) - 1), "
-        f"i -> concat(element_at(split(regexp_replace(lower(trim({text_col})), "
-        "'\\\\s+', ' '), ' '), i), ' ', "
-        f"element_at(split(regexp_replace(lower(trim({text_col})), "
-        "'\\\\s+', ' '), ' '), i + 1))) END)"
+        f"concat(filter({tok_col}, w -> w != ''), "
+        f"CASE WHEN size({tok_col}) < 2 THEN array() ELSE "
+        f"transform(sequence(1, size({tok_col}) - 1), "
+        f"i -> concat(element_at({tok_col}, i), ' ', "
+        f"element_at({tok_col}, i + 1))) END)"
+    )
+
+
+def gram_buckets(
+    df: DataFrame,
+    text_col: str,
+    num_buckets: int,
+    keep_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """(keep_cols..., bucket) — one hashed-bucket row per gram: ONE
+    normalize+split per document, a narrow explode, the poly-hash fold
+    mod ``num_buckets``. The single gram pass both fitting and scoring
+    derive from."""
+    if num_buckets < 2:
+        raise ValueError(f"num_buckets must be >= 2, got {num_buckets}")
+    toks = F.expr(
+        f"split(regexp_replace(lower(trim({text_col})), '\\\\s+', ' '), ' ')"
+    )
+    return (
+        df.select(*keep_cols, toks.alias("_t"))
+        .select(*keep_cols, F.explode(_grams_of("_t")).alias("_gram"))
+        .select(
+            *keep_cols,
+            F.pmod(poly_hash("_gram"), F.lit(int(num_buckets))).alias("bucket"),
+        )
     )
 
 
@@ -71,11 +93,8 @@ def hashed_ngram_counts(
 ) -> DataFrame:
     """(bucket, cnt) over the corpus — the fitted hashed-n-gram
     distribution (<= num_buckets rows however big the corpus)."""
-    if num_buckets < 2:
-        raise ValueError(f"num_buckets must be >= 2, got {num_buckets}")
     return (
-        df.select(F.explode(_grams(text_col)).alias("_gram"))
-        .select(F.pmod(poly_hash("_gram"), F.lit(int(num_buckets))).alias("bucket"))
+        gram_buckets(df, text_col, num_buckets)
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
     )
@@ -130,13 +149,17 @@ def dsir_logweights(
     raw_counts: DataFrame,
     num_buckets: int = 2048,
     smoothing: float = 0.5,
+    grams: DataFrame | None = None,
 ) -> DataFrame:
     """Attach ``logw`` (sum of per-gram log-ratios; NULL for docs with
     no grams — empty/whitespace text has no evidence) and ``n_grams``
     to every document. The log-ratio table broadcasts (<= num_buckets
     rows); docs whose grams hit a bucket NEITHER fitted corpus saw get
     that gram's ratio from pure smoothing (ln((s/(nt+sB))/(s/(nr+sB)))
-    = ln((nr+sB)/(nt+sB)) — finite, not dropped)."""
+    = ln((nr+sB)/(nt+sB)) — finite, not dropped). ``grams`` accepts a
+    precomputed/persisted ``gram_buckets(df, text_col, num_buckets,
+    (id_col,))`` frame so a caller that also fitted ``raw_counts`` from
+    it pays the gram pass once (``dsir_select`` does)."""
     ratios = bucket_logratios(target_counts, raw_counts, num_buckets, smoothing)
     ratios = ratios.localCheckpoint()  # tiny; feeds the unseen-ratio scalar too
     s = float(smoothing)
@@ -149,13 +172,11 @@ def dsir_logweights(
     unseen = F.lit(
         float(math.log((s / (nt + s * b)) / (s / (nr + s * b))))
     )
-    grams = df.select(
-        F.col(id_col).alias("_id"), F.explode(_grams(text_col)).alias("_gram")
-    ).select(
-        "_id", F.pmod(poly_hash("_gram"), F.lit(int(num_buckets))).alias("bucket")
-    )
+    if grams is None:
+        grams = gram_buckets(df, text_col, num_buckets, (id_col,))
     scored = (
-        grams.join(F.broadcast(ratios.select("bucket", "lr")), "bucket", "left")
+        grams.select(F.col(id_col).alias("_id"), "bucket")
+        .join(F.broadcast(ratios.select("bucket", "lr")), "bucket", "left")
         .select("_id", F.coalesce("lr", unseen).alias("_lr"))
         .groupBy("_id")
         .agg(
@@ -191,12 +212,19 @@ def dsir_select(
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     tcounts = hashed_ngram_counts(
-        target.select(F.col(target_text_col or text_col).alias("_t")), "_t",
+        target.select(F.col(target_text_col or text_col).alias("_tx")), "_tx",
         num_buckets,
     )
-    rcounts = hashed_ngram_counts(df.select(text_col), text_col, num_buckets)
+    # ONE gram pass over the scored corpus serves both the raw fit and
+    # the scoring join (persisted: (id, bucket) pairs — 16 B/gram; at
+    # 100 TB drop the persist and pay a second scan instead)
+    grams = gram_buckets(df, text_col, num_buckets, (id_col,)).persist()
+    rcounts = grams.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
     scored = dsir_logweights(
-        df, id_col, text_col, tcounts, rcounts, num_buckets, smoothing
+        df, id_col, text_col, tcounts, rcounts, num_buckets, smoothing,
+        grams=grams,
     ).filter(F.col("logw").isNotNull())
     key = F.round("logw", ndigits)
     if gumbel_seed is not None:
