@@ -748,3 +748,33 @@ def test_pq_index_query_scan_is_partition_pruned(spark, tmp_path):
     assert "_cell" in plan.split("PartitionFilters")[1].split("]")[0]
     read_schema = plan.split("ReadSchema:")[1].split("\n")[0]
     assert "codes" in read_schema and "embedding" not in read_schema
+
+
+def test_ivf_topk_many_broadcasts_queries_single_corpus_scan(spark):
+    """The batch-ANN contract: the exploded query side broadcasts into
+    a hash join on _cell (never a shuffled or nested-loop join), and
+    the corpus is scanned ONCE (one parquet relation in the optimized
+    plan — a second would mean per-stage re-assignment)."""
+    from pyspark.sql import functions as F
+
+    from ensembl_database_loader_spark.catalog import table as cat_table
+    from ensembl_database_loader_spark.operators.similarity import (
+        ivf_topk_many,
+    )
+
+    e = cat_table(spark, SF, "embeddings").select("vec_id", "embedding")
+    queries = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    q = ivf_topk_many(
+        queries, e, "qid", "qvec", "vec_id", "embedding",
+        k=3, n_cells=8, n_probe=2, exclude_self=True,
+    )
+    q.collect()
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan and "SortMergeJoin" not in plan
+    opt = q._jdf.queryExecution().optimizedPlan().toString()
+    # corpus + query side both read embeddings: exactly 2 relations,
+    # not 3+ (which would mean the corpus subtree was duplicated)
+    assert opt.count("Relation") <= 2
