@@ -1333,6 +1333,62 @@ def semantic_dedup(
     return df.join(dropped, id_col, "left_anti")
 
 
+def semantic_decontaminate(
+    train: DataFrame,
+    bench: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.95,
+    candidates: str = "exact",
+    n_cells: int = 16,
+    centroids: list[list[float]] | None = None,
+    num_blocks: int = 4,
+) -> tuple[DataFrame, DataFrame]:
+    """SEMANTIC benchmark decontamination — the embedding-space
+    companion of the n-gram overlap scrub (operators/contamination.py):
+    drop every training document whose embedding has cosine >=
+    ``threshold`` with ANY benchmark embedding (paraphrased eval
+    leakage that shares no n-grams). Returns ``(kept, flagged)`` where
+    ``flagged`` is (train id, hits, max_cos) — the audit trail.
+
+    Pair generation is ``embedding_cross_pairs``: train x bench ONLY
+    (never train x train), blocked GEMM, so the work is
+    O(|train| x |bench| / blocks) BLAS — and |bench| is small by
+    definition, so this is effectively a few matrix-vector sweeps per
+    train block. ``candidates='ivf'`` restricts pairing to rows sharing
+    a nearest-centroid cell (the SemDeDup-style prune — at 100 TB train
+    never self-joins AND never fully crosses bench): flags a SUBSET of
+    the exact path's docs (cross-cell pairs are missed; same contract
+    as ``semantic_dedup``'s ANN paths), so kept(ivf) is a superset of
+    kept(exact) — both gated by probe ``tx_semantic_decontam``."""
+    base_t = train.select(F.col(id_col), F.col(vec_col))
+    base_b = bench.select(F.col(id_col), F.col(vec_col))
+    groups: tuple[str, ...] = ()
+    if candidates == "ivf":
+        if centroids is None:
+            centroids = _grid_centroids(base_t, id_col, vec_col, n_cells)
+        base_t = _assign_cells(base_t, vec_col, centroids)
+        base_b = _assign_cells(base_b, vec_col, centroids)
+        groups = ("_cell",)
+    elif candidates != "exact":
+        raise ValueError(f"unknown candidates mode: {candidates!r}")
+    pairs = embedding_cross_pairs(
+        base_t, base_b, id_col, vec_col, threshold, num_blocks,
+        group_cols=groups,
+    )
+    flagged = (
+        pairs.groupBy(F.col("id_left").alias(id_col))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("hits"),
+            F.round(F.max("cos"), 6).alias("max_cos"),
+        )
+    )
+    kept = train.join(
+        flagged.select(id_col), id_col, "left_anti"
+    )
+    return kept, flagged
+
+
 def mmr_rerank(
     cands: DataFrame,
     query_col: str,

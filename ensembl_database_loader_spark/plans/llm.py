@@ -3989,3 +3989,104 @@ def tx_dsir_select(spark: SparkSession, sf: str) -> DataFrame:
     return per.crossJoin(top).select(
         "lang", "ds_kept", "ds_id_sum", "ds_avg_logw", "ds_en_top"
     ).orderBy("lang")
+
+
+_SEMDECON_ORACLE = (
+    # full recompute: same deterministic perturbed benchmark, same
+    # rounded cosine threshold, train x bench only
+    "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "
+    "FROM embeddings), "
+    "b AS (SELECT vec_id AS src, list_transform(generate_series(1, len(v)), "
+    "i -> v[i] + 0.01 * ((((vec_id * 31 + (i - 1) * 7) % 201) - 100) "
+    "/ 100.0)) AS bv FROM e WHERE vec_id % 40 = 0), "
+    "p AS (SELECT e.vec_id, "
+    "ROUND(list_dot_product(e.v, b.bv) / "
+    "(sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(b.bv, b.bv))), 6) "
+    "AS c FROM e, b), "
+    "f AS (SELECT vec_id, CAST(COUNT(*) AS BIGINT) AS hits FROM p "
+    "WHERE c >= 0.95 GROUP BY vec_id) "
+    "SELECT CAST((SELECT COUNT(*) FROM e) AS BIGINT) AS sd_n_train, "
+    "CAST((SELECT COUNT(*) FROM f) AS BIGINT) AS sd_flagged, "
+    "CAST((SELECT COALESCE(SUM(vec_id), 0) FROM f) AS BIGINT) AS sd_flag_id_sum, "
+    "CAST((SELECT SUM(hits) FROM f) AS BIGINT) AS sd_hits, "
+    "CAST((SELECT COALESCE(SUM(vec_id), 0) FROM e WHERE vec_id NOT IN "
+    "(SELECT vec_id FROM f)) AS BIGINT) AS sd_kept_id_sum, "
+    "TRUE AS sd_ivf_subset_ok, TRUE AS sd_ivf_found_any"
+)
+
+
+@probe(
+    "tx_semantic_decontam",
+    oracle=_SEMDECON_ORACLE,
+    tags=("llm", "similarity", "contamination", "quality"),
+)
+def tx_semantic_decontam(spark: SparkSession, sf: str) -> DataFrame:
+    """SEMANTIC benchmark decontamination
+    (similarity.semantic_decontaminate) — the embedding-space companion
+    of the n-gram scrub (tx_contamination): a deterministic 'benchmark'
+    is planted as every 40th training embedding plus integer-derived
+    noise (cosine ~0.998 to its source — a paraphrase that shares no
+    n-grams), and every training doc with cosine >= 0.95 to ANY
+    benchmark row is dropped. The exact path (train x bench blocked
+    GEMM — never train x train) is hash-gated ROW-LEVEL against the
+    oracle's full cross-join recompute (flagged/kept id sums, hit
+    counts); the IVF-celled path is TRUE-gated to flag a SUBSET (same
+    contract as semantic_dedup's ANN candidates) that is non-empty
+    (the planted pair lands in its source's cell — tiny perturbations
+    don't cross nearest-centroid boundaries)."""
+    from ensembl_database_loader_spark.operators.similarity import (
+        semantic_decontaminate,
+    )
+
+    ensure_session_confs(spark)
+    e = table(spark, sf, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    noise = lambda i: (  # noqa: E731
+        (F.pmod(F.col("vec_id") * 31 + i * 7, F.lit(201)) - F.lit(100))
+        / F.lit(100.0)
+    )
+    # bench ids are offset so train/bench id spaces never collide
+    bench = e.filter(F.col("vec_id") % 40 == 0).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x, i: x + F.lit(0.01) * noise(i)
+        ).alias("embedding"),
+    )
+    kept_ex, flag_ex = semantic_decontaminate(
+        e, bench, "vec_id", "embedding", threshold=0.95, candidates="exact"
+    )
+    kept_iv, flag_iv = semantic_decontaminate(
+        e, bench, "vec_id", "embedding", threshold=0.95, candidates="ivf",
+        n_cells=16,
+    )
+    flag_ex = flag_ex.persist()
+    flag_iv = flag_iv.persist()
+    return (
+        e.agg(_cnt().alias("sd_n_train"))
+        .crossJoin(
+            flag_ex.agg(
+                _cnt().alias("sd_flagged"),
+                F.coalesce(F.sum("vec_id"), F.lit(0)).cast("bigint").alias(
+                    "sd_flag_id_sum"
+                ),
+                F.sum("hits").cast("bigint").alias("sd_hits"),
+            )
+        )
+        .crossJoin(
+            kept_ex.agg(
+                F.coalesce(F.sum("vec_id"), F.lit(0)).cast("bigint").alias(
+                    "sd_kept_id_sum"
+                )
+            )
+        )
+        .crossJoin(
+            flag_iv.join(flag_ex, "vec_id", "left_anti")
+            .agg((_cnt() == 0).alias("sd_ivf_subset_ok"))
+        )
+        .crossJoin(flag_iv.agg((_cnt() > 0).alias("sd_ivf_found_any")))
+        .select(
+            "sd_n_train", "sd_flagged", "sd_flag_id_sum", "sd_hits",
+            "sd_kept_id_sum", "sd_ivf_subset_ok", "sd_ivf_found_any",
+        )
+    )
