@@ -1457,6 +1457,33 @@ def compact_partition(
     return out
 
 
+def partitions_needing_compaction(
+    spark: SparkSession,
+    path: str,
+    max_files: int = 16,
+) -> list[dict]:
+    """The maintenance worklist for a streaming-fed partitioned table:
+    partitions whose file count exceeds ``max_files``, sorted by file
+    count descending — feed each ``values`` straight into
+    ``compact_partition``. Pure manifest metadata (zero data files
+    opened), so the maintenance loop's planning step is free however
+    big the table; each entry carries ``values``, ``n_files`` and
+    ``n_rows``. Every micro-batch append adds one file per touched
+    partition, so without this loop snapshot plan size and small-file
+    overhead grow with commit count — run it on whatever cadence keeps
+    ``n_files`` bounded (the read path stays O(partitions) regardless
+    via ``_read_files``' per-partition grouping; compaction is about
+    file-open cost and footer metadata, not plan size)."""
+    return [
+        p
+        for p in sorted(
+            table_partitions(spark, path),
+            key=lambda p: -p["n_files"],
+        )
+        if p["n_files"] > int(max_files)
+    ]
+
+
 def _prune_to_where(prune) -> str:
     """AND-combined SQL form of a ``(col, op, value)`` triple list."""
     parts = []

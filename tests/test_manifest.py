@@ -1215,3 +1215,22 @@ def test_restore_table_rolls_back_metadata_only(spark, tbl):
     os.remove(os.path.join(tbl, only_v2[0]))
     with _pytest.raises(FileNotFoundError, match="vacuumed"):
         M.restore_table(spark, tbl, 2)
+
+
+def test_partitions_needing_compaction_worklist(spark, tbl):
+    df = spark.createDataFrame(
+        [(1, "p1"), (2, "p2")], "k bigint, p string"
+    )
+    M.write_table(df, tbl, partition_by=("p",))
+    # p1 accumulates 3 more files; p2 stays at 1
+    for i in range(3):
+        M.write_table(
+            spark.createDataFrame([(10 + i, "p1")], "k bigint, p string"),
+            tbl, mode="append",
+        )
+    work = M.partitions_needing_compaction(spark, tbl, max_files=2)
+    assert [w["values"] for w in work] == [{"p": "p1"}]
+    assert work[0]["n_files"] == 4 and work[0]["n_rows"] == 4
+    # compacting the flagged partition clears the worklist
+    M.compact_partition(spark, tbl, work[0]["values"])
+    assert M.partitions_needing_compaction(spark, tbl, max_files=2) == []
