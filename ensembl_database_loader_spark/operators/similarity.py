@@ -845,25 +845,32 @@ def pq_topk_many_indexed(
 
     gather = np.arange(m)
 
-    @F.pandas_udf("array<struct<qid: bigint, adc: double>>")
+    # struct of two PARALLEL arrays, zipped/exploded JVM-side: the
+    # python work per index row is one list handoff (the qid list is
+    # shared per cell, the ADC row comes off a C-speed .tolist()) — a
+    # per-(row, query) dict assembly here measured O(rows x queries)
+    # interpreted time and dominated the batch at 200k vectors
+    @F.pandas_udf("struct<qids: array<bigint>, adcs: array<double>>")
     def _adc_many(codes, cells):  # type: ignore[no-untyped-def]
         cc = np.array(codes.tolist(), dtype=np.int64)
         cell_arr = cells.to_numpy(dtype=np.int64)
-        out = []
-        # score each row against every query probing its cell; rows of
-        # one cell batch through each query's table in one gather
-        per_row: list[list] = [[] for _ in range(len(cc))]
+        qids_out: list = [None] * len(cc)
+        adcs_out: list = [None] * len(cc)
         for c, qlist in by_cell.items():
             mask = cell_arr == c
             if not mask.any():
                 continue
             idxs = np.nonzero(mask)[0]
             sub = cc[mask]
-            for qid, t in qlist:
-                d = t[gather[None, :], sub].sum(axis=1)
-                for i, ri in enumerate(idxs):
-                    per_row[ri].append({"qid": qid, "adc": float(d[i])})
-        return pd.Series(per_row)
+            # (n_queries_probing_c, n_rows_in_c) in one stacked gather
+            d = np.stack(
+                [t[gather[None, :], sub].sum(axis=1) for _, t in qlist]
+            ).T.tolist()
+            qids = [qid for qid, _ in qlist]
+            for i, ri in enumerate(idxs):
+                qids_out[ri] = qids
+                adcs_out[ri] = d[i]
+        return pd.DataFrame({"qids": qids_out, "adcs": adcs_out})
 
     id_col = meta["id_col"]
     idx = spark.read.parquet(path).filter(
@@ -872,7 +879,16 @@ def pq_topk_many_indexed(
     pairs = (
         idx.select(
             F.col(id_col),
-            F.explode(_adc_many(F.col("codes"), F.col("_cell"))).alias("_p"),
+            _adc_many(F.col("codes"), F.col("_cell")).alias("_s"),
+        )
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.arrays_zip(
+                    F.col("_s.qids").alias("qid"),
+                    F.col("_s.adcs").alias("adc"),
+                )
+            ).alias("_p"),
         )
         .select(id_col, F.col("_p.qid").alias("_qid"), F.col("_p.adc").alias("_adc"))
     )
