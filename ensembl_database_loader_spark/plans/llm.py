@@ -4090,3 +4090,87 @@ def tx_semantic_decontam(spark: SparkSession, sf: str) -> DataFrame:
             "sd_kept_id_sum", "sd_ivf_subset_ok", "sd_ivf_found_any",
         )
     )
+
+
+@probe(
+    "ss_ann_batch_indexed",
+    oracle=(
+        "SELECT TRUE AS bi_ivf_matches, TRUE AS bi_pq_matches, "
+        "CAST(20 AS BIGINT) AS bi_ivf_pairs, CAST(20 AS BIGINT) AS bi_pq_pairs"
+    ),
+    tags=("llm", "similarity", "approx", "batch", "index"),
+)
+def ss_ann_batch_indexed(spark: SparkSession, sf: str) -> DataFrame:
+    """Batch queries over MATERIALIZED indexes: ``ivf_topk_many_indexed``
+    (float index — union-of-probed-cells pruned scan, broadcast query
+    join) and ``pq_topk_many_indexed`` (PQ index — one ADC pass scoring
+    each code row against exactly the queries probing its cell). Both
+    hash-gated ROW-IDENTICAL (id, score, rank) to their single-query
+    operators (``ivf_topk_indexed`` / ``pq_topk_indexed``) across one
+    query for each of four clusters on the planted fixture — the serving-path batch
+    forms provably equal the gated single-query paths they amortize."""
+    import tempfile
+
+    from pyspark.sql import Window
+
+    from ensembl_database_loader_spark.operators.similarity import (
+        build_ann_index,
+        ivf_topk_indexed,
+        ivf_topk_many_indexed,
+        pq_topk_indexed,
+        pq_topk_many_indexed,
+    )
+
+    ensure_session_confs(spark)
+    corpus = _planted_clusters(spark, sf).persist()
+    root = tempfile.mkdtemp(prefix="edl_annbi_")
+    flat_path, pq_path = root + "/flat", root + "/pq"
+    build_ann_index(corpus, "vec_id", "embedding", flat_path, n_cells=8)
+    build_ann_index(
+        corpus, "vec_id", "embedding", pq_path, n_cells=8,
+        quantized="pq", pq_m=8, pq_k=16,
+    )
+    qrows = corpus.filter(F.col("vec_id") < 4).collect()
+    qlist = [(r["vec_id"], list(r["embedding"])) for r in qrows]
+    queries = corpus.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+
+    ivf_b = ivf_topk_many_indexed(
+        spark, flat_path, queries, "qid", "qvec", k=5, n_probe=2,
+        exclude_self=True,
+    ).persist()
+    pq_b = pq_topk_many_indexed(
+        spark, pq_path, qlist, k=5, n_probe=2, exclude_self=True
+    ).persist()
+
+    ivf_diffs = None
+    pq_diffs = None
+    for qid, qv in qlist:
+        s_ivf = ivf_topk_indexed(
+            spark, flat_path, qv, k=5, n_probe=2, exclude_id=qid
+        ).withColumn(
+            "rank",
+            F.row_number().over(Window.orderBy(F.desc("cos"), "vec_id")),
+        )
+        b_ivf = ivf_b.filter(F.col("qid") == qid).select("vec_id", "cos", "rank")
+        d1 = s_ivf.exceptAll(b_ivf).unionAll(b_ivf.exceptAll(s_ivf))
+        ivf_diffs = d1 if ivf_diffs is None else ivf_diffs.unionAll(d1)
+        s_pq = pq_topk_indexed(
+            spark, pq_path, qv, k=5, n_probe=2, exclude_id=qid
+        ).withColumn(
+            "rank",
+            F.row_number().over(Window.orderBy(F.asc("adc_dist"), "vec_id")),
+        )
+        b_pq = pq_b.filter(F.col("qid") == qid).select(
+            "vec_id", "adc_dist", "rank"
+        )
+        d2 = s_pq.exceptAll(b_pq).unionAll(b_pq.exceptAll(s_pq))
+        pq_diffs = d2 if pq_diffs is None else pq_diffs.unionAll(d2)
+
+    return (
+        ivf_diffs.agg((_cnt() == 0).alias("bi_ivf_matches"))
+        .crossJoin(pq_diffs.agg((_cnt() == 0).alias("bi_pq_matches")))
+        .crossJoin(ivf_b.agg(_cnt().alias("bi_ivf_pairs")))
+        .crossJoin(pq_b.agg(_cnt().alias("bi_pq_pairs")))
+    )
