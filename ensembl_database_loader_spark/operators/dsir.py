@@ -208,9 +208,21 @@ def dsir_select(
     deterministic given the seed (reproducible across engines, runs,
     and layouts). Docs with no grams (NULL logw) are never selected.
     Returns the selected rows with ``logw``/``n_grams`` (and ``key``
-    when sampling) attached."""
+    when sampling) attached — MATERIALIZED (localCheckpoint of the
+    <= k selected rows) so the gram cache this call persisted is
+    released before returning instead of leaking across calls."""
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
+    if gumbel_seed is not None:
+        # the Gumbel key is an exact integer rational over the id; a
+        # non-integral id would cast to NULL and silently degenerate
+        # the 'sample' to first-k-by-id — fail loudly instead
+        id_type = dict(df.dtypes).get(id_col)
+        if id_type not in ("tinyint", "smallint", "int", "bigint"):
+            raise ValueError(
+                f"gumbel_seed needs an integral id column; {id_col!r} is "
+                f"{id_type!r} — derive one first (e.g. xxhash64(id))"
+            )
     tcounts = hashed_ngram_counts(
         target.select(F.col(target_text_col or text_col).alias("_tx")), "_tx",
         num_buckets,
@@ -237,8 +249,14 @@ def dsir_select(
             + F.lit(0.5)
         ) / F.lit(float(2**32))
         key = F.round(F.col("logw") - F.log(-F.log(u)), ndigits)
-    return (
+    out = (
         scored.withColumn("key", key)
         .orderBy(F.desc("key"), F.col(id_col).asc())
         .limit(int(k))
     )
+    # the selection is <= k rows: materialize it (localCheckpoint), then
+    # release the gram cache — library callers must not inherit executor
+    # cache they never asked for
+    out = out.localCheckpoint()
+    grams.unpersist()
+    return out

@@ -264,6 +264,23 @@ def ivf_topk(
     )
 
 
+def _reject_duplicate_qids(queries: DataFrame, qid_col: str) -> None:
+    """Duplicate qids would silently merge candidate pools inside the
+    per-qid top-k window, yielding one blended result per duplicated id.
+    ``pq_topk_many_indexed`` already raises; this keeps every batch
+    operator on the same contract. One tiny aggregate on the query
+    frame (broadcast-dim by assumption)."""
+    row = queries.agg(
+        F.count(qid_col).alias("n"), F.count_distinct(qid_col).alias("d")
+    ).first()
+    if int(row["n"]) != int(row["d"]):
+        raise ValueError(
+            f"duplicate {qid_col} values in the query frame "
+            f"({int(row['n'])} rows, {int(row['d'])} distinct) — "
+            "dedupe or re-key the queries first"
+        )
+
+
 def ivf_topk_many(
     queries: DataFrame,
     corpus: DataFrame,
@@ -309,6 +326,7 @@ def ivf_topk_many(
             f"qid_col and id_col must differ in the output, both {qid_col!r}"
             " — alias one side first"
         )
+    _reject_duplicate_qids(queries, qid_col)
     if centroids is None:
         centroids = _grid_centroids(corpus, id_col, vec_col, n_cells)
     cn0 = np.asarray(centroids, dtype=np.float64)
@@ -391,6 +409,7 @@ def ivf_topk_many_indexed(
             f"qid_col and id_col must differ in the output, both {qid_col!r}"
             " — alias the query side first"
         )
+    _reject_duplicate_qids(queries, qid_col)
     cn0 = np.asarray(meta["centroids"], dtype=np.float64)
     cn = cn0 / np.maximum(np.linalg.norm(cn0, axis=1, keepdims=True), 1e-12)
     n_probe = min(int(n_probe), cn.shape[0])

@@ -818,8 +818,20 @@ def ws8_streaming_drift_gate(spark: SparkSession, sf: str) -> DataFrame:
     flags = {
         (r["batch"], r["column"]): r["drifted"] for r in g["drift"].collect()
     }
-    clean_ok = not flags[(0, "value")] and not flags[(0, "event_type")]
-    drift_ok = flags[(1, "value")] and not flags[(1, "event_type")]
+    # key by ordinal of the distinct batch ids actually observed — a
+    # checkpoint replay or an engine-inserted empty micro-batch shifts
+    # literal ids, which must read as a failed gate, not a KeyError
+    batch_ids = sorted({b for b, _ in flags})
+    if len(batch_ids) == 2:
+        b0, b1 = batch_ids
+        clean_ok = not flags.get((b0, "value"), True) and not flags.get(
+            (b0, "event_type"), True
+        )
+        drift_ok = flags.get((b1, "value"), False) and not flags.get(
+            (b1, "event_type"), True
+        )
+    else:
+        clean_ok = drift_ok = False
     good = g["good"].agg(
         F.count(F.lit(1)).cast("bigint").alias("gd_good_rows"),
         F.sum("event_id").cast("bigint").alias("gd_good_id_sum"),

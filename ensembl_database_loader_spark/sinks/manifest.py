@@ -1880,11 +1880,14 @@ def restore_table(spark: SparkSession, path: str, version: int) -> dict:
             "files": target["files"],
             "schema": target["schema"],
             "txn": _merged_txn(h, None),
+            # `k in target`, not `target.get(k)`: falsy-but-meaningful
+            # values (an empty target version's rows/stats maps) must be
+            # restored verbatim, not dropped
             **{
                 k: target[k]
                 for k in ("stats", "rows", "bloom_meta", "blooms",
                           "partition_by", "parts")
-                if target.get(k)
+                if k in target
             },
         }
 

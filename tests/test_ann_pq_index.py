@@ -280,3 +280,22 @@ def test_pq_topk_many_indexed_matches_single_query(spark, clustered, tmp_path):
     build_ann_index(clustered, "vec_id", "embedding", flat, n_cells=4)
     with pytest.raises(ValueError, match="ivf_topk_many_indexed"):
         pq_topk_many_indexed(spark, flat, queries)
+
+
+def test_batch_operators_reject_duplicate_qids(spark, clustered, tmp_path):
+    """Duplicate qids silently merge candidate pools inside the per-qid
+    window; all three batch operators must reject them the same way
+    (pq_topk_many_indexed already did)."""
+    from ensembl_database_loader_spark.operators.similarity import (
+        ivf_topk_many_indexed,
+    )
+
+    dup = clustered.filter(F.col("vec_id") < 2).select(
+        F.lit(7).alias("qid"), F.col("embedding").alias("qvec")
+    )
+    with pytest.raises(ValueError, match="duplicate qid"):
+        ivf_topk_many(dup, clustered, "qid", "qvec", "vec_id", "embedding")
+    path = str(tmp_path / "dupq_idx")
+    build_ann_index(clustered, "vec_id", "embedding", path, n_cells=4)
+    with pytest.raises(ValueError, match="duplicate qid"):
+        ivf_topk_many_indexed(spark, path, dup, "qid", "qvec")

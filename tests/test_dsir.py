@@ -153,3 +153,30 @@ def test_bucket_logratios_guard_and_unseen(spark, corpus, target):
         math.log(s / (r[0] + s * b)) - math.log(s / (r[1] + s * b))
     )
     assert abs(w.logw - expect) < 1e-9
+
+
+def test_gumbel_rejects_non_integral_id(spark, target):
+    """A string id would cast to NULL inside the Gumbel key and silently
+    degenerate the sample to first-k-by-id — the operator must raise."""
+    df = spark.createDataFrame(
+        [("a", "cat purrs softly"), ("b", "dog barks loudly")],
+        "doc_id string, text string",
+    )
+    with pytest.raises(ValueError, match="integral id"):
+        dsir_select(
+            df, "doc_id", "text", target, k=1, num_buckets=64, gumbel_seed=7
+        )
+
+
+def test_select_releases_gram_cache(spark, corpus, target):
+    """dsir_select persists its shared gram frame internally; library
+    callers must not inherit that executor cache after the call. The
+    only persisted block the call may leave behind is the
+    localCheckpoint of its own <= k-row result."""
+    jsc = spark.sparkContext._jsc.sc()
+    n_before = jsc.getPersistentRDDs().size()
+    kept = dsir_select(corpus, "doc_id", "text", target, k=4, num_buckets=256)
+    assert kept.count() == 4  # materialized result still readable
+    n_after = jsc.getPersistentRDDs().size()
+    # without the unpersist this is +2 (grams cache + checkpoint)
+    assert n_after - n_before <= 1

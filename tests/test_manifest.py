@@ -1234,3 +1234,21 @@ def test_partitions_needing_compaction_worklist(spark, tbl):
     # compacting the flagged partition clears the worklist
     M.compact_partition(spark, tbl, work[0]["values"])
     assert M.partitions_needing_compaction(spark, tbl, max_files=2) == []
+
+
+def test_restore_carries_empty_target_metadata_verbatim(spark, tbl):
+    """Restoring to an EMPTY version must reproduce its metadata exactly
+    — falsy-but-present keys (a 0-row version's rows/stats maps) are
+    restored verbatim, not dropped (`k in target`, not `target.get(k)`)."""
+    empty = _df(spark, []).limit(0)
+    M.write_table(empty, tbl)  # v0: zero rows, zero files
+    M.write_table(_df(spark, [(1, "a")]), tbl)  # v1
+    target = M.read_manifest(spark, tbl, 0)
+    out = M.restore_table(spark, tbl, 0)
+    assert out["restored_from"] == 0
+    head = M.latest_manifest(spark, tbl)
+    for k in ("stats", "rows", "bloom_meta", "blooms", "partition_by", "parts"):
+        assert (k in head) == (k in target), k
+        if k in target:
+            assert head[k] == target[k], k
+    assert M.snapshot(spark, tbl).count() == 0
