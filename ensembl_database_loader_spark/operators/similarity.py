@@ -264,6 +264,50 @@ def ivf_topk(
     )
 
 
+def _per_query_topk(
+    pairs: DataFrame,
+    qid: str,
+    id_col: str,
+    score: str,
+    ascending: bool,
+    k: int,
+    n_salts: int = 0,
+) -> DataFrame:
+    """rank 1..k of ``pairs`` per ``qid`` by (score, id tie-break) — the
+    shared tail of every batch-ANN operator.
+
+    ``n_salts > 1`` switches to TWO-PHASE top-k: a first window over
+    ``(qid, xxhash64(id) % n_salts)`` keeps each bucket's top-k, then
+    the final per-qid window ranks only the <= k*n_salts survivors.
+    Row-identical to the single-window plan by construction — every
+    global top-k row is within the top-k of its own bucket, and ranks
+    over the survivors equal global ranks for rank <= k (ties break on
+    the unique id) — but no single reducer ever sorts more than one
+    bucket's share: the skew fix for batches where many queries probe
+    the same cells (at corpus scale a hot cell otherwise concentrates
+    every probing query's candidates on one partition).
+    """
+    from pyspark.sql import Window
+
+    order = [
+        F.col(score).asc() if ascending else F.col(score).desc(),
+        F.col(id_col).asc(),
+    ]
+    if n_salts and int(n_salts) > 1:
+        salt = F.pmod(F.xxhash64(F.col(id_col)), F.lit(int(n_salts)))
+        w1 = Window.partitionBy(F.col(qid), salt).orderBy(*order)
+        pairs = (
+            pairs.withColumn("_r1", F.row_number().over(w1))
+            .filter(F.col("_r1") <= int(k))
+            .drop("_r1")
+        )
+    w = Window.partitionBy(qid).orderBy(*order)
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= int(k))
+    )
+
+
 def _reject_duplicate_qids(queries: DataFrame, qid_col: str) -> None:
     """Duplicate qids would silently merge candidate pools inside the
     per-qid top-k window, yielding one blended result per duplicated id.
@@ -293,6 +337,7 @@ def ivf_topk_many(
     n_probe: int = 4,
     centroids: list[list[float]] | None = None,
     exclude_self: bool = False,
+    salt_partitions: int = 0,
 ) -> DataFrame:
     """BATCH-query IVF top-k: every query in ``queries`` answered in
     ONE plan — (qid, id, cos, rank) with rank 1..k per query — instead
@@ -357,19 +402,15 @@ def ivf_topk_many(
     if exclude_self:
         pairs = pairs.filter(F.col(id_col) != F.col("_qid"))
     cos = cosine(F.col(vec_col), F.col("_qvec"))
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("_qid").orderBy(F.desc("_cos"), F.col(id_col).asc())
-    return (
-        pairs.select("_qid", F.col(id_col), F.round(cos, 6).alias("_cos"))
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= int(k))
-        .select(
-            F.col("_qid").alias(qid_col),
-            F.col(id_col),
-            F.col("_cos").alias("cos"),
-            "rank",
-        )
+    ranked = _per_query_topk(
+        pairs.select("_qid", F.col(id_col), F.round(cos, 6).alias("_cos")),
+        "_qid", id_col, "_cos", ascending=False, k=k, n_salts=salt_partitions,
+    )
+    return ranked.select(
+        F.col("_qid").alias(qid_col),
+        F.col(id_col),
+        F.col("_cos").alias("cos"),
+        "rank",
     )
 
 
@@ -382,6 +423,7 @@ def ivf_topk_many_indexed(
     k: int = 5,
     n_probe: int = 4,
     exclude_self: bool = False,
+    salt_partitions: int = 0,
 ) -> DataFrame:
     """``ivf_topk_many`` against a MATERIALIZED index
     (``build_ann_index`` — float or int8): the scan prunes to the
@@ -441,19 +483,15 @@ def ivf_topk_many_indexed(
         cos = cosine(F.transform("q", lambda x: x.cast("double")), F.col("_qvec"))
     else:
         cos = cosine(F.col(meta["vec_col"]), F.col("_qvec"))
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("_qid").orderBy(F.desc("_cos"), F.col(id_col).asc())
-    return (
-        pairs.select("_qid", F.col(id_col), F.round(cos, 6).alias("_cos"))
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= int(k))
-        .select(
-            F.col("_qid").alias(qid_col),
-            F.col(id_col),
-            F.col("_cos").alias("cos"),
-            "rank",
-        )
+    ranked = _per_query_topk(
+        pairs.select("_qid", F.col(id_col), F.round(cos, 6).alias("_cos")),
+        "_qid", id_col, "_cos", ascending=False, k=k, n_salts=salt_partitions,
+    )
+    return ranked.select(
+        F.col("_qid").alias(qid_col),
+        F.col(id_col),
+        F.col("_cos").alias("cos"),
+        "rank",
     )
 
 
@@ -695,6 +733,256 @@ def _pq_encode_index_rows(
     )
 
 
+def _pq_meta_arrays(meta: dict):
+    """(books, m, w, pk, cn, residual) — the numpy shape of a PQ
+    index's codebooks + normalized coarse centroids."""
+    import numpy as np
+
+    pq = meta["pq"]
+    books = [np.array(b, dtype=np.float64) for b in pq["codebooks"]]
+    m, w = len(books), books[0].shape[1]
+    pk = books[0].shape[0]
+    cn = np.asarray(meta["centroids"], dtype=np.float64)
+    cn = cn / np.maximum(np.linalg.norm(cn, axis=1, keepdims=True), 1e-12)
+    return books, m, w, pk, cn, bool(pq["residual"])
+
+
+def _pq_query_tables_udf(books, m, w, pk, cn, residual, n_probe):
+    """Arrow UDF: query vector -> its ``n_probe`` probed cells, each
+    with the (m x pk) ADC lookup table FLATTENED row-major (si*pk +
+    code indexes it). Tables are pure codebook gathers over the query —
+    computable executor-side per query ROW, which is what makes the
+    batch form DataFrame-shaped: the driver never loops over queries
+    (reference analogue: fan-out X1, LoadDBs_conf.pm:113-123 — the
+    work list is data, not driver state). ~1 KB per (query, cell) at
+    the m=8, pq_k=16 defaults."""
+    import numpy as np
+    import pandas as pd
+
+    @F.pandas_udf("array<struct<cell: int, tbl: array<double>>>")
+    def _qtables(vs):  # type: ignore[no-untyped-def]
+        x = np.array(vs.tolist(), dtype=np.float64)
+        xn = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+        order = np.argsort(-(xn @ cn.T), axis=1)[:, :n_probe]
+        out = []
+        for qi in range(x.shape[0]):
+            ents = []
+            for c in order[qi]:
+                c = int(c)
+                qr = xn[qi] - cn[c] if residual else xn[qi]
+                t = np.stack(
+                    [
+                        ((books[si] - qr[si * w : (si + 1) * w][None, :]) ** 2)
+                        .sum(axis=1)
+                        for si in range(m)
+                    ]
+                )
+                ents.append({"cell": c, "tbl": t.ravel().tolist()})
+            out.append(ents)
+        return pd.Series(out)
+
+    return _qtables
+
+
+def _pq_probe_cells_udf(cn, n_probe):
+    """Arrow UDF: query vector -> its n_probe nearest cells (cells
+    only, no tables) — the light pass the union-cell pruning collect
+    uses, so the 128-double tables are never materialized for it."""
+    import numpy as np
+    import pandas as pd
+
+    @F.pandas_udf("array<int>")
+    def _probes(s):  # type: ignore[no-untyped-def]
+        x = np.array(s.tolist(), dtype=np.float64)
+        xn = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+        order = np.argsort(-(xn @ cn.T), axis=1)[:, :n_probe].astype(np.int32)
+        return pd.Series(list(order))
+
+    return _probes
+
+
+def _adc_score(m: int, pk: int):
+    """JVM-side ADC distance: m flattened-table gathers summed in
+    subspace order (whole-stage codegen — the corpus-side Python
+    crossing of the r10 implementation is GONE; the only Arrow UDF
+    left runs over the small query side). element_at is 1-based."""
+    return F.aggregate(
+        F.sequence(F.lit(0), F.lit(int(m) - 1)),
+        F.lit(0.0),
+        lambda acc, si: acc
+        + F.element_at(
+            F.col("_tbl"),
+            si * F.lit(int(pk))
+            + F.element_at(F.col("codes"), si + F.lit(1)).cast("int")
+            + F.lit(1),
+        ),
+    )
+
+
+def _ann_cells_scan(spark, path: str, meta: dict, cells) -> DataFrame:
+    """The index rows of exactly ``cells`` — PartitionFilters-pruned
+    (plain parquet index) or manifest-partition-pruned."""
+    return spark.read.parquet(path).filter(
+        F.col("_cell").isin([int(c) for c in cells])
+    )
+
+
+def pq_topk_many_indexed_df(
+    spark,
+    path: str,
+    queries: DataFrame,
+    qid_col: str = "qid",
+    qvec_col: str = "qvec",
+    k: int = 5,
+    n_probe: int = 4,
+    refine: int = 0,
+    corpus: DataFrame | None = None,
+    exclude_self: bool = False,
+    salt_partitions: int = 0,
+    _skip_qid_check: bool = False,
+) -> DataFrame:
+    """DataFrame-shaped BATCH queries over an IVF-PQ index — the core
+    every PQ serving form delegates to. One plan end-to-end:
+
+    - an Arrow pass over the QUERY frame computes each query's probed
+      cells and per-cell ADC tables EXECUTOR-SIDE (``_pq_query_tables_udf``
+      — tables are pure codebook gathers, so the work list stays data;
+      the r10 form built them serially on the driver and shipped them
+      in a UDF closure, capping batches at closure size);
+    - the index scan prunes to the UNION of probed cells (a light
+      cells-only Arrow pass feeds the tiny distinct-cells collect,
+      <= n_cells values);
+    - the exploded (qid, cell, table) query side BROADCASTS into a
+      hash join on ``_cell`` (~1 KB per (query, probe) pair at the
+      defaults: a 10k-query wave is ~40 MB — shard million-query
+      sweeps into waves);
+    - ADC computes JVM-SIDE per candidate pair (``_adc_score`` —
+      whole-stage codegen, no Python over the corpus);
+    - one per-query top-k (``_per_query_topk``; ``salt_partitions``
+      bounds any single reducer under probe skew).
+
+    ``refine`` > 0 re-ranks each query's top-``refine`` ADC candidates
+    against full-precision vectors from ``corpus`` (column-pruned scan
+    + broadcast joins on the tiny candidate/query frames). Returns
+    (qid, id, adc_dist|cos, rank); per-query rows are IDENTICAL to
+    ``pq_topk_indexed`` (which delegates here) — gated by
+    ``ss_ann_batch_indexed``."""
+    meta = ann_index_meta(path)
+    if meta.get("quantized") != "pq" or "pq" not in meta:
+        raise ValueError(
+            f"index at {path} is not PQ-quantized — use ivf_topk_many_indexed"
+        )
+    id_col = meta["id_col"]
+    if qid_col == id_col:
+        raise ValueError(
+            f"qid_col and id_col must differ in the output, both {qid_col!r}"
+            " — alias the query side first"
+        )
+    if not _skip_qid_check:
+        _reject_duplicate_qids(queries, qid_col)
+    books, m, w, pk, cn, residual = _pq_meta_arrays(meta)
+    n_probe = min(int(n_probe), cn.shape[0])
+
+    q0 = queries.select(
+        F.col(qid_col).alias("_qid"),
+        F.col(qvec_col).cast("array<double>").alias("_qvec"),
+    )
+    # light pass: union of probed cells for partition pruning (<= n_cells
+    # distinct values however wide the batch)
+    probes = _pq_probe_cells_udf(cn, n_probe)
+    union_cells = sorted(
+        r["_c"]
+        for r in q0.select(
+            F.explode_outer(probes(F.col("_qvec"))).alias("_c")
+        )
+        .distinct()
+        .collect()
+    )
+    qtables = _pq_query_tables_udf(books, m, w, pk, cn, residual, n_probe)
+    # explode_outer: plain explode would let Catalyst infer
+    # size(udf(...)) > 0 and push a UDF-referencing constraint around
+    # the plan (re-running the UDF); semantics are identical here
+    qcells = q0.select(
+        "_qid", F.explode_outer(qtables(F.col("_qvec"))).alias("_e")
+    ).select(
+        "_qid", F.col("_e.cell").alias("_cell"), F.col("_e.tbl").alias("_tbl")
+    )
+
+    idx = _ann_cells_scan(spark, path, meta, union_cells)
+    pairs = idx.join(F.broadcast(qcells), "_cell")
+    if exclude_self:
+        pairs = pairs.filter(F.col(id_col) != F.col("_qid"))
+    scored = pairs.select("_qid", F.col(id_col), _adc_score(m, pk).alias("_adc"))
+    ranked = _per_query_topk(
+        scored, "_qid", id_col, "_adc", ascending=True,
+        k=(int(refine) if refine else int(k)), n_salts=salt_partitions,
+    )
+    if not refine:
+        return ranked.select(
+            F.col("_qid").alias("qid"),
+            F.col(id_col),
+            F.round("_adc", 6).alias("adc_dist"),
+            "rank",
+        )
+    if corpus is None:
+        raise ValueError("refine > 0 needs the corpus to fetch vectors from")
+    cand = ranked.select("_qid", id_col)
+    vec_col = meta["vec_col"]
+    cos = cosine(F.col(vec_col), F.col("_qvec"))
+    refined = (
+        corpus.select(F.col(id_col), F.col(vec_col))
+        .join(F.broadcast(cand), id_col)
+        .join(F.broadcast(q0), "_qid")
+        .select("_qid", F.col(id_col), F.round(cos, 6).alias("_cos"))
+    )
+    ranked2 = _per_query_topk(
+        refined, "_qid", id_col, "_cos", ascending=False, k=int(k),
+        n_salts=salt_partitions,
+    )
+    return ranked2.select(
+        F.col("_qid").alias("qid"),
+        F.col(id_col),
+        F.col("_cos").alias("cos"),
+        "rank",
+    )
+
+
+def pq_topk_many_indexed(
+    spark,
+    path: str,
+    queries: list[tuple[int, list[float]]],
+    k: int = 5,
+    n_probe: int = 4,
+    refine: int = 0,
+    corpus: DataFrame | None = None,
+    exclude_self: bool = False,
+    salt_partitions: int = 0,
+) -> DataFrame:
+    """BATCH queries over an IVF-PQ index from a driver-side list of
+    (qid, vector) — a thin wrapper over the DataFrame-shaped core
+    (``pq_topk_many_indexed_df``), so the list and DataFrame forms are
+    row-identical BY CONSTRUCTION. Prefer the DataFrame form when the
+    queries already live in a frame (contamination-kNN sweeps)."""
+    # meta/path validation happens in the core; validate the batch here
+    if not queries:
+        raise ValueError("queries must be a non-empty list of (qid, vector)")
+    seen: set[int] = set()
+    for qid, _ in queries:
+        qid = int(qid)
+        if qid in seen:
+            raise ValueError(f"duplicate qid {qid} in query batch")
+        seen.add(qid)
+    qdf = spark.createDataFrame(
+        [(int(qid), [float(x) for x in vec]) for qid, vec in queries],
+        "qid bigint, qvec array<double>",
+    )
+    return pq_topk_many_indexed_df(
+        spark, path, qdf, "qid", "qvec", k=k, n_probe=n_probe,
+        refine=refine, corpus=corpus, exclude_self=exclude_self,
+        salt_partitions=salt_partitions, _skip_qid_check=True,
+    )
+
+
 def pq_topk_indexed(
     spark,
     path: str,
@@ -709,12 +997,8 @@ def pq_topk_indexed(
     — the billion-vector serving path: the scan touches only the
     ``n_probe`` probed cell PARTITIONS (PartitionFilters pruning, same
     gate as ``ivf_topk_indexed``) and reads only 8-byte CODE rows
-    (what-a-scan-reads lever), scoring each by asymmetric distance —
-    ``m`` table gathers against per-probed-cell lookup tables built
-    driver-side from the full-precision query (with residual encoding
-    the table for cell c quantizes ``qn - centroid_c``; since database
-    residuals subtract the SAME centroid, ADC still estimates the true
-    L2 in the original space).
+    (what-a-scan-reads lever), scored by asymmetric distance JVM-side
+    against the query's per-cell lookup tables.
 
     With ``corpus`` the top-``refine`` ADC candidates re-rank against
     full-precision vectors fetched by id — one column-pruned scan with
@@ -725,236 +1009,24 @@ def pq_topk_indexed(
     as (id, adc_dist) — recall is lower but no float vector is ever
     read. Recall gated by ``ss_ann_pq_indexed`` on the clustered
     fixture; reference analogue: priority-pruned routing,
-    Prioritise.pm:70-81."""
-    import numpy as np
+    Prioritise.pm:70-81.
 
-    meta = ann_index_meta(path)
-    if meta.get("quantized") != "pq" or "pq" not in meta:
-        raise ValueError(
-            f"index at {path} is not PQ-quantized "
-            f"(quantized={meta.get('quantized')!r}) — use ivf_topk_indexed"
-        )
-    pq = meta["pq"]
-    books = [np.array(b, dtype=np.float64) for b in pq["codebooks"]]
-    m, w = len(books), books[0].shape[1]
-    cn = np.asarray(meta["centroids"], dtype=np.float64)
-    cn = cn / np.maximum(np.linalg.norm(cn, axis=1, keepdims=True), 1e-12)
-    q = np.asarray(query_vec, dtype=np.float64)
-    qn = q / max(float(np.linalg.norm(q)), 1e-12)
-    probe_cells = [int(i) for i in np.argsort(-(cn @ qn))[:n_probe]]
-
-    # (cell -> (m, k) ADC table) for the probed cells only
-    tables = {}
-    for c in probe_cells:
-        qr = qn - cn[c] if pq["residual"] else qn
-        tables[c] = np.stack(
-            [
-                ((books[si] - qr[si * w : (si + 1) * w][None, :]) ** 2).sum(axis=1)
-                for si in range(m)
-            ]
-        )
-
-    import pandas as pd
-
-    gather = np.arange(m)
-
-    @F.pandas_udf("double")
-    def _adc(codes, cells):  # type: ignore[no-untyped-def]
-        cc = np.array(codes.tolist(), dtype=np.int64)
-        cell_arr = cells.to_numpy(dtype=np.int64)
-        out = np.empty(len(cc), dtype=np.float64)
-        for c, t in tables.items():
-            mask = cell_arr == c
-            if mask.any():
-                out[mask] = t[gather[None, :], cc[mask]].sum(axis=1)
-        return pd.Series(out)
-
-    idx = spark.read.parquet(path).filter(F.col("_cell").isin(probe_cells))
-    id_col = meta["id_col"]
-    if exclude_id is not None:
-        idx = idx.filter(F.col(id_col) != exclude_id)
-    scored = idx.select(
-        F.col(id_col), _adc(F.col("codes"), F.col("_cell")).alias("adc_dist")
+    Delegates to the batch core with a one-row query frame — single
+    and batch serving CANNOT drift (same tables, same JVM sum order,
+    same tie-break)."""
+    qid = int(exclude_id) if exclude_id is not None else 0
+    qdf = spark.createDataFrame(
+        [(qid, [float(x) for x in query_vec])],
+        "qid bigint, qvec array<double>",
     )
-    if corpus is None:
-        return (
-            scored.orderBy(F.col("adc_dist").asc(), F.col(id_col).asc())
-            .limit(int(k))
-            .select(id_col, F.round("adc_dist", 6).alias("adc_dist"))
-        )
-    cand = (
-        scored.orderBy(F.col("adc_dist").asc(), F.col(id_col).asc())
-        .limit(int(refine))
-        .select(id_col)
+    out = pq_topk_many_indexed_df(
+        spark, path, qdf, "qid", "qvec", k=k, n_probe=n_probe,
+        refine=(refine if corpus is not None else 0), corpus=corpus,
+        exclude_self=exclude_id is not None, _skip_qid_check=True,
     )
-    vec_col = meta["vec_col"]
-    qcol = F.array(*[F.lit(float(x)) for x in query_vec])
-    cos = cosine(F.col(vec_col), qcol)
-    return (
-        corpus.select(F.col(id_col), F.col(vec_col))
-        .join(F.broadcast(cand), id_col)
-        .select(F.col(id_col), F.round(cos, 6).alias("cos"))
-        .orderBy(F.desc("cos"), id_col)
-        .limit(int(k))
-    )
-
-
-def pq_topk_many_indexed(
-    spark,
-    path: str,
-    queries: list[tuple[int, list[float]]],
-    k: int = 5,
-    n_probe: int = 4,
-    refine: int = 0,
-    corpus: DataFrame | None = None,
-    exclude_self: bool = False,
-) -> DataFrame:
-    """BATCH queries over an IVF-PQ index: every query's ADC scan runs
-    in ONE pruned pass over the union of all probed cell partitions —
-    each code row scores against exactly the queries probing ITS cell
-    (per-cell query lists + (m x k) ADC tables ride the UDF closure;
-    ~1 KB per (query, probe) pair, so thousands of queries broadcast
-    fine), then one window per query takes the top-k. ``queries`` is a
-    driver-side list of (qid, vector) — the query batch is
-    broadcast-dim by definition; the CORPUS is never collected.
-
-    ``refine`` > 0 re-ranks each query's top-``refine`` ADC candidates
-    against full-precision vectors from ``corpus`` (one column-pruned
-    scan + broadcast join on the tiny candidate set, cosine per pair,
-    window top-k) — the served IVF-PQ composition at batch width.
-    Returns (qid, id, adc_dist|cos, rank). Per-query results match
-    ``pq_topk_indexed`` with the same parameters."""
-    import numpy as np
-    import pandas as pd
-
-    meta = ann_index_meta(path)
-    if meta.get("quantized") != "pq" or "pq" not in meta:
-        raise ValueError(
-            f"index at {path} is not PQ-quantized — use ivf_topk_many_indexed"
-        )
-    if not queries:
-        raise ValueError("queries must be a non-empty list of (qid, vector)")
-    pq = meta["pq"]
-    books = [np.array(b, dtype=np.float64) for b in pq["codebooks"]]
-    m, w = len(books), books[0].shape[1]
-    cn = np.asarray(meta["centroids"], dtype=np.float64)
-    cn = cn / np.maximum(np.linalg.norm(cn, axis=1, keepdims=True), 1e-12)
-    n_probe = min(int(n_probe), cn.shape[0])
-
-    # per-cell: [(qid, (m x k) ADC table), ...] for the queries probing it
-    by_cell: dict[int, list] = {}
-    qvecs: dict[int, list[float]] = {}
-    for qid, vec in queries:
-        qid = int(qid)
-        if qid in qvecs:
-            raise ValueError(f"duplicate qid {qid} in query batch")
-        qvecs[qid] = [float(x) for x in vec]
-        q = np.asarray(vec, dtype=np.float64)
-        qn = q / max(float(np.linalg.norm(q)), 1e-12)
-        for c in (int(i) for i in np.argsort(-(cn @ qn))[:n_probe]):
-            qr = qn - cn[c] if pq["residual"] else qn
-            table = np.stack(
-                [
-                    ((books[si] - qr[si * w : (si + 1) * w][None, :]) ** 2)
-                    .sum(axis=1)
-                    for si in range(m)
-                ]
-            )
-            by_cell.setdefault(c, []).append((qid, table))
-
-    gather = np.arange(m)
-
-    # struct of two PARALLEL arrays, zipped/exploded JVM-side: the
-    # python work per index row is one list handoff (the qid list is
-    # shared per cell, the ADC row comes off a C-speed .tolist()) — a
-    # per-(row, query) dict assembly here measured O(rows x queries)
-    # interpreted time and dominated the batch at 200k vectors
-    @F.pandas_udf("struct<qids: array<bigint>, adcs: array<double>>")
-    def _adc_many(codes, cells):  # type: ignore[no-untyped-def]
-        cc = np.array(codes.tolist(), dtype=np.int64)
-        cell_arr = cells.to_numpy(dtype=np.int64)
-        qids_out: list = [None] * len(cc)
-        adcs_out: list = [None] * len(cc)
-        for c, qlist in by_cell.items():
-            mask = cell_arr == c
-            if not mask.any():
-                continue
-            idxs = np.nonzero(mask)[0]
-            sub = cc[mask]
-            # (n_queries_probing_c, n_rows_in_c) in one stacked gather
-            d = np.stack(
-                [t[gather[None, :], sub].sum(axis=1) for _, t in qlist]
-            ).T.tolist()
-            qids = [qid for qid, _ in qlist]
-            for i, ri in enumerate(idxs):
-                qids_out[ri] = qids
-                adcs_out[ri] = d[i]
-        return pd.DataFrame({"qids": qids_out, "adcs": adcs_out})
-
-    id_col = meta["id_col"]
-    idx = spark.read.parquet(path).filter(
-        F.col("_cell").isin(sorted(by_cell))
-    )
-    pairs = (
-        idx.select(
-            F.col(id_col),
-            _adc_many(F.col("codes"), F.col("_cell")).alias("_s"),
-        )
-        .select(
-            F.col(id_col),
-            F.explode(
-                F.arrays_zip(
-                    F.col("_s.qids").alias("qid"),
-                    F.col("_s.adcs").alias("adc"),
-                )
-            ).alias("_p"),
-        )
-        .select(id_col, F.col("_p.qid").alias("_qid"), F.col("_p.adc").alias("_adc"))
-    )
-    if exclude_self:
-        pairs = pairs.filter(F.col(id_col) != F.col("_qid"))
-    from pyspark.sql import Window
-
-    w_adc = Window.partitionBy("_qid").orderBy(
-        F.col("_adc").asc(), F.col(id_col).asc()
-    )
-    ranked = pairs.withColumn("rank", F.row_number().over(w_adc))
-    if not refine:
-        return (
-            ranked.filter(F.col("rank") <= int(k))
-            .select(
-                F.col("_qid").alias("qid"),
-                F.col(id_col),
-                F.round("_adc", 6).alias("adc_dist"),
-                "rank",
-            )
-        )
-    if corpus is None:
-        raise ValueError("refine > 0 needs the corpus to fetch vectors from")
-    cand = ranked.filter(F.col("rank") <= int(refine)).select("_qid", id_col)
-    qv = spark.createDataFrame(
-        [(qid, v) for qid, v in qvecs.items()],
-        f"_qid bigint, _qvec array<double>",
-    )
-    vec_col = meta["vec_col"]
-    cos = cosine(F.col(vec_col), F.col("_qvec"))
-    w_cos = Window.partitionBy("_qid").orderBy(
-        F.desc("_cos"), F.col(id_col).asc()
-    )
-    return (
-        corpus.select(F.col(id_col), F.col(vec_col))
-        .join(F.broadcast(cand), id_col)
-        .join(F.broadcast(qv), "_qid")
-        .select("_qid", F.col(id_col), F.round(cos, 6).alias("_cos"))
-        .withColumn("rank", F.row_number().over(w_cos))
-        .filter(F.col("rank") <= int(k))
-        .select(
-            F.col("_qid").alias("qid"),
-            F.col(id_col),
-            F.col("_cos").alias("cos"),
-            "rank",
-        )
-    )
+    score = "cos" if corpus is not None else "adc_dist"
+    id_col = out.columns[1]  # core output is (qid, id, score, rank)
+    return out.orderBy("rank").select(id_col, score)
 
 
 def append_to_ann_index(new_df: DataFrame, path: str) -> None:

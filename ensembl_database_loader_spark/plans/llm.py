@@ -4096,7 +4096,8 @@ def tx_semantic_decontam(spark: SparkSession, sf: str) -> DataFrame:
     "ss_ann_batch_indexed",
     oracle=(
         "SELECT TRUE AS bi_ivf_matches, TRUE AS bi_pq_matches, "
-        "CAST(20 AS BIGINT) AS bi_ivf_pairs, CAST(20 AS BIGINT) AS bi_pq_pairs"
+        "CAST(20 AS BIGINT) AS bi_ivf_pairs, CAST(20 AS BIGINT) AS bi_pq_pairs, "
+        "TRUE AS bi_pq_df_matches, TRUE AS bi_salted_matches"
     ),
     tags=("llm", "similarity", "approx", "batch", "index"),
 )
@@ -4108,7 +4109,15 @@ def ss_ann_batch_indexed(spark: SparkSession, sf: str) -> DataFrame:
     hash-gated ROW-IDENTICAL (id, score, rank) to their single-query
     operators (``ivf_topk_indexed`` / ``pq_topk_indexed``) across one
     query for each of four clusters on the planted fixture — the serving-path batch
-    forms provably equal the gated single-query paths they amortize."""
+    forms provably equal the gated single-query paths they amortize.
+
+    r11 additions, both hash-gated via symmetric exceptAll == empty:
+    the DATAFRAME-shaped PQ batch (``pq_topk_many_indexed_df`` — ADC
+    tables computed executor-side per query row, JVM-side scoring,
+    plan-gated single pruned codes-only scan) is row-identical to the
+    list form, and the SALTED two-phase per-query top-k
+    (``salt_partitions`` — skew-bounded reducers, plan-gated two
+    Window phases) is row-identical to the single-window plan."""
     import tempfile
 
     from pyspark.sql import Window
@@ -4119,6 +4128,7 @@ def ss_ann_batch_indexed(spark: SparkSession, sf: str) -> DataFrame:
         ivf_topk_many_indexed,
         pq_topk_indexed,
         pq_topk_many_indexed,
+        pq_topk_many_indexed_df,
     )
 
     ensure_session_confs(spark)
@@ -4168,9 +4178,22 @@ def ss_ann_batch_indexed(spark: SparkSession, sf: str) -> DataFrame:
         d2 = s_pq.exceptAll(b_pq).unionAll(b_pq.exceptAll(s_pq))
         pq_diffs = d2 if pq_diffs is None else pq_diffs.unionAll(d2)
 
+    pq_df_b = pq_topk_many_indexed_df(
+        spark, pq_path, queries, "qid", "qvec", k=5, n_probe=2,
+        exclude_self=True,
+    )
+    df_diffs = pq_b.exceptAll(pq_df_b).unionAll(pq_df_b.exceptAll(pq_b))
+    salted_b = ivf_topk_many_indexed(
+        spark, flat_path, queries, "qid", "qvec", k=5, n_probe=2,
+        exclude_self=True, salt_partitions=4,
+    )
+    salt_diffs = ivf_b.exceptAll(salted_b).unionAll(salted_b.exceptAll(ivf_b))
+
     return (
         ivf_diffs.agg((_cnt() == 0).alias("bi_ivf_matches"))
         .crossJoin(pq_diffs.agg((_cnt() == 0).alias("bi_pq_matches")))
         .crossJoin(ivf_b.agg(_cnt().alias("bi_ivf_pairs")))
         .crossJoin(pq_b.agg(_cnt().alias("bi_pq_pairs")))
+        .crossJoin(df_diffs.agg((_cnt() == 0).alias("bi_pq_df_matches")))
+        .crossJoin(salt_diffs.agg((_cnt() == 0).alias("bi_salted_matches")))
     )

@@ -299,3 +299,101 @@ def test_batch_operators_reject_duplicate_qids(spark, clustered, tmp_path):
     build_ann_index(clustered, "vec_id", "embedding", path, n_cells=4)
     with pytest.raises(ValueError, match="duplicate qid"):
         ivf_topk_many_indexed(spark, path, dup, "qid", "qvec")
+
+
+def test_pq_df_form_matches_list_form_and_guards(spark, clustered, tmp_path):
+    """The DataFrame-shaped PQ batch (queries as a frame, ADC tables
+    computed executor-side) is row-identical to the list form — by
+    delegation, but gate the public API: column names, dup check,
+    refine parity."""
+    from ensembl_database_loader_spark.operators.similarity import (
+        pq_topk_many_indexed,
+        pq_topk_many_indexed_df,
+    )
+
+    path = str(tmp_path / "pq_df")
+    build_ann_index(
+        clustered, "vec_id", "embedding", path,
+        n_cells=N_CLUSTERS, quantized="pq", pq_m=4, pq_k=16,
+    )
+    qrows = clustered.filter(F.col("vec_id") < 6).collect()
+    qlist = [(r.vec_id, list(r.embedding)) for r in qrows]
+    qdf = clustered.filter(F.col("vec_id") < 6).select(
+        F.col("vec_id").alias("q"), F.col("embedding").alias("v")
+    )
+    a = pq_topk_many_indexed(
+        spark, path, qlist, k=3, n_probe=2, exclude_self=True
+    )
+    b = pq_topk_many_indexed_df(
+        spark, path, qdf, "q", "v", k=3, n_probe=2, exclude_self=True
+    )
+    rows_a = sorted(map(tuple, a.collect()))
+    rows_b = sorted(map(tuple, b.collect()))
+    assert rows_a == rows_b and len(rows_a) == 6 * 3
+    # refine parity between forms
+    ra = pq_topk_many_indexed(
+        spark, path, qlist, k=3, n_probe=2, refine=20,
+        corpus=clustered, exclude_self=True,
+    )
+    rb = pq_topk_many_indexed_df(
+        spark, path, qdf, "q", "v", k=3, n_probe=2, refine=20,
+        corpus=clustered, exclude_self=True,
+    )
+    assert sorted(map(tuple, ra.collect())) == sorted(map(tuple, rb.collect()))
+    # duplicate qids rejected in the df form too
+    dup = qdf.select(F.lit(1).alias("q"), "v")
+    with pytest.raises(ValueError, match="duplicate q"):
+        pq_topk_many_indexed_df(spark, path, dup, "q", "v")
+    with pytest.raises(ValueError, match="must differ"):
+        pq_topk_many_indexed_df(
+            spark, path, qdf.withColumnRenamed("q", "vec_id"), "vec_id", "v"
+        )
+
+
+def test_salted_topk_row_identical(spark, clustered, tmp_path):
+    """salt_partitions switches every batch operator to two-phase
+    per-query top-k (skew-bounded reducers) with IDENTICAL rows."""
+    from ensembl_database_loader_spark.operators.similarity import (
+        ivf_topk_many_indexed,
+        pq_topk_many_indexed_df,
+    )
+
+    queries = clustered.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    plain = ivf_topk_many(
+        queries, clustered, "qid", "qvec", "vec_id", "embedding",
+        k=3, n_cells=N_CLUSTERS, n_probe=2, exclude_self=True,
+    )
+    salted = ivf_topk_many(
+        queries, clustered, "qid", "qvec", "vec_id", "embedding",
+        k=3, n_cells=N_CLUSTERS, n_probe=2, exclude_self=True,
+        salt_partitions=4,
+    )
+    assert sorted(map(tuple, plain.collect())) == sorted(
+        map(tuple, salted.collect())
+    )
+    flat = str(tmp_path / "salt_flat")
+    build_ann_index(clustered, "vec_id", "embedding", flat, n_cells=N_CLUSTERS)
+    p2 = ivf_topk_many_indexed(
+        spark, flat, queries, "qid", "qvec", k=3, n_probe=2,
+        exclude_self=True,
+    )
+    s2 = ivf_topk_many_indexed(
+        spark, flat, queries, "qid", "qvec", k=3, n_probe=2,
+        exclude_self=True, salt_partitions=4,
+    )
+    assert sorted(map(tuple, p2.collect())) == sorted(map(tuple, s2.collect()))
+    pqp = str(tmp_path / "salt_pq")
+    build_ann_index(
+        clustered, "vec_id", "embedding", pqp,
+        n_cells=N_CLUSTERS, quantized="pq", pq_m=4, pq_k=16,
+    )
+    p3 = pq_topk_many_indexed_df(
+        spark, pqp, queries, k=3, n_probe=2, exclude_self=True
+    )
+    s3 = pq_topk_many_indexed_df(
+        spark, pqp, queries, k=3, n_probe=2, exclude_self=True,
+        salt_partitions=4,
+    )
+    assert sorted(map(tuple, p3.collect())) == sorted(map(tuple, s3.collect()))

@@ -778,3 +778,81 @@ def test_ivf_topk_many_broadcasts_queries_single_corpus_scan(spark):
     # corpus + query side both read embeddings: exactly 2 relations,
     # not 3+ (which would mean the corpus subtree was duplicated)
     assert opt.count("Relation") <= 2
+
+
+def test_pq_batch_df_single_pruned_scan_no_corpus_python(spark, tmp_path):
+    """The DataFrame-shaped PQ batch contract: ONE parquet scan of the
+    index (pruned to the union of probed cells, codes-only), the
+    (qid, cell, table) query side broadcast into a hash join, ADC
+    computed JVM-side — the only Python eval in the plan is the
+    query-side table builder, never a per-candidate scorer."""
+    from pyspark.sql import functions as F
+
+    from ensembl_database_loader_spark.catalog import table as cat_table
+    from ensembl_database_loader_spark.operators.similarity import (
+        build_ann_index,
+        pq_topk_many_indexed_df,
+    )
+
+    e = cat_table(spark, SF, "embeddings").select("vec_id", "embedding")
+    path = str(tmp_path / "pq_batch_plan")
+    build_ann_index(
+        e, "vec_id", "embedding", path, n_cells=16, quantized="pq",
+        pq_m=8, pq_k=16,
+    )
+    queries = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    q = pq_topk_many_indexed_df(
+        spark, path, queries, k=5, n_probe=4, exclude_self=True
+    )
+    q.collect()
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    # AQE's toString appends the Initial Plan — gate the FINAL plan only
+    plan = plan.split("Initial Plan")[0]
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan and "SortMergeJoin" not in plan
+    assert "BatchEvalPython" not in plan  # no row-at-a-time python
+    # exactly two scans: the pruned codes-only INDEX scan + the query
+    # frame feeding the broadcast side (a third would mean the corpus
+    # subtree was duplicated)
+    assert plan.count("Scan parquet") == 2
+    assert "PartitionFilters" in plan
+    assert "_cell" in plan.split("PartitionFilters")[1].split("]")[0]
+    scans = [
+        seg.split("\n")[0]
+        for seg in plan.split("ReadSchema:")[1:]
+    ]
+    codes_scans = [s for s in scans if "codes" in s]
+    assert len(codes_scans) == 1 and "embedding" not in codes_scans[0]
+    # the only Arrow UDF runs on the query side: exactly one eval node
+    assert plan.count("ArrowEvalPython") == 1
+
+
+def test_salted_topk_plans_two_phase(spark):
+    """salt_partitions must actually add the partial-topk phase: two
+    Window nodes (bucket partial, then final) vs one unsalted."""
+    from pyspark.sql import functions as F
+
+    from ensembl_database_loader_spark.catalog import table as cat_table
+    from ensembl_database_loader_spark.operators.similarity import (
+        ivf_topk_many,
+    )
+
+    e = cat_table(spark, SF, "embeddings").select("vec_id", "embedding")
+    queries = e.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+
+    def nwindows(salt):
+        q = ivf_topk_many(
+            queries, e, "qid", "qvec", "vec_id", "embedding",
+            k=3, n_cells=8, n_probe=2, salt_partitions=salt,
+        )
+        plan = q._jdf.queryExecution().executedPlan().toString()
+        # "Window [" = the sort-and-rank node itself (Spark 4 also
+        # plans WindowGroupLimit partial/final helpers — not counted)
+        return plan.count("Window [")
+
+    assert nwindows(0) == 1
+    assert nwindows(8) == 2
