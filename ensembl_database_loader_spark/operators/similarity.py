@@ -439,7 +439,7 @@ def ivf_topk_many_indexed(
     import numpy as np
     import pandas as pd
 
-    meta = ann_index_meta(path)
+    meta = ann_index_meta(path, spark)
     if meta.get("quantized") == "pq":
         raise ValueError(
             f"index at {path} is PQ-quantized — batch PQ serving needs "
@@ -475,7 +475,7 @@ def ivf_topk_many_indexed(
     union_cells = sorted(
         r["_cell"] for r in qcells.select("_cell").distinct().collect()
     )
-    idx = spark.read.parquet(path).filter(F.col("_cell").isin(union_cells))
+    idx = _ann_cells_scan(spark, path, meta, union_cells)
     pairs = idx.join(F.broadcast(qcells), "_cell")
     if exclude_self:
         pairs = pairs.filter(F.col(id_col) != F.col("_qid"))
@@ -540,6 +540,7 @@ def build_ann_index(
     pq_k: int = 16,
     pq_residual: bool = True,
     pq_max_train: int = 20_000,
+    manifest: bool = False,
 ) -> list[list[float]]:
     """Materialize an IVF ANN index: assign every corpus row to its
     nearest centroid ONCE and persist the corpus ``partitionBy("_cell")``
@@ -586,6 +587,20 @@ def build_ann_index(
     at 100 TB pass a representative frame — encoding stays one Arrow
     GEMM pass over the corpus either way.
 
+    ``manifest=True`` stores the index as a MANIFEST TABLE
+    (sinks/manifest.py) partitioned by ``_cell`` with the
+    centroids/codebooks in table PROPERTIES instead of a sidecar json:
+    index builds and appends become atomic commits, ``restore_table``
+    gives serving rollback (metadata-only), ``read_changes`` lets a
+    replica ship only changed cells, ``vacuum_table`` reclaims
+    superseded builds, and ``delete_from_ann_index`` removes vectors
+    as a partition-scoped row-level DELETE — the index lifecycle the
+    bare-parquet layout left manual. Cell pruning is exact from the
+    manifest's partition values; per-file id stats + blooms are
+    collected so candidate fetches and deletes prune inside a cell
+    too. Reference analogue: L1's drop/recreate-on-retry idempotency
+    (LoadFiles.pm:56-64) — rebuilds are commits, not rm -rf.
+
     Returns the centroids used."""
     import json
     import os
@@ -614,7 +629,6 @@ def build_ann_index(
         )
     elif quantized:
         assigned = _quantize_index_rows(assigned, id_col, vec_col)
-    assigned.write.mode("overwrite").partitionBy("_cell").parquet(path)
     meta = {
         "kind": "ivf",
         "id_col": id_col,
@@ -625,6 +639,20 @@ def build_ann_index(
         "quantized": quantized,
         **({"pq": pq_meta} if pq_meta else {}),
     }
+    if manifest:
+        from ensembl_database_loader_spark.sinks.manifest import write_table
+
+        write_table(
+            assigned,
+            path,
+            mode="overwrite",
+            partition_by=("_cell",),
+            stats_cols=(id_col,),
+            bloom_cols=(id_col,),
+            properties={"ann": meta},
+        )
+        return centroids
+    assigned.write.mode("overwrite").partitionBy("_cell").parquet(path)
     with open(os.path.join(path, "_ann_meta.json"), "w") as f:
         json.dump(meta, f)
     return centroids
@@ -821,10 +849,14 @@ def _adc_score(m: int, pk: int):
 
 def _ann_cells_scan(spark, path: str, meta: dict, cells) -> DataFrame:
     """The index rows of exactly ``cells`` — PartitionFilters-pruned
-    (plain parquet index) or manifest-partition-pruned."""
-    return spark.read.parquet(path).filter(
-        F.col("_cell").isin([int(c) for c in cells])
-    )
+    (plain parquet index) or manifest-partition-pruned (exact from the
+    manifest's partition values, zero stats jobs)."""
+    cells = [int(c) for c in cells]
+    if meta.get("_manifest"):
+        from ensembl_database_loader_spark.sinks.manifest import scan_table
+
+        return scan_table(spark, path, predicates=[("_cell", "in", cells)])
+    return spark.read.parquet(path).filter(F.col("_cell").isin(cells))
 
 
 def pq_topk_many_indexed_df(
@@ -867,7 +899,7 @@ def pq_topk_many_indexed_df(
     (qid, id, adc_dist|cos, rank); per-query rows are IDENTICAL to
     ``pq_topk_indexed`` (which delegates here) — gated by
     ``ss_ann_batch_indexed``."""
-    meta = ann_index_meta(path)
+    meta = ann_index_meta(path, spark)
     if meta.get("quantized") != "pq" or "pq" not in meta:
         raise ValueError(
             f"index at {path} is not PQ-quantized — use ivf_topk_many_indexed"
@@ -1029,7 +1061,9 @@ def pq_topk_indexed(
     return out.orderBy("rank").select(id_col, score)
 
 
-def append_to_ann_index(new_df: DataFrame, path: str) -> None:
+def append_to_ann_index(
+    new_df: DataFrame, path: str, txn: tuple[str, int] | None = None
+) -> None:
     """Append a NEW batch into an existing IVF index: assignment uses
     the index's PERSISTED centroids (``_ann_meta.json``), so the append
     is stateless and never touches the already-indexed rows — the ANN
@@ -1041,8 +1075,10 @@ def append_to_ann_index(new_df: DataFrame, path: str) -> None:
     A quantized index quantizes the appended rows the same way — the
     stored shape is uniform across batches (an IVF-PQ index encodes
     the new rows with the PERSISTED codebooks, so old and new codes
-    stay mutually comparable)."""
-    meta = ann_index_meta(path)
+    stay mutually comparable). A manifest-backed index appends as an
+    ATOMIC COMMIT (readers see the old snapshot until it publishes;
+    pass ``txn`` for exactly-once under streaming replay)."""
+    meta = ann_index_meta(path, new_df.sparkSession)
     assigned = _assign_cells(new_df, meta["vec_col"], meta["centroids"])
     if meta.get("quantized") == "pq":
         pq = meta["pq"]
@@ -1056,15 +1092,101 @@ def append_to_ann_index(new_df: DataFrame, path: str) -> None:
         )
     elif meta.get("quantized"):
         assigned = _quantize_index_rows(assigned, meta["id_col"], meta["vec_col"])
+    if meta.get("_manifest"):
+        from ensembl_database_loader_spark.sinks.manifest import write_table
+
+        write_table(assigned, path, mode="append", txn=txn)
+        return
+    if txn is not None:
+        raise ValueError("txn needs a manifest-backed index (manifest=True)")
     assigned.write.mode("append").partitionBy("_cell").parquet(path)
 
 
-def ann_index_meta(path: str) -> dict:
+def delete_from_ann_index(spark, path: str, deleted_df: DataFrame) -> dict | None:
+    """Remove vectors from a MANIFEST-backed ANN index as a
+    partition-scoped row-level DELETE — the maintenance step upstream
+    dedup/curation deletes need: without it, stale vectors keep serving
+    until a full rebuild.
+
+    ``deleted_df`` carries the index's id column and (optionally) its
+    vector column — the natural shape, since the caller IS the curation
+    pass holding the dropped rows. With vectors present, each deleted
+    row's cell is recomputed STATELESSLY from the index's persisted
+    centroids (the same `_assign_cells` math that placed it), so the
+    copy-on-write rewrite prunes to exactly the affected ``_cell``
+    partitions; without vectors, pruning falls back to the per-file id
+    stats + blooms the index build collected. Either way untouched
+    files are carried by reference, pinned readers of older snapshots
+    are unaffected, and ``restore_table`` undoes the delete
+    metadata-only (serving rollback).
+
+    The delete batch is broadcast-dim by contract (a curation wave's
+    drop list — ids become an IN condition); shard wider deletes into
+    waves. Returns ``delete_rows``'s manifest dict (plus
+    ``cells_scoped``) or None when no index row matched."""
+    from ensembl_database_loader_spark.sinks.manifest import delete_rows
+
+    meta = ann_index_meta(path, spark)
+    if not meta.get("_manifest"):
+        raise ValueError(
+            f"index at {path} is bare parquet — deletes need a "
+            "manifest-backed index (build_ann_index(..., manifest=True))"
+        )
+    id_col, vec_col = meta["id_col"], meta["vec_col"]
+    if id_col not in deleted_df.columns:
+        raise ValueError(
+            f"deleted_df needs the index id column {id_col!r}; "
+            f"has {deleted_df.columns}"
+        )
+    prune = []
+    cells: list[int] = []
+    if vec_col in deleted_df.columns:
+        assigned = _assign_cells(
+            deleted_df.select(F.col(id_col), F.col(vec_col)),
+            vec_col,
+            meta["centroids"],
+        )
+        cells = sorted(
+            int(r[0])
+            for r in assigned.select("_cell").distinct().collect()
+        )
+        if cells:
+            prune.append(("_cell", "in", cells))
+    ids = sorted(
+        r[0] for r in deleted_df.select(id_col).distinct().collect()
+    )
+    if not ids:
+        return None
+    prune.append((id_col, "in", ids))
+    out = delete_rows(spark, path, prune=prune)
+    if out is not None:
+        out["cells_scoped"] = cells
+    return out
+
+
+def ann_index_meta(path: str, spark=None) -> dict:
+    """The index's meta (centroids, codebooks, quantization): from the
+    ``_ann_meta.json`` sidecar for a bare-parquet index, or from table
+    PROPERTIES for a manifest-backed one (``meta["_manifest"]`` marks
+    which, so readers pick the right scan)."""
     import json
     import os
 
-    with open(os.path.join(path, "_ann_meta.json")) as f:
-        return json.load(f)
+    sidecar = os.path.join(path, "_ann_meta.json")
+    if os.path.exists(sidecar):
+        with open(sidecar) as f:
+            return json.load(f)
+    if spark is None:
+        raise FileNotFoundError(
+            f"no _ann_meta.json at {path} — for a manifest-backed index "
+            "pass spark (meta lives in table properties)"
+        )
+    from ensembl_database_loader_spark.sinks.manifest import table_properties
+
+    props = table_properties(spark, path)
+    if "ann" not in props:
+        raise ValueError(f"table at {path} has no 'ann' property — not an index")
+    return {**props["ann"], "_manifest": True}
 
 
 def ivf_topk_indexed(
@@ -1085,7 +1207,7 @@ def ivf_topk_indexed(
     ss_ann_ivf_indexed)."""
     import numpy as np
 
-    meta = ann_index_meta(path)
+    meta = ann_index_meta(path, spark)
     if meta.get("quantized") == "pq":
         raise ValueError(
             f"index at {path} is PQ-quantized — use pq_topk_indexed"
@@ -1096,7 +1218,7 @@ def ivf_topk_indexed(
     qn = q / max(np.linalg.norm(q), 1e-12)
     probe_cells = [int(i) for i in np.argsort(-(cn @ qn))[:n_probe]]
 
-    idx = spark.read.parquet(path).filter(F.col("_cell").isin(probe_cells))
+    idx = _ann_cells_scan(spark, path, meta, probe_cells)
     if exclude_id is not None:
         idx = idx.filter(F.col(meta["id_col"]) != exclude_id)
     qcol = F.array(*[F.lit(float(x)) for x in query_vec])

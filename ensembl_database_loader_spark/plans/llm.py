@@ -4197,3 +4197,120 @@ def ss_ann_batch_indexed(spark: SparkSession, sf: str) -> DataFrame:
         .crossJoin(df_diffs.agg((_cnt() == 0).alias("bi_pq_df_matches")))
         .crossJoin(salt_diffs.agg((_cnt() == 0).alias("bi_salted_matches")))
     )
+
+@probe(
+    "ss_ann_manifest_index",
+    oracle=(
+        "SELECT TRUE AS mi_matches_bare, TRUE AS mi_append_served, "
+        "TRUE AS mi_append_scoped, TRUE AS mi_replay_noop, "
+        "TRUE AS mi_delete_served_out, TRUE AS mi_delete_scoped, "
+        "TRUE AS mi_restore_serves"
+    ),
+    tags=("llm", "similarity", "index", "lake", "lifecycle"),
+)
+def ss_ann_manifest_index(spark: SparkSession, sf: str) -> DataFrame:
+    """ANN index AS A MANIFEST TABLE (build_ann_index(manifest=True)):
+    the index's cells are hive partitions of a committed table, its
+    centroids live in table PROPERTIES, and the lake's whole lifecycle
+    machinery applies to the serving copy — the r10 gap where the index
+    sat outside the transaction layer (rebuilds were rm -rf, deletes
+    were impossible, rollback was manual).
+
+    Hash-gated contracts (TRUE-declaring oracle) on the planted-cluster
+    fixture: (1) queries over the manifest-backed index are
+    ROW-IDENTICAL to the bare-parquet index with the same centroids —
+    storage layout invisible to serving; (2) an appended near-query
+    vector serves at rank 1, the append's file delta (changed_files —
+    pure metadata) touches exactly ONE cell partition, and a REPLAYED
+    append with the same txn commits nothing (exactly-once ingest);
+    (3) ``delete_from_ann_index`` on the query's whole top-5 (the
+    upstream-dedup shape) removes them from serving, with the
+    copy-on-write rewrite scoped to their single cell; (4)
+    ``restore_table`` to the pre-delete version brings them back
+    METADATA-ONLY — serving rollback. Reference analogue: L1
+    drop/recreate-on-retry idempotency, LoadFiles.pm:56-64."""
+    import tempfile
+
+    from ensembl_database_loader_spark.operators.similarity import (
+        append_to_ann_index,
+        build_ann_index,
+        delete_from_ann_index,
+        ivf_topk_indexed,
+    )
+    from ensembl_database_loader_spark.sinks.manifest import (
+        changed_files,
+        latest_manifest,
+        restore_table,
+    )
+
+    ensure_session_confs(spark)
+    corpus = _planted_clusters(spark, sf).persist()
+    root = tempfile.mkdtemp(prefix="edl_annmi_")
+    bare, mani = root + "/bare", root + "/mani"
+    cents = build_ann_index(corpus, "vec_id", "embedding", bare, n_cells=8)
+    build_ann_index(
+        corpus, "vec_id", "embedding", mani, n_cells=8, centroids=cents,
+        manifest=True,
+    )
+    qvec = list(
+        corpus.filter(F.col("vec_id") == 0)
+        .select(F.col("embedding").cast("array<double>"))
+        .first()[0]
+    )
+    a = ivf_topk_indexed(spark, bare, qvec, k=5, n_probe=2, exclude_id=0).persist()
+    b = ivf_topk_indexed(spark, mani, qvec, k=5, n_probe=2, exclude_id=0).persist()
+    layout_diffs = a.exceptAll(b).unionAll(b.exceptAll(a))
+
+    plant = spark.createDataFrame(
+        [(1_000_000, [float(x) + 1e-4 for x in qvec])],
+        "vec_id bigint, embedding array<double>",
+    )
+    append_to_ann_index(plant, mani, txn=("probe_ingest", 1))
+    v_app = int(latest_manifest(spark, mani)["version"])
+    top1 = ivf_topk_indexed(spark, mani, qvec, k=1, n_probe=2, exclude_id=0)
+    append_served = top1.first()["vec_id"] == 1_000_000
+    ch_app = changed_files(spark, mani, v_app - 1, v_app)
+    append_scoped = (
+        not ch_app["removed"]
+        and len({f.split("_cell=")[1].split("/")[0] for f in ch_app["added"]})
+        == 1
+    )
+    append_to_ann_index(plant, mani, txn=("probe_ingest", 1))  # replay
+    replay_noop = int(latest_manifest(spark, mani)["version"]) == v_app
+
+    before_ids = sorted(r["vec_id"] for r in a.collect())
+    victims = corpus.filter(F.col("vec_id").isin(before_ids))
+    out = delete_from_ann_index(spark, mani, victims)
+    ch_del = changed_files(spark, mani, v_app, int(out["version"]))
+    delete_scoped = len(out["cells_scoped"]) == 1 and all(
+        f"_cell={out['cells_scoped'][0]}/" in f
+        for f in ch_del["added"] + ch_del["removed"]
+    )
+    after = {
+        r["vec_id"]
+        for r in ivf_topk_indexed(
+            spark, mani, qvec, k=5, n_probe=2, exclude_id=0
+        ).collect()
+    }
+    delete_served_out = bool(after) and not (after & set(before_ids))
+    restore_table(spark, mani, v_app)
+    restored = {
+        r["vec_id"]
+        for r in ivf_topk_indexed(
+            spark, mani, qvec, k=6, n_probe=2, exclude_id=0
+        ).collect()
+    }
+    restore_serves = set(before_ids) <= restored
+
+    return (
+        layout_diffs.agg((_cnt() == 0).alias("mi_matches_bare"))
+        .select(
+            "mi_matches_bare",
+            F.lit(bool(append_served)).alias("mi_append_served"),
+            F.lit(bool(append_scoped)).alias("mi_append_scoped"),
+            F.lit(bool(replay_noop)).alias("mi_replay_noop"),
+            F.lit(bool(delete_served_out)).alias("mi_delete_served_out"),
+            F.lit(bool(delete_scoped)).alias("mi_delete_scoped"),
+            F.lit(bool(restore_serves)).alias("mi_restore_serves"),
+        )
+    )

@@ -119,7 +119,10 @@ def _list_data_files_recursive(spark: SparkSession, data_dir: str) -> list[str]:
     def walk(hpath, prefix: str) -> None:
         for st in fs.listStatus(hpath):
             name = st.getPath().getName()
-            if name.startswith(("_", ".")):
+            # same exemption Spark's own path filter applies: a hive
+            # partition directory for an underscore-named column
+            # (``_cell=3``) is data, not a hidden file
+            if name.startswith(("_", ".")) and "=" not in name:
                 continue
             rel = f"{prefix}{name}"
             if st.isDirectory():
@@ -588,7 +591,17 @@ def _bloom_effective_spec(
     return spec
 
 
-_PRED_OPS = ("=", "<", "<=", ">", ">=")
+_PRED_OPS = ("=", "<", "<=", ">", ">=", "in")
+
+
+def _stat_comparable(v, mn) -> bool:
+    """True when a predicate literal and a file stat are the same
+    comparison family (numeric with numeric, string with string) —
+    anything else means the stat cannot prove a miss."""
+    return (
+        isinstance(v, (int, float)) and not isinstance(v, bool)
+        and isinstance(mn, (int, float)) and not isinstance(mn, bool)
+    ) or (isinstance(v, str) and isinstance(mn, str))
 
 
 def files_matching(manifest: dict, predicates) -> list[str]:
@@ -599,9 +612,13 @@ def files_matching(manifest: dict, predicates) -> list[str]:
     without stats for a column (or with a stat/value type mismatch)
     are always kept. Callers still apply the predicate to the rows —
     pruning is an IO optimization, never the filter itself."""
-    for col, op, _ in predicates:
+    for col, op, v in predicates:
         if op not in _PRED_OPS:
             raise ValueError(f"unsupported predicate op {op!r} (use one of {_PRED_OPS})")
+        if op == "in" and (not isinstance(v, (list, tuple, set)) or not v):
+            raise ValueError(
+                f"'in' predicate on {col!r} needs a non-empty list/tuple/set"
+            )
     stats = manifest.get("stats", {})
     # partition values prune exactly like single-value stats: a file's
     # partition column has min == max == its hive path value
@@ -629,11 +646,18 @@ def files_matching(manifest: dict, predicates) -> list[str]:
                 # (null-rejecting by SQL semantics) can never match
                 keep = False
                 break
-            same_family = (
-                isinstance(v, (int, float)) and not isinstance(v, bool)
-                and isinstance(mn, (int, float)) and not isinstance(mn, bool)
-            ) or (isinstance(v, str) and isinstance(mn, str))
-            if not same_family:
+            if op == "in":
+                vals = list(v)
+                # prune only when EVERY member is stat-comparable and
+                # NONE can fall inside [mn, max] — a type-mismatched
+                # member means "can't prove", so the file is kept
+                if all(_stat_comparable(x, mn) for x in vals) and not any(
+                    mn <= x <= mx for x in vals
+                ):
+                    keep = False
+                    break
+                continue
+            if not _stat_comparable(v, mn):
                 continue
             if (
                 (op == "=" and not (mn <= v <= mx))
@@ -703,9 +727,12 @@ def scan_table(
     df = _read_files(spark, m, root, kept)
     for col, op, v in predicates:
         c = F.col(col)
-        df = df.filter(
-            {"=": c == v, "<": c < v, "<=": c <= v, ">": c > v, ">=": c >= v}[op]
-        )
+        if op == "in":
+            df = df.filter(c.isin(list(v)))
+        else:
+            df = df.filter(
+                {"=": c == v, "<": c < v, "<=": c <= v, ">": c > v, ">=": c >= v}[op]
+            )
     return df
 
 
@@ -794,8 +821,18 @@ def write_table(
     bloom_bits: int = _BLOOM_DEFAULT_BITS,
     bloom_hashes: int = _BLOOM_DEFAULT_HASHES,
     partition_by: tuple[str, ...] = (),
+    properties: dict | None = None,
 ) -> dict | None:
     """Commit ``df`` as the table's next snapshot.
+
+    ``properties`` is the table's free-form JSON property map (engine
+    metadata that must VERSION with the data — e.g. an ANN index's
+    centroids/codebooks). Passing a dict sets/replaces it on this
+    commit; passing None carries the head's map unchanged. Every other
+    commit path (append, rewrite, compaction, drop_partition, restore)
+    carries properties forward, and ``restore_table`` restores the
+    target version's map verbatim — so metadata rolls back WITH the
+    data it describes. Read with ``table_properties``.
 
     ``mode='overwrite'`` replaces the file list; ``mode='append'``
     unions it with the current snapshot's. Either way the data files
@@ -905,6 +942,9 @@ def write_table(
         meta = bloom_spec
         schema_out = schema_json
         parts = staged_parts
+        props = dict(properties) if properties is not None else dict(
+            (head or {}).get("properties", {})
+        )
         if mode != "overwrite" and head is not None:
             if tuple(head.get("partition_by", ())) != pb:
                 # a competing overwrite changed the table's layout while
@@ -996,6 +1036,7 @@ def write_table(
             **({"blooms": blooms} if blooms else {}),
             **({"partition_by": list(pb)} if pb else {}),
             **({"parts": parts} if parts else {}),
+            **({"properties": props} if props else {}),
         }
 
     return _commit(spark, path, build, mode)
@@ -1029,6 +1070,24 @@ def table_row_count(
     if missing:
         total += _read_files(spark, m, root, missing).count()
     return total
+
+
+def table_properties(
+    spark: SparkSession, path: str, version: int | None = None
+) -> dict:
+    """The table's free-form property map at ``version`` (default
+    head) — metadata-only, zero data files opened. Set via
+    ``write_table(..., properties=...)``; carried by every commit path
+    and restored verbatim by ``restore_table``."""
+    root = path.rstrip("/")
+    m = (
+        read_manifest(spark, root, version)
+        if version is not None
+        else latest_manifest(spark, root)
+    )
+    if m is None:
+        raise FileNotFoundError(f"no manifest at {path} — not a committed table")
+    return dict(m.get("properties", {}))
 
 
 def table_partitions(
@@ -1117,6 +1176,7 @@ def drop_partition(
                 if h.get(k)
             },
             **({"bloom_meta": h["bloom_meta"]} if h.get("bloom_meta") else {}),
+            **({"properties": h["properties"]} if h.get("properties") else {}),
             "partition_by": list(pb),
         }
 
@@ -1212,6 +1272,11 @@ def merge_table(
             **({"rows": row_counts} if row_counts else {}),
             **({"bloom_meta": bloom_spec} if bloom_spec else {}),
             **({"blooms": blooms} if blooms else {}),
+            **(
+                {"properties": head["properties"]}
+                if head.get("properties")
+                else {}
+            ),
         }
 
     out = _commit(spark, path, build, "merge")
@@ -1337,6 +1402,11 @@ def compact_table(
             **({"rows": row_counts} if row_counts else {}),
             **({"bloom_meta": bloom_spec} if bloom_spec else {}),
             **({"blooms": blooms} if blooms else {}),
+            **(
+                {"properties": head["properties"]}
+                if head.get("properties")
+                else {}
+            ),
         }
 
     out = _commit(spark, path, build, "compact")
@@ -1448,6 +1518,7 @@ def compact_partition(
                 **{r: v for r, v in parts.items() if r in keep},
                 **staged_parts,
             },
+            **({"properties": h["properties"]} if h.get("properties") else {}),
         }
 
     out = _commit(spark, path, build, "compact_partition")
@@ -1486,12 +1557,21 @@ def partitions_needing_compaction(
 
 def _prune_to_where(prune) -> str:
     """AND-combined SQL form of a ``(col, op, value)`` triple list."""
+    def _lit(v):
+        return "'" + v.replace("'", "''") + "'" if isinstance(v, str) else repr(v)
+
     parts = []
     for col, op, v in prune:
         if op not in _PRED_OPS:
             raise ValueError(f"unsupported predicate op {op!r} (use one of {_PRED_OPS})")
-        lit = "'" + v.replace("'", "''") + "'" if isinstance(v, str) else repr(v)
-        parts.append(f"(`{col}` {op} {lit})")
+        if op == "in":
+            if not isinstance(v, (list, tuple, set)) or not v:
+                raise ValueError(
+                    f"'in' predicate on {col!r} needs a non-empty list/tuple/set"
+                )
+            parts.append(f"(`{col}` IN ({', '.join(_lit(x) for x in v)}))")
+        else:
+            parts.append(f"(`{col}` {op} {_lit(v)})")
     return " AND ".join(parts)
 
 
@@ -1621,6 +1701,11 @@ def _rewrite_rows(
             **({"blooms": blooms} if blooms else {}),
             **({"partition_by": list(pb)} if pb else {}),
             **({"parts": parts} if parts else {}),
+            **(
+                {"properties": head["properties"]}
+                if head.get("properties")
+                else {}
+            ),
         }
 
     out = _commit(spark, path, build, operation)
@@ -1886,7 +1971,7 @@ def restore_table(spark: SparkSession, path: str, version: int) -> dict:
             **{
                 k: target[k]
                 for k in ("stats", "rows", "bloom_meta", "blooms",
-                          "partition_by", "parts")
+                          "partition_by", "parts", "properties")
                 if k in target
             },
         }

@@ -1252,3 +1252,66 @@ def test_restore_carries_empty_target_metadata_verbatim(spark, tbl):
         if k in target:
             assert head[k] == target[k], k
     assert M.snapshot(spark, tbl).count() == 0
+
+
+def test_table_properties_version_with_the_data(spark, tbl):
+    """Properties set at creation survive append/delete/compact, replace
+    on explicit overwrite, and roll BACK with restore — metadata always
+    versions with the data it describes."""
+    M.write_table(
+        _df(spark, [(1, "a"), (2, "b")]), tbl,
+        properties={"ann": {"n_cells": 4}},
+    )
+    assert M.table_properties(spark, tbl) == {"ann": {"n_cells": 4}}
+    M.write_table(_df(spark, [(3, "c")]), tbl, mode="append")  # inherits
+    assert M.table_properties(spark, tbl) == {"ann": {"n_cells": 4}}
+    M.delete_rows(spark, tbl, where="k = 3")  # rewrite carries
+    assert M.table_properties(spark, tbl) == {"ann": {"n_cells": 4}}
+    M.compact_table(spark, tbl)  # compaction carries
+    assert M.table_properties(spark, tbl) == {"ann": {"n_cells": 4}}
+    # overwrite with an explicit map REPLACES; with None it carries
+    M.write_table(
+        _df(spark, [(9, "z")]), tbl, properties={"ann": {"n_cells": 8}}
+    )
+    assert M.table_properties(spark, tbl) == {"ann": {"n_cells": 8}}
+    M.write_table(_df(spark, [(10, "y")]), tbl)
+    assert M.table_properties(spark, tbl) == {"ann": {"n_cells": 8}}
+    # restore to v0 brings back v0's properties verbatim
+    M.restore_table(spark, tbl, 0)
+    assert M.table_properties(spark, tbl) == {"ann": {"n_cells": 4}}
+    # time-travel read of the property map
+    assert M.table_properties(spark, tbl, version=4)["ann"]["n_cells"] == 8
+
+
+def test_in_predicate_prunes_and_filters(spark, tbl):
+    """The 'in' predicate: exact partition pruning on partitioned
+    tables, stats pruning on clustered ones, row-filter correctness,
+    and delete_rows prune support."""
+    df = spark.createDataFrame(
+        [(i, i % 4, f"v{i}") for i in range(40)],
+        "k bigint, cell int, v string",
+    )
+    M.write_table(df, tbl, partition_by=("cell",))
+    got = M.scan_table(spark, tbl, predicates=[("cell", "in", [1, 3])])
+    assert sorted({r.cell for r in got.collect()}) == [1, 3]
+    assert got.count() == 20
+    # pruning is exact: only the two probed partitions' files are read
+    files = got.inputFiles()
+    assert files and all(("cell=1" in f or "cell=3" in f) for f in files)
+    # values outside every partition prune everything
+    assert M.scan_table(spark, tbl, predicates=[("cell", "in", [99])]).count() == 0
+    # empty/malformed in-lists raise
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="non-empty"):
+        M.scan_table(spark, tbl, predicates=[("cell", "in", [])])
+    # delete scoped by an in-prune rewrites only those partitions
+    out = M.delete_rows(
+        spark, tbl, where="k < 8", prune=[("cell", "in", [0, 2])]
+    )
+    assert out is not None and out["rows_affected"] == 4  # k in {0,2,4,6}
+    left = M.scan_table(spark, tbl, predicates=[("cell", "in", [0, 2])])
+    assert left.filter("k < 8").count() == 0
+    # rows in unpruned partitions with k < 8 survived (prune scopes)
+    other = M.scan_table(spark, tbl, predicates=[("cell", "in", [1, 3])])
+    assert other.filter("k < 8").count() == 4
