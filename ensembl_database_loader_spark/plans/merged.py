@@ -108,6 +108,22 @@ MERGE_SPECS: dict[str, list[tuple[str, list[tuple[str, str]]]]] = {
                 ("n_bins", "dr_n_bins"),
             ],
         ),
+        # r11: the STREAMING drift gate rides the DQ row beside its
+        # batch sibling dq_drift_psi (the wm-family slots are
+        # baseline-shared bench identities that must stay probe-for-
+        # probe comparable, so the streaming composites live here):
+        # end-to-end two-batch routing under a planted drift batch,
+        # four-table atomic group commits
+        (
+            "ws8_streaming_drift_gate",
+            [
+                ("gd_good_rows", "gd_good_rows"),
+                ("gd_good_id_sum", "gd_good_id_sum"),
+                ("gd_quar_rows", "gd_quar_rows"),
+                ("gd_clean_batch_ok", "gd_clean_batch_ok"),
+                ("gd_drift_flags_ok", "gd_drift_flags_ok"),
+            ],
+        ),
     ],
     "q18_q20_condagg_having": [
         (
@@ -444,6 +460,22 @@ MERGE_SPECS: dict[str, list[tuple[str, list[tuple[str, str]]]]] = {
                 ("total_chars", "total_chars"),
             ],
         ),
+        # r11: SEMANTIC benchmark decontamination rides its n-gram
+        # sibling's window row — flagged/kept id sums row-level exact
+        # vs the oracle's full cross-join recompute, IVF path
+        # subset-gated
+        (
+            "tx_semantic_decontam",
+            [
+                ("sd_n_train", "sd_n_train"),
+                ("sd_flagged", "sd_flagged"),
+                ("sd_flag_id_sum", "sd_flag_id_sum"),
+                ("sd_hits", "sd_hits"),
+                ("sd_kept_id_sum", "sd_kept_id_sum"),
+                ("sd_ivf_subset_ok", "sd_ivf_subset_ok"),
+                ("sd_ivf_found_any", "sd_ivf_found_any"),
+            ],
+        ),
     ],
     # round-7 flagships ride the window as composites: embedding
     # near-dup + SemDeDup (exact AND ANN-candidate paths) fused into
@@ -510,6 +542,20 @@ MERGE_SPECS: dict[str, list[tuple[str, list[tuple[str, str]]]]] = {
                 ("en_best", "lm_en_best"),
             ],
         ),
+        # r11: DSIR importance resampling joins the per-lang quality
+        # scorers it complements (kept SET row-level exact via per-lang
+        # id sums; ds_en_top is the model-free twin of lm_en_best;
+        # rows keyed uniquely by ds_lang)
+        (
+            "tx_dsir_select",
+            [
+                ("lang", "ds_lang"),
+                ("ds_kept", "ds_kept"),
+                ("ds_id_sum", "ds_id_sum"),
+                ("ds_avg_logw", "ds_avg_logw"),
+                ("ds_en_top", "ds_en_top"),
+            ],
+        ),
     ],
     "ss_ann_lsh_recall": [
         (
@@ -573,6 +619,36 @@ MERGE_SPECS: dict[str, list[tuple[str, list[tuple[str, str]]]]] = {
                 ("bq_n_pairs_ok", "bq_n_pairs_ok"),
                 ("bq_matches_loop", "bq_matches_loop"),
                 ("bq_matches_mirror", "bq_matches_mirror"),
+            ],
+        ),
+        # r11: batch ANN over MATERIALIZED indexes (float IVF + PQ ADC,
+        # the DataFrame-shaped PQ batch, and the salted two-phase
+        # top-k) — all hash-gated row-identical to their single-query
+        # operators
+        (
+            "ss_ann_batch_indexed",
+            [
+                ("bi_ivf_matches", "bi_ivf_matches"),
+                ("bi_pq_matches", "bi_pq_matches"),
+                ("bi_ivf_pairs", "bi_ivf_pairs"),
+                ("bi_pq_pairs", "bi_pq_pairs"),
+                ("bi_pq_df_matches", "bi_pq_df_matches"),
+                ("bi_salted_matches", "bi_salted_matches"),
+            ],
+        ),
+        # r11: the ANN index AS A MANIFEST TABLE — layout-invisible
+        # serving, cell-scoped appends/deletes, exactly-once ingest,
+        # metadata-only serving rollback
+        (
+            "ss_ann_manifest_index",
+            [
+                ("mi_matches_bare", "mi_matches_bare"),
+                ("mi_append_served", "mi_append_served"),
+                ("mi_append_scoped", "mi_append_scoped"),
+                ("mi_replay_noop", "mi_replay_noop"),
+                ("mi_delete_served_out", "mi_delete_served_out"),
+                ("mi_delete_scoped", "mi_delete_scoped"),
+                ("mi_restore_serves", "mi_restore_serves"),
             ],
         ),
     ],

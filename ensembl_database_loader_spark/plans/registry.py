@@ -43,6 +43,14 @@ _REGISTRY: dict[str, Probe] = {}
 #: median) must sit inside this window; extension probes (q41–q48, the
 #: pre-merge originals, alternate-implementation probes) register after
 #: it and keep their local oracle-parity checks.
+#:
+#: r11 window riders (names unchanged; the composites' SPECS grew so
+#: the round-10/11 flagships carry hard driver hash rows): the
+#: streaming drift gate + re-baseline ride q16_q31's DQ row beside
+#: dq_drift_psi; semantic decontamination rides tx_decontam_pii; DSIR
+#: rides tx_langid_lm; batch-indexed ANN and the manifest-backed index
+#: ride ss_ann_lsh_recall. (The wm-family slots stay pure: their names
+#: are baseline-shared bench identities.)
 WINDOW_50: tuple[str, ...] = (
     "q01_q03_scan_projection",
     "q02_tsv_roundtrip",
