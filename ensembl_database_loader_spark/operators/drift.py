@@ -203,6 +203,42 @@ def psi_from_bins(
 # ---------------------------------------------------------------------------
 
 
+def _commit_profile(
+    ref: DataFrame,
+    path: str,
+    num_cols: tuple[str, ...],
+    cat_cols: tuple[str, ...],
+    bins: int,
+    txn: tuple[str, int] | None,
+) -> dict | None:
+    """Profile ``ref`` and publish the three profile tables (``bins``,
+    ``edges``, ``meta``) as ONE atomic catalog group commit under
+    ``path`` — a reader resolving the profile never sees new bin counts
+    against old edges, and the catalog's version log IS the baseline's
+    audit history (who re-pinned, when, exactly-once under replay)."""
+    num_cols, cat_cols = tuple(num_cols), tuple(cat_cols)
+    if not num_cols and not cat_cols:
+        raise ValueError("drift profile: no columns to monitor")
+    if bins < 2:
+        raise ValueError(f"drift profile: bins must be >= 2, got {bins}")
+    from ensembl_database_loader_spark.sinks.catalog_commit import commit_group
+
+    edges = profile_edges(ref, num_cols)
+    rbin = bin_counts(ref, num_cols, cat_cols, edges, bins, "c_ref")
+    spark = ref.sparkSession
+    meta = spark.createDataFrame(
+        [(",".join(num_cols), ",".join(cat_cols), int(bins))],
+        "num_cols string, cat_cols string, bins int",
+    )
+    return commit_group(
+        spark,
+        path,
+        {"bins": rbin, "edges": edges, "meta": meta},
+        mode="overwrite",
+        txn=txn,
+    )
+
+
 def save_drift_profile(
     ref: DataFrame,
     path: str,
@@ -213,37 +249,87 @@ def save_drift_profile(
     """Profile the reference ONCE and persist it as three manifest
     tables under ``path`` (``/bins``, ``/edges``, ``/meta``) — every
     later drift check (batch or streaming) compares against the stored
-    bin counts without ever rescanning the reference corpus."""
-    num_cols, cat_cols = tuple(num_cols), tuple(cat_cols)
-    if not num_cols and not cat_cols:
-        raise ValueError("save_drift_profile: no columns to monitor")
-    if bins < 2:
-        raise ValueError(f"save_drift_profile: bins must be >= 2, got {bins}")
-    from ensembl_database_loader_spark.sinks.manifest import write_table
+    bin counts without ever rescanning the reference corpus. The trio
+    publishes atomically as catalog-group version 0; later approved
+    re-baselines (``update_drift_profile``) append versions to the same
+    catalog, so the profile's full lineage stays auditable."""
+    _commit_profile(ref, path, tuple(num_cols), tuple(cat_cols), bins, None)
 
-    edges = profile_edges(ref, num_cols)
-    rbin = bin_counts(ref, num_cols, cat_cols, edges, bins, "c_ref")
-    write_table(rbin, f"{path}/bins", mode="overwrite")
-    write_table(edges, f"{path}/edges", mode="overwrite")
+
+def update_drift_profile(
+    ref: DataFrame,
+    path: str,
+    txn: tuple[str, int],
+    num_cols: tuple[str, ...] | None = None,
+    cat_cols: tuple[str, ...] | None = None,
+    bins: int | None = None,
+) -> dict | None:
+    """APPROVED re-baseline: re-profile against ``ref`` (the newly
+    accepted reference — e.g. last quarter's validated feed) and
+    publish it as the NEXT catalog version of the profile at ``path``.
+    Monitored columns/bins are inherited from the current profile
+    unless overridden. The required ``txn=(app, version)`` makes the
+    re-baseline exactly-once under replay (a re-run of the approval job
+    publishes nothing and returns None) and stamps the catalog's commit
+    log — ``drift_profile_history`` shows every baseline the monitor
+    ever compared against, in order. Running monitors pick the new
+    baseline up on their next micro-batch (streaming/drift.py resolves
+    the profile version per batch — a metadata-only read)."""
+    if txn is None:
+        raise ValueError(
+            "update_drift_profile: txn is required — a re-baseline is an "
+            "audited, replay-safe act (use save_drift_profile to create)"
+        )
     spark = ref.sparkSession
-    meta = spark.createDataFrame(
-        [(",".join(num_cols), ",".join(cat_cols), int(bins))],
-        "num_cols string, cat_cols string, bins int",
-    )
-    write_table(meta, f"{path}/meta", mode="overwrite")
+    if num_cols is None or cat_cols is None or bins is None:
+        _, _, cur_num, cur_cat, cur_bins = load_drift_profile(spark, path)
+        num_cols = cur_num if num_cols is None else tuple(num_cols)
+        cat_cols = cur_cat if cat_cols is None else tuple(cat_cols)
+        bins = cur_bins if bins is None else int(bins)
+    return _commit_profile(ref, path, num_cols, cat_cols, bins, txn)
+
+
+def drift_profile_version(spark, path: str) -> int:
+    """Latest catalog version of the profile at ``path`` (-1 for a
+    legacy profile saved before group commits, or none yet) — the
+    one-JSON-read poll streaming monitors use to notice a re-baseline
+    between micro-batches."""
+    from ensembl_database_loader_spark.sinks.catalog_commit import _catalog_path
+    from ensembl_database_loader_spark.sinks.manifest import latest_manifest
+
+    head = latest_manifest(spark, _catalog_path(path))
+    return -1 if head is None else int(head["version"])
+
+
+def drift_profile_history(spark, path: str) -> list[dict]:
+    """The profile's baseline lineage: every catalog group commit,
+    oldest first — the audit trail of approved re-baselines."""
+    from ensembl_database_loader_spark.sinks.catalog_commit import group_history
+
+    return group_history(spark, path)
 
 
 def load_drift_profile(spark, path: str):
     """(rbin, edges, num_cols, cat_cols, bins) from a saved profile.
-    The edges row localCheckpoints (it crossJoins every batch melt)."""
+    Resolved through the catalog root when one exists (all three tables
+    at the versions ONE group commit pinned — never a torn trio), with
+    a per-table-head fallback for legacy profiles. The edges row
+    localCheckpoints (it crossJoins every batch melt)."""
     from ensembl_database_loader_spark.sinks.manifest import snapshot
 
-    meta = snapshot(spark, f"{path}/meta").collect()[0]
+    try:
+        from ensembl_database_loader_spark.sinks.catalog_commit import read_group
+
+        g = read_group(spark, path)
+        meta_df, rbin, edges = g["meta"], g["bins"], g["edges"]
+    except FileNotFoundError:  # legacy: saved before group commits
+        meta_df = snapshot(spark, f"{path}/meta")
+        rbin = snapshot(spark, f"{path}/bins")
+        edges = snapshot(spark, f"{path}/edges")
+    meta = meta_df.collect()[0]
     num_cols = tuple(c for c in meta["num_cols"].split(",") if c)
     cat_cols = tuple(c for c in meta["cat_cols"].split(",") if c)
-    rbin = snapshot(spark, f"{path}/bins")
-    edges = snapshot(spark, f"{path}/edges").localCheckpoint()
-    return rbin, edges, num_cols, cat_cols, int(meta["bins"])
+    return rbin, edges.localCheckpoint(), num_cols, cat_cols, int(meta["bins"])
 
 
 def psi_against_profile(

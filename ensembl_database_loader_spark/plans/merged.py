@@ -124,6 +124,20 @@ MERGE_SPECS: dict[str, list[tuple[str, list[tuple[str, str]]]]] = {
                 ("gd_drift_flags_ok", "gd_drift_flags_ok"),
             ],
         ),
+        # r11: approved re-baseline of a running gate — the same feed
+        # stops alarming after update_drift_profile publishes the new
+        # baseline (atomic catalog group commit, exactly-once, audited)
+        (
+            "ws9_drift_rebaseline",
+            [
+                ("rb_good_rows", "rb_good_rows"),
+                ("rb_good_id_sum", "rb_good_id_sum"),
+                ("rb_quar_rows", "rb_quar_rows"),
+                ("rb_flags_ok", "rb_flags_ok"),
+                ("rb_replay_noop", "rb_replay_noop"),
+                ("rb_audit_ok", "rb_audit_ok"),
+            ],
+        ),
     ],
     "q18_q20_condagg_having": [
         (

@@ -846,3 +846,192 @@ def ws8_streaming_drift_gate(spark: SparkSession, sf: str) -> DataFrame:
         F.lit(bool(clean_ok)).alias("gd_clean_batch_ok"),
         F.lit(bool(drift_ok)).alias("gd_drift_flags_ok"),
     )
+
+
+_REBASELINE_ORACLE = (
+    # three batches: the log (clean vs profile v0), the re-scaled log
+    # (drifts, quarantines wholesale), the re-scaled log AGAIN after an
+    # approved re-baseline onto the new shape (clean vs profile v1) —
+    # good = batches 0 + 2 in full, quarantine = batch 1 in full
+    "SELECT CAST((SELECT COUNT(*) * 2 FROM events) AS BIGINT) AS rb_good_rows, "
+    "CAST((SELECT SUM(event_id) * 2 FROM events) AS BIGINT) AS rb_good_id_sum, "
+    "CAST((SELECT COUNT(*) FROM events) AS BIGINT) AS rb_quar_rows, "
+    "TRUE AS rb_flags_ok, TRUE AS rb_replay_noop, TRUE AS rb_audit_ok"
+)
+
+
+@probe(
+    "ws9_drift_rebaseline",
+    oracle=_REBASELINE_ORACLE,
+    tags=("streaming", "quality", "drift", "live-stream", "lake"),
+)
+def ws9_drift_rebaseline(spark: SparkSession, sf: str) -> DataFrame:
+    """APPROVED RE-BASELINE of a running drift gate
+    (operators/drift.update_drift_profile): real monitors re-pin their
+    reference on an accepted cadence instead of alarming forever on a
+    legitimately changed source. The same re-scaled feed that
+    quarantined wholesale under profile v0 routes CLEAN after the
+    re-baseline publishes profile v1 — picked up by the gate's
+    per-batch catalog-version resolution, no monitor surgery.
+
+    Mechanics: profile v0 pins the event log's shape; batch 0 (the log)
+    routes clean, batch 1 (value*10 + 500) drifts and quarantines
+    wholesale. The gate stops; ``update_drift_profile`` publishes the
+    re-scaled shape as catalog version 1 (an atomic bins/edges/meta
+    group commit, txn-stamped); the gate RESTARTS from its checkpoint
+    and batch 2 — the same re-scaled distribution — now routes clean.
+    TRUE-gated: the per-(batch, column) drift verdicts (clean /
+    value-only / clean), the replayed re-baseline publishing nothing
+    with the version unchanged (exactly-once), and the profile's
+    catalog history carrying exactly the two baselines with the
+    re-baseline's txn watermark (the audit trail). Row-level: good =
+    batches 0+2 in full (count + id-sum), quarantine = batch 1 in
+    full. The expectation suite is satisfied by every row (not_null on
+    event_id), so drift is the ONLY routing discriminator."""
+    import tempfile
+    import time as _time
+
+    from pyspark.sql import Window
+
+    from ensembl_database_loader_spark.operators.drift import (
+        drift_profile_history,
+        drift_profile_version,
+        save_drift_profile,
+        update_drift_profile,
+    )
+    from ensembl_database_loader_spark.operators.expectations import (
+        expect_not_null,
+    )
+    from ensembl_database_loader_spark.sinks.catalog_commit import read_group
+    from ensembl_database_loader_spark.sources.replay_datasource import (
+        EventReplayDataSource,
+    )
+    from ensembl_database_loader_spark.streaming.drift import (
+        streaming_drift_gate,
+    )
+
+    ensure_session_confs(spark)
+    try:
+        spark.dataSource.register(EventReplayDataSource)
+    except Exception:
+        pass  # already registered in this session
+    root = tempfile.mkdtemp(prefix="edl_ws9_")
+    base = (
+        spark.read.parquet(f"{sf.rstrip('/')}/events.parquet")
+        .select("event_id", "event_type", "value")
+    )
+    n = base.count()
+    prof_path = f"{root}/profile"
+    save_drift_profile(
+        base, prof_path, num_cols=("value",), cat_cols=("event_type",)
+    )
+
+    seq = (F.row_number().over(Window.orderBy("event_id")) - 1).cast("bigint")
+    normal = base.select(seq.alias("seq"), "event_id", "event_type", "value")
+
+    def _scaled(offset: int):
+        return base.select(
+            (seq + offset).alias("seq"),
+            "event_id",
+            "event_type",
+            (F.col("value") * 10 + 500).alias("value"),
+        )
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    feed_path = f"{root}/feed.parquet"
+
+    def _write_feed(df):
+        pq.write_table(
+            pa.Table.from_pandas(df.toPandas(), preserve_index=False),
+            feed_path,
+        )
+
+    _write_feed(normal.unionByName(_scaled(n)))
+
+    suite = [expect_not_null("event_id")]
+    gate_root, ckpt = f"{root}/gate", f"{root}/ckpt"
+
+    def _run(min_routed: int, min_drift_rows: int):
+        stream = (
+            spark.readStream.format("event_replay")
+            .option("path", feed_path)
+            .option("id_col", "seq")
+            .option("batch_rows", n)
+            .load()
+            .select("event_id", "event_type", "value")
+        )
+        q = streaming_drift_gate(
+            stream, prof_path, suite, gate_root, ckpt,
+            threshold=0.2, available_now=False,
+        )
+        try:
+            deadline = _time.time() + 180
+            while _time.time() < deadline:
+                try:
+                    g = read_group(spark, gate_root)
+                    routed = g["good"].count() + g["quarantine"].count()
+                    drift_rows = g["drift"].count()
+                except FileNotFoundError:
+                    routed, drift_rows = 0, 0
+                if routed >= min_routed and drift_rows >= min_drift_rows:
+                    break
+                _time.sleep(0.3)
+        finally:
+            q.stop()
+            q.awaitTermination(30)
+
+    _run(2 * n, 4)  # batches 0 (clean) + 1 (drifted, quarantined)
+
+    # the approved re-baseline: the re-scaled shape becomes profile v1
+    m1 = update_drift_profile(_scaled(0), prof_path, txn=("rebaseline", 1))
+    v1 = drift_profile_version(spark, prof_path)
+    replay = update_drift_profile(_scaled(0), prof_path, txn=("rebaseline", 1))
+    replay_noop = (
+        m1 is not None
+        and replay is None
+        and drift_profile_version(spark, prof_path) == v1
+    )
+    hist = drift_profile_history(spark, prof_path)
+    audit_ok = (
+        len(hist) == 2
+        and int(hist[-1].get("txn", {}).get("rebaseline", -1)) == 1
+    )
+
+    # batch 2: the same re-scaled distribution, now in-baseline
+    _write_feed(normal.unionByName(_scaled(n)).unionByName(_scaled(2 * n)))
+    _run(3 * n, 6)
+
+    g = read_group(spark, gate_root)
+    flags = {
+        (r["batch"], r["column"]): r["drifted"] for r in g["drift"].collect()
+    }
+    batch_ids = sorted({b for b, _ in flags})
+    if len(batch_ids) == 3:
+        b0, b1, b2 = batch_ids
+        flags_ok = (
+            not flags.get((b0, "value"), True)
+            and not flags.get((b0, "event_type"), True)
+            and flags.get((b1, "value"), False)
+            and not flags.get((b1, "event_type"), True)
+            and not flags.get((b2, "value"), True)
+            and not flags.get((b2, "event_type"), True)
+        )
+    else:
+        flags_ok = False
+    good = g["good"].agg(
+        F.count(F.lit(1)).cast("bigint").alias("rb_good_rows"),
+        F.sum("event_id").cast("bigint").alias("rb_good_id_sum"),
+    )
+    quar = g["quarantine"].agg(
+        F.count(F.lit(1)).cast("bigint").alias("rb_quar_rows")
+    )
+    return good.crossJoin(quar).select(
+        "rb_good_rows",
+        "rb_good_id_sum",
+        "rb_quar_rows",
+        F.lit(bool(flags_ok)).alias("rb_flags_ok"),
+        F.lit(bool(replay_noop)).alias("rb_replay_noop"),
+        F.lit(bool(audit_ok)).alias("rb_audit_ok"),
+    )

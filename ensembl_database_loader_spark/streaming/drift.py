@@ -20,11 +20,31 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ensembl_database_loader_spark.operators.drift import (
+    drift_profile_version,
     load_drift_profile,
     psi_against_profile,
 )
 
 _TXN_APP = "streaming_drift"
+
+
+def _profile_resolver(profile_path: str):
+    """Per-batch profile resolution: one catalog-head JSON read per
+    micro-batch; the profile tables reload only when an approved
+    re-baseline (``update_drift_profile``) published a new catalog
+    version — a long-running monitor picks up the new baseline on its
+    NEXT batch without a restart. Legacy profiles (version -1, no
+    catalog) load once and stay pinned."""
+    holder: list = []  # [(version, profile)]
+
+    def resolve(spark):
+        v = drift_profile_version(spark, profile_path)
+        if not holder or holder[0][0] != v:
+            holder.clear()
+            holder.append((v, load_drift_profile(spark, profile_path)))
+        return holder[0][1]
+
+    return resolve
 
 
 def streaming_drift(
@@ -37,22 +57,20 @@ def streaming_drift(
 ):
     """Start the drift-monitor stream; returns the StreamingQuery.
 
-    The profile is resolved from its manifest snapshot at START time
-    (monitor restarts pick up a re-pinned baseline); each batch appends
-    one report row per monitored column, exactly-once under replay."""
+    The profile version is resolved per BATCH (one catalog-head read),
+    so an approved re-baseline (``update_drift_profile``) takes effect
+    on the next micro-batch without a monitor restart; each batch
+    appends one report row per monitored column, exactly-once under
+    replay."""
 
-    profile_holder: list = []  # resolved lazily on the first batch
+    resolve = _profile_resolver(profile_path)
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
         from ensembl_database_loader_spark.sinks.manifest import write_table
 
-        if not profile_holder:
-            profile_holder.append(
-                load_drift_profile(batch_df.sparkSession, profile_path)
-            )
-        rep = psi_against_profile(batch_df, profile_holder[0])
+        rep = psi_against_profile(batch_df, resolve(batch_df.sparkSession))
         rep = rep.select(
             F.lit(int(batch_id)).alias("batch"),
             "column",
@@ -96,8 +114,11 @@ def streaming_drift_gate(
     available_now: bool = True,
 ):
     """The SHAPE monitor composed INTO the quality gate: every
-    micro-batch is first PSI-checked against the pinned reference
-    profile; a batch where any monitored column drifts past
+    micro-batch is first PSI-checked against the reference profile
+    (re-resolved per batch by catalog version, so an approved
+    re-baseline applies from the next batch on — see
+    ``update_drift_profile``); a batch where any monitored column
+    drifts past
     ``threshold`` quarantines WHOLESALE (every row tagged
     ``drift:<column>`` — a batch whose distribution broke is not
     trustworthy row by row, the same whole-batch posture
@@ -120,7 +141,7 @@ def streaming_drift_gate(
     )
 
     expectations = list(expectations)
-    profile_holder: list = []  # resolved lazily on the first batch
+    resolve = _profile_resolver(profile_path)
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -130,10 +151,8 @@ def streaming_drift_gate(
         )
 
         spark = batch_df.sparkSession
-        if not profile_holder:
-            profile_holder.append(load_drift_profile(spark, profile_path))
         batch_df = batch_df.localCheckpoint()
-        psi = psi_against_profile(batch_df, profile_holder[0]).select(
+        psi = psi_against_profile(batch_df, resolve(spark)).select(
             F.lit(int(batch_id)).alias("batch"),
             "column",
             "psi",

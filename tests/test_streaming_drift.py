@@ -181,3 +181,96 @@ def test_streaming_drift_gate_quarantines_drifted_batch(spark, tmp_path):
     _run()
     g2 = read_group(spark, root)
     assert g2["good"].count() == 96 and g2["quarantine"].count() == 54
+
+
+def test_update_drift_profile_rebaseline_and_audit(spark, tmp_path):
+    """An approved re-baseline publishes the NEXT catalog version of
+    the profile trio atomically: PSI against the profile flips from
+    alarming to quiet, the replayed approval publishes nothing
+    (exactly-once), and the catalog history carries both baselines."""
+    from ensembl_database_loader_spark.operators.drift import (
+        drift_profile_history,
+        drift_profile_version,
+        update_drift_profile,
+    )
+
+    ref = spark.createDataFrame(
+        [(float(i % 40), "en" if i % 2 else "de") for i in range(300)],
+        "score double, lang string",
+    )
+    shifted = ref.selectExpr("score * 10 + 500 AS score", "lang")
+    prof_path = str(tmp_path / "prof")
+    save_drift_profile(ref, prof_path, ("score",), ("lang",), bins=10)
+    assert drift_profile_version(spark, prof_path) == 0
+
+    def psi_of(cur):
+        prof = load_drift_profile(spark, prof_path)
+        return {r.column: r.psi for r in psi_against_profile(cur, prof).collect()}
+
+    before = psi_of(shifted)
+    assert before["score"] > 0.2 and before["lang"] == 0.0
+
+    m = update_drift_profile(shifted, prof_path, txn=("approve", 7))
+    assert m is not None
+    assert drift_profile_version(spark, prof_path) == 1
+    after = psi_of(shifted)
+    assert after["score"] == 0.0 and after["lang"] == 0.0
+    # monitored columns/bins were inherited from the current profile
+    _, _, num_cols, cat_cols, bins = load_drift_profile(spark, prof_path)
+    assert (num_cols, cat_cols, bins) == (("score",), ("lang",), 10)
+
+    # exactly-once: the replayed approval publishes nothing
+    assert update_drift_profile(shifted, prof_path, txn=("approve", 7)) is None
+    assert drift_profile_version(spark, prof_path) == 1
+
+    hist = drift_profile_history(spark, prof_path)
+    assert len(hist) == 2
+    assert int(hist[-1]["txn"]["approve"]) == 7
+    # time travel: version 0 of the group still yields the OLD baseline
+    from ensembl_database_loader_spark.sinks.catalog_commit import read_group
+
+    g0 = read_group(spark, prof_path, version=0)
+    old_total = sum(r.c_ref for r in g0["bins"].collect() if r.column == "score")
+    assert old_total == 300
+
+
+def test_update_drift_profile_requires_txn_and_legacy_upgrade(spark, tmp_path):
+    """txn is mandatory (a re-baseline is an audited act); a LEGACY
+    profile written table-by-table (no catalog root) reads fine,
+    reports version -1, and an update upgrades it to a catalogued one."""
+    import pytest
+
+    from ensembl_database_loader_spark.operators.drift import (
+        bin_counts,
+        drift_profile_version,
+        profile_edges,
+        update_drift_profile,
+    )
+    from ensembl_database_loader_spark.sinks.manifest import write_table
+
+    ref = spark.createDataFrame(
+        [(float(i % 20),) for i in range(100)], "score double"
+    )
+    # hand-write the legacy (pre-catalog) layout
+    prof_path = str(tmp_path / "legacy")
+    edges = profile_edges(ref, ("score",))
+    write_table(
+        bin_counts(ref, ("score",), (), edges, 10, "c_ref"),
+        f"{prof_path}/bins", mode="overwrite",
+    )
+    write_table(edges, f"{prof_path}/edges", mode="overwrite")
+    write_table(
+        spark.createDataFrame(
+            [("score", "", 10)], "num_cols string, cat_cols string, bins int"
+        ),
+        f"{prof_path}/meta", mode="overwrite",
+    )
+    assert drift_profile_version(spark, prof_path) == -1
+    prof = load_drift_profile(spark, prof_path)
+    assert psi_against_profile(ref, prof).collect()[0].psi == 0.0
+
+    with pytest.raises(ValueError, match="txn is required"):
+        update_drift_profile(ref, prof_path, txn=None)
+
+    assert update_drift_profile(ref, prof_path, txn=("approve", 1)) is not None
+    assert drift_profile_version(spark, prof_path) == 0
