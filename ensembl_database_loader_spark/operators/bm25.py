@@ -1,0 +1,289 @@
+"""BM25 sparse retrieval over a document corpus — the lexical sibling
+of the dense-ANN stack (operators/similarity.py): batch query frames
+scored against term postings with the Okapi BM25 weighting, plus a
+materialized postings INDEX (a manifest table with bloom-filtered term
+lookups) so repeated query waves never re-tokenize the corpus.
+
+Reference scope: the reference engine (Ensembl/ensembl-database-loader)
+delegates all querying to MySQL and has no retrieval surface; this is
+part of the training-data-pipeline extension the engine targets
+(contamination sweeps, near-dup triage, RAG candidate generation all
+want a cheap lexical top-k next to the embedding one).
+
+Scale shape (the part that matters at 100 TB):
+- the AD-HOC path scans the corpus ONCE: tokenize (JVM higher-order
+  functions, no Python), explode, FILTER BY THE BROADCAST QUERY TERM
+  SET before the tf aggregate — the shuffle carries only matching
+  (doc, term) pairs, never the full inverted index;
+- document length (``dl``) is ``size(tokens)`` in the same projection —
+  no second pass; corpus stats (N, avgdl) are a one-row aggregate that
+  rides a crossJoin;
+- per-term document frequency is computed from the FILTERED postings
+  (df is only needed for query terms), so the df frame is at most
+  |distinct query terms| rows — broadcast back onto the postings;
+- the INDEXED path stores (term, doc, tf) postings as a manifest table
+  with a BLOOM FILTER on ``term`` (sinks/manifest.py `bloom_cols`):
+  a query wave's postings lookup skips every file whose bloom rejects
+  all wave terms — the point-lookup pruning [min, max] stats can't
+  give a high-cardinality term column; df per term is precomputed and
+  versioned WITH the postings (same commit), so serving reads touch
+  only pruned postings files + tiny side tables;
+- per-query top-k reuses the batch-ANN tail (``_per_query_topk``,
+  optional salted two-phase form) — no single reducer ever sorts more
+  than one bucket's share under hot-term skew.
+
+Determinism (oracle-checkable cross-engine, FIXTURES.md §3 rules):
+tokens = whitespace split of lower/trim/collapsed text with empties
+dropped; tf/df/dl/N are exact BIGINTs; idf uses the Lucene-style
+non-negative form ln(1 + (N - df + 0.5)/(df + 0.5)); ranking orders by
+(ROUND(score, 6) DESC, doc id) — the DSIR pattern, so the engines'
+last-ulp differences in ln/÷ can't flip ranks; emitted scores round
+coarser.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ensembl_database_loader_spark.functions.text import tokens
+
+
+def _nonempty_tokens(col) -> "F.Column":
+    return F.filter(tokens(col), lambda w: w != "")
+
+
+def _query_terms(
+    queries: DataFrame, qid_col: str, qtext_col: str
+) -> DataFrame:
+    """(qid, term) — DISTINCT terms per query (BM25 scores each term
+    once however often it repeats in the query text)."""
+    return (
+        queries.select(
+            F.col(qid_col).alias("_qid"),
+            F.explode(F.array_distinct(_nonempty_tokens(qtext_col))).alias(
+                "term"
+            ),
+        )
+        .distinct()
+    )
+
+
+def _bm25_score(k1: float, b: float) -> "F.Column":
+    """The BM25 contribution of one (query term, doc) pair, from columns
+    ``tf``, ``df``, ``dl``, ``n_docs``, ``avgdl``."""
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+    )
+    tf = F.col("tf").cast("double")
+    norm = tf + F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl")
+    )
+    return idf * tf * F.lit(k1 + 1.0) / norm
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    text_col: str,
+    qid_col: str = "qid",
+    qtext_col: str = "qtext",
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    ndigits: int = 2,
+    salt_partitions: int = 0,
+) -> DataFrame:
+    """Top-``k`` BM25 matches per query: (qid, <id_col>, score, rank).
+
+    One corpus scan; the exploded term stream is filtered by the
+    broadcast query-term set BEFORE the tf aggregate, so the shuffle
+    never carries non-matching terms. ``salt_partitions`` > 1 bounds
+    per-query reducers under hot-term skew (two-phase top-k)."""
+    from ensembl_database_loader_spark.operators.similarity import (
+        _per_query_topk,
+    )
+
+    qt = _query_terms(queries, qid_col, qtext_col).localCheckpoint()
+    terms_only = qt.select("term").distinct()
+
+    toked = docs.select(
+        F.col(id_col),
+        _nonempty_tokens(text_col).alias("_toks"),
+    ).select(
+        F.col(id_col),
+        "_toks",
+        F.size("_toks").cast("bigint").alias("dl"),
+    )
+    stats = toked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+    ).localCheckpoint()
+
+    # (doc, term, tf, dl) for QUERY terms only — the broadcast filter
+    # runs before the aggregate, so partial aggregation sees only hits
+    postings = (
+        toked.select(
+            F.col(id_col), "dl", F.explode("_toks").alias("term")
+        )
+        .join(F.broadcast(terms_only), "term")
+        .groupBy(id_col, "term", "dl")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    )
+    dft = postings.groupBy("term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df")
+    )
+    return _score_postings(
+        postings, dft, stats, qt, id_col, k, k1, b, ndigits, salt_partitions
+    )
+
+
+def _score_postings(
+    postings: DataFrame,
+    dft: DataFrame,
+    stats: DataFrame,
+    qt: DataFrame,
+    id_col: str,
+    k: int,
+    k1: float,
+    b: float,
+    ndigits: int,
+    salt_partitions: int,
+) -> DataFrame:
+    """Shared scoring tail: enrich the tiny (qid, term) frame with df +
+    corpus stats, broadcast it onto the postings, sum per (qid, doc),
+    rank by (ROUND(score, 6) DESC, doc)."""
+    from ensembl_database_loader_spark.operators.similarity import (
+        _per_query_topk,
+    )
+
+    qside = qt.join(dft, "term").crossJoin(stats)
+    pairs = postings.join(F.broadcast(qside), "term").select(
+        "_qid",
+        F.col(id_col),
+        _bm25_score(float(k1), float(b)).alias("_c"),
+    )
+    scored = pairs.groupBy("_qid", id_col).agg(
+        F.round(F.sum("_c"), 6).alias("_score")
+    )
+    ranked = _per_query_topk(
+        scored, "_qid", id_col, "_score", ascending=False, k=int(k),
+        n_salts=salt_partitions,
+    )
+    return ranked.select(
+        F.col("_qid").alias("qid"),
+        F.col(id_col),
+        F.round("_score", int(ndigits)).alias("score"),
+        "rank",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Materialized postings index (manifest table, bloom-pruned term lookups)
+# ---------------------------------------------------------------------------
+
+
+def build_bm25_index(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    path: str,
+    bloom_bits: int = 1 << 20,
+    num_files: int | None = None,
+) -> None:
+    """Tokenize ONCE and persist the full inverted postings
+    (term, <id>, tf, dl) as a manifest table with a BLOOM FILTER on
+    ``term``, plus the corpus stats (N, avgdl) in table PROPERTIES —
+    versioned with the postings they describe, the ANN-index pattern
+    (`build_ann_index(manifest=True)`). Postings files are laid out
+    sorted by term so each file covers a narrow term range and the
+    bloom prunes point lookups file-by-file."""
+    from ensembl_database_loader_spark.sinks.manifest import write_table
+
+    toked = docs.select(
+        F.col(id_col),
+        _nonempty_tokens(text_col).alias("_toks"),
+    ).select(
+        F.col(id_col), "_toks", F.size("_toks").cast("bigint").alias("dl")
+    )
+    stats = toked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+    ).collect()[0]
+    postings = (
+        toked.select(F.col(id_col), "dl", F.explode("_toks").alias("term"))
+        .groupBy(id_col, "term", "dl")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+        # term-sorted layout: narrow per-file term ranges => [min, max]
+        # stats AND blooms both prune point lookups (num_files pins the
+        # file count; default lets AQE size the ranges to the data)
+        .repartitionByRange(
+            *([int(num_files)] if num_files else []), F.col("term")
+        )
+        .sortWithinPartitions("term", id_col)
+    )
+    write_table(
+        postings,
+        path,
+        mode="overwrite",
+        stats_cols=("term",),
+        bloom_cols=("term",),
+        bloom_bits=bloom_bits,
+        properties={
+            "bm25": {
+                "id_col": id_col,
+                "n_docs": int(stats["n_docs"]),
+                "avgdl": float(stats["avgdl"]),
+            }
+        },
+    )
+
+
+def bm25_topk_indexed(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    qid_col: str = "qid",
+    qtext_col: str = "qtext",
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    ndigits: int = 2,
+    salt_partitions: int = 0,
+) -> DataFrame:
+    """Top-``k`` per query against a materialized postings index: the
+    corpus is never re-tokenized — the postings scan carries an IN
+    predicate over the wave's terms, so manifest [min, max] stats and
+    the term bloom skip every file holding none of them. Row-identical
+    to ``bm25_topk`` on the same corpus (same ranking contract)."""
+    from ensembl_database_loader_spark.sinks.manifest import (
+        scan_table,
+        table_properties,
+    )
+
+    meta = table_properties(spark, path).get("bm25")
+    if not meta:
+        raise ValueError(f"no bm25 index at {path} (missing properties)")
+    id_col = meta["id_col"]
+
+    qt = _query_terms(queries, qid_col, qtext_col).localCheckpoint()
+    wave_terms = sorted({r["term"] for r in qt.select("term").distinct().collect()})
+    if not wave_terms:
+        raise ValueError("bm25_topk_indexed: queries contain no terms")
+    # one IN predicate: [min, max] stats prune by the term-sorted
+    # layout, the term bloom prunes the stragglers, and scan_table
+    # still applies the row filter
+    postings = scan_table(spark, path, predicates=[("term", "in", wave_terms)])
+    dft = postings.groupBy("term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df")
+    )
+    stats = spark.createDataFrame(
+        [(int(meta["n_docs"]), float(meta["avgdl"]))],
+        "n_docs bigint, avgdl double",
+    )
+    return _score_postings(
+        postings, dft, stats, qt, id_col, k, k1, b, ndigits, salt_partitions
+    )

@@ -4314,3 +4314,84 @@ def ss_ann_manifest_index(spark: SparkSession, sf: str) -> DataFrame:
             F.lit(bool(restore_serves)).alias("mi_restore_serves"),
         )
     )
+
+
+_BM25_ORACLE = (
+    # full recompute: same tokens, same Okapi weighting (k1=1.2,
+    # b=0.75, Lucene non-negative idf), same (round-6 score, doc id)
+    # ranking — the kept rows and emitted scores are value-exact
+    r"WITH d AS (SELECT doc_id, list_filter(string_split("
+    r"regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '), "
+    "w -> w <> '') AS toks FROM documents), "
+    "dl AS (SELECT doc_id, len(toks) AS dl FROM d), "
+    "st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, AVG(dl) AS avgdl FROM dl), "
+    "q AS (SELECT doc_id AS qid, list_slice(toks, 1, 5) AS qtoks "
+    "FROM d WHERE doc_id % 100 = 7), "
+    "qt AS (SELECT DISTINCT qid, unnest(qtoks) AS term FROM q), "
+    "p AS (SELECT doc_id, unnest(toks) AS term FROM d), "
+    "tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM p "
+    "WHERE term IN (SELECT DISTINCT term FROM qt) GROUP BY 1, 2), "
+    "dft AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1), "
+    "sc AS (SELECT qid, tf.doc_id AS doc_id, "
+    "ROUND(SUM(ln(1 + (n - df + 0.5) / (df + 0.5)) * tf * 2.2 "
+    "/ (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 6) AS score "
+    "FROM qt JOIN tf USING (term) JOIN dft USING (term) "
+    "JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN st GROUP BY 1, 2), "
+    "rk AS (SELECT qid, doc_id, score, ROW_NUMBER() OVER "
+    "(PARTITION BY qid ORDER BY score DESC, doc_id) AS rn FROM sc) "
+    "SELECT qid, doc_id, ROUND(score, 2) AS score, "
+    "CAST(rn AS INTEGER) AS rank, TRUE AS bm_idx_matches, "
+    "TRUE AS bm_salted_matches FROM rk WHERE rn <= 5 ORDER BY qid, rank"
+)
+
+
+@probe(
+    "ss_bm25_topk",
+    oracle=_BM25_ORACLE,
+    tags=("llm", "similarity", "retrieval", "text"),
+)
+def ss_bm25_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """BM25 sparse retrieval (operators/bm25.py) — the lexical sibling
+    of the dense-ANN serving stack: a batch query frame (every doc_id %
+    100 == 7's first five tokens) scored against the documents corpus,
+    top-5 per query. The AD-HOC path (one corpus scan; the exploded
+    term stream filtered by the broadcast query-term set BEFORE the tf
+    aggregate) is hash-gated VALUE-EXACT against the oracle's full
+    recompute — kept rows, rounded scores, ranks. TRUE-gated: the
+    MATERIALIZED postings index (a manifest table with a term bloom +
+    term-sorted [min, max] stats, corpus stats in table properties) is
+    row-identical to the ad-hoc path, and the salted two-phase top-k
+    is row-identical to the single-window plan."""
+    import tempfile
+
+    from ensembl_database_loader_spark.functions.text import tokens
+    from ensembl_database_loader_spark.operators.bm25 import (
+        bm25_topk,
+        bm25_topk_indexed,
+        build_bm25_index,
+    )
+
+    ensure_session_confs(spark)
+    docs = table(spark, sf, "documents").select("doc_id", "text")
+    toks = F.filter(tokens("text"), lambda w: w != "")
+    queries = docs.filter(F.col("doc_id") % 100 == 7).select(
+        F.col("doc_id").alias("qid"),
+        F.concat_ws(" ", F.slice(toks, 1, 5)).alias("qtext"),
+    )
+    topk = bm25_topk(docs, queries, "doc_id", "text", k=5).persist()
+
+    path = tempfile.mkdtemp(prefix="edl_bm25_") + "/idx"
+    build_bm25_index(docs, "doc_id", "text", path, num_files=4)
+    idx = bm25_topk_indexed(spark, path, queries, k=5)
+    idx_diffs = topk.exceptAll(idx).unionAll(idx.exceptAll(topk))
+    salted = bm25_topk_indexed(spark, path, queries, k=5, salt_partitions=4)
+    salt_diffs = idx.exceptAll(salted).unionAll(salted.exceptAll(idx))
+    return (
+        topk.crossJoin(idx_diffs.agg((_cnt() == 0).alias("bm_idx_matches")))
+        .crossJoin(salt_diffs.agg((_cnt() == 0).alias("bm_salted_matches")))
+        .select(
+            "qid", "doc_id", "score", "rank",
+            "bm_idx_matches", "bm_salted_matches",
+        )
+        .orderBy("qid", "rank")
+    )

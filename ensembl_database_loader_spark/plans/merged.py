@@ -650,6 +650,20 @@ MERGE_SPECS: dict[str, list[tuple[str, list[tuple[str, str]]]]] = {
                 ("bi_salted_matches", "bi_salted_matches"),
             ],
         ),
+        # r11: BM25 sparse retrieval — value-exact top-5 rows per query
+        # (keyed uniquely by (bm_qid, bm_rank)); the bloom-pruned
+        # postings index and salted top-k are TRUE-gated row-identical
+        (
+            "ss_bm25_topk",
+            [
+                ("qid", "bm_qid"),
+                ("doc_id", "bm_doc_id"),
+                ("score", "bm_score"),
+                ("rank", "bm_rank"),
+                ("bm_idx_matches", "bm_idx_matches"),
+                ("bm_salted_matches", "bm_salted_matches"),
+            ],
+        ),
         # r11: the ANN index AS A MANIFEST TABLE — layout-invisible
         # serving, cell-scoped appends/deletes, exactly-once ingest,
         # metadata-only serving rollback

@@ -710,19 +710,27 @@ def scan_table(
         fields = {f.name: f.dataType.simpleString() for f in schema.fields}
         blooms = m.get("blooms", {})
         for col, op, v in predicates:
-            if op != "=" or col not in bloom_meta or col not in fields:
+            if op not in ("=", "in") or col not in bloom_meta or col not in fields:
                 continue
             meta = bloom_meta[col]
-            pos = _bloom_positions(
-                spark, fields[col], v, int(meta["bits"]), int(meta["hashes"])
-            )
-            if pos is None:
-                continue  # literal doesn't cast to the column type — keep all
+            vals = list(v) if op == "in" else [v]
+            # one position set per literal; None (uncastable literal)
+            # disables bloom pruning for this predicate entirely
+            pos_sets = [
+                _bloom_positions(
+                    spark, fields[col], x, int(meta["bits"]), int(meta["hashes"])
+                )
+                for x in vals
+            ]
+            if any(p is None for p in pos_sets):
+                continue
+            # a file survives when ANY member may be present (IN is a
+            # disjunction); "=" is the single-member case
             kept = [
                 rel
                 for rel in kept
                 if (b := blooms.get(rel, {}).get(col)) is None
-                or _bloom_contains(b, pos)
+                or any(_bloom_contains(b, p) for p in pos_sets)
             ]
     df = _read_files(spark, m, root, kept)
     for col, op, v in predicates:

@@ -119,6 +119,14 @@ def main() -> int:
         help="replica counts for the r9 ops (corpus BPE encode, tokenized "
         "example materialization, fixed-point PageRank); empty = skip",
     )
+    ap.add_argument(
+        "--r11-batch", default="",
+        help="batch-ANN width scaling over materialized indexes: "
+        "'<vec_reps>:<q1>,<q2>,...' — build float + PQ indexes on "
+        "vec_reps-replicated embeddings, then run each query-batch "
+        "width through ivf_topk_many_indexed and pq_topk_many_indexed_df; "
+        "empty = skip",
+    )
     args = ap.parse_args()
 
     spark = get_spark(app_name="scaling-bench")
@@ -702,6 +710,66 @@ def main() -> int:
             print(json.dumps(rec), flush=True)
             codes.unpersist()
             vs.unpersist()
+
+    if args.r11_batch:
+        import tempfile
+
+        from ensembl_database_loader_spark.operators.similarity import (
+            build_ann_index,
+            ivf_topk_many_indexed,
+            pq_topk_many_indexed_df,
+        )
+
+        reps_s, qcounts_s = args.r11_batch.split(":")
+        vs = scaled_vectors(spark, args.sf_dir, int(reps_s)).select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+        ).cache()
+        n = vs.count()
+        root = tempfile.mkdtemp(prefix="edl_r11_")
+        flat_p, pq_p = root + "/flat", root + "/pq"
+        t0 = time.perf_counter()
+        cents = build_ann_index(vs, "vec_id", "embedding", flat_p, n_cells=64)
+        dt_flat = round(time.perf_counter() - t0, 2)
+        t0 = time.perf_counter()
+        build_ann_index(
+            vs, "vec_id", "embedding", pq_p, n_cells=64, centroids=cents,
+            quantized="pq", pq_m=8, pq_k=16,
+        )
+        dt_pq = round(time.perf_counter() - t0, 2)
+        rec = {"op": "ss_ann_index_build", "n_vecs": n,
+               "sec_flat": dt_flat, "sec_pq": dt_pq}  # fmt: skip
+        out.append(rec)
+        print(json.dumps(rec), flush=True)
+
+        for nq in [int(x) for x in qcounts_s.split(",") if x]:
+            # nq DISTINCT query vectors (the realistic wide-sweep shape;
+            # the r10 worst case was all-identical queries)
+            queries = vs.limit(nq).select(
+                F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+            ).localCheckpoint()
+
+            t0 = time.perf_counter()
+            got = ivf_topk_many_indexed(
+                spark, flat_p, queries, "qid", "qvec", k=10, n_probe=8,
+                exclude_self=True, salt_partitions=8,
+            ).count()
+            dt = time.perf_counter() - t0
+            rec = {"op": "ss_ann_batch_ivf_indexed", "n_vecs": n,
+                   "n_queries": nq, "sec": round(dt, 2), "rows": int(got)}  # fmt: skip
+            out.append(rec)
+            print(json.dumps(rec), flush=True)
+
+            t0 = time.perf_counter()
+            got = pq_topk_many_indexed_df(
+                spark, pq_p, queries, "qid", "qvec", k=10, n_probe=8,
+                exclude_self=True, salt_partitions=8,
+            ).count()
+            dt = time.perf_counter() - t0
+            rec = {"op": "ss_ann_batch_pq_df", "n_vecs": n,
+                   "n_queries": nq, "sec": round(dt, 2), "rows": int(got)}  # fmt: skip
+            out.append(rec)
+            print(json.dumps(rec), flush=True)
+        vs.unpersist()
 
     spark.stop()
     return 0

@@ -1,0 +1,167 @@
+"""operators/bm25.py — Okapi BM25 sparse retrieval: ad-hoc scoring
+against a pure-Python mirror, the materialized postings index
+row-identical to ad-hoc, bloom + stats file skipping on term lookups,
+and the salted two-phase top-k row-identical to the single-window plan.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from ensembl_database_loader_spark.operators.bm25 import (
+    bm25_topk,
+    bm25_topk_indexed,
+    build_bm25_index,
+)
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog"),
+    (2, "the quick red fox"),
+    (3, "lazy dogs sleep all day long"),
+    (4, "a quick study of brown bears and red pandas"),
+    (5, "dogs and foxes are distant cousins"),
+    (6, "nothing in common with anything here whatsoever"),
+]
+
+QUERIES = [(100, "quick brown fox"), (200, "lazy dog")]
+
+
+def _mirror_topk(k1=1.2, b=0.75, k=3):
+    """Driver-side BM25 recompute (the operator's determinism contract:
+    rank by (round(score, 6) desc, doc id))."""
+    toks = {d: t.lower().split() for d, t in DOCS}
+    n = len(toks)
+    avgdl = sum(len(v) for v in toks.values()) / n
+    out = {}
+    for qid, qtext in QUERIES:
+        scores = {}
+        for term in sorted(set(qtext.lower().split())):
+            hits = {d: v.count(term) for d, v in toks.items() if term in v}
+            if not hits:
+                continue
+            idf = math.log(1 + (n - len(hits) + 0.5) / (len(hits) + 0.5))
+            for d, tf in hits.items():
+                dl = len(toks[d])
+                c = idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+                scores[d] = scores.get(d, 0.0) + c
+        ranked = sorted(
+            ((round(s, 6), d) for d, s in scores.items()),
+            key=lambda x: (-x[0], x[1]),
+        )[:k]
+        out[qid] = [
+            (d, round(s, 2), i + 1) for i, (s, d) in enumerate(ranked)
+        ]
+    return out
+
+
+def _frames(spark):
+    docs = spark.createDataFrame(DOCS, "doc_id bigint, text string")
+    queries = spark.createDataFrame(QUERIES, "qid bigint, qtext string")
+    return docs, queries
+
+
+def test_bm25_topk_matches_mirror(spark):
+    docs, queries = _frames(spark)
+    got = {
+        qid: [
+            (r["doc_id"], r["score"], r["rank"])
+            for r in rows
+        ]
+        for qid, rows in _group(
+            bm25_topk(docs, queries, "doc_id", "text", k=3).collect()
+        ).items()
+    }
+    assert got == _mirror_topk(k=3)
+
+
+def _group(rows):
+    out: dict = {}
+    for r in sorted(rows, key=lambda r: (r["qid"], r["rank"])):
+        out.setdefault(r["qid"], []).append(r)
+    return out
+
+
+def test_indexed_row_identical_and_salted(spark, tmp_path):
+    docs, queries = _frames(spark)
+    path = str(tmp_path / "bm25")
+    build_bm25_index(docs, "doc_id", "text", path)
+    adhoc = bm25_topk(docs, queries, "doc_id", "text", k=3)
+    idx = bm25_topk_indexed(spark, path, queries, k=3)
+    assert idx.exceptAll(adhoc).unionAll(adhoc.exceptAll(idx)).count() == 0
+    salted = bm25_topk_indexed(spark, path, queries, k=3, salt_partitions=4)
+    assert salted.exceptAll(idx).unionAll(idx.exceptAll(salted)).count() == 0
+
+
+def test_index_prunes_postings_files(spark, tmp_path, sf_dir):
+    """Term-sorted layout + [min, max] stats + term bloom: a narrow
+    query wave's postings lookup keeps a strict subset of the files."""
+    from ensembl_database_loader_spark.sinks.manifest import (
+        files_matching,
+        latest_manifest,
+    )
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+    )
+    path = str(tmp_path / "bm25_docs")
+    build_bm25_index(docs, "doc_id", "text", path, num_files=8)
+    m = latest_manifest(spark, path)
+    assert len(m["files"]) > 1, "fixture index must span multiple files"
+    kept = files_matching(m, [("term", "in", ["the"])])
+    assert 0 < len(kept) < len(m["files"])
+    got = bm25_topk_indexed(
+        spark,
+        path,
+        spark.createDataFrame([(1, "the")], "qid bigint, qtext string"),
+        k=5,
+    )
+    assert got.count() == 5
+
+
+def test_bloom_prunes_in_predicates(spark, tmp_path):
+    """The r11 scan_table extension: an IN predicate consults the
+    per-file blooms (disjunction over members) — on an UNSORTED layout
+    where [min, max] spans everything, the bloom alone prunes."""
+    from ensembl_database_loader_spark.sinks.manifest import (
+        files_matching,
+        latest_manifest,
+        scan_table,
+        write_table,
+    )
+
+    # two files whose term ranges BOTH cover 'bbb' (stats useless):
+    # file 1 spans [aaa, zzz], file 2 spans [bbb, yyy]
+    path = str(tmp_path / "blooms")
+    f1 = spark.createDataFrame(
+        [(1, "aaa"), (2, "zzz")], "id bigint, term string"
+    ).coalesce(1)
+    f2 = spark.createDataFrame(
+        [(3, "bbb"), (4, "yyy")], "id bigint, term string"
+    ).coalesce(1)
+    write_table(
+        f1, path, mode="overwrite", stats_cols=("term",), bloom_cols=("term",)
+    )
+    write_table(
+        f2, path, mode="append", stats_cols=("term",), bloom_cols=("term",)
+    )
+    m = latest_manifest(spark, path)
+    assert len(m["files"]) == 2
+    # [min, max] stats alone keep BOTH files for 'bbb'
+    assert len(files_matching(m, [("term", "in", ["bbb", "qqq"])])) == 2
+    # the bloom disjunction keeps only the file actually holding 'bbb'
+    got = scan_table(spark, path, predicates=[("term", "in", ["bbb", "qqq"])])
+    assert [r["id"] for r in got.collect()] == [3]
+    assert len(got.inputFiles()) == 1
+
+
+def test_empty_query_raises(spark, tmp_path):
+    docs, _ = _frames(spark)
+    path = str(tmp_path / "bm25e")
+    build_bm25_index(docs, "doc_id", "text", path)
+    empty = spark.createDataFrame([(1, "   ")], "qid bigint, qtext string")
+    with pytest.raises(ValueError, match="no terms"):
+        bm25_topk_indexed(spark, path, empty, k=3)
