@@ -424,6 +424,7 @@ def ivf_topk_many_indexed(
     n_probe: int = 4,
     exclude_self: bool = False,
     salt_partitions: int = 0,
+    scorer: str = "expr",
 ) -> DataFrame:
     """``ivf_topk_many`` against a MATERIALIZED index
     (``build_ann_index`` — float or int8): the scan prunes to the
@@ -435,7 +436,24 @@ def ivf_topk_many_indexed(
     IDENTICAL to ``ivf_topk_indexed`` with the same index (int8
     indexes rank on the codes directly — the per-vector scale cancels
     in cosine). ``exclude_self`` drops candidates whose index id
-    equals the query id. Returns (qid, id, cos, rank)."""
+    equals the query id. Returns (qid, id, cos, rank).
+
+    ``scorer`` picks the candidate-scoring engine:
+
+    - ``"expr"`` (default): per-pair JVM cosine (whole-stage codegen) —
+      right for narrow batches, zero Python over the corpus;
+    - ``"gemm"``: per-cell BLAS — the probed cells COGROUP with their
+      probing queries (``applyInPandas``: one Arrow batch per cell),
+      each cell scores as ONE queries x vectors matmul and emits only
+      its per-(query, cell) top-k, so the global window ranks
+      <= n_probe*k rows per query. The measured wide-sweep fix: the
+      codegen fold costs ~64 us per candidate pair (three 64-element
+      folds), which at 10k queries x 8 probes x 625-vector cells is
+      855 s; the matmul scores the same 50M pairs in BLAS time
+      (~26 s end-to-end, 33x — COVERAGE.md r11). Row-identical to
+      ``"expr"`` on the fixture (bi_gemm_matches gate): both round
+      cosine to 6 digits before ranking, and per-cell top-k is exact
+      (every global top-k row is within its own cell's top-k)."""
     import numpy as np
     import pandas as pd
 
@@ -476,22 +494,100 @@ def ivf_topk_many_indexed(
         r["_cell"] for r in qcells.select("_cell").distinct().collect()
     )
     idx = _ann_cells_scan(spark, path, meta, union_cells)
-    pairs = idx.join(F.broadcast(qcells), "_cell")
-    if exclude_self:
-        pairs = pairs.filter(F.col(id_col) != F.col("_qid"))
-    if meta.get("quantized"):
-        cos = cosine(F.transform("q", lambda x: x.cast("double")), F.col("_qvec"))
+    if scorer == "gemm":
+        scored = _gemm_cell_scores(
+            idx, qcells, meta, id_col, k=int(k), exclude_self=exclude_self
+        )
+    elif scorer == "expr":
+        pairs = idx.join(F.broadcast(qcells), "_cell")
+        if exclude_self:
+            pairs = pairs.filter(F.col(id_col) != F.col("_qid"))
+        if meta.get("quantized"):
+            cos = cosine(
+                F.transform("q", lambda x: x.cast("double")), F.col("_qvec")
+            )
+        else:
+            cos = cosine(F.col(meta["vec_col"]), F.col("_qvec"))
+        scored = pairs.select(
+            "_qid", F.col(id_col), F.round(cos, 6).alias("_cos")
+        )
     else:
-        cos = cosine(F.col(meta["vec_col"]), F.col("_qvec"))
+        raise ValueError(f"scorer must be expr|gemm, got {scorer!r}")
     ranked = _per_query_topk(
-        pairs.select("_qid", F.col(id_col), F.round(cos, 6).alias("_cos")),
-        "_qid", id_col, "_cos", ascending=False, k=k, n_salts=salt_partitions,
+        scored, "_qid", id_col, "_cos", ascending=False, k=k,
+        n_salts=salt_partitions,
     )
     return ranked.select(
         F.col("_qid").alias(qid_col),
         F.col(id_col),
         F.col("_cos").alias("cos"),
         "rank",
+    )
+
+
+def _gemm_cell_scores(
+    idx: DataFrame,
+    qcells: DataFrame,
+    meta: dict,
+    id_col: str,
+    k: int,
+    exclude_self: bool,
+) -> DataFrame:
+    """Per-cell BLAS scoring: each probed cell cogroups with its
+    probing queries, scores as one queries x vectors matmul, and emits
+    only its per-(query, cell) top-k (round-6 cosine, id tie-break) —
+    the exact per-cell prefix of the global ranking, so the downstream
+    per-qid window over <= n_probe*k rows per query reproduces the
+    pair-expression plan row-for-row."""
+    import numpy as np
+    import pandas as pd
+
+    vec_col = "q" if meta.get("quantized") else meta["vec_col"]
+    kk = int(k)
+    excl = bool(exclude_self)
+
+    def _cell_topk(key, idx_pdf, q_pdf):  # type: ignore[no-untyped-def]
+        if len(idx_pdf) == 0 or len(q_pdf) == 0:
+            return pd.DataFrame(
+                {
+                    "_qid": pd.Series([], dtype="int64"),
+                    id_col: pd.Series([], dtype="int64"),
+                    "_cos": pd.Series([], dtype="float64"),
+                }
+            )
+        v = np.array(idx_pdf[vec_col].tolist(), dtype=np.float64)
+        ids = idx_pdf[id_col].to_numpy(dtype=np.int64)
+        q = np.array(q_pdf["_qvec"].tolist(), dtype=np.float64)
+        qids = q_pdf["_qid"].to_numpy(dtype=np.int64)
+        # dot / (|q| * |v|): same formulation as functions.vectors.cosine
+        sims = (q @ v.T) / np.maximum(
+            np.outer(np.linalg.norm(q, axis=1), np.linalg.norm(v, axis=1)),
+            1e-300,
+        )
+        sims = np.round(sims, 6)
+        if excl:
+            sims[qids[:, None] == ids[None, :]] = -np.inf
+        n = min(kk, sims.shape[1])
+        rq, ri, rc = [], [], []
+        for i in range(sims.shape[0]):
+            row = sims[i]
+            order = np.lexsort((ids, -row))[:n]
+            keep = order[np.isfinite(row[order])]
+            rq.append(np.full(len(keep), qids[i], dtype=np.int64))
+            ri.append(ids[keep])
+            rc.append(row[keep])
+        return pd.DataFrame(
+            {
+                "_qid": np.concatenate(rq),
+                id_col: np.concatenate(ri),
+                "_cos": np.concatenate(rc),
+            }
+        )
+
+    return (
+        idx.groupBy("_cell")
+        .cogroup(qcells.groupBy("_cell"))
+        .applyInPandas(_cell_topk, f"_qid bigint, {id_col} bigint, _cos double")
     )
 
 

@@ -4097,7 +4097,8 @@ def tx_semantic_decontam(spark: SparkSession, sf: str) -> DataFrame:
     oracle=(
         "SELECT TRUE AS bi_ivf_matches, TRUE AS bi_pq_matches, "
         "CAST(20 AS BIGINT) AS bi_ivf_pairs, CAST(20 AS BIGINT) AS bi_pq_pairs, "
-        "TRUE AS bi_pq_df_matches, TRUE AS bi_salted_matches"
+        "TRUE AS bi_pq_df_matches, TRUE AS bi_salted_matches, "
+        "TRUE AS bi_gemm_matches"
     ),
     tags=("llm", "similarity", "approx", "batch", "index"),
 )
@@ -4115,9 +4116,12 @@ def ss_ann_batch_indexed(spark: SparkSession, sf: str) -> DataFrame:
     the DATAFRAME-shaped PQ batch (``pq_topk_many_indexed_df`` — ADC
     tables computed executor-side per query row, JVM-side scoring,
     plan-gated single pruned codes-only scan) is row-identical to the
-    list form, and the SALTED two-phase per-query top-k
+    list form, the SALTED two-phase per-query top-k
     (``salt_partitions`` — skew-bounded reducers, plan-gated two
-    Window phases) is row-identical to the single-window plan."""
+    Window phases) is row-identical to the single-window plan, and the
+    per-cell GEMM scorer (``scorer='gemm'`` — cogrouped BLAS matmul
+    per probed cell with in-cell top-k, the measured 33x wide-sweep
+    fix) is row-identical to the pair-expression plan."""
     import tempfile
 
     from pyspark.sql import Window
@@ -4188,6 +4192,11 @@ def ss_ann_batch_indexed(spark: SparkSession, sf: str) -> DataFrame:
         exclude_self=True, salt_partitions=4,
     )
     salt_diffs = ivf_b.exceptAll(salted_b).unionAll(salted_b.exceptAll(ivf_b))
+    gemm_b = ivf_topk_many_indexed(
+        spark, flat_path, queries, "qid", "qvec", k=5, n_probe=2,
+        exclude_self=True, scorer="gemm",
+    )
+    gemm_diffs = ivf_b.exceptAll(gemm_b).unionAll(gemm_b.exceptAll(ivf_b))
 
     return (
         ivf_diffs.agg((_cnt() == 0).alias("bi_ivf_matches"))
@@ -4196,6 +4205,7 @@ def ss_ann_batch_indexed(spark: SparkSession, sf: str) -> DataFrame:
         .crossJoin(pq_b.agg(_cnt().alias("bi_pq_pairs")))
         .crossJoin(df_diffs.agg((_cnt() == 0).alias("bi_pq_df_matches")))
         .crossJoin(salt_diffs.agg((_cnt() == 0).alias("bi_salted_matches")))
+        .crossJoin(gemm_diffs.agg((_cnt() == 0).alias("bi_gemm_matches")))
     )
 
 @probe(
@@ -4393,5 +4403,105 @@ def ss_bm25_topk(spark: SparkSession, sf: str) -> DataFrame:
             "qid", "doc_id", "score", "rank",
             "bm_idx_matches", "bm_salted_matches",
         )
+        .orderBy("qid", "rank")
+    )
+
+
+_RRF_ORACLE = (
+    # full recompute of BOTH retrieval paths + the fusion: BM25 as in
+    # _BM25_ORACLE, dense = exact cosine, RRF = sum of 1/(60 + rank)
+    # over the sources that returned the doc, (round-6, id) ranking
+    r"WITH d AS (SELECT doc_id, list_filter(string_split("
+    r"regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '), "
+    "w -> w <> '') AS toks FROM documents), "
+    "dl AS (SELECT doc_id, len(toks) AS dl FROM d), "
+    "st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, AVG(dl) AS avgdl FROM dl), "
+    "q AS (SELECT doc_id AS qid, list_slice(toks, 1, 5) AS qtoks "
+    "FROM d WHERE doc_id % 100 = 7), "
+    "qt AS (SELECT DISTINCT qid, unnest(qtoks) AS term FROM q), "
+    "p AS (SELECT doc_id, unnest(toks) AS term FROM d), "
+    "tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM p "
+    "WHERE term IN (SELECT DISTINCT term FROM qt) GROUP BY 1, 2), "
+    "dft AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1), "
+    "sc AS (SELECT qid, tf.doc_id AS doc_id, "
+    "ROUND(SUM(ln(1 + (n - df + 0.5) / (df + 0.5)) * tf * 2.2 "
+    "/ (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 6) AS score "
+    "FROM qt JOIN tf USING (term) JOIN dft USING (term) "
+    "JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN st GROUP BY 1, 2), "
+    "brk AS (SELECT qid, doc_id, ROW_NUMBER() OVER "
+    "(PARTITION BY qid ORDER BY score DESC, doc_id) AS rn FROM sc), "
+    "ce AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), "
+    "qv AS (SELECT vec_id AS qid, v AS qv FROM ce WHERE vec_id % 100 = 7), "
+    "cs AS (SELECT qid, vec_id AS doc_id, ROUND(list_dot_product(qv, v) "
+    "/ (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))), 6) "
+    "AS cos FROM qv, ce), "
+    "crk AS (SELECT qid, doc_id, ROW_NUMBER() OVER "
+    "(PARTITION BY qid ORDER BY cos DESC, doc_id) AS rn FROM cs), "
+    "u AS (SELECT qid, doc_id, 1.0 / (60 + rn) AS c FROM brk WHERE rn <= 5 "
+    "UNION ALL SELECT qid, doc_id, 1.0 / (60 + rn) FROM crk WHERE rn <= 5), "
+    "f AS (SELECT qid, doc_id, ROUND(SUM(c), 6) AS rrf FROM u GROUP BY 1, 2), "
+    "frk AS (SELECT qid, doc_id, rrf, ROW_NUMBER() OVER "
+    "(PARTITION BY qid ORDER BY rrf DESC, doc_id) AS rn FROM f) "
+    "SELECT qid, doc_id, rrf, CAST(rn AS INTEGER) AS rank, "
+    "TRUE AS hy_salted_matches FROM frk WHERE rn <= 5 ORDER BY qid, rank"
+)
+
+
+@probe(
+    "ss_hybrid_rrf",
+    oracle=_RRF_ORACLE,
+    tags=("llm", "similarity", "retrieval", "fusion"),
+)
+def ss_hybrid_rrf(spark: SparkSession, sf: str) -> DataFrame:
+    """HYBRID retrieval: Reciprocal Rank Fusion (operators/fusion.py)
+    of the lexical path (BM25 top-5, operators/bm25.py) and the dense
+    path (exact cosine top-5) for the same query set — the standard
+    two-tower serving composition, fused on RANKS so the two systems'
+    incomparable scores never need calibration. VALUE-EXACT against the
+    oracle's full recompute of both retrievals and the fusion (fused
+    scores, ranks, kept rows). TRUE-gated: the salted two-phase fusion
+    top-k is row-identical to the single-window plan. Fusion costs one
+    union + one partial-agg over the already-tiny top-k frames — the
+    corpora are only scanned inside the gated retrieval operators."""
+    from pyspark.sql import Window
+
+    from ensembl_database_loader_spark.functions.text import tokens
+    from ensembl_database_loader_spark.functions.vectors import cosine
+    from ensembl_database_loader_spark.operators.bm25 import bm25_topk
+    from ensembl_database_loader_spark.operators.fusion import rrf_fuse
+
+    ensure_session_confs(spark)
+    docs = table(spark, sf, "documents").select("doc_id", "text")
+    toks = F.filter(tokens("text"), lambda w: w != "")
+    queries = docs.filter(F.col("doc_id") % 100 == 7).select(
+        F.col("doc_id").alias("qid"),
+        F.concat_ws(" ", F.slice(toks, 1, 5)).alias("qtext"),
+    )
+    lex = bm25_topk(docs, queries, "doc_id", "text", k=5)
+
+    e = table(spark, sf, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    qv = e.filter(F.col("vec_id") % 100 == 7).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv")
+    )
+    pairs = e.crossJoin(F.broadcast(qv)).select(
+        "qid",
+        F.col("vec_id").alias("doc_id"),
+        F.round(cosine(F.col("v"), F.col("qv")), 6).alias("cos"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos"), "doc_id")
+    dense = pairs.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= 5
+    )
+
+    fused = rrf_fuse([lex, dense], id_col="doc_id", k0=60, k=5).persist()
+    salted = rrf_fuse(
+        [lex, dense], id_col="doc_id", k0=60, k=5, salt_partitions=4
+    )
+    diffs = fused.exceptAll(salted).unionAll(salted.exceptAll(fused))
+    return (
+        fused.crossJoin(diffs.agg((_cnt() == 0).alias("hy_salted_matches")))
+        .select("qid", "doc_id", "rrf", "rank", "hy_salted_matches")
         .orderBy("qid", "rank")
     )

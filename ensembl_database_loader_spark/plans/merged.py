@@ -648,6 +648,7 @@ MERGE_SPECS: dict[str, list[tuple[str, list[tuple[str, str]]]]] = {
                 ("bi_pq_pairs", "bi_pq_pairs"),
                 ("bi_pq_df_matches", "bi_pq_df_matches"),
                 ("bi_salted_matches", "bi_salted_matches"),
+                ("bi_gemm_matches", "bi_gemm_matches"),
             ],
         ),
         # r11: BM25 sparse retrieval — value-exact top-5 rows per query
@@ -662,6 +663,18 @@ MERGE_SPECS: dict[str, list[tuple[str, list[tuple[str, str]]]]] = {
                 ("rank", "bm_rank"),
                 ("bm_idx_matches", "bm_idx_matches"),
                 ("bm_salted_matches", "bm_salted_matches"),
+            ],
+        ),
+        # r11: hybrid RRF fusion of the lexical + dense paths —
+        # value-exact fused rows (keyed uniquely by (hy_qid, hy_rank))
+        (
+            "ss_hybrid_rrf",
+            [
+                ("qid", "hy_qid"),
+                ("doc_id", "hy_doc_id"),
+                ("rrf", "hy_rrf"),
+                ("rank", "hy_rank"),
+                ("hy_salted_matches", "hy_salted_matches"),
             ],
         ),
         # r11: the ANN index AS A MANIFEST TABLE — layout-invisible
