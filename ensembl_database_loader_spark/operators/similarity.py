@@ -449,8 +449,8 @@ def ivf_topk_many_indexed(
       <= n_probe*k rows per query. The measured wide-sweep fix: the
       codegen fold costs ~64 us per candidate pair (three 64-element
       folds), which at 10k queries x 8 probes x 625-vector cells is
-      855 s; the matmul scores the same 50M pairs in BLAS time
-      (~26 s end-to-end, 33x — COVERAGE.md r11). Row-identical to
+      855-947 s; the matmul scores the same 50M pairs in BLAS time
+      (8.6 s end-to-end, ~100x — COVERAGE.md r11). Row-identical to
       ``"expr"`` on the fixture (bi_gemm_matches gate): both round
       cosine to 6 digits before ranking, and per-cell top-k is exact
       (every global top-k row is within its own cell's top-k)."""

@@ -4120,8 +4120,9 @@ def ss_ann_batch_indexed(spark: SparkSession, sf: str) -> DataFrame:
     (``salt_partitions`` — skew-bounded reducers, plan-gated two
     Window phases) is row-identical to the single-window plan, and the
     per-cell GEMM scorer (``scorer='gemm'`` — cogrouped BLAS matmul
-    per probed cell with in-cell top-k, the measured 33x wide-sweep
-    fix) is row-identical to the pair-expression plan."""
+    per probed cell with in-cell top-k, the measured ~100x wide-sweep
+    fix: 8.6 s vs 855-947 s at 10k queries x 40k vectors) is
+    row-identical to the pair-expression plan."""
     import tempfile
 
     from pyspark.sql import Window
