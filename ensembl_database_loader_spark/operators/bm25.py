@@ -211,7 +211,7 @@ def build_bm25_index(
     )
     stats = toked.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-        F.avg("dl").alias("avgdl"),
+        F.sum("dl").cast("bigint").alias("total_tokens"),
     ).collect()[0]
     postings = (
         toked.select(F.col(id_col), "dl", F.explode("_toks").alias("term"))
@@ -225,6 +225,10 @@ def build_bm25_index(
         )
         .sortWithinPartitions("term", id_col)
     )
+    # corpus stats stored as EXACT integers (n_docs, total_tokens):
+    # avgdl derives at query time, so an append-built index and a
+    # from-scratch build agree bit-for-bit (an incrementally-maintained
+    # avgdl double would drift from the one-shot average)
     write_table(
         postings,
         path,
@@ -236,7 +240,69 @@ def build_bm25_index(
             "bm25": {
                 "id_col": id_col,
                 "n_docs": int(stats["n_docs"]),
-                "avgdl": float(stats["avgdl"]),
+                "total_tokens": int(stats["total_tokens"] or 0),
+            }
+        },
+    )
+
+
+def append_to_bm25_index(
+    new_docs: DataFrame,
+    text_col: str,
+    path: str,
+    txn: tuple[str, int] | None = None,
+) -> dict | None:
+    """Append a NEW document batch into an existing postings index as
+    ONE atomic commit: the batch's (term, id, tf, dl) postings land as
+    new term-sorted files (blooms + stats inherited from the table
+    spec), and the corpus stats in table PROPERTIES advance by exact
+    integer deltas in the SAME commit — a reader never sees new
+    postings under old stats, and a replayed ``txn`` commits nothing
+    (exactly-once under streaming ingest). Because stats are exact
+    integers and df/idf derive from the postings at query time, an
+    append-maintained index serves ROW-IDENTICAL to a from-scratch
+    rebuild on the union (gated in tests). Caller contract: new ids
+    must not already be indexed (the ANN-append rule) — re-ingested
+    docs should go through a delete first."""
+    from ensembl_database_loader_spark.sinks.manifest import (
+        table_properties,
+        write_table,
+    )
+
+    spark = new_docs.sparkSession
+    meta = table_properties(spark, path).get("bm25")
+    if not meta:
+        raise ValueError(f"no bm25 index at {path} (missing properties)")
+    id_col = meta["id_col"]
+    toked = new_docs.select(
+        F.col(id_col),
+        _nonempty_tokens(text_col).alias("_toks"),
+    ).select(
+        F.col(id_col), "_toks", F.size("_toks").cast("bigint").alias("dl")
+    )
+    stats = toked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("dl").cast("bigint").alias("total_tokens"),
+    ).collect()[0]
+    postings = (
+        toked.select(F.col(id_col), "dl", F.explode("_toks").alias("term"))
+        .groupBy(id_col, "term", "dl")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+        .repartitionByRange(F.col("term"))
+        .sortWithinPartitions("term", id_col)
+    )
+    return write_table(
+        postings,
+        path,
+        mode="append",
+        txn=txn,
+        stats_cols=("term",),
+        properties={
+            "bm25": {
+                "id_col": id_col,
+                "n_docs": int(meta["n_docs"]) + int(stats["n_docs"]),
+                "total_tokens": int(meta["total_tokens"])
+                + int(stats["total_tokens"] or 0),
             }
         },
     )
@@ -280,8 +346,16 @@ def bm25_topk_indexed(
     dft = postings.groupBy("term").agg(
         F.count(F.lit(1)).cast("bigint").alias("df")
     )
+    # avgdl = total_tokens / n_docs: the same exact-integer division
+    # the ad-hoc path's avg("dl") performs, so both paths (and an
+    # append-maintained index) score bit-for-bit identically
     stats = spark.createDataFrame(
-        [(int(meta["n_docs"]), float(meta["avgdl"]))],
+        [
+            (
+                int(meta["n_docs"]),
+                int(meta["total_tokens"]) / max(int(meta["n_docs"]), 1),
+            )
+        ],
         "n_docs bigint, avgdl double",
     )
     return _score_postings(

@@ -1198,6 +1198,98 @@ def append_to_ann_index(
     assigned.write.mode("append").partitionBy("_cell").parquet(path)
 
 
+def rebalance_ann_index(
+    spark,
+    path: str,
+    n_cells: int | None = None,
+    n_iter: int = 5,
+    txn: tuple[str, int] | None = None,
+) -> dict:
+    """RE-CLUSTER a manifest-backed IVF index in place: appends keep
+    the original centroids (assignment is stateless), so a drifting
+    ingest slowly concentrates rows into a few hot cells — every query
+    probing a hot cell then scans far more than n_probe/n_cells of the
+    data, and the per-cell GEMM/window stages inherit the skew. This
+    maintenance step retrains centroids on the CURRENT index contents
+    (distributed Lloyd's, deterministic init), re-assigns every row,
+    and publishes the re-clustered layout + new centroids as ONE
+    atomic commit (properties version with the data), so readers see
+    the old index until the instant the new one is complete and
+    ``restore_table`` undoes the rebalance metadata-only.
+
+    Works on float and int8 indexes (int8 re-clusters on the stored
+    codes — the symmetric scale cancels in cosine, so code geometry ==
+    vector geometry up to rounding). A PQ index stores only lossy
+    codes; re-clustering needs the corpus — rebuild with
+    ``build_ann_index(..., quantized='pq', manifest=True)`` instead
+    (raises here). Requires ``manifest=True`` indexes: a bare-parquet
+    rebalance would be an rm-rf, exactly the lifecycle gap the
+    manifest layout closed.
+
+    Returns {"version", "n_cells", "max_share_before",
+    "max_share_after"} — the shares are metadata-only reads
+    (``table_partitions``), so the skew diagnostic itself costs zero
+    data IO."""
+    from ensembl_database_loader_spark.sinks.manifest import (
+        snapshot,
+        table_partitions,
+        write_table,
+    )
+
+    meta = ann_index_meta(path, spark)
+    if not meta.get("_manifest"):
+        raise ValueError(
+            f"index at {path} is not manifest-backed — rebalance needs "
+            "atomic in-place rebuilds (build with manifest=True)"
+        )
+    if meta.get("quantized") == "pq":
+        raise ValueError(
+            "PQ indexes store lossy codes — re-cluster from the corpus "
+            "via build_ann_index(..., quantized='pq', manifest=True)"
+        )
+    id_col = meta["id_col"]
+    n_cells = int(n_cells or meta["n_cells"])
+
+    def _shares(parts):
+        counts = [int(p["n_rows"] or 0) for p in parts]
+        total = sum(counts)
+        return (max(counts) / total) if total else 0.0
+
+    before = _shares(table_partitions(spark, path))
+    rows = snapshot(spark, path).drop("_cell")
+    if meta.get("quantized"):
+        vec_col = "_v"
+        rows = rows.withColumn(
+            vec_col, F.transform("q", lambda x: x.cast("double"))
+        )
+    else:
+        vec_col = meta["vec_col"]
+    cents = kmeans_centroids(rows, id_col, vec_col, n_cells, n_iter=n_iter)
+    assigned = _assign_cells(rows, vec_col, cents)
+    if meta.get("quantized"):
+        assigned = assigned.drop(vec_col)
+    new_meta = {
+        k: v for k, v in meta.items() if not k.startswith("_")
+    } | {"centroids": cents, "n_cells": n_cells}
+    m = write_table(
+        assigned,
+        path,
+        mode="overwrite",
+        partition_by=("_cell",),
+        stats_cols=(id_col,),
+        bloom_cols=(id_col,),
+        properties={"ann": new_meta},
+        txn=txn,
+    )
+    after = _shares(table_partitions(spark, path))
+    return {
+        "version": None if m is None else int(m["version"]),
+        "n_cells": n_cells,
+        "max_share_before": round(before, 4),
+        "max_share_after": round(after, 4),
+    }
+
+
 def delete_from_ann_index(spark, path: str, deleted_df: DataFrame) -> dict | None:
     """Remove vectors from a MANIFEST-backed ANN index as a
     partition-scoped row-level DELETE — the maintenance step upstream

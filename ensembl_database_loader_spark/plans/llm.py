@@ -4215,7 +4215,7 @@ def ss_ann_batch_indexed(spark: SparkSession, sf: str) -> DataFrame:
         "SELECT TRUE AS mi_matches_bare, TRUE AS mi_append_served, "
         "TRUE AS mi_append_scoped, TRUE AS mi_replay_noop, "
         "TRUE AS mi_delete_served_out, TRUE AS mi_delete_scoped, "
-        "TRUE AS mi_restore_serves"
+        "TRUE AS mi_restore_serves, TRUE AS mi_rebalance_ok"
     ),
     tags=("llm", "similarity", "index", "lake", "lifecycle"),
 )
@@ -4238,8 +4238,12 @@ def ss_ann_manifest_index(spark: SparkSession, sf: str) -> DataFrame:
     upstream-dedup shape) removes them from serving, with the
     copy-on-write rewrite scoped to their single cell; (4)
     ``restore_table`` to the pre-delete version brings them back
-    METADATA-ONLY — serving rollback. Reference analogue: L1
-    drop/recreate-on-retry idempotency, LoadFiles.pm:56-64."""
+    METADATA-ONLY — serving rollback; (5, r11) ``rebalance_ann_index``
+    re-clusters in place as ONE commit (centroids version with the
+    layout), serving the same top-5 on the tight planted clusters,
+    with the replayed maintenance txn committing nothing. Reference
+    analogue: L1 drop/recreate-on-retry idempotency,
+    LoadFiles.pm:56-64."""
     import tempfile
 
     from ensembl_database_loader_spark.operators.similarity import (
@@ -4313,6 +4317,35 @@ def ss_ann_manifest_index(spark: SparkSession, sf: str) -> DataFrame:
     }
     restore_serves = set(before_ids) <= restored
 
+    # r11: in-place re-clustering (rebalance_ann_index) — one atomic
+    # commit, new centroids versioned with the layout, serving
+    # preserved on the tight planted clusters, replayed txn a no-op
+    from ensembl_database_loader_spark.operators.similarity import (
+        rebalance_ann_index,
+    )
+
+    pre = {
+        r["vec_id"]
+        for r in ivf_topk_indexed(
+            spark, mani, qvec, k=5, n_probe=2, exclude_id=0
+        ).collect()
+    }
+    v_pre = int(latest_manifest(spark, mani)["version"])
+    rb = rebalance_ann_index(spark, mani, txn=("probe_maint", 1))
+    post = {
+        r["vec_id"]
+        for r in ivf_topk_indexed(
+            spark, mani, qvec, k=5, n_probe=2, exclude_id=0
+        ).collect()
+    }
+    rb_replay = rebalance_ann_index(spark, mani, txn=("probe_maint", 1))
+    rebalance_ok = (
+        rb["version"] == v_pre + 1
+        and post == pre
+        and rb_replay["version"] is None
+        and int(latest_manifest(spark, mani)["version"]) == v_pre + 1
+    )
+
     return (
         layout_diffs.agg((_cnt() == 0).alias("mi_matches_bare"))
         .select(
@@ -4323,6 +4356,7 @@ def ss_ann_manifest_index(spark: SparkSession, sf: str) -> DataFrame:
             F.lit(bool(delete_served_out)).alias("mi_delete_served_out"),
             F.lit(bool(delete_scoped)).alias("mi_delete_scoped"),
             F.lit(bool(restore_serves)).alias("mi_restore_serves"),
+            F.lit(bool(rebalance_ok)).alias("mi_rebalance_ok"),
         )
     )
 

@@ -690,6 +690,7 @@ MERGE_SPECS: dict[str, list[tuple[str, list[tuple[str, str]]]]] = {
                 ("mi_delete_served_out", "mi_delete_served_out"),
                 ("mi_delete_scoped", "mi_delete_scoped"),
                 ("mi_restore_serves", "mi_restore_serves"),
+                ("mi_rebalance_ok", "mi_rebalance_ok"),
             ],
         ),
     ],

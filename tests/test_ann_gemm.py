@@ -105,3 +105,84 @@ def test_bad_scorer_raises(spark, clustered, tmp_path):
         ivf_topk_many_indexed(
             spark, path, _queries(clustered, 2), "qid", "qvec", scorer="nope"
         )
+
+
+def test_rebalance_fixes_skewed_cells(spark, clustered, tmp_path):
+    """A drifted index (all rows concentrated in a couple of cells by
+    bad centroids) re-clusters in place: max cell share drops, contents
+    are preserved, the rebalance is ONE commit, and restore_table rolls
+    the layout AND centroids back metadata-only."""
+    from ensembl_database_loader_spark.operators.similarity import (
+        ann_index_meta,
+        ivf_topk_indexed,
+        rebalance_ann_index,
+    )
+    from ensembl_database_loader_spark.sinks.manifest import (
+        latest_manifest,
+        restore_table,
+        snapshot,
+    )
+
+    path = str(tmp_path / "skewed")
+    # 8 near-identical centroids: every row lands in the argmax-tie
+    # winner — the worst-case hot cell an unlucky ingest drifts into
+    base = clustered.filter(F.col("vec_id") == 0).first()["embedding"]
+    bad = [[x + 1e-9 * i for x in base] for i in range(N_CLUSTERS)]
+    build_ann_index(
+        clustered, "vec_id", "embedding", path, n_cells=N_CLUSTERS,
+        centroids=bad, manifest=True,
+    )
+    v0 = int(latest_manifest(spark, path)["version"])
+    n0 = snapshot(spark, path).count()
+
+    out = rebalance_ann_index(spark, path, txn=("maint", 1))
+    # near-parallel centroids split rows across ~2 cells by fp ties
+    # (max share ~4x the balanced 1/8); re-clustering on the natural
+    # 8-cluster structure restores ~uniform shares
+    assert out["max_share_before"] >= 0.5
+    assert out["max_share_after"] <= 0.3
+    assert out["max_share_after"] < out["max_share_before"]
+    assert out["version"] == v0 + 1
+    assert int(latest_manifest(spark, path)["version"]) == v0 + 1
+
+    s = snapshot(spark, path)
+    assert s.count() == n0
+    assert s.select("_cell").distinct().count() > 1
+    # serving recall on the re-clustered layout: a cluster-0 query's
+    # top-5 are its 5 nearest cluster-0 siblings
+    q = list(
+        clustered.filter(F.col("vec_id") == 0).first()["embedding"]
+    )
+    got = ivf_topk_indexed(spark, path, q, k=5, n_probe=2, exclude_id=0)
+    assert all(r["vec_id"] % N_CLUSTERS == 0 for r in got.collect())
+
+    # exactly-once: the replayed maintenance txn commits nothing
+    replay = rebalance_ann_index(spark, path, txn=("maint", 1))
+    assert replay["version"] is None
+    assert int(latest_manifest(spark, path)["version"]) == v0 + 1
+
+    # rollback: layout and properties (centroids) both restore
+    restore_table(spark, path, v0)
+    assert snapshot(spark, path).count() == n0
+    assert ann_index_meta(path, spark)["centroids"] == bad
+
+
+def test_rebalance_guards(spark, clustered, tmp_path):
+    import pytest as _pytest
+
+    from ensembl_database_loader_spark.operators.similarity import (
+        rebalance_ann_index,
+    )
+
+    bare = str(tmp_path / "bare")
+    build_ann_index(clustered, "vec_id", "embedding", bare, n_cells=4)
+    with _pytest.raises(ValueError, match="manifest"):
+        rebalance_ann_index(spark, bare)
+
+    pq = str(tmp_path / "pq")
+    build_ann_index(
+        clustered, "vec_id", "embedding", pq, n_cells=4, quantized="pq",
+        pq_m=8, pq_k=8, manifest=True,
+    )
+    with _pytest.raises(ValueError, match="PQ"):
+        rebalance_ann_index(spark, pq)

@@ -165,3 +165,43 @@ def test_empty_query_raises(spark, tmp_path):
     empty = spark.createDataFrame([(1, "   ")], "qid bigint, qtext string")
     with pytest.raises(ValueError, match="no terms"):
         bm25_topk_indexed(spark, path, empty, k=3)
+
+
+def test_append_serves_identical_to_rebuild(spark, tmp_path):
+    """Incremental postings appends: exact-integer stats + query-time
+    df/idf make the appended index serve ROW-IDENTICAL to a
+    from-scratch rebuild on the union; the append + stats update is one
+    atomic commit and a replayed txn commits nothing."""
+    from ensembl_database_loader_spark.operators.bm25 import (
+        append_to_bm25_index,
+    )
+    from ensembl_database_loader_spark.sinks.manifest import (
+        latest_manifest,
+        table_properties,
+    )
+
+    first = spark.createDataFrame(DOCS[:4], "doc_id bigint, text string")
+    rest = spark.createDataFrame(DOCS[4:], "doc_id bigint, text string")
+    alldocs = spark.createDataFrame(DOCS, "doc_id bigint, text string")
+    queries = spark.createDataFrame(QUERIES, "qid bigint, qtext string")
+
+    inc, full = str(tmp_path / "inc"), str(tmp_path / "full")
+    build_bm25_index(first, "doc_id", "text", inc)
+    m = append_to_bm25_index(rest, "text", inc, txn=("ingest", 1))
+    assert m is not None
+    build_bm25_index(alldocs, "doc_id", "text", full)
+
+    props = table_properties(spark, inc)["bm25"]
+    assert props["n_docs"] == len(DOCS)
+    assert props == table_properties(spark, full)["bm25"]
+
+    a = bm25_topk_indexed(spark, inc, queries, k=4)
+    b = bm25_topk_indexed(spark, full, queries, k=4)
+    assert a.exceptAll(b).unionAll(b.exceptAll(a)).count() == 0
+
+    # exactly-once: the replayed ingest commits nothing — version AND
+    # stats unchanged
+    v = int(latest_manifest(spark, inc)["version"])
+    assert append_to_bm25_index(rest, "text", inc, txn=("ingest", 1)) is None
+    assert int(latest_manifest(spark, inc)["version"]) == v
+    assert table_properties(spark, inc)["bm25"]["n_docs"] == len(DOCS)
