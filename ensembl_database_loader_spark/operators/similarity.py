@@ -450,7 +450,10 @@ def ivf_topk_many_indexed(
       codegen fold costs ~64 us per candidate pair (three 64-element
       folds), which at 10k queries x 8 probes x 625-vector cells is
       855-947 s; the matmul scores the same 50M pairs in BLAS time
-      (8.6 s end-to-end, ~100x — COVERAGE.md r11). Row-identical to
+      (8.6 s end-to-end, ~100x — COVERAGE.md r11). The cogroup also
+      SHUFFLES the query side instead of broadcasting it, so the GEMM
+      path has no broadcast-width cap — million-query sweeps hash-join
+      on ``_cell`` like any other large join. Row-identical to
       ``"expr"`` on the fixture (bi_gemm_matches gate): both round
       cosine to 6 digits before ranking, and per-cell top-k is exact
       (every global top-k row is within its own cell's top-k)."""
@@ -588,6 +591,78 @@ def _gemm_cell_scores(
         idx.groupBy("_cell")
         .cogroup(qcells.groupBy("_cell"))
         .applyInPandas(_cell_topk, f"_qid bigint, {id_col} bigint, _cos double")
+    )
+
+
+def _pq_gemm_cell_scores(
+    idx: DataFrame,
+    qcells: DataFrame,
+    meta: dict,
+    id_col: str,
+    k: int,
+    exclude_self: bool,
+) -> DataFrame:
+    """Per-cell vectorized ADC (the PQ twin of ``_gemm_cell_scores``):
+    each probed cell cogroups with its probing queries; the UDF builds
+    each query's (m x pk) table for THIS cell with the exact numpy
+    expressions ``_pq_query_tables_udf`` uses, gathers the cell's code
+    matrix against it in subspace order (the ``_adc_score`` sum
+    order), and emits only per-(query, cell) top-k by (adc, id). The
+    query side shuffles on ``_cell`` — no broadcast-width cap."""
+    import numpy as np
+    import pandas as pd
+
+    books, m, w, pk, cn, residual = _pq_meta_arrays(meta)
+    kk = int(k)
+    excl = bool(exclude_self)
+
+    def _cell_adc(key, idx_pdf, q_pdf):  # type: ignore[no-untyped-def]
+        if len(idx_pdf) == 0 or len(q_pdf) == 0:
+            return pd.DataFrame(
+                {
+                    "_qid": pd.Series([], dtype="int64"),
+                    id_col: pd.Series([], dtype="int64"),
+                    "_adc": pd.Series([], dtype="float64"),
+                }
+            )
+        cell = int(key[0])
+        codes = np.array(idx_pdf["codes"].tolist(), dtype=np.int64)
+        ids = idx_pdf[id_col].to_numpy(dtype=np.int64)
+        x = np.array(q_pdf["_qvec"].tolist(), dtype=np.float64)
+        xn = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+        qids = q_pdf["_qid"].to_numpy(dtype=np.int64)
+        sub = np.arange(m)
+        n = min(kk, codes.shape[0])
+        rq, ri, rc = [], [], []
+        for qi in range(xn.shape[0]):
+            qr = xn[qi] - cn[cell] if residual else xn[qi]
+            t = np.stack(
+                [
+                    ((books[si] - qr[si * w : (si + 1) * w][None, :]) ** 2)
+                    .sum(axis=1)
+                    for si in range(m)
+                ]
+            )
+            d = t[sub[None, :], codes].sum(axis=1)
+            if excl:
+                d = np.where(ids == qids[qi], np.inf, d)
+            order = np.lexsort((ids, d))[:n]
+            keep = order[np.isfinite(d[order])]
+            rq.append(np.full(len(keep), qids[qi], dtype=np.int64))
+            ri.append(ids[keep])
+            rc.append(d[keep])
+        return pd.DataFrame(
+            {
+                "_qid": np.concatenate(rq),
+                id_col: np.concatenate(ri),
+                "_adc": np.concatenate(rc),
+            }
+        )
+
+    return (
+        idx.groupBy("_cell")
+        .cogroup(qcells.groupBy("_cell"))
+        .applyInPandas(_cell_adc, f"_qid bigint, {id_col} bigint, _adc double")
     )
 
 
@@ -967,6 +1042,7 @@ def pq_topk_many_indexed_df(
     corpus: DataFrame | None = None,
     exclude_self: bool = False,
     salt_partitions: int = 0,
+    scorer: str = "expr",
     _skip_qid_check: bool = False,
 ) -> DataFrame:
     """DataFrame-shaped BATCH queries over an IVF-PQ index — the core
@@ -994,7 +1070,16 @@ def pq_topk_many_indexed_df(
     + broadcast joins on the tiny candidate/query frames). Returns
     (qid, id, adc_dist|cos, rank); per-query rows are IDENTICAL to
     ``pq_topk_indexed`` (which delegates here) — gated by
-    ``ss_ann_batch_indexed``."""
+    ``ss_ann_batch_indexed``.
+
+    ``scorer='gemm'`` is the WIDE-sweep form (the float path's r11
+    pattern): probed cells cogroup with their probing queries, each
+    cell's ADC runs as vectorized numpy gathers emitting only per-
+    (query, cell) top-k, and the query side SHUFFLES instead of
+    broadcasting — no broadcast-width cap, no per-pair JVM aggregate.
+    Tables use the identical numpy expressions and the gather sum runs
+    in the same subspace order as ``_adc_score``, so rows match the
+    expr plan (gated in tests)."""
     meta = ann_index_meta(path, spark)
     if meta.get("quantized") != "pq" or "pq" not in meta:
         raise ValueError(
@@ -1026,21 +1111,33 @@ def pq_topk_many_indexed_df(
         .distinct()
         .collect()
     )
-    qtables = _pq_query_tables_udf(books, m, w, pk, cn, residual, n_probe)
-    # explode_outer: plain explode would let Catalyst infer
-    # size(udf(...)) > 0 and push a UDF-referencing constraint around
-    # the plan (re-running the UDF); semantics are identical here
-    qcells = q0.select(
-        "_qid", F.explode_outer(qtables(F.col("_qvec"))).alias("_e")
-    ).select(
-        "_qid", F.col("_e.cell").alias("_cell"), F.col("_e.tbl").alias("_tbl")
-    )
-
     idx = _ann_cells_scan(spark, path, meta, union_cells)
-    pairs = idx.join(F.broadcast(qcells), "_cell")
-    if exclude_self:
-        pairs = pairs.filter(F.col(id_col) != F.col("_qid"))
-    scored = pairs.select("_qid", F.col(id_col), _adc_score(m, pk).alias("_adc"))
+    if scorer == "gemm":
+        qcells = q0.select(
+            "_qid", "_qvec", F.explode_outer(probes(F.col("_qvec"))).alias("_cell")
+        )
+        scored = _pq_gemm_cell_scores(
+            idx, qcells, meta, id_col,
+            k=(int(refine) if refine else int(k)), exclude_self=exclude_self,
+        )
+    elif scorer == "expr":
+        qtables = _pq_query_tables_udf(books, m, w, pk, cn, residual, n_probe)
+        # explode_outer: plain explode would let Catalyst infer
+        # size(udf(...)) > 0 and push a UDF-referencing constraint around
+        # the plan (re-running the UDF); semantics are identical here
+        qcells = q0.select(
+            "_qid", F.explode_outer(qtables(F.col("_qvec"))).alias("_e")
+        ).select(
+            "_qid", F.col("_e.cell").alias("_cell"), F.col("_e.tbl").alias("_tbl")
+        )
+        pairs = idx.join(F.broadcast(qcells), "_cell")
+        if exclude_self:
+            pairs = pairs.filter(F.col(id_col) != F.col("_qid"))
+        scored = pairs.select(
+            "_qid", F.col(id_col), _adc_score(m, pk).alias("_adc")
+        )
+    else:
+        raise ValueError(f"scorer must be expr|gemm, got {scorer!r}")
     ranked = _per_query_topk(
         scored, "_qid", id_col, "_adc", ascending=True,
         k=(int(refine) if refine else int(k)), n_salts=salt_partitions,

@@ -4098,7 +4098,7 @@ def tx_semantic_decontam(spark: SparkSession, sf: str) -> DataFrame:
         "SELECT TRUE AS bi_ivf_matches, TRUE AS bi_pq_matches, "
         "CAST(20 AS BIGINT) AS bi_ivf_pairs, CAST(20 AS BIGINT) AS bi_pq_pairs, "
         "TRUE AS bi_pq_df_matches, TRUE AS bi_salted_matches, "
-        "TRUE AS bi_gemm_matches"
+        "TRUE AS bi_gemm_matches, TRUE AS bi_pq_gemm_matches"
     ),
     tags=("llm", "similarity", "approx", "batch", "index"),
 )
@@ -4198,6 +4198,13 @@ def ss_ann_batch_indexed(spark: SparkSession, sf: str) -> DataFrame:
         exclude_self=True, scorer="gemm",
     )
     gemm_diffs = ivf_b.exceptAll(gemm_b).unionAll(gemm_b.exceptAll(ivf_b))
+    pq_gemm_b = pq_topk_many_indexed_df(
+        spark, pq_path, queries, "qid", "qvec", k=5, n_probe=2,
+        exclude_self=True, scorer="gemm",
+    )
+    pq_gemm_diffs = pq_b.exceptAll(pq_gemm_b).unionAll(
+        pq_gemm_b.exceptAll(pq_b)
+    )
 
     return (
         ivf_diffs.agg((_cnt() == 0).alias("bi_ivf_matches"))
@@ -4207,6 +4214,9 @@ def ss_ann_batch_indexed(spark: SparkSession, sf: str) -> DataFrame:
         .crossJoin(df_diffs.agg((_cnt() == 0).alias("bi_pq_df_matches")))
         .crossJoin(salt_diffs.agg((_cnt() == 0).alias("bi_salted_matches")))
         .crossJoin(gemm_diffs.agg((_cnt() == 0).alias("bi_gemm_matches")))
+        .crossJoin(
+            pq_gemm_diffs.agg((_cnt() == 0).alias("bi_pq_gemm_matches"))
+        )
     )
 
 @probe(

@@ -649,6 +649,7 @@ MERGE_SPECS: dict[str, list[tuple[str, list[tuple[str, str]]]]] = {
                 ("bi_pq_df_matches", "bi_pq_df_matches"),
                 ("bi_salted_matches", "bi_salted_matches"),
                 ("bi_gemm_matches", "bi_gemm_matches"),
+                ("bi_pq_gemm_matches", "bi_pq_gemm_matches"),
             ],
         ),
         # r11: BM25 sparse retrieval — value-exact top-5 rows per query

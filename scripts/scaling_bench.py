@@ -780,6 +780,17 @@ def main() -> int:
                    "n_queries": nq, "sec": round(dt, 2), "rows": int(got)}  # fmt: skip
             out.append(rec)
             print(json.dumps(rec), flush=True)
+
+            t0 = time.perf_counter()
+            got = pq_topk_many_indexed_df(
+                spark, pq_p, queries, "qid", "qvec", k=10, n_probe=8,
+                exclude_self=True, scorer="gemm",
+            ).count()
+            dt = time.perf_counter() - t0
+            rec = {"op": "ss_ann_batch_pq_gemm", "n_vecs": n,
+                   "n_queries": nq, "sec": round(dt, 2), "rows": int(got)}  # fmt: skip
+            out.append(rec)
+            print(json.dumps(rec), flush=True)
         vs.unpersist()
 
     spark.stop()

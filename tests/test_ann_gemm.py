@@ -186,3 +186,31 @@ def test_rebalance_guards(spark, clustered, tmp_path):
     )
     with _pytest.raises(ValueError, match="PQ"):
         rebalance_ann_index(spark, pq)
+
+
+@pytest.mark.parametrize("refine", [0, 10])
+def test_pq_gemm_row_identical_to_expr(spark, clustered, tmp_path, refine):
+    """The PQ twin: per-cell vectorized ADC (scorer='gemm') emits the
+    same rows as the broadcast pair-expression ADC plan, with and
+    without full-precision refine."""
+    from ensembl_database_loader_spark.operators.similarity import (
+        pq_topk_many_indexed_df,
+    )
+
+    path = str(tmp_path / f"pqg_{refine}")
+    build_ann_index(
+        clustered, "vec_id", "embedding", path, n_cells=N_CLUSTERS,
+        quantized="pq", pq_m=8, pq_k=8,
+    )
+    q = _queries(clustered)
+    kw = dict(k=5, n_probe=2, exclude_self=True, refine=refine)
+    if refine:
+        kw["corpus"] = clustered
+    expr = pq_topk_many_indexed_df(spark, path, q, "qid", "qvec", **kw)
+    gemm = pq_topk_many_indexed_df(
+        spark, path, q, "qid", "qvec", scorer="gemm", **kw
+    )
+    assert _diff(expr, gemm) == 0
+    assert gemm.count() == 6 * 5
+    plan = gemm._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapCoGroupsInPandas" in plan
