@@ -127,6 +127,12 @@ def main() -> int:
         "width through ivf_topk_many_indexed and pq_topk_many_indexed_df; "
         "empty = skip",
     )
+    ap.add_argument(
+        "--r11-ops", default="ivf,pq_df,ivf_gemm,pq_gemm",
+        help="which r11-batch scorers to time (comma subset of "
+        "ivf,pq_df,ivf_gemm,pq_gemm) — re-measure one without re-paying "
+        "the others",
+    )
     args = ap.parse_args()
 
     spark = get_spark(app_name="scaling-bench")
@@ -741,6 +747,7 @@ def main() -> int:
         out.append(rec)
         print(json.dumps(rec), flush=True)
 
+        ops = {o.strip() for o in args.r11_ops.split(",") if o.strip()}
         for nq in [int(x) for x in qcounts_s.split(",") if x]:
             # nq DISTINCT query vectors (the realistic wide-sweep shape;
             # the r10 worst case was all-identical queries)
@@ -748,49 +755,53 @@ def main() -> int:
                 F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
             ).localCheckpoint()
 
-            t0 = time.perf_counter()
-            got = ivf_topk_many_indexed(
-                spark, flat_p, queries, "qid", "qvec", k=10, n_probe=8,
-                exclude_self=True, salt_partitions=8,
-            ).count()
-            dt = time.perf_counter() - t0
-            rec = {"op": "ss_ann_batch_ivf_indexed", "n_vecs": n,
-                   "n_queries": nq, "sec": round(dt, 2), "rows": int(got)}  # fmt: skip
-            out.append(rec)
-            print(json.dumps(rec), flush=True)
+            if "ivf" in ops:
+                t0 = time.perf_counter()
+                got = ivf_topk_many_indexed(
+                    spark, flat_p, queries, "qid", "qvec", k=10, n_probe=8,
+                    exclude_self=True, salt_partitions=8,
+                ).count()
+                dt = time.perf_counter() - t0
+                rec = {"op": "ss_ann_batch_ivf_indexed", "n_vecs": n,
+                       "n_queries": nq, "sec": round(dt, 2), "rows": int(got)}  # fmt: skip
+                out.append(rec)
+                print(json.dumps(rec), flush=True)
 
-            t0 = time.perf_counter()
-            got = pq_topk_many_indexed_df(
-                spark, pq_p, queries, "qid", "qvec", k=10, n_probe=8,
-                exclude_self=True, salt_partitions=8,
-            ).count()
-            dt = time.perf_counter() - t0
-            rec = {"op": "ss_ann_batch_pq_df", "n_vecs": n,
-                   "n_queries": nq, "sec": round(dt, 2), "rows": int(got)}  # fmt: skip
-            out.append(rec)
-            print(json.dumps(rec), flush=True)
+            if "pq_df" in ops:
+                t0 = time.perf_counter()
+                got = pq_topk_many_indexed_df(
+                    spark, pq_p, queries, "qid", "qvec", k=10, n_probe=8,
+                    exclude_self=True, salt_partitions=8,
+                ).count()
+                dt = time.perf_counter() - t0
+                rec = {"op": "ss_ann_batch_pq_df", "n_vecs": n,
+                       "n_queries": nq, "sec": round(dt, 2), "rows": int(got)}  # fmt: skip
+                out.append(rec)
+                print(json.dumps(rec), flush=True)
 
-            t0 = time.perf_counter()
-            got = ivf_topk_many_indexed(
-                spark, flat_p, queries, "qid", "qvec", k=10, n_probe=8,
-                exclude_self=True, scorer="gemm",
-            ).count()
-            dt = time.perf_counter() - t0
-            rec = {"op": "ss_ann_batch_ivf_gemm", "n_vecs": n,
-                   "n_queries": nq, "sec": round(dt, 2), "rows": int(got)}  # fmt: skip
-            out.append(rec)
-            print(json.dumps(rec), flush=True)
+            if "ivf_gemm" in ops:
+                t0 = time.perf_counter()
+                got = ivf_topk_many_indexed(
+                    spark, flat_p, queries, "qid", "qvec", k=10, n_probe=8,
+                    exclude_self=True, scorer="gemm",
+                ).count()
+                dt = time.perf_counter() - t0
+                rec = {"op": "ss_ann_batch_ivf_gemm", "n_vecs": n,
+                       "n_queries": nq, "sec": round(dt, 2), "rows": int(got)}  # fmt: skip
+                out.append(rec)
+                print(json.dumps(rec), flush=True)
 
-            t0 = time.perf_counter()
-            got = pq_topk_many_indexed_df(
-                spark, pq_p, queries, "qid", "qvec", k=10, n_probe=8,
-                exclude_self=True, scorer="gemm",
-            ).count()
-            dt = time.perf_counter() - t0
-            rec = {"op": "ss_ann_batch_pq_gemm", "n_vecs": n,
-                   "n_queries": nq, "sec": round(dt, 2), "rows": int(got)}  # fmt: skip
-            out.append(rec)
-            print(json.dumps(rec), flush=True)
+            if "pq_gemm" in ops:
+                t0 = time.perf_counter()
+                got = pq_topk_many_indexed_df(
+                    spark, pq_p, queries, "qid", "qvec", k=10, n_probe=8,
+                    exclude_self=True, scorer="gemm",
+                ).count()
+                dt = time.perf_counter() - t0
+                rec = {"op": "ss_ann_batch_pq_gemm", "n_vecs": n,
+                       "n_queries": nq, "sec": round(dt, 2), "rows": int(got)}  # fmt: skip
+                out.append(rec)
+                print(json.dumps(rec), flush=True)
         vs.unpersist()
 
     spark.stop()

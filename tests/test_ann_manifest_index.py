@@ -176,3 +176,60 @@ def test_delete_guards(spark, clustered, tmp_path):
         )
     with pytest.raises(ValueError, match="manifest-backed"):
         append_to_ann_index(clustered.limit(1), bare, txn=("x", 1))
+
+
+def test_streaming_ingest_into_manifest_index(spark, clustered, tmp_path):
+    """Composition: a vector stream foreachBatch-appends into the
+    manifest-backed index with txn=(app, batch_id) — each micro-batch
+    is one atomic cell-scoped commit, a replayed batch commits nothing,
+    and the ingested vectors serve immediately."""
+    import time as _time
+
+    path = str(tmp_path / "stream_idx")
+    build_ann_index(
+        clustered, "vec_id", "embedding", path, n_cells=N_CLUSTERS,
+        manifest=True,
+    )
+    v0 = int(M.latest_manifest(spark, path)["version"])
+    qvec = _qvec(clustered, 0)
+
+    # two batches of near-query vectors via a rate-limited memory feed:
+    # use foreachBatch over a file stream of planted rows
+    feed = str(tmp_path / "feed")
+    plant = spark.createDataFrame(
+        [(1_000_000 + i, [x + 1e-4 * (i + 1) for x in qvec]) for i in range(4)],
+        "vec_id bigint, embedding array<double>",
+    )
+    plant.repartition(2).write.parquet(feed)
+    stream = (
+        spark.readStream.schema("vec_id bigint, embedding array<double>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed)
+    )
+
+    from ensembl_database_loader_spark.operators.similarity import (
+        append_to_ann_index,
+    )
+
+    def _ingest(batch_df, batch_id):
+        append_to_ann_index(batch_df, path, txn=("vec_ingest", batch_id))
+        # at-least-once replay: the second call must be a no-op
+        append_to_ann_index(batch_df, path, txn=("vec_ingest", batch_id))
+
+    q = (
+        stream.writeStream.foreachBatch(_ingest)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    head = M.latest_manifest(spark, path)
+    # one commit per non-empty micro-batch, none from the replays
+    n_batches = int(head["version"]) - v0
+    assert 1 <= n_batches <= 2
+    assert int(head["txn"]["vec_ingest"]) >= 0
+    got = ivf_topk_indexed(spark, path, qvec, k=4, n_probe=2, exclude_id=0)
+    assert {r["vec_id"] for r in got.collect()} == {
+        1_000_000, 1_000_001, 1_000_002, 1_000_003
+    }
