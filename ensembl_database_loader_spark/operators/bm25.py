@@ -53,12 +53,17 @@ def _nonempty_tokens(col) -> "F.Column":
     return F.filter(tokens(col), lambda w: w != "")
 
 
-def _query_terms(
+def _query_term_rows(
     queries: DataFrame, qid_col: str, qtext_col: str
-) -> DataFrame:
-    """(qid, term) — DISTINCT terms per query (BM25 scores each term
-    once however often it repeats in the query text)."""
-    return (
+) -> list[tuple[int, str]]:
+    """(qid, term) pairs — DISTINCT terms per query (BM25 scores each
+    term once however often it repeats in the query text), collected
+    driver-side: the query side is broadcast-dim by contract (it
+    broadcasts into the postings join), and one collect lets every
+    downstream consumer (the qt frame, the distinct term list, the
+    wave IN-predicate) derive WITHOUT re-running the query frame's
+    lineage as its own Spark job."""
+    rows = (
         queries.select(
             F.col(qid_col).alias("_qid"),
             F.explode(F.array_distinct(_nonempty_tokens(qtext_col))).alias(
@@ -66,7 +71,13 @@ def _query_terms(
             ),
         )
         .distinct()
+        .collect()
     )
+    return [(r["_qid"], r["term"]) for r in rows]
+
+
+def _qt_frame(spark, rows: list[tuple[int, str]]) -> DataFrame:
+    return spark.createDataFrame(rows, "_qid bigint, term string").coalesce(1)
 
 
 def _bm25_score(k1: float, b: float) -> "F.Column":
@@ -103,12 +114,12 @@ def bm25_topk(
     broadcast query-term set BEFORE the tf aggregate, so the shuffle
     never carries non-matching terms. ``salt_partitions`` > 1 bounds
     per-query reducers under hot-term skew (two-phase top-k)."""
-    from ensembl_database_loader_spark.operators.similarity import (
-        _per_query_topk,
-    )
-
-    qt = _query_terms(queries, qid_col, qtext_col).localCheckpoint()
-    terms_only = qt.select("term").distinct()
+    spark = docs.sparkSession
+    qrows = _query_term_rows(queries, qid_col, qtext_col)
+    qt = _qt_frame(spark, qrows)
+    terms_only = spark.createDataFrame(
+        [(t,) for t in sorted({t for _, t in qrows})], "term string"
+    ).coalesce(1)
 
     toked = docs.select(
         F.col(id_col),
@@ -335,10 +346,11 @@ def bm25_topk_indexed(
         raise ValueError(f"no bm25 index at {path} (missing properties)")
     id_col = meta["id_col"]
 
-    qt = _query_terms(queries, qid_col, qtext_col).localCheckpoint()
-    wave_terms = sorted({r["term"] for r in qt.select("term").distinct().collect()})
+    qrows = _query_term_rows(queries, qid_col, qtext_col)
+    wave_terms = sorted({t for _, t in qrows})
     if not wave_terms:
         raise ValueError("bm25_topk_indexed: queries contain no terms")
+    qt = _qt_frame(spark, qrows)
     # one IN predicate: [min, max] stats prune by the term-sorted
     # layout, the term bloom prunes the stragglers, and scan_table
     # still applies the row filter

@@ -4167,7 +4167,7 @@ def ss_ann_batch_indexed(spark: SparkSession, sf: str) -> DataFrame:
         ).withColumn(
             "rank",
             F.row_number().over(Window.orderBy(F.desc("cos"), "vec_id")),
-        )
+        ).persist()
         b_ivf = ivf_b.filter(F.col("qid") == qid).select("vec_id", "cos", "rank")
         d1 = s_ivf.exceptAll(b_ivf).unionAll(b_ivf.exceptAll(s_ivf))
         ivf_diffs = d1 if ivf_diffs is None else ivf_diffs.unionAll(d1)
@@ -4176,32 +4176,34 @@ def ss_ann_batch_indexed(spark: SparkSession, sf: str) -> DataFrame:
         ).withColumn(
             "rank",
             F.row_number().over(Window.orderBy(F.asc("adc_dist"), "vec_id")),
-        )
+        ).persist()
         b_pq = pq_b.filter(F.col("qid") == qid).select(
             "vec_id", "adc_dist", "rank"
         )
         d2 = s_pq.exceptAll(b_pq).unionAll(b_pq.exceptAll(s_pq))
         pq_diffs = d2 if pq_diffs is None else pq_diffs.unionAll(d2)
 
+    # each alternate serving form persists: its two exceptAll
+    # directions would otherwise re-execute the whole plan twice
     pq_df_b = pq_topk_many_indexed_df(
         spark, pq_path, queries, "qid", "qvec", k=5, n_probe=2,
         exclude_self=True,
-    )
+    ).persist()
     df_diffs = pq_b.exceptAll(pq_df_b).unionAll(pq_df_b.exceptAll(pq_b))
     salted_b = ivf_topk_many_indexed(
         spark, flat_path, queries, "qid", "qvec", k=5, n_probe=2,
         exclude_self=True, salt_partitions=4,
-    )
+    ).persist()
     salt_diffs = ivf_b.exceptAll(salted_b).unionAll(salted_b.exceptAll(ivf_b))
     gemm_b = ivf_topk_many_indexed(
         spark, flat_path, queries, "qid", "qvec", k=5, n_probe=2,
         exclude_self=True, scorer="gemm",
-    )
+    ).persist()
     gemm_diffs = ivf_b.exceptAll(gemm_b).unionAll(gemm_b.exceptAll(ivf_b))
     pq_gemm_b = pq_topk_many_indexed_df(
         spark, pq_path, queries, "qid", "qvec", k=5, n_probe=2,
         exclude_self=True, scorer="gemm",
-    )
+    ).persist()
     pq_gemm_diffs = pq_b.exceptAll(pq_gemm_b).unionAll(
         pq_gemm_b.exceptAll(pq_b)
     )
@@ -4437,9 +4439,11 @@ def ss_bm25_topk(spark: SparkSession, sf: str) -> DataFrame:
 
     path = tempfile.mkdtemp(prefix="edl_bm25_") + "/idx"
     build_bm25_index(docs, "doc_id", "text", path, num_files=4)
-    idx = bm25_topk_indexed(spark, path, queries, k=5)
+    idx = bm25_topk_indexed(spark, path, queries, k=5).persist()
     idx_diffs = topk.exceptAll(idx).unionAll(idx.exceptAll(topk))
-    salted = bm25_topk_indexed(spark, path, queries, k=5, salt_partitions=4)
+    salted = bm25_topk_indexed(
+        spark, path, queries, k=5, salt_partitions=4
+    ).persist()
     salt_diffs = idx.exceptAll(salted).unionAll(salted.exceptAll(idx))
     return (
         topk.crossJoin(idx_diffs.agg((_cnt() == 0).alias("bm_idx_matches")))

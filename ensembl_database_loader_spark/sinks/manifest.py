@@ -536,23 +536,37 @@ def _bloom_positions(
     None (no pruning) when the literal doesn't cast (try_cast, so a
     malformed literal disables pruning instead of raising under ANSI —
     the row filter still reports it)."""
-    lit = F.lit(value).try_cast(dtype)
-    row = (
-        spark.range(1)
-        .select(
-            lit.isNull().alias("__isnull"),
-            *[
+    ps = _bloom_positions_many(spark, dtype, [value], bits, hashes)
+    return None if ps is None else ps[0]
+
+
+def _bloom_positions_many(
+    spark: SparkSession, dtype: str, values: list, bits: int, hashes: int
+):
+    """``_bloom_positions`` for a literal LIST in one engine job: the
+    whole IN wave hashes as one 1-row projection (chunked at 500
+    values to bound codegen width). Returns one position list per
+    value, or None when ANY literal fails to cast — pruning disables
+    for the predicate, the row filter still applies."""
+    out = []
+    for lo in range(0, len(values), 500):
+        chunk = values[lo : lo + 500]
+        cols = []
+        for vi, v in enumerate(chunk):
+            lit = F.lit(v).try_cast(dtype)
+            cols.append(lit.isNull().alias(f"__n{vi}"))
+            cols.extend(
                 F.pmod(F.xxhash64(lit, F.lit(i)), F.lit(bits))
                 .cast("int")
-                .alias(f"__p{i}")
+                .alias(f"__p{vi}_{i}")
                 for i in range(hashes)
-            ],
-        )
-        .first()
-    )
-    if row["__isnull"]:
-        return None
-    return [row[f"__p{i}"] for i in range(hashes)]
+            )
+        row = spark.range(1).select(*cols).first()
+        for vi in range(len(chunk)):
+            if row[f"__n{vi}"]:
+                return None
+            out.append([row[f"__p{vi}_{i}"] for i in range(hashes)])
+    return out
 
 
 def _json_stat(v):
@@ -714,15 +728,14 @@ def scan_table(
                 continue
             meta = bloom_meta[col]
             vals = list(v) if op == "in" else [v]
-            # one position set per literal; None (uncastable literal)
-            # disables bloom pruning for this predicate entirely
-            pos_sets = [
-                _bloom_positions(
-                    spark, fields[col], x, int(meta["bits"]), int(meta["hashes"])
-                )
-                for x in vals
-            ]
-            if any(p is None for p in pos_sets):
+            # ONE engine job hashes the whole literal list (a per-value
+            # job made a 200-term IN wave cost 200 scheduler round
+            # trips — ~5 s of pure overhead); None (any uncastable
+            # literal) disables bloom pruning for this predicate
+            pos_sets = _bloom_positions_many(
+                spark, fields[col], vals, int(meta["bits"]), int(meta["hashes"])
+            )
+            if pos_sets is None:
                 continue
             # a file survives when ANY member may be present (IN is a
             # disjunction); "=" is the single-member case
