@@ -76,8 +76,14 @@ def _query_term_rows(
     return [(r["_qid"], r["term"]) for r in rows]
 
 
-def _qt_frame(spark, rows: list[tuple[int, str]]) -> DataFrame:
-    return spark.createDataFrame(rows, "_qid bigint, term string").coalesce(1)
+def _qt_frame(
+    spark, rows: list[tuple], qid_type: str = "bigint"
+) -> DataFrame:
+    """Literal (qid, term) frame carrying the CALLER's qid type (query
+    ids may be strings — UUIDs — as well as integers)."""
+    return spark.createDataFrame(
+        rows, f"_qid {qid_type}, term string"
+    ).coalesce(1)
 
 
 def _bm25_score(k1: float, b: float) -> "F.Column":
@@ -116,7 +122,7 @@ def bm25_topk(
     per-query reducers under hot-term skew (two-phase top-k)."""
     spark = docs.sparkSession
     qrows = _query_term_rows(queries, qid_col, qtext_col)
-    qt = _qt_frame(spark, qrows)
+    qt = _qt_frame(spark, qrows, dict(queries.dtypes)[qid_col])
     terms_only = spark.createDataFrame(
         [(t,) for t in sorted({t for _, t in qrows})], "term string"
     ).coalesce(1)
@@ -272,9 +278,13 @@ def append_to_bm25_index(
     (exactly-once under streaming ingest). Because stats are exact
     integers and df/idf derive from the postings at query time, an
     append-maintained index serves ROW-IDENTICAL to a from-scratch
-    rebuild on the union (gated in tests). Caller contract: new ids
-    must not already be indexed (the ANN-append rule) — re-ingested
-    docs should go through a delete first."""
+    rebuild on the union (gated in tests). Caller contracts: new ids
+    must not already be indexed (the ANN-append rule) — re-ingest via
+    ``delete_from_bm25_index`` first; and stats-bearing writers
+    (append/delete) to the SAME index must be serialized (one ingest
+    app — the txn watermark covers a replayed stream, but two
+    INDEPENDENT concurrent appenders could publish stale stats: the
+    properties map is computed from the head read before the commit)."""
     from ensembl_database_loader_spark.sinks.manifest import (
         table_properties,
         write_table,
@@ -319,6 +329,56 @@ def append_to_bm25_index(
     )
 
 
+def delete_from_bm25_index(spark: SparkSession, path: str, doc_ids) -> dict | None:
+    """Remove documents from the postings index as ONE copy-on-write
+    commit that ALSO decrements the corpus stats (n_docs,
+    total_tokens) — without the stats delta, every later idf/avgdl
+    would keep counting the deleted docs and indexed scoring would
+    drift from a from-scratch rebuild (the re-ingest path:
+    delete, then ``append_to_bm25_index`` the corrected docs).
+    ``doc_ids`` is broadcast-dim (a curation wave's drop list).
+    Returns the delete manifest or None when no posting matched."""
+    from ensembl_database_loader_spark.sinks.manifest import (
+        delete_rows,
+        snapshot,
+        table_properties,
+    )
+
+    meta = table_properties(spark, path).get("bm25")
+    if not meta:
+        raise ValueError(f"no bm25 index at {path} (missing properties)")
+    id_col = meta["id_col"]
+    ids = sorted(set(doc_ids))
+    if not ids:
+        return None
+    victims = (
+        snapshot(spark, path)
+        .filter(F.col(id_col).isin(ids))
+        .select(id_col, "dl")
+        .distinct()
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("dl").cast("bigint").alias("toks"),
+        )
+        .first()
+    )
+    n_del, tok_del = int(victims["n"]), int(victims["toks"] or 0)
+    if n_del == 0:
+        return None
+    return delete_rows(
+        spark,
+        path,
+        prune=[(id_col, "in", ids)],
+        properties={
+            "bm25": {
+                "id_col": id_col,
+                "n_docs": int(meta["n_docs"]) - n_del,
+                "total_tokens": int(meta["total_tokens"]) - tok_del,
+            }
+        },
+    )
+
+
 def bm25_topk_indexed(
     spark: SparkSession,
     path: str,
@@ -350,7 +410,7 @@ def bm25_topk_indexed(
     wave_terms = sorted({t for _, t in qrows})
     if not wave_terms:
         raise ValueError("bm25_topk_indexed: queries contain no terms")
-    qt = _qt_frame(spark, qrows)
+    qt = _qt_frame(spark, qrows, dict(queries.dtypes)[qid_col])
     # one IN predicate: [min, max] stats prune by the term-sorted
     # layout, the term bloom prunes the stragglers, and scan_table
     # still applies the row filter

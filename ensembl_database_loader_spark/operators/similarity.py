@@ -20,7 +20,21 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ensembl_database_loader_spark.functions.vectors import cosine, dot
+from ensembl_database_loader_spark.functions.vectors import cosine, dot, norm
+
+
+def _safe_cosine(a, b):
+    """cosine with zero-norm inputs scoring 0.0: the raw 0/0 RAISES
+    under ANSI mode (DIVIDE_BY_ZERO — one all-zero embedding, a failed
+    embed, would kill every query probing its cell; under non-ANSI it
+    yields NaN, which Spark orders GREATEST and ranks FIRST). The
+    when-guard short-circuits the division entirely, and 0.0 matches
+    the numpy GEMM scorer's clamped denominator, keeping every serving
+    path row-identical. DuckDB oracles are unaffected (the fixtures
+    contain no zero-norm vectors); contract pinned in
+    tests/test_ann_gemm.py."""
+    d = norm(a) * norm(b)
+    return F.when(d == 0.0, F.lit(0.0)).otherwise(dot(a, b) / d)
 
 
 def cosine_topk(
@@ -29,7 +43,7 @@ def cosine_topk(
     """Exact top-k neighbours of the row with id query_id, by cosine.
     Returns (id, cos) ordered desc with id tie-break, query excluded."""
     q = df.filter(F.col(id_col) == query_id).select(F.col(vec_col).alias("_qvec"))
-    c = cosine(F.col(vec_col), F.col("_qvec"))
+    c = _safe_cosine(F.col(vec_col), F.col("_qvec"))
     return (
         df.crossJoin(F.broadcast(q))
         .filter(F.col(id_col) != query_id)
@@ -136,7 +150,7 @@ def lsh_bucket_topk(
     match_any = F.exists(
         F.zip_with("_buckets", "_qbuckets", lambda x, y: x == y), lambda m: m
     )
-    c = cosine(F.col(vec_col), F.col("_qvec"))
+    c = _safe_cosine(F.col(vec_col), F.col("_qvec"))
     return (
         b.crossJoin(F.broadcast(q))
         .filter(match_any & (F.col(id_col) != query_id))
@@ -253,7 +267,7 @@ def ivf_topk(
 
     assigned = _assign_cells(df, vec_col, centroids)
     qdf = df.filter(F.col(id_col) == query_id).select(F.col(vec_col).alias("_qvec"))
-    cos = cosine(F.col(vec_col), F.col("_qvec"))
+    cos = _safe_cosine(F.col(vec_col), F.col("_qvec"))
     return (
         assigned.filter(F.col("_cell").isin(probe_cells))
         .crossJoin(F.broadcast(qdf))
@@ -401,7 +415,7 @@ def ivf_topk_many(
     pairs = assigned.join(F.broadcast(qcells), "_cell")
     if exclude_self:
         pairs = pairs.filter(F.col(id_col) != F.col("_qid"))
-    cos = cosine(F.col(vec_col), F.col("_qvec"))
+    cos = _safe_cosine(F.col(vec_col), F.col("_qvec"))
     ranked = _per_query_topk(
         pairs.select("_qid", F.col(id_col), F.round(cos, 6).alias("_cos")),
         "_qid", id_col, "_cos", ascending=False, k=k, n_salts=salt_partitions,
@@ -506,11 +520,11 @@ def ivf_topk_many_indexed(
         if exclude_self:
             pairs = pairs.filter(F.col(id_col) != F.col("_qid"))
         if meta.get("quantized"):
-            cos = cosine(
+            cos = _safe_cosine(
                 F.transform("q", lambda x: x.cast("double")), F.col("_qvec")
             )
         else:
-            cos = cosine(F.col(meta["vec_col"]), F.col("_qvec"))
+            cos = _safe_cosine(F.col(meta["vec_col"]), F.col("_qvec"))
         scored = pairs.select(
             "_qid", F.col(id_col), F.round(cos, 6).alias("_cos")
         )
@@ -526,6 +540,18 @@ def ivf_topk_many_indexed(
         F.col("_cos").alias("cos"),
         "rank",
     )
+
+
+def _require_integral_ids(frame: DataFrame, col: str, what: str) -> None:
+    """The GEMM scorers move ids through numpy int64 arrays; a
+    non-integral column would fail deep inside Arrow with an opaque
+    TypeError — fail at the API edge with the workaround instead."""
+    t = dict(frame.dtypes).get(col)
+    if t not in ("tinyint", "smallint", "int", "bigint"):
+        raise ValueError(
+            f"scorer='gemm' requires an integral {what} column, got "
+            f"{col}: {t} — use scorer='expr' or re-key to integers"
+        )
 
 
 def _gemm_cell_scores(
@@ -1024,8 +1050,17 @@ def _ann_cells_scan(spark, path: str, meta: dict, cells) -> DataFrame:
     manifest's partition values, zero stats jobs)."""
     cells = [int(c) for c in cells]
     if meta.get("_manifest"):
-        from ensembl_database_loader_spark.sinks.manifest import scan_table
+        from ensembl_database_loader_spark.sinks.manifest import (
+            scan_table,
+            snapshot,
+        )
 
+        if not cells:
+            # an empty query frame probes no cells: empty result with
+            # the index schema (files_matching rejects empty IN lists,
+            # and the bare-parquet path returns empty here too —
+            # storage layout stays invisible to serving)
+            return snapshot(spark, path).filter(F.lit(False))
         return scan_table(spark, path, predicates=[("_cell", "in", cells)])
     return spark.read.parquet(path).filter(F.col("_cell").isin(cells))
 
@@ -1144,7 +1179,7 @@ def pq_topk_many_indexed_df(
     )
     if not refine:
         return ranked.select(
-            F.col("_qid").alias("qid"),
+            F.col("_qid").alias(qid_col),
             F.col(id_col),
             F.round("_adc", 6).alias("adc_dist"),
             "rank",
@@ -1153,7 +1188,7 @@ def pq_topk_many_indexed_df(
         raise ValueError("refine > 0 needs the corpus to fetch vectors from")
     cand = ranked.select("_qid", id_col)
     vec_col = meta["vec_col"]
-    cos = cosine(F.col(vec_col), F.col("_qvec"))
+    cos = _safe_cosine(F.col(vec_col), F.col("_qvec"))
     refined = (
         corpus.select(F.col(id_col), F.col(vec_col))
         .join(F.broadcast(cand), id_col)
@@ -1165,7 +1200,7 @@ def pq_topk_many_indexed_df(
         n_salts=salt_partitions,
     )
     return ranked2.select(
-        F.col("_qid").alias("qid"),
+        F.col("_qid").alias(qid_col),
         F.col(id_col),
         F.col("_cos").alias("cos"),
         "rank",
@@ -1240,12 +1275,16 @@ def pq_topk_indexed(
     and batch serving CANNOT drift (same tables, same JVM sum order,
     same tie-break)."""
     qid = int(exclude_id) if exclude_id is not None else 0
+    # internal qid name must not collide with the index's id column
+    # (an index built with id_col='qid' is valid — the single-query
+    # API has no qid concept to rename)
+    qc = "_pq_qid" if ann_index_meta(path, spark)["id_col"] == "qid" else "qid"
     qdf = spark.createDataFrame(
         [(qid, [float(x) for x in query_vec])],
-        "qid bigint, qvec array<double>",
+        f"{qc} bigint, qvec array<double>",
     )
     out = pq_topk_many_indexed_df(
-        spark, path, qdf, "qid", "qvec", k=k, n_probe=n_probe,
+        spark, path, qdf, qc, "qvec", k=k, n_probe=n_probe,
         refine=(refine if corpus is not None else 0), corpus=corpus,
         exclude_self=exclude_id is not None, _skip_qid_check=True,
     )
@@ -1288,7 +1327,14 @@ def append_to_ann_index(
     if meta.get("_manifest"):
         from ensembl_database_loader_spark.sinks.manifest import write_table
 
-        write_table(assigned, path, mode="append", txn=txn)
+        # id stats re-declared per append (blooms inherit from the
+        # table spec automatically; [min, max] stats do not) — without
+        # them every appended file loses the id-pruning the build
+        # promises for deletes and candidate fetches
+        write_table(
+            assigned, path, mode="append", txn=txn,
+            stats_cols=(meta["id_col"],),
+        )
         return
     if txn is not None:
         raise ValueError("txn needs a manifest-backed index (manifest=True)")
@@ -1399,7 +1445,10 @@ def delete_from_ann_index(spark, path: str, deleted_df: DataFrame) -> dict | Non
     row's cell is recomputed STATELESSLY from the index's persisted
     centroids (the same `_assign_cells` math that placed it), so the
     copy-on-write rewrite prunes to exactly the affected ``_cell``
-    partitions; without vectors, pruning falls back to the per-file id
+    partitions — FLOAT indexes only (quantized indexes may have been
+    rebalanced from their stored codes, so the recompute is not
+    faithful and the delete scopes by id stats + blooms instead);
+    without vectors, pruning falls back to the per-file id
     stats + blooms the index build collected. Either way untouched
     files are carried by reference, pinned readers of older snapshots
     are unaffected, and ``restore_table`` undoes the delete
@@ -1425,7 +1474,15 @@ def delete_from_ann_index(spark, path: str, deleted_df: DataFrame) -> dict | Non
         )
     prune = []
     cells: list[int] = []
-    if vec_col in deleted_df.columns:
+    # cell scoping is conjoined into the ROW condition by delete_rows,
+    # so it is only safe when re-running _assign_cells on the caller's
+    # vectors provably reproduces the STORED cells: true for float
+    # indexes (placement and rebalance both assign from these floats
+    # with the current centroids), NOT for quantized ones (a rebalance
+    # re-assigns from the stored codes, whose rounding can flip
+    # near-boundary argmaxes — a conjoined wrong cell would silently
+    # skip the row). Quantized deletes scope by id stats/blooms only.
+    if vec_col in deleted_df.columns and not meta.get("quantized"):
         assigned = _assign_cells(
             deleted_df.select(F.col(id_col), F.col(vec_col)),
             vec_col,
@@ -1511,9 +1568,9 @@ def ivf_topk_indexed(
         # the per-vector scale cancels in cosine (cos(s*q, y) == cos(q, y)
         # for s > 0), so the int8 codes rank directly — no dequantize
         # column, no scale read, in the hot path
-        cos = cosine(F.transform("q", lambda x: x.cast("double")), qcol)
+        cos = _safe_cosine(F.transform("q", lambda x: x.cast("double")), qcol)
     else:
-        cos = cosine(F.col(meta["vec_col"]), qcol)
+        cos = _safe_cosine(F.col(meta["vec_col"]), qcol)
     return (
         idx.select(F.col(meta["id_col"]), F.round(cos, 6).alias("cos"))
         .orderBy(F.desc("cos"), meta["id_col"])
@@ -1602,7 +1659,7 @@ def lsh_topk_indexed(
     if exclude_id is not None:
         idx = idx.filter(F.col(meta["id_col"]) != exclude_id)
     qcol = F.array(*[F.lit(float(x)) for x in query_vec])
-    cos = cosine(F.col(meta["vec_col"]), qcol)
+    cos = _safe_cosine(F.col(meta["vec_col"]), qcol)
     return (
         idx.dropDuplicates([meta["id_col"]])
         .select(F.col(meta["id_col"]), F.round(cos, 6).alias("cos"))

@@ -1604,6 +1604,7 @@ def _rewrite_rows(
     transform: Callable[[DataFrame, Column], DataFrame],
     operation: str,
     stats_cols: tuple[str, ...] | None,
+    properties: dict | None = None,
 ) -> dict | None:
     """Shared copy-on-write core of ``delete_rows`` / ``update_rows``.
 
@@ -1723,9 +1724,16 @@ def _rewrite_rows(
             **({"partition_by": list(pb)} if pb else {}),
             **({"parts": parts} if parts else {}),
             **(
-                {"properties": head["properties"]}
-                if head.get("properties")
-                else {}
+                # an explicit override replaces the carried map in the
+                # SAME commit (safe: build raises on a concurrent head
+                # change, so the override was computed from this head)
+                {"properties": properties}
+                if properties is not None
+                else (
+                    {"properties": head["properties"]}
+                    if head.get("properties")
+                    else {}
+                )
             ),
         }
 
@@ -1743,6 +1751,7 @@ def delete_rows(
     where: str | None = None,
     prune=(),
     stats_cols: tuple[str, ...] | None = None,
+    properties: dict | None = None,
 ) -> dict | None:
     """Row-level DELETE as a copy-on-write commit — the GDPR-delete /
     bad-shard-purge path a 100 TB lake needs without rewriting the
@@ -1780,6 +1789,7 @@ def delete_rows(
     return _rewrite_rows(
         spark, path, where, tuple(prune),
         lambda df, hit: df.filter(~hit), "delete", stats_cols,
+        properties=properties,
     )
 
 

@@ -214,3 +214,111 @@ def test_pq_gemm_row_identical_to_expr(spark, clustered, tmp_path, refine):
     assert gemm.count() == 6 * 5
     plan = gemm._jdf.queryExecution().executedPlan().toString()
     assert "FlatMapCoGroupsInPandas" in plan
+
+
+def test_zero_norm_vector_scores_zero_on_both_scorers(spark, clustered, tmp_path):
+    """The review fix: a zero-norm embedding (failed embed) must score
+    cosine 0.0 — raw 0/0 is NaN, which Spark orders GREATEST, ranking
+    the garbage row FIRST for every query probing its cell. Both
+    scorers agree and neither serves the zero vector at rank 1."""
+    from ensembl_database_loader_spark.operators.similarity import (
+        ivf_topk_indexed,
+    )
+
+    withzero = clustered.unionByName(
+        spark.createDataFrame(
+            [(9_999, [0.0] * DIM)], "vec_id bigint, embedding array<double>"
+        )
+    )
+    path = str(tmp_path / "zero")
+    build_ann_index(withzero, "vec_id", "embedding", path, n_cells=N_CLUSTERS)
+    q = _queries(clustered, n=4)
+    expr = ivf_topk_many_indexed(
+        spark, path, q, "qid", "qvec", k=3, n_probe=N_CLUSTERS,
+        exclude_self=True,
+    )
+    gemm = ivf_topk_many_indexed(
+        spark, path, q, "qid", "qvec", k=3, n_probe=N_CLUSTERS,
+        exclude_self=True, scorer="gemm",
+    )
+    assert _diff(expr, gemm) == 0
+    assert all(r["vec_id"] != 9_999 for r in expr.collect())
+    # single-query path agrees (shared _safe_cosine)
+    qv = list(clustered.filter(F.col("vec_id") == 0).first()["embedding"])
+    single = ivf_topk_indexed(
+        spark, path, qv, k=3, n_probe=N_CLUSTERS, exclude_id=0
+    )
+    assert all(r["vec_id"] != 9_999 for r in single.collect())
+
+
+def test_empty_query_frame_returns_empty(spark, clustered, tmp_path):
+    """An upstream filter may leave the query frame empty: both
+    manifest-backed and bare layouts return an empty result (the
+    manifest path used to raise from files_matching's empty-IN guard —
+    storage layout must stay invisible to serving)."""
+    for manifest in (False, True):
+        path = str(tmp_path / f"empty_{manifest}")
+        build_ann_index(
+            clustered, "vec_id", "embedding", path, n_cells=4,
+            manifest=manifest,
+        )
+        q = _queries(clustered, n=0)
+        for scorer in ("expr", "gemm"):
+            got = ivf_topk_many_indexed(
+                spark, path, q, "qid", "qvec", k=3, scorer=scorer
+            )
+            assert got.count() == 0
+            assert got.columns == ["qid", "vec_id", "cos", "rank"]
+
+
+def test_pq_index_with_id_col_named_qid(spark, clustered, tmp_path):
+    """Regression (review): an index built with id_col='qid' must keep
+    serving through the single-query PQ API (which has no qid_col
+    parameter to rename)."""
+    from ensembl_database_loader_spark.operators.similarity import (
+        pq_topk_indexed,
+    )
+
+    renamed = clustered.select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    path = str(tmp_path / "qid_idx")
+    build_ann_index(
+        renamed, "qid", "embedding", path, n_cells=N_CLUSTERS,
+        quantized="pq", pq_m=8, pq_k=8,
+    )
+    qv = list(clustered.filter(F.col("vec_id") == 0).first()["embedding"])
+    got = pq_topk_indexed(spark, path, qv, k=5, n_probe=2, exclude_id=0)
+    assert got.count() == 5
+    assert all(r["qid"] % N_CLUSTERS == 0 for r in got.collect())
+
+
+def test_delete_after_rebalance_on_int8_index(spark, clustered, tmp_path):
+    """Review fix: on a QUANTIZED index the delete must not conjoin a
+    recomputed cell into the row condition — after rebalance (cells
+    re-assigned from stored codes) the float-vector recompute can
+    disagree near boundaries and silently skip the row. The delete
+    scopes by id stats/blooms and must remove every victim."""
+    from ensembl_database_loader_spark.operators.similarity import (
+        delete_from_ann_index,
+        ivf_topk_indexed,
+        rebalance_ann_index,
+    )
+    from ensembl_database_loader_spark.sinks.manifest import snapshot
+
+    path = str(tmp_path / "int8_del")
+    build_ann_index(
+        clustered, "vec_id", "embedding", path, n_cells=N_CLUSTERS,
+        quantized=True, manifest=True,
+    )
+    rebalance_ann_index(spark, path, txn=("maint", 1))
+    qv = list(clustered.filter(F.col("vec_id") == 0).first()["embedding"])
+    before = {r["vec_id"] for r in ivf_topk_indexed(
+        spark, path, qv, k=5, n_probe=2, exclude_id=0
+    ).collect()}
+    victims = clustered.filter(F.col("vec_id").isin(sorted(before)))
+    out = delete_from_ann_index(spark, path, victims)
+    assert out is not None and out["rows_affected"] == len(before)
+    assert out["cells_scoped"] == []  # quantized: id-scoped, not cell
+    left = {r["vec_id"] for r in snapshot(spark, path).collect()}
+    assert not (left & before)

@@ -205,3 +205,57 @@ def test_append_serves_identical_to_rebuild(spark, tmp_path):
     assert append_to_bm25_index(rest, "text", inc, txn=("ingest", 1)) is None
     assert int(latest_manifest(spark, inc)["version"]) == v
     assert table_properties(spark, inc)["bm25"]["n_docs"] == len(DOCS)
+
+
+def test_delete_decrements_stats_and_matches_rebuild(spark, tmp_path):
+    """delete_from_bm25_index removes postings AND decrements the
+    corpus stats in ONE commit, so the delete->append re-ingest cycle
+    serves ROW-IDENTICAL to a from-scratch rebuild (stale stats would
+    silently skew idf/avgdl forever)."""
+    from ensembl_database_loader_spark.operators.bm25 import (
+        append_to_bm25_index,
+        delete_from_bm25_index,
+    )
+    from ensembl_database_loader_spark.sinks.manifest import table_properties
+
+    alldocs = spark.createDataFrame(DOCS, "doc_id bigint, text string")
+    queries = spark.createDataFrame(QUERIES, "qid bigint, qtext string")
+    corrected = spark.createDataFrame(
+        [(2, "the quick red fox runs very far")], "doc_id bigint, text string"
+    )
+    final = spark.createDataFrame(
+        [r for r in DOCS if r[0] != 2] + [(2, "the quick red fox runs very far")],
+        "doc_id bigint, text string",
+    )
+
+    inc, full = str(tmp_path / "inc"), str(tmp_path / "full")
+    build_bm25_index(alldocs, "doc_id", "text", inc)
+    out = delete_from_bm25_index(spark, inc, [2])
+    assert out is not None and out["rows_affected"] > 0
+    props = table_properties(spark, inc)["bm25"]
+    assert props["n_docs"] == len(DOCS) - 1
+    append_to_bm25_index(corrected, "text", inc)
+    build_bm25_index(final, "doc_id", "text", full)
+    assert (
+        table_properties(spark, inc)["bm25"]
+        == table_properties(spark, full)["bm25"]
+    )
+    a = bm25_topk_indexed(spark, inc, queries, k=4)
+    b = bm25_topk_indexed(spark, full, queries, k=4)
+    assert a.exceptAll(b).unionAll(b.exceptAll(a)).count() == 0
+    # deleting nothing is a no-op (no commit, stats unchanged)
+    assert delete_from_bm25_index(spark, inc, [999]) is None
+
+
+def test_string_qids_supported(spark, tmp_path):
+    """Query ids may be strings (UUIDs): the literal qt frame carries
+    the caller's qid type through scoring and output."""
+    docs, _ = _frames(spark)
+    queries = spark.createDataFrame(
+        [("q-a", "quick brown fox"), ("q-b", "lazy dog")],
+        "qid string, qtext string",
+    )
+    got = bm25_topk(docs, queries, "doc_id", "text", k=2)
+    rows = got.collect()
+    assert {r["qid"] for r in rows} == {"q-a", "q-b"}
+    assert all(isinstance(r["qid"], str) for r in rows)
