@@ -512,6 +512,8 @@ def ivf_topk_many_indexed(
     )
     idx = _ann_cells_scan(spark, path, meta, union_cells)
     if scorer == "gemm":
+        _require_integral_ids(idx, id_col, "index id")
+        _require_integral_ids(queries, qid_col, "query qid")
         scored = _gemm_cell_scores(
             idx, qcells, meta, id_col, k=int(k), exclude_self=exclude_self
         )
@@ -972,6 +974,36 @@ def _pq_meta_arrays(meta: dict):
     return books, m, w, pk, cn, bool(pq["residual"])
 
 
+def _pq_query_tables_np(books, m, w, pk, cn, residual, n_probe, x):
+    """Probed cells + flattened ADC tables for an (n, dim) query block —
+    the ONE numpy implementation behind BOTH the executor Arrow pass
+    (``_pq_query_tables_udf``) and the driver-side literal fast path
+    (``pq_topk_many_indexed_df(_literal_queries=...)``), so the two
+    serving forms produce bit-identical tables by construction. Returns
+    one list per query of (cell, flattened (m x pk) table row-major —
+    si*pk + code indexes it)."""
+    import numpy as np
+
+    xn = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    order = np.argsort(-(xn @ cn.T), axis=1)[:, :n_probe]
+    out = []
+    for qi in range(x.shape[0]):
+        ents = []
+        for c in order[qi]:
+            c = int(c)
+            qr = xn[qi] - cn[c] if residual else xn[qi]
+            t = np.stack(
+                [
+                    ((books[si] - qr[si * w : (si + 1) * w][None, :]) ** 2)
+                    .sum(axis=1)
+                    for si in range(m)
+                ]
+            )
+            ents.append((c, t.ravel().tolist()))
+        out.append(ents)
+    return out
+
+
 def _pq_query_tables_udf(books, m, w, pk, cn, residual, n_probe):
     """Arrow UDF: query vector -> its ``n_probe`` probed cells, each
     with the (m x pk) ADC lookup table FLATTENED row-major (si*pk +
@@ -980,31 +1012,18 @@ def _pq_query_tables_udf(books, m, w, pk, cn, residual, n_probe):
     batch form DataFrame-shaped: the driver never loops over queries
     (reference analogue: fan-out X1, LoadDBs_conf.pm:113-123 — the
     work list is data, not driver state). ~1 KB per (query, cell) at
-    the m=8, pq_k=16 defaults."""
+    the m=8, pq_k=16 defaults. The numpy body is ``_pq_query_tables_np``
+    — shared with the driver-side literal fast path."""
     import numpy as np
     import pandas as pd
 
     @F.pandas_udf("array<struct<cell: int, tbl: array<double>>>")
     def _qtables(vs):  # type: ignore[no-untyped-def]
         x = np.array(vs.tolist(), dtype=np.float64)
-        xn = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
-        order = np.argsort(-(xn @ cn.T), axis=1)[:, :n_probe]
-        out = []
-        for qi in range(x.shape[0]):
-            ents = []
-            for c in order[qi]:
-                c = int(c)
-                qr = xn[qi] - cn[c] if residual else xn[qi]
-                t = np.stack(
-                    [
-                        ((books[si] - qr[si * w : (si + 1) * w][None, :]) ** 2)
-                        .sum(axis=1)
-                        for si in range(m)
-                    ]
-                )
-                ents.append({"cell": c, "tbl": t.ravel().tolist()})
-            out.append(ents)
-        return pd.Series(out)
+        ents_all = _pq_query_tables_np(books, m, w, pk, cn, residual, n_probe, x)
+        return pd.Series(
+            [[{"cell": c, "tbl": t} for c, t in ents] for ents in ents_all]
+        )
 
     return _qtables
 
@@ -1079,6 +1098,7 @@ def pq_topk_many_indexed_df(
     salt_partitions: int = 0,
     scorer: str = "expr",
     _skip_qid_check: bool = False,
+    _literal_queries: list[tuple[int, list[float]]] | None = None,
 ) -> DataFrame:
     """DataFrame-shaped BATCH queries over an IVF-PQ index — the core
     every PQ serving form delegates to. One plan end-to-end:
@@ -1114,7 +1134,19 @@ def pq_topk_many_indexed_df(
     broadcasting — no broadcast-width cap, no per-pair JVM aggregate.
     Tables use the identical numpy expressions and the gather sum runs
     in the same subspace order as ``_adc_score``, so rows match the
-    expr plan (gated in tests)."""
+    expr plan (gated in tests).
+
+    ``_literal_queries`` is the INTERACTIVE-serving fast path the list
+    and single-query wrappers use: when the query batch already lives
+    on the driver as (int qid, vector) pairs, probe cells and ADC
+    tables compute driver-side with the SAME numpy helper the Arrow
+    pass runs (``_pq_query_tables_np`` — bit-identical tables by
+    construction), so the probe-cell union needs NO Spark job and the
+    query side enters the plan as a literal frame. This is what keeps
+    one-row serving latency at scan + score + top-k instead of paying
+    the batch core's per-call Arrow/collect round trips (the r11
+    ``ss_ann_pq_indexed`` regression). Pass EITHER ``queries`` or
+    ``_literal_queries``."""
     meta = ann_index_meta(path, spark)
     if meta.get("quantized") != "pq" or "pq" not in meta:
         raise ValueError(
@@ -1126,45 +1158,94 @@ def pq_topk_many_indexed_df(
             f"qid_col and id_col must differ in the output, both {qid_col!r}"
             " — alias the query side first"
         )
-    if not _skip_qid_check:
-        _reject_duplicate_qids(queries, qid_col)
     books, m, w, pk, cn, residual = _pq_meta_arrays(meta)
     n_probe = min(int(n_probe), cn.shape[0])
 
-    q0 = queries.select(
-        F.col(qid_col).alias("_qid"),
-        F.col(qvec_col).cast("array<double>").alias("_qvec"),
-    )
-    # light pass: union of probed cells for partition pruning (<= n_cells
-    # distinct values however wide the batch)
-    probes = _pq_probe_cells_udf(cn, n_probe)
-    union_cells = sorted(
-        r["_c"]
-        for r in q0.select(
-            F.explode_outer(probes(F.col("_qvec"))).alias("_c")
+    lit_q: list[tuple[int, list[float]]] = []
+    ents_all: list = []
+    if _literal_queries is not None:
+        lit_q = [
+            (int(q), [float(v) for v in vec]) for q, vec in _literal_queries
+        ]
+        if not lit_q:
+            raise ValueError("literal query batch must be non-empty")
+        if len({q for q, _ in lit_q}) != len(lit_q):
+            raise ValueError("duplicate qids in the literal query batch")
+        import numpy as np
+
+        x = np.array([vec for _, vec in lit_q], dtype=np.float64)
+        ents_all = _pq_query_tables_np(
+            books, m, w, pk, cn, residual, n_probe, x
         )
-        .distinct()
-        .collect()
-    )
+        # probe-cell union is driver arithmetic — zero Spark jobs
+        union_cells = sorted({c for ents in ents_all for c, _ in ents})
+        q0 = None  # built below only if refine needs the vectors
+    else:
+        if not _skip_qid_check:
+            _reject_duplicate_qids(queries, qid_col)
+        q0 = queries.select(
+            F.col(qid_col).alias("_qid"),
+            F.col(qvec_col).cast("array<double>").alias("_qvec"),
+        )
+        # light pass: union of probed cells for partition pruning
+        # (<= n_cells distinct values however wide the batch)
+        probes = _pq_probe_cells_udf(cn, n_probe)
+        union_cells = sorted(
+            r["_c"]
+            for r in q0.select(
+                F.explode_outer(probes(F.col("_qvec"))).alias("_c")
+            )
+            .distinct()
+            .collect()
+        )
     idx = _ann_cells_scan(spark, path, meta, union_cells)
     if scorer == "gemm":
-        qcells = q0.select(
-            "_qid", "_qvec", F.explode_outer(probes(F.col("_qvec"))).alias("_cell")
-        )
+        _require_integral_ids(idx, id_col, "index id")
+        if _literal_queries is not None:
+            qcells = spark.createDataFrame(
+                [
+                    (q, vec, c)
+                    for (q, vec), ents in zip(lit_q, ents_all)
+                    for c, _ in ents
+                ],
+                "_qid bigint, _qvec array<double>, _cell int",
+            )
+        else:
+            _require_integral_ids(queries, qid_col, "query qid")
+            qcells = q0.select(
+                "_qid",
+                "_qvec",
+                F.explode_outer(probes(F.col("_qvec"))).alias("_cell"),
+            )
         scored = _pq_gemm_cell_scores(
             idx, qcells, meta, id_col,
             k=(int(refine) if refine else int(k)), exclude_self=exclude_self,
         )
     elif scorer == "expr":
-        qtables = _pq_query_tables_udf(books, m, w, pk, cn, residual, n_probe)
-        # explode_outer: plain explode would let Catalyst infer
-        # size(udf(...)) > 0 and push a UDF-referencing constraint around
-        # the plan (re-running the UDF); semantics are identical here
-        qcells = q0.select(
-            "_qid", F.explode_outer(qtables(F.col("_qvec"))).alias("_e")
-        ).select(
-            "_qid", F.col("_e.cell").alias("_cell"), F.col("_e.tbl").alias("_tbl")
-        )
+        if _literal_queries is not None:
+            qcells = spark.createDataFrame(
+                [
+                    (q, c, t)
+                    for (q, _), ents in zip(lit_q, ents_all)
+                    for c, t in ents
+                ],
+                "_qid bigint, _cell int, _tbl array<double>",
+            )
+        else:
+            qtables = _pq_query_tables_udf(
+                books, m, w, pk, cn, residual, n_probe
+            )
+            # explode_outer: plain explode would let Catalyst infer
+            # size(udf(...)) > 0 and push a UDF-referencing constraint
+            # around the plan (re-running the UDF); semantics are
+            # identical here
+            qcells = q0.select(
+                "_qid", F.explode_outer(qtables(F.col("_qvec"))).alias("_e")
+            ).select(
+                "_qid",
+                F.col("_e.cell").alias("_cell"),
+                F.col("_e.tbl").alias("_tbl"),
+            )
         pairs = idx.join(F.broadcast(qcells), "_cell")
         if exclude_self:
             pairs = pairs.filter(F.col(id_col) != F.col("_qid"))
@@ -1186,6 +1267,8 @@ def pq_topk_many_indexed_df(
         )
     if corpus is None:
         raise ValueError("refine > 0 needs the corpus to fetch vectors from")
+    if q0 is None:  # literal path: the refine join needs the raw vectors
+        q0 = spark.createDataFrame(lit_q, "_qid bigint, _qvec array<double>")
     cand = ranked.select("_qid", id_col)
     vec_col = meta["vec_col"]
     cos = _safe_cosine(F.col(vec_col), F.col("_qvec"))
@@ -1221,8 +1304,12 @@ def pq_topk_many_indexed(
     """BATCH queries over an IVF-PQ index from a driver-side list of
     (qid, vector) — a thin wrapper over the DataFrame-shaped core
     (``pq_topk_many_indexed_df``), so the list and DataFrame forms are
-    row-identical BY CONSTRUCTION. Prefer the DataFrame form when the
-    queries already live in a frame (contamination-kNN sweeps)."""
+    row-identical BY CONSTRUCTION (the tables come from the shared
+    numpy helper either way). Rides the core's LITERAL fast path:
+    probe cells and ADC tables compute driver-side, so the call plans
+    one pruned scan + score + top-k with no per-call Arrow/collect
+    round trips. Prefer the DataFrame form when the queries already
+    live in a frame (contamination-kNN sweeps)."""
     # meta/path validation happens in the core; validate the batch here
     if not queries:
         raise ValueError("queries must be a non-empty list of (qid, vector)")
@@ -1232,14 +1319,11 @@ def pq_topk_many_indexed(
         if qid in seen:
             raise ValueError(f"duplicate qid {qid} in query batch")
         seen.add(qid)
-    qdf = spark.createDataFrame(
-        [(int(qid), [float(x) for x in vec]) for qid, vec in queries],
-        "qid bigint, qvec array<double>",
-    )
     return pq_topk_many_indexed_df(
-        spark, path, qdf, "qid", "qvec", k=k, n_probe=n_probe,
+        spark, path, None, "qid", "qvec", k=k, n_probe=n_probe,
         refine=refine, corpus=corpus, exclude_self=exclude_self,
         salt_partitions=salt_partitions, _skip_qid_check=True,
+        _literal_queries=list(queries),
     )
 
 
@@ -1271,22 +1355,23 @@ def pq_topk_indexed(
     fixture; reference analogue: priority-pruned routing,
     Prioritise.pm:70-81.
 
-    Delegates to the batch core with a one-row query frame — single
-    and batch serving CANNOT drift (same tables, same JVM sum order,
-    same tie-break)."""
+    Delegates to the batch core's LITERAL fast path with a one-row
+    batch — single and batch serving CANNOT drift (the ADC tables come
+    from the shared numpy helper, the JVM sum order and tie-break are
+    the core's), but the probe-cell assignment runs as driver
+    arithmetic against the already-driver-resident centroids: the call
+    costs ONE pruned scan + score + top-k, no per-call Arrow pass or
+    probed-cells collect (the r11 regression this form re-fixes)."""
     qid = int(exclude_id) if exclude_id is not None else 0
     # internal qid name must not collide with the index's id column
     # (an index built with id_col='qid' is valid — the single-query
     # API has no qid concept to rename)
     qc = "_pq_qid" if ann_index_meta(path, spark)["id_col"] == "qid" else "qid"
-    qdf = spark.createDataFrame(
-        [(qid, [float(x) for x in query_vec])],
-        f"{qc} bigint, qvec array<double>",
-    )
     out = pq_topk_many_indexed_df(
-        spark, path, qdf, qc, "qvec", k=k, n_probe=n_probe,
+        spark, path, None, qc, "qvec", k=k, n_probe=n_probe,
         refine=(refine if corpus is not None else 0), corpus=corpus,
         exclude_self=exclude_id is not None, _skip_qid_check=True,
+        _literal_queries=[(qid, [float(x) for x in query_vec])],
     )
     score = "cos" if corpus is not None else "adc_dist"
     id_col = out.columns[1]  # core output is (qid, id, score, rank)

@@ -322,3 +322,110 @@ def test_delete_after_rebalance_on_int8_index(spark, clustered, tmp_path):
     assert out["cells_scoped"] == []  # quantized: id-scoped, not cell
     left = {r["vec_id"] for r in snapshot(spark, path).collect()}
     assert not (left & before)
+
+
+def test_gemm_rejects_non_integral_ids_at_api_edge(spark, clustered, tmp_path):
+    """ADVICE r12: the GEMM scorers move ids through numpy int64 — a
+    string-keyed query frame must fail fast at the API edge (ValueError
+    naming the workaround), not deep inside the Arrow UDF."""
+    from ensembl_database_loader_spark.operators.similarity import (
+        pq_topk_many_indexed_df,
+    )
+
+    path = str(tmp_path / "idx_strq")
+    build_ann_index(clustered, "vec_id", "embedding", path, n_cells=4)
+    str_q = _queries(clustered, n=2).select(
+        F.col("qid").cast("string").alias("qid"), "qvec"
+    )
+    with pytest.raises(ValueError, match="integral"):
+        ivf_topk_many_indexed(
+            spark, path, str_q, "qid", "qvec", k=3, scorer="gemm"
+        )
+    pq_path = str(tmp_path / "pq_strq")
+    build_ann_index(
+        clustered, "vec_id", "embedding", pq_path, n_cells=4,
+        quantized="pq", pq_m=8, pq_k=8,
+    )
+    with pytest.raises(ValueError, match="integral"):
+        pq_topk_many_indexed_df(
+            spark, pq_path, str_q, "qid", "qvec", k=3, scorer="gemm"
+        )
+    # expr scorer keeps accepting string qids (no numpy crossing)
+    assert ivf_topk_many_indexed(
+        spark, path, str_q, "qid", "qvec", k=3, n_probe=2
+    ).count() == 6
+
+
+def test_pq_literal_fast_path_row_identical(spark, clustered, tmp_path):
+    """r12 serving fix: the list/single-query PQ forms ride the LITERAL
+    fast path (driver-side probe cells + tables, zero pre-collect jobs);
+    rows must match the DataFrame-shaped Arrow path exactly — same
+    shared numpy tables, same JVM sum, same tie-break."""
+    from ensembl_database_loader_spark.operators.similarity import (
+        pq_topk_indexed,
+        pq_topk_many_indexed,
+        pq_topk_many_indexed_df,
+    )
+
+    path = str(tmp_path / "pq_lit")
+    build_ann_index(
+        clustered, "vec_id", "embedding", path, n_cells=N_CLUSTERS,
+        quantized="pq", pq_m=8, pq_k=8,
+    )
+    qrows = [
+        (int(r["vec_id"]), list(r["embedding"]))
+        for r in clustered.filter(F.col("vec_id") < 4).collect()
+    ]
+    qdf = spark.createDataFrame(qrows, "qid bigint, qvec array<double>")
+    via_df = pq_topk_many_indexed_df(
+        spark, path, qdf, "qid", "qvec", k=5, n_probe=2, exclude_self=True
+    )
+    via_list = pq_topk_many_indexed(
+        spark, path, qrows, k=5, n_probe=2, exclude_self=True
+    )
+    assert _diff(via_df, via_list) == 0
+    # the single-query form agrees row-for-row with its batch slice
+    one = pq_topk_indexed(
+        spark, path, qrows[0][1], k=5, n_probe=2, exclude_id=qrows[0][0]
+    )
+    batch_slice = via_df.filter(F.col("qid") == qrows[0][0]).select(
+        "vec_id", "adc_dist"
+    )
+    assert _diff(one, batch_slice) == 0
+    # refine through the literal path still re-ranks on true cosine
+    ref = pq_topk_indexed(
+        spark, path, qrows[0][1], k=5, n_probe=2, refine=20,
+        corpus=clustered, exclude_id=qrows[0][0],
+    )
+    assert ref.columns == ["vec_id", "cos"] and ref.count() == 5
+
+
+def test_pq_literal_fast_path_runs_no_precollect_jobs(spark, clustered, tmp_path):
+    """The literal path's point: building the serving plan must launch
+    ZERO Spark jobs (probe cells and ADC tables are driver arithmetic;
+    the old delegation paid an Arrow probe pass + a probed-cells collect
+    per call). Gate on the sparkContext job counter."""
+    from ensembl_database_loader_spark.operators.similarity import (
+        pq_topk_many_indexed,
+    )
+
+    path = str(tmp_path / "pq_lit_jobs")
+    build_ann_index(
+        clustered, "vec_id", "embedding", path, n_cells=4,
+        quantized="pq", pq_m=8, pq_k=8,
+    )
+    qrows = [
+        (int(r["vec_id"]), list(r["embedding"]))
+        for r in clustered.filter(F.col("vec_id") < 2).collect()
+    ]
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup(None) or [])
+    plan = pq_topk_many_indexed(spark, path, qrows, k=3, n_probe=2)
+    after = len(tracker.getJobIdsForGroup(None) or [])
+    # <= 1: spark.read.parquet's footer/schema read may launch one tiny
+    # job (inherent to any scan); the Arrow probe pass + probed-cells
+    # collect the old delegation paid would add 2+ more
+    assert after - before <= 1, (
+        f"literal plan construction launched {after - before} Spark jobs"
+    )
+    assert plan.count() == 2 * 3
