@@ -53,6 +53,22 @@ def _nonempty_tokens(col) -> "F.Column":
     return F.filter(tokens(col), lambda w: w != "")
 
 
+def _query_terms_df(
+    queries: DataFrame, qid_col: str, qtext_col: str
+) -> DataFrame:
+    """(qid, term) pairs as a DATAFRAME — DISTINCT terms per query,
+    tokenized EXECUTOR-side: the corpus-scale query shape
+    (``broadcast_queries=False``), where a million-query contamination
+    sweep phrased lexically must never collect to the driver — the
+    work list stays data (reference analogue: fan-out X1,
+    LoadDBs_conf.pm:113-123) and joins the postings as an ordinary
+    shuffle join on ``term``."""
+    return queries.select(
+        F.col(qid_col).alias("_qid"),
+        F.explode(F.array_distinct(_nonempty_tokens(qtext_col))).alias("term"),
+    ).distinct()
+
+
 def _query_term_rows(
     queries: DataFrame, qid_col: str, qtext_col: str
 ) -> list[tuple[int, str]]:
@@ -113,19 +129,36 @@ def bm25_topk(
     b: float = 0.75,
     ndigits: int = 2,
     salt_partitions: int = 0,
+    broadcast_queries: bool = True,
 ) -> DataFrame:
     """Top-``k`` BM25 matches per query: (qid, <id_col>, score, rank).
 
     One corpus scan; the exploded term stream is filtered by the
-    broadcast query-term set BEFORE the tf aggregate, so the shuffle
-    never carries non-matching terms. ``salt_partitions`` > 1 bounds
-    per-query reducers under hot-term skew (two-phase top-k)."""
+    query-term set BEFORE the tf aggregate, so the shuffle never
+    carries non-matching terms. ``salt_partitions`` > 1 bounds
+    per-query reducers under hot-term skew (two-phase top-k).
+
+    ``broadcast_queries`` picks the query shape (row-identical — gated
+    in tests):
+
+    - True (default): the query frame collects to the driver and
+      BROADCASTS into the postings joins — right for interactive waves
+      (tens..thousands of queries), zero shuffle of the query side;
+    - False: the query frame tokenizes EXECUTOR-side and the (qid,
+      term) stream SHUFFLE-joins the postings — the corpus-scale sweep
+      shape (a million-query lexical contamination screen must never
+      drive through the driver), the lexical twin of the dense stack's
+      GEMM cogroup. No driver collect anywhere in the plan."""
     spark = docs.sparkSession
-    qrows = _query_term_rows(queries, qid_col, qtext_col)
-    qt = _qt_frame(spark, qrows, dict(queries.dtypes)[qid_col])
-    terms_only = spark.createDataFrame(
-        [(t,) for t in sorted({t for _, t in qrows})], "term string"
-    ).coalesce(1)
+    if broadcast_queries:
+        qrows = _query_term_rows(queries, qid_col, qtext_col)
+        qt = _qt_frame(spark, qrows, dict(queries.dtypes)[qid_col])
+        terms_only = spark.createDataFrame(
+            [(t,) for t in sorted({t for _, t in qrows})], "term string"
+        ).coalesce(1)
+    else:
+        qt = _query_terms_df(queries, qid_col, qtext_col)
+        terms_only = qt.select("term").distinct()
 
     toked = docs.select(
         F.col(id_col),
@@ -140,13 +173,16 @@ def bm25_topk(
         F.avg("dl").alias("avgdl"),
     ).localCheckpoint()
 
-    # (doc, term, tf, dl) for QUERY terms only — the broadcast filter
-    # runs before the aggregate, so partial aggregation sees only hits
+    # (doc, term, tf, dl) for QUERY terms only — the term filter runs
+    # before the aggregate, so partial aggregation sees only hits
     postings = (
         toked.select(
             F.col(id_col), "dl", F.explode("_toks").alias("term")
         )
-        .join(F.broadcast(terms_only), "term")
+        .join(
+            F.broadcast(terms_only) if broadcast_queries else terms_only,
+            "term",
+        )
         .groupBy(id_col, "term", "dl")
         .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
     )
@@ -154,7 +190,8 @@ def bm25_topk(
         F.count(F.lit(1)).cast("bigint").alias("df")
     )
     return _score_postings(
-        postings, dft, stats, qt, id_col, k, k1, b, ndigits, salt_partitions
+        postings, dft, stats, qt, id_col, k, k1, b, ndigits,
+        salt_partitions, broadcast_qside=broadcast_queries,
     )
 
 
@@ -169,16 +206,21 @@ def _score_postings(
     b: float,
     ndigits: int,
     salt_partitions: int,
+    broadcast_qside: bool = True,
 ) -> DataFrame:
-    """Shared scoring tail: enrich the tiny (qid, term) frame with df +
-    corpus stats, broadcast it onto the postings, sum per (qid, doc),
-    rank by (ROUND(score, 6) DESC, doc)."""
+    """Shared scoring tail: enrich the (qid, term) frame with df +
+    corpus stats, join it onto the postings (BROADCAST for collected
+    interactive waves, SHUFFLE for DataFrame-shaped corpus-scale
+    sweeps — same rows either way), sum per (qid, doc), rank by
+    (ROUND(score, 6) DESC, doc)."""
     from ensembl_database_loader_spark.operators.similarity import (
         _per_query_topk,
     )
 
     qside = qt.join(dft, "term").crossJoin(stats)
-    pairs = postings.join(F.broadcast(qside), "term").select(
+    pairs = postings.join(
+        F.broadcast(qside) if broadcast_qside else qside, "term"
+    ).select(
         "_qid",
         F.col(id_col),
         _bm25_score(float(k1), float(b)).alias("_c"),
@@ -203,6 +245,42 @@ def _score_postings(
 # ---------------------------------------------------------------------------
 
 
+def _index_postings(
+    toked: DataFrame, id_col: str, num_files: int | None = None
+) -> DataFrame:
+    """(id, term, dl, tf) postings for the INDEX — the one shared
+    builder behind build and append, so an append-maintained index
+    stays row-identical to a rebuild. ZERO-TOKEN docs (empty or
+    whitespace-only text) get a SENTINEL row (term='', tf=0, dl=0):
+    the tokenizer drops empties so '' can never be a real term — the
+    sentinel never joins a query term and never scores — but it keeps
+    the doc VISIBLE to ``delete_from_bm25_index``, whose stats
+    decrement counts matched docs; without it, deleting a zero-token
+    doc left n_docs permanently over-counting vs a from-scratch
+    rebuild (ADVICE r12)."""
+    real = (
+        toked.select(F.col(id_col), "dl", F.explode("_toks").alias("term"))
+        .groupBy(id_col, "term", "dl")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    )
+    sentinel = toked.filter(F.size("_toks") == 0).select(
+        F.col(id_col),
+        F.lit("").alias("term"),
+        F.col("dl"),
+        F.lit(0).cast("bigint").alias("tf"),
+    )
+    return (
+        real.unionByName(sentinel)
+        # term-sorted layout: narrow per-file term ranges => [min, max]
+        # stats AND blooms both prune point lookups (num_files pins the
+        # file count; default lets AQE size the ranges to the data)
+        .repartitionByRange(
+            *([int(num_files)] if num_files else []), F.col("term")
+        )
+        .sortWithinPartitions("term", id_col)
+    )
+
+
 def build_bm25_index(
     docs: DataFrame,
     id_col: str,
@@ -212,12 +290,18 @@ def build_bm25_index(
     num_files: int | None = None,
 ) -> None:
     """Tokenize ONCE and persist the full inverted postings
-    (term, <id>, tf, dl) as a manifest table with a BLOOM FILTER on
-    ``term``, plus the corpus stats (N, avgdl) in table PROPERTIES —
-    versioned with the postings they describe, the ANN-index pattern
-    (`build_ann_index(manifest=True)`). Postings files are laid out
-    sorted by term so each file covers a narrow term range and the
-    bloom prunes point lookups file-by-file."""
+    (term, <id>, tf, dl) as a manifest table with BLOOM FILTERS on
+    ``term`` AND the doc id, plus the corpus stats (N, avgdl) in table
+    PROPERTIES — versioned with the postings they describe, the
+    ANN-index pattern (`build_ann_index(manifest=True)`). Postings
+    files are laid out sorted by term so each file covers a narrow
+    term range and the term bloom prunes point lookups file-by-file;
+    a doc's postings concentrate in few files (one per its distinct
+    terms' ranges at most), so the ID bloom is what lets a curation
+    wave's ``delete_from_bm25_index`` prove absence and carry most of
+    the index by reference instead of candidate-rewriting every file
+    (VERDICT r11 #5). Zero-token docs persist as sentinel rows so
+    delete stats stay exact (``_index_postings``)."""
     from ensembl_database_loader_spark.sinks.manifest import write_table
 
     toked = docs.select(
@@ -230,18 +314,7 @@ def build_bm25_index(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         F.sum("dl").cast("bigint").alias("total_tokens"),
     ).collect()[0]
-    postings = (
-        toked.select(F.col(id_col), "dl", F.explode("_toks").alias("term"))
-        .groupBy(id_col, "term", "dl")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
-        # term-sorted layout: narrow per-file term ranges => [min, max]
-        # stats AND blooms both prune point lookups (num_files pins the
-        # file count; default lets AQE size the ranges to the data)
-        .repartitionByRange(
-            *([int(num_files)] if num_files else []), F.col("term")
-        )
-        .sortWithinPartitions("term", id_col)
-    )
+    postings = _index_postings(toked, id_col, num_files)
     # corpus stats stored as EXACT integers (n_docs, total_tokens):
     # avgdl derives at query time, so an append-built index and a
     # from-scratch build agree bit-for-bit (an incrementally-maintained
@@ -251,7 +324,7 @@ def build_bm25_index(
         path,
         mode="overwrite",
         stats_cols=("term",),
-        bloom_cols=("term",),
+        bloom_cols=("term", id_col),
         bloom_bits=bloom_bits,
         properties={
             "bm25": {
@@ -305,13 +378,7 @@ def append_to_bm25_index(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         F.sum("dl").cast("bigint").alias("total_tokens"),
     ).collect()[0]
-    postings = (
-        toked.select(F.col(id_col), "dl", F.explode("_toks").alias("term"))
-        .groupBy(id_col, "term", "dl")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
-        .repartitionByRange(F.col("term"))
-        .sortWithinPartitions("term", id_col)
-    )
+    postings = _index_postings(toked, id_col)
     return write_table(
         postings,
         path,
@@ -337,10 +404,20 @@ def delete_from_bm25_index(spark: SparkSession, path: str, doc_ids) -> dict | No
     drift from a from-scratch rebuild (the re-ingest path:
     delete, then ``append_to_bm25_index`` the corrected docs).
     ``doc_ids`` is broadcast-dim (a curation wave's drop list).
-    Returns the delete manifest or None when no posting matched."""
+    Returns the delete manifest or None when no posting matched.
+
+    File economics: the index build blooms BOTH ``term`` and the id
+    column, and the rewrite path bloom-prunes its candidates, so a
+    delete wave rewrites only the files actually holding a victim's
+    postings (a doc's postings concentrate in few term-range files)
+    and carries the rest by reference — O(victim files), not O(index),
+    per curation wave. The victim stats pass reads through the same
+    pruned scan. Zero-token docs are visible via their sentinel rows
+    (``_index_postings``), so n_docs decrements exactly even when the
+    victim has no real posting."""
     from ensembl_database_loader_spark.sinks.manifest import (
         delete_rows,
-        snapshot,
+        scan_table,
         table_properties,
     )
 
@@ -352,8 +429,7 @@ def delete_from_bm25_index(spark: SparkSession, path: str, doc_ids) -> dict | No
     if not ids:
         return None
     victims = (
-        snapshot(spark, path)
-        .filter(F.col(id_col).isin(ids))
+        scan_table(spark, path, predicates=[(id_col, "in", ids)])
         .select(id_col, "dl")
         .distinct()
         .agg(
@@ -390,14 +466,27 @@ def bm25_topk_indexed(
     b: float = 0.75,
     ndigits: int = 2,
     salt_partitions: int = 0,
+    broadcast_queries: bool = True,
 ) -> DataFrame:
     """Top-``k`` per query against a materialized postings index: the
-    corpus is never re-tokenized — the postings scan carries an IN
-    predicate over the wave's terms, so manifest [min, max] stats and
-    the term bloom skip every file holding none of them. Row-identical
-    to ``bm25_topk`` on the same corpus (same ranking contract)."""
+    corpus is never re-tokenized. Row-identical to ``bm25_topk`` on
+    the same corpus (same ranking contract — including the empty-query
+    edge: a wave with no terms returns an EMPTY result frame, exactly
+    like the ad-hoc path, instead of raising).
+
+    ``broadcast_queries=True`` (default, interactive waves): the wave's
+    terms collect driver-side and the postings scan carries ONE IN
+    predicate, so manifest [min, max] stats and the term bloom skip
+    every file holding none of them. ``broadcast_queries=False``
+    (corpus-scale sweeps): the query frame tokenizes executor-side and
+    SHUFFLE-joins the postings snapshot on ``term`` — no driver
+    collect, no broadcast-width cap; a million-query sweep's term set
+    covers most files anyway, so the lost file skipping is the right
+    trade (the lexical twin of the dense GEMM path's shuffled query
+    side)."""
     from ensembl_database_loader_spark.sinks.manifest import (
         scan_table,
+        snapshot,
         table_properties,
     )
 
@@ -406,15 +495,36 @@ def bm25_topk_indexed(
         raise ValueError(f"no bm25 index at {path} (missing properties)")
     id_col = meta["id_col"]
 
-    qrows = _query_term_rows(queries, qid_col, qtext_col)
-    wave_terms = sorted({t for _, t in qrows})
-    if not wave_terms:
-        raise ValueError("bm25_topk_indexed: queries contain no terms")
-    qt = _qt_frame(spark, qrows, dict(queries.dtypes)[qid_col])
-    # one IN predicate: [min, max] stats prune by the term-sorted
-    # layout, the term bloom prunes the stragglers, and scan_table
-    # still applies the row filter
-    postings = scan_table(spark, path, predicates=[("term", "in", wave_terms)])
+    if broadcast_queries:
+        qrows = _query_term_rows(queries, qid_col, qtext_col)
+        wave_terms = sorted({t for _, t in qrows})
+        if not wave_terms:
+            # ad-hoc parity: an all-stopword/empty wave scores nothing —
+            # empty frame with the exact output schema, never an error
+            id_type = {
+                f.name: f.dataType.simpleString()
+                for f in snapshot(spark, path).schema.fields
+            }[id_col]
+            qid_type = dict(queries.dtypes)[qid_col]
+            return spark.createDataFrame(
+                [],
+                f"qid {qid_type}, {id_col} {id_type}, score double, rank int",
+            )
+        qt = _qt_frame(spark, qrows, dict(queries.dtypes)[qid_col])
+        # one IN predicate: [min, max] stats prune by the term-sorted
+        # layout, the term bloom prunes the stragglers, and scan_table
+        # still applies the row filter
+        postings = scan_table(
+            spark, path, predicates=[("term", "in", wave_terms)]
+        )
+    else:
+        qt = _query_terms_df(queries, qid_col, qtext_col)
+        # the wave's term set is data, not literals: filter the full
+        # snapshot with a shuffle join (sentinel ''-term rows can never
+        # match — the tokenizer drops empties)
+        postings = snapshot(spark, path).join(
+            qt.select("term").distinct(), "term"
+        )
     dft = postings.groupBy("term").agg(
         F.count(F.lit(1)).cast("bigint").alias("df")
     )
@@ -431,5 +541,6 @@ def bm25_topk_indexed(
         "n_docs bigint, avgdl double",
     )
     return _score_postings(
-        postings, dft, stats, qt, id_col, k, k1, b, ndigits, salt_partitions
+        postings, dft, stats, qt, id_col, k, k1, b, ndigits,
+        salt_partitions, broadcast_qside=broadcast_queries,
     )

@@ -687,6 +687,51 @@ def files_matching(manifest: dict, predicates) -> list[str]:
     return out
 
 
+def _bloom_prune(
+    spark: SparkSession,
+    m: dict,
+    schema: StructType,
+    kept: list[str],
+    predicates,
+) -> list[str]:
+    """Bloom-filter file pruning for EQUALITY/IN predicates — the
+    point-lookup companion to ``files_matching``'s [min, max] stats,
+    shared by ``scan_table`` and the copy-on-write rewrite path
+    (``delete_rows``/``update_rows``): a key-IN delete wave on a
+    bloom-indexed column rewrites only the files whose bitmap admits a
+    member, carrying the rest by reference. A bloom miss is definite,
+    so the prune stays conservative; files without a bitmap for the
+    column are always kept."""
+    bloom_meta = m.get("bloom_meta", {})
+    if not kept or not bloom_meta:
+        return kept
+    fields = {f.name: f.dataType.simpleString() for f in schema.fields}
+    blooms = m.get("blooms", {})
+    for col, op, v in predicates:
+        if op not in ("=", "in") or col not in bloom_meta or col not in fields:
+            continue
+        meta = bloom_meta[col]
+        vals = list(v) if op == "in" else [v]
+        # ONE engine job hashes the whole literal list (a per-value
+        # job made a 200-term IN wave cost 200 scheduler round
+        # trips — ~5 s of pure overhead); None (any uncastable
+        # literal) disables bloom pruning for this predicate
+        pos_sets = _bloom_positions_many(
+            spark, fields[col], vals, int(meta["bits"]), int(meta["hashes"])
+        )
+        if pos_sets is None:
+            continue
+        # a file survives when ANY member may be present (IN is a
+        # disjunction); "=" is the single-member case
+        kept = [
+            rel
+            for rel in kept
+            if (b := blooms.get(rel, {}).get(col)) is None
+            or any(_bloom_contains(b, p) for p in pos_sets)
+        ]
+    return kept
+
+
 def scan_table(
     spark: SparkSession,
     path: str,
@@ -718,33 +763,7 @@ def scan_table(
     if m is None:
         raise FileNotFoundError(f"no manifest at {path} — not a committed table")
     schema = StructType.fromJson(json.loads(m["schema"]))
-    kept = files_matching(m, predicates)
-    bloom_meta = m.get("bloom_meta", {})
-    if kept and bloom_meta:
-        fields = {f.name: f.dataType.simpleString() for f in schema.fields}
-        blooms = m.get("blooms", {})
-        for col, op, v in predicates:
-            if op not in ("=", "in") or col not in bloom_meta or col not in fields:
-                continue
-            meta = bloom_meta[col]
-            vals = list(v) if op == "in" else [v]
-            # ONE engine job hashes the whole literal list (a per-value
-            # job made a 200-term IN wave cost 200 scheduler round
-            # trips — ~5 s of pure overhead); None (any uncastable
-            # literal) disables bloom pruning for this predicate
-            pos_sets = _bloom_positions_many(
-                spark, fields[col], vals, int(meta["bits"]), int(meta["hashes"])
-            )
-            if pos_sets is None:
-                continue
-            # a file survives when ANY member may be present (IN is a
-            # disjunction); "=" is the single-member case
-            kept = [
-                rel
-                for rel in kept
-                if (b := blooms.get(rel, {}).get(col)) is None
-                or any(_bloom_contains(b, p) for p in pos_sets)
-            ]
+    kept = _bloom_prune(spark, m, schema, files_matching(m, predicates), predicates)
     df = _read_files(spark, m, root, kept)
     for col, op, v in predicates:
         c = F.col(col)
@@ -1638,8 +1657,16 @@ def _rewrite_rows(
     schema = StructType.fromJson(json.loads(head["schema"]))
     # files_matching folds partition values in as exact min == max
     # pseudo-stats, so a prune on a partition column scopes the rewrite
-    # to that partition's files with zero stats jobs
-    cand = files_matching(head, tuple(prune)) if prune else list(head["files"])
+    # to that partition's files with zero stats jobs; bloom bitmaps then
+    # prove per-file absence for =/IN prune keys (the id-wave delete
+    # lever on bloom-indexed tables — r12, VERDICT r11 #5)
+    cand = (
+        _bloom_prune(
+            spark, head, schema, files_matching(head, tuple(prune)), tuple(prune)
+        )
+        if prune
+        else list(head["files"])
+    )
     cand_set = set(cand)
     untouched = [f for f in head["files"] if f not in cand_set]
     if not cand:

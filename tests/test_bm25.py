@@ -158,13 +158,19 @@ def test_bloom_prunes_in_predicates(spark, tmp_path):
     assert len(got.inputFiles()) == 1
 
 
-def test_empty_query_raises(spark, tmp_path):
+def test_empty_query_wave_returns_empty_like_adhoc(spark, tmp_path):
+    """ADVICE r12: the paths documented as row-identical must agree on
+    the no-terms edge — an all-whitespace wave returns an EMPTY frame
+    with the exact output schema from BOTH, never an error."""
     docs, _ = _frames(spark)
     path = str(tmp_path / "bm25e")
     build_bm25_index(docs, "doc_id", "text", path)
     empty = spark.createDataFrame([(1, "   ")], "qid bigint, qtext string")
-    with pytest.raises(ValueError, match="no terms"):
-        bm25_topk_indexed(spark, path, empty, k=3)
+    adhoc = bm25_topk(docs, empty, "doc_id", "text", k=3)
+    idx = bm25_topk_indexed(spark, path, empty, k=3)
+    assert adhoc.count() == 0 and idx.count() == 0
+    assert idx.columns == adhoc.columns == ["qid", "doc_id", "score", "rank"]
+    assert dict(idx.dtypes) == dict(adhoc.dtypes)
 
 
 def test_append_serves_identical_to_rebuild(spark, tmp_path):
@@ -259,3 +265,102 @@ def test_string_qids_supported(spark, tmp_path):
     rows = got.collect()
     assert {r["qid"] for r in rows} == {"q-a", "q-b"}
     assert all(isinstance(r["qid"], str) for r in rows)
+
+
+def test_shuffle_query_shape_row_identical(spark, tmp_path):
+    """VERDICT r11 #2: the DataFrame-shaped query path (executor-side
+    tokenization, shuffle join — no driver collect) is row-identical to
+    the collected broadcast form on BOTH the ad-hoc and indexed paths,
+    and builds its plan without launching a Spark job."""
+    docs, queries = _frames(spark)
+    path = str(tmp_path / "bm25_shuf")
+    build_bm25_index(docs, "doc_id", "text", path)
+
+    a_b = bm25_topk(docs, queries, "doc_id", "text", k=3)
+    a_s = bm25_topk(
+        docs, queries, "doc_id", "text", k=3, broadcast_queries=False
+    )
+    assert a_s.exceptAll(a_b).unionAll(a_b.exceptAll(a_s)).count() == 0
+
+    i_b = bm25_topk_indexed(spark, path, queries, k=3)
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup(None) or [])
+    i_s = bm25_topk_indexed(
+        spark, path, queries, k=3, broadcast_queries=False
+    )
+    after = len(tracker.getJobIdsForGroup(None) or [])
+    assert after == before, "shuffle-shaped plan construction collected"
+    assert i_s.exceptAll(i_b).unionAll(i_b.exceptAll(i_s)).count() == 0
+    # the salted two-phase tail composes with the shuffle shape
+    i_ss = bm25_topk_indexed(
+        spark, path, queries, k=3, broadcast_queries=False,
+        salt_partitions=4,
+    )
+    assert i_ss.exceptAll(i_b).unionAll(i_b.exceptAll(i_ss)).count() == 0
+
+
+def test_delete_wave_prunes_files_via_id_bloom(spark, tmp_path):
+    """VERDICT r11 #5: the index blooms the doc id as well as the term,
+    and the copy-on-write rewrite path consults blooms — a delete wave
+    rewrites only the files actually holding a victim's postings and
+    carries the rest by reference (files_untouched > 0). A doc's
+    postings land in as many files as its terms span term ranges, so
+    the fixture uses docs with NARROW term ranges (the realistic shape
+    at scale: thousands of term-range files vs hundreds of distinct
+    terms per doc)."""
+    from ensembl_database_loader_spark.operators.bm25 import (
+        delete_from_bm25_index,
+    )
+    from ensembl_database_loader_spark.sinks.manifest import latest_manifest
+
+    narrow = spark.createDataFrame(
+        [
+            (1, "aaa aab aac aad"),
+            (2, "mma mmb mmc mmd"),
+            (3, "zza zzb zzc zzd"),
+        ],
+        "doc_id bigint, text string",
+    )
+    path = str(tmp_path / "bm25_del")
+    build_bm25_index(narrow, "doc_id", "text", path, num_files=3)
+    n_files = len(latest_manifest(spark, path)["files"])
+    assert n_files > 1
+    out = delete_from_bm25_index(spark, path, [1])
+    assert out is not None and out["rows_affected"] == 4
+    assert out["files_untouched"] > 0, (
+        "id bloom failed to prove absence on any file — delete wave "
+        "rewrote the whole index"
+    )
+    assert out["files_rewritten"] + out["files_untouched"] == n_files
+
+
+def test_zero_token_doc_delete_keeps_stats_exact(spark, tmp_path):
+    """ADVICE r12: a doc with empty/whitespace-only text is counted in
+    n_docs at build time; deleting it must decrement the stats (via its
+    sentinel posting row) so the index stays row-identical to a rebuild
+    without it."""
+    from ensembl_database_loader_spark.operators.bm25 import (
+        delete_from_bm25_index,
+    )
+    from ensembl_database_loader_spark.sinks.manifest import table_properties
+
+    withblank = spark.createDataFrame(
+        DOCS + [(7, "   ")], "doc_id bigint, text string"
+    )
+    queries = spark.createDataFrame(QUERIES, "qid bigint, qtext string")
+    inc, full = str(tmp_path / "inc"), str(tmp_path / "full")
+    build_bm25_index(withblank, "doc_id", "text", inc)
+    assert table_properties(spark, inc)["bm25"]["n_docs"] == len(DOCS) + 1
+    out = delete_from_bm25_index(spark, inc, [7])
+    assert out is not None
+    build_bm25_index(
+        spark.createDataFrame(DOCS, "doc_id bigint, text string"),
+        "doc_id", "text", full,
+    )
+    assert (
+        table_properties(spark, inc)["bm25"]
+        == table_properties(spark, full)["bm25"]
+    )
+    a = bm25_topk_indexed(spark, inc, queries, k=4)
+    b = bm25_topk_indexed(spark, full, queries, k=4)
+    assert a.exceptAll(b).unionAll(b.exceptAll(a)).count() == 0
