@@ -439,6 +439,7 @@ def ivf_topk_many_indexed(
     exclude_self: bool = False,
     salt_partitions: int = 0,
     scorer: str = "expr",
+    cell_split: int = 0,
 ) -> DataFrame:
     """``ivf_topk_many`` against a MATERIALIZED index
     (``build_ann_index`` — float or int8): the scan prunes to the
@@ -470,7 +471,13 @@ def ivf_topk_many_indexed(
       on ``_cell`` like any other large join. Row-identical to
       ``"expr"`` on the fixture (bi_gemm_matches gate): both round
       cosine to 6 digits before ranking, and per-cell top-k is exact
-      (every global top-k row is within its own cell's top-k)."""
+      (every global top-k row is within its own cell's top-k).
+
+    ``cell_split`` > 1 (GEMM only) sub-chunks each cell by
+    ``xxhash64(id) % cell_split`` so no single Arrow batch holds more
+    than ~1/split of a cell — the per-group memory bound for
+    append-fattened hot cells (VERDICT r11 #3); row-identical by the
+    same per-chunk-top-k-is-exact argument, gated in tests."""
     import numpy as np
     import pandas as pd
 
@@ -515,7 +522,8 @@ def ivf_topk_many_indexed(
         _require_integral_ids(idx, id_col, "index id")
         _require_integral_ids(queries, qid_col, "query qid")
         scored = _gemm_cell_scores(
-            idx, qcells, meta, id_col, k=int(k), exclude_self=exclude_self
+            idx, qcells, meta, id_col, k=int(k), exclude_self=exclude_self,
+            split=cell_split,
         )
     elif scorer == "expr":
         pairs = idx.join(F.broadcast(qcells), "_cell")
@@ -563,13 +571,26 @@ def _gemm_cell_scores(
     id_col: str,
     k: int,
     exclude_self: bool,
+    split: int = 0,
 ) -> DataFrame:
     """Per-cell BLAS scoring: each probed cell cogroups with its
     probing queries, scores as one queries x vectors matmul, and emits
     only its per-(query, cell) top-k (round-6 cosine, id tie-break) —
     the exact per-cell prefix of the global ranking, so the downstream
     per-qid window over <= n_probe*k rows per query reproduces the
-    pair-expression plan row-for-row."""
+    pair-expression plan row-for-row.
+
+    ``split`` > 1 bounds PER-GROUP MEMORY: one cogroup group
+    materializes an entire cell as one Arrow batch, so an
+    append-fattened hot cell at 100 TB is an executor OOM, not a
+    slowdown (VERDICT r11 #3). The index side gains a secondary key
+    ``_chunk = xxhash64(id) % split`` and the query side replicates
+    each (qid, cell) probe across all chunks, so each (cell, chunk)
+    group scores ~1/split of the cell and emits its own EXACT top-k —
+    still row-identical (every global top-k row is within its own
+    chunk's top-k; the downstream window ranks <= n_probe*split*k rows
+    per query). Size it as ceil(max_cell_rows / target_rows_per_batch)
+    from the index's partition stats (metadata-only)."""
     import numpy as np
     import pandas as pd
 
@@ -615,11 +636,32 @@ def _gemm_cell_scores(
             }
         )
 
+    idx, qcells, keys = _chunked_cogroup_sides(idx, qcells, id_col, split)
     return (
-        idx.groupBy("_cell")
-        .cogroup(qcells.groupBy("_cell"))
+        idx.groupBy(*keys)
+        .cogroup(qcells.groupBy(*keys))
         .applyInPandas(_cell_topk, f"_qid bigint, {id_col} bigint, _cos double")
     )
+
+
+def _chunked_cogroup_sides(
+    idx: DataFrame, qcells: DataFrame, id_col: str, split: int
+) -> tuple[DataFrame, DataFrame, list[str]]:
+    """The shared ``split`` plumbing of both cogrouped scorers: with
+    ``split`` > 1 the index side gains ``_chunk = xxhash64(id) % split``
+    and every (qid, cell) probe replicates across all chunks, so the
+    cogroup key becomes (cell, chunk) and no single Arrow batch holds
+    more than ~1/split of a cell."""
+    if int(split) <= 1:
+        return idx, qcells, ["_cell"]
+    chunk = F.pmod(F.xxhash64(F.col(id_col)), F.lit(int(split))).cast("int")
+    idx = idx.withColumn("_chunk", chunk)
+    # sequence of int literals is already array<int> (a cast around a
+    # generator is illegal anyway), matching the pmod cast on the index
+    qcells = qcells.withColumn(
+        "_chunk", F.explode(F.sequence(F.lit(0), F.lit(int(split) - 1)))
+    )
+    return idx, qcells, ["_cell", "_chunk"]
 
 
 def _pq_gemm_cell_scores(
@@ -629,6 +671,7 @@ def _pq_gemm_cell_scores(
     id_col: str,
     k: int,
     exclude_self: bool,
+    split: int = 0,
 ) -> DataFrame:
     """Per-cell vectorized ADC (the PQ twin of ``_gemm_cell_scores``):
     each probed cell cogroups with its probing queries; the UDF builds
@@ -636,7 +679,12 @@ def _pq_gemm_cell_scores(
     expressions ``_pq_query_tables_udf`` uses, gathers the cell's code
     matrix against it in subspace order (the ``_adc_score`` sum
     order), and emits only per-(query, cell) top-k by (adc, id). The
-    query side shuffles on ``_cell`` — no broadcast-width cap."""
+    query side shuffles on ``_cell`` — no broadcast-width cap.
+    ``split`` bounds per-group memory exactly as in
+    ``_gemm_cell_scores`` (same chunk key, same row-identity
+    argument); the per-chunk ADC table rebuild is the only duplicated
+    work — m*pk doubles per (query, cell, chunk), noise next to the
+    gather."""
     import numpy as np
     import pandas as pd
 
@@ -687,9 +735,10 @@ def _pq_gemm_cell_scores(
             }
         )
 
+    idx, qcells, keys = _chunked_cogroup_sides(idx, qcells, id_col, split)
     return (
-        idx.groupBy("_cell")
-        .cogroup(qcells.groupBy("_cell"))
+        idx.groupBy(*keys)
+        .cogroup(qcells.groupBy(*keys))
         .applyInPandas(_cell_adc, f"_qid bigint, {id_col} bigint, _adc double")
     )
 
@@ -1097,6 +1146,7 @@ def pq_topk_many_indexed_df(
     exclude_self: bool = False,
     salt_partitions: int = 0,
     scorer: str = "expr",
+    cell_split: int = 0,
     _skip_qid_check: bool = False,
     _literal_queries: list[tuple[int, list[float]]] | None = None,
 ) -> DataFrame:
@@ -1220,6 +1270,7 @@ def pq_topk_many_indexed_df(
         scored = _pq_gemm_cell_scores(
             idx, qcells, meta, id_col,
             k=(int(refine) if refine else int(k)), exclude_self=exclude_self,
+            split=cell_split,
         )
     elif scorer == "expr":
         if _literal_queries is not None:

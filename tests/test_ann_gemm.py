@@ -429,3 +429,50 @@ def test_pq_literal_fast_path_runs_no_precollect_jobs(spark, clustered, tmp_path
         f"literal plan construction launched {after - before} Spark jobs"
     )
     assert plan.count() == 2 * 3
+
+
+def test_cell_split_bounds_batch_memory_row_identical(spark, clustered, tmp_path):
+    """VERDICT r11 #3: one cogroup group = one whole cell in executor
+    memory; ``cell_split`` sub-chunks each cell by xxhash64(id) % split
+    so no Arrow batch holds more than ~1/split of a fat cell. Fixture:
+    ONE cell holding every row (the hot-cell shape). Rows must match
+    the expr scorer and the unsplit GEMM exactly, on both the float and
+    PQ paths, and the plan must cogroup on (_cell, _chunk)."""
+    from ensembl_database_loader_spark.operators.similarity import (
+        pq_topk_many_indexed_df,
+    )
+
+    fat = str(tmp_path / "fat")
+    build_ann_index(clustered, "vec_id", "embedding", fat, n_cells=1)
+    q = _queries(clustered, n=4)
+    expr = ivf_topk_many_indexed(
+        spark, fat, q, "qid", "qvec", k=5, n_probe=1, exclude_self=True
+    )
+    split = ivf_topk_many_indexed(
+        spark, fat, q, "qid", "qvec", k=5, n_probe=1, exclude_self=True,
+        scorer="gemm", cell_split=4,
+    )
+    assert _diff(expr, split) == 0
+    plan = split._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapCoGroupsInPandas" in plan and "_chunk" in plan
+
+    fatpq = str(tmp_path / "fatpq")
+    build_ann_index(
+        clustered, "vec_id", "embedding", fatpq, n_cells=1,
+        quantized="pq", pq_m=8, pq_k=8,
+    )
+    pq_expr = pq_topk_many_indexed_df(
+        spark, fatpq, q, "qid", "qvec", k=5, n_probe=1, exclude_self=True
+    )
+    pq_split = pq_topk_many_indexed_df(
+        spark, fatpq, q, "qid", "qvec", k=5, n_probe=1, exclude_self=True,
+        scorer="gemm", cell_split=4,
+    )
+    assert _diff(pq_expr, pq_split) == 0
+    # a chunk count above the cell's row count still serves (some
+    # chunks are empty) — the degenerate sizing is safe
+    tiny = ivf_topk_many_indexed(
+        spark, fat, q, "qid", "qvec", k=2, n_probe=1,
+        scorer="gemm", cell_split=1000,
+    )
+    assert tiny.count() == 4 * 2
