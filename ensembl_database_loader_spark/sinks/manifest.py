@@ -1568,6 +1568,121 @@ def compact_partition(
     return out
 
 
+def replace_partitions(
+    spark: SparkSession,
+    path: str,
+    values_list: list[dict],
+    df: DataFrame,
+    stats_cols: tuple[str, ...] = (),
+    properties: dict | None = None,
+    txn: tuple[str, int] | None = None,
+) -> dict | None:
+    """Replace the files of the named partitions with ``df``'s rows —
+    and optionally advance table PROPERTIES — as ONE atomic commit;
+    every other file is carried by reference. The surgical-maintenance
+    primitive partial index rebuilds need (``split_hot_cells``): a
+    drop_partition + append + properties update would be three commits
+    with readers seeing each intermediate state, and ``mode='overwrite'``
+    rewrites the world. ``df`` may introduce NEW partition values (a
+    hot partition splitting into several), and each ``values_list``
+    entry must name every partition column (``compact_partition``'s
+    contract). A replayed ``txn`` commits nothing — checked BEFORE any
+    Spark work, so replaying an expensive maintenance job costs one
+    manifest read (ADVICE r12). Returns the commit dict (plus
+    ``files_rewritten``/``files_untouched``) or None on replay."""
+    head = latest_manifest(spark, path)
+    if head is None:
+        raise FileNotFoundError(f"no manifest at {path} — not a committed table")
+    if _txn_skip(head, txn):
+        return None
+    pb = tuple(head.get("partition_by", ()))
+    if not pb:
+        raise ValueError(f"table at {path} is not partitioned")
+    for values in values_list:
+        if set(values) != set(pb):
+            raise ValueError(
+                f"each values dict must name exactly the partition columns "
+                f"{list(pb)!r}, got {sorted(values)!r}"
+            )
+    clash = sorted(set(pb) & set(stats_cols))
+    if clash:
+        raise ValueError(
+            f"partition columns {clash!r} cannot carry stats — their "
+            "value is exact from the path already"
+        )
+    root = path.rstrip("/")
+    parts = head.get("parts", {})
+    wants = [
+        {k: (None if v is None else str(v)) for k, v in values.items()}
+        for values in values_list
+    ]
+    matched = [
+        rel
+        for rel in head["files"]
+        if any(
+            all(parts.get(rel, {}).get(k) == v for k, v in want.items())
+            for want in wants
+        )
+    ]
+    bloom_spec = _bloom_effective_spec(
+        head, (), _BLOOM_DEFAULT_BITS, _BLOOM_DEFAULT_HASHES
+    )
+    staged, _schema_json = _stage_data(df, path, pb)
+    stats_schema = StructType(
+        [f for f in df.schema.fields if f.name not in set(pb)]
+    )
+    staged_stats, staged_rows, staged_blooms = _collect_stats(
+        spark, root, staged, stats_schema, tuple(stats_cols), bloom_spec
+    )
+    staged_parts = {rel: _partition_values(rel, pb) for rel in staged}
+
+    def build(h: dict | None) -> dict:
+        if h is None or h["version"] != head["version"]:
+            raise RuntimeError(
+                f"concurrent commit during replace_partitions at {path} — re-run"
+            )
+        gone = set(matched)
+        kept = [rel for rel in h["files"] if rel not in gone]
+        keep = set(kept)
+        return {
+            "files": kept + staged,
+            "schema": h["schema"],
+            "txn": _merged_txn(h, txn),
+            "stats": {
+                **{r: s for r, s in h.get("stats", {}).items() if r in keep},
+                **staged_stats,
+            },
+            "rows": {
+                **{r: n for r, n in h.get("rows", {}).items() if r in keep},
+                **staged_rows,
+            },
+            **(
+                {"bloom_meta": h["bloom_meta"], "blooms": {
+                    **{r: b for r, b in h.get("blooms", {}).items() if r in keep},
+                    **staged_blooms,
+                }}
+                if h.get("bloom_meta")
+                else {}
+            ),
+            "partition_by": list(pb),
+            "parts": {
+                **{r: v for r, v in parts.items() if r in keep},
+                **staged_parts,
+            },
+            **(
+                {"properties": properties}
+                if properties is not None
+                else ({"properties": h["properties"]} if h.get("properties") else {})
+            ),
+        }
+
+    out = _commit(spark, path, build, "replace_partitions")
+    assert out is not None
+    out["files_rewritten"] = len(matched)
+    out["files_untouched"] = len(head["files"]) - len(matched)
+    return out
+
+
 def partitions_needing_compaction(
     spark: SparkSession,
     path: str,

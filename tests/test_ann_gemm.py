@@ -476,3 +476,95 @@ def test_cell_split_bounds_batch_memory_row_identical(spark, clustered, tmp_path
         scorer="gemm", cell_split=1000,
     )
     assert tiny.count() == 4 * 2
+
+
+def test_split_hot_cells_partial_rebalance(spark, tmp_path):
+    """VERDICT r11 #4: routine maintenance splits ONLY the hot cells -
+    sub-centroids train on the hot cell's rows alone, its rows
+    re-assign, every other file is carried by reference - and serving
+    agrees with a FULL rebalance and with brute force on the fixture.
+    Fixture: one cluster 4x the size of the others, indexed on the true
+    seeds, so exactly its cell crosses the hot_share threshold."""
+    from ensembl_database_loader_spark.operators.similarity import (
+        ann_index_meta,
+        cosine_topk,
+        ivf_topk_indexed,
+        rebalance_ann_index,
+        split_hot_cells,
+    )
+    from ensembl_database_loader_spark.sinks.manifest import (
+        latest_manifest,
+        snapshot,
+    )
+
+    def seed(c):
+        s = [math.sin(c * 23.7 + i * 1.91) for i in range(DIM)]
+        n = math.sqrt(sum(x * x for x in s))
+        return [x / n for x in s]
+
+    n_seeds, sizes = 5, [160, 40, 40, 40, 40]
+    rows = []
+    for c, size in enumerate(sizes):
+        s = seed(c)
+        for j in range(size):
+            noise = [
+                (((c * 911 + j * 157 + i * 11) % 201) - 100) / 100.0 * 0.02
+                for i in range(DIM)
+            ]
+            rows.append((j * n_seeds + c, [a + b for a, b in zip(s, noise)]))
+    corpus = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<double>"
+    ).persist()
+    cents = [seed(c) for c in range(n_seeds)]
+
+    partial, full = str(tmp_path / "partial"), str(tmp_path / "full")
+    for p in (partial, full):
+        build_ann_index(
+            corpus, "vec_id", "embedding", p, n_cells=n_seeds,
+            centroids=cents, manifest=True,
+        )
+    n0 = snapshot(spark, partial).count()
+    n_files0 = len(latest_manifest(spark, partial)["files"])
+
+    # cell 0 holds 160/320 = 0.5 of the rows; the rest 0.125 each
+    out = split_hot_cells(spark, partial, hot_share=0.3, txn=("maint", 1))
+    assert out["cells_split"] == [0]
+    assert out["n_cells"] == n_seeds + 1
+    assert out["files_untouched"] > out["files_rewritten"] > 0
+    assert out["files_untouched"] + out["files_rewritten"] == n_files0
+    assert out["max_share_after"] < out["max_share_before"] == 0.5
+    assert len(ann_index_meta(partial, spark)["centroids"]) == n_seeds + 1
+    assert snapshot(spark, partial).count() == n0
+
+    # a replayed maintenance txn is a no-op detected at entry
+    v = int(latest_manifest(spark, partial)["version"])
+    replay = split_hot_cells(spark, partial, hot_share=0.3, txn=("maint", 1))
+    assert replay["version"] is None and replay["cells_split"] == []
+    assert int(latest_manifest(spark, partial)["version"]) == v
+
+    # nothing hot -> no-op, no commit
+    calm = split_hot_cells(spark, partial, hot_share=0.9)
+    assert calm["version"] is None and calm["cells_split"] == []
+
+    # serving parity: partial split == full rebalance == exact brute
+    # force, from the split cluster and an untouched one
+    rebalance_ann_index(spark, full, n_cells=n_seeds)
+    for probe_id in (0, 1):
+        q = list(
+            corpus.filter(F.col("vec_id") == probe_id).first()["embedding"]
+        )
+        a = ivf_topk_indexed(
+            spark, partial, q, k=5, n_probe=2, exclude_id=probe_id
+        ).collect()
+        b = ivf_topk_indexed(
+            spark, full, q, k=5, n_probe=2, exclude_id=probe_id
+        ).collect()
+        exact = cosine_topk(
+            corpus, "vec_id", "embedding", query_id=probe_id, k=5
+        ).collect()
+        assert (
+            [(r["vec_id"], r["cos"]) for r in a]
+            == [(r["vec_id"], r["cos"]) for r in b]
+            == [(r["vec_id"], r["cos"]) for r in exact]
+        )
+    corpus.unpersist()
