@@ -4098,7 +4098,8 @@ def tx_semantic_decontam(spark: SparkSession, sf: str) -> DataFrame:
         "SELECT TRUE AS bi_ivf_matches, TRUE AS bi_pq_matches, "
         "CAST(20 AS BIGINT) AS bi_ivf_pairs, CAST(20 AS BIGINT) AS bi_pq_pairs, "
         "TRUE AS bi_pq_df_matches, TRUE AS bi_salted_matches, "
-        "TRUE AS bi_gemm_matches, TRUE AS bi_pq_gemm_matches"
+        "TRUE AS bi_gemm_matches, TRUE AS bi_pq_gemm_matches, "
+        "TRUE AS bi_split_matches, TRUE AS bi_pq_split_matches"
     ),
     tags=("llm", "similarity", "approx", "batch", "index"),
 )
@@ -4122,7 +4123,13 @@ def ss_ann_batch_indexed(spark: SparkSession, sf: str) -> DataFrame:
     per-cell GEMM scorer (``scorer='gemm'`` — cogrouped BLAS matmul
     per probed cell with in-cell top-k, the measured ~100x wide-sweep
     fix: 8.6 s vs 855-947 s at 10k queries x 40k vectors) is
-    row-identical to the pair-expression plan."""
+    row-identical to the pair-expression plan.
+
+    r12 riders (VERDICT r11 #3): ``cell_split`` sub-chunks each
+    cogrouped cell by xxhash64(id) % split so no single Arrow batch
+    holds more than ~1/split of a hot cell (the per-group memory
+    bound); hash-gated row-identical to the unsplit plans on BOTH the
+    float GEMM and PQ ADC paths."""
     import tempfile
 
     from pyspark.sql import Window
@@ -4207,6 +4214,22 @@ def ss_ann_batch_indexed(spark: SparkSession, sf: str) -> DataFrame:
     pq_gemm_diffs = pq_b.exceptAll(pq_gemm_b).unionAll(
         pq_gemm_b.exceptAll(pq_b)
     )
+    # the split-gate results are <= 20 rows: one collect per form and a
+    # driver-side sorted-tuple compare costs half the Spark work of the
+    # two-direction exceptAll pattern (ivf_b/pq_b are already persisted)
+    def _rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    split_b = ivf_topk_many_indexed(
+        spark, flat_path, queries, "qid", "qvec", k=5, n_probe=2,
+        exclude_self=True, scorer="gemm", cell_split=3,
+    )
+    split_matches = _rows(split_b) == _rows(ivf_b)
+    pq_split_b = pq_topk_many_indexed_df(
+        spark, pq_path, queries, "qid", "qvec", k=5, n_probe=2,
+        exclude_self=True, scorer="gemm", cell_split=3,
+    )
+    pq_split_matches = _rows(pq_split_b) == _rows(pq_b)
 
     return (
         ivf_diffs.agg((_cnt() == 0).alias("bi_ivf_matches"))
@@ -4219,6 +4242,8 @@ def ss_ann_batch_indexed(spark: SparkSession, sf: str) -> DataFrame:
         .crossJoin(
             pq_gemm_diffs.agg((_cnt() == 0).alias("bi_pq_gemm_matches"))
         )
+        .withColumn("bi_split_matches", F.lit(bool(split_matches)))
+        .withColumn("bi_pq_split_matches", F.lit(bool(pq_split_matches)))
     )
 
 @probe(
@@ -4227,7 +4252,8 @@ def ss_ann_batch_indexed(spark: SparkSession, sf: str) -> DataFrame:
         "SELECT TRUE AS mi_matches_bare, TRUE AS mi_append_served, "
         "TRUE AS mi_append_scoped, TRUE AS mi_replay_noop, "
         "TRUE AS mi_delete_served_out, TRUE AS mi_delete_scoped, "
-        "TRUE AS mi_restore_serves, TRUE AS mi_rebalance_ok"
+        "TRUE AS mi_restore_serves, TRUE AS mi_rebalance_ok, "
+        "TRUE AS mi_hotsplit_ok"
     ),
     tags=("llm", "similarity", "index", "lake", "lifecycle"),
 )
@@ -4253,9 +4279,14 @@ def ss_ann_manifest_index(spark: SparkSession, sf: str) -> DataFrame:
     METADATA-ONLY — serving rollback; (5, r11) ``rebalance_ann_index``
     re-clusters in place as ONE commit (centroids version with the
     layout), serving the same top-5 on the tight planted clusters,
-    with the replayed maintenance txn committing nothing. Reference
-    analogue: L1 drop/recreate-on-retry idempotency,
-    LoadFiles.pm:56-64."""
+    with the replayed maintenance txn committing nothing; (6, r12)
+    ``split_hot_cells`` PARTIALLY rebalances — only the hottest
+    cell(s) split into sub-centroids trained on their own rows, every
+    other file carried by reference (files_untouched > 0), the
+    centroid list grows by the split count, serving the same top-5,
+    and the replayed txn is a no-op detected at entry before any
+    training (VERDICT r11 #4 + ADVICE r12). Reference analogue: L1
+    drop/recreate-on-retry idempotency, LoadFiles.pm:56-64."""
     import tempfile
 
     from ensembl_database_loader_spark.operators.similarity import (
@@ -4358,6 +4389,40 @@ def ss_ann_manifest_index(spark: SparkSession, sf: str) -> DataFrame:
         and int(latest_manifest(spark, mani)["version"]) == v_pre + 1
     )
 
+    # r12: partial rebalance — split exactly the hottest cell(s)
+    # (hot_share pinned just under the observed max share, so the
+    # argmax cells and only they cross it), everything else carried by
+    # reference, serving unchanged, replay a no-op at entry
+    from ensembl_database_loader_spark.operators.similarity import (
+        ann_index_meta,
+        split_hot_cells,
+    )
+    from ensembl_database_loader_spark.sinks.manifest import table_partitions
+
+    counts = [
+        int(p["n_rows"] or 0) for p in table_partitions(spark, mani)
+    ]
+    thr = (max(counts) / sum(counts)) - 1e-9
+    n_cells_pre = int(ann_index_meta(mani, spark)["n_cells"])
+    hs = split_hot_cells(spark, mani, hot_share=thr, txn=("probe_maint", 2))
+    post_hs = {
+        r["vec_id"]
+        for r in ivf_topk_indexed(
+            spark, mani, qvec, k=5, n_probe=2, exclude_id=0
+        ).collect()
+    }
+    hs_replay = split_hot_cells(
+        spark, mani, hot_share=thr, txn=("probe_maint", 2)
+    )
+    hotsplit_ok = (
+        len(hs["cells_split"]) >= 1
+        and hs["files_untouched"] > 0
+        and hs["files_rewritten"] > 0
+        and hs["n_cells"] == n_cells_pre + len(hs["cells_split"])
+        and post_hs == post
+        and hs_replay["version"] is None
+    )
+
     return (
         layout_diffs.agg((_cnt() == 0).alias("mi_matches_bare"))
         .select(
@@ -4369,6 +4434,7 @@ def ss_ann_manifest_index(spark: SparkSession, sf: str) -> DataFrame:
             F.lit(bool(delete_scoped)).alias("mi_delete_scoped"),
             F.lit(bool(restore_serves)).alias("mi_restore_serves"),
             F.lit(bool(rebalance_ok)).alias("mi_rebalance_ok"),
+            F.lit(bool(hotsplit_ok)).alias("mi_hotsplit_ok"),
         )
     )
 
@@ -4398,7 +4464,9 @@ _BM25_ORACLE = (
     "(PARTITION BY qid ORDER BY score DESC, doc_id) AS rn FROM sc) "
     "SELECT qid, doc_id, ROUND(score, 2) AS score, "
     "CAST(rn AS INTEGER) AS rank, TRUE AS bm_idx_matches, "
-    "TRUE AS bm_salted_matches FROM rk WHERE rn <= 5 ORDER BY qid, rank"
+    "TRUE AS bm_salted_matches, TRUE AS bm_shuffle_matches, "
+    "TRUE AS bm_idx_shuffle_matches FROM rk WHERE rn <= 5 "
+    "ORDER BY qid, rank"
 )
 
 
@@ -4415,10 +4483,15 @@ def ss_bm25_topk(spark: SparkSession, sf: str) -> DataFrame:
     term stream filtered by the broadcast query-term set BEFORE the tf
     aggregate) is hash-gated VALUE-EXACT against the oracle's full
     recompute — kept rows, rounded scores, ranks. TRUE-gated: the
-    MATERIALIZED postings index (a manifest table with a term bloom +
-    term-sorted [min, max] stats, corpus stats in table properties) is
-    row-identical to the ad-hoc path, and the salted two-phase top-k
-    is row-identical to the single-window plan."""
+    MATERIALIZED postings index (a manifest table with term + doc-id
+    blooms, term-sorted [min, max] stats, corpus stats in table
+    properties) is row-identical to the ad-hoc path, the salted
+    two-phase top-k is row-identical to the single-window plan, and
+    (r12) the DATAFRAME-SHAPED query path (``broadcast_queries=False``
+    — executor-side tokenization, shuffle join, zero driver collect:
+    the corpus-scale sweep shape, VERDICT r11 #2) is row-identical to
+    the collected broadcast form on BOTH the ad-hoc and indexed
+    paths."""
     import tempfile
 
     from ensembl_database_loader_spark.functions.text import tokens
@@ -4445,12 +4518,29 @@ def ss_bm25_topk(spark: SparkSession, sf: str) -> DataFrame:
         spark, path, queries, k=5, salt_partitions=4
     ).persist()
     salt_diffs = idx.exceptAll(salted).unionAll(salted.exceptAll(idx))
+    # the shuffle-shape gates compare <= |queries|*5 rows: one collect
+    # per form + a driver-side sorted-tuple compare (topk/idx are
+    # already persisted) instead of two more exceptAll re-executions
+    def _rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    shuf = bm25_topk(
+        docs, queries, "doc_id", "text", k=5, broadcast_queries=False
+    )
+    shuffle_matches = _rows(shuf) == _rows(topk)
+    idx_shuf = bm25_topk_indexed(
+        spark, path, queries, k=5, broadcast_queries=False
+    )
+    idx_shuffle_matches = _rows(idx_shuf) == _rows(idx)
     return (
         topk.crossJoin(idx_diffs.agg((_cnt() == 0).alias("bm_idx_matches")))
         .crossJoin(salt_diffs.agg((_cnt() == 0).alias("bm_salted_matches")))
+        .withColumn("bm_shuffle_matches", F.lit(bool(shuffle_matches)))
+        .withColumn("bm_idx_shuffle_matches", F.lit(bool(idx_shuffle_matches)))
         .select(
             "qid", "doc_id", "score", "rank",
             "bm_idx_matches", "bm_salted_matches",
+            "bm_shuffle_matches", "bm_idx_shuffle_matches",
         )
         .orderBy("qid", "rank")
     )
