@@ -161,22 +161,30 @@ def dsir_logweights(
     (id_col,))`` frame so a caller that also fitted ``raw_counts`` from
     it pays the gram pass once (``dsir_select`` does)."""
     ratios = bucket_logratios(target_counts, raw_counts, num_buckets, smoothing)
-    ratios = ratios.localCheckpoint()  # tiny; feeds the unseen-ratio scalar too
+    # the ratio table is <= num_buckets rows and is consumed twice (the
+    # unseen-ratio scalar + the broadcast join): ONE collect and a
+    # literal frame, not a localCheckpoint — a checkpoint here can
+    # never be unpersisted (it backs the returned lineage), so it
+    # leaked one cached block per call into library callers (the
+    # suite-order flake in test_select_releases_gram_cache)
+    rrows = ratios.collect()
     s = float(smoothing)
     b = float(num_buckets)
-    # the unseen-bucket ratio needs the two totals — one-row collect of
-    # the checkpointed tiny frame (broadcast-dim pattern)
-    tot = ratios.select(F.max("nt").alias("nt"), F.max("nr").alias("nr")).first()
-    nt = int(tot["nt"] or 0)
-    nr = int(tot["nr"] or 0)
+    nt = max((int(r["nt"] or 0) for r in rrows), default=0)
+    nr = max((int(r["nr"] or 0) for r in rrows), default=0)
     unseen = F.lit(
         float(math.log((s / (nt + s * b)) / (s / (nr + s * b))))
     )
     if grams is None:
         grams = gram_buckets(df, text_col, num_buckets, (id_col,))
+    spark = df.sparkSession
+    lr_frame = spark.createDataFrame(
+        [(int(r["bucket"]), float(r["lr"])) for r in rrows],
+        "bucket bigint, lr double",
+    )
     scored = (
         grams.select(F.col(id_col).alias("_id"), "bucket")
-        .join(F.broadcast(ratios.select("bucket", "lr")), "bucket", "left")
+        .join(F.broadcast(lr_frame), "bucket", "left")
         .select("_id", F.coalesce("lr", unseen).alias("_lr"))
         .groupBy("_id")
         .agg(
@@ -258,5 +266,9 @@ def dsir_select(
     # release the gram cache — library callers must not inherit executor
     # cache they never asked for
     out = out.localCheckpoint()
-    grams.unpersist()
+    # blocking: the async default deregisters the RDD on a background
+    # thread, so a caller inspecting the cache right after the call
+    # (or a tight selection loop) could still see — or briefly double-
+    # pay — the gram blocks; the frame is tiny, the wait is not
+    grams.unpersist(blocking=True)
     return out

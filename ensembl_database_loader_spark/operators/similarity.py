@@ -1231,6 +1231,8 @@ def pq_topk_many_indexed_df(
         union_cells = sorted({c for ents in ents_all for c, _ in ents})
         q0 = None  # built below only if refine needs the vectors
     else:
+        if queries is None:
+            raise ValueError("pass a query DataFrame or _literal_queries")
         if not _skip_qid_check:
             _reject_duplicate_qids(queries, qid_col)
         q0 = queries.select(
@@ -1724,6 +1726,35 @@ def _sharemax(parts) -> float:
     counts = [int(p["n_rows"] or 0) for p in parts]
     total = sum(counts)
     return (max(counts) / total) if total else 0.0
+
+
+def suggest_cell_split(
+    spark, path: str, target_rows_per_batch: int = 100_000
+) -> int:
+    """The ``cell_split`` a GEMM/ADC batch query should pass for this
+    index so no cogroup Arrow batch holds more than
+    ``target_rows_per_batch`` index rows — sized from the MAX cell's
+    row count in manifest metadata alone (``table_partitions``; zero
+    data IO, the same stats ``split_hot_cells`` diagnoses skew from).
+    Returns 0 (no split) when every cell already fits. At the defaults
+    a 100k-row cell of 128-dim float64 is ~100 MB per batch — inside a
+    4 GB executor comfortably; size down for wider vectors. Bare-
+    parquet indexes return 0 (no per-partition stats without a
+    manifest — pass an explicit cell_split instead)."""
+    import math
+
+    meta = ann_index_meta(path, spark)
+    if not meta.get("_manifest"):
+        return 0
+    from ensembl_database_loader_spark.sinks.manifest import table_partitions
+
+    counts = [
+        int(p["n_rows"] or 0) for p in table_partitions(spark, path)
+    ]
+    biggest = max(counts, default=0)
+    if biggest <= int(target_rows_per_batch):
+        return 0
+    return math.ceil(biggest / int(target_rows_per_batch))
 
 
 def delete_from_ann_index(spark, path: str, deleted_df: DataFrame) -> dict | None:

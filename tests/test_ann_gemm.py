@@ -568,3 +568,61 @@ def test_split_hot_cells_partial_rebalance(spark, tmp_path):
             == [(r["vec_id"], r["cos"]) for r in exact]
         )
     corpus.unpersist()
+
+
+def test_suggest_cell_split_sizes_from_metadata(spark, clustered, tmp_path):
+    """suggest_cell_split reads only manifest partition stats: 0 when
+    every cell fits the target batch, ceil(max_cell/target) otherwise,
+    and the suggestion keeps the GEMM scorer row-identical."""
+    from ensembl_database_loader_spark.operators.similarity import (
+        suggest_cell_split,
+    )
+
+    path = str(tmp_path / "sized")
+    build_ann_index(
+        clustered, "vec_id", "embedding", path, n_cells=4, manifest=True
+    )
+    # 320 rows over 4 cells: nothing exceeds a 1000-row target
+    assert suggest_cell_split(spark, path, target_rows_per_batch=1000) == 0
+    # a 30-row target forces a split of the biggest (~80-row) cell
+    s = suggest_cell_split(spark, path, target_rows_per_batch=30)
+    assert s >= 2
+    q = _queries(clustered, n=3)
+    expr = ivf_topk_many_indexed(
+        spark, path, q, "qid", "qvec", k=4, n_probe=2, exclude_self=True
+    )
+    gemm = ivf_topk_many_indexed(
+        spark, path, q, "qid", "qvec", k=4, n_probe=2, exclude_self=True,
+        scorer="gemm", cell_split=s,
+    )
+    assert _diff(expr, gemm) == 0
+    # bare parquet has no per-partition stats: explicit 0
+    bare = str(tmp_path / "bare_sized")
+    build_ann_index(clustered, "vec_id", "embedding", bare, n_cells=4)
+    assert suggest_cell_split(spark, bare) == 0
+
+
+def test_split_hot_cells_on_int8_index(spark, clustered, tmp_path):
+    """The quantized path of split_hot_cells: sub-centroids train on
+    the stored int8 codes cast to double (scale cancels in cosine),
+    the staged rows carry the stored schema (no leaked _v column),
+    and contents are preserved."""
+    from ensembl_database_loader_spark.operators.similarity import (
+        split_hot_cells,
+    )
+    from ensembl_database_loader_spark.sinks.manifest import snapshot
+
+    path = str(tmp_path / "int8_split")
+    # 2 cells over 8 planted clusters: both ~0.5 share, both split
+    build_ann_index(
+        clustered, "vec_id", "embedding", path, n_cells=2,
+        quantized=True, manifest=True,
+    )
+    cols0 = snapshot(spark, path).columns
+    n0 = snapshot(spark, path).count()
+    out = split_hot_cells(spark, path, hot_share=0.4, split=2)
+    assert out["cells_split"] and out["version"] is not None
+    s = snapshot(spark, path)
+    assert s.count() == n0
+    assert s.columns == cols0  # schema unchanged — no _v leak
+    assert s.select("_cell").distinct().count() > 2

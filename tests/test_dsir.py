@@ -173,10 +173,22 @@ def test_select_releases_gram_cache(spark, corpus, target):
     callers must not inherit that executor cache after the call. The
     only persisted block the call may leave behind is the
     localCheckpoint of its own <= k-row result."""
+    # count only RDD IDS NEW since the call: the global size is suite-
+    # order dependent (earlier tests' persisted fixtures/checkpoints
+    # appear and are context-cleaned asynchronously, so a raw
+    # size-delta flakes under full-suite runs)
     jsc = spark.sparkContext._jsc.sc()
-    n_before = jsc.getPersistentRDDs().size()
+
+    def _ids():
+        it = jsc.getPersistentRDDs().keysIterator()
+        out = set()
+        while it.hasNext():
+            out.add(int(it.next()))
+        return out
+
+    before = _ids()
     kept = dsir_select(corpus, "doc_id", "text", target, k=4, num_buckets=256)
     assert kept.count() == 4  # materialized result still readable
-    n_after = jsc.getPersistentRDDs().size()
-    # without the unpersist this is +2 (grams cache + checkpoint)
-    assert n_after - n_before <= 1
+    # without the unpersist this is +2 (grams cache + checkpoint); the
+    # ratios-table checkpoint leak (r12 fix) made it +2 as well
+    assert len(_ids() - before) <= 1
