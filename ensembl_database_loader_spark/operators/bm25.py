@@ -157,7 +157,12 @@ def bm25_topk(
             [(t,) for t in sorted({t for _, t in qrows})], "term string"
         ).coalesce(1)
     else:
-        qt = _query_terms_df(queries, qid_col, qtext_col)
+        # lazily persisted: qt feeds BOTH the postings pre-filter and
+        # the scoring join — without the cache the query frame's
+        # tokenize+distinct lineage executes twice, at exactly the
+        # sweep scale this shape targets (blocks are freed when the
+        # result frame is released / the context cleaner runs)
+        qt = _query_terms_df(queries, qid_col, qtext_col).persist()
         terms_only = qt.select("term").distinct()
 
     toked = docs.select(
@@ -518,7 +523,8 @@ def bm25_topk_indexed(
             spark, path, predicates=[("term", "in", wave_terms)]
         )
     else:
-        qt = _query_terms_df(queries, qid_col, qtext_col)
+        # lazily persisted — dual-consumed, as in the ad-hoc shuffle path
+        qt = _query_terms_df(queries, qid_col, qtext_col).persist()
         # the wave's term set is data, not literals: filter the full
         # snapshot with a shuffle join (sentinel ''-term rows can never
         # match — the tokenizer drops empties)

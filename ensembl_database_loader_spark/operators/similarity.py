@@ -1023,6 +1023,19 @@ def _pq_meta_arrays(meta: dict):
     return books, m, w, pk, cn, bool(pq["residual"])
 
 
+def _pq_probe_cells_np(cn, n_probe, x):
+    """(normalized queries, probe order) for an (n, dim) query block —
+    the ONE argsort every PQ probe-cell computation shares (the light
+    Arrow pass, the tables helper below, and the literal fast path's
+    gemm branch, which needs cells WITHOUT tables — the cogroup UDF
+    rebuilds tables per cell executor-side, so boxing them driver-side
+    would be pure waste)."""
+    import numpy as np
+
+    xn = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    return xn, np.argsort(-(xn @ cn.T), axis=1)[:, :n_probe]
+
+
 def _pq_query_tables_np(books, m, w, pk, cn, residual, n_probe, x):
     """Probed cells + flattened ADC tables for an (n, dim) query block —
     the ONE numpy implementation behind BOTH the executor Arrow pass
@@ -1033,8 +1046,7 @@ def _pq_query_tables_np(books, m, w, pk, cn, residual, n_probe, x):
     si*pk + code indexes it)."""
     import numpy as np
 
-    xn = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
-    order = np.argsort(-(xn @ cn.T), axis=1)[:, :n_probe]
+    xn, order = _pq_probe_cells_np(cn, n_probe, x)
     out = []
     for qi in range(x.shape[0]):
         ents = []
@@ -1087,9 +1099,8 @@ def _pq_probe_cells_udf(cn, n_probe):
     @F.pandas_udf("array<int>")
     def _probes(s):  # type: ignore[no-untyped-def]
         x = np.array(s.tolist(), dtype=np.float64)
-        xn = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
-        order = np.argsort(-(xn @ cn.T), axis=1)[:, :n_probe].astype(np.int32)
-        return pd.Series(list(order))
+        _, order = _pq_probe_cells_np(cn, n_probe, x)
+        return pd.Series(list(order.astype(np.int32)))
 
     return _probes
 
@@ -1224,11 +1235,19 @@ def pq_topk_many_indexed_df(
         import numpy as np
 
         x = np.array([vec for _, vec in lit_q], dtype=np.float64)
-        ents_all = _pq_query_tables_np(
-            books, m, w, pk, cn, residual, n_probe, x
-        )
-        # probe-cell union is driver arithmetic — zero Spark jobs
-        union_cells = sorted({c for ents in ents_all for c, _ in ents})
+        # probe-cell union is driver arithmetic — zero Spark jobs. The
+        # gemm branch needs CELLS only (its cogroup UDF rebuilds tables
+        # per cell executor-side); boxing m*pk floats per (query, cell)
+        # here would be pure waste on wide literal batches.
+        if scorer == "gemm":
+            _, order = _pq_probe_cells_np(cn, n_probe, x)
+            lit_cells = [[int(c) for c in row] for row in order]
+            union_cells = sorted({c for row in lit_cells for c in row})
+        else:
+            ents_all = _pq_query_tables_np(
+                books, m, w, pk, cn, residual, n_probe, x
+            )
+            union_cells = sorted({c for ents in ents_all for c, _ in ents})
         q0 = None  # built below only if refine needs the vectors
     else:
         if queries is None:
@@ -1257,8 +1276,8 @@ def pq_topk_many_indexed_df(
             qcells = spark.createDataFrame(
                 [
                     (q, vec, c)
-                    for (q, vec), ents in zip(lit_q, ents_all)
-                    for c, _ in ents
+                    for (q, vec), row in zip(lit_q, lit_cells)
+                    for c in row
                 ],
                 "_qid bigint, _qvec array<double>, _cell int",
             )
@@ -1538,12 +1557,7 @@ def rebalance_ann_index(
     id_col = meta["id_col"]
     n_cells = int(n_cells or meta["n_cells"])
 
-    def _shares(parts):
-        counts = [int(p["n_rows"] or 0) for p in parts]
-        total = sum(counts)
-        return (max(counts) / total) if total else 0.0
-
-    before = _shares(table_partitions(spark, path))
+    before = _sharemax(table_partitions(spark, path))
     if _txn_skip(latest_manifest(spark, path), txn):
         return {
             "version": None,
@@ -1576,7 +1590,7 @@ def rebalance_ann_index(
         properties={"ann": new_meta},
         txn=txn,
     )
-    after = _shares(table_partitions(spark, path))
+    after = _sharemax(table_partitions(spark, path))
     return {
         "version": None if m is None else int(m["version"]),
         "n_cells": n_cells,
@@ -1644,24 +1658,36 @@ def split_hot_cells(
     if int(split) < 2:
         raise ValueError(f"split must be >= 2, got {split}")
     id_col = meta["id_col"]
+    head = latest_manifest(spark, path)  # one read serves noop + txn
     parts = table_partitions(spark, path)
-    counts = {int(p["values"]["_cell"]): int(p["n_rows"] or 0) for p in parts}
+    if any(p["n_rows"] is None for p in parts):
+        # a None count means SOME file predates row counting — treating
+        # it as 0 would silently hide a genuinely hot cell from the
+        # exact diagnostic this function is (r12 self-review)
+        raise ValueError(
+            f"index at {path} has partitions without row counts — "
+            "rebuild or compact it (modern commits record per-file rows)"
+        )
+    counts = {int(p["values"]["_cell"]): int(p["n_rows"]) for p in parts}
     total = sum(counts.values())
     before = (max(counts.values()) / total) if total else 0.0
     hot = sorted(c for c, n in counts.items() if total and n / total > hot_share)
-    noop = {
-        "version": None,
-        "n_cells": int(meta["n_cells"]),
-        "cells_split": [],
-        "files_rewritten": 0,
-        "files_untouched": len(latest_manifest(spark, path)["files"]),
-        "max_share_before": round(before, 4),
-        "max_share_after": round(before, 4),
-    }
+
+    def _noop():
+        return {
+            "version": None,
+            "n_cells": int(meta["n_cells"]),
+            "cells_split": [],
+            "files_rewritten": 0,
+            "files_untouched": len(head["files"]),
+            "max_share_before": round(before, 4),
+            "max_share_after": round(before, 4),
+        }
+
     if not hot:
-        return noop
-    if _txn_skip(latest_manifest(spark, path), txn):
-        return noop
+        return _noop()
+    if _txn_skip(head, txn):
+        return _noop()
 
     centroids = [list(c) for c in meta["centroids"]]
     hot_rows = scan_table(spark, path, predicates=[("_cell", "in", hot)])
@@ -1740,7 +1766,9 @@ def suggest_cell_split(
     a 100k-row cell of 128-dim float64 is ~100 MB per batch — inside a
     4 GB executor comfortably; size down for wider vectors. Bare-
     parquet indexes return 0 (no per-partition stats without a
-    manifest — pass an explicit cell_split instead)."""
+    manifest — pass an explicit cell_split instead); a manifest whose
+    counts are incomplete RAISES rather than return a guess the OOM
+    guard would trust (r12 self-review)."""
     import math
 
     meta = ann_index_meta(path, spark)
@@ -1748,10 +1776,13 @@ def suggest_cell_split(
         return 0
     from ensembl_database_loader_spark.sinks.manifest import table_partitions
 
-    counts = [
-        int(p["n_rows"] or 0) for p in table_partitions(spark, path)
-    ]
-    biggest = max(counts, default=0)
+    parts = table_partitions(spark, path)
+    if any(p["n_rows"] is None for p in parts):
+        raise ValueError(
+            f"index at {path} has partitions without row counts — "
+            "pass an explicit cell_split (metadata cannot size it)"
+        )
+    biggest = max((int(p["n_rows"]) for p in parts), default=0)
     if biggest <= int(target_rows_per_batch):
         return 0
     return math.ceil(biggest / int(target_rows_per_batch))

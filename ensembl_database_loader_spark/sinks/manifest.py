@@ -1589,7 +1589,14 @@ def replace_partitions(
     contract). A replayed ``txn`` commits nothing — checked BEFORE any
     Spark work, so replaying an expensive maintenance job costs one
     manifest read (ADVICE r12). Returns the commit dict (plus
-    ``files_rewritten``/``files_untouched``) or None on replay."""
+    ``files_rewritten``/``files_untouched``) or None on replay.
+
+    Guards (r12 self-review): ``df``'s schema must match the table's
+    exactly (the append path's strict contract — a missing column
+    would otherwise commit fine and read back as silent NULLs), and
+    ``df``'s rows may land only in the NAMED partitions or in
+    partitions NEW to the table (rows for an unnamed existing
+    partition would duplicate its still-referenced files' rows)."""
     head = latest_manifest(spark, path)
     if head is None:
         raise FileNotFoundError(f"no manifest at {path} — not a committed table")
@@ -1610,6 +1617,9 @@ def replace_partitions(
             f"partition columns {clash!r} cannot carry stats — their "
             "value is exact from the path already"
         )
+    # strict schema gate BEFORE any file is written (nullability-only
+    # drift passes, anything else raises — _evolved_schema's contract)
+    _evolved_schema(head["schema"], df.schema.json(), "strict")
     root = path.rstrip("/")
     parts = head.get("parts", {})
     wants = [
@@ -1628,6 +1638,24 @@ def replace_partitions(
         head, (), _BLOOM_DEFAULT_BITS, _BLOOM_DEFAULT_HASHES
     )
     staged, _schema_json = _stage_data(df, path, pb)
+    # row-containment gate: staged rows may land only in the NAMED
+    # partitions or in partitions NEW to the table — anything else
+    # would double-serve next to the partition's still-referenced
+    # files. Checked from the staged hive paths (no extra job); a
+    # violation aborts before commit (the staged files are orphans
+    # until a manifest references them — remove_orphans reclaims).
+    want_keys = {tuple(sorted(w.items())) for w in wants}
+    existing = {
+        tuple(sorted(v.items())) for v in parts.values()
+    }
+    for rel in staged:
+        key = tuple(sorted(_partition_values(rel, pb).items()))
+        if key not in want_keys and key in existing:
+            raise ValueError(
+                f"replace_partitions: staged rows land in existing "
+                f"partition {dict(key)!r} which is not in values_list — "
+                "name it or drop those rows"
+            )
     stats_schema = StructType(
         [f for f in df.schema.fields if f.name not in set(pb)]
     )

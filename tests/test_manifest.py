@@ -1315,3 +1315,59 @@ def test_in_predicate_prunes_and_filters(spark, tbl):
     # rows in unpruned partitions with k < 8 survived (prune scopes)
     other = M.scan_table(spark, tbl, predicates=[("cell", "in", [1, 3])])
     assert other.filter("k < 8").count() == 4
+
+
+def test_replace_partitions_atomic_and_guarded(spark, tbl):
+    """replace_partitions (r12): one atomic commit replaces the named
+    partitions' files (+ properties), carries the rest by reference,
+    allows NEW partition values, and guards the two silent-corruption
+    paths — a schema-mismatched frame and staged rows landing in an
+    UNNAMED existing partition both raise before commit."""
+    df = spark.createDataFrame(
+        [(i, i % 3, f"v{i}") for i in range(12)],
+        "k bigint, cell int, s string",
+    )
+    M.write_table(
+        df, tbl, partition_by=("cell",), stats_cols=("k",),
+        properties={"gen": 1},
+    )
+    v0 = int(M.latest_manifest(spark, tbl)["version"])
+    n_files0 = len(M.latest_manifest(spark, tbl)["files"])
+
+    # replace cell=0 with rows split between cell=0 and a NEW cell=9
+    repl = spark.createDataFrame(
+        [(100, 0, "r0"), (101, 9, "r9")], "k bigint, cell int, s string"
+    )
+    out = M.replace_partitions(
+        spark, tbl, [{"cell": 0}], repl, stats_cols=("k",),
+        properties={"gen": 2}, txn=("maint", 1),
+    )
+    assert out is not None and out["version"] == v0 + 1
+    assert out["files_untouched"] > 0
+    assert out["files_rewritten"] + out["files_untouched"] == n_files0
+    got = M.snapshot(spark, tbl)
+    assert got.filter("cell = 0").count() == 1  # old cell-0 rows gone
+    assert got.filter("cell = 9").count() == 1  # new partition landed
+    assert got.filter("cell = 1").count() == 4  # untouched carried
+    assert M.table_properties(spark, tbl)["gen"] == 2
+
+    # replayed txn: nothing commits, checked before any Spark work
+    assert (
+        M.replace_partitions(
+            spark, tbl, [{"cell": 0}], repl, txn=("maint", 1)
+        )
+        is None
+    )
+    assert int(M.latest_manifest(spark, tbl)["version"]) == v0 + 1
+
+    # schema drift raises BEFORE staging (missing column)
+    bad_schema = spark.createDataFrame([(1, 0)], "k bigint, cell int")
+    with pytest.raises(ValueError, match="schema"):
+        M.replace_partitions(spark, tbl, [{"cell": 0}], bad_schema)
+
+    # rows landing in an existing partition NOT named raise
+    leak = spark.createDataFrame(
+        [(200, 1, "x")], "k bigint, cell int, s string"
+    )
+    with pytest.raises(ValueError, match="not in values_list"):
+        M.replace_partitions(spark, tbl, [{"cell": 0}], leak)
