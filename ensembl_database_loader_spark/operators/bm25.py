@@ -96,10 +96,15 @@ def _qt_frame(
     spark, rows: list[tuple], qid_type: str = "bigint"
 ) -> DataFrame:
     """Literal (qid, term) frame carrying the CALLER's qid type (query
-    ids may be strings — UUIDs — as well as integers)."""
-    return spark.createDataFrame(
-        rows, f"_qid {qid_type}, term string"
-    ).coalesce(1)
+    ids may be strings — UUIDs — as well as integers).
+
+    Deliberately NOT coalesce(1): a Python-list-backed frame is an RDD
+    of ~defaultParallelism slices, and coalescing makes ONE task chain
+    every slice's Python-worker roundtrip SEQUENTIALLY — measured
+    ~5 s per action on a 474-row frame (vs 0.5 s left parallel), paid
+    again by every consumer that embeds the frame (the qside build,
+    the broadcast). The frame broadcasts fine at any partition count."""
+    return spark.createDataFrame(rows, f"_qid {qid_type}, term string")
 
 
 def _bm25_score(k1: float, b: float) -> "F.Column":
@@ -153,9 +158,11 @@ def bm25_topk(
     if broadcast_queries:
         qrows = _query_term_rows(queries, qid_col, qtext_col)
         qt = _qt_frame(spark, qrows, dict(queries.dtypes)[qid_col])
+        # not coalesce(1) — see _qt_frame's note on sequential
+        # Python-worker chaining
         terms_only = spark.createDataFrame(
             [(t,) for t in sorted({t for _, t in qrows})], "term string"
-        ).coalesce(1)
+        )
     else:
         # lazily persisted: qt feeds BOTH the postings pre-filter and
         # the scoring join — without the cache the query frame's
