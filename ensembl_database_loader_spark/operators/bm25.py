@@ -341,6 +341,7 @@ def build_bm25_index(
         properties={
             "bm25": {
                 "id_col": id_col,
+                "text_col": text_col,
                 "n_docs": int(stats["n_docs"]),
                 "total_tokens": int(stats["total_tokens"] or 0),
             }
@@ -353,6 +354,7 @@ def append_to_bm25_index(
     text_col: str,
     path: str,
     txn: tuple[str, int] | None = None,
+    extra_properties: dict | None = None,
 ) -> dict | None:
     """Append a NEW document batch into an existing postings index as
     ONE atomic commit: the batch's (term, id, tf, dl) postings land as
@@ -376,7 +378,8 @@ def append_to_bm25_index(
     )
 
     spark = new_docs.sparkSession
-    meta = table_properties(spark, path).get("bm25")
+    props = table_properties(spark, path)
+    meta = props.get("bm25")
     if not meta:
         raise ValueError(f"no bm25 index at {path} (missing properties)")
     id_col = meta["id_col"]
@@ -391,6 +394,10 @@ def append_to_bm25_index(
         F.sum("dl").cast("bigint").alias("total_tokens"),
     ).collect()[0]
     postings = _index_postings(toked, id_col)
+    # MERGE into the head's property map (never replace it): other
+    # engine keys — an index-sync watermark, lineage notes — must
+    # survive postings maintenance; extra_properties lets a caller
+    # advance such a key ATOMICALLY with this commit
     return write_table(
         postings,
         path,
@@ -398,12 +405,14 @@ def append_to_bm25_index(
         txn=txn,
         stats_cols=("term",),
         properties={
+            **props,
             "bm25": {
-                "id_col": id_col,
+                **meta,
                 "n_docs": int(meta["n_docs"]) + int(stats["n_docs"]),
                 "total_tokens": int(meta["total_tokens"])
                 + int(stats["total_tokens"] or 0),
-            }
+            },
+            **(extra_properties or {}),
         },
     )
 
@@ -433,7 +442,8 @@ def delete_from_bm25_index(spark: SparkSession, path: str, doc_ids) -> dict | No
         table_properties,
     )
 
-    meta = table_properties(spark, path).get("bm25")
+    props = table_properties(spark, path)
+    meta = props.get("bm25")
     if not meta:
         raise ValueError(f"no bm25 index at {path} (missing properties)")
     id_col = meta["id_col"]
@@ -453,16 +463,18 @@ def delete_from_bm25_index(spark: SparkSession, path: str, doc_ids) -> dict | No
     n_del, tok_del = int(victims["n"]), int(victims["toks"] or 0)
     if n_del == 0:
         return None
+    # merged map, as in append: foreign property keys survive deletes
     return delete_rows(
         spark,
         path,
         prune=[(id_col, "in", ids)],
         properties={
+            **props,
             "bm25": {
-                "id_col": id_col,
+                **meta,
                 "n_docs": int(meta["n_docs"]) - n_del,
                 "total_tokens": int(meta["total_tokens"]) - tok_del,
-            }
+            },
         },
     )
 

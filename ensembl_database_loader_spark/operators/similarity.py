@@ -1451,7 +1451,10 @@ def pq_topk_indexed(
 
 
 def append_to_ann_index(
-    new_df: DataFrame, path: str, txn: tuple[str, int] | None = None
+    new_df: DataFrame,
+    path: str,
+    txn: tuple[str, int] | None = None,
+    extra_properties: dict | None = None,
 ) -> None:
     """Append a NEW batch into an existing IVF index: assignment uses
     the index's PERSISTED centroids (``_ann_meta.json``), so the append
@@ -1482,15 +1485,31 @@ def append_to_ann_index(
     elif meta.get("quantized"):
         assigned = _quantize_index_rows(assigned, meta["id_col"], meta["vec_col"])
     if meta.get("_manifest"):
-        from ensembl_database_loader_spark.sinks.manifest import write_table
+        from ensembl_database_loader_spark.sinks.manifest import (
+            table_properties,
+            write_table,
+        )
 
         # id stats re-declared per append (blooms inherit from the
         # table spec automatically; [min, max] stats do not) — without
         # them every appended file loses the id-pruning the build
-        # promises for deletes and candidate fetches
+        # promises for deletes and candidate fetches.
+        # extra_properties MERGES top-level keys into the head's map
+        # atomically with this commit (an index-sync watermark must
+        # version with the rows it accounts for); None carries the
+        # head's map untouched as before.
+        props = (
+            {
+                **table_properties(new_df.sparkSession, path),
+                **extra_properties,
+            }
+            if extra_properties
+            else None
+        )
         write_table(
             assigned, path, mode="append", txn=txn,
             stats_cols=(meta["id_col"],),
+            properties=props,
         )
         return
     if txn is not None:
@@ -1540,6 +1559,7 @@ def rebalance_ann_index(
         latest_manifest,
         snapshot,
         table_partitions,
+        table_properties,
         write_table,
     )
 
@@ -1580,6 +1600,9 @@ def rebalance_ann_index(
     new_meta = {
         k: v for k, v in meta.items() if not k.startswith("_")
     } | {"centroids": cents, "n_cells": n_cells}
+    # merge into the head's map: foreign property keys (an index-sync
+    # watermark) must survive maintenance commits
+    props = table_properties(spark, path)
     m = write_table(
         assigned,
         path,
@@ -1587,7 +1610,7 @@ def rebalance_ann_index(
         partition_by=("_cell",),
         stats_cols=(id_col,),
         bloom_cols=(id_col,),
-        properties={"ann": new_meta},
+        properties={**props, "ann": new_meta},
         txn=txn,
     )
     after = _sharemax(table_partitions(spark, path))
@@ -1642,6 +1665,7 @@ def split_hot_cells(
         replace_partitions,
         scan_table,
         table_partitions,
+        table_properties,
     )
 
     meta = ann_index_meta(path, spark)
@@ -1727,13 +1751,14 @@ def split_hot_cells(
         "centroids": centroids,
         "n_cells": len(centroids),
     }
+    # merged map, as in rebalance: foreign keys survive the hot-split
     m = replace_partitions(
         spark,
         path,
         [{"_cell": c} for c in hot],
         out_rows,
         stats_cols=(id_col,),
-        properties={"ann": new_meta},
+        properties={**table_properties(spark, path), "ann": new_meta},
         txn=txn,
     )
     after = _sharemax(table_partitions(spark, path))

@@ -4644,3 +4644,274 @@ def ss_hybrid_rrf(spark: SparkSession, sf: str) -> DataFrame:
         .select("qid", "doc_id", "rrf", "rank", "hy_salted_matches")
         .orderBy("qid", "rank")
     )
+
+
+_SYNC_ORACLE = (
+    # r12.2: incremental index sync. The oracle applies the SAME
+    # curation wave to the raw tables in pure SQL (delete id%50==3,
+    # rewrite id%50==9, insert 1000000+id for id%50==21) and fully
+    # recomputes both serving paths over the MUTATED state: BM25 as in
+    # _BM25_ORACLE and exact round-6 cosine; the emitted one-row
+    # fingerprints (counts + id sums + integer-scaled score sums over
+    # the exact top-5 rows) are value-exact against serving from the
+    # SYNCED indexes — CDC classification, delete/append application,
+    # stats deltas, and serving all sit on the hashed path.
+    r"WITH base AS (SELECT doc_id, text FROM documents), "
+    "md AS (SELECT doc_id, CASE WHEN doc_id % 50 = 9 "
+    "THEN 'sync rewrite ' || text ELSE text END AS text "
+    "FROM base WHERE doc_id % 50 <> 3 "
+    "UNION ALL SELECT 1000000 + doc_id, 'synthetic arrival ' || text "
+    "FROM base WHERE doc_id % 50 = 21), "
+    r"d AS (SELECT doc_id, list_filter(string_split("
+    r"regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '), "
+    "w -> w <> '') AS toks FROM md), "
+    "dl AS (SELECT doc_id, len(toks) AS dl FROM d), "
+    "st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, AVG(dl) AS avgdl FROM dl), "
+    "q AS (SELECT doc_id AS qid, list_slice(toks, 1, 5) AS qtoks FROM d "
+    "WHERE doc_id % 100 IN (7, 9) "
+    "OR (doc_id >= 1000000 AND doc_id % 100 = 21)), "
+    "qt AS (SELECT DISTINCT qid, unnest(qtoks) AS term FROM q), "
+    "p AS (SELECT doc_id, unnest(toks) AS term FROM d), "
+    "tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM p "
+    "WHERE term IN (SELECT DISTINCT term FROM qt) GROUP BY 1, 2), "
+    "dft AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1), "
+    "sc AS (SELECT qid, tf.doc_id AS doc_id, "
+    "ROUND(SUM(ln(1 + (n - df + 0.5) / (df + 0.5)) * tf * 2.2 "
+    "/ (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 6) AS score "
+    "FROM qt JOIN tf USING (term) JOIN dft USING (term) "
+    "JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN st GROUP BY 1, 2), "
+    "brk AS (SELECT qid, doc_id, score, ROW_NUMBER() OVER "
+    "(PARTITION BY qid ORDER BY score DESC, doc_id) AS rn FROM sc), "
+    "bm AS (SELECT CAST(COUNT(*) AS BIGINT) AS sy_bm_n, "
+    "CAST(SUM(qid) AS BIGINT) AS sy_bm_qid_sum, "
+    "CAST(SUM(doc_id) AS BIGINT) AS sy_bm_doc_sum, "
+    "CAST(SUM(CAST(ROUND(ROUND(score, 2) * 100) AS BIGINT)) AS BIGINT) "
+    "AS sy_bm_cents FROM brk WHERE rn <= 5), "
+    "ce AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), "
+    "me AS (SELECT vec_id, CASE WHEN vec_id % 50 = 9 "
+    "THEN list_transform(v, x -> -x) ELSE v END AS v "
+    "FROM ce WHERE vec_id % 50 <> 3 "
+    "UNION ALL SELECT 1000000 + vec_id, list_reverse(v) "
+    "FROM ce WHERE vec_id % 50 = 21), "
+    "qv AS (SELECT vec_id AS qid, v AS qv FROM me "
+    "WHERE vec_id % 100 IN (7, 9) "
+    "OR (vec_id >= 1000000 AND vec_id % 100 = 21)), "
+    "cs AS (SELECT qid, vec_id AS doc_id, "
+    "ROUND(list_dot_product(qv, v) / (sqrt(list_dot_product(qv, qv)) "
+    "* sqrt(list_dot_product(v, v))), 6) AS cos FROM qv, me), "
+    "crk AS (SELECT qid, doc_id, cos, ROW_NUMBER() OVER "
+    "(PARTITION BY qid ORDER BY cos DESC, doc_id) AS rn FROM cs), "
+    "an AS (SELECT CAST(COUNT(*) AS BIGINT) AS sy_ann_n, "
+    "CAST(SUM(qid) AS BIGINT) AS sy_ann_qid_sum, "
+    "CAST(SUM(doc_id) AS BIGINT) AS sy_ann_doc_sum, "
+    "CAST(SUM(CAST(ROUND(cos * 1000000) AS BIGINT)) AS BIGINT) "
+    "AS sy_ann_microcos FROM crk WHERE rn <= 5) "
+    "SELECT sy_bm_n, sy_bm_qid_sum, sy_bm_doc_sum, sy_bm_cents, "
+    "sy_ann_n, sy_ann_qid_sum, sy_ann_doc_sum, sy_ann_microcos, "
+    "TRUE AS sy_bm_rebuild_identical, TRUE AS sy_ann_rebuild_identical, "
+    "TRUE AS sy_replay_noop, TRUE AS sy_cdc_o_delta "
+    "FROM bm CROSS JOIN an"
+)
+
+
+@probe(
+    "ss_index_sync",
+    oracle=_SYNC_ORACLE,
+    tags=("llm", "similarity", "lake", "lifecycle", "sync"),
+)
+def ss_index_sync(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental serving-index sync (operators/indexsync.py): a
+    curation wave lands on two source lake tables (docs + embeddings)
+    as ordinary commits — append / ``delete_rows`` / ``update_rows`` —
+    and the BM25 postings index and the manifest-backed ANN index
+    follow via ``sync_bm25_index`` / ``sync_ann_index``, which consume
+    the O(changed-files) row-level change feed
+    (``sinks.manifest.row_changes``) and apply exactly the delta
+    through the indexes' own bloom-pruned delete + append paths —
+    never a rebuild, never a snapshot rescan.
+
+    VALUE-EXACT (one hashed fingerprint row): serving from the synced
+    indexes — BM25 top-5 per query and full-probe IVF cosine top-5 per
+    query over the mutated corpus — reproduces the oracle's from-
+    scratch recompute of the mutated state (counts, id sums, integer-
+    scaled score sums over the exact kept rows). TRUE-gated cross-path
+    identities, each reference path value-exact or exact by
+    construction: (1) the synced postings equal a from-scratch
+    ``build_bm25_index`` on the target snapshot, row-for-row AND in
+    exact-integer corpus stats; (2) the synced ANN contents equal the
+    stateless re-assignment of the target snapshot under the index's
+    persisted centroids; (3) replaying both syncs is a no-op detected
+    at entry (txn watermark + sync state — nothing commits); (4) the
+    O(delta) feed is row-identical to ``table_diff``'s two-snapshot
+    classification while reading ONLY commit-touched files.
+    Reference analogue: reload touches one database, never the mirror
+    (LoadFiles.pm:56-64)."""
+    import tempfile
+
+    from ensembl_database_loader_spark.functions.text import tokens
+    from ensembl_database_loader_spark.operators.bm25 import (
+        bm25_topk_indexed,
+        build_bm25_index,
+    )
+    from ensembl_database_loader_spark.operators.indexsync import (
+        sync_ann_index,
+        sync_bm25_index,
+    )
+    from ensembl_database_loader_spark.operators.similarity import (
+        _assign_cells,
+        ann_index_meta,
+        build_ann_index,
+        ivf_topk_many_indexed,
+    )
+    from ensembl_database_loader_spark.sinks.manifest import (
+        changed_files,
+        delete_rows,
+        latest_manifest,
+        row_changes,
+        snapshot,
+        table_diff,
+        table_properties,
+        update_rows,
+        write_table,
+    )
+
+    ensure_session_confs(spark)
+    root = tempfile.mkdtemp(prefix="edl_sync_")
+    src_d, src_e = root + "/docs", root + "/emb"
+    bm_idx, bm_fresh = root + "/bm25", root + "/bm25_fresh"
+    ann_idx = root + "/ann"
+
+    docs0 = table(spark, sf, "documents").select("doc_id", "text")
+    emb0 = table(spark, sf, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    write_table(docs0.repartition(4), src_d, stats_cols=("doc_id",))
+    write_table(emb0.repartition(4), src_e, stats_cols=("vec_id",))
+    build_bm25_index(
+        snapshot(spark, src_d, 0), "doc_id", "text", bm_idx, num_files=4
+    )
+    build_ann_index(
+        snapshot(spark, src_e, 0), "vec_id", "embedding", ann_idx,
+        n_cells=8, manifest=True,
+    )
+
+    # the curation wave: three commits per source (delete, rewrite,
+    # arrival batch) — the ids are data-derived and deterministic
+    def _ids(df, col, m):
+        return [r[0] for r in df.filter(F.col(col) % 50 == m).select(col).collect()]
+
+    delete_rows(spark, src_d, prune=[("doc_id", "in", _ids(docs0, "doc_id", 3))])
+    update_rows(
+        spark, src_d, {"text": "concat('sync rewrite ', text)"},
+        prune=[("doc_id", "in", _ids(docs0, "doc_id", 9))],
+    )
+    write_table(
+        docs0.filter(F.col("doc_id") % 50 == 21).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            F.concat(F.lit("synthetic arrival "), F.col("text")).alias("text"),
+        ),
+        src_d,
+        mode="append",
+    )
+    delete_rows(spark, src_e, prune=[("vec_id", "in", _ids(emb0, "vec_id", 3))])
+    update_rows(
+        spark, src_e, {"embedding": "transform(embedding, x -> -x)"},
+        prune=[("vec_id", "in", _ids(emb0, "vec_id", 9))],
+    )
+    write_table(
+        emb0.filter(F.col("vec_id") % 50 == 21).select(
+            (F.col("vec_id") + 1000000).alias("vec_id"),
+            F.reverse("embedding").alias("embedding"),
+        ),
+        src_e,
+        mode="append",
+    )
+
+    # gate 4: the O(delta) feed == table_diff, reading only the
+    # commit-touched files
+    to_v = int(latest_manifest(spark, src_d)["version"])
+    fast = row_changes(
+        spark, src_d, 0, to_v, ("doc_id",), include_preimage=True
+    )
+    # inputFiles BEFORE persist: an InMemoryRelation hides the scans
+    read_rel = {
+        f.split(src_d.rstrip("/") + "/", 1)[1] for f in fast.inputFiles()
+    }
+    full = table_diff(spark, src_d, 0, to_v, ("doc_id",), include_preimage=True)
+    cdc_same = (
+        fast.exceptAll(full).unionAll(full.exceptAll(fast)).count() == 0
+    )
+    cf = changed_files(spark, src_d, 0, to_v)
+    touched = set(cf["added"]) | set(cf["removed"])
+    cdc_o_delta = bool(cdc_same and read_rel and read_rel <= touched)
+
+    # the syncs, then replay both (gate 3)
+    s_bm = sync_bm25_index(spark, bm_idx, src_d, from_version=0)
+    s_ann = sync_ann_index(spark, ann_idx, src_e, from_version=0)
+    replay_noop = bool(
+        not s_bm["noop"]
+        and not s_ann["noop"]
+        and sync_bm25_index(spark, bm_idx, src_d)["noop"]
+        and sync_ann_index(spark, ann_idx, src_e)["noop"]
+    )
+
+    # gate 1: synced postings == from-scratch rebuild (rows + stats)
+    build_bm25_index(snapshot(spark, src_d), "doc_id", "text", bm_fresh, num_files=4)
+    a, b = snapshot(spark, bm_idx), snapshot(spark, bm_fresh)
+    ma = table_properties(spark, bm_idx)["bm25"]
+    mb = table_properties(spark, bm_fresh)["bm25"]
+    bm_ident = bool(
+        a.exceptAll(b).unionAll(b.exceptAll(a)).count() == 0
+        and (ma["n_docs"], ma["total_tokens"])
+        == (mb["n_docs"], mb["total_tokens"])
+    )
+
+    # gate 2: synced ANN contents == same-centroid re-assignment of
+    # the target snapshot
+    cents = ann_index_meta(ann_idx, spark)["centroids"]
+    want = _assign_cells(snapshot(spark, src_e), "embedding", cents).select(
+        "vec_id", "_cell", "embedding"
+    )
+    got = snapshot(spark, ann_idx).select("vec_id", "_cell", "embedding")
+    ann_ident = bool(
+        got.exceptAll(want).unionAll(want.exceptAll(got)).count() == 0
+    )
+
+    # serving fingerprints over the synced indexes (the hashed rows)
+    toks = F.filter(tokens("text"), lambda w: w != "")
+    is_q = lambda c: (F.col(c) % 100).isin(7, 9) | (
+        (F.col(c) >= 1000000) & (F.col(c) % 100 == 21)
+    )
+    qd = snapshot(spark, src_d).filter(is_q("doc_id")).select(
+        F.col("doc_id").alias("qid"),
+        F.concat_ws(" ", F.slice(toks, 1, 5)).alias("qtext"),
+    )
+    bm_fp = bm25_topk_indexed(spark, bm_idx, qd, k=5).agg(
+        F.count(F.lit(1)).cast("bigint").alias("sy_bm_n"),
+        F.sum("qid").cast("bigint").alias("sy_bm_qid_sum"),
+        F.sum("doc_id").cast("bigint").alias("sy_bm_doc_sum"),
+        F.sum(F.round(F.round("score", 2) * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("sy_bm_cents"),
+    )
+    qe = snapshot(spark, src_e).filter(is_q("vec_id")).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    an_fp = ivf_topk_many_indexed(
+        spark, ann_idx, qe, "qid", "qv", k=5, n_probe=8
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("sy_ann_n"),
+        F.sum("qid").cast("bigint").alias("sy_ann_qid_sum"),
+        F.sum("vec_id").cast("bigint").alias("sy_ann_doc_sum"),
+        F.sum(F.round(F.col("cos") * 1000000).cast("bigint"))
+        .cast("bigint")
+        .alias("sy_ann_microcos"),
+    )
+    return bm_fp.crossJoin(an_fp).select(
+        "sy_bm_n", "sy_bm_qid_sum", "sy_bm_doc_sum", "sy_bm_cents",
+        "sy_ann_n", "sy_ann_qid_sum", "sy_ann_doc_sum", "sy_ann_microcos",
+        F.lit(bm_ident).alias("sy_bm_rebuild_identical"),
+        F.lit(ann_ident).alias("sy_ann_rebuild_identical"),
+        F.lit(replay_noop).alias("sy_replay_noop"),
+        F.lit(cdc_o_delta).alias("sy_cdc_o_delta"),
+    )

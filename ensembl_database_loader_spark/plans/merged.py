@@ -199,6 +199,22 @@ MERGE_SPECS: dict[str, list[tuple[str, list[tuple[str, str]]]]] = {
                 ("cdc_only_new_rows", "cdc_only_new_rows"),
             ],
         ),
+        # r12.2: incremental replication + the O(delta) row-level
+        # change feed — value-exact replica fingerprint (count + key /
+        # cents sums computed FROM THE REPLICA), cross-location CDC
+        # identity, delta-only shipping, replay no-op, verbatim head
+        (
+            "llp_manifest_replica",
+            [
+                ("rp_n", "rp_n"),
+                ("rp_k_sum", "rp_k_sum"),
+                ("rp_cents", "rp_cents"),
+                ("rp_feed_exact", "rp_feed_exact"),
+                ("rp_delta_only", "rp_delta_only"),
+                ("rp_replay_noop", "rp_replay_noop"),
+                ("rp_verbatim", "rp_verbatim"),
+            ],
+        ),
         # r8: row-level DELETE/UPDATE (copy-on-write, stats-pruned)
         (
             "llp_manifest_delete",
@@ -676,6 +692,27 @@ MERGE_SPECS: dict[str, list[tuple[str, list[tuple[str, str]]]]] = {
                 ("rrf", "hy_rrf"),
                 ("rank", "hy_rank"),
                 ("hy_salted_matches", "hy_salted_matches"),
+            ],
+        ),
+        # r12.2: incremental index sync — one VALUE-EXACT fingerprint
+        # row (BM25 + full-probe ANN serving from the SYNCED indexes
+        # vs the oracle's from-scratch recompute of the mutated
+        # corpus), plus rebuild-identity / replay / O(delta)-CDC gates
+        (
+            "ss_index_sync",
+            [
+                ("sy_bm_n", "sy_bm_n"),
+                ("sy_bm_qid_sum", "sy_bm_qid_sum"),
+                ("sy_bm_doc_sum", "sy_bm_doc_sum"),
+                ("sy_bm_cents", "sy_bm_cents"),
+                ("sy_ann_n", "sy_ann_n"),
+                ("sy_ann_qid_sum", "sy_ann_qid_sum"),
+                ("sy_ann_doc_sum", "sy_ann_doc_sum"),
+                ("sy_ann_microcos", "sy_ann_microcos"),
+                ("sy_bm_rebuild_identical", "sy_bm_rebuild_identical"),
+                ("sy_ann_rebuild_identical", "sy_ann_rebuild_identical"),
+                ("sy_replay_noop", "sy_replay_noop"),
+                ("sy_cdc_o_delta", "sy_cdc_o_delta"),
             ],
         ),
         # r11: the ANN index AS A MANIFEST TABLE — layout-invisible

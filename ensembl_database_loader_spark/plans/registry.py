@@ -51,6 +51,11 @@ _REGISTRY: dict[str, Probe] = {}
 #: rides tx_langid_lm; batch-indexed ANN and the manifest-backed index
 #: ride ss_ann_lsh_recall. (The wm-family slots stay pure: their names
 #: are baseline-shared bench identities.)
+#:
+#: r12.2 riders: incremental index sync (ss_index_sync — CDC-driven
+#: ANN + BM25 maintenance, one value-exact fingerprint row) rides
+#: ss_ann_lsh_recall; incremental replication + the O(delta) row
+#: change feed (llp_manifest_replica) rides q18_q20's lake row.
 WINDOW_50: tuple[str, ...] = (
     "q01_q03_scan_projection",
     "q02_tsv_roundtrip",

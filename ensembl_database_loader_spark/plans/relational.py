@@ -2560,6 +2560,124 @@ def llp_manifest_cdc(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @probe(
+    "llp_manifest_replica",
+    oracle=(
+        # the replica's head snapshot must equal the SOURCE's mutated
+        # state, recomputed from scratch: delete k<=50, cents+11 on
+        # 100<=k<=150, insert (k+100000, cents+1) for 200<=k<=250 —
+        # range-scoped so the copy-on-write wave touches ONE of the
+        # four range-clustered files and the delta gate has teeth
+        "WITH base AS (SELECT o_orderkey AS k, "
+        "CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents "
+        "FROM orders WHERE o_orderkey <= 2000), "
+        "fin AS (SELECT k, CASE WHEN k BETWEEN 100 AND 150 "
+        "THEN cents + 11 ELSE cents END AS cents FROM base WHERE k > 50 "
+        "UNION ALL SELECT k + 100000, cents + 1 FROM base "
+        "WHERE k BETWEEN 200 AND 250) "
+        "SELECT CAST(COUNT(*) AS BIGINT) AS rp_n, "
+        "CAST(SUM(k) AS BIGINT) AS rp_k_sum, "
+        "CAST(SUM(cents) AS BIGINT) AS rp_cents, "
+        "TRUE AS rp_feed_exact, TRUE AS rp_delta_only, "
+        "TRUE AS rp_replay_noop, TRUE AS rp_verbatim FROM fin"
+    ),
+    tags=("manifest", "replication", "cdc", "lake"),
+)
+def llp_manifest_replica(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental table replication (``sinks/manifest.replicate_table``)
+    + the O(delta) row-level change feed (``row_changes``): a source
+    table takes a three-commit curation wave (copy-on-write delete,
+    update, append), a replica catches up version-by-version, and the
+    VALUE-EXACT fingerprint row (count + key/cents sums) is computed
+    FROM THE REPLICA's head snapshot — so file shipping, verbatim
+    manifest publication, and replica serving all sit on the hashed
+    path against the oracle's from-scratch recompute of the mutated
+    state.
+
+    TRUE-gated: ``rp_feed_exact`` — ``row_changes`` (classifying ONLY
+    commit-touched files, the O(delta) read) evaluated AT THE REPLICA
+    is row-identical to ``table_diff``'s two-snapshot classification
+    AT THE SOURCE, preimages included — cross-location CDC identity;
+    ``rp_delta_only`` — the catch-up replication copied strictly fewer
+    files than the head references (untouched base files were already
+    present); ``rp_replay_noop`` — re-replicating an already-shipped
+    version commits nothing; ``rp_verbatim`` — the replica's head
+    manifest is byte-equal to the source's (stats, blooms, properties
+    and schema all ride). Reference analogue: the loader IS a
+    manifest-driven replicator — mirror exactly the files a release's
+    checksum manifest lists (LoadFiles.pm)."""
+    import tempfile
+
+    from ensembl_database_loader_spark.sinks.manifest import (
+        delete_rows,
+        latest_manifest,
+        read_manifest,
+        replicate_table,
+        row_changes,
+        snapshot,
+        table_diff,
+        update_rows,
+        write_table,
+    )
+
+    ensure_session_confs(spark)
+    root = tempfile.mkdtemp(prefix="edl_replica_")
+    src, dst = root + "/src", root + "/dst"
+    base = (
+        table(spark, sf, "orders")
+        .filter(F.col("o_orderkey") <= 2000)
+        .select(
+            F.col("o_orderkey").alias("k"),
+            F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        )
+    )
+    write_table(base.repartitionByRange(4, "k"), src, stats_cols=("k",))
+    replicate_table(spark, src, dst)  # replica bootstraps at v0
+
+    delete_rows(spark, src, prune=[("k", "<=", 50)])
+    update_rows(
+        spark, src, {"cents": "cents + 11"},
+        prune=[("k", ">=", 100), ("k", "<=", 150)],
+    )
+    write_table(
+        base.filter(F.col("k").between(200, 250)).select(
+            (F.col("k") + 100000).alias("k"),
+            (F.col("cents") + 1).alias("cents"),
+        ),
+        src,
+        mode="append",
+    )
+    to_v = int(latest_manifest(spark, src)["version"])
+    out = replicate_table(spark, src, dst)
+    delta_only = bool(
+        out["version"] == to_v
+        and out["files_present"] > 0
+        and 0
+        < out["files_copied"]
+        < len(latest_manifest(spark, src)["files"])
+    )
+    replay_noop = bool(replicate_table(spark, src, dst)["noop"])
+    verbatim = read_manifest(spark, dst, to_v) == read_manifest(spark, src, to_v)
+
+    # cross-location CDC identity: the O(delta) feed AT THE REPLICA ==
+    # the two-snapshot classification AT THE SOURCE
+    fast = row_changes(spark, dst, 0, to_v, ("k",), include_preimage=True)
+    full = table_diff(spark, src, 0, to_v, ("k",), include_preimage=True)
+    feed_exact = fast.exceptAll(full).unionAll(full.exceptAll(fast)).count() == 0
+
+    return snapshot(spark, dst).agg(
+        F.count(F.lit(1)).cast("bigint").alias("rp_n"),
+        F.sum("k").cast("bigint").alias("rp_k_sum"),
+        F.sum("cents").cast("bigint").alias("rp_cents"),
+    ).select(
+        "rp_n", "rp_k_sum", "rp_cents",
+        F.lit(bool(feed_exact)).alias("rp_feed_exact"),
+        F.lit(delta_only).alias("rp_delta_only"),
+        F.lit(replay_noop).alias("rp_replay_noop"),
+        F.lit(bool(verbatim)).alias("rp_verbatim"),
+    )
+
+
+@probe(
     "llp_manifest_skipping",
     oracle=(
         "SELECT CAST(COUNT(*) AS BIGINT) AS sk_n_rows, "

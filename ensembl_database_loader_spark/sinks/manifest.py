@@ -2082,6 +2082,18 @@ def table_diff(
             f"schema changed between v{from_version} and v{to_version}: "
             f"{old.columns} vs {new.columns}"
         )
+    return _classify_changes(old, new, tuple(key_cols), include_preimage)
+
+
+def _classify_changes(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: tuple[str, ...],
+    include_preimage: bool,
+) -> DataFrame:
+    """Shared change classifier behind ``table_diff`` (whole snapshots)
+    and ``row_changes`` (changed files only): full-outer key join, rows
+    whose non-key fingerprints match are excluded as unchanged."""
     data_cols = [c for c in old.columns if c not in key_cols]
     fp = (
         F.xxhash64(*[F.col(c) for c in data_cols])
@@ -2233,6 +2245,59 @@ def read_changes(
     return _read_files(spark, m_to, root, added)
 
 
+def row_changes(
+    spark: SparkSession,
+    path: str,
+    from_version: int,
+    to_version: int,
+    key_cols: tuple[str, ...],
+    include_preimage: bool = False,
+) -> DataFrame:
+    """``table_diff``'s change feed at ``read_changes``' cost: the
+    row-level insert/delete/update classification computed from the
+    CHANGED FILES ONLY — O(delta), never O(table).
+
+    Copy-on-write makes this sound: a row can only change or disappear
+    if the file holding it is REWRITTEN (listed in 'removed'), and its
+    new image (or its carried-forward identical self) lands in an
+    'added' file — so diffing removed-file rows against added-file
+    rows classifies exactly the rows ``table_diff`` would, while every
+    untouched file's rows (identical on both sides by construction)
+    are never read. A compaction commit removes and re-adds the same
+    rows → all fingerprint-equal → empty feed; ``drop_partition``
+    removes files without adding → deletes; an append adds without
+    removing → inserts. Gated row-identical to ``table_diff`` across
+    all of these in tests.
+
+    Same output contract as ``table_diff``: every changed key emits
+    the NEW row for insert/update and the OLD row for delete, plus
+    ``change_type``; ``include_preimage=True`` adds each update's old
+    row as ``update_preimage``. Same assumptions: ``key_cols`` are
+    unique per snapshot, and ``from_version``'s files must still be on
+    disk (readable until ``vacuum_table`` reclaims them — the same
+    lifetime ``snapshot(from_version)`` has).
+
+    At 100 TB this is THE incremental-consumer read: an index-sync or
+    downstream-rollup wave pays for the files one curation commit
+    touched, not for two full snapshot scans joined key-by-key.
+    Reference analogue: the loader reloads one database, never the
+    mirror (``LoadFiles.pm:56-64``)."""
+    if not key_cols:
+        raise ValueError("row_changes needs at least one key column")
+    root = path.rstrip("/")
+    m_from = read_manifest(spark, root, from_version)
+    m_to = read_manifest(spark, root, to_version)
+    if m_from["schema"] != m_to["schema"]:
+        raise ValueError(
+            f"schema changed between v{from_version} and v{to_version} — "
+            "use table_diff (whole-snapshot compare) across schema evolution"
+        )
+    cf = changed_files(spark, root, from_version, to_version)
+    old = _read_files(spark, m_from, root, cf["removed"])
+    new = _read_files(spark, m_to, root, cf["added"])
+    return _classify_changes(old, new, tuple(key_cols), include_preimage)
+
+
 def table_history(spark: SparkSession, path: str) -> DataFrame:
     """One row per committed version: (version, operation, n_files) —
     the audit trail the reference keeps as per-database job rows
@@ -2303,6 +2368,96 @@ def remove_orphans(
         fs.delete(p, False)
         deleted += 1
     return {"deleted": deleted, "skipped_recent": skipped}
+
+
+def replicate_table(
+    spark: SparkSession,
+    src_path: str,
+    dst_path: str,
+    to_version: int | None = None,
+) -> dict:
+    """Incrementally replicate a manifest table to another location —
+    the DR / multi-region / cold-storage read replica.
+
+    Because every manifest pins an explicit ROOT-RELATIVE file list,
+    replication is exactly two steps: (1) copy the data files the
+    target version references that the replica does not already hold
+    (the delta between the source manifest and the union of manifests
+    already replicated — pure metadata, no listing of the replica's
+    data tree), then (2) publish the source manifest VERBATIM at the
+    replica (atomic tmp+rename, data-before-manifest as in `_commit`).
+    The replica is byte-equivalent for everything the manifest
+    carries: snapshot rows, schema, partition layout, per-file stats
+    and blooms (``scan_table`` skips files at the replica exactly as
+    at the primary), properties (an ANN index's centroids replicate
+    with its cells), and change feeds between replicated versions.
+
+    Each call ships one version's delta; call per interesting version
+    (or just per head) — the replica's history is the SPARSE set of
+    replicated versions, and a version already present no-ops, so a
+    crashed replication re-runs safely (file copies are idempotent
+    overwrites inside content-addressed commit dirs; the manifest
+    publishes last). A replica that has committed its OWN writes has
+    diverged and is refused — replicas are read-only by contract.
+
+    At 100 TB the manifest delta IS the replication contract: this
+    driver-side loop streams each file through the FS client (fine for
+    maintenance-window volumes); for bulk backfills hand
+    ``changed_files`` to a parallel copy tool and let the final
+    ``replicate_table`` call verify presence and publish (already-
+    present files are skipped, not re-copied). Reference analogue: the
+    loader's whole job is this shape — mirror a release by copying
+    exactly the files a database's checksum manifest lists
+    (``LoadFiles.pm`` checksum-verified rsync/FTP mirror)."""
+    src = src_path.rstrip("/")
+    dst = dst_path.rstrip("/")
+    src_versions = list_manifests(spark, src)
+    if not src_versions:
+        raise ValueError(f"no manifest table at {src}")
+    to_v = int(to_version if to_version is not None else src_versions[-1])
+    if to_v not in src_versions:
+        raise ValueError(f"source has no version {to_v} at {src}")
+    dst_versions = list_manifests(spark, dst)
+    extra = sorted(set(dst_versions) - set(src_versions))
+    if extra or any(
+        read_manifest(spark, dst, v) != read_manifest(spark, src, v)
+        for v in dst_versions
+    ):
+        raise ValueError(
+            f"replica at {dst} has diverged from {src} (own commits or "
+            "mismatched manifests) — replicas are read-only"
+        )
+    if to_v in dst_versions:
+        return {"noop": True, "version": to_v, "files_copied": 0,
+                "files_present": 0}
+    m = read_manifest(spark, src, to_v)
+    have: set[str] = set()
+    for v in dst_versions:
+        have.update(read_manifest(spark, dst, v)["files"])
+    need = [f for f in m["files"] if f not in have]
+    fs, _, jvm = _fs(spark, dst)
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    hpath = jvm.org.apache.hadoop.fs.Path
+    fs.mkdirs(hpath(dst))
+    for rel in need:
+        jvm.org.apache.hadoop.fs.FileUtil.copy(
+            fs, hpath(f"{src}/{rel}"), fs, hpath(f"{dst}/{rel}"),
+            False, True, conf,
+        )
+    # publish last, atomically: write the source manifest verbatim
+    tmp = f"{dst}/_tmp-replica-{uuid.uuid4().hex}.json"
+    _write_bytes(spark, tmp, _read_bytes(spark, _manifest_path(src, to_v)))
+    if not fs.rename(hpath(tmp), hpath(_manifest_path(dst, to_v))):
+        fs.delete(hpath(tmp), False)
+        raise RuntimeError(
+            f"could not publish replica manifest v{to_v} at {dst}"
+        )
+    return {
+        "noop": False,
+        "version": to_v,
+        "files_copied": len(need),
+        "files_present": len(m["files"]) - len(need),
+    }
 
 
 def _now_epoch_ms(spark: SparkSession) -> int:

@@ -1,0 +1,289 @@
+"""Incremental index sync from a source table's change feed
+(operators.indexsync): a curation wave lands on the corpus as lake
+commits and the serving indexes follow at O(delta) — synced contents
+and serving stay row-identical to a rebuild at the target snapshot,
+replays no-op, a crashed wave converges on rerun, and maintenance
+commits preserve the sync watermark."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+import ensembl_database_loader_spark.sinks.manifest as M
+from ensembl_database_loader_spark.operators.bm25 import (
+    build_bm25_index,
+    bm25_topk_indexed,
+)
+from ensembl_database_loader_spark.operators.indexsync import (
+    sync_ann_index,
+    sync_bm25_index,
+)
+from ensembl_database_loader_spark.operators.similarity import (
+    _assign_cells,
+    ann_index_meta,
+    build_ann_index,
+    delete_from_ann_index,
+    ivf_topk_indexed,
+    split_hot_cells,
+)
+
+DIM = 8
+N_CLUSTERS = 4
+PER_CLUSTER = 25
+
+
+def _vec(c: int, j: int):
+    s = [math.sin(c * 23.7 + i * 1.91) for i in range(DIM)]
+    n = math.sqrt(sum(x * x for x in s))
+    return [
+        x / n + (((c * 911 + j * 157 + i * 11) % 201) - 100) / 100.0 * 0.02
+        for i, x in enumerate(s)
+    ]
+
+
+def _corpus_rows():
+    rows = []
+    for c in range(N_CLUSTERS):
+        for j in range(PER_CLUSTER):
+            did = j * N_CLUSTERS + c
+            rows.append(
+                (did, _vec(c, j), f"document {did} topic t{c} body b{j}")
+            )
+    return rows
+
+
+@pytest.fixture()
+def src(spark, tmp_path):
+    path = str(tmp_path / "corpus")
+    M.write_table(
+        spark.createDataFrame(
+            _corpus_rows(),
+            "doc_id bigint, embedding array<double>, text string",
+        ).repartitionByRange(4, "doc_id"),
+        path,
+        stats_cols=("doc_id",),
+    )
+    return path
+
+
+def _mutate(spark, src):
+    """insert 4 / delete 3 / update 2 across three commits; returns
+    the target version."""
+    M.write_table(
+        spark.createDataFrame(
+            [
+                (1000 + i, _vec(i % N_CLUSTERS, 90 + i), f"fresh doc {i} topic t0")
+                for i in range(4)
+            ],
+            "doc_id bigint, embedding array<double>, text string",
+        ),
+        src,
+        mode="append",
+    )
+    M.delete_rows(spark, src, prune=[("doc_id", "in", [2, 3, 7])])
+    M.update_rows(
+        spark,
+        src,
+        {
+            "embedding": "transform(embedding, x -> -x)",
+            "text": "concat('rewritten ', text)",
+        },
+        prune=[("doc_id", "in", [0, 5])],
+    )
+    return int(M.latest_manifest(spark, src)["version"])
+
+
+def _index_rows(spark, path):
+    return sorted(
+        (r["doc_id"], r["_cell"], tuple(round(x, 9) for x in r["embedding"]))
+        for r in M.snapshot(spark, path).collect()
+    )
+
+
+def _expected_rows(spark, src, version, centroids):
+    assigned = _assign_cells(
+        M.snapshot(spark, src, version).select("doc_id", "embedding"),
+        "embedding",
+        centroids,
+    )
+    return sorted(
+        (r["doc_id"], r["_cell"], tuple(round(x, 9) for x in r["embedding"]))
+        for r in assigned.collect()
+    )
+
+
+def test_sync_ann_index_tracks_source_and_replays_noop(spark, src, tmp_path):
+    idx = str(tmp_path / "annidx")
+    build_ann_index(
+        M.snapshot(spark, src, 0),
+        "doc_id",
+        "embedding",
+        idx,
+        n_cells=N_CLUSTERS,
+        manifest=True,
+    )
+    to_v = _mutate(spark, src)
+
+    out = sync_ann_index(spark, idx, src, from_version=0)
+    assert out["noop"] is False and out["to_version"] == to_v
+    assert out["appended"] == 6  # 4 inserts + 2 update postimages
+    assert out["deleted"] == 5  # 3 deletes + 2 update preimages
+
+    # contents == stateless re-assignment of the TARGET snapshot with
+    # the index's persisted centroids (what a same-centroid rebuild is)
+    meta = ann_index_meta(idx, spark)
+    assert _index_rows(spark, idx) == _expected_rows(
+        spark, src, to_v, meta["centroids"]
+    )
+    # serving: the inserted near-duplicate is rank 1, deleted ids are
+    # gone, the flipped (updated) doc left the cluster's neighborhood
+    got = ivf_topk_indexed(
+        spark, idx, _vec(0, 90), k=30, n_probe=N_CLUSTERS
+    ).collect()
+    ids = [r["doc_id"] for r in got]
+    assert ids[0] == 1000
+    assert not {2, 3, 7} & set(ids)  # deleted
+    assert 0 not in ids  # updated: vector flipped out of the cluster
+
+    # replay of the same wave: detected at entry, zero commits
+    v_idx = int(M.latest_manifest(spark, idx)["version"])
+    again = sync_ann_index(spark, idx, src, from_version=0)
+    assert again["noop"] is True
+    assert int(M.latest_manifest(spark, idx)["version"]) == v_idx
+    # already-at-head: also a no-op
+    assert sync_ann_index(spark, idx, src)["noop"] is True
+
+
+def test_sync_ann_delete_only_wave_and_crash_rerun_converge(
+    spark, src, tmp_path
+):
+    idx = str(tmp_path / "annidx")
+    build_ann_index(
+        M.snapshot(spark, src, 0),
+        "doc_id",
+        "embedding",
+        idx,
+        n_cells=N_CLUSTERS,
+        manifest=True,
+    )
+    # delete-only wave: the watermark commit carries an EMPTY append
+    M.delete_rows(spark, src, prune=[("doc_id", "in", [4, 8])])
+    out = sync_ann_index(spark, idx, src, from_version=0)
+    assert out["deleted"] == 2 and out["appended"] == 0
+    assert sync_ann_index(spark, idx, src)["noop"] is True
+    served = {
+        r["doc_id"]
+        for r in ivf_topk_indexed(
+            spark, idx, _vec(0, 1), k=50, n_probe=N_CLUSTERS
+        ).collect()
+    }
+    assert not {4, 8} & served
+
+    # crashed wave: commit 2 (the delete) landed, commit 3 did not —
+    # rerunning the sync must converge, not double-apply
+    v_before = int(M.latest_manifest(spark, src)["version"])
+    M.update_rows(
+        spark,
+        src,
+        {"embedding": "transform(embedding, x -> -x)"},
+        prune=[("doc_id", "in", [12])],
+    )
+    v_after = int(M.latest_manifest(spark, src)["version"])
+    victims = M.row_changes(
+        spark, src, v_before, v_after, ("doc_id",), include_preimage=True
+    ).filter(F.col("change_type").isin("delete", "update_preimage"))
+    delete_from_ann_index(spark, idx, victims.select("doc_id", "embedding"))
+    out = sync_ann_index(spark, idx, src)  # the rerun
+    assert out["noop"] is False and out["appended"] == 1
+    meta = ann_index_meta(idx, spark)
+    assert _index_rows(spark, idx) == _expected_rows(
+        spark, src, v_after, meta["centroids"]
+    )
+
+
+def test_sync_state_survives_maintenance_and_first_sync_requires_base(
+    spark, src, tmp_path
+):
+    idx = str(tmp_path / "annidx")
+    build_ann_index(
+        M.snapshot(spark, src, 0),
+        "doc_id",
+        "embedding",
+        idx,
+        n_cells=2,  # few fat cells so a hot split has work to do
+        manifest=True,
+    )
+    with pytest.raises(ValueError, match="no sync state"):
+        sync_ann_index(spark, idx, src)
+    _mutate(spark, src)
+    sync_ann_index(spark, idx, src, from_version=0)
+    state = M.table_properties(spark, idx)["sync"]
+
+    split_hot_cells(spark, idx, hot_share=0.3)
+    assert M.table_properties(spark, idx)["sync"] == state  # merge fix
+    assert sync_ann_index(spark, idx, src)["noop"] is True
+
+
+def test_sync_bm25_index_serves_identical_to_rebuild(spark, src, tmp_path):
+    idx = str(tmp_path / "bm25idx")
+    rebuilt = str(tmp_path / "bm25rebuild")
+    build_bm25_index(M.snapshot(spark, src, 0), "doc_id", "text", idx)
+    # include a zero-token doc in the wave (sentinel-row stats path)
+    M.write_table(
+        spark.createDataFrame(
+            [(2000, _vec(0, 99), "   ")],
+            "doc_id bigint, embedding array<double>, text string",
+        ),
+        src,
+        mode="append",
+    )
+    to_v = _mutate(spark, src)
+    out = sync_bm25_index(spark, idx, src, from_version=0)
+    assert out["noop"] is False and out["to_version"] == to_v
+    assert out["appended"] == 7  # 4 inserts + 2 updates + zero-token doc
+
+    build_bm25_index(M.snapshot(spark, src, to_v), "doc_id", "text", rebuilt)
+    ms, mr = (
+        M.table_properties(spark, p)["bm25"] for p in (idx, rebuilt)
+    )
+    assert (ms["n_docs"], ms["total_tokens"]) == (
+        mr["n_docs"],
+        mr["total_tokens"],
+    )
+    assert sorted(map(tuple, M.snapshot(spark, idx).collect())) == sorted(
+        map(tuple, M.snapshot(spark, rebuilt).collect())
+    )
+    queries = spark.createDataFrame(
+        [(1, "rewritten topic t0"), (2, "fresh doc body")],
+        "qid bigint, qtext string",
+    )
+    serve = lambda p: sorted(
+        (r.qid, r.doc_id, round(r.score, 9), r.rank)
+        for r in bm25_topk_indexed(spark, p, queries, k=5).collect()
+    )
+    assert serve(idx) == serve(rebuilt)
+
+    assert sync_bm25_index(spark, idx, src)["noop"] is True
+    # delete-only wave: stats decrement + watermark, still rebuild-exact
+    M.delete_rows(spark, src, prune=[("doc_id", "in", [2000, 1000])])
+    out = sync_bm25_index(spark, idx, src)
+    assert out["deleted"] == 2 and out["appended"] == 0
+    m2 = M.table_properties(spark, idx)["bm25"]
+    assert m2["n_docs"] == ms["n_docs"] - 2
+    assert sync_bm25_index(spark, idx, src)["noop"] is True
+
+    # maintenance composition: sync waves fragment the postings into
+    # per-wave files; a term-sorted compaction restores clustering
+    # WITHOUT touching serving, stats, blooms, or the sync watermark
+    before = serve(idx)
+    n_files = len(M.latest_manifest(spark, idx)["files"])
+    state = M.table_properties(spark, idx)["sync"]
+    M.compact_table(spark, idx, sort_cols=("term",), stats_cols=("term",))
+    assert len(M.latest_manifest(spark, idx)["files"]) < n_files
+    assert serve(idx) == before
+    assert M.table_properties(spark, idx)["sync"] == state
+    assert M.table_properties(spark, idx)["bm25"] == m2
+    assert sync_bm25_index(spark, idx, src)["noop"] is True

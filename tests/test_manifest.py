@@ -434,6 +434,102 @@ def test_table_diff_update_preimage(spark, tbl):
     ]
 
 
+def _feed_rows(df):
+    return sorted(
+        tuple(r[c] for c in sorted(df.columns)) for r in df.collect()
+    )
+
+
+def test_row_changes_identical_to_table_diff_at_delta_cost(spark, tbl):
+    """row_changes == table_diff on a mixed curation wave, while
+    reading ONLY the files the commits touched (O(delta), the gate
+    table_diff structurally cannot pass)."""
+    # v0: 4 files, keys clustered so stats prune delete candidates
+    base = spark.createDataFrame(
+        [(i, f"v{i}", i % 2) for i in range(40)], "k bigint, v string, p int"
+    ).repartitionByRange(4, "k")
+    M.write_table(base, tbl, stats_cols=("k",))
+    # v1: copy-on-write delete of two clustered keys (rewrites 1 file)
+    M.delete_rows(spark, tbl, prune=[("k", "in", [1, 3])])
+    # v2: update one key
+    M.update_rows(spark, tbl, {"v": "'UPD'"}, prune=[("k", "=", 20)])
+    # v3: append a new batch
+    M.write_table(
+        spark.createDataFrame([(100, "new", 0)], "k bigint, v string, p int"),
+        tbl,
+        mode="append",
+    )
+    fast = M.row_changes(spark, tbl, 0, 3, ("k",), include_preimage=True)
+    slow = M.table_diff(spark, tbl, 0, 3, ("k",), include_preimage=True)
+    assert _feed_rows(fast) == _feed_rows(slow)
+    changed = {
+        r.k: r.change_type
+        for r in fast.filter("change_type <> 'update_preimage'").collect()
+    }
+    assert changed[1] == "delete" and changed[3] == "delete"
+    assert changed[20] == "update" and changed[100] == "insert"
+    # O(delta) gate: every file the feed reads was added or removed
+    # between the versions — untouched files never open
+    cf = M.changed_files(spark, tbl, 0, 3)
+    touched = set(cf["added"]) | set(cf["removed"])
+    read = {f.split(tbl.rstrip("/") + "/", 1)[1] for f in fast.inputFiles()}
+    assert read and read <= touched
+    # ...and strictly fewer files than table_diff's two-snapshot scan
+    both_snapshots = len(M.read_manifest(spark, tbl, 0)["files"]) + len(
+        M.read_manifest(spark, tbl, 3)["files"]
+    )
+    assert len(read) < both_snapshots
+    with pytest.raises(ValueError, match="at least one key"):
+        M.row_changes(spark, tbl, 0, 3, ())
+
+
+def test_row_changes_compaction_is_an_empty_feed(spark, tbl):
+    """A compaction rewrites files without changing rows: the removed
+    and added rows fingerprint-equal, so the feed is empty — an
+    incremental consumer correctly skips maintenance commits."""
+    M.write_table(
+        spark.createDataFrame(
+            [(i, f"v{i}") for i in range(20)], "k bigint, v string"
+        ).repartition(6),
+        tbl,
+    )
+    assert M.compact_table(spark, tbl) is not None
+    v = M.latest_manifest(spark, tbl)["version"]
+    assert M.row_changes(spark, tbl, 0, v, ("k",)).count() == 0
+    assert M.table_diff(spark, tbl, 0, v, ("k",)).count() == 0
+
+
+def test_row_changes_drop_partition_feeds_deletes(spark, tbl):
+    M.write_table(
+        spark.createDataFrame(
+            [(1, "a", "x"), (2, "b", "y"), (3, "c", "y")],
+            "k bigint, v string, p string",
+        ),
+        tbl,
+        partition_by=("p",),
+    )
+    M.drop_partition(spark, tbl, {"p": "y"})
+    feed = M.row_changes(spark, tbl, 0, 1, ("k",))
+    assert sorted((r.k, r.p, r.change_type) for r in feed.collect()) == [
+        (2, "y", "delete"),
+        (3, "y", "delete"),
+    ]
+
+
+def test_row_changes_rejects_schema_evolution(spark, tbl):
+    M.write_table(
+        spark.createDataFrame([(1, "a")], "k bigint, v string"), tbl
+    )
+    M.write_table(
+        spark.createDataFrame([(2, "b", 1.0)], "k bigint, v string, w double"),
+        tbl,
+        mode="append",
+        schema_mode="merge",
+    )
+    with pytest.raises(ValueError, match="schema changed"):
+        M.row_changes(spark, tbl, 0, 1, ("k",))
+
+
 def test_incremental_rollup_equals_full_recompute(spark, tmp_path):
     from ensembl_database_loader_spark.sinks.ivm import refresh_rollup
 
