@@ -257,6 +257,27 @@ def _score_postings(
 # ---------------------------------------------------------------------------
 
 
+def _toked_with_dl(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, _toks, dl) — the shared tokenize-once frame behind index
+    build, append, and sync (one definition of dl so corpus stats can
+    never drift between maintenance paths)."""
+    return docs.select(
+        F.col(id_col),
+        _nonempty_tokens(text_col).alias("_toks"),
+    ).select(
+        F.col(id_col), "_toks", F.size("_toks").cast("bigint").alias("dl")
+    )
+
+
+def _corpus_stats(toked: DataFrame):
+    """Exact-integer (n_docs, total_tokens) of a tokenized batch."""
+    r = toked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("dl").cast("bigint").alias("total_tokens"),
+    ).collect()[0]
+    return int(r["n_docs"]), int(r["total_tokens"] or 0)
+
+
 def _index_postings(
     toked: DataFrame, id_col: str, num_files: int | None = None
 ) -> DataFrame:
@@ -316,16 +337,8 @@ def build_bm25_index(
     delete stats stay exact (``_index_postings``)."""
     from ensembl_database_loader_spark.sinks.manifest import write_table
 
-    toked = docs.select(
-        F.col(id_col),
-        _nonempty_tokens(text_col).alias("_toks"),
-    ).select(
-        F.col(id_col), "_toks", F.size("_toks").cast("bigint").alias("dl")
-    )
-    stats = toked.agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-        F.sum("dl").cast("bigint").alias("total_tokens"),
-    ).collect()[0]
+    toked = _toked_with_dl(docs, id_col, text_col)
+    n_docs, total_tokens = _corpus_stats(toked)
     postings = _index_postings(toked, id_col, num_files)
     # corpus stats stored as EXACT integers (n_docs, total_tokens):
     # avgdl derives at query time, so an append-built index and a
@@ -342,8 +355,8 @@ def build_bm25_index(
             "bm25": {
                 "id_col": id_col,
                 "text_col": text_col,
-                "n_docs": int(stats["n_docs"]),
-                "total_tokens": int(stats["total_tokens"] or 0),
+                "n_docs": n_docs,
+                "total_tokens": total_tokens,
             }
         },
     )
@@ -383,16 +396,8 @@ def append_to_bm25_index(
     if not meta:
         raise ValueError(f"no bm25 index at {path} (missing properties)")
     id_col = meta["id_col"]
-    toked = new_docs.select(
-        F.col(id_col),
-        _nonempty_tokens(text_col).alias("_toks"),
-    ).select(
-        F.col(id_col), "_toks", F.size("_toks").cast("bigint").alias("dl")
-    )
-    stats = toked.agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-        F.sum("dl").cast("bigint").alias("total_tokens"),
-    ).collect()[0]
+    toked = _toked_with_dl(new_docs, id_col, text_col)
+    n_new, tok_new = _corpus_stats(toked)
     postings = _index_postings(toked, id_col)
     # MERGE into the head's property map (never replace it): other
     # engine keys — an index-sync watermark, lineage notes — must
@@ -408,13 +413,32 @@ def append_to_bm25_index(
             **props,
             "bm25": {
                 **meta,
-                "n_docs": int(meta["n_docs"]) + int(stats["n_docs"]),
-                "total_tokens": int(meta["total_tokens"])
-                + int(stats["total_tokens"] or 0),
+                "n_docs": int(meta["n_docs"]) + n_new,
+                "total_tokens": int(meta["total_tokens"]) + tok_new,
             },
             **(extra_properties or {}),
         },
     )
+
+
+def _victim_stats(spark, path: str, id_col: str, ids) -> tuple[int, int]:
+    """Exact (docs, tokens) leaving the index for a delete wave: one
+    id-bloom-pruned scan over the candidate postings (zero-token docs
+    count via their sentinel rows). Shared by
+    ``delete_from_bm25_index`` and ``indexsync.sync_bm25_index``."""
+    from ensembl_database_loader_spark.sinks.manifest import scan_table
+
+    victims = (
+        scan_table(spark, path, predicates=[(id_col, "in", ids)])
+        .select(id_col, "dl")
+        .distinct()
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("dl").cast("bigint").alias("toks"),
+        )
+        .first()
+    )
+    return int(victims["n"]), int(victims["toks"] or 0)
 
 
 def delete_from_bm25_index(spark: SparkSession, path: str, doc_ids) -> dict | None:
@@ -438,7 +462,6 @@ def delete_from_bm25_index(spark: SparkSession, path: str, doc_ids) -> dict | No
     victim has no real posting."""
     from ensembl_database_loader_spark.sinks.manifest import (
         delete_rows,
-        scan_table,
         table_properties,
     )
 
@@ -450,17 +473,7 @@ def delete_from_bm25_index(spark: SparkSession, path: str, doc_ids) -> dict | No
     ids = sorted(set(doc_ids))
     if not ids:
         return None
-    victims = (
-        scan_table(spark, path, predicates=[(id_col, "in", ids)])
-        .select(id_col, "dl")
-        .distinct()
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n"),
-            F.sum("dl").cast("bigint").alias("toks"),
-        )
-        .first()
-    )
-    n_del, tok_del = int(victims["n"]), int(victims["toks"] or 0)
+    n_del, tok_del = _victim_stats(spark, path, id_col, ids)
     if n_del == 0:
         return None
     # merged map, as in append: foreign property keys survive deletes

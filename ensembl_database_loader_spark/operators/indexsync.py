@@ -8,33 +8,21 @@ WITHOUT a rebuild: at 100 TB a rebuild re-scans and re-writes the
 whole index to account for one wave's delta. ``sync_ann_index`` /
 ``sync_bm25_index`` consume the source's row-level change feed
 (``sinks.manifest.row_changes`` — O(changed files), never O(table))
-and apply exactly the delta: victims delete via the indexes' id-bloom
-copy-on-write paths, new/updated rows append through the indexes' own
-builders, so a synced index stays ROW-IDENTICAL to one rebuilt from
-the target snapshot (same centroids / same exact-integer corpus
-stats; gated in tests).
+and apply exactly the delta through ``sinks.manifest.apply_delta``:
+victims leave via the indexes' id-bloom/cell-scoped copy-on-write
+rewrite, new/updated rows stage through the indexes' own encoders
+(persisted centroids/codebooks; shared tokenizer and exact-integer
+stats), and ONE atomic commit publishes the rewrite, the arrivals,
+the updated index properties, the sync watermark, and the txn — so a
+synced index stays ROW-IDENTICAL to one rebuilt from the target
+snapshot (gated in tests), readers never observe
+deletes-without-arrivals, and a replayed wave is detected at entry
+(txn watermark or sync state — zero commits, zero Spark jobs beyond
+one manifest read).
 
-Exactly-once protocol (at most two index commits per wave):
-
-1. ENTRY GUARDS, cheapest first: the index head's txn watermark for
-   app ``edls-sync`` already >= ``to_version`` (a finished wave
-   replayed), or the persisted sync state already >= ``to_version``.
-   Either → no-op before any Spark work.
-2. DELETE commit: the change feed's delete side (deletes + update
-   preimages) leaves the index via ``delete_from_*_index`` — stats
-   decrement / cell scoping included. Carries NO sync state.
-3. WATERMARK commit: the insert side (inserts + update postimages,
-   possibly EMPTY for a delete-only wave) appends with
-   ``txn=("edls-sync", to_version)`` and the sync state
-   ``{"sync": {"src", "version"}}`` merged into the property map
-   ATOMICALLY with the rows it accounts for.
-
-Crash between 2 and 3, rerun: the guards fail open, the re-run delete
-matches nothing (the rows already left) and commits nothing, the
-watermark commit lands — converged. Crash after 3, rerun: guard 1
-no-ops. Stats-bearing writers to one index must be serialized (the
-standing single-maintainer contract from ``append_to_bm25_index``);
-the txn watermark covers replay of the SAME wave, not two independent
+Single-maintainer contract (standing, from ``append_to_bm25_index``):
+stats-bearing writers to one index must be serialized — the txn
+watermark covers replay of the SAME wave, not two independent
 concurrent syncers.
 
 Reference analogue: the loader reloads exactly the databases a release
@@ -74,9 +62,16 @@ def _resolve_window(
     head = latest_manifest(spark, index_path)
     props = table_properties(spark, index_path)
     state = props.get("sync")
+    if state is not None and state.get("src") != src_path:
+        # one sync source per index: silently re-pointing would mix
+        # two tables' rows under one watermark and corrupt both
+        raise ValueError(
+            f"index at {index_path} is synced from {state.get('src')!r} "
+            f"— refusing to sync from {src_path!r} (one source per index)"
+        )
     if _txn_skip(head, (_SYNC_APP, to_v)):
         return None, to_v, props
-    if state is not None and state.get("src") == src_path:
+    if state is not None:
         if int(state["version"]) >= to_v:
             return None, to_v, props
         if from_version is None:
@@ -113,24 +108,26 @@ def sync_ann_index(
 ) -> dict:
     """Bring a manifest-backed ANN index up to date with its source
     table's version — appends, deletes, and updates all flow through
-    as O(delta) index maintenance (module docstring has the protocol).
+    as ONE atomic O(delta) commit (module docstring has the protocol).
 
     The source must carry the index's id and vector columns (it is the
     table the index was built from). Update preimages ride the change
-    feed so FLOAT-index deletes stay cell-scoped (the old vector's
-    cell recomputes statelessly from the persisted centroids);
-    quantized indexes delete by id stats + blooms as always. Appends
-    encode through the index's own persisted centroids/codebooks, so
-    synced rows are bit-identical to rebuilt ones (same-centroid
-    rebuild gate in tests)."""
+    feed so FLOAT-index victim pruning stays cell-scoped (the old
+    vector's cell recomputes statelessly from the persisted
+    centroids); quantized indexes prune by id stats + blooms as
+    always. Arrivals encode through the index's own persisted
+    centroids/codebooks, so synced rows are bit-identical to rebuilt
+    ones (same-centroid rebuild gate in tests)."""
     from ensembl_database_loader_spark.operators.similarity import (
-        append_to_ann_index,
+        _ann_delete_prune,
+        _encode_rows_for_index,
         ann_index_meta,
-        delete_from_ann_index,
     )
     from ensembl_database_loader_spark.sinks.manifest import (
+        apply_delta,
         row_changes,
         snapshot,
+        table_properties,
     )
 
     meta = ann_index_meta(index_path, spark)
@@ -148,7 +145,7 @@ def sync_ann_index(
     # appended rows must match the index's OWN schema: a float index
     # keeps every payload column the build frame carried (serving
     # returns them); a quantized index derives its stored codes from
-    # (id, vec) inside append_to_ann_index
+    # (id, vec) inside the shared encoder
     if meta.get("quantized"):
         payload = [id_col, vec_col]
     else:
@@ -170,23 +167,28 @@ def sync_ann_index(
         arrivals = changes.filter(
             F.col("change_type").isin("insert", "update")
         ).select(*payload)
-        deleted = delete_from_ann_index(spark, index_path, victims)
+        pruned = _ann_delete_prune(spark, meta, victims)
         n_add = arrivals.count()
-        # the watermark commit: even an empty arrival side commits, so
-        # the txn + sync state land atomically and a replay no-ops
-        append_to_ann_index(
-            arrivals,
+        out = apply_delta(
+            spark,
             index_path,
+            delete_prune=pruned[0] if pruned else (),
+            append_df=_encode_rows_for_index(arrivals, meta),
             txn=(_SYNC_APP, to_v),
-            extra_properties={"sync": {"src": src_path, "version": to_v}},
+            properties={
+                **table_properties(spark, index_path),
+                "sync": {"src": src_path, "version": to_v},
+            },
         )
     finally:
         changes.unpersist()
+    if out is None:  # replayed txn raced past the entry guard
+        return _noop(to_v)
     return {
         "noop": False,
         "from_version": from_v,
         "to_version": to_v,
-        "deleted": 0 if deleted is None else int(deleted["rows_affected"]),
+        "deleted": int(out["rows_affected"]),
         "appended": int(n_add),
     }
 
@@ -199,23 +201,28 @@ def sync_bm25_index(
     to_version: int | None = None,
 ) -> dict:
     """Bring a BM25 postings index up to date with its source table —
-    the lexical twin of ``sync_ann_index``. Victim docs leave via
-    ``delete_from_bm25_index`` (id-bloom-pruned rewrite, exact-integer
-    stats decrement — zero-token docs included via their sentinel
-    postings), updated/new docs re-tokenize and append via
-    ``append_to_bm25_index`` (stats advance in the same commit), so
-    the synced index keeps serving ROW-IDENTICAL to a from-scratch
-    rebuild on the target snapshot."""
+    the lexical twin of ``sync_ann_index``, same one-commit protocol.
+    Victim docs' postings leave via the id-bloom-pruned rewrite with
+    an exact-integer stats decrement (zero-token docs included via
+    their sentinel postings), updated/new docs re-tokenize through the
+    index's shared tokenizer and land term-sorted, and the corpus
+    stats + sync watermark publish in the SAME commit — so the synced
+    index keeps serving ROW-IDENTICAL to a from-scratch rebuild on
+    the target snapshot."""
     from ensembl_database_loader_spark.operators.bm25 import (
-        append_to_bm25_index,
-        delete_from_bm25_index,
+        _corpus_stats,
+        _index_postings,
+        _toked_with_dl,
+        _victim_stats,
     )
     from ensembl_database_loader_spark.sinks.manifest import (
+        apply_delta,
         row_changes,
         table_properties,
     )
 
-    meta = table_properties(spark, index_path).get("bm25")
+    props = table_properties(spark, index_path)
+    meta = props.get("bm25")
     if not meta:
         raise ValueError(
             f"no bm25 index at {index_path} (missing properties)"
@@ -236,34 +243,60 @@ def sync_bm25_index(
         spark, src_path, from_v, to_v, (id_col,)
     ).persist()
     try:
-        # broadcast-dim by the delete API's contract: a curation
+        # broadcast-dim by the delete path's contract: a curation
         # wave's victim list — shard wider waves into multiple syncs
-        victim_ids = [
+        victim_ids = sorted(
             r[0]
             for r in changes.filter(
                 F.col("change_type").isin("delete", "update")
             )
             .select(id_col)
+            .distinct()
             .collect()
-        ]
-        arrivals = changes.filter(
-            F.col("change_type").isin("insert", "update")
-        ).select(id_col, text_col)
-        deleted = delete_from_bm25_index(spark, index_path, victim_ids)
-        n_add = arrivals.count()
-        append_to_bm25_index(
-            arrivals,
+        )
+        n_del, tok_del = (
+            _victim_stats(spark, index_path, id_col, victim_ids)
+            if victim_ids
+            else (0, 0)
+        )
+        toked = _toked_with_dl(
+            changes.filter(
+                F.col("change_type").isin("insert", "update")
+            ).select(id_col, text_col),
+            id_col,
             text_col,
+        )
+        n_add, tok_add = _corpus_stats(toked)
+        out = apply_delta(
+            spark,
             index_path,
+            delete_prune=(
+                [(id_col, "in", victim_ids)] if victim_ids else ()
+            ),
+            append_df=_index_postings(toked, id_col),
             txn=(_SYNC_APP, to_v),
-            extra_properties={"sync": {"src": src_path, "version": to_v}},
+            properties={
+                **props,
+                "bm25": {
+                    **meta,
+                    "n_docs": int(meta["n_docs"]) - n_del + n_add,
+                    "total_tokens": int(meta["total_tokens"])
+                    - tok_del
+                    + tok_add,
+                },
+                "sync": {"src": src_path, "version": to_v},
+            },
         )
     finally:
         changes.unpersist()
+    if out is None:
+        return _noop(to_v)
     return {
         "noop": False,
         "from_version": from_v,
         "to_version": to_v,
-        "deleted": len(victim_ids) if deleted is not None else 0,
+        # docs that actually LEFT the index (a victim inserted and
+        # deleted within the window was never indexed — not counted)
+        "deleted": n_del,
         "appended": int(n_add),
     }

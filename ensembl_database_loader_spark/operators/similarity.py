@@ -1450,6 +1450,64 @@ def pq_topk_indexed(
     return out.orderBy("rank").select(id_col, score)
 
 
+def _encode_rows_for_index(new_df: DataFrame, meta: dict) -> DataFrame:
+    """Rows shaped for the index's STORED layout: cell-assigned with
+    the persisted centroids, then quantized/PQ-encoded with the
+    persisted codebooks when the index is quantized — the one shared
+    encoder behind ``append_to_ann_index`` and
+    ``indexsync.sync_ann_index``, so appended and synced rows are
+    bit-identical however they arrive."""
+    assigned = _assign_cells(new_df, meta["vec_col"], meta["centroids"])
+    if meta.get("quantized") == "pq":
+        pq = meta["pq"]
+        return _pq_encode_index_rows(
+            assigned,
+            meta["id_col"],
+            meta["vec_col"],
+            pq["codebooks"],
+            meta["centroids"],
+            pq["residual"],
+        )
+    if meta.get("quantized"):
+        return _quantize_index_rows(assigned, meta["id_col"], meta["vec_col"])
+    return assigned
+
+
+def _ann_delete_prune(
+    spark, meta: dict, deleted_df: DataFrame
+) -> tuple[list, list[int]] | None:
+    """(prune triples, scoped cells) for removing ``deleted_df``'s ids
+    from an index — cell-scoped for float indexes (stateless
+    re-assignment from the caller's vectors provably reproduces the
+    stored cells), id stats/blooms only for quantized ones (a
+    rebalance re-assigns from stored codes, whose rounding can flip
+    near-boundary argmaxes — a conjoined wrong cell would silently
+    skip the row). None when the delete frame has no ids. Shared by
+    ``delete_from_ann_index`` and ``indexsync.sync_ann_index``."""
+    id_col, vec_col = meta["id_col"], meta["vec_col"]
+    prune: list = []
+    cells: list[int] = []
+    if vec_col in deleted_df.columns and not meta.get("quantized"):
+        assigned = _assign_cells(
+            deleted_df.select(F.col(id_col), F.col(vec_col)),
+            vec_col,
+            meta["centroids"],
+        )
+        cells = sorted(
+            int(r[0])
+            for r in assigned.select("_cell").distinct().collect()
+        )
+        if cells:
+            prune.append(("_cell", "in", cells))
+    ids = sorted(
+        r[0] for r in deleted_df.select(id_col).distinct().collect()
+    )
+    if not ids:
+        return None
+    prune.append((id_col, "in", ids))
+    return prune, cells
+
+
 def append_to_ann_index(
     new_df: DataFrame,
     path: str,
@@ -1471,19 +1529,7 @@ def append_to_ann_index(
     ATOMIC COMMIT (readers see the old snapshot until it publishes;
     pass ``txn`` for exactly-once under streaming replay)."""
     meta = ann_index_meta(path, new_df.sparkSession)
-    assigned = _assign_cells(new_df, meta["vec_col"], meta["centroids"])
-    if meta.get("quantized") == "pq":
-        pq = meta["pq"]
-        assigned = _pq_encode_index_rows(
-            assigned,
-            meta["id_col"],
-            meta["vec_col"],
-            pq["codebooks"],
-            meta["centroids"],
-            pq["residual"],
-        )
-    elif meta.get("quantized"):
-        assigned = _quantize_index_rows(assigned, meta["id_col"], meta["vec_col"])
+    assigned = _encode_rows_for_index(new_df, meta)
     if meta.get("_manifest"):
         from ensembl_database_loader_spark.sinks.manifest import (
             table_properties,
@@ -1852,34 +1898,13 @@ def delete_from_ann_index(spark, path: str, deleted_df: DataFrame) -> dict | Non
             f"deleted_df needs the index id column {id_col!r}; "
             f"has {deleted_df.columns}"
         )
-    prune = []
-    cells: list[int] = []
     # cell scoping is conjoined into the ROW condition by delete_rows,
-    # so it is only safe when re-running _assign_cells on the caller's
-    # vectors provably reproduces the STORED cells: true for float
-    # indexes (placement and rebalance both assign from these floats
-    # with the current centroids), NOT for quantized ones (a rebalance
-    # re-assigns from the stored codes, whose rounding can flip
-    # near-boundary argmaxes — a conjoined wrong cell would silently
-    # skip the row). Quantized deletes scope by id stats/blooms only.
-    if vec_col in deleted_df.columns and not meta.get("quantized"):
-        assigned = _assign_cells(
-            deleted_df.select(F.col(id_col), F.col(vec_col)),
-            vec_col,
-            meta["centroids"],
-        )
-        cells = sorted(
-            int(r[0])
-            for r in assigned.select("_cell").distinct().collect()
-        )
-        if cells:
-            prune.append(("_cell", "in", cells))
-    ids = sorted(
-        r[0] for r in deleted_df.select(id_col).distinct().collect()
-    )
-    if not ids:
+    # so it is only applied when provably faithful — see
+    # _ann_delete_prune for the float-vs-quantized argument
+    pruned = _ann_delete_prune(spark, meta, deleted_df)
+    if pruned is None:
         return None
-    prune.append((id_col, "in", ids))
+    prune, cells = pruned
     out = delete_rows(spark, path, prune=prune)
     if out is not None:
         out["cells_scoped"] = cells

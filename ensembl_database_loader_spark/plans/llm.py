@@ -4656,7 +4656,8 @@ _SYNC_ORACLE = (
     # the exact top-5 rows) are value-exact against serving from the
     # SYNCED indexes — CDC classification, delete/append application,
     # stats deltas, and serving all sit on the hashed path.
-    r"WITH base AS (SELECT doc_id, text FROM documents), "
+    r"WITH base AS (SELECT doc_id, text FROM documents "
+    "WHERE doc_id < 2000), "
     "md AS (SELECT doc_id, CASE WHEN doc_id % 50 = 9 "
     "THEN 'sync rewrite ' || text ELSE text END AS text "
     "FROM base WHERE doc_id % 50 <> 3 "
@@ -4687,7 +4688,8 @@ _SYNC_ORACLE = (
     "CAST(SUM(doc_id) AS BIGINT) AS sy_bm_doc_sum, "
     "CAST(SUM(CAST(ROUND(ROUND(score, 2) * 100) AS BIGINT)) AS BIGINT) "
     "AS sy_bm_cents FROM brk WHERE rn <= 5), "
-    "ce AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), "
+    "ce AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings "
+    "WHERE vec_id < 1000), "
     "me AS (SELECT vec_id, CASE WHEN vec_id % 50 = 9 "
     "THEN list_transform(v, x -> -x) ELSE v END AS v "
     "FROM ce WHERE vec_id % 50 <> 3 "
@@ -4726,9 +4728,12 @@ def ss_index_sync(spark: SparkSession, sf: str) -> DataFrame:
     and the BM25 postings index and the manifest-backed ANN index
     follow via ``sync_bm25_index`` / ``sync_ann_index``, which consume
     the O(changed-files) row-level change feed
-    (``sinks.manifest.row_changes``) and apply exactly the delta
-    through the indexes' own bloom-pruned delete + append paths —
-    never a rebuild, never a snapshot rescan.
+    (``sinks.manifest.row_changes``) and apply exactly the delta as
+    ONE atomic ``apply_delta`` commit per index (victims leave through
+    the id-bloom/cell-scoped rewrite, arrivals stage through the
+    indexes' own encoders, stats + watermark + txn publish together —
+    no deletes-without-arrivals window) — never a rebuild, never a
+    snapshot rescan.
 
     VALUE-EXACT (one hashed fingerprint row): serving from the synced
     indexes — BM25 top-5 per query and full-probe IVF cosine top-5 per
@@ -4781,9 +4786,21 @@ def ss_index_sync(spark: SparkSession, sf: str) -> DataFrame:
     bm_idx, bm_fresh = root + "/bm25", root + "/bm25_fresh"
     ann_idx = root + "/ann"
 
-    docs0 = table(spark, sf, "documents").select("doc_id", "text")
-    emb0 = table(spark, sf, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    # fixture cap (the o_orderkey <= 3000 pattern): the lifecycle is
+    # the thing under test, not corpus breadth — serving fingerprints
+    # stay value-exact at every SF on the capped universe
+    docs0 = (
+        table(spark, sf, "documents")
+        .filter(F.col("doc_id") < 2000)
+        .select("doc_id", "text")
+    )
+    emb0 = (
+        table(spark, sf, "embeddings")
+        .filter(F.col("vec_id") < 1000)
+        .select(
+            "vec_id",
+            F.col("embedding").cast("array<double>").alias("embedding"),
+        )
     )
     write_table(docs0.repartition(4), src_d, stats_cols=("doc_id",))
     write_table(emb0.repartition(4), src_e, stats_cols=("vec_id",))

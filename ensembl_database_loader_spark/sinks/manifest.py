@@ -453,21 +453,30 @@ def _collect_stats(
         .agg(*aggs)
         .collect()
     )
-    # Match result rows back to staged rels by the path suffix UNDER the
-    # commit dir — tail names alone are NOT unique in a partitioned
-    # stage (one task writes the same part-NNNNN name into several hive
-    # dirs). input_file_name returns a URI (literal '%' re-encoded as
-    # '%25'), so one unquote restores the on-disk literal path.
-    commit = staged[0].split("/", 2)[1]
-    marker = f"/{commit}/"
-    by_suffix = {rel.split("/", 2)[2]: rel for rel in staged}
+    # Match result rows back to staged rels by EXACT path suffix: tail
+    # names alone are NOT unique in a partitioned stage (one task
+    # writes the same part-NNNNN name into several hive dirs), and the
+    # staged list may span SEVERAL commit dirs (apply_delta stages the
+    # rewrite and the arrivals separately), so group candidates by tail
+    # name and verify the full root-relative suffix. input_file_name
+    # returns a URI (literal '%' re-encoded as '%25'), so one unquote
+    # restores the on-disk literal path.
+    by_tail: dict[str, list[str]] = {}
+    for rel in staged:
+        by_tail.setdefault(rel.rsplit("/", 1)[-1], []).append(rel)
     out: dict[str, dict[str, list]] = {}
     counts: dict[str, int] = {}
     blooms: dict[str, dict[str, str]] = {}
     for r in rows:
         p = urllib.parse.unquote(r["__f"].rstrip("/"))
-        i = p.rfind(marker)
-        rel = by_suffix.get(p[i + len(marker):]) if i >= 0 else None
+        rel = next(
+            (
+                c
+                for c in by_tail.get(p.rsplit("/", 1)[-1], [])
+                if p.endswith("/" + c)
+            ),
+            None,
+        )
         if rel is None:
             continue  # foreign file name — never prunable, just skip
         counts[rel] = int(r["__n"])
@@ -1767,8 +1776,11 @@ def _rewrite_rows(
     operation: str,
     stats_cols: tuple[str, ...] | None,
     properties: dict | None = None,
+    append_df: DataFrame | None = None,
+    txn: tuple[str, int] | None = None,
 ) -> dict | None:
-    """Shared copy-on-write core of ``delete_rows`` / ``update_rows``.
+    """Shared copy-on-write core of ``delete_rows`` / ``update_rows``
+    / ``apply_delta``.
 
     Resolves the head, stats-prunes the file list to the CANDIDATE
     files that could hold a matching row, rewrites only those through
@@ -1776,7 +1788,11 @@ def _rewrite_rows(
     so null-condition rows are untouched — SQL DELETE/UPDATE
     semantics), and commits untouched-files + rewritten-files as the
     next snapshot. Returns None (no commit, no Spark write) when
-    pruning proves no file can match or the condition hits zero rows.
+    pruning proves no file can match or the condition hits zero rows —
+    UNLESS ``append_df`` or ``txn`` is given (``apply_delta``): then
+    the appended files and/or the txn watermark + properties must
+    still publish, so the commit proceeds with the candidate files
+    carried untouched.
 
     The ``prune`` triples are CONJOINED into the effective row
     condition (``where AND prune``), so the file filter and the row
@@ -1790,14 +1806,23 @@ def _rewrite_rows(
     head = latest_manifest(spark, root)
     if head is None:
         raise FileNotFoundError(f"no manifest at {path} — not a committed table")
+    if _txn_skip(head, txn):
+        return None
+    delta_mode = append_df is not None or txn is not None
     pb = tuple(head.get("partition_by", ()))
-    if where is None:
-        if not prune:
+    if where is None and not prune:
+        if not delta_mode:
             raise ValueError("pass where=, prune=, or both")
+        where = "false"  # append-only delta: no row can match
+    elif where is None:
         where = _prune_to_where(prune)
     elif prune:
         where = f"({where}) AND {_prune_to_where(prune)}"
     schema = StructType.fromJson(json.loads(head["schema"]))
+    if append_df is not None:
+        # validate BEFORE any staging: a schema-drifted arrival frame
+        # must not cost writes (and strand orphan files) to be refused
+        _evolved_schema(head["schema"], append_df.schema.json(), "strict")
     # files_matching folds partition values in as exact min == max
     # pseudo-stats, so a prune on a partition column scopes the rewrite
     # to that partition's files with zero stats jobs; bloom bitmaps then
@@ -1808,21 +1833,32 @@ def _rewrite_rows(
             spark, head, schema, files_matching(head, tuple(prune)), tuple(prune)
         )
         if prune
-        else list(head["files"])
+        else (list(head["files"]) if where != "false" else [])
     )
     cand_set = set(cand)
-    untouched = [f for f in head["files"] if f not in cand_set]
-    if not cand:
+    if not cand and not delta_mode:
         return None
-    df = _read_files(spark, head, root, cand)
-    hit = F.coalesce(F.expr(where), F.lit(False))
-    # one column-pruned pass over the candidate files: how many rows
-    # the condition actually hits — both the zero-hit fast path (skip
-    # the rewrite entirely) and the rows_affected accounting
-    n_hit = int(df.agg(F.sum(hit.cast("bigint"))).first()[0] or 0)
+    n_hit = 0
+    if cand:
+        df = _read_files(spark, head, root, cand)
+        hit = F.coalesce(F.expr(where), F.lit(False))
+        # one column-pruned pass over the candidate files: how many
+        # rows the condition actually hits — both the zero-hit fast
+        # path (skip the rewrite entirely) and rows_affected accounting
+        n_hit = int(df.agg(F.sum(hit.cast("bigint"))).first()[0] or 0)
     if n_hit == 0:
-        return None
-    staged, _ = _stage_data(transform(df, hit), path, pb)
+        if not delta_mode:
+            return None
+        # nothing to rewrite: candidates stay referenced as they are
+        cand_set = set()
+        untouched = list(head["files"])
+        staged: list[str] = []
+    else:
+        untouched = [f for f in head["files"] if f not in cand_set]
+        staged, _ = _stage_data(transform(df, hit), path, pb)
+    if append_df is not None:
+        app_staged, _ = _stage_data(append_df, path, pb)
+        staged = staged + app_staged
     if stats_cols is None:
         # default: keep the table's existing stat columns alive on the
         # rewritten files (union of columns any head file has stats for)
@@ -1886,7 +1922,7 @@ def _rewrite_rows(
         return {
             "files": untouched + staged,
             "schema": head["schema"],
-            "txn": _merged_txn(h, None),
+            "txn": _merged_txn(h, txn),
             **({"stats": stats} if stats else {}),
             **({"rows": row_counts} if row_counts else {}),
             **({"bloom_meta": bloom_spec} if bloom_spec else {}),
@@ -1909,7 +1945,7 @@ def _rewrite_rows(
 
     out = _commit(spark, path, build, operation)
     assert out is not None
-    out["files_rewritten"] = len(cand)
+    out["files_rewritten"] = len(cand_set)
     out["files_untouched"] = len(untouched)
     out["rows_affected"] = n_hit
     return out
@@ -2002,6 +2038,57 @@ def update_rows(
 
     return _rewrite_rows(
         spark, path, where, tuple(prune), apply_sets, "update", stats_cols
+    )
+
+
+def apply_delta(
+    spark: SparkSession,
+    path: str,
+    delete_where: str | None = None,
+    delete_prune=(),
+    append_df: DataFrame | None = None,
+    txn: tuple[str, int] | None = None,
+    properties: dict | None = None,
+    stats_cols: tuple[str, ...] | None = None,
+) -> dict | None:
+    """Apply one change wave — row deletes AND row arrivals — as ONE
+    atomic commit: victims leave via the stats/bloom-pruned
+    copy-on-write rewrite (``delete_rows`` semantics: only files that
+    can hold a match are touched), arrival files stage beside the
+    rewritten ones, and a single manifest publishes both with the
+    ``txn`` watermark and ``properties`` override. Readers see the
+    table before the wave or after it — never deletes-without-arrivals
+    (the gap a delete-commit + append-commit sequence exposes), and a
+    replayed ``txn`` commits nothing at entry.
+
+    This is the MERGE-shaped write at O(victim files + arrivals): the
+    incremental-maintenance primitive under ``operators.indexsync``
+    (one curation wave = one serving-index commit), and the general
+    upsert wave for any keyed table (delete the keys' old images,
+    append the new ones). ``merge_table`` by contrast recomputes and
+    rewrites the whole snapshot. A wave with no matching victims and
+    no arrivals still publishes when ``txn``/``properties`` are given
+    (the watermark-only commit an empty sync wave needs); with neither
+    given this degrades to exactly ``delete_rows``.
+
+    Constraints shared with the rewrite path: ``append_df`` must match
+    the table schema exactly (strict — evolution goes through
+    ``write_table(schema_mode='merge')``), and stats-bearing callers
+    serialize writers per table (the standing single-maintainer
+    contract). Returns the manifest dict with ``files_rewritten`` /
+    ``files_untouched`` / ``rows_affected`` (deleted rows), or None
+    for a replayed txn / a no-op wave without txn or appends."""
+    return _rewrite_rows(
+        spark,
+        path,
+        delete_where,
+        tuple(delete_prune),
+        lambda df, hit: df.filter(~hit),
+        "apply_delta",
+        stats_cols,
+        properties=properties,
+        append_df=append_df,
+        txn=txn,
     )
 
 

@@ -127,10 +127,14 @@ def test_sync_ann_index_tracks_source_and_replays_noop(spark, src, tmp_path):
     )
     to_v = _mutate(spark, src)
 
+    v_pre = int(M.latest_manifest(spark, idx)["version"])
     out = sync_ann_index(spark, idx, src, from_version=0)
     assert out["noop"] is False and out["to_version"] == to_v
     assert out["appended"] == 6  # 4 inserts + 2 update postimages
     assert out["deleted"] == 5  # 3 deletes + 2 update preimages
+    # ATOMIC: the whole wave (victims out + arrivals in + stats +
+    # watermark) is ONE commit — no deletes-without-arrivals window
+    assert int(M.latest_manifest(spark, idx)["version"]) == v_pre + 1
 
     # contents == stateless re-assignment of the TARGET snapshot with
     # the index's persisted centroids (what a same-centroid rebuild is)
@@ -227,6 +231,41 @@ def test_sync_state_survives_maintenance_and_first_sync_requires_base(
     assert sync_ann_index(spark, idx, src)["noop"] is True
 
 
+def test_sync_edge_cases_within_window_and_cross_source(spark, src, tmp_path):
+    """(1) a doc inserted AND deleted between syncs was never indexed:
+    the feed classifies it a delete, the index delete matches nothing,
+    stats stay exact, the wave converges; (2) re-pointing an index at
+    a different source table is refused (one sync source per index)."""
+    idx = str(tmp_path / "bm25idx")
+    build_bm25_index(M.snapshot(spark, src, 0), "doc_id", "text", idx)
+    M.write_table(
+        spark.createDataFrame(
+            [(7777, _vec(1, 1), "ephemeral doc never served")],
+            "doc_id bigint, embedding array<double>, text string",
+        ),
+        src,
+        mode="append",
+    )
+    M.delete_rows(spark, src, prune=[("doc_id", "in", [7777])])
+    before = M.table_properties(spark, idx)["bm25"]
+    out = sync_bm25_index(spark, idx, src, from_version=0)
+    assert out["noop"] is False
+    assert out["deleted"] == 0 and out["appended"] == 0  # never indexed
+    after = M.table_properties(spark, idx)["bm25"]
+    assert (after["n_docs"], after["total_tokens"]) == (
+        before["n_docs"],
+        before["total_tokens"],
+    )
+    assert sync_bm25_index(spark, idx, src)["noop"] is True
+
+    other = str(tmp_path / "other_src")
+    M.write_table(
+        spark.createDataFrame([(1, "x")], "doc_id bigint, text string"), other
+    )
+    with pytest.raises(ValueError, match="one source per index"):
+        sync_bm25_index(spark, idx, other, from_version=0)
+
+
 def test_sync_bm25_index_serves_identical_to_rebuild(spark, src, tmp_path):
     idx = str(tmp_path / "bm25idx")
     rebuilt = str(tmp_path / "bm25rebuild")
@@ -241,9 +280,11 @@ def test_sync_bm25_index_serves_identical_to_rebuild(spark, src, tmp_path):
         mode="append",
     )
     to_v = _mutate(spark, src)
+    v_pre = int(M.latest_manifest(spark, idx)["version"])
     out = sync_bm25_index(spark, idx, src, from_version=0)
     assert out["noop"] is False and out["to_version"] == to_v
     assert out["appended"] == 7  # 4 inserts + 2 updates + zero-token doc
+    assert int(M.latest_manifest(spark, idx)["version"]) == v_pre + 1
 
     build_bm25_index(M.snapshot(spark, src, to_v), "doc_id", "text", rebuilt)
     ms, mr = (

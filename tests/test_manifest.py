@@ -530,6 +530,111 @@ def test_row_changes_rejects_schema_evolution(spark, tbl):
         M.row_changes(spark, tbl, 0, 1, ("k",))
 
 
+def test_apply_delta_one_commit_equals_delete_plus_append(spark, tbl, tmp_path):
+    """One change wave (victims out + arrivals in) publishes as ONE
+    version, lands on the same rows as separate delete_rows +
+    write_table commits, and prunes the rewrite to victim files."""
+    rows = [(i, f"v{i}") for i in range(40)]
+    base = spark.createDataFrame(rows, "k bigint, v string").repartitionByRange(
+        4, "k"
+    )
+    M.write_table(base, tbl, stats_cols=("k",))
+    ref = str(tmp_path / "ref")
+    M.write_table(base, ref, stats_cols=("k",))
+
+    arrivals = spark.createDataFrame(
+        [(5, "V5"), (100, "new")], "k bigint, v string"
+    )
+    out = M.apply_delta(
+        spark, tbl,
+        delete_prune=[("k", "in", [5, 7])],
+        append_df=arrivals,
+        txn=("wave", 1),
+        properties={"sync": {"version": 1}},
+    )
+    assert out["rows_affected"] == 2 and out["files_untouched"] == 3
+    assert int(M.latest_manifest(spark, tbl)["version"]) == 1  # ONE commit
+    assert M.table_properties(spark, tbl) == {"sync": {"version": 1}}
+
+    M.delete_rows(spark, ref, prune=[("k", "in", [5, 7])])
+    M.write_table(arrivals, ref, mode="append")
+    assert _content(M.snapshot(spark, tbl)) == _content(M.snapshot(spark, ref))
+
+    # replayed txn: nothing commits, not even the rewrite's stats job
+    assert (
+        M.apply_delta(
+            spark, tbl, delete_prune=[("k", "in", [5, 7])],
+            append_df=arrivals, txn=("wave", 1),
+        )
+        is None
+    )
+    assert int(M.latest_manifest(spark, tbl)["version"]) == 1
+
+
+def test_apply_delta_append_only_delete_only_and_watermark_only(spark, tbl):
+    M.write_table(
+        spark.createDataFrame([(1, "a"), (2, "b")], "k bigint, v string"), tbl
+    )
+    # append-only wave (no delete condition at all)
+    M.apply_delta(
+        spark, tbl,
+        append_df=spark.createDataFrame([(3, "c")], "k bigint, v string"),
+        txn=("w", 1),
+    )
+    assert _content(M.snapshot(spark, tbl)) == [(1, "a"), (2, "b"), (3, "c")]
+    # delete-only wave
+    out = M.apply_delta(spark, tbl, delete_prune=[("k", "=", 1)], txn=("w", 2))
+    assert out["rows_affected"] == 1
+    assert _content(M.snapshot(spark, tbl)) == [(2, "b"), (3, "c")]
+    # empty wave: nothing matches, nothing appends — but the watermark
+    # and properties still publish (the empty sync wave)
+    out = M.apply_delta(
+        spark, tbl, delete_prune=[("k", "=", 999)], txn=("w", 3),
+        properties={"sync": {"version": 3}},
+    )
+    assert out is not None and out["rows_affected"] == 0
+    assert _content(M.snapshot(spark, tbl)) == [(2, "b"), (3, "c")]
+    assert M.table_properties(spark, tbl) == {"sync": {"version": 3}}
+    # without txn/appends, a no-match wave degrades to delete_rows: None
+    assert M.apply_delta(spark, tbl, delete_prune=[("k", "=", 999)]) is None
+    # schema drift in arrivals is refused
+    with pytest.raises(ValueError, match="schema"):
+        M.apply_delta(
+            spark, tbl,
+            append_df=spark.createDataFrame([(4,)], "k bigint"),
+            txn=("w", 4),
+        )
+
+
+def test_apply_delta_partitioned_table(spark, tbl):
+    M.write_table(
+        spark.createDataFrame(
+            [(1, "a", "x"), (2, "b", "y"), (3, "c", "y")],
+            "k bigint, v string, p string",
+        ),
+        tbl,
+        partition_by=("p",),
+    )
+    M.apply_delta(
+        spark, tbl,
+        delete_prune=[("p", "=", "y"), ("k", "=", 2)],
+        append_df=spark.createDataFrame(
+            [(9, "z", "y")], "k bigint, v string, p string"
+        ),
+        txn=("w", 1),
+    )
+    assert sorted((r.k, r.p) for r in M.snapshot(spark, tbl).collect()) == [
+        (1, "x"),
+        (3, "y"),
+        (9, "y"),
+    ]
+    parts = {
+        tuple(sorted(p["values"].items())): p["n_rows"]
+        for p in M.table_partitions(spark, tbl)
+    }
+    assert parts[(("p", "x"),)] == 1 and parts[(("p", "y"),)] == 2
+
+
 def test_incremental_rollup_equals_full_recompute(spark, tmp_path):
     from ensembl_database_loader_spark.sinks.ivm import refresh_rollup
 

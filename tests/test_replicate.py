@@ -101,6 +101,55 @@ def test_replicate_intermediate_version_and_divergence_guard(spark, pair):
         M.replicate_table(spark, src, dst)
 
 
+def test_replicate_ann_index_serves_identically(spark, pair):
+    """A manifest-backed ANN index is just a table: replication ships
+    its cells (hive partitions) and its centroids (properties ride the
+    verbatim manifest), so the REPLICA serves byte-identical top-k —
+    the serving-fleet distribution story."""
+    import math
+
+    from ensembl_database_loader_spark.operators.similarity import (
+        build_ann_index,
+        ivf_topk_indexed,
+    )
+
+    src, dst = pair
+    rows = []
+    for c in range(4):
+        s = [math.sin(c * 23.7 + i * 1.91) for i in range(8)]
+        n = math.sqrt(sum(x * x for x in s))
+        for j in range(10):
+            rows.append(
+                (j * 4 + c, [x / n + ((c * 7 + j * 3 + i) % 11 - 5) * 0.004
+                             for i, x in enumerate(s)])
+            )
+    corpus = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<double>"
+    )
+    build_ann_index(corpus, "vec_id", "embedding", src, n_cells=4,
+                    manifest=True)
+    out = M.replicate_table(spark, src, dst)
+    assert out["noop"] is False
+    assert M.table_properties(spark, dst) == M.table_properties(spark, src)
+    q = rows[0][1]
+    serve = lambda p: [
+        (r["vec_id"], r["cos"])
+        for r in ivf_topk_indexed(spark, p, q, k=5, n_probe=2).collect()
+    ]
+    assert serve(dst) == serve(src)
+    # integrity deep-verify: bucketed checksums agree bucket-for-bucket
+    from ensembl_database_loader_spark.operators.integrity import (
+        checksum_mismatches,
+    )
+
+    assert (
+        checksum_mismatches(
+            M.snapshot(spark, src), M.snapshot(spark, dst), n_buckets=16
+        ).count()
+        == 0
+    )
+
+
 def test_replicate_partitioned_table_and_empty_source(spark, pair):
     src, dst = pair
     with pytest.raises(ValueError, match="no manifest table"):
