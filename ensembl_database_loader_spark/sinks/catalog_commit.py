@@ -122,6 +122,57 @@ def commit_group(
     return _commit(spark, croot, build, "group_commit")
 
 
+def pin_group(
+    spark: SparkSession,
+    root: str,
+    members: dict[str, int | None],
+    txn: tuple[str, int] | None = None,
+) -> dict | None:
+    """Publish a root manifest PINNING existing member tables at their
+    current (or given) versions — no member data is written. This is
+    the serving-cycle publisher for members maintained by their OWN
+    writers: a corpus table taking curation commits and the serving
+    indexes an ``indexsync`` wave just advanced publish as one
+    consistent search cycle (corpus vN + the index versions that
+    reflect exactly vN), so a reader resolving the root never pairs a
+    new corpus with a stale index or vice versa. ``members`` maps the
+    rel path under ``root`` to a version (None = that table's current
+    head). Same txn watermark semantics as ``commit_group``: a
+    replayed cycle publishes nothing. Per-table heads may run ahead of
+    the last pinned cycle — group readers go through ``read_group``."""
+    if not members:
+        raise ValueError("pin_group: no members")
+    for rel in members:
+        if rel.startswith("_") or "/" in rel:
+            raise ValueError(f"pin_group: invalid table rel {rel!r}")
+    croot = _catalog_path(root)
+    if _txn_done(latest_manifest(spark, croot), txn):
+        return None
+    versions: dict[str, int] = {}
+    for rel, v in sorted(members.items()):
+        tpath = f"{root.rstrip('/')}/{rel}"
+        if v is None:
+            head = latest_manifest(spark, tpath)
+            if head is None:
+                raise ValueError(f"pin_group: no manifest table at {tpath}")
+            v = int(head["version"])
+        else:
+            # refuse to pin a version that does not exist — a typo'd
+            # pin must fail at publish, not at first read
+            read_manifest(spark, tpath, int(v))
+        versions[rel] = int(v)
+
+    def build(h: dict | None) -> dict | None:
+        if _txn_done(h, txn):
+            return None
+        t = dict(h.get("txn", {})) if h else {}
+        if txn is not None:
+            t[str(txn[0])] = int(txn[1])
+        return {"tables": versions, "txn": t, "files": [], "schema": None}
+
+    return _commit(spark, croot, build, "group_pin")
+
+
 def read_group(
     spark: SparkSession, root: str, version: int | None = None
 ) -> dict[str, DataFrame]:

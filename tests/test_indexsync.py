@@ -231,6 +231,81 @@ def test_sync_state_survives_maintenance_and_first_sync_requires_base(
     assert sync_ann_index(spark, idx, src)["noop"] is True
 
 
+def test_publish_search_cycle_via_pin_group(spark, tmp_path):
+    """The serving-consistency composition: corpus + its synced
+    indexes live under one catalog root; after each curation wave +
+    sync, ``pin_group`` publishes (corpus vN, bm25 v, ann v) as ONE
+    atomic cycle — a reader resolving the root never pairs a new
+    corpus with a stale index, earlier cycles stay resolvable, and a
+    replayed cycle publishes nothing."""
+    from ensembl_database_loader_spark.sinks.catalog_commit import (
+        pin_group,
+        read_group,
+    )
+
+    root = str(tmp_path / "search")
+    corpus, bm, ann = (f"{root}/{r}" for r in ("corpus", "bm25", "ann"))
+    M.write_table(
+        spark.createDataFrame(
+            _corpus_rows(),
+            "doc_id bigint, embedding array<double>, text string",
+        ).repartitionByRange(4, "doc_id"),
+        corpus,
+        stats_cols=("doc_id",),
+    )
+    build_bm25_index(M.snapshot(spark, corpus, 0), "doc_id", "text", bm)
+    build_ann_index(
+        M.snapshot(spark, corpus, 0), "doc_id", "embedding", ann,
+        n_cells=N_CLUSTERS, manifest=True,
+    )
+    assert pin_group(
+        spark, root,
+        {"corpus": None, "bm25": None, "ann": None},
+        txn=("cycle", 0),
+    ) is not None
+
+    # wave: delete 2 docs, insert 1 — sync both indexes, pin cycle 1
+    M.delete_rows(spark, corpus, prune=[("doc_id", "in", [0, 5])])
+    M.write_table(
+        spark.createDataFrame(
+            [(9001, _vec(1, 77), "cycle one arrival")],
+            "doc_id bigint, embedding array<double>, text string",
+        ),
+        corpus,
+        mode="append",
+    )
+    sync_bm25_index(spark, bm, corpus, from_version=0)
+    sync_ann_index(spark, ann, corpus, from_version=0)
+    assert pin_group(
+        spark, root,
+        {"corpus": None, "bm25": None, "ann": None},
+        txn=("cycle", 1),
+    ) is not None
+    # replayed cycle: nothing publishes
+    assert pin_group(
+        spark, root, {"corpus": None}, txn=("cycle", 1)
+    ) is None
+
+    # head cycle is mutually consistent: ANN rows == corpus rows, and
+    # the pinned bm25 version's stats count exactly the corpus docs
+    g = read_group(spark, root)
+    n_docs = g["corpus"].count()
+    assert g["ann"].count() == n_docs
+    from ensembl_database_loader_spark.sinks.catalog_commit import (
+        group_history,
+    )
+
+    pinned = group_history(spark, root)[-1]["tables"]
+    props = M.read_manifest(spark, bm, pinned["bm25"])["properties"]
+    assert int(props["bm25"]["n_docs"]) == n_docs
+    assert int(props["sync"]["version"]) == pinned["corpus"]
+
+    # cycle 0 stays resolvable and internally consistent
+    g0 = read_group(spark, root, version=0)
+    assert g0["corpus"].count() == g0["ann"].count() == len(_corpus_rows())
+    assert 9001 not in {r.doc_id for r in g0["corpus"].collect()}
+
+
 def test_sync_edge_cases_within_window_and_cross_source(spark, src, tmp_path):
     """(1) a doc inserted AND deleted between syncs was never indexed:
     the feed classifies it a delete, the index delete matches nothing,

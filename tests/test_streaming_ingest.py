@@ -357,3 +357,94 @@ def test_streaming_manifest_sink_partitioned_layout(spark, tmp_path):
     assert sorted(r.id for r in got.collect()) == [1, 3]
     en_files = {r for r in m["files"] if m["parts"][r]["lang"] == "en"}
     assert len(set(got.inputFiles())) == len(en_files)
+
+
+def test_streaming_ingest_to_synced_serving_index(spark, tmp_path):
+    """stream -> manifest corpus -> synced BM25 index, end to end:
+    each micro-batch appends to the corpus exactly-once (txn per batch
+    id) and then syncs the serving index to the corpus head — after
+    two ordered drains the index is row-identical (postings AND exact
+    stats) to a from-scratch build on the final corpus, and a replay
+    drain from a FRESH checkpoint (every file re-presented) commits
+    nothing anywhere."""
+    import ensembl_database_loader_spark.sinks.manifest as M
+    from ensembl_database_loader_spark.operators.bm25 import (
+        build_bm25_index,
+        bm25_topk_indexed,
+    )
+    from ensembl_database_loader_spark.operators.indexsync import (
+        sync_bm25_index,
+    )
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    corpus = str(tmp_path / "corpus")
+    idx = str(tmp_path / "bm25")
+
+    def _process(batch_df, batch_id):
+        M.write_table(
+            batch_df.select("doc_id", "text"),
+            corpus,
+            mode="append",
+            txn=("ingest", int(batch_id)),
+            stats_cols=("doc_id",),
+        )
+        if M.latest_manifest(batch_df.sparkSession, idx) is None:
+            build_bm25_index(
+                M.snapshot(batch_df.sparkSession, corpus),
+                "doc_id",
+                "text",
+                idx,
+            )
+        else:
+            state = M.table_properties(batch_df.sparkSession, idx).get("sync")
+            sync_bm25_index(
+                batch_df.sparkSession, idx, corpus,
+                from_version=None if state else 0,
+            )
+
+    def _run(ckpt):
+        q = (
+            stream_documents(spark, str(landing), max_files_per_trigger=1)
+            .writeStream.foreachBatch(_process)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        _drain(q)
+
+    with open(landing / "b1.jsonl", "w") as f:
+        f.writelines(json.dumps(r) + "\n" for r in _docs(0))
+    _run(str(tmp_path / "ckpt"))
+    time.sleep(1.1)  # file-source timestamps have 1s granularity
+    with open(landing / "b2.jsonl", "w") as f:
+        f.writelines(json.dumps(r) + "\n" for r in _docs(1000))
+    _run(str(tmp_path / "ckpt"))
+
+    fresh = str(tmp_path / "bm25_fresh")
+    build_bm25_index(M.snapshot(spark, corpus), "doc_id", "text", fresh)
+    ms = M.table_properties(spark, idx)["bm25"]
+    mf = M.table_properties(spark, fresh)["bm25"]
+    assert (ms["n_docs"], ms["total_tokens"]) == (
+        mf["n_docs"],
+        mf["total_tokens"],
+    )
+    assert sorted(map(tuple, M.snapshot(spark, idx).collect())) == sorted(
+        map(tuple, M.snapshot(spark, fresh).collect())
+    )
+    queries = spark.createDataFrame(
+        [(1, "tok000x0 tok001x0"), (2, "tok000x3 tok001x3")],
+        "qid bigint, qtext string",
+    )
+    serve = lambda p: sorted(
+        map(tuple, bm25_topk_indexed(spark, p, queries, k=3).collect())
+    )
+    assert serve(idx) == serve(fresh)
+
+    # replay: a fresh checkpoint re-presents EVERY file; the corpus txn
+    # watermark and the index sync state swallow all of it
+    v_c = int(M.latest_manifest(spark, corpus)["version"])
+    v_i = int(M.latest_manifest(spark, idx)["version"])
+    _run(str(tmp_path / "ckpt_replay"))
+    assert int(M.latest_manifest(spark, corpus)["version"]) == v_c
+    assert int(M.latest_manifest(spark, idx)["version"]) == v_i
