@@ -357,6 +357,7 @@ def build_bm25_index(
                 "text_col": text_col,
                 "n_docs": n_docs,
                 "total_tokens": total_tokens,
+                "tombstones": 0,
             }
         },
     )
@@ -396,6 +397,23 @@ def append_to_bm25_index(
     if not meta:
         raise ValueError(f"no bm25 index at {path} (missing properties)")
     id_col = meta["id_col"]
+    tombs = set(tombstoned_ids(spark, path))
+    if tombs:
+        # a tombstoned id's dead postings are still physically present —
+        # serving could not tell a re-appended doc's rows from them
+        clash = sorted(
+            r[0]
+            for r in new_docs.select(id_col)
+            .distinct()
+            .filter(F.col(id_col).isin(sorted(tombs)))
+            .collect()
+        )
+        if clash:
+            raise ValueError(
+                f"ids {clash[:5]}{'...' if len(clash) > 5 else ''} are "
+                "tombstoned — run compact_bm25_tombstones before "
+                "re-appending them"
+            )
     toked = _toked_with_dl(new_docs, id_col, text_col)
     n_new, tok_new = _corpus_stats(toked)
     postings = _index_postings(toked, id_col)
@@ -421,75 +439,199 @@ def append_to_bm25_index(
     )
 
 
-def _victim_stats(spark, path: str, id_col: str, ids) -> tuple[int, int]:
-    """Exact (docs, tokens) leaving the index for a delete wave: one
-    id-bloom-pruned scan over the candidate postings (zero-token docs
-    count via their sentinel rows). Shared by
-    ``delete_from_bm25_index`` and ``indexsync.sync_bm25_index``."""
+def _victim_rows(spark, path: str, id_col: str, ids) -> dict:
+    """{live victim id -> dl} for a delete wave: one id-bloom-pruned
+    scan over the candidate postings (zero-token docs count via their
+    sentinel rows). Shared by ``delete_from_bm25_index`` and
+    ``indexsync.sync_bm25_index``."""
     from ensembl_database_loader_spark.sinks.manifest import scan_table
 
-    victims = (
-        scan_table(spark, path, predicates=[(id_col, "in", ids)])
+    return {
+        r[0]: int(r["dl"])
+        for r in scan_table(spark, path, predicates=[(id_col, "in", ids)])
         .select(id_col, "dl")
         .distinct()
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n"),
-            F.sum("dl").cast("bigint").alias("toks"),
-        )
-        .first()
-    )
-    return int(victims["n"]), int(victims["toks"] or 0)
+        .collect()
+    }
 
 
-def delete_from_bm25_index(spark: SparkSession, path: str, doc_ids) -> dict | None:
-    """Remove documents from the postings index as ONE copy-on-write
-    commit that ALSO decrements the corpus stats (n_docs,
-    total_tokens) — without the stats delta, every later idf/avgdl
-    would keep counting the deleted docs and indexed scoring would
-    drift from a from-scratch rebuild (the re-ingest path:
-    delete, then ``append_to_bm25_index`` the corrected docs).
-    ``doc_ids`` is broadcast-dim (a curation wave's drop list).
-    Returns the delete manifest or None when no posting matched.
+def _victim_stats(
+    spark, path: str, id_col: str, ids
+) -> tuple[int, int, list]:
+    """Exact (docs, tokens, live ids) leaving the index."""
+    rows = _victim_rows(spark, path, id_col, ids)
+    return len(rows), sum(rows.values()), sorted(rows)
 
-    File economics: the index build blooms BOTH ``term`` and the id
-    column, and the rewrite path bloom-prunes its candidates, so a
-    delete wave rewrites only the files actually holding a victim's
-    postings (a doc's postings concentrate in few term-range files)
-    and carries the rest by reference — O(victim files), not O(index),
-    per curation wave. The victim stats pass reads through the same
-    pruned scan. Zero-token docs are visible via their sentinel rows
-    (``_index_postings``), so n_docs decrements exactly even when the
-    victim has no real posting."""
+
+#: tombstone marker term: sorts below every real token and the ''
+#: zero-token sentinel can never equal it, so tombstone rows never
+#: join a query term and point-fetch via the term stats/bloom
+_TOMB_TERM = "\x00"
+
+
+def tombstoned_ids(spark: SparkSession, path: str) -> list:
+    """Ids with a live tombstone row (term = _TOMB_TERM) — a pruned
+    point fetch (term-sorted [min, max] stats skip every file holding
+    only real tokens). Broadcast-dim by design: tombstones accumulate
+    only between ``compact_bm25_tombstones`` runs."""
     from ensembl_database_loader_spark.sinks.manifest import (
-        delete_rows,
+        scan_table,
         table_properties,
     )
 
+    meta = table_properties(spark, path).get("bm25") or {}
+    if not int(meta.get("tombstones", 0)):
+        return []  # zero-cost fast path: no lookup when none exist
+    id_col = meta["id_col"]
+    return sorted(
+        r[0]
+        for r in scan_table(spark, path, predicates=[("term", "=", _TOMB_TERM)])
+        .select(id_col)
+        .distinct()
+        .collect()
+    )
+
+
+def _tombstone_rows(spark, schema_src: DataFrame, id_col: str, ids):
+    """(id, _TOMB_TERM, 0, 0) rows in the postings schema/order."""
+    id_type = dict(schema_src.dtypes)[id_col]
+    return spark.createDataFrame(
+        [(i,) for i in ids], f"{id_col} {id_type}"
+    ).select(
+        F.col(id_col),
+        F.lit(_TOMB_TERM).alias("term"),
+        F.lit(0).cast("bigint").alias("dl"),
+        F.lit(0).cast("bigint").alias("tf"),
+    )
+
+
+def delete_from_bm25_index(
+    spark: SparkSession,
+    path: str,
+    doc_ids,
+    mode: str = "rewrite",
+    txn: tuple[str, int] | None = None,
+) -> dict | None:
+    """Remove documents from the postings index as ONE commit that
+    ALSO decrements the corpus stats (n_docs, total_tokens) — without
+    the stats delta, every later idf/avgdl would keep counting the
+    deleted docs and indexed scoring would drift from a from-scratch
+    rebuild (the re-ingest path: delete, then ``append_to_bm25_index``
+    the corrected docs). ``doc_ids`` is broadcast-dim (a curation
+    wave's drop list). Returns the commit manifest or None when no
+    victim is indexed.
+
+    ``mode='rewrite'``: copy-on-write — victims' posting rows leave
+    physically. File economics: the build blooms ``term`` AND the id
+    column, so the rewrite prunes to files actually holding a victim's
+    postings. HONEST SCALING BOUNDARY (measured, scripts/sync_bench):
+    a scattered wave's DISTINCT TERMS span most term ranges — ~100
+    distinct terms per victim hit ~100 files — so for multi-doc waves
+    the rewrite degrades to O(index files) regardless of blooms.
+    ``mode='tombstone'`` is the scalable delete: ONE O(wave) append of
+    marker rows (term = ``_TOMB_TERM``) plus the exact stats decrement
+    in the same commit — no posting is rewritten. Serving filters the
+    tombstoned ids out BEFORE the df aggregate, so indexed scores stay
+    BIT-IDENTICAL to a rebuild on the survivors (gated in tests) — the
+    Lucene-style deferred delete without Lucene's stale-df scoring
+    drift. Dead postings are physically reclaimed, amortized, by
+    ``compact_bm25_tombstones``; until then appends of tombstoned ids
+    are refused (purge first — serving could not tell old rows from
+    new). Already-tombstoned and never-indexed ids are excluded from
+    the wave (idempotent re-delete)."""
+    from ensembl_database_loader_spark.sinks.manifest import (
+        delete_rows,
+        snapshot,
+        table_properties,
+        write_table,
+    )
+
+    if mode not in ("rewrite", "tombstone"):
+        raise ValueError(f"mode must be rewrite|tombstone, got {mode!r}")
     props = table_properties(spark, path)
     meta = props.get("bm25")
     if not meta:
         raise ValueError(f"no bm25 index at {path} (missing properties)")
     id_col = meta["id_col"]
-    ids = sorted(set(doc_ids))
+    ids = sorted(set(doc_ids) - set(tombstoned_ids(spark, path)))
     if not ids:
         return None
-    n_del, tok_del = _victim_stats(spark, path, id_col, ids)
+    n_del, tok_del, live = _victim_stats(spark, path, id_col, ids)
     if n_del == 0:
         return None
     # merged map, as in append: foreign property keys survive deletes
+    new_props = {
+        **props,
+        "bm25": {
+            **meta,
+            "n_docs": int(meta["n_docs"]) - n_del,
+            "total_tokens": int(meta["total_tokens"]) - tok_del,
+            "tombstones": int(meta.get("tombstones", 0))
+            + (n_del if mode == "tombstone" else 0),
+        },
+    }
+    if mode == "tombstone":
+        # only victims that are indexed (live) get marker rows; a
+        # marker for a never-indexed id would be a phantom tombstone
+        # blocking a future append of that id
+        return write_table(
+            _tombstone_rows(spark, snapshot(spark, path), id_col, live),
+            path,
+            mode="append",
+            txn=txn,
+            stats_cols=("term",),
+            properties=new_props,
+        )
+    if txn is not None:
+        raise ValueError("txn applies to tombstone deletes only")
     return delete_rows(
         spark,
         path,
         prune=[(id_col, "in", ids)],
+        properties=new_props,
+    )
+
+
+def compact_bm25_tombstones(
+    spark: SparkSession, path: str, txn: tuple[str, int] | None = None
+) -> dict | None:
+    """Physically reclaim every tombstoned doc: ONE copy-on-write
+    commit drops the dead posting rows AND their marker rows (the
+    id-IN prune catches both — markers carry the victim id), zeroing
+    the tombstone count; corpus stats are untouched (the tombstoning
+    delete already decremented them exactly). After compaction the
+    postings are BIT-IDENTICAL to a from-scratch rebuild on the
+    survivors (gated in tests) and appends of the reclaimed ids are
+    allowed again — the Lucene merge step, amortized to one rewrite
+    per maintenance window instead of one per delete wave."""
+    from ensembl_database_loader_spark.sinks.manifest import (
+        _txn_skip,
+        delete_rows,
+        latest_manifest,
+        table_properties,
+    )
+
+    if _txn_skip(latest_manifest(spark, path), txn):
+        return None
+    props = table_properties(spark, path)
+    meta = props.get("bm25")
+    if not meta:
+        raise ValueError(f"no bm25 index at {path} (missing properties)")
+    ids = tombstoned_ids(spark, path)
+    if not ids:
+        return None
+    out = delete_rows(
+        spark,
+        path,
+        prune=[(meta["id_col"], "in", ids)],
         properties={
             **props,
-            "bm25": {
-                **meta,
-                "n_docs": int(meta["n_docs"]) - n_del,
-                "total_tokens": int(meta["total_tokens"]) - tok_del,
-            },
+            "bm25": {**meta, "tombstones": 0},
         },
     )
+    # delete_rows has no txn seat; replays are harmless anyway
+    # (no tombstones left -> None before any scan)
+    return out
 
 
 def bm25_topk_indexed(
@@ -563,6 +705,13 @@ def bm25_topk_indexed(
         postings = snapshot(spark, path).join(
             qt.select("term").distinct(), "term"
         )
+    # tombstoned docs leave serving BEFORE the df aggregate, so idf is
+    # computed over the SURVIVORS — scores stay bit-identical to a
+    # rebuild (no Lucene-style stale-df drift); zero cost when the
+    # tombstone count property is 0
+    tombs = tombstoned_ids(spark, path)
+    if tombs:
+        postings = postings.filter(~F.col(id_col).isin(tombs))
     dft = postings.groupBy("term").agg(
         F.count(F.lit(1)).cast("bigint").alias("df")
     )

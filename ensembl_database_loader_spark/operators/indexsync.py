@@ -199,28 +199,49 @@ def sync_bm25_index(
     src_path: str,
     from_version: int | None = None,
     to_version: int | None = None,
+    delete_mode: str = "auto",
 ) -> dict:
     """Bring a BM25 postings index up to date with its source table —
-    the lexical twin of ``sync_ann_index``, same one-commit protocol.
-    Victim docs' postings leave via the id-bloom-pruned rewrite with
-    an exact-integer stats decrement (zero-token docs included via
-    their sentinel postings), updated/new docs re-tokenize through the
-    index's shared tokenizer and land term-sorted, and the corpus
-    stats + sync watermark publish in the SAME commit — so the synced
-    index keeps serving ROW-IDENTICAL to a from-scratch rebuild on
-    the target snapshot."""
+    the lexical twin of ``sync_ann_index``, same one-commit protocol:
+    victim handling, re-tokenized arrivals (shared tokenizer,
+    term-sorted files), exact-integer stats, sync watermark, and txn
+    all publish together.
+
+    ``delete_mode`` picks how victim docs leave (the scattered-terms
+    boundary ``delete_from_bm25_index`` documents: a multi-doc wave's
+    distinct terms span most term-sorted files, so a physical rewrite
+    degrades to O(index files)):
+
+    - ``'auto'`` (default): PURE deletes tombstone (O(wave) marker
+      rows appended in the same commit — no posting rewritten; serving
+      filters them before the df aggregate, staying bit-identical to a
+      rebuild on the survivors); UPDATED ids rewrite physically (their
+      re-appended rows would otherwise be indistinguishable from the
+      dead ones). Reclaim dead postings amortized via
+      ``compact_bm25_tombstones``.
+    - ``'rewrite'``: every victim rewrites physically — bit-identical
+      snapshots immediately, O(victim-term files) cost.
+    - ``'tombstone'``: like auto, but refuses waves containing updates
+      (callers that KNOW the wave is delete-only)."""
     from ensembl_database_loader_spark.operators.bm25 import (
         _corpus_stats,
         _index_postings,
         _toked_with_dl,
+        _tombstone_rows,
         _victim_stats,
+        tombstoned_ids,
     )
     from ensembl_database_loader_spark.sinks.manifest import (
         apply_delta,
         row_changes,
+        snapshot,
         table_properties,
     )
 
+    if delete_mode not in ("auto", "rewrite", "tombstone"):
+        raise ValueError(
+            f"delete_mode must be auto|rewrite|tombstone, got {delete_mode!r}"
+        )
     props = table_properties(spark, index_path)
     meta = props.get("bm25")
     if not meta:
@@ -245,19 +266,33 @@ def sync_bm25_index(
     try:
         # broadcast-dim by the delete path's contract: a curation
         # wave's victim list — shard wider waves into multiple syncs
-        victim_ids = sorted(
-            r[0]
-            for r in changes.filter(
-                F.col("change_type").isin("delete", "update")
+        def _ids(*types):
+            return sorted(
+                r[0]
+                for r in changes.filter(F.col("change_type").isin(*types))
+                .select(id_col)
+                .distinct()
+                .collect()
             )
-            .select(id_col)
-            .distinct()
-            .collect()
+
+        upd_ids = _ids("update")
+        del_ids = sorted(set(_ids("delete")) - set(tombstoned_ids(spark, index_path)))
+        if delete_mode == "tombstone" and upd_ids:
+            raise ValueError(
+                f"wave contains {len(upd_ids)} updates — updated ids must "
+                "rewrite physically (use delete_mode='auto')"
+            )
+        tomb_ids = del_ids if delete_mode in ("auto", "tombstone") else []
+        phys_ids = upd_ids + (del_ids if delete_mode == "rewrite" else [])
+        n_del, tok_del, phys_live = (
+            _victim_stats(spark, index_path, id_col, phys_ids)
+            if phys_ids
+            else (0, 0, [])
         )
-        n_del, tok_del = (
-            _victim_stats(spark, index_path, id_col, victim_ids)
-            if victim_ids
-            else (0, 0)
+        n_tomb, tok_tomb, tomb_live = (
+            _victim_stats(spark, index_path, id_col, tomb_ids)
+            if tomb_ids
+            else (0, 0, [])
         )
         toked = _toked_with_dl(
             changes.filter(
@@ -267,22 +302,31 @@ def sync_bm25_index(
             text_col,
         )
         n_add, tok_add = _corpus_stats(toked)
+        arrivals = _index_postings(toked, id_col)
+        if tomb_live:
+            arrivals = arrivals.unionByName(
+                _tombstone_rows(
+                    spark, snapshot(spark, index_path), id_col, tomb_live
+                )
+            )
         out = apply_delta(
             spark,
             index_path,
             delete_prune=(
-                [(id_col, "in", victim_ids)] if victim_ids else ()
+                [(id_col, "in", phys_ids)] if phys_ids else ()
             ),
-            append_df=_index_postings(toked, id_col),
+            append_df=arrivals,
             txn=(_SYNC_APP, to_v),
             properties={
                 **props,
                 "bm25": {
                     **meta,
-                    "n_docs": int(meta["n_docs"]) - n_del + n_add,
+                    "n_docs": int(meta["n_docs"]) - n_del - n_tomb + n_add,
                     "total_tokens": int(meta["total_tokens"])
                     - tok_del
+                    - tok_tomb
                     + tok_add,
+                    "tombstones": int(meta.get("tombstones", 0)) + len(tomb_live),
                 },
                 "sync": {"src": src_path, "version": to_v},
             },
@@ -297,6 +341,7 @@ def sync_bm25_index(
         "to_version": to_v,
         # docs that actually LEFT the index (a victim inserted and
         # deleted within the window was never indexed — not counted)
-        "deleted": n_del,
+        "deleted": n_del + n_tomb,
+        "tombstoned": len(tomb_live),
         "appended": int(n_add),
     }

@@ -887,6 +887,14 @@ def build_ann_index(
         "quantized": quantized,
         **({"pq": pq_meta} if pq_meta else {}),
     }
+    # PACK CELLS BEFORE WRITING: partitionBy alone writes one file per
+    # (input task x cell) — a 16-partition frame into 64 cells lands
+    # 1000+ splinter files, and every later scan/bloom-check/commit
+    # pays per file. Hash-clustering on _cell first writes ~one file
+    # per cell; oversized cells split by spark.sql.files.
+    # maxRecordsPerFile (size governance stays with cell_split /
+    # suggest_cell_split).
+    assigned = assigned.repartition("_cell")
     if manifest:
         from ensembl_database_loader_spark.sinks.manifest import write_table
 
@@ -1460,7 +1468,7 @@ def _encode_rows_for_index(new_df: DataFrame, meta: dict) -> DataFrame:
     assigned = _assign_cells(new_df, meta["vec_col"], meta["centroids"])
     if meta.get("quantized") == "pq":
         pq = meta["pq"]
-        return _pq_encode_index_rows(
+        assigned = _pq_encode_index_rows(
             assigned,
             meta["id_col"],
             meta["vec_col"],
@@ -1468,9 +1476,11 @@ def _encode_rows_for_index(new_df: DataFrame, meta: dict) -> DataFrame:
             meta["centroids"],
             pq["residual"],
         )
-    if meta.get("quantized"):
-        return _quantize_index_rows(assigned, meta["id_col"], meta["vec_col"])
-    return assigned
+    elif meta.get("quantized"):
+        assigned = _quantize_index_rows(assigned, meta["id_col"], meta["vec_col"])
+    # pack cells before any write: one file per cell per batch, not
+    # one per (input task x cell) — see build_ann_index's note
+    return assigned.repartition("_cell")
 
 
 def _ann_delete_prune(
@@ -1650,7 +1660,7 @@ def rebalance_ann_index(
     # watermark) must survive maintenance commits
     props = table_properties(spark, path)
     m = write_table(
-        assigned,
+        assigned.repartition("_cell"),  # ~one file per cell
         path,
         mode="overwrite",
         partition_by=("_cell",),
@@ -1802,7 +1812,7 @@ def split_hot_cells(
         spark,
         path,
         [{"_cell": c} for c in hot],
-        out_rows,
+        out_rows.repartition("_cell"),  # ~one file per written cell
         stats_cols=(id_col,),
         properties={**table_properties(spark, path), "ann": new_meta},
         txn=txn,

@@ -4757,6 +4757,7 @@ def ss_index_sync(spark: SparkSession, sf: str) -> DataFrame:
     from ensembl_database_loader_spark.operators.bm25 import (
         bm25_topk_indexed,
         build_bm25_index,
+        compact_bm25_tombstones,
     )
     from ensembl_database_loader_spark.operators.indexsync import (
         sync_ann_index,
@@ -4872,17 +4873,6 @@ def ss_index_sync(spark: SparkSession, sf: str) -> DataFrame:
         and sync_ann_index(spark, ann_idx, src_e)["noop"]
     )
 
-    # gate 1: synced postings == from-scratch rebuild (rows + stats)
-    build_bm25_index(snapshot(spark, src_d), "doc_id", "text", bm_fresh, num_files=4)
-    a, b = snapshot(spark, bm_idx), snapshot(spark, bm_fresh)
-    ma = table_properties(spark, bm_idx)["bm25"]
-    mb = table_properties(spark, bm_fresh)["bm25"]
-    bm_ident = bool(
-        a.exceptAll(b).unionAll(b.exceptAll(a)).count() == 0
-        and (ma["n_docs"], ma["total_tokens"])
-        == (mb["n_docs"], mb["total_tokens"])
-    )
-
     # gate 2: synced ANN contents == same-centroid re-assignment of
     # the target snapshot
     cents = ann_index_meta(ann_idx, spark)["centroids"]
@@ -4894,7 +4884,11 @@ def ss_index_sync(spark: SparkSession, sf: str) -> DataFrame:
         got.exceptAll(want).unionAll(want.exceptAll(got)).count() == 0
     )
 
-    # serving fingerprints over the synced indexes (the hashed rows)
+    # serving fingerprints over the synced indexes (the hashed rows).
+    # The BM25 fingerprint is served with the pure deletes still
+    # TOMBSTONED (auto sync defers them as O(wave) marker rows), so
+    # the tombstone serving path — victims filtered before the df
+    # aggregate — sits directly on the value-exact hash.
     toks = F.filter(tokens("text"), lambda w: w != "")
     is_q = lambda c: (F.col(c) % 100).isin(7, 9) | (
         (F.col(c) >= 1000000) & (F.col(c) % 100 == 21)
@@ -4903,13 +4897,38 @@ def ss_index_sync(spark: SparkSession, sf: str) -> DataFrame:
         F.col("doc_id").alias("qid"),
         F.concat_ws(" ", F.slice(toks, 1, 5)).alias("qtext"),
     )
-    bm_fp = bm25_topk_indexed(spark, bm_idx, qd, k=5).agg(
-        F.count(F.lit(1)).cast("bigint").alias("sy_bm_n"),
-        F.sum("qid").cast("bigint").alias("sy_bm_qid_sum"),
-        F.sum("doc_id").cast("bigint").alias("sy_bm_doc_sum"),
-        F.sum(F.round(F.round("score", 2) * 100).cast("bigint"))
-        .cast("bigint")
-        .alias("sy_bm_cents"),
+
+    def _bm_serve():
+        return bm25_topk_indexed(spark, bm_idx, qd, k=5).agg(
+            F.count(F.lit(1)).cast("bigint").alias("sy_bm_n"),
+            F.sum("qid").cast("bigint").alias("sy_bm_qid_sum"),
+            F.sum("doc_id").cast("bigint").alias("sy_bm_doc_sum"),
+            F.sum(F.round(F.round("score", 2) * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("sy_bm_cents"),
+        )
+
+    tomb_serving = tuple(_bm_serve().first())
+
+    # gate 1: the synced index equals a from-scratch rebuild — stats
+    # immediately (tombstoning decrements them exactly), snapshots
+    # bit-for-bit after ONE amortized compact_bm25_tombstones, and
+    # post-compaction serving identical to the tombstone serving
+    build_bm25_index(snapshot(spark, src_d), "doc_id", "text", bm_fresh, num_files=4)
+    ma = table_properties(spark, bm_idx)["bm25"]
+    mb = table_properties(spark, bm_fresh)["bm25"]
+    compact_bm25_tombstones(spark, bm_idx)
+    a, b = snapshot(spark, bm_idx), snapshot(spark, bm_fresh)
+    bm_ident = bool(
+        a.exceptAll(b).unionAll(b.exceptAll(a)).count() == 0
+        and (ma["n_docs"], ma["total_tokens"])
+        == (mb["n_docs"], mb["total_tokens"])
+        and tuple(_bm_serve().first()) == tomb_serving
+    )
+    bm_fp = spark.createDataFrame(
+        [tomb_serving],
+        "sy_bm_n bigint, sy_bm_qid_sum bigint, sy_bm_doc_sum bigint, "
+        "sy_bm_cents bigint",
     )
     qe = snapshot(spark, src_e).filter(is_q("vec_id")).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")

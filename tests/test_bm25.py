@@ -364,3 +364,91 @@ def test_zero_token_doc_delete_keeps_stats_exact(spark, tmp_path):
     a = bm25_topk_indexed(spark, inc, queries, k=4)
     b = bm25_topk_indexed(spark, full, queries, k=4)
     assert a.exceptAll(b).unionAll(b.exceptAll(a)).count() == 0
+
+
+def test_tombstone_delete_lifecycle(spark, tmp_path):
+    """Tombstone deletes: ONE O(wave) append commit (no posting file
+    rewritten), serving bit-identical to a rebuild on the survivors
+    (victims filtered BEFORE the df aggregate — no stale-idf drift),
+    exact stats, idempotent re-delete, append guard on tombstoned ids,
+    txn replay no-op, and physical reclaim via
+    compact_bm25_tombstones restoring snapshot bit-identity."""
+    import ensembl_database_loader_spark.sinks.manifest as M
+    from ensembl_database_loader_spark.operators.bm25 import (
+        compact_bm25_tombstones,
+        delete_from_bm25_index,
+        tombstoned_ids,
+    )
+
+    docs, queries = _frames(spark)
+    idx = str(tmp_path / "idx")
+    rebuilt = str(tmp_path / "rebuilt")
+    build_bm25_index(docs, "doc_id", "text", idx, num_files=3)
+
+    out = delete_from_bm25_index(
+        spark, idx, [1, 3, 999], mode="tombstone", txn=("wave", 1)
+    )
+    assert out is not None
+    # O(wave): an APPEND-only commit — no existing file removed
+    v = int(M.latest_manifest(spark, idx)["version"])
+    cf = M.changed_files(spark, idx, v - 1, v)
+    assert cf["removed"] == [] and len(cf["added"]) >= 1
+    assert tombstoned_ids(spark, idx) == [1, 3]
+
+    build_bm25_index(
+        docs.filter(~F.col("doc_id").isin(1, 3)), "doc_id", "text", rebuilt
+    )
+    ms = M.table_properties(spark, idx)["bm25"]
+    mr = M.table_properties(spark, rebuilt)["bm25"]
+    assert (ms["n_docs"], ms["total_tokens"]) == (
+        mr["n_docs"],
+        mr["total_tokens"],
+    )
+    assert ms["tombstones"] == 2
+
+    def serve(p, **kw):
+        return sorted(
+            map(tuple, bm25_topk_indexed(spark, p, queries, k=3, **kw).collect())
+        )
+
+    assert serve(idx) == serve(rebuilt)
+    # the shuffle-shaped query path filters tombstones identically
+    assert serve(idx, broadcast_queries=False) == serve(rebuilt)
+
+    # idempotent re-delete (already tombstoned) and replayed txn: no-ops
+    assert delete_from_bm25_index(spark, idx, [1, 3], mode="tombstone") is None
+    assert (
+        delete_from_bm25_index(spark, idx, [5], mode="tombstone", txn=("wave", 1))
+        is None
+    )
+    # append of a tombstoned id is refused until reclaim
+    with pytest.raises(ValueError, match="tombstoned"):
+        from ensembl_database_loader_spark.operators.bm25 import (
+            append_to_bm25_index,
+        )
+
+        append_to_bm25_index(
+            spark.createDataFrame([(1, "resurrected")], "doc_id bigint, text string"),
+            "text",
+            idx,
+        )
+
+    assert compact_bm25_tombstones(spark, idx) is not None
+    assert M.table_properties(spark, idx)["bm25"]["tombstones"] == 0
+    assert tombstoned_ids(spark, idx) == []
+    assert sorted(map(tuple, M.snapshot(spark, idx).collect())) == sorted(
+        map(tuple, M.snapshot(spark, rebuilt).collect())
+    )
+    assert serve(idx) == serve(rebuilt)
+    assert compact_bm25_tombstones(spark, idx) is None
+    # reclaimed id can re-enter
+    from ensembl_database_loader_spark.operators.bm25 import (
+        append_to_bm25_index,
+    )
+
+    assert append_to_bm25_index(
+        spark.createDataFrame([(1, "the quick brown fox returns")],
+                              "doc_id bigint, text string"),
+        "text",
+        idx,
+    ) is not None

@@ -359,6 +359,7 @@ def test_sync_bm25_index_serves_identical_to_rebuild(spark, src, tmp_path):
     out = sync_bm25_index(spark, idx, src, from_version=0)
     assert out["noop"] is False and out["to_version"] == to_v
     assert out["appended"] == 7  # 4 inserts + 2 updates + zero-token doc
+    assert out["tombstoned"] == 3  # pure deletes defer (auto mode)
     assert int(M.latest_manifest(spark, idx)["version"]) == v_pre + 1
 
     build_bm25_index(M.snapshot(spark, src, to_v), "doc_id", "text", rebuilt)
@@ -369,9 +370,6 @@ def test_sync_bm25_index_serves_identical_to_rebuild(spark, src, tmp_path):
         mr["n_docs"],
         mr["total_tokens"],
     )
-    assert sorted(map(tuple, M.snapshot(spark, idx).collect())) == sorted(
-        map(tuple, M.snapshot(spark, rebuilt).collect())
-    )
     queries = spark.createDataFrame(
         [(1, "rewritten topic t0"), (2, "fresh doc body")],
         "qid bigint, qtext string",
@@ -380,7 +378,22 @@ def test_sync_bm25_index_serves_identical_to_rebuild(spark, src, tmp_path):
         (r.qid, r.doc_id, round(r.score, 9), r.rank)
         for r in bm25_topk_indexed(spark, p, queries, k=5).collect()
     )
+    # TOMBSTONE serving: dead postings still on disk, yet scores are
+    # bit-identical to the rebuild (victims filtered before the df agg)
     assert serve(idx) == serve(rebuilt)
+    # physical reclaim: one amortized rewrite restores bit-identity of
+    # the snapshots themselves, stats untouched, serving unchanged
+    from ensembl_database_loader_spark.operators.bm25 import (
+        compact_bm25_tombstones,
+    )
+
+    assert compact_bm25_tombstones(spark, idx) is not None
+    assert M.table_properties(spark, idx)["bm25"]["tombstones"] == 0
+    assert sorted(map(tuple, M.snapshot(spark, idx).collect())) == sorted(
+        map(tuple, M.snapshot(spark, rebuilt).collect())
+    )
+    assert serve(idx) == serve(rebuilt)
+    assert compact_bm25_tombstones(spark, idx) is None  # nothing left
 
     assert sync_bm25_index(spark, idx, src)["noop"] is True
     # delete-only wave: stats decrement + watermark, still rebuild-exact
