@@ -275,18 +275,30 @@ def sync_bm25_index(
                 .collect()
             )
 
+        tombs = set(tombstoned_ids(spark, index_path))
         upd_ids = _ids("update")
-        del_ids = sorted(set(_ids("delete")) - set(tombstoned_ids(spark, index_path)))
+        ins_ids = _ids("insert")
+        del_ids = sorted(set(_ids("delete")) - tombs)
         if delete_mode == "tombstone" and upd_ids:
             raise ValueError(
                 f"wave contains {len(upd_ids)} updates — updated ids must "
                 "rewrite physically (use delete_mode='auto')"
             )
+        # RESURRECTED ids: tombstoned earlier, re-arriving now. Their
+        # dead postings + marker rows must physically leave in THIS
+        # commit, or serving's tombstone filter would hide the new
+        # rows too. Their stats were already decremented when they
+        # were tombstoned — they carry NO decrement now.
+        resurrected = sorted(tombs & set(ins_ids + upd_ids))
         tomb_ids = del_ids if delete_mode in ("auto", "tombstone") else []
-        phys_ids = upd_ids + (del_ids if delete_mode == "rewrite" else [])
-        n_del, tok_del, phys_live = (
-            _victim_stats(spark, index_path, id_col, phys_ids)
-            if phys_ids
+        stat_ids = sorted(
+            (set(upd_ids) - tombs)
+            | (set(del_ids) if delete_mode == "rewrite" else set())
+        )
+        phys_ids = sorted(set(stat_ids) | set(resurrected))
+        n_del, tok_del, _phys_live = (
+            _victim_stats(spark, index_path, id_col, stat_ids)
+            if stat_ids
             else (0, 0, [])
         )
         n_tomb, tok_tomb, tomb_live = (
@@ -326,7 +338,9 @@ def sync_bm25_index(
                     - tok_del
                     - tok_tomb
                     + tok_add,
-                    "tombstones": int(meta.get("tombstones", 0)) + len(tomb_live),
+                    "tombstones": int(meta.get("tombstones", 0))
+                    + len(tomb_live)
+                    - len(resurrected),
                 },
                 "sync": {"src": src_path, "version": to_v},
             },

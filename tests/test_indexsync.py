@@ -341,6 +341,58 @@ def test_sync_edge_cases_within_window_and_cross_source(spark, src, tmp_path):
         sync_bm25_index(spark, idx, other, from_version=0)
 
 
+def test_sync_resurrects_tombstoned_id(spark, src, tmp_path):
+    """A doc deleted in one wave (tombstoned by auto sync) and
+    RE-INSERTED in a later wave must serve again: the resurrecting
+    sync physically purges the dead postings + marker rows in the
+    same commit (no double stats decrement), and the index stays
+    rebuild-exact end to end."""
+    from ensembl_database_loader_spark.operators.bm25 import (
+        bm25_topk_indexed,
+        compact_bm25_tombstones,
+        tombstoned_ids,
+    )
+
+    idx = str(tmp_path / "bm25idx")
+    build_bm25_index(M.snapshot(spark, src, 0), "doc_id", "text", idx)
+    # wave 1: pure delete of doc 8 -> tombstoned
+    M.delete_rows(spark, src, prune=[("doc_id", "in", [8])])
+    out = sync_bm25_index(spark, idx, src, from_version=0)
+    assert out["tombstoned"] == 1
+    assert tombstoned_ids(spark, idx) == [8]
+    # wave 2: doc 8 returns with fresh text
+    M.write_table(
+        spark.createDataFrame(
+            [(8, _vec(0, 8), "returned document unique resurrect token")],
+            "doc_id bigint, embedding array<double>, text string",
+        ),
+        src,
+        mode="append",
+    )
+    out = sync_bm25_index(spark, idx, src)
+    assert out["appended"] == 1
+    assert tombstoned_ids(spark, idx) == []  # marker physically purged
+    queries = spark.createDataFrame(
+        [(1, "resurrect token")], "qid bigint, qtext string"
+    )
+    got = bm25_topk_indexed(spark, idx, queries, k=3).collect()
+    assert [r.doc_id for r in got][:1] == [8]
+    # rebuild-exact: stats and (post-reclaim) snapshots agree
+    fresh = str(tmp_path / "fresh")
+    build_bm25_index(M.snapshot(spark, src), "doc_id", "text", fresh)
+    compact_bm25_tombstones(spark, idx)
+    ms = M.table_properties(spark, idx)["bm25"]
+    mf = M.table_properties(spark, fresh)["bm25"]
+    assert (ms["n_docs"], ms["total_tokens"], ms["tombstones"]) == (
+        mf["n_docs"],
+        mf["total_tokens"],
+        0,
+    )
+    assert sorted(map(tuple, M.snapshot(spark, idx).collect())) == sorted(
+        map(tuple, M.snapshot(spark, fresh).collect())
+    )
+
+
 def test_sync_bm25_index_serves_identical_to_rebuild(spark, src, tmp_path):
     idx = str(tmp_path / "bm25idx")
     rebuilt = str(tmp_path / "bm25rebuild")
