@@ -228,7 +228,6 @@ def sync_bm25_index(
         _index_postings,
         _toked_with_dl,
         _tombstone_rows,
-        _victim_stats,
         tombstoned_ids,
     )
     from ensembl_database_loader_spark.sinks.manifest import (
@@ -261,11 +260,38 @@ def sync_bm25_index(
         return _noop(to_v)
     id_col = meta["id_col"]
     changes = row_changes(
-        spark, src_path, from_v, to_v, (id_col,)
+        spark, src_path, from_v, to_v, (id_col,), include_preimage=True
     ).persist()
     try:
-        # broadcast-dim by the delete path's contract: a curation
-        # wave's victim list — shard wider waves into multiple syncs
+        # The victim stats (docs + tokens leaving the index) come from
+        # the PREIMAGES, not from an index scan: the feed's delete and
+        # update_preimage rows carry the OLD text, and the index's dl
+        # is size(tokens(text)) by construction (shared tokenizer) —
+        # so the decrement is exact with ZERO postings IO. (The
+        # standalone delete_from_bm25_index has only ids and must
+        # scan; a scattered wave's terms hit most term-sorted files,
+        # which is exactly the O(index) read sync avoids here.) The
+        # sync invariant makes every preimage id live in the index:
+        # within-window insert-then-delete rows never enter the feed
+        # (their file was never part of from_version's snapshot).
+        # Broadcast-dim by the delete contract: a curation wave's
+        # victim list — shard wider waves into multiple syncs.
+        from ensembl_database_loader_spark.operators.bm25 import (
+            _nonempty_tokens,
+        )
+
+        pre_dl = {
+            r[0]: int(r[1])
+            for r in changes.filter(
+                F.col("change_type").isin("delete", "update_preimage")
+            )
+            .select(
+                id_col,
+                F.size(_nonempty_tokens(text_col)).cast("bigint"),
+            )
+            .collect()
+        }
+
         def _ids(*types):
             return sorted(
                 r[0]
@@ -296,16 +322,11 @@ def sync_bm25_index(
             | (set(del_ids) if delete_mode == "rewrite" else set())
         )
         phys_ids = sorted(set(stat_ids) | set(resurrected))
-        n_del, tok_del, _phys_live = (
-            _victim_stats(spark, index_path, id_col, stat_ids)
-            if stat_ids
-            else (0, 0, [])
-        )
-        n_tomb, tok_tomb, tomb_live = (
-            _victim_stats(spark, index_path, id_col, tomb_ids)
-            if tomb_ids
-            else (0, 0, [])
-        )
+        n_del = len(stat_ids)
+        tok_del = sum(pre_dl[i] for i in stat_ids)
+        n_tomb = len(tomb_ids)
+        tok_tomb = sum(pre_dl[i] for i in tomb_ids)
+        tomb_live = tomb_ids
         toked = _toked_with_dl(
             changes.filter(
                 F.col("change_type").isin("insert", "update")
