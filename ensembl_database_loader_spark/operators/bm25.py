@@ -278,19 +278,62 @@ def _corpus_stats(toked: DataFrame):
     return int(r["n_docs"]), int(r["total_tokens"] or 0)
 
 
+def _with_gens(postings: DataFrame, id_col: str, gens) -> DataFrame:
+    """Attach the maintenance GENERATION column ``_gen``: ``gens`` maps
+    id -> generation for re-arriving ids (broadcast-dim — a curation
+    wave's resurrections/updates); every other row is generation 0.
+    A row's generation never changes after it is written; liveness is
+    decided against the marker rows (``_live_postings``)."""
+    if not gens:
+        return postings.withColumn("_gen", F.lit(0).cast("bigint"))
+    spark = postings.sparkSession
+    id_type = dict(postings.dtypes)[id_col]
+    gdf = spark.createDataFrame(
+        sorted(gens.items()), f"{id_col} {id_type}, _gen bigint"
+    )
+    return postings.join(F.broadcast(gdf), id_col, "left").withColumn(
+        "_gen", F.coalesce(F.col("_gen"), F.lit(0)).cast("bigint")
+    )
+
+
+def _live_postings(postings: DataFrame, id_col: str, gens) -> DataFrame:
+    """Keep only the LIVE rows under the generation markers: a marker
+    (id, gen=G) kills that id's rows with ``_gen < G`` — dead
+    generations (tombstoned docs, superseded update images) leave
+    serving BEFORE the df aggregate, so idf is computed over exactly
+    the live corpus and indexed scores stay bit-identical to a rebuild
+    on the survivors (no Lucene-style stale-df drift). ``gens`` is the
+    broadcast-dim marker map; callers skip the join entirely when it
+    is empty (the zero-marker fast path)."""
+    spark = postings.sparkSession
+    id_type = dict(postings.dtypes)[id_col]
+    kdf = spark.createDataFrame(
+        sorted(gens.items()), f"{id_col} {id_type}, _kill bigint"
+    )
+    return (
+        postings.join(F.broadcast(kdf), id_col, "left")
+        .filter(F.col("_gen") >= F.coalesce(F.col("_kill"), F.lit(0)))
+        .drop("_kill")
+    )
+
+
 def _index_postings(
-    toked: DataFrame, id_col: str, num_files: int | None = None
+    toked: DataFrame,
+    id_col: str,
+    num_files: int | None = None,
+    gens=None,
 ) -> DataFrame:
-    """(id, term, dl, tf) postings for the INDEX — the one shared
-    builder behind build and append, so an append-maintained index
-    stays row-identical to a rebuild. ZERO-TOKEN docs (empty or
+    """(id, term, dl, tf, _gen) postings for the INDEX — the one shared
+    builder behind build, append, and sync, so an append-maintained
+    index stays row-identical to a rebuild. ZERO-TOKEN docs (empty or
     whitespace-only text) get a SENTINEL row (term='', tf=0, dl=0):
     the tokenizer drops empties so '' can never be a real term — the
     sentinel never joins a query term and never scores — but it keeps
     the doc VISIBLE to ``delete_from_bm25_index``, whose stats
     decrement counts matched docs; without it, deleting a zero-token
     doc left n_docs permanently over-counting vs a from-scratch
-    rebuild (ADVICE r12)."""
+    rebuild (ADVICE r12). ``gens`` assigns re-arriving ids their
+    generation (``_with_gens``)."""
     real = (
         toked.select(F.col(id_col), "dl", F.explode("_toks").alias("term"))
         .groupBy(id_col, "term", "dl")
@@ -303,7 +346,7 @@ def _index_postings(
         F.lit(0).cast("bigint").alias("tf"),
     )
     return (
-        real.unionByName(sentinel)
+        _with_gens(real.unionByName(sentinel), id_col, gens)
         # term-sorted layout: narrow per-file term ranges => [min, max]
         # stats AND blooms both prune point lookups (num_files pins the
         # file count; default lets AQE size the ranges to the data)
@@ -397,26 +440,14 @@ def append_to_bm25_index(
     if not meta:
         raise ValueError(f"no bm25 index at {path} (missing properties)")
     id_col = meta["id_col"]
-    tombs = set(tombstoned_ids(spark, path))
-    if tombs:
-        # a tombstoned id's dead postings are still physically present —
-        # serving could not tell a re-appended doc's rows from them
-        clash = sorted(
-            r[0]
-            for r in new_docs.select(id_col)
-            .distinct()
-            .filter(F.col(id_col).isin(sorted(tombs)))
-            .collect()
-        )
-        if clash:
-            raise ValueError(
-                f"ids {clash[:5]}{'...' if len(clash) > 5 else ''} are "
-                "tombstoned — run compact_bm25_tombstones before "
-                "re-appending them"
-            )
+    # a re-appended id whose dead postings are still physically present
+    # (tombstoned earlier) re-enters AT ITS MARKER'S GENERATION: the
+    # marker kills strictly-lower generations, so the new rows serve
+    # while the dead ones stay filtered until compaction reclaims them —
+    # resurrection is an ordinary O(batch) append, never a rewrite
     toked = _toked_with_dl(new_docs, id_col, text_col)
     n_new, tok_new = _corpus_stats(toked)
-    postings = _index_postings(toked, id_col)
+    postings = _index_postings(toked, id_col, gens=_marker_gens(spark, path))
     # MERGE into the head's property map (never replace it): other
     # engine keys — an index-sync watermark, lineage notes — must
     # survive postings maintenance; extra_properties lets a caller
@@ -439,28 +470,30 @@ def append_to_bm25_index(
     )
 
 
-def _victim_rows(spark, path: str, id_col: str, ids) -> dict:
-    """{live victim id -> dl} for a delete wave: one id-bloom-pruned
-    scan over the candidate postings (zero-token docs count via their
-    sentinel rows). Shared by ``delete_from_bm25_index`` and
-    ``indexsync.sync_bm25_index``."""
+def _live_victim_rows(spark, path: str, id_col: str, ids, gens) -> dict:
+    """{live victim id -> (dl, gen)} for a delete wave: one
+    id-bloom-pruned scan over the candidate postings, reduced to each
+    id's LIVE generation (marker rows excluded; zero-token docs count
+    via their sentinel rows; dead generations — already-tombstoned or
+    superseded images — contribute nothing, which is what makes
+    re-deletes idempotent and stats exact)."""
     from ensembl_database_loader_spark.sinks.manifest import scan_table
 
-    return {
-        r[0]: int(r["dl"])
-        for r in scan_table(spark, path, predicates=[(id_col, "in", ids)])
-        .select(id_col, "dl")
-        .distinct()
+    rows = (
+        scan_table(spark, path, predicates=[(id_col, "in", ids)])
+        .filter(F.col("term") != _TOMB_TERM)
+        .groupBy(id_col)
+        .agg(
+            F.max("_gen").alias("_g"),
+            F.max_by("dl", "_gen").alias("_dl"),
+        )
         .collect()
+    )
+    return {
+        r[0]: (int(r["_dl"]), int(r["_g"]))
+        for r in rows
+        if int(r["_g"]) >= int(gens.get(r[0], 0))
     }
-
-
-def _victim_stats(
-    spark, path: str, id_col: str, ids
-) -> tuple[int, int, list]:
-    """Exact (docs, tokens, live ids) leaving the index."""
-    rows = _victim_rows(spark, path, id_col, ids)
-    return len(rows), sum(rows.values()), sorted(rows)
 
 
 #: tombstone marker term: sorts below every real token and the ''
@@ -469,11 +502,15 @@ def _victim_stats(
 _TOMB_TERM = "\x00"
 
 
-def tombstoned_ids(spark: SparkSession, path: str) -> list:
-    """Ids with a live tombstone row (term = _TOMB_TERM) — a pruned
-    point fetch (term-sorted [min, max] stats skip every file holding
-    only real tokens). Broadcast-dim by design: tombstones accumulate
-    only between ``compact_bm25_tombstones`` runs."""
+def _marker_gens(spark: SparkSession, path: str) -> dict:
+    """{id -> max marker generation}: the live maintenance markers
+    (term = _TOMB_TERM), fetched as a pruned point lookup (term-sorted
+    [min, max] stats skip every file holding only real tokens).
+    Broadcast-dim by design: markers accumulate only between
+    ``compact_bm25_tombstones`` runs. A marker (id, G) means that id's
+    rows with ``_gen < G`` are DEAD — a pure delete writes a marker
+    above every live generation; an update writes the marker AND
+    re-appends at the marker's generation."""
     from ensembl_database_loader_spark.sinks.manifest import (
         scan_table,
         table_properties,
@@ -481,27 +518,39 @@ def tombstoned_ids(spark: SparkSession, path: str) -> list:
 
     meta = table_properties(spark, path).get("bm25") or {}
     if not int(meta.get("tombstones", 0)):
-        return []  # zero-cost fast path: no lookup when none exist
+        return {}  # zero-cost fast path: no lookup when none exist
     id_col = meta["id_col"]
-    return sorted(
-        r[0]
-        for r in scan_table(spark, path, predicates=[("term", "=", _TOMB_TERM)])
-        .select(id_col)
-        .distinct()
+    return {
+        r[0]: int(r[1])
+        for r in scan_table(
+            spark, path, predicates=[("term", "=", _TOMB_TERM)]
+        )
+        .groupBy(id_col)
+        .agg(F.max("_gen"))
         .collect()
-    )
+    }
 
 
-def _tombstone_rows(spark, schema_src: DataFrame, id_col: str, ids):
-    """(id, _TOMB_TERM, 0, 0) rows in the postings schema/order."""
+def tombstoned_ids(spark: SparkSession, path: str) -> list:
+    """Ids carrying a live maintenance marker — pure-deleted docs AND
+    updated docs whose superseded generations await reclaim. Sorted;
+    broadcast-dim (see ``_marker_gens``)."""
+    return sorted(_marker_gens(spark, path))
+
+
+def _tombstone_rows(spark, schema_src: DataFrame, id_col: str, gens):
+    """(id, _TOMB_TERM, 0, 0, gen) marker rows in the postings
+    schema/order; ``gens`` maps each id to the generation the marker
+    kills below."""
     id_type = dict(schema_src.dtypes)[id_col]
     return spark.createDataFrame(
-        [(i,) for i in ids], f"{id_col} {id_type}"
+        sorted(gens.items()), f"{id_col} {id_type}, _gen bigint"
     ).select(
         F.col(id_col),
         F.lit(_TOMB_TERM).alias("term"),
         F.lit(0).cast("bigint").alias("dl"),
         F.lit(0).cast("bigint").alias("tf"),
+        F.col("_gen"),
     )
 
 
@@ -521,24 +570,27 @@ def delete_from_bm25_index(
     wave's drop list). Returns the commit manifest or None when no
     victim is indexed.
 
-    ``mode='rewrite'``: copy-on-write — victims' posting rows leave
-    physically. File economics: the build blooms ``term`` AND the id
-    column, so the rewrite prunes to files actually holding a victim's
-    postings. HONEST SCALING BOUNDARY (measured, scripts/sync_bench):
-    a scattered wave's DISTINCT TERMS span most term ranges — ~100
-    distinct terms per victim hit ~100 files — so for multi-doc waves
-    the rewrite degrades to O(index files) regardless of blooms.
+    ``mode='rewrite'``: copy-on-write — victims' posting rows (and any
+    markers they carry) leave physically. File economics: the build
+    blooms ``term`` AND the id column, so the rewrite prunes to files
+    actually holding a victim's postings. HONEST SCALING BOUNDARY
+    (measured, scripts/sync_bench): a scattered wave's DISTINCT TERMS
+    span most term ranges — ~100 distinct terms per victim hit ~100
+    files — so for multi-doc waves the rewrite degrades to O(index
+    files) regardless of blooms.
     ``mode='tombstone'`` is the scalable delete: ONE O(wave) append of
-    marker rows (term = ``_TOMB_TERM``) plus the exact stats decrement
-    in the same commit — no posting is rewritten. Serving filters the
-    tombstoned ids out BEFORE the df aggregate, so indexed scores stay
-    BIT-IDENTICAL to a rebuild on the survivors (gated in tests) — the
-    Lucene-style deferred delete without Lucene's stale-df scoring
-    drift. Dead postings are physically reclaimed, amortized, by
-    ``compact_bm25_tombstones``; until then appends of tombstoned ids
-    are refused (purge first — serving could not tell old rows from
-    new). Already-tombstoned and never-indexed ids are excluded from
-    the wave (idempotent re-delete)."""
+    GENERATION MARKER rows (term = ``_TOMB_TERM``, gen = the victim's
+    live generation + 1 — kills every row strictly below) plus the
+    exact stats decrement in the same commit — no posting is
+    rewritten. Serving filters dead generations out BEFORE the df
+    aggregate, so indexed scores stay BIT-IDENTICAL to a rebuild on
+    the survivors (gated in tests) — the Lucene-style deferred delete
+    without Lucene's stale-df scoring drift. A tombstoned id may
+    re-enter via ``append_to_bm25_index`` at the marker's generation
+    (resurrection, O(batch)); dead postings and markers are physically
+    reclaimed, amortized, by ``compact_bm25_tombstones``. Ids with no
+    live rows (never indexed, or already dead) are excluded from the
+    wave (idempotent re-delete)."""
     from ensembl_database_loader_spark.sinks.manifest import (
         delete_rows,
         snapshot,
@@ -553,12 +605,21 @@ def delete_from_bm25_index(
     if not meta:
         raise ValueError(f"no bm25 index at {path} (missing properties)")
     id_col = meta["id_col"]
-    ids = sorted(set(doc_ids) - set(tombstoned_ids(spark, path)))
+    ids = sorted(set(doc_ids))
     if not ids:
         return None
-    n_del, tok_del, live = _victim_stats(spark, path, id_col, ids)
-    if n_del == 0:
+    gens = _marker_gens(spark, path)
+    live = _live_victim_rows(spark, path, id_col, ids, gens)
+    if not live:
         return None
+    n_del = len(live)
+    tok_del = sum(dl for dl, _ in live.values())
+    if mode == "tombstone":
+        n_markers = len(set(gens) | set(live))
+    else:
+        # the id-IN prune drops victims' marker rows along with their
+        # postings, so the live-marker count shrinks by the overlap
+        n_markers = len(set(gens) - set(live))
     # merged map, as in append: foreign property keys survive deletes
     new_props = {
         **props,
@@ -566,16 +627,17 @@ def delete_from_bm25_index(
             **meta,
             "n_docs": int(meta["n_docs"]) - n_del,
             "total_tokens": int(meta["total_tokens"]) - tok_del,
-            "tombstones": int(meta.get("tombstones", 0))
-            + (n_del if mode == "tombstone" else 0),
+            "tombstones": n_markers,
         },
     }
     if mode == "tombstone":
-        # only victims that are indexed (live) get marker rows; a
-        # marker for a never-indexed id would be a phantom tombstone
-        # blocking a future append of that id
         return write_table(
-            _tombstone_rows(spark, snapshot(spark, path), id_col, live),
+            _tombstone_rows(
+                spark,
+                snapshot(spark, path),
+                id_col,
+                {i: g + 1 for i, (_, g) in live.items()},
+            ),
             path,
             mode="append",
             txn=txn,
@@ -587,7 +649,7 @@ def delete_from_bm25_index(
     return delete_rows(
         spark,
         path,
-        prune=[(id_col, "in", ids)],
+        prune=[(id_col, "in", sorted(live))],
         properties=new_props,
     )
 
@@ -595,19 +657,24 @@ def delete_from_bm25_index(
 def compact_bm25_tombstones(
     spark: SparkSession, path: str, txn: tuple[str, int] | None = None
 ) -> dict | None:
-    """Physically reclaim every tombstoned doc: ONE copy-on-write
-    commit drops the dead posting rows AND their marker rows (the
-    id-IN prune catches both — markers carry the victim id), zeroing
-    the tombstone count; corpus stats are untouched (the tombstoning
-    delete already decremented them exactly). After compaction the
-    postings are BIT-IDENTICAL to a from-scratch rebuild on the
-    survivors (gated in tests) and appends of the reclaimed ids are
-    allowed again — the Lucene merge step, amortized to one rewrite
-    per maintenance window instead of one per delete wave."""
+    """Physically reclaim every dead generation: ONE atomic
+    ``apply_delta`` commit drops ALL rows of marker-bearing ids (dead
+    postings, live survivors, and the markers themselves — the id-IN
+    prune catches all three) while re-appending the LIVE survivors
+    NORMALIZED to generation 0, zeroing the marker count; corpus stats
+    are untouched (each tombstoning wave already decremented them
+    exactly). Because every ``_gen > 0`` row has, by construction, a
+    live marker for its id, normalization covers the whole index:
+    after compaction the postings are BIT-IDENTICAL to a from-scratch
+    rebuild on the live corpus (gated in tests) — the Lucene merge
+    step, amortized to one rewrite per maintenance window instead of
+    one per delete wave."""
     from ensembl_database_loader_spark.sinks.manifest import (
         _txn_skip,
-        delete_rows,
+        apply_delta,
         latest_manifest,
+        scan_table,
+        snapshot,
         table_properties,
     )
 
@@ -617,21 +684,37 @@ def compact_bm25_tombstones(
     meta = props.get("bm25")
     if not meta:
         raise ValueError(f"no bm25 index at {path} (missing properties)")
-    ids = tombstoned_ids(spark, path)
-    if not ids:
+    id_col = meta["id_col"]
+    gens = _marker_gens(spark, path)
+    if not gens:
         return None
-    out = delete_rows(
+    ids = sorted(gens)
+    cols = snapshot(spark, path).columns
+    survivors = (
+        _live_postings(
+            scan_table(spark, path, predicates=[(id_col, "in", ids)]).filter(
+                F.col("term") != _TOMB_TERM
+            ),
+            id_col,
+            gens,
+        )
+        .withColumn("_gen", F.lit(0).cast("bigint"))
+        .select(*cols)
+        .repartitionByRange(F.col("term"))
+        .sortWithinPartitions("term", id_col)
+    )
+    return apply_delta(
         spark,
         path,
-        prune=[(meta["id_col"], "in", ids)],
+        delete_prune=[(id_col, "in", ids)],
+        append_df=survivors,
+        txn=txn,
+        stats_cols=("term",),
         properties={
             **props,
             "bm25": {**meta, "tombstones": 0},
         },
     )
-    # delete_rows has no txn seat; replays are harmless anyway
-    # (no tombstones left -> None before any scan)
-    return out
 
 
 def bm25_topk_indexed(
@@ -705,13 +788,15 @@ def bm25_topk_indexed(
         postings = snapshot(spark, path).join(
             qt.select("term").distinct(), "term"
         )
-    # tombstoned docs leave serving BEFORE the df aggregate, so idf is
-    # computed over the SURVIVORS — scores stay bit-identical to a
-    # rebuild (no Lucene-style stale-df drift); zero cost when the
-    # tombstone count property is 0
-    tombs = tombstoned_ids(spark, path)
-    if tombs:
-        postings = postings.filter(~F.col(id_col).isin(tombs))
+    # dead generations (tombstoned docs, superseded update images)
+    # leave serving BEFORE the df aggregate, so idf is computed over
+    # the LIVE corpus — scores stay bit-identical to a rebuild (no
+    # Lucene-style stale-df drift); zero cost when the marker count
+    # property is 0. Marker rows themselves never reach here: both
+    # paths keep only rows whose term matches a query term.
+    gens = _marker_gens(spark, path)
+    if gens:
+        postings = _live_postings(postings, id_col, gens)
     dft = postings.groupBy("term").agg(
         F.count(F.lit(1)).cast("bigint").alias("df")
     )

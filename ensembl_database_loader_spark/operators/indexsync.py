@@ -9,8 +9,11 @@ whole index to account for one wave's delta. ``sync_ann_index`` /
 ``sync_bm25_index`` consume the source's row-level change feed
 (``sinks.manifest.row_changes`` — O(changed files), never O(table))
 and apply exactly the delta through ``sinks.manifest.apply_delta``:
-victims leave via the indexes' id-bloom/cell-scoped copy-on-write
-rewrite, new/updated rows stage through the indexes' own encoders
+ANN victims leave via the index's cell-scoped copy-on-write rewrite;
+BM25 victims leave via O(wave) GENERATION MARKERS (deletes, updates,
+and resurrections are all append-only — no postings file is ever
+rewritten by a sync wave); new/updated rows stage through the
+indexes' own encoders
 (persisted centroids/codebooks; shared tokenizer and exact-integer
 stats), and ONE atomic commit publishes the rewrite, the arrivals,
 the updated index properties, the sync watermark, and the txn — so a
@@ -212,23 +215,26 @@ def sync_bm25_index(
     distinct terms span most term-sorted files, so a physical rewrite
     degrades to O(index files)):
 
-    - ``'auto'`` (default): PURE deletes tombstone (O(wave) marker
-      rows appended in the same commit — no posting rewritten; serving
-      filters them before the df aggregate, staying bit-identical to a
-      rebuild on the survivors); UPDATED ids rewrite physically (their
-      re-appended rows would otherwise be indistinguishable from the
-      dead ones). Reclaim dead postings amortized via
-      ``compact_bm25_tombstones``.
+    - ``'auto'`` (default): the wave is PURE APPEND — O(wave), no
+      posting file rewritten, ``removed == []`` on the commit (gated).
+      Pure deletes append a GENERATION MARKER at the target version
+      (kills every lower generation); updates append the marker AND
+      the re-tokenized rows AT that generation (the marker kills the
+      old image, spares the new); resurrected inserts re-enter at
+      their existing marker's generation. Serving filters dead
+      generations before the df aggregate, staying bit-identical to a
+      rebuild on the live corpus; ``compact_bm25_tombstones`` reclaims
+      dead rows amortized and restores snapshot bit-identity.
     - ``'rewrite'``: every victim rewrites physically — bit-identical
       snapshots immediately, O(victim-term files) cost.
-    - ``'tombstone'``: like auto, but refuses waves containing updates
-      (callers that KNOW the wave is delete-only)."""
+    - ``'tombstone'``: alias of ``'auto'`` (kept for callers that want
+      the append-only guarantee spelled at the call site)."""
     from ensembl_database_loader_spark.operators.bm25 import (
         _corpus_stats,
         _index_postings,
+        _marker_gens,
         _toked_with_dl,
         _tombstone_rows,
-        tombstoned_ids,
     )
     from ensembl_database_loader_spark.sinks.manifest import (
         apply_delta,
@@ -301,32 +307,12 @@ def sync_bm25_index(
                 .collect()
             )
 
-        tombs = set(tombstoned_ids(spark, index_path))
+        gens = _marker_gens(spark, index_path)
         upd_ids = _ids("update")
         ins_ids = _ids("insert")
-        del_ids = sorted(set(_ids("delete")) - tombs)
-        if delete_mode == "tombstone" and upd_ids:
-            raise ValueError(
-                f"wave contains {len(upd_ids)} updates — updated ids must "
-                "rewrite physically (use delete_mode='auto')"
-            )
-        # RESURRECTED ids: tombstoned earlier, re-arriving now. Their
-        # dead postings + marker rows must physically leave in THIS
-        # commit, or serving's tombstone filter would hide the new
-        # rows too. Their stats were already decremented when they
-        # were tombstoned — they carry NO decrement now.
-        resurrected = sorted(tombs & set(ins_ids + upd_ids))
-        tomb_ids = del_ids if delete_mode in ("auto", "tombstone") else []
-        stat_ids = sorted(
-            (set(upd_ids) - tombs)
-            | (set(del_ids) if delete_mode == "rewrite" else set())
-        )
-        phys_ids = sorted(set(stat_ids) | set(resurrected))
-        n_del = len(stat_ids)
-        tok_del = sum(pre_dl[i] for i in stat_ids)
-        n_tomb = len(tomb_ids)
-        tok_tomb = sum(pre_dl[i] for i in tomb_ids)
-        tomb_live = tomb_ids
+        del_ids = _ids("delete")
+        n_del = len(del_ids) + len(upd_ids)
+        tok_del = sum(pre_dl[i] for i in del_ids + upd_ids)
         toked = _toked_with_dl(
             changes.filter(
                 F.col("change_type").isin("insert", "update")
@@ -335,11 +321,38 @@ def sync_bm25_index(
             text_col,
         )
         n_add, tok_add = _corpus_stats(toked)
-        arrivals = _index_postings(toked, id_col)
-        if tomb_live:
+        if delete_mode in ("auto", "tombstone"):
+            # PURE-APPEND wave: one marker per victim at gen=to_v
+            # (source versions strictly increase, so to_v exceeds
+            # every live generation); updated ids ALSO re-arrive at
+            # gen=to_v — the marker kills the old image, spares the
+            # new; resurrected inserts re-enter at their existing
+            # marker's generation. No file is rewritten: removed == []
+            # on the commit (gated in tests).
+            marker_ids = del_ids + upd_ids
+            arr_gens = {i: to_v for i in upd_ids}
+            arr_gens.update(
+                {i: gens[i] for i in ins_ids if i in gens}
+            )
+            phys_ids: list = []
+            n_markers = len(set(gens) | set(marker_ids))
+        else:  # 'rewrite': physical copy-on-write for every victim
+            marker_ids = []
+            arr_gens = {}
+            # resurrected ids' dead rows + markers leave in this
+            # commit too (the id-IN prune catches marker rows — they
+            # carry the victim id), so their arrivals restart at gen 0
+            resurrected = sorted(set(gens) & set(ins_ids + upd_ids))
+            phys_ids = sorted(set(del_ids) | set(upd_ids) | set(resurrected))
+            n_markers = len(set(gens) - set(phys_ids))
+        arrivals = _index_postings(toked, id_col, gens=arr_gens)
+        if marker_ids:
             arrivals = arrivals.unionByName(
                 _tombstone_rows(
-                    spark, snapshot(spark, index_path), id_col, tomb_live
+                    spark,
+                    snapshot(spark, index_path),
+                    id_col,
+                    {i: to_v for i in marker_ids},
                 )
             )
         out = apply_delta(
@@ -354,14 +367,11 @@ def sync_bm25_index(
                 **props,
                 "bm25": {
                     **meta,
-                    "n_docs": int(meta["n_docs"]) - n_del - n_tomb + n_add,
+                    "n_docs": int(meta["n_docs"]) - n_del + n_add,
                     "total_tokens": int(meta["total_tokens"])
                     - tok_del
-                    - tok_tomb
                     + tok_add,
-                    "tombstones": int(meta.get("tombstones", 0))
-                    + len(tomb_live)
-                    - len(resurrected),
+                    "tombstones": n_markers,
                 },
                 "sync": {"src": src_path, "version": to_v},
             },
@@ -375,8 +385,9 @@ def sync_bm25_index(
         "from_version": from_v,
         "to_version": to_v,
         # docs that actually LEFT the index (a victim inserted and
-        # deleted within the window was never indexed — not counted)
-        "deleted": n_del + n_tomb,
-        "tombstoned": len(tomb_live),
+        # deleted within the window was never indexed — not counted;
+        # updated docs leave AND return, counted here and in appended)
+        "deleted": n_del,
+        "tombstoned": len(del_ids) if delete_mode != "rewrite" else 0,
         "appended": int(n_add),
     }

@@ -83,7 +83,7 @@ def bench_bm25(spark, sf_dir: str, reps: list[int], root: str) -> None:
         out = sync_bm25_index(spark, idx, src, from_version=0)
         t_tomb = time.time() - t0
         assert out["tombstoned"] == len(dels), out
-        # wave 2: mixed (updates rewrite physically + inserts)
+        # wave 2: mixed (updates marker+re-append, inserts) — append-only
         M.update_rows(
             spark, src, {"text": "concat('wave rewrite ', text)"},
             prune=[("doc_id", "in", upds)],

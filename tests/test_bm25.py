@@ -421,17 +421,6 @@ def test_tombstone_delete_lifecycle(spark, tmp_path):
         delete_from_bm25_index(spark, idx, [5], mode="tombstone", txn=("wave", 1))
         is None
     )
-    # append of a tombstoned id is refused until reclaim
-    with pytest.raises(ValueError, match="tombstoned"):
-        from ensembl_database_loader_spark.operators.bm25 import (
-            append_to_bm25_index,
-        )
-
-        append_to_bm25_index(
-            spark.createDataFrame([(1, "resurrected")], "doc_id bigint, text string"),
-            "text",
-            idx,
-        )
 
     assert compact_bm25_tombstones(spark, idx) is not None
     assert M.table_properties(spark, idx)["bm25"]["tombstones"] == 0
@@ -452,3 +441,82 @@ def test_tombstone_delete_lifecycle(spark, tmp_path):
         "text",
         idx,
     ) is not None
+
+
+def test_generation_resurrection_append_only(spark, tmp_path):
+    """Generation markers make the full curation cycle APPEND-ONLY:
+    tombstone doc 2, re-append it with fresh text BEFORE any
+    compaction (resurrection at the marker's generation — the dead
+    postings are still on disk, masked by the marker), re-delete the
+    resurrected doc (marker advances to gen+1), and every one of those
+    commits has removed == []. Serving and stats stay exact vs
+    rebuilds at each step; one final compaction restores snapshot
+    bit-identity."""
+    import ensembl_database_loader_spark.sinks.manifest as M
+    from ensembl_database_loader_spark.operators.bm25 import (
+        append_to_bm25_index,
+        compact_bm25_tombstones,
+        delete_from_bm25_index,
+        tombstoned_ids,
+    )
+
+    docs, queries = _frames(spark)
+    idx = str(tmp_path / "idx")
+    build_bm25_index(docs, "doc_id", "text", idx, num_files=3)
+
+    def assert_append_only():
+        v = int(M.latest_manifest(spark, idx)["version"])
+        cf = M.changed_files(spark, idx, v - 1, v)
+        assert cf["removed"] == [], "maintenance commit rewrote a file"
+
+    def serve(p):
+        return sorted(
+            map(tuple, bm25_topk_indexed(spark, p, queries, k=3).collect())
+        )
+
+    # tombstone -> resurrect with REPLACEMENT text -> serving follows
+    assert delete_from_bm25_index(spark, idx, [2], mode="tombstone") is not None
+    assert_append_only()
+    append_to_bm25_index(
+        spark.createDataFrame(
+            [(2, "the quick red fox returns quick quick")],
+            "doc_id bigint, text string",
+        ),
+        "text",
+        idx,
+    )
+    assert_append_only()
+    assert tombstoned_ids(spark, idx) == [2]  # marker stays until reclaim
+    mutated = docs.filter(F.col("doc_id") != 2).unionByName(
+        spark.createDataFrame(
+            [(2, "the quick red fox returns quick quick")],
+            "doc_id bigint, text string",
+        )
+    )
+    fresh1 = str(tmp_path / "fresh1")
+    build_bm25_index(mutated, "doc_id", "text", fresh1)
+    assert serve(idx) == serve(fresh1)
+    m_idx = M.table_properties(spark, idx)["bm25"]
+    m_f1 = M.table_properties(spark, fresh1)["bm25"]
+    assert (m_idx["n_docs"], m_idx["total_tokens"]) == (
+        m_f1["n_docs"],
+        m_f1["total_tokens"],
+    )
+
+    # re-delete the RESURRECTED doc: the marker must advance past the
+    # live generation (gen+1), not collide with the old marker
+    assert delete_from_bm25_index(spark, idx, [2], mode="tombstone") is not None
+    assert_append_only()
+    fresh2 = str(tmp_path / "fresh2")
+    build_bm25_index(
+        docs.filter(F.col("doc_id") != 2), "doc_id", "text", fresh2
+    )
+    assert serve(idx) == serve(fresh2)
+
+    # one amortized reclaim: snapshots bit-identical, markers gone
+    assert compact_bm25_tombstones(spark, idx) is not None
+    assert tombstoned_ids(spark, idx) == []
+    assert sorted(map(tuple, M.snapshot(spark, idx).collect())) == sorted(
+        map(tuple, M.snapshot(spark, fresh2).collect())
+    )
+    assert serve(idx) == serve(fresh2)

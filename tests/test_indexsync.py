@@ -344,8 +344,10 @@ def test_sync_edge_cases_within_window_and_cross_source(spark, src, tmp_path):
 def test_sync_resurrects_tombstoned_id(spark, src, tmp_path):
     """A doc deleted in one wave (tombstoned by auto sync) and
     RE-INSERTED in a later wave must serve again: the resurrecting
-    sync physically purges the dead postings + marker rows in the
-    same commit (no double stats decrement), and the index stays
+    sync re-appends its rows AT THE MARKER'S GENERATION (the marker
+    kills strictly-lower generations, so the dead rows stay masked
+    while the new ones serve) — the wave remains APPEND-ONLY (no
+    double stats decrement, removed == []), and the index stays
     rebuild-exact end to end."""
     from ensembl_database_loader_spark.operators.bm25 import (
         bm25_topk_indexed,
@@ -371,7 +373,11 @@ def test_sync_resurrects_tombstoned_id(spark, src, tmp_path):
     )
     out = sync_bm25_index(spark, idx, src)
     assert out["appended"] == 1
-    assert tombstoned_ids(spark, idx) == []  # marker physically purged
+    # append-only resurrection: marker stays until reclaim, and the
+    # resurrecting commit rewrote NO file
+    assert tombstoned_ids(spark, idx) == [8]
+    v = int(M.latest_manifest(spark, idx)["version"])
+    assert M.changed_files(spark, idx, v - 1, v)["removed"] == []
     queries = spark.createDataFrame(
         [(1, "resurrect token")], "qid bigint, qtext string"
     )
@@ -413,6 +419,10 @@ def test_sync_bm25_index_serves_identical_to_rebuild(spark, src, tmp_path):
     assert out["appended"] == 7  # 4 inserts + 2 updates + zero-token doc
     assert out["tombstoned"] == 3  # pure deletes defer (auto mode)
     assert int(M.latest_manifest(spark, idx)["version"]) == v_pre + 1
+    # the MIXED wave — deletes AND updates AND inserts — is one
+    # APPEND-ONLY commit: generation markers mask the dead images, no
+    # postings file is rewritten (the O(wave) claim, structurally)
+    assert M.changed_files(spark, idx, v_pre, v_pre + 1)["removed"] == []
 
     build_bm25_index(M.snapshot(spark, src, to_v), "doc_id", "text", rebuilt)
     ms, mr = (
@@ -467,4 +477,54 @@ def test_sync_bm25_index_serves_identical_to_rebuild(spark, src, tmp_path):
     assert serve(idx) == before
     assert M.table_properties(spark, idx)["sync"] == state
     assert M.table_properties(spark, idx)["bm25"] == m2
+    assert sync_bm25_index(spark, idx, src)["noop"] is True
+
+
+def test_sync_bm25_rewrite_mode_immediate_bit_identity(spark, src, tmp_path):
+    """delete_mode='rewrite': every victim (pure deletes, updated ids,
+    AND a previously-tombstoned id being resurrected) leaves
+    PHYSICALLY in the one-commit wave — the snapshot is bit-identical
+    to a from-scratch rebuild immediately, with no compaction step;
+    marker rows of resurrected ids leave with their dead postings, so
+    the live-marker count drops to zero."""
+    from ensembl_database_loader_spark.operators.bm25 import (
+        tombstoned_ids,
+    )
+
+    idx = str(tmp_path / "bm25idx")
+    build_bm25_index(M.snapshot(spark, src, 0), "doc_id", "text", idx)
+    # wave 1 (auto): tombstone doc 8
+    M.delete_rows(spark, src, prune=[("doc_id", "in", [8])])
+    out = sync_bm25_index(spark, idx, src, from_version=0)
+    assert out["tombstoned"] == 1 and tombstoned_ids(spark, idx) == [8]
+    # wave 2: doc 8 resurrects + mixed mutations, synced with REWRITE
+    M.write_table(
+        spark.createDataFrame(
+            [(8, _vec(0, 8), "returned doc for the rewrite path")],
+            "doc_id bigint, embedding array<double>, text string",
+        ),
+        src,
+        mode="append",
+    )
+    to_v = _mutate(spark, src)
+    out = sync_bm25_index(spark, idx, src, delete_mode="rewrite")
+    assert out["noop"] is False and out["to_version"] == to_v
+    assert out["tombstoned"] == 0  # nothing deferred
+    assert tombstoned_ids(spark, idx) == []  # marker left with the dead rows
+    fresh = str(tmp_path / "fresh")
+    build_bm25_index(M.snapshot(spark, src, to_v), "doc_id", "text", fresh)
+    ms, mf = (M.table_properties(spark, p)["bm25"] for p in (idx, fresh))
+    assert (ms["n_docs"], ms["total_tokens"], ms["tombstones"]) == (
+        mf["n_docs"], mf["total_tokens"], 0,
+    )
+    a, b = M.snapshot(spark, idx), M.snapshot(spark, fresh)
+    assert a.exceptAll(b).unionAll(b.exceptAll(a)).count() == 0
+    queries = spark.createDataFrame(
+        [(1, "rewritten topic t0"), (2, "returned doc")],
+        "qid bigint, qtext string",
+    )
+    serve = lambda p: sorted(
+        map(tuple, bm25_topk_indexed(spark, p, queries, k=5).collect())
+    )
+    assert serve(idx) == serve(fresh)
     assert sync_bm25_index(spark, idx, src)["noop"] is True
