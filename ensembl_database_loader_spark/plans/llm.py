@@ -4711,7 +4711,8 @@ _SYNC_ORACLE = (
     "SELECT sy_bm_n, sy_bm_qid_sum, sy_bm_doc_sum, sy_bm_cents, "
     "sy_ann_n, sy_ann_qid_sum, sy_ann_doc_sum, sy_ann_microcos, "
     "TRUE AS sy_bm_rebuild_identical, TRUE AS sy_ann_rebuild_identical, "
-    "TRUE AS sy_replay_noop, TRUE AS sy_cdc_o_delta "
+    "TRUE AS sy_replay_noop, TRUE AS sy_cdc_o_delta, "
+    "TRUE AS sy_bm_append_only "
     "FROM bm CROSS JOIN an"
 )
 
@@ -4748,7 +4749,10 @@ def ss_index_sync(spark: SparkSession, sf: str) -> DataFrame:
     persisted centroids; (3) replaying both syncs is a no-op detected
     at entry (txn watermark + sync state — nothing commits); (4) the
     O(delta) feed is row-identical to ``table_diff``'s two-snapshot
-    classification while reading ONLY commit-touched files.
+    classification while reading ONLY commit-touched files; (5) the
+    mixed BM25 wave (deletes + updates + inserts) is ONE APPEND-ONLY
+    commit — generation markers mask the dead images, ``removed ==
+    []`` (r12.3's structural O(wave) claim).
     Reference analogue: reload touches one database, never the mirror
     (LoadFiles.pm:56-64)."""
     import tempfile
@@ -4866,6 +4870,14 @@ def ss_index_sync(spark: SparkSession, sf: str) -> DataFrame:
     # the syncs, then replay both (gate 3)
     s_bm = sync_bm25_index(spark, bm_idx, src_d, from_version=0)
     s_ann = sync_ann_index(spark, ann_idx, src_e, from_version=0)
+    # gate 5 (r12.3): the MIXED wave — deletes AND updates AND
+    # inserts — lands on the BM25 index as ONE APPEND-ONLY commit
+    # (generation markers mask the dead images; no postings file is
+    # rewritten — the structural O(wave) claim)
+    v_bm = int(latest_manifest(spark, bm_idx)["version"])
+    bm_append_only = bool(
+        changed_files(spark, bm_idx, v_bm - 1, v_bm)["removed"] == []
+    )
     replay_noop = bool(
         not s_bm["noop"]
         and not s_ann["noop"]
@@ -4950,4 +4962,5 @@ def ss_index_sync(spark: SparkSession, sf: str) -> DataFrame:
         F.lit(ann_ident).alias("sy_ann_rebuild_identical"),
         F.lit(replay_noop).alias("sy_replay_noop"),
         F.lit(cdc_o_delta).alias("sy_cdc_o_delta"),
+        F.lit(bm_append_only).alias("sy_bm_append_only"),
     )

@@ -713,6 +713,7 @@ MERGE_SPECS: dict[str, list[tuple[str, list[tuple[str, str]]]]] = {
                 ("sy_ann_rebuild_identical", "sy_ann_rebuild_identical"),
                 ("sy_replay_noop", "sy_replay_noop"),
                 ("sy_cdc_o_delta", "sy_cdc_o_delta"),
+                ("sy_bm_append_only", "sy_bm_append_only"),
             ],
         ),
         # r11: the ANN index AS A MANIFEST TABLE — layout-invisible
