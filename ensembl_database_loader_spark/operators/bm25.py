@@ -654,6 +654,20 @@ def delete_from_bm25_index(
     )
 
 
+def marker_pressure(spark: SparkSession, path: str) -> float:
+    """Live-marker ratio (markers / live docs) from table PROPERTIES
+    alone — zero data IO. The marker map is broadcast-dim BY CONTRACT;
+    this is the number an auto-compaction policy bounds it with."""
+    from ensembl_database_loader_spark.sinks.manifest import (
+        table_properties,
+    )
+
+    meta = table_properties(spark, path).get("bm25")
+    if not meta:
+        raise ValueError(f"no bm25 index at {path} (missing properties)")
+    return int(meta.get("tombstones", 0)) / max(int(meta["n_docs"]), 1)
+
+
 def compact_bm25_tombstones(
     spark: SparkSession, path: str, txn: tuple[str, int] | None = None
 ) -> dict | None:

@@ -203,6 +203,7 @@ def sync_bm25_index(
     from_version: int | None = None,
     to_version: int | None = None,
     delete_mode: str = "auto",
+    auto_compact_ratio: float | None = None,
 ) -> dict:
     """Bring a BM25 postings index up to date with its source table —
     the lexical twin of ``sync_ann_index``, same one-commit protocol:
@@ -228,7 +229,15 @@ def sync_bm25_index(
     - ``'rewrite'``: every victim rewrites physically — bit-identical
       snapshots immediately, O(victim-term files) cost.
     - ``'tombstone'``: alias of ``'auto'`` (kept for callers that want
-      the append-only guarantee spelled at the call site)."""
+      the append-only guarantee spelled at the call site).
+
+    ``auto_compact_ratio`` bounds marker pressure mechanically: after
+    a wave commits, if live markers exceed that fraction of live docs
+    (``bm25.marker_pressure`` — a properties read, zero data IO), one
+    ``compact_bm25_tombstones`` runs as its own amortized commit. The
+    marker map's broadcast-dim contract becomes an enforced invariant
+    instead of an operator habit; the result dict reports
+    ``compacted``."""
     from ensembl_database_loader_spark.operators.bm25 import (
         _corpus_stats,
         _index_postings,
@@ -380,6 +389,17 @@ def sync_bm25_index(
         changes.unpersist()
     if out is None:
         return _noop(to_v)
+    compacted = False
+    if auto_compact_ratio is not None:
+        from ensembl_database_loader_spark.operators.bm25 import (
+            compact_bm25_tombstones,
+            marker_pressure,
+        )
+
+        if marker_pressure(spark, index_path) > float(auto_compact_ratio):
+            compacted = (
+                compact_bm25_tombstones(spark, index_path) is not None
+            )
     return {
         "noop": False,
         "from_version": from_v,
@@ -390,4 +410,5 @@ def sync_bm25_index(
         "deleted": n_del,
         "tombstoned": len(del_ids) if delete_mode != "rewrite" else 0,
         "appended": int(n_add),
+        "compacted": compacted,
     }

@@ -528,3 +528,39 @@ def test_sync_bm25_rewrite_mode_immediate_bit_identity(spark, src, tmp_path):
     )
     assert serve(idx) == serve(fresh)
     assert sync_bm25_index(spark, idx, src)["noop"] is True
+
+
+def test_sync_auto_compact_bounds_marker_pressure(spark, src, tmp_path):
+    """auto_compact_ratio makes the broadcast-dim marker contract an
+    enforced invariant: waves below the ratio keep their markers
+    (append-only cost), the wave that crosses it triggers ONE
+    amortized compaction — markers drop to zero, the snapshot becomes
+    bit-identical to a rebuild, and the sync watermark survives so the
+    next sync is a no-op."""
+    from ensembl_database_loader_spark.operators.bm25 import (
+        marker_pressure,
+        tombstoned_ids,
+    )
+
+    idx = str(tmp_path / "bm25idx")
+    build_bm25_index(M.snapshot(spark, src, 0), "doc_id", "text", idx)
+    # wave 1: 2 deletes of 100 docs -> pressure 2/98, under the bound
+    M.delete_rows(spark, src, prune=[("doc_id", "in", [8, 12])])
+    out = sync_bm25_index(
+        spark, idx, src, from_version=0, auto_compact_ratio=0.05
+    )
+    assert out["compacted"] is False
+    assert len(tombstoned_ids(spark, idx)) == 2
+    # wave 2: 4 more -> pressure 6/94 > 0.05 -> compacts
+    M.delete_rows(spark, src, prune=[("doc_id", "in", [16, 20, 24, 28])])
+    out = sync_bm25_index(spark, idx, src, auto_compact_ratio=0.05)
+    assert out["compacted"] is True
+    assert tombstoned_ids(spark, idx) == []
+    assert marker_pressure(spark, idx) == 0.0
+    fresh = str(tmp_path / "fresh")
+    build_bm25_index(M.snapshot(spark, src), "doc_id", "text", fresh)
+    assert sorted(map(tuple, M.snapshot(spark, idx).collect())) == sorted(
+        map(tuple, M.snapshot(spark, fresh).collect())
+    )
+    # the compaction preserved the sync watermark
+    assert sync_bm25_index(spark, idx, src)["noop"] is True
