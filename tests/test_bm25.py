@@ -520,3 +520,31 @@ def test_generation_resurrection_append_only(spark, tmp_path):
         map(tuple, M.snapshot(spark, fresh2).collect())
     )
     assert serve(idx) == serve(fresh2)
+
+
+def test_marker_free_serving_pays_zero_cost(spark, tmp_path):
+    """The zero-marker fast path is structural: with tombstones == 0 in
+    properties, _marker_gens answers from the property alone (NO Spark
+    job) and the serving plan contains no liveness join at all — a
+    never-deleted index serves exactly the pre-generation plan."""
+    from ensembl_database_loader_spark.operators.bm25 import (
+        _marker_gens,
+        delete_from_bm25_index,
+    )
+
+    docs, queries = _frames(spark)
+    path = str(tmp_path / "bm25_clean")
+    build_bm25_index(docs, "doc_id", "text", path)
+
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup(None) or [])
+    assert _marker_gens(spark, path) == {}
+    after = len(tracker.getJobIdsForGroup(None) or [])
+    assert after == before, "marker map on a clean index launched a job"
+    plan = bm25_topk_indexed(spark, path, queries, k=3)._jdf.queryExecution().analyzed().toString()
+    assert "_kill" not in plan, "marker-free plan carries the liveness join"
+
+    # with a marker present the join appears, and it is broadcast-dim
+    delete_from_bm25_index(spark, path, [2], mode="tombstone")
+    plan2 = bm25_topk_indexed(spark, path, queries, k=3)._jdf.queryExecution().analyzed().toString()
+    assert "_kill" in plan2
