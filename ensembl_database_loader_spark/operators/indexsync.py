@@ -108,6 +108,7 @@ def sync_ann_index(
     src_path: str,
     from_version: int | None = None,
     to_version: int | None = None,
+    auto_split_hot_share: float | None = None,
 ) -> dict:
     """Bring a manifest-backed ANN index up to date with its source
     table's version — appends, deletes, and updates all flow through
@@ -120,7 +121,15 @@ def sync_ann_index(
     centroids); quantized indexes prune by id stats + blooms as
     always. Arrivals encode through the index's own persisted
     centroids/codebooks, so synced rows are bit-identical to rebuilt
-    ones (same-centroid rebuild gate in tests)."""
+    ones (same-centroid rebuild gate in tests).
+
+    ``auto_split_hot_share`` bounds append-driven cell skew
+    mechanically (the ANN twin of BM25's ``auto_compact_ratio``):
+    after a wave commits, if any cell's row share exceeds the bound —
+    a METADATA-ONLY diagnostic from the manifest's per-cell counts —
+    one ``split_hot_cells`` runs as its own amortized commit (hot
+    cells re-cluster, every other file carried by reference, sync
+    watermark preserved). The result dict reports ``cells_split``."""
     from ensembl_database_loader_spark.operators.similarity import (
         _ann_delete_prune,
         _encode_rows_for_index,
@@ -187,12 +196,22 @@ def sync_ann_index(
         changes.unpersist()
     if out is None:  # replayed txn raced past the entry guard
         return _noop(to_v)
+    cells_split: list = []
+    if auto_split_hot_share is not None:
+        from ensembl_database_loader_spark.operators.similarity import (
+            split_hot_cells,
+        )
+
+        cells_split = split_hot_cells(
+            spark, index_path, hot_share=float(auto_split_hot_share)
+        )["cells_split"]
     return {
         "noop": False,
         "from_version": from_v,
         "to_version": to_v,
         "deleted": int(out["rows_affected"]),
         "appended": int(n_add),
+        "cells_split": cells_split,
     }
 
 

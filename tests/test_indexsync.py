@@ -564,3 +564,45 @@ def test_sync_auto_compact_bounds_marker_pressure(spark, src, tmp_path):
     )
     # the compaction preserved the sync watermark
     assert sync_bm25_index(spark, idx, src)["noop"] is True
+
+
+def test_sync_ann_auto_split_bounds_cell_skew(spark, src, tmp_path):
+    """auto_split_hot_share: a wave of arrivals concentrated in one
+    cell pushes its share past the bound, and the sync triggers ONE
+    amortized split_hot_cells commit — skew diagnostic is
+    metadata-only, serving keeps every row, the watermark survives so
+    the next sync no-ops."""
+    idx = str(tmp_path / "annidx")
+    build_ann_index(
+        M.snapshot(spark, src, 0), "doc_id", "embedding", idx,
+        n_cells=2, manifest=True,
+    )
+    # a wave of clustered-but-separable arrivals: all land in one cell
+    M.write_table(
+        spark.createDataFrame(
+            [
+                (5000 + i, _vec(0, 90 + i), f"hot arrival {i}")
+                for i in range(60)
+            ],
+            "doc_id bigint, embedding array<double>, text string",
+        ),
+        src,
+        mode="append",
+    )
+    from ensembl_database_loader_spark.operators.similarity import (
+        _sharemax,
+    )
+
+    out = sync_ann_index(spark, idx, src, from_version=0)
+    share_pre = _sharemax(M.table_partitions(spark, idx))
+    assert share_pre > 0.4
+    # replay with the policy on: the wave itself no-ops (watermark),
+    # so run the NEXT wave with the bound active
+    M.delete_rows(spark, src, prune=[("doc_id", "in", [5000])])
+    out = sync_ann_index(spark, idx, src, auto_split_hot_share=0.4)
+    assert out["noop"] is False
+    assert out["cells_split"], "hot cell not split"
+    assert _sharemax(M.table_partitions(spark, idx)) < share_pre
+    # every surviving row still served; watermark preserved
+    assert M.snapshot(spark, idx).count() == len(_corpus_rows()) + 59
+    assert sync_ann_index(spark, idx, src)["noop"] is True
