@@ -431,3 +431,80 @@ def sync_bm25_index(
         "appended": int(n_add),
         "compacted": compacted,
     }
+
+
+def advance_search_cycle(
+    spark: SparkSession,
+    root: str,
+    corpus: str = "corpus",
+    bm25: str | None = "bm25",
+    ann: str | None = "ann",
+    from_version: int | None = None,
+    to_version: int | None = None,
+    auto_compact_ratio: float | None = None,
+    auto_split_hot_share: float | None = None,
+) -> dict:
+    """One curation wave → one CONSISTENT SEARCH CYCLE, in one call:
+    sync every serving index under ``root`` to the corpus head (each
+    an atomic O(delta) commit — BM25 waves pure-append under
+    generation markers, ANN waves cell-scoped), apply the maintenance
+    policies (``auto_compact_ratio`` / ``auto_split_hot_share``), then
+    ``pin_group`` corpus + index versions as one root-catalog cycle
+    with txn ``('cycle', to_version)`` — a reader resolving the root
+    never pairs a new corpus with a stale index, and a REPLAYED
+    orchestration (crash-rerun, at-least-once scheduler) publishes
+    nothing anywhere: the syncs no-op on their own watermarks and the
+    pin no-ops on the cycle txn.
+
+    ``corpus``/``bm25``/``ann`` are rel paths under ``root`` (None
+    skips that index). ``from_version`` is the snapshot version the
+    indexes were built from, exactly as in the individual syncs —
+    keep passing it until the first NON-noop sync records the
+    watermark (a cycle with no wave commits nothing, so it leaves no
+    sync state behind). Returns {'to_version', 'bm25', 'ann',
+    'pinned'} with each sync's result dict and whether the pin
+    published.
+
+    This is the operational entrypoint a 100 TB curation pipeline
+    schedules after each wave; the reference's analogue is the
+    per-release reload driver (LoadFiles.pm:56-64) — reload exactly
+    what changed, then publish one consistent release."""
+    from ensembl_database_loader_spark.sinks.catalog_commit import (
+        pin_group,
+    )
+    from ensembl_database_loader_spark.sinks.manifest import (
+        latest_manifest,
+    )
+
+    r = root.rstrip("/")
+    corpus_path = f"{r}/{corpus}"
+    head = latest_manifest(spark, corpus_path)
+    if head is None:
+        raise ValueError(f"no corpus table at {corpus_path}")
+    to_v = int(to_version if to_version is not None else head["version"])
+    out: dict = {"to_version": to_v, "bm25": None, "ann": None}
+    members: dict = {corpus: to_v}
+    if bm25 is not None:
+        out["bm25"] = sync_bm25_index(
+            spark,
+            f"{r}/{bm25}",
+            corpus_path,
+            from_version=from_version,
+            to_version=to_v,
+            auto_compact_ratio=auto_compact_ratio,
+        )
+        members[bm25] = None
+    if ann is not None:
+        out["ann"] = sync_ann_index(
+            spark,
+            f"{r}/{ann}",
+            corpus_path,
+            from_version=from_version,
+            to_version=to_v,
+            auto_split_hot_share=auto_split_hot_share,
+        )
+        members[ann] = None
+    out["pinned"] = (
+        pin_group(spark, r, members, txn=("cycle", to_v)) is not None
+    )
+    return out

@@ -606,3 +606,70 @@ def test_sync_ann_auto_split_bounds_cell_skew(spark, src, tmp_path):
     # every surviving row still served; watermark preserved
     assert M.snapshot(spark, idx).count() == len(_corpus_rows()) + 59
     assert sync_ann_index(spark, idx, src)["noop"] is True
+
+
+def test_advance_search_cycle_one_call(spark, tmp_path):
+    """advance_search_cycle: one call per curation wave syncs BOTH
+    serving indexes to the corpus head (maintenance policies wired
+    through) and pins the consistent cycle — the head cycle pairs
+    corpus vN with exactly the index versions reflecting vN, a replay
+    publishes nothing anywhere, and history time-travels whole
+    cycles."""
+    from ensembl_database_loader_spark.operators.indexsync import (
+        advance_search_cycle,
+    )
+    from ensembl_database_loader_spark.sinks.catalog_commit import (
+        group_history,
+        read_group,
+    )
+
+    root = str(tmp_path / "search")
+    corpus = f"{root}/corpus"
+    M.write_table(
+        spark.createDataFrame(
+            _corpus_rows(),
+            "doc_id bigint, embedding array<double>, text string",
+        ).repartitionByRange(4, "doc_id"),
+        corpus,
+        stats_cols=("doc_id",),
+    )
+    build_bm25_index(M.snapshot(spark, corpus, 0), "doc_id", "text", f"{root}/bm25")
+    build_ann_index(
+        M.snapshot(spark, corpus, 0), "doc_id", "embedding", f"{root}/ann",
+        n_cells=N_CLUSTERS, manifest=True,
+    )
+    # cycle 0: no wave yet — both syncs no-op, the pin still publishes
+    out = advance_search_cycle(spark, root, from_version=0)
+    assert out["bm25"]["noop"] and out["ann"]["noop"] and out["pinned"]
+
+    # wave: delete 2, insert 1 -> cycle 1 in one call
+    M.delete_rows(spark, corpus, prune=[("doc_id", "in", [0, 5])])
+    M.write_table(
+        spark.createDataFrame(
+            [(9001, _vec(1, 77), "cycle arrival")],
+            "doc_id bigint, embedding array<double>, text string",
+        ),
+        corpus,
+        mode="append",
+    )
+    # from_version still needed: the cycle-0 syncs no-opped without
+    # recording a watermark (nothing committed at from == to)
+    out = advance_search_cycle(
+        spark, root, from_version=0,
+        auto_compact_ratio=0.5, auto_split_hot_share=0.9,
+    )
+    assert out["bm25"]["noop"] is False and out["ann"]["noop"] is False
+    assert out["pinned"] is True
+
+    # replayed orchestration: nothing publishes anywhere
+    hist_len = len(group_history(spark, root))
+    out = advance_search_cycle(spark, root)
+    assert out["bm25"]["noop"] and out["ann"]["noop"]
+    assert out["pinned"] is False
+    assert len(group_history(spark, root)) == hist_len
+
+    # the head cycle is mutually consistent; cycle 0 still resolvable
+    g = read_group(spark, root)
+    assert g["ann"].count() == g["corpus"].count()
+    g0 = read_group(spark, root, version=0)
+    assert g0["corpus"].count() == len(_corpus_rows())
