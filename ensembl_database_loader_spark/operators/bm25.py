@@ -180,10 +180,17 @@ def bm25_topk(
         "_toks",
         F.size("_toks").cast("bigint").alias("dl"),
     )
-    stats = toked.agg(
+    # one-row aggregate collected to the driver and re-injected as
+    # LITERALS: the former one-row stats frame crossJoin'd into the
+    # query side planned as a CartesianProduct of two parallelized
+    # literal frames — slices x slices Python tasks of pure overhead
+    # (measured 1024 tasks / ~13 s on the serve path)
+    srow = toked.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         F.avg("dl").alias("avgdl"),
-    ).localCheckpoint()
+    ).first()
+    n_docs = int(srow["n_docs"])
+    avgdl = float(srow["avgdl"]) if srow["avgdl"] is not None else 0.0
 
     # (doc, term, tf, dl) for QUERY terms only — the term filter runs
     # before the aggregate, so partial aggregation sees only hits
@@ -202,7 +209,7 @@ def bm25_topk(
         F.count(F.lit(1)).cast("bigint").alias("df")
     )
     return _score_postings(
-        postings, dft, stats, qt, id_col, k, k1, b, ndigits,
+        postings, dft, n_docs, avgdl, qt, id_col, k, k1, b, ndigits,
         salt_partitions, broadcast_qside=broadcast_queries,
     )
 
@@ -210,7 +217,8 @@ def bm25_topk(
 def _score_postings(
     postings: DataFrame,
     dft: DataFrame,
-    stats: DataFrame,
+    n_docs: int,
+    avgdl: float,
     qt: DataFrame,
     id_col: str,
     k: int,
@@ -220,16 +228,24 @@ def _score_postings(
     salt_partitions: int,
     broadcast_qside: bool = True,
 ) -> DataFrame:
-    """Shared scoring tail: enrich the (qid, term) frame with df +
-    corpus stats, join it onto the postings (BROADCAST for collected
-    interactive waves, SHUFFLE for DataFrame-shaped corpus-scale
-    sweeps — same rows either way), sum per (qid, doc), rank by
-    (ROUND(score, 6) DESC, doc)."""
+    """Shared scoring tail: enrich the (qid, term) frame with df + the
+    corpus stats (driver-resident scalars attached as LITERAL columns
+    — a one-row frame crossJoin here planned as a CartesianProduct of
+    parallelized literal frames, slices x slices empty Python tasks),
+    join it onto the postings (BROADCAST for collected interactive
+    waves, SHUFFLE for DataFrame-shaped corpus-scale sweeps — same
+    rows either way), sum per (qid, doc), rank by (ROUND(score, 6)
+    DESC, doc)."""
     from ensembl_database_loader_spark.operators.similarity import (
         _per_query_topk,
     )
 
-    qside = qt.join(dft, "term").crossJoin(stats)
+    qside = qt.join(dft, "term").withColumns(
+        {
+            "n_docs": F.lit(int(n_docs)).cast("bigint"),
+            "avgdl": F.lit(float(avgdl)),
+        }
+    )
     pairs = postings.join(
         F.broadcast(qside) if broadcast_qside else qside, "term"
     ).select(
@@ -817,16 +833,11 @@ def bm25_topk_indexed(
     # avgdl = total_tokens / n_docs: the same exact-integer division
     # the ad-hoc path's avg("dl") performs, so both paths (and an
     # append-maintained index) score bit-for-bit identically
-    stats = spark.createDataFrame(
-        [
-            (
-                int(meta["n_docs"]),
-                int(meta["total_tokens"]) / max(int(meta["n_docs"]), 1),
-            )
-        ],
-        "n_docs bigint, avgdl double",
-    )
     return _score_postings(
-        postings, dft, stats, qt, id_col, k, k1, b, ndigits,
+        postings,
+        dft,
+        int(meta["n_docs"]),
+        int(meta["total_tokens"]) / max(int(meta["n_docs"]), 1),
+        qt, id_col, k, k1, b, ndigits,
         salt_partitions, broadcast_qside=broadcast_queries,
     )
