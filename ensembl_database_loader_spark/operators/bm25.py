@@ -92,19 +92,30 @@ def _query_term_rows(
     return [(r["_qid"], r["term"]) for r in rows]
 
 
+def _literal_df(spark, rows: list[tuple], schema: str) -> DataFrame:
+    """Literal frame with a BOUNDED slice count: ``createDataFrame``
+    parallelizes a Python list into defaultParallelism slices (32 on
+    the local harness), so every consumer of a few-hundred-row literal
+    frame pays ~32 Python-worker task round trips per action — most of
+    them empty. One slice per ~256 rows keeps tasks parallel where it
+    matters and removes the empty ones. (Deliberately NOT coalesce(1):
+    coalescing makes ONE task chain every slice's Python-worker round
+    trip SEQUENTIALLY — measured ~5 s per action on a 474-row frame.)"""
+    if not rows:
+        return spark.createDataFrame([], schema)
+    n_slices = min(
+        spark.sparkContext.defaultParallelism, (len(rows) + 255) // 256
+    )
+    rdd = spark.sparkContext.parallelize(rows, n_slices)
+    return spark.createDataFrame(rdd, schema)
+
+
 def _qt_frame(
     spark, rows: list[tuple], qid_type: str = "bigint"
 ) -> DataFrame:
     """Literal (qid, term) frame carrying the CALLER's qid type (query
-    ids may be strings — UUIDs — as well as integers).
-
-    Deliberately NOT coalesce(1): a Python-list-backed frame is an RDD
-    of ~defaultParallelism slices, and coalescing makes ONE task chain
-    every slice's Python-worker roundtrip SEQUENTIALLY — measured
-    ~5 s per action on a 474-row frame (vs 0.5 s left parallel), paid
-    again by every consumer that embeds the frame (the qside build,
-    the broadcast). The frame broadcasts fine at any partition count."""
-    return spark.createDataFrame(rows, f"_qid {qid_type}, term string")
+    ids may be strings — UUIDs — as well as integers)."""
+    return _literal_df(spark, rows, f"_qid {qid_type}, term string")
 
 
 def _bm25_score(k1: float, b: float) -> "F.Column":
@@ -158,10 +169,9 @@ def bm25_topk(
     if broadcast_queries:
         qrows = _query_term_rows(queries, qid_col, qtext_col)
         qt = _qt_frame(spark, qrows, dict(queries.dtypes)[qid_col])
-        # not coalesce(1) — see _qt_frame's note on sequential
-        # Python-worker chaining
-        terms_only = spark.createDataFrame(
-            [(t,) for t in sorted({t for _, t in qrows})], "term string"
+        terms_only = _literal_df(
+            spark, [(t,) for t in sorted({t for _, t in qrows})],
+            "term string",
         )
     else:
         # lazily persisted: qt feeds BOTH the postings pre-filter and
@@ -304,8 +314,8 @@ def _with_gens(postings: DataFrame, id_col: str, gens) -> DataFrame:
         return postings.withColumn("_gen", F.lit(0).cast("bigint"))
     spark = postings.sparkSession
     id_type = dict(postings.dtypes)[id_col]
-    gdf = spark.createDataFrame(
-        sorted(gens.items()), f"{id_col} {id_type}, _gen bigint"
+    gdf = _literal_df(
+        spark, sorted(gens.items()), f"{id_col} {id_type}, _gen bigint"
     )
     return postings.join(F.broadcast(gdf), id_col, "left").withColumn(
         "_gen", F.coalesce(F.col("_gen"), F.lit(0)).cast("bigint")
@@ -323,8 +333,8 @@ def _live_postings(postings: DataFrame, id_col: str, gens) -> DataFrame:
     is empty (the zero-marker fast path)."""
     spark = postings.sparkSession
     id_type = dict(postings.dtypes)[id_col]
-    kdf = spark.createDataFrame(
-        sorted(gens.items()), f"{id_col} {id_type}, _kill bigint"
+    kdf = _literal_df(
+        spark, sorted(gens.items()), f"{id_col} {id_type}, _kill bigint"
     )
     return (
         postings.join(F.broadcast(kdf), id_col, "left")
@@ -559,8 +569,8 @@ def _tombstone_rows(spark, schema_src: DataFrame, id_col: str, gens):
     schema/order; ``gens`` maps each id to the generation the marker
     kills below."""
     id_type = dict(schema_src.dtypes)[id_col]
-    return spark.createDataFrame(
-        sorted(gens.items()), f"{id_col} {id_type}, _gen bigint"
+    return _literal_df(
+        spark, sorted(gens.items()), f"{id_col} {id_type}, _gen bigint"
     ).select(
         F.col(id_col),
         F.lit(_TOMB_TERM).alias("term"),
@@ -700,11 +710,9 @@ def compact_bm25_tombstones(
     step, amortized to one rewrite per maintenance window instead of
     one per delete wave."""
     from ensembl_database_loader_spark.sinks.manifest import (
+        _rewrite_rows,
         _txn_skip,
-        apply_delta,
         latest_manifest,
-        scan_table,
-        snapshot,
         table_properties,
     )
 
@@ -719,27 +727,46 @@ def compact_bm25_tombstones(
     if not gens:
         return None
     ids = sorted(gens)
-    cols = snapshot(spark, path).columns
-    survivors = (
-        _live_postings(
-            scan_table(spark, path, predicates=[(id_col, "in", ids)]).filter(
-                F.col("term") != _TOMB_TERM
-            ),
-            id_col,
-            gens,
+
+    # ONE copy-on-write pass does the whole reclaim: candidate files
+    # (id-bloom pruned) rewrite IN PLACE — victim-id rows keep only the
+    # live non-marker generations, normalized to _gen=0; every other
+    # row is untouched. The former shape (delete ALL victim rows +
+    # re-append the live survivors as a separate range-shuffled frame)
+    # scanned the candidates twice, paid a range-sampling job and a
+    # shuffle, and emitted extra survivor files; the in-place transform
+    # is one scan, no shuffle, and the rewritten files keep their
+    # narrow term ranges (guide §2.4: remove shuffles outright). Rows
+    # stay BIT-IDENTICAL to a from-scratch rebuild on the live corpus
+    # (the compaction gate in tests): same survivors, same _gen=0.
+    def _reclaim(df: DataFrame, hit) -> DataFrame:
+        cols = df.columns
+        id_type = dict(df.dtypes)[id_col]
+        kdf = _literal_df(
+            spark, sorted(gens.items()), f"{id_col} {id_type}, _kill bigint"
         )
-        .withColumn("_gen", F.lit(0).cast("bigint"))
-        .select(*cols)
-        .repartitionByRange(F.col("term"))
-        .sortWithinPartitions("term", id_col)
-    )
-    return apply_delta(
+        live = (F.col("term") != _TOMB_TERM) & (
+            F.col("_gen") >= F.coalesce(F.col("_kill"), F.lit(0))
+        )
+        return (
+            df.join(F.broadcast(kdf), id_col, "left")
+            .filter(~hit | live)
+            .withColumn(
+                "_gen",
+                F.when(hit, F.lit(0).cast("bigint")).otherwise(F.col("_gen")),
+            )
+            .select(*cols)
+        )
+
+    return _rewrite_rows(
         spark,
         path,
-        delete_prune=[(id_col, "in", ids)],
-        append_df=survivors,
-        txn=txn,
+        None,
+        ((id_col, "in", ids),),
+        _reclaim,
+        "compact_tombstones",
         stats_cols=("term",),
+        txn=txn,
         properties={
             **props,
             "bm25": {**meta, "tombstones": 0},

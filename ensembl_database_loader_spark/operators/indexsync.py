@@ -258,7 +258,6 @@ def sync_bm25_index(
     instead of an operator habit; the result dict reports
     ``compacted``."""
     from ensembl_database_loader_spark.operators.bm25 import (
-        _corpus_stats,
         _index_postings,
         _marker_gens,
         _toked_with_dl,
@@ -314,26 +313,27 @@ def sync_bm25_index(
             _nonempty_tokens,
         )
 
+        # ONE collect drives every driver-side decision: the wave is
+        # broadcast-dim by the sync contract, and each change row's
+        # (type, id, dl-of-its-text) is all the classification,
+        # preimage stats, and arrival stats need — the former five
+        # actions (preimage collect, three distinct-id collects, the
+        # arrivals stats agg) were five scheduler round trips over the
+        # same persisted wave-sized frame (guide §5: the driver should
+        # do almost no data work, and none of it repeatedly)
+        feed = changes.select(
+            "change_type",
+            F.col(id_col),
+            F.size(_nonempty_tokens(text_col)).cast("bigint").alias("dl"),
+        ).collect()
         pre_dl = {
-            r[0]: int(r[1])
-            for r in changes.filter(
-                F.col("change_type").isin("delete", "update_preimage")
-            )
-            .select(
-                id_col,
-                F.size(_nonempty_tokens(text_col)).cast("bigint"),
-            )
-            .collect()
+            r[1]: int(r[2])
+            for r in feed
+            if r[0] in ("delete", "update_preimage")
         }
 
         def _ids(*types):
-            return sorted(
-                r[0]
-                for r in changes.filter(F.col("change_type").isin(*types))
-                .select(id_col)
-                .distinct()
-                .collect()
-            )
+            return sorted({r[1] for r in feed if r[0] in types})
 
         gens = _marker_gens(spark, index_path)
         upd_ids = _ids("update")
@@ -348,7 +348,11 @@ def sync_bm25_index(
             id_col,
             text_col,
         )
-        n_add, tok_add = _corpus_stats(toked)
+        # exact-integer arrival stats from the SAME collect (dl is the
+        # shared tokenizer's size on the arrival text for insert/update
+        # rows — identical to _corpus_stats(toked) by construction)
+        arr = [r for r in feed if r[0] in ("insert", "update")]
+        n_add, tok_add = len(arr), sum(int(r[2]) for r in arr)
         if delete_mode in ("auto", "tombstone"):
             # PURE-APPEND wave: one marker per victim at gen=to_v
             # (source versions strictly increase, so to_v exceeds

@@ -1498,20 +1498,28 @@ def _ann_delete_prune(
     prune: list = []
     cells: list[int] = []
     if vec_col in deleted_df.columns and not meta.get("quantized"):
-        assigned = _assign_cells(
-            deleted_df.select(F.col(id_col), F.col(vec_col)),
-            vec_col,
-            meta["centroids"],
+        # ONE collect yields both the scoped cells and the victim ids
+        # (the frame is broadcast-dim by the delete contract; two
+        # separate distinct+collect jobs doubled the scheduler round
+        # trips for no extra information)
+        pairs = (
+            _assign_cells(
+                deleted_df.select(F.col(id_col), F.col(vec_col)),
+                vec_col,
+                meta["centroids"],
+            )
+            .select("_cell", id_col)
+            .distinct()
+            .collect()
         )
-        cells = sorted(
-            int(r[0])
-            for r in assigned.select("_cell").distinct().collect()
-        )
+        cells = sorted({int(r[0]) for r in pairs})
+        ids = sorted({r[1] for r in pairs})
         if cells:
             prune.append(("_cell", "in", cells))
-    ids = sorted(
-        r[0] for r in deleted_df.select(id_col).distinct().collect()
-    )
+    else:
+        ids = sorted(
+            r[0] for r in deleted_df.select(id_col).distinct().collect()
+        )
     if not ids:
         return None
     prune.append((id_col, "in", ids))

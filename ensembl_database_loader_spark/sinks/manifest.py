@@ -474,6 +474,69 @@ _STATS_STRINGY = {"string", "date", "timestamp", "timestamp_ntz"}
 _BLOOM_TYPES = {"byte", "short", "int", "integer", "bigint", "long", "string", "date"}
 
 
+#: stats dtypes whose parquet footer min/max is BYTE-IDENTICAL to the
+#: engine aggregate: integrals (plain int32/int64 physical values) and
+#: dates (int32 days, rendered to the same 'yyyy-MM-dd' form). Strings
+#: (UTF-8 vs UTF-16 ordering) and floats (NaN/-0.0 footer semantics)
+#: deliberately excluded — they keep the engine job.
+_FOOTER_STATS_TYPES = {"byte", "short", "int", "integer", "bigint", "long", "date"}
+
+
+def _footer_stats(
+    lp: str,
+    staged: list[str],
+    usable: list[str],
+    fields: dict[str, str],
+) -> tuple[dict, dict, dict] | None:
+    """Driver-side ({rel: {col: [min, max]}}, {rel: n_rows}, {}) from
+    the staged files' parquet footers, or None when any usable column's
+    type or any file's footer is not trustworthy enough to substitute
+    for the engine aggregate (caller falls back to the scan job)."""
+    if any(fields[c] not in _FOOTER_STATS_TYPES for c in usable):
+        return None
+    import pyarrow.parquet as pq
+
+    out: dict[str, dict[str, list]] = {}
+    counts: dict[str, int] = {}
+    for rel in staged:
+        md = pq.ParquetFile(f"{lp}/{rel}").metadata
+        counts[rel] = int(md.num_rows)
+        if not usable:
+            continue
+        idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        if any(c not in idx for c in usable):
+            return None
+        mins: dict[str, object] = {}
+        maxs: dict[str, object] = {}
+        for g in range(md.num_row_groups):
+            rg = md.row_group(g)
+            for c in usable:
+                col = rg.column(idx[c])
+                n_vals = int(col.num_values)
+                st = col.statistics
+                if st is None or st.null_count is None:
+                    return None
+                if int(st.null_count) == n_vals:
+                    continue  # all-null chunk contributes no bound
+                if not st.has_min_max:
+                    return None  # non-null values but no bounds: bail
+                mn, mx = st.min, st.max
+                if mn is None or mx is None:
+                    return None
+                if c not in mins or mn < mins[c]:  # type: ignore[operator]
+                    mins[c] = mn
+                if c not in maxs or mx > maxs[c]:  # type: ignore[operator]
+                    maxs[c] = mx
+        out[rel] = {
+            c: [
+                _json_stat(mins.get(c)),
+                _json_stat(maxs.get(c)),
+            ]
+            for c in usable
+        }
+    return out, counts, {}
+
+
 def _collect_stats(
     spark: SparkSession,
     root: str,
@@ -515,6 +578,23 @@ def _collect_stats(
     ]
     if not staged:
         return {}, {}, {}
+    if not bloom_spec:
+        # bloomless commit on a LOCAL table: the parquet FOOTERS already
+        # carry per-file row counts and exact min/max for integral and
+        # date columns — read them driver-side instead of paying a scan
+        # job per commit (every write_table/apply_delta with plain id
+        # stats, and every table of every streaming group commit, paid
+        # that job). Strings and floats stay on the engine job: parquet
+        # orders strings by UTF-8 bytes where the engine's min/max is
+        # UTF-16 code-unit order, and float footers drop stats under
+        # NaN / order -0.0 differently — a diverging bound could
+        # mis-prune a file, so only byte-identical cases take the fast
+        # path (_footer_stats returns None on anything untrustworthy).
+        lp = _local_path(root)
+        if lp is not None:
+            fast = _footer_stats(lp, staged, usable, fields)
+            if fast is not None:
+                return fast
     aggs = [F.count(F.lit(1)).alias("__n")]
     for c in usable:
         mn, mx = F.min(F.col(c)), F.max(F.col(c))
@@ -1938,13 +2018,19 @@ def _rewrite_rows(
         # nothing to rewrite: candidates stay referenced as they are
         cand_set = set()
         untouched = list(head["files"])
-        staged: list[str] = []
+        out_df: DataFrame | None = append_df
     else:
         untouched = [f for f in head["files"] if f not in cand_set]
-        staged, _ = _stage_data(transform(df, hit), path, pb)
-    if append_df is not None:
-        app_staged, _ = _stage_data(append_df, path, pb)
-        staged = staged + app_staged
+        out_df = transform(df, hit)
+        if append_df is not None:
+            # ONE staged write for the rewrite AND the arrivals (the
+            # union is narrow — each side keeps its own partitioning,
+            # so the file layout matches two separate writes at one
+            # write job's cost); schemas already strict-validated equal
+            out_df = out_df.unionByName(append_df)
+    staged: list[str] = []
+    if out_df is not None:
+        staged, _ = _stage_data(out_df, path, pb)
     if stats_cols is None:
         # default: keep the table's existing stat columns alive on the
         # rewritten files (union of columns any head file has stats for)

@@ -318,6 +318,42 @@ def test_timestamp_stats_skip_with_string_predicates(spark, tbl):
     assert got.count() == 250
 
 
+def test_footer_stats_fast_path_matches_engine_job(spark, tbl, monkeypatch):
+    """The driver-side parquet-footer stats fast path (local bloomless
+    commits on integral/date stats columns) must produce the SAME
+    manifest metadata — stats, row counts — as the engine aggregate it
+    replaces; mixed nulls, an all-null file, dates, and an empty-ish
+    file all covered. The engine path is forced by making the root
+    look non-local."""
+    import ensembl_database_loader_spark.sinks.manifest as mod
+
+    df = spark.createDataFrame(
+        [
+            (1, None, "2024-01-02"),
+            (5, 10, "2024-01-01"),
+            (None, 7, None),
+            (9, None, "2024-03-31"),
+        ],
+        "k bigint, m int, d string",
+    ).select("k", "m", F.col("d").cast("date").alias("d"))
+    staged, _ = mod._stage_data(df.repartition(2), str(tbl))
+    schema = df.schema
+    fast = mod._collect_stats(
+        spark, str(tbl), staged, schema, ("k", "m", "d"), None
+    )
+    monkeypatch.setattr(mod, "_local_path", lambda p: None)
+    slow = mod._collect_stats(
+        spark, str(tbl), staged, schema, ("k", "m", "d"), None
+    )
+    assert fast == slow
+    # sanity: the fast path really was the footer one (no Spark job
+    # would be needed) — a string stats column must force the fallback
+    assert (
+        mod._footer_stats(mod._local_path(str(tbl)), staged, ["x"], {"x": "string"})
+        is None
+    )
+
+
 def test_all_null_stats_prune_comparisons(spark, tbl):
     df = spark.createDataFrame([(None, "a"), (None, "b")], "k bigint, v string")
     M.write_table(df.coalesce(1), tbl, stats_cols=("k",))
