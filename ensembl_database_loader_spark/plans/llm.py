@@ -49,6 +49,27 @@ def _cnt(cond=None):
     return F.count(F.when(cond, F.lit(1))) if cond is not None else F.count(F.lit(1))
 
 
+def _collect_sorted_parallel(*dfs, max_workers: int = 8):
+    """Collect several small, independent gate frames CONCURRENTLY and
+    return each one's sorted row-tuple multiset. Spark happily runs
+    actions from multiple driver threads; one thread per frame keeps
+    the cluster busy the way a single fused union-tree action would,
+    while each serving form is still evaluated exactly ONCE (the
+    symmetric-exceptAll gate formulation evaluated both compare sides
+    twice and paid two hash-aggregate exchanges per gate; a sequential
+    collect loop kept the single evaluation but idled the cluster
+    between jobs — measured slower than the union tree at sf0.1)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    def rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    if len(dfs) == 1:
+        return [rows(dfs[0])]
+    with ThreadPoolExecutor(max_workers=min(max_workers, len(dfs))) as ex:
+        return list(ex.map(rows, dfs))
+
+
 # --- shared Spark corpus (documents + near-dup variants) -------------------
 
 
@@ -971,25 +992,22 @@ def ss_ann_ivf_indexed(spark: SparkSession, sf: str) -> DataFrame:
         .select(F.col("embedding").cast("array<double>"))
         .first()[0]
     )
-    # persist the 5-row results: indexed feeds four DAG branches
-    # (both exceptAll sides, overlap, agg) and would otherwise re-read
-    # the index per branch
-    indexed = ivf_topk_indexed(
-        spark, path, qvec, k=5, n_probe=4, exclude_id=0
-    ).persist()
-    direct = ivf_topk(e, "vec_id", "embedding", query_id=0, k=5).persist()
-    sym_diff = indexed.exceptAll(direct).unionAll(direct.exceptAll(indexed))
-    exact = cosine_topk(e, "vec_id", "embedding", query_id=0, k=5).persist()
-    overlap = exact.select("vec_id").intersect(indexed.select("vec_id"))
-    return (
-        indexed.agg(_cnt().alias("n"))
-        .crossJoin(sym_diff.agg(_cnt().alias("diffs")))
-        .crossJoin(overlap.agg(_cnt().alias("hits")))
-        .select(
-            (F.col("n") == 5).alias("returned_k"),
-            (F.col("diffs") == 0).alias("matches_unindexed"),
-            (F.col("hits") / F.lit(5.0) >= 0.6).alias("recall_ok"),
-        )
+    # the three 5-row gate frames collect concurrently (each serving
+    # form evaluated exactly once) and the identity/recall checks run
+    # driver-side — the exceptAll/intersect formulation re-read the
+    # index per DAG branch and paid the extra gate exchanges
+    irows, drows, erows = _collect_sorted_parallel(
+        ivf_topk_indexed(spark, path, qvec, k=5, n_probe=4, exclude_id=0),
+        ivf_topk(e, "vec_id", "embedding", query_id=0, k=5),
+        cosine_topk(e, "vec_id", "embedding", query_id=0, k=5).select(
+            "vec_id"
+        ),
+    )
+    hits = len({r[0] for r in erows} & {r[0] for r in irows})
+    return spark.range(1).select(
+        F.lit(len(irows) == 5).alias("returned_k"),
+        F.lit(irows == drows).alias("matches_unindexed"),
+        F.lit(hits / 5.0 >= 0.6).alias("recall_ok"),
     )
 
 
@@ -1133,15 +1151,29 @@ def ss_ann_pq_indexed(spark: SparkSession, sf: str) -> DataFrame:
     res_path, plain_path, int8_path = (
         root + "/res", root + "/plain", root + "/int8"
     )
-    for path, quant, residual in (
-        (res_path, "pq", True),
-        (plain_path, "pq", False),
-        (int8_path, "int8", False),
-    ):
+    # the three builds share the persisted corpus and the precomputed
+    # centroids and write to disjoint paths: run them as concurrent
+    # write jobs instead of three sequential ones
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _build(args):
+        path, quant, residual = args
         build_ann_index(
             corpus, "vec_id", "embedding", path, n_cells=8,
             centroids=cents, quantized=quant, pq_m=8, pq_k=16,
             pq_residual=residual,
+        )
+
+    with ThreadPoolExecutor(max_workers=3) as ex:
+        list(
+            ex.map(
+                _build,
+                (
+                    (res_path, "pq", True),
+                    (plain_path, "pq", False),
+                    (int8_path, "int8", False),
+                ),
+            )
         )
     bytes_lt_int8 = _dir_data_bytes(res_path) < _dir_data_bytes(int8_path)
 
@@ -1247,34 +1279,44 @@ def ss_ann_batch(spark: SparkSession, sf: str) -> DataFrame:
     batch = ivf_topk_many(
         queries, corpus, "qid", "qvec", "vec_id", "embedding",
         k=5, n_cells=8, n_probe=2, exclude_self=True,
-    ).persist()
-
-    # Spark-loop parity on one query per cluster: symmetric exceptAll
-    # of (vec_id, cos) rows must be empty for each of qids 0..7
-    diffs = None
-    for qid in range(8):
-        single = ivf_topk(
+    )
+    # every gate frame is tiny (batch = 500 rows, singles <= 5): build
+    # them all lazily, collect CONCURRENTLY (each serving form runs
+    # exactly once), and run the multiset compares, the numpy mirror,
+    # and the count checks driver-side — the symmetric-exceptAll
+    # formulation evaluated each single-query plan twice and paid 16
+    # extra exchanges plus a union-tree final action
+    singles = [
+        ivf_topk(
             corpus, "vec_id", "embedding", query_id=qid, k=5,
             n_cells=8, n_probe=2,
         )
-        b = batch.filter(F.col("qid") == qid).select("vec_id", "cos")
-        d = single.exceptAll(b).unionAll(b.exceptAll(single))
-        diffs = d if diffs is None else diffs.unionAll(d)
+        for qid in range(8)
+    ]
+    collected = _collect_sorted_parallel(
+        batch,
+        corpus.select("vec_id", F.col("embedding").cast("array<double>")),
+        *singles,
+    )
+    brows, rows, single_rows = collected[0], collected[1], collected[2:]
+
+    # Spark-loop parity on one query per cluster: the (vec_id, cos)
+    # multisets must match exactly for each of qids 0..7
+    loop_ok = True
+    for qid in range(8):
+        b = sorted((r[1], r[2]) for r in brows if r[0] == qid)
+        loop_ok = loop_ok and single_rows[qid] == b
 
     # numpy mirror of the full 100-query batch (driver-side verifier on
     # the fixture-sized corpus — the operator itself never collects)
-    rows = corpus.select(
-        "vec_id", F.col("embedding").cast("array<double>")
-    ).collect()
-    rows.sort(key=lambda r: r[0])
     ids = np.array([r[0] for r in rows], dtype=np.int64)
     x = np.array([r[1] for r in rows], dtype=np.float64)
     xn = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
     cn = xn[:8]  # first-8-by-id grid centroids, already normalized rows
     cells = (xn @ cn.T).argmax(axis=1)
     got = {}
-    for r in batch.collect():
-        got.setdefault(r.qid, set()).add(r.vec_id)
+    for r in brows:
+        got.setdefault(r[0], set()).add(r[1])
     mirror_ok = len(got) == 100
     for qi in range(100):
         probe_cells = np.argsort(-(cn @ xn[qi]))[:2]
@@ -1285,17 +1327,11 @@ def ss_ann_batch(spark: SparkSession, sf: str) -> DataFrame:
         expect = set(ids[cand][order].tolist())
         mirror_ok = mirror_ok and got.get(qi, set()) == expect
 
-    return (
-        batch.agg(
-            F.count_distinct("qid").alias("nq"), _cnt().alias("np_")
-        )
-        .crossJoin(diffs.agg(_cnt().alias("loop_diffs")))
-        .select(
-            (F.col("nq") == 100).alias("bq_n_queries_ok"),
-            (F.col("np_") == 500).alias("bq_n_pairs_ok"),
-            (F.col("loop_diffs") == 0).alias("bq_matches_loop"),
-            F.lit(bool(mirror_ok)).alias("bq_matches_mirror"),
-        )
+    return spark.range(1).select(
+        F.lit(len({r[0] for r in brows}) == 100).alias("bq_n_queries_ok"),
+        F.lit(len(brows) == 500).alias("bq_n_pairs_ok"),
+        F.lit(bool(loop_ok)).alias("bq_matches_loop"),
+        F.lit(bool(mirror_ok)).alias("bq_matches_mirror"),
     )
 
 
@@ -4113,7 +4149,9 @@ def ss_ann_batch_indexed(spark: SparkSession, sf: str) -> DataFrame:
     query for each of four clusters on the planted fixture — the serving-path batch
     forms provably equal the gated single-query paths they amortize.
 
-    r11 additions, both hash-gated via symmetric exceptAll == empty:
+    r11 additions, hash-gated via exact multiset identity (r12: each
+    form collected once — <= 20 rows — and compared driver-side, which
+    replaces the symmetric-exceptAll union tree's ~24 extra exchanges):
     the DATAFRAME-shaped PQ batch (``pq_topk_many_indexed_df`` — ADC
     tables computed executor-side per query row, JVM-side scoring,
     plan-gated single pruned codes-only scan) is row-identical to the
@@ -4158,92 +4196,85 @@ def ss_ann_batch_indexed(spark: SparkSession, sf: str) -> DataFrame:
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
     )
 
-    ivf_b = ivf_topk_many_indexed(
-        spark, flat_path, queries, "qid", "qvec", k=5, n_probe=2,
-        exclude_self=True,
-    ).persist()
-    pq_b = pq_topk_many_indexed(
-        spark, pq_path, qlist, k=5, n_probe=2, exclude_self=True
-    ).persist()
+    # every gate frame here is <= 20 rows: build ALL serving forms
+    # lazily, collect them CONCURRENTLY (each form evaluated exactly
+    # once), and run the multiset identity checks driver-side on
+    # sorted tuples — the symmetric-exceptAll formulation computed the
+    # same empty diffs but paid ~24 extra hash-aggregate exchanges
+    # plus one giant union-tree final action (measured 9 s of the
+    # probe by itself at sf0.1)
+    def _batch(**kw):
+        return ivf_topk_many_indexed(
+            spark, flat_path, queries, "qid", "qvec", k=5, n_probe=2,
+            exclude_self=True, **kw,
+        )
 
-    ivf_diffs = None
-    pq_diffs = None
+    def _pq_batch(**kw):
+        return pq_topk_many_indexed_df(
+            spark, pq_path, queries, "qid", "qvec", k=5, n_probe=2,
+            exclude_self=True, **kw,
+        )
+
+    singles = []
     for qid, qv in qlist:
-        s_ivf = ivf_topk_indexed(
-            spark, flat_path, qv, k=5, n_probe=2, exclude_id=qid
-        ).withColumn(
-            "rank",
-            F.row_number().over(Window.orderBy(F.desc("cos"), "vec_id")),
-        ).persist()
-        b_ivf = ivf_b.filter(F.col("qid") == qid).select("vec_id", "cos", "rank")
-        d1 = s_ivf.exceptAll(b_ivf).unionAll(b_ivf.exceptAll(s_ivf))
-        ivf_diffs = d1 if ivf_diffs is None else ivf_diffs.unionAll(d1)
-        s_pq = pq_topk_indexed(
-            spark, pq_path, qv, k=5, n_probe=2, exclude_id=qid
-        ).withColumn(
-            "rank",
-            F.row_number().over(Window.orderBy(F.asc("adc_dist"), "vec_id")),
-        ).persist()
-        b_pq = pq_b.filter(F.col("qid") == qid).select(
-            "vec_id", "adc_dist", "rank"
+        singles.append(
+            ivf_topk_indexed(
+                spark, flat_path, qv, k=5, n_probe=2, exclude_id=qid
+            ).withColumn(
+                "rank",
+                F.row_number().over(Window.orderBy(F.desc("cos"), "vec_id")),
+            ).select("vec_id", "cos", "rank")
         )
-        d2 = s_pq.exceptAll(b_pq).unionAll(b_pq.exceptAll(s_pq))
-        pq_diffs = d2 if pq_diffs is None else pq_diffs.unionAll(d2)
-
-    # each alternate serving form persists: its two exceptAll
-    # directions would otherwise re-execute the whole plan twice
-    pq_df_b = pq_topk_many_indexed_df(
-        spark, pq_path, queries, "qid", "qvec", k=5, n_probe=2,
-        exclude_self=True,
-    ).persist()
-    df_diffs = pq_b.exceptAll(pq_df_b).unionAll(pq_df_b.exceptAll(pq_b))
-    salted_b = ivf_topk_many_indexed(
-        spark, flat_path, queries, "qid", "qvec", k=5, n_probe=2,
-        exclude_self=True, salt_partitions=4,
-    ).persist()
-    salt_diffs = ivf_b.exceptAll(salted_b).unionAll(salted_b.exceptAll(ivf_b))
-    gemm_b = ivf_topk_many_indexed(
-        spark, flat_path, queries, "qid", "qvec", k=5, n_probe=2,
-        exclude_self=True, scorer="gemm",
-    ).persist()
-    gemm_diffs = ivf_b.exceptAll(gemm_b).unionAll(gemm_b.exceptAll(ivf_b))
-    pq_gemm_b = pq_topk_many_indexed_df(
-        spark, pq_path, queries, "qid", "qvec", k=5, n_probe=2,
-        exclude_self=True, scorer="gemm",
-    ).persist()
-    pq_gemm_diffs = pq_b.exceptAll(pq_gemm_b).unionAll(
-        pq_gemm_b.exceptAll(pq_b)
-    )
-    # the split-gate results are <= 20 rows: one collect per form and a
-    # driver-side sorted-tuple compare costs half the Spark work of the
-    # two-direction exceptAll pattern (ivf_b/pq_b are already persisted)
-    def _rows(df):
-        return sorted(tuple(r) for r in df.collect())
-
-    split_b = ivf_topk_many_indexed(
-        spark, flat_path, queries, "qid", "qvec", k=5, n_probe=2,
-        exclude_self=True, scorer="gemm", cell_split=3,
-    )
-    split_matches = _rows(split_b) == _rows(ivf_b)
-    pq_split_b = pq_topk_many_indexed_df(
-        spark, pq_path, queries, "qid", "qvec", k=5, n_probe=2,
-        exclude_self=True, scorer="gemm", cell_split=3,
-    )
-    pq_split_matches = _rows(pq_split_b) == _rows(pq_b)
-
-    return (
-        ivf_diffs.agg((_cnt() == 0).alias("bi_ivf_matches"))
-        .crossJoin(pq_diffs.agg((_cnt() == 0).alias("bi_pq_matches")))
-        .crossJoin(ivf_b.agg(_cnt().alias("bi_ivf_pairs")))
-        .crossJoin(pq_b.agg(_cnt().alias("bi_pq_pairs")))
-        .crossJoin(df_diffs.agg((_cnt() == 0).alias("bi_pq_df_matches")))
-        .crossJoin(salt_diffs.agg((_cnt() == 0).alias("bi_salted_matches")))
-        .crossJoin(gemm_diffs.agg((_cnt() == 0).alias("bi_gemm_matches")))
-        .crossJoin(
-            pq_gemm_diffs.agg((_cnt() == 0).alias("bi_pq_gemm_matches"))
+        singles.append(
+            pq_topk_indexed(
+                spark, pq_path, qv, k=5, n_probe=2, exclude_id=qid
+            ).withColumn(
+                "rank",
+                F.row_number().over(
+                    Window.orderBy(F.asc("adc_dist"), "vec_id")
+                ),
+            ).select("vec_id", "adc_dist", "rank")
         )
-        .withColumn("bi_split_matches", F.lit(bool(split_matches)))
-        .withColumn("bi_pq_split_matches", F.lit(bool(pq_split_matches)))
+    collected = _collect_sorted_parallel(
+        _batch(),
+        pq_topk_many_indexed(
+            spark, pq_path, qlist, k=5, n_probe=2, exclude_self=True
+        ),
+        _pq_batch(),
+        _batch(salt_partitions=4),
+        _batch(scorer="gemm"),
+        _pq_batch(scorer="gemm"),
+        _batch(scorer="gemm", cell_split=3),
+        _pq_batch(scorer="gemm", cell_split=3),
+        *singles,
+    )
+    ivf_rows, pq_rows = collected[0], collected[1]
+    df_matches = collected[2] == pq_rows
+    salt_matches = collected[3] == ivf_rows
+    gemm_matches = collected[4] == ivf_rows
+    pq_gemm_matches = collected[5] == pq_rows
+    split_matches = collected[6] == ivf_rows
+    pq_split_matches = collected[7] == pq_rows
+
+    ivf_matches = True
+    pq_matches = True
+    for i, (qid, _) in enumerate(qlist):
+        b_ivf = sorted((r[1], r[2], r[3]) for r in ivf_rows if r[0] == qid)
+        ivf_matches = ivf_matches and collected[8 + 2 * i] == b_ivf
+        b_pq = sorted((r[1], r[2], r[3]) for r in pq_rows if r[0] == qid)
+        pq_matches = pq_matches and collected[9 + 2 * i] == b_pq
+
+    return spark.range(1).select(
+        F.lit(bool(ivf_matches)).alias("bi_ivf_matches"),
+        F.lit(bool(pq_matches)).alias("bi_pq_matches"),
+        F.lit(len(ivf_rows)).cast("bigint").alias("bi_ivf_pairs"),
+        F.lit(len(pq_rows)).cast("bigint").alias("bi_pq_pairs"),
+        F.lit(bool(df_matches)).alias("bi_pq_df_matches"),
+        F.lit(bool(salt_matches)).alias("bi_salted_matches"),
+        F.lit(bool(gemm_matches)).alias("bi_gemm_matches"),
+        F.lit(bool(pq_gemm_matches)).alias("bi_pq_gemm_matches"),
+        F.lit(bool(split_matches)).alias("bi_split_matches"),
+        F.lit(bool(pq_split_matches)).alias("bi_pq_split_matches"),
     )
 
 @probe(
@@ -4315,9 +4346,14 @@ def ss_ann_manifest_index(spark: SparkSession, sf: str) -> DataFrame:
         .select(F.col("embedding").cast("array<double>"))
         .first()[0]
     )
-    a = ivf_topk_indexed(spark, bare, qvec, k=5, n_probe=2, exclude_id=0).persist()
-    b = ivf_topk_indexed(spark, mani, qvec, k=5, n_probe=2, exclude_id=0).persist()
-    layout_diffs = a.exceptAll(b).unionAll(b.exceptAll(a))
+    # the two 5-row serves collect concurrently and compare driver-side
+    # (the exceptAll gate evaluated both persisted frames through four
+    # extra aggregate branches in the final action)
+    arows, brows_mani = _collect_sorted_parallel(
+        ivf_topk_indexed(spark, bare, qvec, k=5, n_probe=2, exclude_id=0),
+        ivf_topk_indexed(spark, mani, qvec, k=5, n_probe=2, exclude_id=0),
+    )
+    matches_bare = arows == brows_mani
 
     plant = spark.createDataFrame(
         [(1_000_000, [float(x) + 1e-4 for x in qvec])],
@@ -4336,7 +4372,7 @@ def ss_ann_manifest_index(spark: SparkSession, sf: str) -> DataFrame:
     append_to_ann_index(plant, mani, txn=("probe_ingest", 1))  # replay
     replay_noop = int(latest_manifest(spark, mani)["version"]) == v_app
 
-    before_ids = sorted(r["vec_id"] for r in a.collect())
+    before_ids = sorted(r[0] for r in arows)
     victims = corpus.filter(F.col("vec_id").isin(before_ids))
     out = delete_from_ann_index(spark, mani, victims)
     ch_del = changed_files(spark, mani, v_app, int(out["version"]))
@@ -4424,9 +4460,9 @@ def ss_ann_manifest_index(spark: SparkSession, sf: str) -> DataFrame:
     )
 
     return (
-        layout_diffs.agg((_cnt() == 0).alias("mi_matches_bare"))
+        spark.range(1)
         .select(
-            "mi_matches_bare",
+            F.lit(bool(matches_bare)).alias("mi_matches_bare"),
             F.lit(bool(append_served)).alias("mi_append_served"),
             F.lit(bool(append_scoped)).alias("mi_append_scoped"),
             F.lit(bool(replay_noop)).alias("mi_replay_noop"),
@@ -4512,29 +4548,33 @@ def ss_bm25_topk(spark: SparkSession, sf: str) -> DataFrame:
 
     path = tempfile.mkdtemp(prefix="edl_bm25_") + "/idx"
     build_bm25_index(docs, "doc_id", "text", path, num_files=4)
-    idx = bm25_topk_indexed(spark, path, queries, k=5).persist()
-    idx_diffs = topk.exceptAll(idx).unionAll(idx.exceptAll(topk))
-    salted = bm25_topk_indexed(
-        spark, path, queries, k=5, salt_partitions=4
-    ).persist()
-    salt_diffs = idx.exceptAll(salted).unionAll(salted.exceptAll(idx))
-    # the shuffle-shape gates compare <= |queries|*5 rows: one collect
-    # per form + a driver-side sorted-tuple compare (topk/idx are
-    # already persisted) instead of two more exceptAll re-executions
-    def _rows(df):
-        return sorted(tuple(r) for r in df.collect())
-
-    shuf = bm25_topk(
-        docs, queries, "doc_id", "text", k=5, broadcast_queries=False
+    # every identity gate compares <= |queries|*5 rows: the serving
+    # forms collect CONCURRENTLY (each evaluated exactly once; topk
+    # stays persisted — its cached rows also feed the returned value
+    # frame) and the multiset compares happen driver-side on sorted
+    # tuples; the exceptAll formulation paid two extra hash-aggregate
+    # exchanges per gate and evaluated each compare side twice
+    trows, idx_rows, salt_rows, shuf_rows, idx_shuf_rows = (
+        _collect_sorted_parallel(
+            topk,
+            bm25_topk_indexed(spark, path, queries, k=5),
+            bm25_topk_indexed(spark, path, queries, k=5, salt_partitions=4),
+            bm25_topk(
+                docs, queries, "doc_id", "text", k=5,
+                broadcast_queries=False,
+            ),
+            bm25_topk_indexed(
+                spark, path, queries, k=5, broadcast_queries=False
+            ),
+        )
     )
-    shuffle_matches = _rows(shuf) == _rows(topk)
-    idx_shuf = bm25_topk_indexed(
-        spark, path, queries, k=5, broadcast_queries=False
-    )
-    idx_shuffle_matches = _rows(idx_shuf) == _rows(idx)
+    idx_matches = idx_rows == trows
+    salt_matches = salt_rows == idx_rows
+    shuffle_matches = shuf_rows == trows
+    idx_shuffle_matches = idx_shuf_rows == idx_rows
     return (
-        topk.crossJoin(idx_diffs.agg((_cnt() == 0).alias("bm_idx_matches")))
-        .crossJoin(salt_diffs.agg((_cnt() == 0).alias("bm_salted_matches")))
+        topk.withColumn("bm_idx_matches", F.lit(bool(idx_matches)))
+        .withColumn("bm_salted_matches", F.lit(bool(salt_matches)))
         .withColumn("bm_shuffle_matches", F.lit(bool(shuffle_matches)))
         .withColumn("bm_idx_shuffle_matches", F.lit(bool(idx_shuffle_matches)))
         .select(
@@ -4616,7 +4656,10 @@ def ss_hybrid_rrf(spark: SparkSession, sf: str) -> DataFrame:
         F.col("doc_id").alias("qid"),
         F.concat_ws(" ", F.slice(toks, 1, 5)).alias("qtext"),
     )
-    lex = bm25_topk(docs, queries, "doc_id", "text", k=5)
+    # both fusion forms consume the SAME two top-5 frames: persist the
+    # retrievals so the BM25 corpus scan and the dense scoring run once
+    # instead of once per fusion form
+    lex = bm25_topk(docs, queries, "doc_id", "text", k=5).persist()
 
     e = table(spark, sf, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
@@ -4632,15 +4675,19 @@ def ss_hybrid_rrf(spark: SparkSession, sf: str) -> DataFrame:
     w = Window.partitionBy("qid").orderBy(F.desc("cos"), "doc_id")
     dense = pairs.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= 5
-    )
+    ).persist()
 
     fused = rrf_fuse([lex, dense], id_col="doc_id", k0=60, k=5).persist()
     salted = rrf_fuse(
         [lex, dense], id_col="doc_id", k0=60, k=5, salt_partitions=4
     )
-    diffs = fused.exceptAll(salted).unionAll(salted.exceptAll(fused))
+    # tiny gate frames: collect both fusion forms concurrently (each
+    # evaluated once — the exceptAll gate re-evaluated the unpersisted
+    # salted plan twice) and compare multisets driver-side; fused stays
+    # persisted to feed the returned value frame from cache
+    frows, srows = _collect_sorted_parallel(fused, salted)
     return (
-        fused.crossJoin(diffs.agg((_cnt() == 0).alias("hy_salted_matches")))
+        fused.withColumn("hy_salted_matches", F.lit(frows == srows))
         .select("qid", "doc_id", "rrf", "rank", "hy_salted_matches")
         .orderBy("qid", "rank")
     )
