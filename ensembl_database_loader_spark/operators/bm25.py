@@ -93,21 +93,10 @@ def _query_term_rows(
 
 
 def _literal_df(spark, rows: list[tuple], schema: str) -> DataFrame:
-    """Literal frame with a BOUNDED slice count: ``createDataFrame``
-    parallelizes a Python list into defaultParallelism slices (32 on
-    the local harness), so every consumer of a few-hundred-row literal
-    frame pays ~32 Python-worker task round trips per action — most of
-    them empty. One slice per ~256 rows keeps tasks parallel where it
-    matters and removes the empty ones. (Deliberately NOT coalesce(1):
-    coalescing makes ONE task chain every slice's Python-worker round
-    trip SEQUENTIALLY — measured ~5 s per action on a 474-row frame.)"""
-    if not rows:
-        return spark.createDataFrame([], schema)
-    n_slices = min(
-        spark.sparkContext.defaultParallelism, (len(rows) + 255) // 256
-    )
-    rdd = spark.sparkContext.parallelize(rows, n_slices)
-    return spark.createDataFrame(rdd, schema)
+    """Bounded-slice literal frame (see functions/frames.literal_frame)."""
+    from ensembl_database_loader_spark.functions.frames import literal_frame
+
+    return literal_frame(spark, rows, schema)
 
 
 def _qt_frame(

@@ -159,7 +159,19 @@ def wm7(spark: SparkSession, sf: str) -> DataFrame:
     ensure_session_confs(spark)
     s = stream_events(spark, sf, copies=2)
     deduped = dedup_stream(s)  # streaming path: watermark + WithinWatermark
-    out = run_available_now(deduped.select("event_id"), output_mode="append")
+    # state partitions pinned to 8 for the dedup drain (the ws2
+    # decision, same rationale): a streaming query freezes its
+    # shuffle-partition count into the state layout at start, and the
+    # dedup state (~|distinct event_id| entries) is sized by key
+    # cardinality, not CPU count — 32 state-store instances per batch
+    # on this key set measured 6.0s -> 3.3s at 8 (conf restored for
+    # the batch aggregate below)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        out = run_available_now(deduped.select("event_id"), output_mode="append")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     replayed = table(spark, sf, "events").agg(
         (F.count(F.lit(1)) * 2).alias("replayed_cnt")
     )
@@ -796,15 +808,22 @@ def ws8_streaming_drift_gate(spark: SparkSession, sf: str) -> DataFrame:
         threshold=0.2, available_now=False,
     )
     # python streaming sources don't support availableNow: poll the
-    # group catalog (each batch's four tables land in ONE atomic group
-    # commit, so counts are never torn) until both batches routed
+    # group's PUBLISHED row counts METADATA-ONLY (root manifest +
+    # member manifests' per-file row counts at the pinned versions —
+    # zero engine jobs per poll, so polling never competes with the
+    # micro-batches for executors, and mid-commit member heads are
+    # invisible exactly as with read_group) until both batches routed
+    from ensembl_database_loader_spark.sinks.catalog_commit import (
+        group_row_counts,
+    )
+
     try:
         deadline = _time.time() + 180
         while _time.time() < deadline:
             try:
-                g = read_group(spark, gate_root)
-                routed = g["good"].count() + g["quarantine"].count()
-                drift_rows = g["drift"].count()
+                c = group_row_counts(spark, gate_root)
+                routed = c["good"] + c["quarantine"]
+                drift_rows = c["drift"]
             except FileNotFoundError:
                 routed, drift_rows = 0, 0
             if routed >= 2 * n and drift_rows >= 4:
@@ -966,13 +985,21 @@ def ws9_drift_rebaseline(spark: SparkSession, sf: str) -> DataFrame:
             stream, prof_path, suite, gate_root, ckpt,
             threshold=0.2, available_now=False,
         )
+        # metadata-only poll of the group's PUBLISHED row counts (root
+        # manifest + member manifests at the pinned versions): zero
+        # engine jobs per poll, and mid-commit member heads stay
+        # invisible exactly as with read_group
+        from ensembl_database_loader_spark.sinks.catalog_commit import (
+            group_row_counts,
+        )
+
         try:
             deadline = _time.time() + 180
             while _time.time() < deadline:
                 try:
-                    g = read_group(spark, gate_root)
-                    routed = g["good"].count() + g["quarantine"].count()
-                    drift_rows = g["drift"].count()
+                    c = group_row_counts(spark, gate_root)
+                    routed = c["good"] + c["quarantine"]
+                    drift_rows = c["drift"]
                 except FileNotFoundError:
                     routed, drift_rows = 0, 0
                 if routed >= min_routed and drift_rows >= min_drift_rows:

@@ -193,6 +193,31 @@ def read_group(
     }
 
 
+def group_row_counts(
+    spark: SparkSession, root: str, version: int | None = None
+) -> dict[str, int]:
+    """Per-member row counts of the group's PUBLISHED state —
+    metadata-only (root manifest + each member manifest's per-file row
+    counts at the PINNED version, zero data files opened). Progress
+    pollers use this instead of counting snapshots: a member head that
+    advanced mid-commit (between member writes and root publication) is
+    not visible here, exactly like ``read_group``."""
+    croot = _catalog_path(root)
+    m = (
+        read_manifest(spark, croot, version)
+        if version is not None
+        else latest_manifest(spark, croot)
+    )
+    if m is None:
+        raise FileNotFoundError(f"no catalog root at {root} — no group commit yet")
+    from ensembl_database_loader_spark.sinks.manifest import table_row_count
+
+    return {
+        rel: table_row_count(spark, f"{root.rstrip('/')}/{rel}", version=v)
+        for rel, v in m["tables"].items()
+    }
+
+
 def group_history(spark: SparkSession, root: str) -> list[dict]:
     """All root manifests, oldest first: (version, tables, txn) — the
     group's commit log."""

@@ -93,10 +93,12 @@ class _ReplayReader(SimpleDataSourceStreamReader):
 
     def _rows(self, start: int, end: int) -> list:
         t = self._load()
-        return [
-            tuple(rec.values())
-            for rec in t.slice(start, max(end - start, 0)).to_pylist()
-        ]
+        s = t.slice(start, max(end - start, 0))
+        # columnar conversion: per-column to_pylist + zip produces the
+        # same tuples as row-wise to_pylist dicts (identical Arrow
+        # scalar conversion) without building one dict per row —
+        # measurably faster on 100k-row micro-batches
+        return list(zip(*(col.to_pylist() for col in s.columns)))
 
     def read(self, start: dict):
         # a list_iterator, NOT a generator: Spark's prefetch cache

@@ -150,9 +150,13 @@ def streaming_drift_gate(
             commit_group,
         )
 
+        from ensembl_database_loader_spark.functions.frames import (
+            literal_frame,
+        )
+
         spark = batch_df.sparkSession
         batch_df = batch_df.localCheckpoint()
-        psi = psi_against_profile(batch_df, resolve(spark)).select(
+        psi_plan = psi_against_profile(batch_df, resolve(spark)).select(
             F.lit(int(batch_id)).alias("batch"),
             "column",
             "psi",
@@ -161,12 +165,15 @@ def streaming_drift_gate(
             "n_bins",
             (F.col("psi") > F.lit(float(threshold))).alias("drifted"),
         )
-        # tiny collect: one row per monitored column
-        drifted_cols = sorted(
-            r["column"] for r in psi.collect() if r["drifted"]
-        )
+        # tiny collect: one row per monitored column. The collected
+        # rows BECOME the written drift table (a literal frame with the
+        # identical schema) — evaluating the psi plan again inside the
+        # group commit would rescan the whole batch for the bin counts.
+        psi_rows = psi_plan.collect()
+        drifted_cols = sorted(r["column"] for r in psi_rows if r["drifted"])
+        psi = literal_frame(spark, psi_rows, psi_plan.schema)
         good, quarantine, report = validate_batch(
-            batch_df, expectations, refs=refs
+            batch_df, expectations, refs=refs, materialized=True
         )
         if drifted_cols:
             # whole-batch quarantine, keeping each row's own rule tags

@@ -49,28 +49,40 @@ def validate_batch(
     batch_df: DataFrame,
     expectations: list[Expectation] | tuple[Expectation, ...],
     refs: dict[str, DataFrame] | None = None,
+    materialized: bool = False,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """The batch-shaped core (reused by the stream wrapper and directly
     testable): returns ``(good, quarantine, report)``.
 
     ``good``/``quarantine`` carry the input columns plus
     ``violations: array<string>`` (always empty on good rows);
-    ``report`` is the run_expectations verdict frame. The input is
-    localCheckpointed once — the report pass, the routing filter, and
-    the batch-gate all read the materialized batch, not three
-    re-executions of the source.
+    ``report`` is the run_expectations verdict frame — evaluated
+    exactly ONCE (one aggregate pass) and returned as a literal frame
+    of the collected verdict rows, so writing it later costs no second
+    pass over the batch. The input is localCheckpointed once — the
+    report pass, the routing filter, and the batch-gate all read the
+    materialized batch, not three re-executions of the source; callers
+    that already materialized the batch pass ``materialized=True``.
     """
-    batch_df = batch_df.localCheckpoint()
+    from ensembl_database_loader_spark.functions.frames import literal_frame
+
+    if not materialized:
+        batch_df = batch_df.localCheckpoint()
     rr, br = row_rules(expectations), batch_rules(expectations)
-    report = run_expectations(batch_df, list(expectations), refs=refs)
+    report_plan = run_expectations(batch_df, list(expectations), refs=refs)
+    report_rows = report_plan.collect()  # one row per rule
+    report = literal_frame(
+        batch_df.sparkSession, report_rows, report_plan.schema
+    )
     tagged = tag_violations(batch_df, rr, refs=refs)
-    # batch-level gate: names of failed batch rules (tiny collect — the
-    # report is one row per rule)
+    # batch-level gate: names of failed batch rules (from the already-
+    # collected verdict rows)
     failed_batch = [
         r["rule"]
-        for r in report.where(~F.col("passed")).collect()
-        if r["kind"] not in ("not_null", "in_range", "values_in", "regex",
-                             "referential")
+        for r in report_rows
+        if r["passed"] is False  # matches the prior ~passed (null excluded)
+        and r["kind"] not in ("not_null", "in_range", "values_in", "regex",
+                              "referential")
     ] if br else []
     if failed_batch:
         reasons = F.array(*[F.lit(f"batch:{n}") for n in sorted(failed_batch)])
