@@ -100,16 +100,27 @@ def commit_group(
     # member writes carry the SAME txn: a replay after a crash between
     # member writes and root publication must NOT append the member
     # data twice — the skipped write's version is resolved from the
-    # table's own history instead
-    versions: dict[str, int] = {}
-    for rel in rels:
+    # table's own history instead. The members are DISJOINT tables, so
+    # their staged writes + commits run concurrently from a small
+    # driver thread pool (one write's job tail back-fills with the
+    # next member's work); atomicity still comes solely from the root
+    # publication below.
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _write_member(rel: str) -> int:
         tpath = f"{root.rstrip('/')}/{rel}"
         m = write_table(tables[rel], tpath, mode=mode, txn=txn, **write_kwargs)
-        versions[rel] = (
+        return (
             int(m["version"])
             if m is not None
             else _version_for_txn(spark, tpath, txn)
         )
+
+    if len(rels) == 1:
+        versions = {rels[0]: _write_member(rels[0])}
+    else:
+        with ThreadPoolExecutor(max_workers=min(4, len(rels))) as pool:
+            versions = dict(zip(rels, pool.map(_write_member, rels)))
 
     def build(h: dict | None) -> dict | None:
         if _txn_done(h, txn):

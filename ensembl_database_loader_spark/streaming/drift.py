@@ -169,12 +169,19 @@ def streaming_drift_gate(
         # rows BECOME the written drift table (a literal frame with the
         # identical schema) — evaluating the psi plan again inside the
         # group commit would rescan the whole batch for the bin counts.
-        psi_rows = psi_plan.collect()
+        # The PSI pass and the expectation pass both read the
+        # checkpointed batch and share nothing: collect them from two
+        # driver threads so the two aggregate jobs overlap.
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=1) as pool:
+            f_psi = pool.submit(psi_plan.collect)
+            good, quarantine, report = validate_batch(
+                batch_df, expectations, refs=refs, materialized=True
+            )
+            psi_rows = f_psi.result()
         drifted_cols = sorted(r["column"] for r in psi_rows if r["drifted"])
         psi = literal_frame(spark, psi_rows, psi_plan.schema)
-        good, quarantine, report = validate_batch(
-            batch_df, expectations, refs=refs, materialized=True
-        )
         if drifted_cols:
             # whole-batch quarantine, keeping each row's own rule tags
             # (a drifted batch's rows carry BOTH the drift reasons and
