@@ -298,7 +298,8 @@ def _with_gens(postings: DataFrame, id_col: str, gens) -> DataFrame:
     id -> generation for re-arriving ids (broadcast-dim — a curation
     wave's resurrections/updates); every other row is generation 0.
     A row's generation never changes after it is written; liveness is
-    decided against the marker rows (``_live_postings``)."""
+    decided against the marker rows (the kill-map join in
+    ``bm25_topk_indexed``)."""
     if not gens:
         return postings.withColumn("_gen", F.lit(0).cast("bigint"))
     spark = postings.sparkSession
@@ -308,27 +309,6 @@ def _with_gens(postings: DataFrame, id_col: str, gens) -> DataFrame:
     )
     return postings.join(F.broadcast(gdf), id_col, "left").withColumn(
         "_gen", F.coalesce(F.col("_gen"), F.lit(0)).cast("bigint")
-    )
-
-
-def _live_postings(postings: DataFrame, id_col: str, gens) -> DataFrame:
-    """Keep only the LIVE rows under the generation markers: a marker
-    (id, gen=G) kills that id's rows with ``_gen < G`` — dead
-    generations (tombstoned docs, superseded update images) leave
-    serving BEFORE the df aggregate, so idf is computed over exactly
-    the live corpus and indexed scores stay bit-identical to a rebuild
-    on the survivors (no Lucene-style stale-df drift). ``gens`` is the
-    broadcast-dim marker map; callers skip the join entirely when it
-    is empty (the zero-marker fast path)."""
-    spark = postings.sparkSession
-    id_type = dict(postings.dtypes)[id_col]
-    kdf = _literal_df(
-        spark, sorted(gens.items()), f"{id_col} {id_type}, _kill bigint"
-    )
-    return (
-        postings.join(F.broadcast(kdf), id_col, "left")
-        .filter(F.col("_gen") >= F.coalesce(F.col("_kill"), F.lit(0)))
-        .drop("_kill")
     )
 
 
@@ -839,10 +819,22 @@ def bm25_topk_indexed(
     # the LIVE corpus — scores stay bit-identical to a rebuild (no
     # Lucene-style stale-df drift); zero cost when the marker count
     # property is 0. Marker rows themselves never reach here: both
-    # paths keep only rows whose term matches a query term.
-    gens = _marker_gens(spark, path)
-    if gens:
-        postings = _live_postings(postings, id_col, gens)
+    # paths keep only rows whose term matches a query term. The kill
+    # map rides the MAIN action as a broadcast subtree (the pruned
+    # marker scan + a per-id max aggregate — exactly the frame
+    # ``_marker_gens`` would collect) instead of a separate driver
+    # collect per serve: one less action on the interactive path.
+    if int(meta.get("tombstones", 0)):
+        kdf = (
+            scan_table(spark, path, predicates=[("term", "=", _TOMB_TERM)])
+            .groupBy(id_col)
+            .agg(F.max("_gen").alias("_kill"))
+        )
+        postings = (
+            postings.join(F.broadcast(kdf), id_col, "left")
+            .filter(F.col("_gen") >= F.coalesce(F.col("_kill"), F.lit(0)))
+            .drop("_kill")
+        )
     dft = postings.groupBy("term").agg(
         F.count(F.lit(1)).cast("bigint").alias("df")
     )

@@ -4198,13 +4198,24 @@ def ss_ann_batch_indexed(spark: SparkSession, sf: str) -> DataFrame:
 
     ensure_session_confs(spark)
     corpus = _planted_clusters(spark, sf).persist()
+    corpus.count()  # materialize once before the concurrent builds
     root = tempfile.mkdtemp(prefix="edl_annbi_")
     flat_path, pq_path = root + "/flat", root + "/pq"
-    build_ann_index(corpus, "vec_id", "embedding", flat_path, n_cells=8)
-    build_ann_index(
-        corpus, "vec_id", "embedding", pq_path, n_cells=8,
-        quantized="pq", pq_m=8, pq_k=16,
-    )
+    # the float and PQ indexes share nothing but the persisted corpus:
+    # build them as two concurrent driver threads (guide §2.6 — the
+    # k-means/codebook training jobs back-fill each other's tails)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as _ex:
+        _f1 = _ex.submit(
+            build_ann_index, corpus, "vec_id", "embedding", flat_path,
+            n_cells=8,
+        )
+        _f2 = _ex.submit(
+            build_ann_index, corpus, "vec_id", "embedding", pq_path,
+            n_cells=8, quantized="pq", pq_m=8, pq_k=16,
+        )
+        _f1.result(), _f2.result()
     qrows = corpus.filter(F.col("vec_id") < 4).collect()
     qlist = [(r["vec_id"], list(r["embedding"])) for r in qrows]
     queries = corpus.filter(F.col("vec_id") < 4).select(

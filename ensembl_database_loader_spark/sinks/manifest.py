@@ -720,14 +720,73 @@ def _bloom_positions(
     return None if ps is None else ps[0]
 
 
+#: Python types whose createDataFrame column type matches F.lit's
+#: inference for the SAME value — the condition under which the
+#: frame-shaped hash job below is expression-identical to the wide-row
+#: form (both feed try_cast(dtype) the same pre-cast value).
+_LIT_COL_TYPES = {bool: "boolean", int: "bigint", float: "double", str: "string"}
+
+
 def _bloom_positions_many(
     spark: SparkSession, dtype: str, values: list, bits: int, hashes: int
 ):
-    """``_bloom_positions`` for a literal LIST in one engine job: the
-    whole IN wave hashes as one 1-row projection (chunked at 500
-    values to bound codegen width). Returns one position list per
-    value, or None when ANY literal fails to cast — pruning disables
-    for the predicate, the row filter still applies."""
+    """``_bloom_positions`` for a literal LIST in one engine job.
+    Returns one position list per value, or None when ANY literal
+    fails to cast — pruning disables for the predicate, the row filter
+    still applies.
+
+    Shape: the values travel as an N-ROW literal frame projected
+    through ONE set of ``pmod(xxhash64(try_cast(v), seed_i), bits)``
+    expressions — not as a 1-row, 5N-column projection, whose
+    driver-side analysis/codegen grows superlinearly with the wave
+    (measured ~1.1 s at 30 values and ~14 s at 290 values vs a flat
+    ~0.4 s for the frame shape; every pruned point-lookup serve and
+    every bloom-pruned delete/update wave pays this). The hash input
+    is still ``try_cast(<value>, dtype)`` evaluated BY THE ENGINE, so
+    positions stay bit-identical to the collection pass. Values whose
+    Python type createDataFrame would coerce differently than
+    ``F.lit`` (None, Decimal, numpy scalars, mixed lists) fall back to
+    the literal wide-row projection."""
+    import datetime as _dt
+
+    vtypes = {type(v) for v in values}
+    ftype = (
+        _LIT_COL_TYPES.get(next(iter(vtypes)))
+        if len(vtypes) == 1
+        else None
+    )
+    if ftype is None and vtypes == {_dt.date}:
+        ftype = "date"
+    if ftype == "bigint" and not all(-(2**63) <= v < 2**63 for v in values):
+        ftype = None  # out of int64: let F.lit raise exactly as before
+    if ftype is not None and values:
+        from ensembl_database_loader_spark.functions.frames import (
+            literal_frame,
+        )
+
+        lit = F.col("__v").try_cast(dtype)
+        rows = literal_frame(
+            spark,
+            [(i, v) for i, v in enumerate(values)],
+            f"__i int, __v {ftype}",
+        ).select(
+            "__i",
+            lit.isNull().alias("__n"),
+            *[
+                F.pmod(F.xxhash64(lit, F.lit(i)), F.lit(bits))
+                .cast("int")
+                .alias(f"__p{i}")
+                for i in range(hashes)
+            ],
+        ).collect()
+        out = [None] * len(values)
+        for r in rows:
+            if r["__n"]:
+                return None
+            out[r["__i"]] = [r[f"__p{i}"] for i in range(hashes)]
+        return out
+    # fallback: 1-row wide projection (chunked at 500 values to bound
+    # codegen width) for value types the frame path can't carry
     out = []
     for lo in range(0, len(values), 500):
         chunk = values[lo : lo + 500]

@@ -963,6 +963,59 @@ def test_bloom_skips_point_lookups_minmax_cannot(spark, tbl):
     assert miss.count() == 0
 
 
+def test_bloom_positions_frame_path_matches_wide_row(spark):
+    """The frame-shaped bloom-probe hash job (one row per value, one
+    expression set) must be BIT-IDENTICAL to the literal wide-row
+    projection it replaced — same try_cast typing, same
+    xxhash64(value, seed) inputs — across every probe value type the
+    fast path accepts, and must defer to the wide path (same results)
+    for types it cannot carry."""
+    import datetime
+
+    def wide(dtype, values, bits, hashes):
+        # the original 1-row, 5N-column projection, verbatim
+        out = []
+        for lo in range(0, len(values), 500):
+            chunk = values[lo : lo + 500]
+            cols = []
+            for vi, v in enumerate(chunk):
+                lit = F.lit(v).try_cast(dtype)
+                cols.append(lit.isNull().alias(f"__n{vi}"))
+                cols.extend(
+                    F.pmod(F.xxhash64(lit, F.lit(i)), F.lit(bits))
+                    .cast("int")
+                    .alias(f"__p{vi}_{i}")
+                    for i in range(hashes)
+                )
+            row = spark.range(0, 1, 1, 1).select(*cols).first()
+            for vi in range(len(chunk)):
+                if row[f"__n{vi}"]:
+                    return None
+                out.append([row[f"__p{vi}_{i}"] for i in range(hashes)])
+        return out
+
+    cases = [
+        ("string", ["alpha", "", "répé", "x" * 100], 131072, 4),
+        ("bigint", [0, 1, -5, 2**62], 1048576, 4),
+        ("int", [0, 7, -3, 2**40], 131072, 4),  # overflow -> None
+        ("short", [1, 70000], 131072, 4),  # overflow -> None
+        ("date", [datetime.date(2020, 1, 1), datetime.date(1999, 12, 31)],
+         131072, 4),
+        ("bigint", ["not-a-number"], 131072, 4),  # try_cast null -> None
+        ("string", [5, 6], 131072, 4),  # cross-type cast, both paths agree
+        ("bigint", [True, False], 131072, 2),
+        ("double", [1.5, -2.25], 131072, 3),
+        # fallback shapes: mixed types and None
+        ("bigint", [1, "2"], 131072, 2),
+        ("bigint", [None, 3], 131072, 2),
+        ("bigint", [], 131072, 2),
+    ]
+    for dtype, vals, bits, hashes in cases:
+        got = M._bloom_positions_many(spark, dtype, vals, bits, hashes)
+        want = wide(dtype, vals, bits, hashes)
+        assert got == want, (dtype, vals)
+
+
 def test_bloom_inherited_by_append_merge_compact_delete(spark, tbl):
     df = spark.range(0, 1000).select(
         F.col("id").alias("k"), F.concat(F.lit("u"), F.col("id")).alias("v")
