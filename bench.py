@@ -193,7 +193,11 @@ def main() -> int:
                 ),
             },
         }
-        with open(os.path.join(BENCH_DIR, "BENCH_full_latest.json"), "w") as fh:
+        # BENCH_full_latest.json is the FULL-SUITE record of note;
+        # --only isolations must not clobber it (they still land in
+        # history.jsonl and BENCH_partial_latest.json).
+        latest = "BENCH_full_latest.json" if not args.only else "BENCH_partial_latest.json"
+        with open(os.path.join(BENCH_DIR, latest), "w") as fh:
             json.dump(full, fh, indent=1, sort_keys=True)
             fh.write("\n")
         with open(os.path.join(BENCH_DIR, "history.jsonl"), "a") as fh:

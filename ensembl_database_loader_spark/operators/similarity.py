@@ -493,7 +493,6 @@ def ivf_topk_many_indexed(
             f"qid_col and id_col must differ in the output, both {qid_col!r}"
             " — alias the query side first"
         )
-    _reject_duplicate_qids(queries, qid_col)
     cn0 = np.asarray(meta["centroids"], dtype=np.float64)
     cn = cn0 / np.maximum(np.linalg.norm(cn0, axis=1, keepdims=True), 1e-12)
     n_probe = min(int(n_probe), cn.shape[0])
@@ -512,11 +511,29 @@ def ivf_topk_many_indexed(
         )
         .withColumn("_probe_cells", _probes(F.col("_qvec")))
         .select("_qid", "_qvec", F.explode("_probe_cells").alias("_cell"))
-        .localCheckpoint()  # tiny; read twice (cell-union + join side)
     )
-    union_cells = sorted(
-        r["_cell"] for r in qcells.select("_cell").distinct().collect()
-    )
+    # ONE driver action plans the serve: the probed-cell union (drives
+    # the pruned scan), the duplicate-qid guard (rows == distinct qids
+    # x n_probe — _probes emits EXACTLY n_probe cells per query, so any
+    # duplicate qid breaks the equality), and nothing else. The r12
+    # shape replaced three round trips (a dup-check aggregate over the
+    # raw query frame, an eager localCheckpoint of qcells, a distinct-
+    # cells collect); the main action recomputes the cheap Arrow
+    # assignment instead of reading a checkpoint — the same recompute
+    # contract as the PQ core's cells pass. collect_set stays bounded
+    # by n_cells however wide the batch.
+    row = qcells.agg(
+        F.collect_set("_cell").alias("cells"),
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct("_qid").alias("d"),
+    ).first()
+    if int(row["n"]) != int(row["d"]) * n_probe:
+        raise ValueError(
+            f"duplicate {qid_col} values in the query frame "
+            f"({int(row['n']) // n_probe} rows, {int(row['d'])} distinct) — "
+            "dedupe or re-key the queries first"
+        )
+    union_cells = sorted(row["cells"])
     idx = _ann_cells_scan(spark, path, meta, union_cells)
     if scorer == "gemm":
         _require_integral_ids(idx, id_col, "index id")
@@ -1260,23 +1277,32 @@ def pq_topk_many_indexed_df(
     else:
         if queries is None:
             raise ValueError("pass a query DataFrame or _literal_queries")
-        if not _skip_qid_check:
-            _reject_duplicate_qids(queries, qid_col)
         q0 = queries.select(
             F.col(qid_col).alias("_qid"),
             F.col(qvec_col).cast("array<double>").alias("_qvec"),
         )
-        # light pass: union of probed cells for partition pruning
-        # (<= n_cells distinct values however wide the batch)
+        # light pass: ONE aggregate returns both the probed-cell union
+        # for partition pruning (collect_set — <= n_cells values
+        # however wide the batch) and the duplicate-qid guard (the UDF
+        # emits EXACTLY n_probe cells per query, so rows == distinct
+        # qids x n_probe iff qids are unique) — the r12 fold of the
+        # separate dup-check aggregate into the cells pass (one fewer
+        # driver round trip per serve).
         probes = _pq_probe_cells_udf(cn, n_probe)
-        union_cells = sorted(
-            r["_c"]
-            for r in q0.select(
-                F.explode_outer(probes(F.col("_qvec"))).alias("_c")
+        row = q0.select(
+            "_qid", F.explode_outer(probes(F.col("_qvec"))).alias("_c")
+        ).agg(
+            F.collect_set("_c").alias("cells"),
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct("_qid").alias("d"),
+        ).first()
+        if not _skip_qid_check and int(row["n"]) != int(row["d"]) * n_probe:
+            raise ValueError(
+                f"duplicate {qid_col} values in the query frame "
+                f"({int(row['n']) // n_probe} rows, {int(row['d'])} distinct)"
+                " — dedupe or re-key the queries first"
             )
-            .distinct()
-            .collect()
-        )
+        union_cells = sorted(row["cells"])
     idx = _ann_cells_scan(spark, path, meta, union_cells)
     if scorer == "gemm":
         _require_integral_ids(idx, id_col, "index id")
