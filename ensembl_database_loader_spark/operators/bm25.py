@@ -179,17 +179,18 @@ def bm25_topk(
         "_toks",
         F.size("_toks").cast("bigint").alias("dl"),
     )
-    # one-row aggregate collected to the driver and re-injected as
-    # LITERALS: the former one-row stats frame crossJoin'd into the
-    # query side planned as a CartesianProduct of two parallelized
-    # literal frames — slices x slices Python tasks of pure overhead
-    # (measured 1024 tasks / ~13 s on the serve path)
-    srow = toked.agg(
+    # corpus stats ride the MAIN action as a one-row BROADCAST subtree
+    # (BroadcastNestedLoopJoin with a 1-row build side — NOT the former
+    # unhinted crossJoin of parallelized frames, which planned a
+    # CartesianProduct of slices x slices empty Python tasks): the
+    # serve plans with no separate stats action, and the shuffle-shaped
+    # sweep form (broadcast_queries=False) plans with ZERO driver
+    # round trips. Values are the engine's own aggregate either way,
+    # so scores stay bit-identical to the collected-literal form.
+    stats_df = toked.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-        F.avg("dl").alias("avgdl"),
-    ).first()
-    n_docs = int(srow["n_docs"])
-    avgdl = float(srow["avgdl"]) if srow["avgdl"] is not None else 0.0
+        F.coalesce(F.avg("dl"), F.lit(0.0)).alias("avgdl"),
+    )
 
     # (doc, term, tf, dl) for QUERY terms only — the term filter runs
     # before the aggregate, so partial aggregation sees only hits
@@ -208,16 +209,17 @@ def bm25_topk(
         F.count(F.lit(1)).cast("bigint").alias("df")
     )
     return _score_postings(
-        postings, dft, n_docs, avgdl, qt, id_col, k, k1, b, ndigits,
+        postings, dft, None, None, qt, id_col, k, k1, b, ndigits,
         salt_partitions, broadcast_qside=broadcast_queries,
+        stats_df=stats_df,
     )
 
 
 def _score_postings(
     postings: DataFrame,
     dft: DataFrame,
-    n_docs: int,
-    avgdl: float,
+    n_docs: int | None,
+    avgdl: float | None,
     qt: DataFrame,
     id_col: str,
     k: int,
@@ -226,25 +228,32 @@ def _score_postings(
     ndigits: int,
     salt_partitions: int,
     broadcast_qside: bool = True,
+    stats_df: DataFrame | None = None,
 ) -> DataFrame:
     """Shared scoring tail: enrich the (qid, term) frame with df + the
-    corpus stats (driver-resident scalars attached as LITERAL columns
-    — a one-row frame crossJoin here planned as a CartesianProduct of
-    parallelized literal frames, slices x slices empty Python tasks),
-    join it onto the postings (BROADCAST for collected interactive
-    waves, SHUFFLE for DataFrame-shaped corpus-scale sweeps — same
-    rows either way), sum per (qid, doc), rank by (ROUND(score, 6)
-    DESC, doc)."""
+    corpus stats — either driver-resident scalars attached as LITERAL
+    columns (the indexed path: stats live in table properties, no job)
+    or a one-row ``stats_df`` attached as a BROADCAST nested-loop join
+    (the ad-hoc path: stats ride the main action instead of a separate
+    driver round trip; an unhinted crossJoin here would plan a
+    CartesianProduct of parallelized frames — slices x slices empty
+    Python tasks) — then join onto the postings (BROADCAST for
+    collected interactive waves, SHUFFLE for DataFrame-shaped
+    corpus-scale sweeps — same rows either way), sum per (qid, doc),
+    rank by (ROUND(score, 6) DESC, doc)."""
     from ensembl_database_loader_spark.operators.similarity import (
         _per_query_topk,
     )
 
-    qside = qt.join(dft, "term").withColumns(
-        {
-            "n_docs": F.lit(int(n_docs)).cast("bigint"),
-            "avgdl": F.lit(float(avgdl)),
-        }
-    )
+    if stats_df is not None:
+        qside = qt.join(dft, "term").crossJoin(F.broadcast(stats_df))
+    else:
+        qside = qt.join(dft, "term").withColumns(
+            {
+                "n_docs": F.lit(int(n_docs)).cast("bigint"),
+                "avgdl": F.lit(float(avgdl)),
+            }
+        )
     pairs = postings.join(
         F.broadcast(qside) if broadcast_qside else qside, "term"
     ).select(
