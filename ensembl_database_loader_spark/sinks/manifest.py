@@ -735,19 +735,51 @@ def _bloom_positions_many(
     fails to cast — pruning disables for the predicate, the row filter
     still applies.
 
-    Shape: the values travel as an N-ROW literal frame projected
-    through ONE set of ``pmod(xxhash64(try_cast(v), seed_i), bits)``
-    expressions — not as a 1-row, 5N-column projection, whose
-    driver-side analysis/codegen grows superlinearly with the wave
-    (measured ~1.1 s at 30 values and ~14 s at 290 values vs a flat
-    ~0.4 s for the frame shape; every pruned point-lookup serve and
-    every bloom-pruned delete/update wave pays this). The hash input
-    is still ``try_cast(<value>, dtype)`` evaluated BY THE ENGINE, so
-    positions stay bit-identical to the collection pass. Values whose
-    Python type createDataFrame would coerce differently than
-    ``F.lit`` (None, Decimal, numpy scalars, mixed lists) fall back to
-    the literal wide-row projection."""
+    Shape, fastest first:
+
+    - ZERO engine jobs for the common (python type, column dtype)
+      pairs: a pure-Python XXH64 (functions/xxh64) replays the exact
+      ``h = hash_typed(v, 42); h = hash_int(seed_i, h)`` chain the
+      engine's ``xxhash64(col, lit(i))`` computes — bit-identity pinned
+      by tests — so a point-lookup serve or a delete wave's bloom probe
+      costs NO driver round trip at all.
+    - one N-ROW literal frame projected through ONE set of
+      ``pmod(xxhash64(try_cast(v), seed_i), bits)`` expressions — not a
+      1-row, 5N-column projection, whose driver-side analysis/codegen
+      grows superlinearly with the wave (measured ~1.1 s at 30 values
+      and ~14 s at 290 values vs a flat ~0.4 s for the frame shape).
+      The hash input is ``try_cast(<value>, dtype)`` evaluated BY THE
+      ENGINE, so positions stay bit-identical to the collection pass.
+    - values whose Python type createDataFrame would coerce differently
+      than ``F.lit`` (None, Decimal, numpy scalars, mixed lists) fall
+      back to the literal wide-row projection."""
     import datetime as _dt
+
+    from ensembl_database_loader_spark.functions.xxh64 import (
+        hash_int as _xx_int,
+        hash_typed as _xx_typed,
+    )
+
+    # driver-side fast path: identical-typed values (the hot shapes —
+    # victim-id ints/strings, query terms) hash in pure Python; any
+    # value the module can't hash bit-identically punts the WHOLE list
+    # to the engine paths below (positions must all come from one
+    # definition or a mixed wave could prune inconsistently)
+    py_out: list | None = []
+    for v in values:
+        h0 = _xx_typed(v, dtype, 42)
+        if h0 is NotImplemented:
+            py_out = None
+            break
+        ps = []
+        for i in range(hashes):
+            h = _xx_int(i, h0)
+            if h >= 1 << 63:  # pmod over the SIGNED 64-bit value
+                h -= 1 << 64
+            ps.append(h % bits)
+        py_out.append(ps)
+    if py_out is not None:
+        return py_out
 
     vtypes = {type(v) for v in values}
     ftype = (

@@ -1016,6 +1016,54 @@ def test_bloom_positions_frame_path_matches_wide_row(spark):
         assert got == want, (dtype, vals)
 
 
+def test_bloom_positions_python_path_matches_engine(spark):
+    """The pure-Python XXH64 fast path (functions/xxh64) must be
+    BIT-IDENTICAL to the engine's ``pmod(xxhash64(cast(v), seed_i),
+    bits)`` for every (python type, dtype) pair it accepts — and must
+    need NO SparkSession at all (the structural point: a bloom probe
+    wave costs zero driver round trips). Randomized matrix per type,
+    plus the canonicalization edges (NaN, -0.0, int extremes,
+    multi-byte / >32-byte strings that exercise every XXH64 tail)."""
+    import datetime
+    import random
+
+    rng = random.Random(20260818)
+    cases = {
+        "bigint": [0, 1, -1, 2**63 - 1, -(2**63), 2**31, -(2**31) - 1]
+        + [rng.randrange(-(2**63), 2**63) for _ in range(60)],
+        "int": [0, 1, -1, 2**31 - 1, -(2**31)]
+        + [rng.randrange(-(2**31), 2**31) for _ in range(60)],
+        "string": ["", "a", "ab", "abc", "abcd", "abcdefgh", "x" * 31,
+                   "y" * 32, "z" * 33, "w" * 100, "héllo wörld",
+                   "日本語テキスト", "emoji 🎉🚀", "\x00nul\x00"]
+        + ["".join(rng.choice("abcdef gh") for _ in range(rng.randrange(80)))
+           for _ in range(40)],
+        "double": [0.0, -0.0, 1.5, -2.75, float("inf"), float("-inf"),
+                   float("nan"), 1e308, -1e-308]
+        + [rng.uniform(-1e9, 1e9) for _ in range(30)],
+        "date": [datetime.date(1970, 1, 1), datetime.date(1969, 12, 31),
+                 datetime.date(2026, 8, 18), datetime.date(1900, 1, 1)],
+        "boolean": [True, False],
+    }
+    import ensembl_database_loader_spark.functions.xxh64 as X
+
+    bits, hashes = 1 << 20, 4
+    orig = X.hash_typed
+    for dtype, vals in cases.items():
+        # spark=None: supported types must return BEFORE touching the
+        # engine — if the fast path ever stops covering one of these,
+        # this raises instead of silently re-growing a job per wave
+        got = M._bloom_positions_many(None, dtype, vals, bits, hashes)
+        # reference: the same function forced down its ENGINE frame
+        # path (the N-row literal-frame xxhash64 projection)
+        X.hash_typed = lambda *a, **k: NotImplemented
+        try:
+            want = M._bloom_positions_many(spark, dtype, vals, bits, hashes)
+        finally:
+            X.hash_typed = orig
+        assert got == want, dtype
+
+
 def test_bloom_inherited_by_append_merge_compact_delete(spark, tbl):
     df = spark.range(0, 1000).select(
         F.col("id").alias("k"), F.concat(F.lit("u"), F.col("id")).alias("v")
