@@ -69,7 +69,14 @@ def shingle_udf(n: int = 3):
 
         return s.map(h)
 
-    return _sh
+    # asNondeterministic: the function is pure, but leaving it
+    # deterministic lets InferFiltersFromGenerate duplicate the whole
+    # Arrow evaluation under every explode(shingles) — two
+    # ArrowEvalPython nodes shingling every document twice (guide
+    # §4.4). Marking it non-deterministic pins a single evaluation;
+    # rows are unchanged (an empty shingle array explodes to nothing
+    # with or without the inferred size(sh)>0 pre-filter).
+    return _sh.asNondeterministic()
 
 
 def poly_hash(col_sql: str) -> Column:
