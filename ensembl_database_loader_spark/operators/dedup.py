@@ -226,25 +226,24 @@ def minhash_band_keys(signatures: DataFrame, rows_per_band: int = 2) -> DataFram
     )
 
 
-def minhash_band_keys_direct(
-    df: DataFrame,
-    id_col: str,
-    text_col: str,
+def minhash_band_keys_from_shingles(
+    sh_df: DataFrame,
+    id_col: str = "id",
+    shingle_col: str = "shingles",
     num_hashes: int = 8,
     rows_per_band: int = 2,
-    n: int = 3,
 ) -> DataFrame:
-    """(id, band, key) band keys in ONE shuffle: the per-seed minima
-    run as ``num_hashes`` conditional MIN aggregates in a single
-    groupBy(id) with map-side partial aggregation (the two-step
-    ``minhash_signatures`` -> ``minhash_band_keys`` path costs a
-    seeds-crossJoin row inflation plus TWO shuffles for the same
-    values), then band keys concatenate consecutive minima and a
-    narrow posexplode emits the (band, key) rows. Values are
-    bit-identical to the two-step path (pinned in tests)."""
-    sh = df.select(
-        F.col(id_col).alias("id"), shingle_udf(n)(F.col(text_col)).alias("sh")
-    ).select("id", F.explode("sh").alias("g"))
+    """(id, band, key) band keys from a PRECOMPUTED distinct-shingle
+    frame — the one-shuffle groupBy(id) MIN fold of
+    ``minhash_band_keys_direct`` minus its shingle recomputation, so a
+    caller that already holds (and persists) the shingle arrays — the
+    curation funnels, the fingerprint store — derives band keys without
+    paying a second Arrow shingle pass over the corpus. Values are
+    bit-identical to the from-text path (same MD5/MIN expressions over
+    the same exploded rows; pinned in tests)."""
+    sh = sh_df.select(
+        F.col(id_col).alias("id"), F.explode(shingle_col).alias("g")
+    )
     aggs = [
         F.min(F.md5(F.concat(F.lit(f"{s}|"), F.col("g")))).alias(f"_mh{s}")
         for s in range(num_hashes)
@@ -264,7 +263,7 @@ def minhash_band_keys_direct(
     ).withColumn("band", F.col("band").cast("bigint"))
 
 
-def minhash_lsh_candidates(
+def minhash_band_keys_direct(
     df: DataFrame,
     id_col: str,
     text_col: str,
@@ -272,12 +271,40 @@ def minhash_lsh_candidates(
     rows_per_band: int = 2,
     n: int = 3,
 ) -> DataFrame:
+    """(id, band, key) band keys in ONE shuffle: the per-seed minima
+    run as ``num_hashes`` conditional MIN aggregates in a single
+    groupBy(id) with map-side partial aggregation (the two-step
+    ``minhash_signatures`` -> ``minhash_band_keys`` path costs a
+    seeds-crossJoin row inflation plus TWO shuffles for the same
+    values), then band keys concatenate consecutive minima and a
+    narrow posexplode emits the (band, key) rows. Values are
+    bit-identical to the two-step path (pinned in tests)."""
+    sh = df.select(
+        F.col(id_col).alias("id"), shingle_udf(n)(F.col(text_col)).alias("sh")
+    )
+    return minhash_band_keys_from_shingles(
+        sh, "id", "sh", num_hashes, rows_per_band
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 8,
+    rows_per_band: int = 2,
+    n: int = 3,
+    bands: DataFrame | None = None,
+) -> DataFrame:
     """Distinct candidate pairs (id1 < id2) sharing at least one LSH band
     bucket. The join is per-bucket (groupBy band key), so cost scales
-    with bucket sizes — the property that makes this viable at 100 TB."""
-    bands = minhash_band_keys_direct(
-        df, id_col, text_col, num_hashes, rows_per_band, n
-    )
+    with bucket sizes — the property that makes this viable at 100 TB.
+    Pass precomputed ``bands`` (id, band, key) to reuse band keys the
+    caller already derived (e.g. from a persisted shingle frame)."""
+    if bands is None:
+        bands = minhash_band_keys_direct(
+            df, id_col, text_col, num_hashes, rows_per_band, n
+        )
     a, b = bands.alias("a"), bands.alias("b")
     return (
         a.join(
@@ -300,12 +327,16 @@ def minhash_lsh_pairs(
     rows_per_band: int = 2,
     n: int = 3,
     candidates: DataFrame | None = None,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """LSH candidates verified by exact Jaccard: (id1, id2, jaccard).
 
     Pass precomputed ``candidates`` (e.g. from minhash_lsh_candidates)
-    to avoid re-deriving signatures; ``threshold=None`` keeps every
-    candidate with its Jaccard (caller filters/aggregates in one pass)."""
+    to avoid re-deriving signatures, and/or a precomputed ``shingles``
+    frame ((id_col, shingles) — e.g. a persisted ``with_shingles``) so
+    the verify step reuses it instead of a fresh Arrow shingle pass;
+    ``threshold=None`` keeps every candidate with its Jaccard (caller
+    filters/aggregates in one pass)."""
     cand = (
         candidates
         if candidates is not None
@@ -319,7 +350,9 @@ def minhash_lsh_pairs(
     # job is to FORBID broadcast; shuffle-hash skips the per-partition
     # sort of sort-merge but does build a per-partition hash table, so
     # under heavy key skew prefer .hint("merge") (spills gracefully).
-    sh = with_shingles(df, id_col, text_col, n).hint("shuffle_hash")
+    sh = (
+        shingles if shingles is not None else with_shingles(df, id_col, text_col, n)
+    ).hint("shuffle_hash")
     j = _jaccard(F.col("s1.shingles"), F.col("s2.shingles"))
     out = (
         cand.join(sh.alias("s1"), cand.id1 == F.col(f"s1.{id_col}"))

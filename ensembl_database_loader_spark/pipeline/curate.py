@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 from ensembl_database_loader_spark.functions.text import normalize_text, tokens
 from ensembl_database_loader_spark.operators.dedup import (
     _jaccard,
-    minhash_band_keys_direct,
+    minhash_band_keys_from_shingles,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
     ngram_jaccard_pairs_prefix,
@@ -34,7 +34,11 @@ from ensembl_database_loader_spark.operators.textstats import with_quality_score
 
 
 def _near_dup_pairs(
-    exact: DataFrame, strategy: str, jaccard_threshold: float
+    exact: DataFrame,
+    strategy: str,
+    jaccard_threshold: float,
+    shingles: DataFrame | None = None,
+    bands: DataFrame | None = None,
 ) -> DataFrame:
     """The strategy-selectable near-dup stage over the exact-dedup
     survivors; every strategy returns (id1, id2, jaccard >= threshold).
@@ -50,7 +54,12 @@ def _near_dup_pairs(
       sub-linear candidate generation; precision stays exact (verify
       step) but recall follows the LSH S-curve, so the kept set can
       only GROW vs the exact strategies (fewer detected pairs =>
-      fewer drops)."""
+      fewer drops).
+
+    ``shingles``/``bands`` (minhash only): precomputed — typically
+    persisted — (id, shingles) / (id, band, key) frames so candidate
+    generation and the Jaccard verify reuse ONE Arrow shingle pass
+    instead of re-deriving both from text (pairs are identical)."""
     if strategy == "prefix":
         return ngram_jaccard_pairs_prefix(
             exact, "id", "text", "blk", n=3, threshold=jaccard_threshold
@@ -70,7 +79,7 @@ def _near_dup_pairs(
         # near-dups the exact strategies never consider)
         blk = exact.select("id", "blk")
         cand = (
-            minhash_lsh_candidates(exact, "id", "text", n=3)
+            minhash_lsh_candidates(exact, "id", "text", n=3, bands=bands)
             .join(
                 blk.select(F.col("id").alias("id1"), F.col("blk").alias("_b1")),
                 "id1",
@@ -83,7 +92,8 @@ def _near_dup_pairs(
             .select("id1", "id2")
         )
         return minhash_lsh_pairs(
-            exact, "id", "text", threshold=jaccard_threshold, n=3, candidates=cand
+            exact, "id", "text", threshold=jaccard_threshold, n=3,
+            candidates=cand, shingles=shingles,
         )
     raise ValueError(
         f"unknown near_dup strategy {strategy!r}; "
@@ -148,7 +158,28 @@ def curate_corpus(
         .persist()
     )
 
-    pairs = _near_dup_pairs(exact, near_dup, jaccard_threshold)
+    # One Arrow shingle pass per funnel: the minhash strategy and the
+    # fingerprint store both need the distinct-shingle arrays AND the
+    # band keys derived from them — computed once over the persisted
+    # exact survivors and PERSISTED, they feed candidate generation,
+    # the Jaccard verify, and both store files (previously each
+    # consumer re-ran the shingle UDF + band aggregate from text: up
+    # to 4 independent Arrow passes per curate_corpus(store_path=...)
+    # call). Same ContextCleaner lifetime note as ``exact`` above.
+    shg = bands = None
+    if near_dup == "minhash" or store_path is not None:
+        shg = with_shingles(exact, "id", "text", _STORE_N).persist()
+        bands = minhash_band_keys_from_shingles(
+            shg, "id", "shingles", _STORE_NUM_HASHES, _STORE_ROWS_PER_BAND
+        ).persist()
+
+    pairs = _near_dup_pairs(
+        exact,
+        near_dup,
+        jaccard_threshold,
+        shingles=shg if near_dup == "minhash" else None,
+        bands=bands if near_dup == "minhash" else None,
+    )
     if cluster_exact:
         # exact cluster-level dedup: transitive closure of the pair
         # graph, keep the minimum id of every component
@@ -176,7 +207,7 @@ def curate_corpus(
         )
     )
     if store_path is not None:
-        write_fingerprint_store(exact, store_path)
+        write_fingerprint_store(exact, store_path, shingles=shg, bands=bands)
     return kept, stats
 
 
@@ -210,8 +241,19 @@ _STORE_NUM_HASHES = 8
 _STORE_ROWS_PER_BAND = 2
 
 
-def _store_signatures(exact: DataFrame) -> tuple[DataFrame, DataFrame]:
-    """(exact_sigs, band_keys) for a frame of exact-stage survivors."""
+def _store_signatures(
+    exact: DataFrame, shingles: DataFrame | None = None
+) -> tuple[DataFrame, DataFrame]:
+    """(exact_sigs, band_keys) for a frame of exact-stage survivors.
+    Pass a precomputed (persisted) ``shingles`` frame so the sigs join
+    and the band keys share ONE Arrow shingle pass; band keys always
+    derive from the same shingle frame the sigs carry (bit-identical
+    to deriving them from text — pinned in tests)."""
+    sh_frame = (
+        shingles
+        if shingles is not None
+        else with_shingles(exact, "id", "text", _STORE_N)
+    )
     # shuffle_hash hint: both sides are corpus-sized and the shingle
     # side's stats are UDF-opaque — never let Catalyst broadcast it
     # (same posture as the dedup verify joins)
@@ -220,13 +262,11 @@ def _store_signatures(exact: DataFrame) -> tuple[DataFrame, DataFrame]:
         "blk",
         F.sha2(normalize_text("text"), 256).alias("sha"),
     ).join(
-        with_shingles(exact, "id", "text", _STORE_N)
-        .withColumnRenamed("shingles", "sh")
-        .hint("shuffle_hash"),
+        sh_frame.withColumnRenamed("shingles", "sh").hint("shuffle_hash"),
         "id",
     )
-    bands = minhash_band_keys_direct(
-        exact, "id", "text", _STORE_NUM_HASHES, _STORE_ROWS_PER_BAND, _STORE_N
+    bands = minhash_band_keys_from_shingles(
+        sh_frame, "id", "shingles", _STORE_NUM_HASHES, _STORE_ROWS_PER_BAND
     )
     return sigs, bands
 
@@ -252,12 +292,20 @@ def _snapshot_files(spark, path: str) -> list[str]:
 
 
 def write_fingerprint_store(
-    exact: DataFrame, store_path: str, mode: str = "overwrite"
+    exact: DataFrame,
+    store_path: str,
+    mode: str = "overwrite",
+    shingles: DataFrame | None = None,
+    bands: DataFrame | None = None,
 ) -> None:
-    """Persist (or append to) the fingerprint store at ``store_path``."""
-    sigs, bands = _store_signatures(exact)
+    """Persist (or append to) the fingerprint store at ``store_path``.
+    ``shingles``/``bands`` reuse frames the caller already computed
+    (identical rows either way)."""
+    sigs, derived = _store_signatures(exact, shingles=shingles)
     sigs.write.mode(mode).parquet(store_path + "/exact_sigs")
-    bands.write.mode(mode).parquet(store_path + "/band_keys")
+    (bands if bands is not None else derived).write.mode(mode).parquet(
+        store_path + "/band_keys"
+    )
 
 
 def curate_increment(
@@ -324,8 +372,21 @@ def curate_increment(
         .persist()
     )
 
-    new_sigs, new_bands = _store_signatures(exact)
+    new_sigs, _ = _store_signatures(exact)
     new_sigs = new_sigs.persist()
+    # band keys derive from the PERSISTED sigs' shingle arrays — the
+    # four consumers below (old-bucket join, both sides of the
+    # new-vs-new self-join, the store append) previously each re-ran
+    # the Arrow shingle pass + band aggregate from text; now they share
+    # one cached pass, and the small (4 rows/doc) band frame is itself
+    # persisted so the explode+MIN aggregate also runs once.
+    new_bands = minhash_band_keys_from_shingles(
+        new_sigs.select("id", F.col("sh").alias("shingles")),
+        "id",
+        "shingles",
+        _STORE_NUM_HASHES,
+        _STORE_ROWS_PER_BAND,
+    ).persist()
 
     # new-vs-old: bucket join on stored band keys, exact-Jaccard verify
     cand_old = (

@@ -1,11 +1,12 @@
 #!/usr/bin/env python
-"""Capture `.explain("formatted")` for named probes into plans/r12/.
+"""Capture `.explain("formatted")` for named probes into plans/<round>/.
 
 Usage: python scripts/capture_plans.py before|after name1,name2[,...]
 
 Runs each probe's builder (side effects included — lifecycle probes
 build their fixtures) and writes the RETURNED DataFrame's formatted
-physical plan to plans/r12/<name>_<tag>.txt.
+physical plan to plans/$PLANS_ROUND/<name>_<tag>.txt (PLANS_ROUND
+defaults to r13).
 """
 
 from __future__ import annotations
@@ -25,7 +26,7 @@ def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     out_dir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "plans", "r12",
+        "plans", os.environ.get("PLANS_ROUND", "r13"),
     )
     os.makedirs(out_dir, exist_ok=True)
     spark = get_spark(app_name=f"plans-{tag}")
