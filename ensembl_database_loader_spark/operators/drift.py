@@ -281,6 +281,19 @@ def update_drift_profile(
             "audited, replay-safe act (use save_drift_profile to create)"
         )
     spark = ref.sparkSession
+    # Replay guard FIRST (one metadata read): commit_group would detect
+    # the recorded txn anyway, but only after this function had already
+    # paid load_drift_profile + the EAGER profile_edges aggregate over
+    # the new reference — a replayed approval job (at-least-once
+    # scheduler) should cost zero engine jobs, same as a replayed sync.
+    from ensembl_database_loader_spark.sinks.catalog_commit import (
+        _catalog_path,
+        _txn_done,
+    )
+    from ensembl_database_loader_spark.sinks.manifest import latest_manifest
+
+    if _txn_done(latest_manifest(spark, _catalog_path(path)), txn):
+        return None
     if num_cols is None or cat_cols is None or bins is None:
         _, _, cur_num, cur_cat, cur_bins = load_drift_profile(spark, path)
         num_cols = cur_num if num_cols is None else tuple(num_cols)

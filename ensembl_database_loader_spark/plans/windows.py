@@ -13,7 +13,10 @@ from pyspark.sql import functions as F
 
 from ensembl_database_loader_spark.catalog import table
 from ensembl_database_loader_spark.plans.registry import probe
-from ensembl_database_loader_spark.session import ensure_session_confs
+from ensembl_database_loader_spark.session import (
+    STATE_PARTITIONS,
+    ensure_session_confs,
+)
 from ensembl_database_loader_spark.streaming.windows import (
     dedup_stream,
     run_available_now,
@@ -159,15 +162,16 @@ def wm7(spark: SparkSession, sf: str) -> DataFrame:
     ensure_session_confs(spark)
     s = stream_events(spark, sf, copies=2)
     deduped = dedup_stream(s)  # streaming path: watermark + WithinWatermark
-    # state partitions pinned to 8 for the dedup drain (the ws2
-    # decision, same rationale): a streaming query freezes its
-    # shuffle-partition count into the state layout at start, and the
-    # dedup state (~|distinct event_id| entries) is sized by key
-    # cardinality, not CPU count — 32 state-store instances per batch
-    # on this key set measured 6.0s -> 3.3s at 8 (conf restored for
-    # the batch aggregate below)
+    # state partitions sized via SPARK_GRAFT_STATE_PARTITIONS (the ws2
+    # decision, same rationale; session.py documents the knob): a
+    # streaming query freezes its shuffle-partition count into the
+    # state layout at start, and the dedup state (~|distinct event_id|
+    # entries) is sized by key cardinality, not CPU count — 32
+    # state-store instances per batch on this key set measured
+    # 6.0s -> 3.3s at the local default 8 (conf restored for the batch
+    # aggregate below)
     prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", STATE_PARTITIONS)
     try:
         out = run_available_now(deduped.select("event_id"), output_mode="append")
     finally:
@@ -245,7 +249,8 @@ def ws2(spark: SparkSession, sf: str) -> DataFrame:
     independent sources — one source listing/schema setup, and the
     per-side filters prune before the join buffers state.
 
-    State partitions are pinned to 8 for the join query: a streaming
+    State partitions are sized via SPARK_GRAFT_STATE_PARTITIONS
+    (session.py documents the knob; local default 8): a streaming
     query's shuffle-partition count is frozen into its state layout at
     start, and every partition carries TWO state-store instances for a
     stream-stream join — sizing them to the key cardinality instead of
@@ -258,7 +263,7 @@ def ws2(spark: SparkSession, sf: str) -> DataFrame:
     views = src.filter(F.col("event_type") == "view")
     joined = stream_stream_join(clicks, views)
     prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", STATE_PARTITIONS)
     try:
         out = run_available_now(
             joined.select("user_id", "c_value", "v_value"), output_mode="append"
@@ -365,7 +370,7 @@ def ws4(spark: SparkSession, sf: str) -> DataFrame:
         how="left_outer",
     )
     prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", STATE_PARTITIONS)
     try:
         out = run_available_now(
             joined.select("user_id", "c_value", "v_user_id", "v_value"),
@@ -437,7 +442,7 @@ def ws5(spark: SparkSession, sf: str) -> DataFrame:
         how="full_outer",
     )
     prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", STATE_PARTITIONS)
     try:
         out = run_available_now(
             joined.select("user_id", "c_value", "v_user_id", "v_value"),
@@ -492,12 +497,20 @@ _REPLAY_ORACLE = (
 def ws6_replay_source_stream(spark: SparkSession, sf: str) -> DataFrame:
     """Streaming Python DataSource end-to-end (sources/
     replay_datasource.py): the parquet event log replays through a REAL
-    StreamingQuery in deterministic 4000-row micro-batches into a
-    memory sink; the drained sink's aggregates must equal the direct
-    relational read EXACTLY (every event exactly once, none invented —
-    the offset bookkeeping is the thing under test). Python streaming
-    sources don't support Trigger.AvailableNow, so the probe drives a
-    processing-time trigger and polls the sink to the known row count."""
+    StreamingQuery in deterministic micro-batches into a memory sink;
+    the drained sink's aggregates must equal the direct relational read
+    EXACTLY (every event exactly once, none invented — the offset
+    bookkeeping is the thing under test). Python streaming sources
+    don't support Trigger.AvailableNow, so the probe drives a
+    processing-time trigger and polls the sink to the known row count.
+
+    Batch sizing is a pure throughput knob (the replayed multiset is
+    batch-independent): the probe caps the replay at ~4 micro-batches
+    per SF (each batch costs a full source-planning + trigger round
+    trip — 25 of them at sf0.1 measured ~8-9s of almost pure trigger
+    overhead, the ws7 rationale). Many-small-batch exactness itself is
+    pinned by tests/test_replay_source.py, which drives the same source
+    through small fixed batches."""
     import time as _time
     import uuid as _uuid
 
@@ -512,6 +525,7 @@ def ws6_replay_source_stream(spark: SparkSession, sf: str) -> DataFrame:
         pass  # already registered in this session
     path = f"{sf.rstrip('/')}/events.parquet"
     expect = spark.read.parquet(path).count()
+    batch_rows = max(4000, -(-expect // 4))  # >=2 real batches at sf>=0.01
     name = f"edl_replay_{_uuid.uuid4().hex[:8]}"
     import tempfile
 
@@ -519,7 +533,7 @@ def ws6_replay_source_stream(spark: SparkSession, sf: str) -> DataFrame:
     q = (
         spark.readStream.format("event_replay")
         .option("path", path)
-        .option("batch_rows", 4000)
+        .option("batch_rows", batch_rows)
         .load()
         .writeStream.format("memory")
         .queryName(name)
@@ -533,7 +547,7 @@ def ws6_replay_source_stream(spark: SparkSession, sf: str) -> DataFrame:
             n = spark.sql(f"SELECT COUNT(*) FROM {name}").collect()[0][0]
             if n >= expect:
                 break
-            _time.sleep(0.3)
+            _time.sleep(0.1)
     finally:
         q.stop()
         q.awaitTermination(30)
@@ -655,7 +669,7 @@ def ws7_streaming_validation_gate(spark: SparkSession, sf: str) -> DataFrame:
                 routed, reported = 0, 0
             if routed >= expect_n and reported >= len(suite) * n_batches:
                 break
-            _time.sleep(0.3)
+            _time.sleep(0.1)
     finally:
         q.stop()
         q.awaitTermination(30)
@@ -682,6 +696,45 @@ def ws7_streaming_validation_gate(spark: SparkSession, sf: str) -> DataFrame:
         )
     )
     return good.crossJoin(quar).crossJoin(per_rule)
+
+
+def _drift_feed(src_path: str, feed_path: str, n_scaled: int) -> int:
+    """Write the ws8/ws9 replay feed — the event log plus ``n_scaled``
+    re-scaled (value*10 + 500) copies, keyed by a per-block ``seq`` —
+    DRIVER-SIDE via pyarrow, zero engine jobs; returns the block size n.
+
+    The replay source reads ONE parquet file (pq.read_table), so this
+    replaces a Spark sort+union+toPandas round trip per feed write
+    (~0.7-1.0 s each at sf0.1) with a direct columnar build. Rows are
+    identical to the previous Spark construction: each block is a FULL
+    copy of the log (seq only orders rows within a block, and block
+    boundaries fall on multiples of n, so seq tie-order is
+    content-neutral), and the scaled value is the same IEEE
+    multiply-then-add over the same float64 inputs."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(src_path, columns=["event_id", "event_type", "value"])
+    t = t.take(pc.sort_indices(t, sort_keys=[("event_id", "ascending")]))
+    n = t.num_rows
+    evid, etype, val = t.column(0), t.column(1), t.column(2)
+    scaled = pc.add(pc.multiply(val, pa.scalar(10.0)), pa.scalar(500.0))
+    blocks = []
+    for k in range(n_scaled + 1):
+        blocks.append(
+            pa.table(
+                {
+                    "seq": pa.array(np.arange(k * n, (k + 1) * n, dtype=np.int64)),
+                    "event_id": evid,
+                    "event_type": etype,
+                    "value": val if k == 0 else scaled,
+                }
+            )
+        )
+    pq.write_table(pa.concat_tables(blocks), feed_path)
+    return n
 
 
 _DRIFT_GATE_ORACLE = (
@@ -732,9 +785,6 @@ def ws8_streaming_drift_gate(spark: SparkSession, sf: str) -> DataFrame:
     distribution is unchanged — the monitor localizes WHAT drifted)."""
     import tempfile
     import time as _time
-    import uuid as _uuid
-
-    from pyspark.sql import Window
 
     from ensembl_database_loader_spark.operators.drift import (
         save_drift_profile,
@@ -762,32 +812,16 @@ def ws8_streaming_drift_gate(spark: SparkSession, sf: str) -> DataFrame:
         spark.read.parquet(f"{sf.rstrip('/')}/events.parquet")
         .select("event_id", "event_type", "value")
     )
-    n = base.count()
     prof_path = f"{root}/profile"
     save_drift_profile(
         base, prof_path, num_cols=("value",), cat_cols=("event_type",)
     )
 
-    seq = (F.row_number().over(Window.orderBy("event_id")) - 1).cast("bigint")
-    normal = base.select(seq.alias("seq"), "event_id", "event_type", "value")
-    drifted = base.select(
-        (seq + n).alias("seq"),
-        "event_id",
-        "event_type",
-        (F.col("value") * 10 + 500).alias("value"),
-    )
-    # the replay source reads ONE parquet file (pq.read_table): write
-    # the fixture-sized feed driver-side via pyarrow
-    import pyarrow as pa
-    import pyarrow.parquet as pq
-
+    # feed = the log + one re-scaled copy, built driver-side (zero
+    # engine jobs — see _drift_feed; rows identical to the previous
+    # Spark sort+union+toPandas construction)
     feed_path = f"{root}/feed.parquet"
-    pq.write_table(
-        pa.Table.from_pandas(
-            normal.unionByName(drifted).toPandas(), preserve_index=False
-        ),
-        feed_path,
-    )
+    n = _drift_feed(f"{sf.rstrip('/')}/events.parquet", feed_path, 1)
 
     suite = [
         expect_values_in("event_type", ("click", "purchase", "signup", "view")),
@@ -828,7 +862,7 @@ def ws8_streaming_drift_gate(spark: SparkSession, sf: str) -> DataFrame:
                 routed, drift_rows = 0, 0
             if routed >= 2 * n and drift_rows >= 4:
                 break
-            _time.sleep(0.3)
+            _time.sleep(0.1)
     finally:
         q.stop()
         q.awaitTermination(30)
@@ -910,8 +944,6 @@ def ws9_drift_rebaseline(spark: SparkSession, sf: str) -> DataFrame:
     import tempfile
     import time as _time
 
-    from pyspark.sql import Window
-
     from ensembl_database_loader_spark.operators.drift import (
         drift_profile_history,
         drift_profile_version,
@@ -939,35 +971,26 @@ def ws9_drift_rebaseline(spark: SparkSession, sf: str) -> DataFrame:
         spark.read.parquet(f"{sf.rstrip('/')}/events.parquet")
         .select("event_id", "event_type", "value")
     )
-    n = base.count()
     prof_path = f"{root}/profile"
     save_drift_profile(
         base, prof_path, num_cols=("value",), cat_cols=("event_type",)
     )
 
-    seq = (F.row_number().over(Window.orderBy("event_id")) - 1).cast("bigint")
-    normal = base.select(seq.alias("seq"), "event_id", "event_type", "value")
-
-    def _scaled(offset: int):
+    # the re-baseline operator's input: the re-scaled distribution as a
+    # Spark frame (seq is irrelevant to profiling — only the value/type
+    # distribution matters to update_drift_profile)
+    def _scaled_frame():
         return base.select(
-            (seq + offset).alias("seq"),
             "event_id",
             "event_type",
             (F.col("value") * 10 + 500).alias("value"),
         )
 
-    import pyarrow as pa
-    import pyarrow.parquet as pq
-
+    # feeds built driver-side (zero engine jobs — see _drift_feed;
+    # rows identical to the previous Spark sort+union+toPandas path)
     feed_path = f"{root}/feed.parquet"
-
-    def _write_feed(df):
-        pq.write_table(
-            pa.Table.from_pandas(df.toPandas(), preserve_index=False),
-            feed_path,
-        )
-
-    _write_feed(normal.unionByName(_scaled(n)))
+    src = f"{sf.rstrip('/')}/events.parquet"
+    n = _drift_feed(src, feed_path, 1)
 
     suite = [expect_not_null("event_id")]
     gate_root, ckpt = f"{root}/gate", f"{root}/ckpt"
@@ -1004,7 +1027,7 @@ def ws9_drift_rebaseline(spark: SparkSession, sf: str) -> DataFrame:
                     routed, drift_rows = 0, 0
                 if routed >= min_routed and drift_rows >= min_drift_rows:
                     break
-                _time.sleep(0.3)
+                _time.sleep(0.1)
         finally:
             q.stop()
             q.awaitTermination(30)
@@ -1012,9 +1035,9 @@ def ws9_drift_rebaseline(spark: SparkSession, sf: str) -> DataFrame:
     _run(2 * n, 4)  # batches 0 (clean) + 1 (drifted, quarantined)
 
     # the approved re-baseline: the re-scaled shape becomes profile v1
-    m1 = update_drift_profile(_scaled(0), prof_path, txn=("rebaseline", 1))
+    m1 = update_drift_profile(_scaled_frame(), prof_path, txn=("rebaseline", 1))
     v1 = drift_profile_version(spark, prof_path)
-    replay = update_drift_profile(_scaled(0), prof_path, txn=("rebaseline", 1))
+    replay = update_drift_profile(_scaled_frame(), prof_path, txn=("rebaseline", 1))
     replay_noop = (
         m1 is not None
         and replay is None
@@ -1027,7 +1050,7 @@ def ws9_drift_rebaseline(spark: SparkSession, sf: str) -> DataFrame:
     )
 
     # batch 2: the same re-scaled distribution, now in-baseline
-    _write_feed(normal.unionByName(_scaled(n)).unionByName(_scaled(2 * n)))
+    _drift_feed(src, feed_path, 2)
     _run(3 * n, 6)
 
     g = read_group(spark, gate_root)

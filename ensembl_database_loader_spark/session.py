@@ -39,6 +39,18 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.optimizer.runtimeFilter.semiJoinReduction.enabled": "false",
 }
 
+#: Streaming STATE-STORE partition count for stateful drains (dedup /
+#: stream-stream joins). A streaming query freezes its shuffle-partition
+#: count into the state layout at its first start, and state sizing
+#: follows KEY CARDINALITY, not CPU count — so it is a separate knob
+#: from SPARK_GRAFT_SHUFFLE: the local default (8) matches the fixture
+#: key sets (32 state-store instances per micro-batch measured ~2x
+#: slower on them), while a 100 TB deployment sets
+#: SPARK_GRAFT_STATE_PARTITIONS to its key scale BEFORE the first
+#: checkpoint is written (changing it later requires a new checkpoint).
+STATE_PARTITIONS: str = os.environ.get("SPARK_GRAFT_STATE_PARTITIONS", "8")
+
+
 BUILD_CONFS: dict[str, str] = {
     # local[N] runs everything in the driver JVM; the 1g default heap
     # GC-thrashes on wide shuffles at sf0.1+. Env-overridable.
