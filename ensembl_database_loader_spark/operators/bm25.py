@@ -205,11 +205,8 @@ def bm25_topk(
         .groupBy(id_col, "term", "dl")
         .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
     )
-    dft = postings.groupBy("term").agg(
-        F.count(F.lit(1)).cast("bigint").alias("df")
-    )
     return _score_postings(
-        postings, dft, None, None, qt, id_col, k, k1, b, ndigits,
+        postings, None, None, qt, id_col, k, k1, b, ndigits,
         salt_partitions, broadcast_qside=broadcast_queries,
         stats_df=stats_df,
     )
@@ -217,7 +214,6 @@ def bm25_topk(
 
 def _score_postings(
     postings: DataFrame,
-    dft: DataFrame,
     n_docs: int | None,
     avgdl: float | None,
     qt: DataFrame,
@@ -230,25 +226,36 @@ def _score_postings(
     broadcast_qside: bool = True,
     stats_df: DataFrame | None = None,
 ) -> DataFrame:
-    """Shared scoring tail: enrich the (qid, term) frame with df + the
-    corpus stats — either driver-resident scalars attached as LITERAL
-    columns (the indexed path: stats live in table properties, no job)
-    or a one-row ``stats_df`` attached as a BROADCAST nested-loop join
-    (the ad-hoc path: stats ride the main action instead of a separate
-    driver round trip; an unhinted crossJoin here would plan a
-    CartesianProduct of parallelized frames — slices x slices empty
-    Python tasks) — then join onto the postings (BROADCAST for
-    collected interactive waves, SHUFFLE for DataFrame-shaped
-    corpus-scale sweeps — same rows either way), sum per (qid, doc),
-    rank by (ROUND(score, 6) DESC, doc)."""
+    """Shared scoring tail: attach per-term ``df`` to the postings as a
+    COUNT OVER (PARTITION BY term) window — the former separate
+    ``groupBy(term)`` aggregate branch evaluated the whole postings
+    subtree a SECOND time (for the indexed path, a second scan of the
+    pruned posting files per serve) and joined it back; the window
+    yields the identical count on the single pass, and downstream
+    term-keyed joins reuse its hash partitioning. Corpus stats attach
+    either as driver-resident LITERAL columns (the indexed path: stats
+    live in table properties, no job) or as a one-row ``stats_df``
+    BROADCAST nested-loop join (the ad-hoc path: stats ride the main
+    action instead of a separate driver round trip; an unhinted
+    crossJoin here would plan a CartesianProduct of parallelized
+    frames — slices x slices empty Python tasks). Then join the query
+    terms (BROADCAST for collected interactive waves, SHUFFLE for
+    DataFrame-shaped corpus-scale sweeps — same rows either way), sum
+    per (qid, doc), rank by (ROUND(score, 6) DESC, doc)."""
+    from pyspark.sql import Window
+
     from ensembl_database_loader_spark.operators.similarity import (
         _per_query_topk,
     )
 
+    postings = postings.withColumn(
+        "df",
+        F.count(F.lit(1)).over(Window.partitionBy("term")).cast("bigint"),
+    )
     if stats_df is not None:
-        qside = qt.join(dft, "term").crossJoin(F.broadcast(stats_df))
+        qside = qt.crossJoin(F.broadcast(stats_df))
     else:
-        qside = qt.join(dft, "term").withColumns(
+        qside = qt.withColumns(
             {
                 "n_docs": F.lit(int(n_docs)).cast("bigint"),
                 "avgdl": F.lit(float(avgdl)),
@@ -844,15 +851,11 @@ def bm25_topk_indexed(
             .filter(F.col("_gen") >= F.coalesce(F.col("_kill"), F.lit(0)))
             .drop("_kill")
         )
-    dft = postings.groupBy("term").agg(
-        F.count(F.lit(1)).cast("bigint").alias("df")
-    )
     # avgdl = total_tokens / n_docs: the same exact-integer division
     # the ad-hoc path's avg("dl") performs, so both paths (and an
     # append-maintained index) score bit-for-bit identically
     return _score_postings(
         postings,
-        dft,
         int(meta["n_docs"]),
         int(meta["total_tokens"]) / max(int(meta["n_docs"]), 1),
         qt, id_col, k, k1, b, ndigits,
