@@ -131,7 +131,6 @@ def sync_ann_index(
     cells re-cluster, every other file carried by reference, sync
     watermark preserved). The result dict reports ``cells_split``."""
     from ensembl_database_loader_spark.operators.similarity import (
-        _ann_delete_prune,
         _encode_rows_for_index,
         ann_index_meta,
     )
@@ -173,14 +172,54 @@ def sync_ann_index(
                 f"source {src_path} lacks index columns {missing} — sync "
                 "needs the table the index was built from"
             )
-        victims = changes.filter(
-            F.col("change_type").isin("delete", "update_preimage")
-        ).select(id_col, vec_col)
         arrivals = changes.filter(
             F.col("change_type").isin("insert", "update")
         ).select(*payload)
-        pruned = _ann_delete_prune(spark, meta, victims)
-        n_add = arrivals.count()
+        # ONE aggregate yields the victim prune scope AND the arrival
+        # count (the former _ann_delete_prune collect + arrivals.count()
+        # were two scheduler round trips over the same persisted
+        # wave-sized frame — the sync_bm25_index single-collect
+        # pattern). Float indexes need victim CELLS (stateless
+        # re-assignment from the preimage vectors under the persisted
+        # centroids — identical to _ann_delete_prune's scoping);
+        # quantized ones prune by id stats/blooms only.
+        victim = F.col("change_type").isin("delete", "update_preimage")
+        if not meta.get("quantized"):
+            from ensembl_database_loader_spark.operators.similarity import (
+                _assign_cells,
+            )
+
+            assigned = _assign_cells(
+                changes.select("change_type", F.col(id_col), F.col(vec_col)),
+                vec_col,
+                meta["centroids"],
+            )
+            row = assigned.agg(
+                F.collect_set(
+                    F.when(victim, F.struct("_cell", F.col(id_col)))
+                ).alias("v"),
+                F.sum(F.when(~victim, 1).otherwise(0))
+                .cast("bigint")
+                .alias("n_add"),
+            ).first()
+            cells = sorted({int(r["_cell"]) for r in row["v"]})
+            vids = sorted({r[id_col] for r in row["v"]})
+            prune: list = []
+            if cells:
+                prune.append(("_cell", "in", cells))
+            if vids:
+                prune.append((id_col, "in", vids))
+            pruned = (prune, cells) if vids else None
+        else:
+            row = changes.agg(
+                F.collect_set(F.when(victim, F.col(id_col))).alias("v"),
+                F.sum(F.when(~victim, 1).otherwise(0))
+                .cast("bigint")
+                .alias("n_add"),
+            ).first()
+            vids = sorted(row["v"])
+            pruned = ([(id_col, "in", vids)], []) if vids else None
+        n_add = int(row["n_add"] or 0)
         out = apply_delta(
             spark,
             index_path,
