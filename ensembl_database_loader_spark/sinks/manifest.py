@@ -388,6 +388,33 @@ def _stage_data(
     return rel, df.schema.json()
 
 
+def _remove_staged(spark: SparkSession, root: str, staged: list[str]) -> None:
+    """Best-effort removal of just-staged data files (a zero-hit
+    rewrite's speculative output). Losing the race to remove one is
+    harmless — unreferenced files under data/ are invisible to readers
+    and reclaimed by ``vacuum_table``."""
+    if not staged:
+        return
+    lp = _local_path(root)
+    dirs: set[str] = set()
+    for rel in staged:
+        dirs.add(rel.rsplit("/", 1)[0])
+        if lp is not None:
+            try:
+                os.remove(f"{lp}/{rel}")
+            except OSError:
+                pass
+        else:
+            fs, _, jvm = _fs(spark, root)
+            fs.delete(jvm.org.apache.hadoop.fs.Path(f"{root}/{rel}"), False)
+    if lp is not None:
+        for d in sorted(dirs, key=len, reverse=True):
+            try:
+                os.rmdir(f"{lp}/{d}")
+            except OSError:
+                pass
+
+
 def _read_files(
     spark: SparkSession, m: dict, root: str, rels: list[str]
 ) -> DataFrame:
@@ -2095,33 +2122,52 @@ def _rewrite_rows(
     cand_set = set(cand)
     if not cand and not delta_mode:
         return None
+    # The hit count RIDES the staged write as an Observation (one
+    # candidate-file pass total) — the former separate
+    # sum(hit)-aggregate job cost every delete/update/apply_delta an
+    # extra scheduler round trip and a second scan of the candidate
+    # files. Zero-hit waves (rare: pruning already proved a possible
+    # match) discard the speculatively staged rewrite and keep the
+    # candidates referenced untouched, re-staging only the arrivals —
+    # the manifest outcome is IDENTICAL to the two-pass protocol in
+    # every case, and rows_affected comes from the observed count.
     n_hit = 0
+    staged: list[str] = []
     if cand:
+        from pyspark.sql import Observation
+
         df = _read_files(spark, head, root, cand)
         hit = F.coalesce(F.expr(where), F.lit(False))
-        # one column-pruned pass over the candidate files: how many
-        # rows the condition actually hits — both the zero-hit fast
-        # path (skip the rewrite entirely) and rows_affected accounting
-        n_hit = int(df.agg(F.sum(hit.cast("bigint"))).first()[0] or 0)
-    if n_hit == 0:
-        if not delta_mode:
-            return None
-        # nothing to rewrite: candidates stay referenced as they are
-        cand_set = set()
-        untouched = list(head["files"])
-        out_df: DataFrame | None = append_df
-    else:
-        untouched = [f for f in head["files"] if f not in cand_set]
-        out_df = transform(df, hit)
+        obs = Observation()
+        out_df: DataFrame | None = transform(
+            df.observe(obs, F.sum(hit.cast("bigint")).alias("n_hit")), hit
+        )
         if append_df is not None:
             # ONE staged write for the rewrite AND the arrivals (the
             # union is narrow — each side keeps its own partitioning,
             # so the file layout matches two separate writes at one
             # write job's cost); schemas already strict-validated equal
             out_df = out_df.unionByName(append_df)
-    staged: list[str] = []
-    if out_df is not None:
         staged, _ = _stage_data(out_df, path, pb)
+        n_hit = int(obs.get["n_hit"] or 0)
+        if n_hit == 0:
+            _remove_staged(spark, root, staged)
+            staged = []
+            if not delta_mode:
+                return None
+            # nothing to rewrite: candidates stay referenced as they
+            # are; only the arrivals (if any) stage
+            cand_set = set()
+            untouched = list(head["files"])
+            if append_df is not None:
+                staged, _ = _stage_data(append_df, path, pb)
+        else:
+            untouched = [f for f in head["files"] if f not in cand_set]
+    else:
+        cand_set = set()
+        untouched = list(head["files"])
+        if append_df is not None:
+            staged, _ = _stage_data(append_df, path, pb)
     if stats_cols is None:
         # default: keep the table's existing stat columns alive on the
         # rewritten files (union of columns any head file has stats for)
