@@ -52,6 +52,15 @@ def main() -> int:
     # iterations, best-of"): single-run timings on 0.2s-scale probes
     # carry JIT/GC noise comparable to the measurement itself.
     ap.add_argument("--repeat", type=int, default=3)
+    # Noise control for SUB-2s probes (VERDICT r12 #7): their run-to-run
+    # spread rivals the measurement, so >10% regression flags on them
+    # were pure noise. Probes whose best-of-{repeat} lands under
+    # --small-probe-threshold seconds get up to --small-probe-extra MORE
+    # timed iterations (still min-of-all — the same best-of estimator,
+    # just more samples where the noise floor demands them). Slow probes'
+    # protocol is unchanged; additions-only.
+    ap.add_argument("--small-probe-extra", type=int, default=2)
+    ap.add_argument("--small-probe-threshold", type=float, default=2.0)
     ap.add_argument("--only", type=str, default="")
     ap.add_argument("--seed", type=int, default=int(os.environ.get("BENCH_SEED", "42")))
     ap.add_argument(
@@ -115,6 +124,21 @@ def main() -> int:
                 break
             dt = time.perf_counter() - t0
             best = dt if best is None else min(best, dt)
+        # extra min() samples for sub-threshold probes (see --small-probe-extra)
+        extra = 0
+        while (
+            best is not None
+            and best < args.small_probe_threshold
+            and extra < max(0, args.small_probe_extra)
+        ):
+            extra += 1
+            t0 = time.perf_counter()
+            try:
+                p.spark_fn(spark, sf_dir).collect()
+            except Exception as exc:  # noqa: BLE001 - keep the valid best-of
+                print(f"# WARN {name} (extra iter): {exc}", file=sys.stderr)
+                break
+            best = min(best, time.perf_counter() - t0)
         if best is not None:
             times[name] = round(best, 3)
         # Isolation: drop anything this probe cached/persisted and let
@@ -170,6 +194,12 @@ def main() -> int:
             "order": probes_list,
             "per_probe_warmup": True,
             "clear_cache_between": True,
+            # r13+: probes under this many seconds after the standard
+            # repeats get this many EXTRA min() samples (same best-of
+            # estimator, more samples at the noise floor; 0 extra in
+            # records predating the field)
+            "small_probe_extra": args.small_probe_extra,
+            "small_probe_threshold_sec": args.small_probe_threshold,
             "recorded_at": time.strftime("%Y-%m-%dT%H:%M:%S"),
             # seconds for a fixed 20M-op single-thread Python loop on
             # this host at record time (host-normalization divisor;
