@@ -161,7 +161,11 @@ def test_remove_duplicate_spans_property_wrapper(spark):
         remove_duplicate_spans,
     )
 
-    @h_settings(max_examples=20, deadline=None)
+    # 8 examples (was 20): each example is a full Spark action (the
+    # cost is engine round trips, not case breadth) and the pure-
+    # Python reference properties above run 200-300 examples on the
+    # same primitives — suite-budget item, VERDICT r12 #4
+    @h_settings(max_examples=8, deadline=None)
     @h_given(
         st.dictionaries(
             st.integers(0, 50),
@@ -198,7 +202,11 @@ def test_token_budget_property_wrapper(spark):
     from ensembl_database_loader_spark.operators.budget import select_token_budget
     from ensembl_database_loader_spark.operators.mixing import HASH_SPACE, KNUTH
 
-    @h_settings(max_examples=20, deadline=None)
+    # 8 examples (was 20): each example is a full Spark action (the
+    # cost is engine round trips, not case breadth) and the pure-
+    # Python reference properties above run 200-300 examples on the
+    # same primitives — suite-budget item, VERDICT r12 #4
+    @h_settings(max_examples=8, deadline=None)
     @h_given(
         st.lists(
             st.tuples(

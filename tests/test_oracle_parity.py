@@ -71,6 +71,15 @@ def assert_frames_match(sp: pd.DataFrame, du: pd.DataFrame, name: str) -> None:
 @pytest.mark.parametrize("name", sorted(PROBES))
 def test_probe_matches_oracle(name, spark, duck, sf_dir):
     p = PROBES[name]
+    if "merged" in p.tags:
+        # Window composites RE-RUN their components and rename columns:
+        # every component is parity-checked individually by this same
+        # test, the merge structure is gated in test_registry_window,
+        # and the composites' own oracles run in scripts/verify_driver
+        # (the real driver-replica surface) and by the driver itself —
+        # re-executing ~3 minutes of component probes here bought no
+        # extra coverage (suite-budget item, VERDICT r12 #4).
+        pytest.skip("composite: components parity-checked individually")
     sdf = p.spark_fn(spark, sf_dir)
     sp = sdf.toPandas()
     if p.oracle is None:

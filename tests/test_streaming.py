@@ -19,6 +19,22 @@ from ensembl_database_loader_spark.streaming.windows import (
 )
 
 
+@pytest.fixture(autouse=True)
+def _tiny_state_partitions(spark):
+    """Streaming state-store sizing for THIS module's tests: every
+    stateful query here carries a handful of keys, but each of the 8
+    fixture-default shuffle partitions instantiates its own state
+    store(s) per micro-batch — near-pure engine overhead that made the
+    stream-stream tests the slowest in the suite (59s/32s). Two
+    partitions exercise the identical multi-partition semantics at a
+    fraction of the per-batch cost (suite-budget item, VERDICT r12 #4);
+    results are partition-count-independent by the streaming contract."""
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    yield
+    spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
 def _rows(df, *order):
     return [tuple(r) for r in df.orderBy(*order).collect()]
 
